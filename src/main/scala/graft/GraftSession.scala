@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned session factory.
+  *
+  * Local dev/bench runs on `local[32]`; the same settings are what we
+  * would ship as `--conf` defaults on a real cluster: AQE owns runtime
+  * re-planning (partition coalesce + skew-join splitting), shuffle
+  * partition count matches available parallelism instead of Spark's
+  * 200 default, Kryo for the few non-Tungsten payloads.
+  */
+object GraftSession {
+  def local(cores: Int = 32): SparkSession = tuned(
+    SparkSession.builder().master(s"local[$cores]"), cores
+  )
+
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession = {
+    val spark = b
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-stable arithmetic.
+  *
+  * The driver hash-compares our results against a DuckDB oracle, so any
+  * double we emit must be *bit-identical* across engines. Two hazards:
+  *
+  *  1. Summation order: `sum`/`avg` over doubles is association-order
+  *     dependent; Spark's partial aggregation order differs from
+  *     DuckDB's. Fix: accumulate in DECIMAL (the test data's money
+  *     columns are exact 2-decimal values, so the cast is lossless and
+  *     the sum exact), cast the final sum back to double — conversion
+  *     of the same rational to double is correctly rounded in IEEE-754,
+  *     hence identical everywhere.
+  *
+  *  2. round() semantics: Spark rounds the decimal expansion of the
+  *     binary double (HALF_UP via BigDecimal) while DuckDB computes
+  *     round(x·10^s)/10^s — they disagree on half-boundary values,
+  *     which 2-decimal inputs hit constantly (avg of two .xx values).
+  *     Fix: an explicit `floor(x·10^s + 0.5)/10^s` formula — pure IEEE
+  *     ops that every engine evaluates identically.
+  *
+  * These helpers are plain Column expressions → whole-stage codegen.
+  */
+object Exact {
+
+  /** floor(x·10^s + 0.5)/10^s — engine-independent round-half-up
+    * (toward +inf for negatives; consistent everywhere).
+    * SQL equivalent: `floor(x * 10^s + 0.5) / 10^s`. */
+  def roundAt(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * f + 0.5) / f
+  }
+
+  def round2(c: Column): Column = roundAt(c, 2)
+
+  /** Exact, order-independent sum of doubles with <= `scale` decimals.
+    * SQL equivalent: `CAST(sum(CAST(x AS DECIMAL(38,scale))) AS DOUBLE)`. */
+  def sumExact(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  /** Order-independent average built from the exact sum.
+    * SQL: `CAST(sum(CAST(x AS DECIMAL(38,s))) AS DOUBLE) / count(*)`. */
+  def avgExact(c: Column, scale: Int = 2): Column =
+    sumExact(c, scale) / count(lit(1L))
+}
