@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+
+/** Relational operators covering the reference's ksqlDB surface and
+  * the latency-monitor analytics.
+  */
+object Relational {
+
+  /** ksqlDB's LATEST_BY_OFFSET (ksqldb-consumer profiles/
+    * low_latency.sql:12): per key, the value carried by the row with
+    * the highest offset. `max_by` is a single hash aggregation —
+    * map-side partial agg keeps only one candidate per key per
+    * partition, so state is O(keys), not O(rows).
+    */
+  def latestByOffset(
+      df: DataFrame,
+      keys: Seq[String],
+      offsetCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val aggs =
+      valueCols.map(v => max_by(col(v), col(offsetCol)).as(s"latest_$v")) ++
+        Seq(max(col(offsetCol)).as("last_offset"), count(lit(1L)).as("row_count"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The latency monitor's metric block (latency-monitor
+    * models/LatencyMetrics): avg, p50, p95, p99, min, max, stddev,
+    * count — as one aggregation pass.
+    *
+    * stddev is computed from exact decimal sums via the textbook
+    * sqrt((Σx² − (Σx)²/n)/(n−1)) identity so the result is
+    * bit-identical across engines (Welford merge order would not be);
+    * inputs are ≤2-decimal so x² is ≤4-decimal and the decimal cast
+    * is lossless. Percentiles use Spark's exact `percentile` (linear
+    * interpolation — same definition as SQL quantile_cont).
+    */
+  def distributionStats(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      valueScale: Int = 2): DataFrame = {
+    val v = col(valueCol)
+    val n = count(lit(1L))
+    val s = Exact.sumExact(v, valueScale)
+    val sq = Exact.sumExact(v * v, 2 * valueScale)
+    val grouped =
+      if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+    grouped.agg(
+      (s / n).as("avg_v"),
+      Exact.roundAt(expr(s"percentile($valueCol, 0.5)"), 4).as("p50_v"),
+      Exact.roundAt(expr(s"percentile($valueCol, 0.95)"), 4).as("p95_v"),
+      Exact.roundAt(expr(s"percentile($valueCol, 0.99)"), 4).as("p99_v"),
+      min(v).as("min_v"),
+      max(v).as("max_v"),
+      sqrt((sq - s * s / n) / (n - lit(1L))).as("stddev_v"),
+      n.as("sample_count"))
+  }
+
+  /** The latency monitor pipeline shape (LatencyMonitor.scala:
+    * collectLatencyData → calculateMetrics): derive a per-window
+    * latency (window close minus earliest stamp), apply the monitor's
+    * validity guards (positive, under 10 minutes —
+    * LatencyMonitor.scala:215-222), then the distribution stats.
+    */
+  def latencyReport(
+      events: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      windowSize: String): DataFrame = {
+    val perWindow = events
+      .groupBy((window(col(tsCol), windowSize) +: keys.map(col)): _*)
+      .agg(
+        (expr(s"unix_micros(max($tsCol)) div 1000") -
+          expr(s"unix_micros(min($tsCol)) div 1000")).as("latency_ms"))
+      .filter(col("latency_ms") > 0 && col("latency_ms") < 600000L)
+    // integer latencies: plain sums are exact, no decimal cast needed
+    val v = col("latency_ms")
+    val n = count(lit(1L))
+    val s = sum(v).cast("double")
+    val sq = sum(v * v).cast("double")
+    perWindow.groupBy().agg(
+      (s / n).as("avg_latency_ms"),
+      expr("percentile(latency_ms, 0.5)").as("p50_latency_ms"),
+      expr("percentile(latency_ms, 0.95)").as("p95_latency_ms"),
+      expr("percentile(latency_ms, 0.99)").as("p99_latency_ms"),
+      min(v).as("min_latency_ms"),
+      max(v).as("max_latency_ms"),
+      sqrt((sq - s * s / n) / (n - lit(1L))).as("stddev_latency_ms"),
+      n.as("sample_count"))
+  }
+}
