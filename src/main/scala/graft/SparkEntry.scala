@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
+import org.apache.spark.sql.expressions.Window
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -68,22 +69,140 @@ object SparkEntry {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"),
           (sum(col("k")).cast("double") / count(lit(1L))).as("avg_k"),
-          count(lit(1L)).as("n")))
+          count(lit(1L)).as("n"))),
+
+    // ---- batch analytics (SURVEY §2.2: notebook + dmi surface) ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      AsOfJoin.leftAsOf(
+        left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        right = ev.filter(col("event_type") === "view"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("value" -> "view_value", "event_id" -> "view_event_id")
+      ).drop("ts")
+    }),
+
+    "q_forward_fill" -> ((s, dir) => {
+      val gapped = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")).as("filled_value"))
+      Relational.forwardFill(gapped, Seq("user_id"), "event_id", Seq("filled_value"))
+    }),
+
+    "q_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        graft.functions.Exact.corrExact(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+        graft.functions.Exact.covarSampExact(col("l_quantity"), col("l_extendedprice")).as("covar_qty_price"),
+        count(lit(1L)).as("n"))),
+
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(graft.functions.Exact.round2(graft.functions.Exact.avgExact(col("value"))))
+        // the notebook's categorical derivation (calculate_dk_area)
+        .withColumn("segment",
+          when(col("user_id") % 2 === 0, lit("dk1")).otherwise(lit("dk2")))),
+
+    "q_pricing_summary" -> ((s, dir) => {
+      import graft.functions.Exact._
+      val li = Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate <= TIMESTAMP_NTZ'2000-12-01 00:00:00'"))
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val charge = disc * (lit(1) + col("l_tax"))
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sumExact(col("l_quantity")).as("sum_qty"),
+        sumExact(col("l_extendedprice")).as("sum_base_price"),
+        sumExact(disc, 4).as("sum_disc_price"),
+        sumExact(charge, 6).as("sum_charge"),
+        avgExact(col("l_quantity")).as("avg_qty"),
+        avgExact(col("l_extendedprice")).as("avg_price"),
+        avgExact(col("l_discount")).as("avg_disc"),
+        count(lit(1L)).as("count_order"))
+    }),
+
+    "q_top_orders" -> ((s, dir) => {
+      import graft.functions.Exact._
+      val cut = "TIMESTAMP_NTZ'1998-01-01 00:00:00'"
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir).filter(expr(s"o_orderdate < $cut")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(expr(s"l_shipdate > $cut")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q_nation_revenue" -> ((s, dir) => {
+      import graft.functions.Exact._
+      // TPC-H Q5 shape: dims broadcast (region/nation auto-qualify
+      // under the broadcast threshold; at 100 TB AQE re-plans the
+      // fact-fact joins as shuffle joins with skew splitting).
+      Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir)
+          .filter(expr("o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'") &&
+            expr("o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("s_suppkey") === col("l_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1L)).as("n_lineitems"))
+    }),
+
+    "q_brand_revenue" -> ((s, dir) => {
+      import graft.functions.Exact._
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          sumExact(col("l_quantity")).as("sum_qty"),
+          count(lit(1L)).as("n"))
+    }),
+
+    "q_customer_above_avg" -> ((s, dir) => {
+      import graft.functions.Exact._
+      val cust = Tables.customer(s, dir)
+      val thr = cust.agg(avgExact(col("c_acctbal")).as("avg_acctbal"))
+      // broadcast the 1-row aggregate — scalar-subquery shape without
+      // a driver round-trip, works unchanged at any scale
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("avg_acctbal"))
+        .select("c_custkey", "c_name", "c_acctbal", "avg_acctbal")
+    }),
+
+    "q_order_rank" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk"))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
 
   /** Engine-portable formulas shared by many oracles (see
     * graft.functions.Exact for the Spark side + rationale). */
-  private def round2(x: String) = s"floor(($x) * 100 + 0.5) / 100"
-  private def round4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
-  private def sumExact(x: String, scale: Int = 2) =
+  private def sqlRound2(x: String) = s"floor(($x) * 100 + 0.5) / 100"
+  private def sqlRound4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
+  private def sqlSum(x: String, scale: Int = 2) =
     s"CAST(sum(CAST($x AS DECIMAL(30,$scale))) AS DOUBLE)"
   private val fmt = "'%Y-%m-%d %H:%M:%S'"
 
   /** The reference agg list (avg/min/max/count/min-offset) in DuckDB. */
   private def windowAggs = s"""
-    |       ${round2(s"${sumExact("value")} / count(*)")} AS avg_value,
+    |       ${sqlRound2(s"${sqlSum("value")} / count(*)")} AS avg_value,
     |       min(value) AS min_value,
     |       max(value) AS max_value,
     |       count(*) AS message_count,
@@ -142,13 +261,13 @@ object SparkEntry {
 
     "q_latency_stats" ->
       s"""SELECT event_type,
-         |       ${sumExact("value")} / count(*) AS avg_v,
-         |       ${round4("quantile_cont(value, 0.5)")} AS p50_v,
-         |       ${round4("quantile_cont(value, 0.95)")} AS p95_v,
-         |       ${round4("quantile_cont(value, 0.99)")} AS p99_v,
+         |       ${sqlSum("value")} / count(*) AS avg_v,
+         |       ${sqlRound4("quantile_cont(value, 0.5)")} AS p50_v,
+         |       ${sqlRound4("quantile_cont(value, 0.95)")} AS p95_v,
+         |       ${sqlRound4("quantile_cont(value, 0.99)")} AS p99_v,
          |       min(value) AS min_v,
          |       max(value) AS max_v,
-         |       sqrt((${sumExact("value*value", 4)} - ${sumExact("value")} * ${sumExact("value")} / count(*)) / (count(*) - 1)) AS stddev_v,
+         |       sqrt((${sqlSum("value*value", 4)} - ${sqlSum("value")} * ${sqlSum("value")} / count(*)) / (count(*) - 1)) AS stddev_v,
          |       count(*) AS sample_count
          |FROM events GROUP BY event_type""".stripMargin,
 
@@ -178,6 +297,111 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    // ---- batch analytics ----
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.value,
+        |       r.value AS view_value, r.event_id AS view_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_forward_fill" ->
+      """SELECT event_id, user_id,
+        |       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM events""".stripMargin,
+
+    "q_corr" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      val sx = sqlSum("l_quantity"); val sy = sqlSum("l_extendedprice")
+      val sxy = sqlSum("l_quantity * l_extendedprice", 4)
+      val sxx = sqlSum("l_quantity * l_quantity", 4)
+      val syy = sqlSum("l_extendedprice * l_extendedprice", 4)
+      s"""SELECT l_returnflag,
+         |       ($n * $sxy - $sx * $sy) / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)) AS corr_qty_price,
+         |       ($sxy - $sx * $sy / $n) / ($n - 1.0) AS covar_qty_price,
+         |       count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    },
+
+    "q_pivot" -> {
+      def cell(t: String) =
+        sqlRound2(s"CAST(sum(CAST(value AS DECIMAL(30,2))) FILTER (event_type = '$t') AS DOUBLE) / count(*) FILTER (event_type = '$t')")
+      s"""SELECT user_id,
+         |       ${cell("click")} AS click, ${cell("error")} AS error,
+         |       ${cell("purchase")} AS purchase, ${cell("signup")} AS signup,
+         |       ${cell("view")} AS view,
+         |       CASE WHEN user_id % 2 = 0 THEN 'dk1' ELSE 'dk2' END AS segment
+         |FROM events GROUP BY user_id""".stripMargin
+    },
+
+    "q_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sqlSum("l_quantity")} AS sum_qty,
+         |       ${sqlSum("l_extendedprice")} AS sum_base_price,
+         |       ${sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         |       ${sqlSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+         |       ${sqlSum("l_quantity")} / count(*) AS avg_qty,
+         |       ${sqlSum("l_extendedprice")} / count(*) AS avg_price,
+         |       ${sqlSum("l_discount")} / count(*) AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_top_orders" ->
+      s"""SELECT l_orderkey,
+         |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |       o_orderpriority,
+         |       ${sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q_nation_revenue" ->
+      s"""SELECT n_name,
+         |       ${sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         |       count(*) AS n_lineitems
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+
+    "q_brand_revenue" ->
+      s"""SELECT p_brand,
+         |       ${sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         |       ${sqlSum("l_quantity")} AS sum_qty,
+         |       count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+
+    "q_customer_above_avg" ->
+      s"""SELECT c_custkey, c_name, c_acctbal,
+         |       (SELECT ${sqlSum("c_acctbal")} / count(*) FROM customer) AS avg_acctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT ${sqlSum("c_acctbal")} / count(*) FROM customer)""".stripMargin,
+
+    "q_order_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin
   )
 }

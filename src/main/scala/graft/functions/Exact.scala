@@ -46,4 +46,23 @@ object Exact {
     * SQL: `CAST(sum(CAST(x AS DECIMAL(38,s))) AS DOUBLE) / count(*)`. */
   def avgExact(c: Column, scale: Int = 2): Column =
     sumExact(c, scale) / count(lit(1L))
+
+  /** Pearson correlation from exact decimal sums:
+    * (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)).
+    * Spark's built-in `corr` merges co-moments in partition order and
+    * is not bit-stable across engines; this is. */
+  def corrExact(x: Column, y: Column, sx: Int = 2, sy: Int = 2): Column = {
+    val n = count(lit(1L)).cast("double")
+    val sxs = sumExact(x, sx); val sys = sumExact(y, sy)
+    val sxy = sumExact(x * y, sx + sy)
+    val sxx = sumExact(x * x, 2 * sx); val syy = sumExact(y * y, 2 * sy)
+    (n * sxy - sxs * sys) / sqrt((n * sxx - sxs * sxs) * (n * syy - sys * sys))
+  }
+
+  /** Sample covariance from exact decimal sums:
+    * (Σxy − ΣxΣy/n) / (n−1). */
+  def covarSampExact(x: Column, y: Column, sx: Int = 2, sy: Int = 2): Column = {
+    val n = count(lit(1L)).cast("double")
+    (sumExact(x * y, sx + sy) - sumExact(x, sx) * sumExact(y, sy) / n) / (n - lit(1.0))
+  }
 }

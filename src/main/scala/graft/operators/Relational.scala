@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Exact
 
@@ -90,5 +91,22 @@ object Relational {
       max(v).as("max_latency_ms"),
       sqrt((sq - s * s / n) / (n - lit(1L))).as("stddev_latency_ms"),
       n.as("sample_count"))
+  }
+
+  /** Forward fill — the notebook's `merged.ffill()` (price_prediction
+    * .ipynb "Data Analysis" cell), distributed: running
+    * `last(ignoreNulls)` per key ordered by `ordCol`. One shuffle on
+    * the key; no driver state. */
+  def forwardFill(
+      df: DataFrame,
+      keys: Seq[String],
+      ordCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 }
