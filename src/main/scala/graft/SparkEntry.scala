@@ -187,7 +187,78 @@ object SparkEntry {
           Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
         .filter(col("rnk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")),
+
+    // ---- LLM-data-pipeline block (SURVEY §2.3) ----
+    "q_doc_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_doc_dedup_canonical" -> ((s, dir) =>
+      Dedup.exactCanonical(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_doc_minhash" -> ((s, dir) =>
+      Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.95)),
+
+    "q_doc_simhash" -> ((s, dir) =>
+      Dedup.simHashNearDup(Tables.documents(s, dir), "doc_id", "text",
+        bands = 8, maxHamming = 6)),
+
+    "q_doc_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        n = 1, threshold = 0.95)),
+
+    "q_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupExact(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.35)),
+
+    "q_knn_cosine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_knn_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, bitsPerTable = 6, tables = 8)
+    }),
+
+    "q_doc_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.Text.langId(col("text")).as("lang_pred"))),
+
+    "q_doc_quality" -> ((s, dir) => {
+      import graft.functions.{Text => T}
+      import graft.functions.Exact.roundAt
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        T.tokenCountWs(t).cast("long").as("n_tokens"),
+        roundAt(T.stopwordRatio(t), 4).as("stop_ratio"),
+        roundAt(T.meanTokenLen(t), 4).as("mean_tok_len"),
+        roundAt(T.digitRatio(t), 4).as("digit_ratio"),
+        roundAt(T.qualityScore(t), 4).as("quality"))
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      import graft.functions.{Text => T}
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        T.tokenCountWs(t).cast("long").as("ws_tokens"),
+        T.tokenCountRegex(t).cast("long").as("re_tokens"),
+        T.tokenCountSubwordEst(t).cast("long").as("subword_est"))
+    }),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.Text.fingerprint(col("text")).as("fp"),
+        graft.functions.Text.fingerprintCanonical(col("text")).as("fp_canonical"))),
+
+    "q_multimodal_fingerprint" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.pack(Tables.documents(s, dir))).toDF)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -402,6 +473,133 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY o_custkey
         |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |      FROM orders)
-        |WHERE rnk <= 3""".stripMargin
+        |WHERE rnk <= 3""".stripMargin,
+
+    // ---- LLM-data-pipeline block ----
+    "q_doc_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash,
+        |       min(doc_id) AS rep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_doc_dedup_canonical" ->
+      s"""SELECT $sqlFpCanonical AS fp_canonical,
+         |       min(doc_id) AS rep_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    // MinHash-LSH with 64 hashes / 16 bands: at threshold 0.95 the
+    // band-collision probability for a qualifying pair is
+    // 1-(1-J^4)^16 > 1-2e-12 — the verified output provably equals
+    // the exact-Jaccard pair set on this data (deterministic seeds;
+    // equality checked in DedupSpec).
+    "q_doc_minhash" -> sqlJaccardPairs("0.95"),
+
+    "q_doc_ngram_jaccard" -> sqlJaccardPairs("0.95"),
+
+    "q_embedding_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${sqlRound4(sqlCos("a", "b"))} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${sqlCos("a", "b")} >= 0.35""".stripMargin,
+
+    "q_knn_cosine" ->
+      s"""WITH s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${sqlCos("q", "c")} AS cos
+         |  FROM embeddings c JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+         |    ON c.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, rnk, ${sqlRound4("cos")} AS cosine
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_doc_langid" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter(string_split(text, ' '), x -> list_contains(${markers.mkString("['", "','", "']")}, x)))"
+      val Seq(en, es, fr, de) = graft.functions.Text.langMarkers.map(m => score(m._2))
+      s"""WITH s AS (
+         |  SELECT doc_id, text, $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de
+         |  FROM documents
+         |)
+         |SELECT doc_id, CASE
+         |  WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+         |  WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         |  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+         |  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         |  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         |  ELSE 'de' END AS lang_pred
+         |FROM s""".stripMargin
+    },
+
+    "q_doc_quality" -> {
+      val stop = graft.functions.Text.langMarkers.flatMap(_._2).distinct
+        .mkString("['", "','", "']")
+      val nTok = "len(string_split(text, ' '))"
+      val stopRatio = s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) AS DOUBLE) / $nTok"
+      val digitRatio = "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)"
+      val punctRatio = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)"
+      val meanTokLen = s"CAST(length(text) - ($nTok - 1) AS DOUBLE) / $nTok"
+      val quality = s"0.4 * least(1.0, CAST($nTok AS DOUBLE) / 100.0) + " +
+        s"0.3 * least(1.0, ($stopRatio) * 4.0) + " +
+        s"0.3 * (1.0 - least(1.0, (($digitRatio) + ($punctRatio)) * 4.0))"
+      s"""SELECT doc_id,
+         |       $nTok AS n_tokens,
+         |       ${sqlRound4(stopRatio)} AS stop_ratio,
+         |       ${sqlRound4(meanTokLen)} AS mean_tok_len,
+         |       ${sqlRound4(digitRatio)} AS digit_ratio,
+         |       ${sqlRound4(quality)} AS quality
+         |FROM documents""".stripMargin
+    },
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens,
+        |       (length(text) + 3) // 4 AS subword_est
+        |FROM documents""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id, $sqlFpOrdered AS fp, $sqlFpCanonical AS fp_canonical
+         |FROM documents""".stripMargin,
+
+    "q_multimodal_fingerprint" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       sha256(text) AS sha256_hex,
+        |       octet_length(encode(text)) % 64 + 1 AS width,
+        |       octet_length(encode(text)) % 48 + 1 AS height,
+        |       'raw' AS format
+        |FROM documents""".stripMargin
   )
+
+  /** Shared DuckDB fragments for the LLM-pipeline oracles. Each is the
+    * exact SQL mirror of a graft.functions expression — see the
+    * Scaladoc there for the bit-identity argument. */
+  private def sqlTokenHash(t: String) =
+    s"list_reduce(list_transform(string_split($t, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+  private val sqlFpOrdered =
+    s"list_reduce(list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")}), (a, h) -> (a * 131 + h) % 1000000007)"
+  private val sqlFpCanonical =
+    s"list_reduce(list_transform(list_sort(list_distinct(string_split(text, ' '))), t -> ${sqlTokenHash("t")}), (a, h) -> (a * 131 + h) % 1000000007)"
+
+  /** Sequential-fold cosine between embedding columns of relations
+    * `$a`/`$b` — mirrors graft.functions.Vectors.cosine op-for-op. */
+  private def sqlCos(a: String, b: String): String = {
+    def normSq(x: String) =
+      s"list_reduce(list_transform($x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, v) -> acc + v)"
+    s"list_reduce(list_transform(list_zip($a.embedding, $b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)" +
+      s" / (sqrt(${normSq(a)}) * sqrt(${normSq(b)}))"
+  }
+
+  /** Exact token-set Jaccard pairs at a threshold (naive pair scan —
+    * oracle-side only; the Spark side uses the inverted index / LSH). */
+  private def sqlJaccardPairs(thr: String): String = {
+    val jac = "CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))"
+    s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS g FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${sqlRound4(jac)} AS jaccard
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |WHERE $jac >= $thr""".stripMargin
+  }
 }

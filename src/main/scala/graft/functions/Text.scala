@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for the LLM-data-pipeline surface
+  * (SURVEY.md §2.3): language ID, quality scoring, token counting,
+  * rolling-hash fingerprints.
+  *
+  * All pure Column expressions (whole-stage codegen / HOFs — no Scala
+  * UDFs). Each has an exact SQL mirror used by the DuckDB oracle;
+  * arithmetic is integer or single-op IEEE double so results are
+  * bit-identical across engines.
+  */
+object Text {
+
+  /** Whitespace tokens. Mirror: `string_split(text, ' ')`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  // ---- language ID ----------------------------------------------------
+
+  /** Tiny per-language stopword marker sets (public common-word lists).
+    * Deliberately small: language ID here is the reference-style
+    * n-gram/stopword heuristic, not a model. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "von", "den", "ein", "zu"))
+
+  /** Count of tokens (with multiplicity) present in a marker set. */
+  def markerScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t =>
+      array_contains(array(markers.map(lit): _*), t)))
+
+  /** Predicted language: 'zh' if any CJK char; else the first language
+    * in `langMarkers` order achieving the max marker score; 'und' if
+    * all scores are zero. Priority order matches the oracle's CASE
+    * chain exactly. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> markerScore(text, m) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pick = scores.reverse.foldLeft(lit("und")) { case (els, (l, s)) =>
+      when(s === maxScore, lit(l)).otherwise(els)
+    }
+    when(regexp_count(text, lit("[一-鿿]")) > 0, lit("zh"))
+      .when(maxScore === 0, lit("und"))
+      .otherwise(pick)
+  }
+
+  // ---- quality score --------------------------------------------------
+
+  /** All-language stopword union for the stopword-ratio feature. */
+  private val allMarkers: Seq[String] =
+    langMarkers.flatMap(_._2).distinct
+
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish piece count: letter runs, digit runs, single symbols.
+    * Mirror: `len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))`. */
+  def tokenCountRegex(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+  /** ~chars-per-token subword estimate: ceil(len/4) = (len+3) div 4. */
+  def tokenCountSubwordEst(text: Column): Column =
+    ((length(text) + 3) / lit(4)).cast("long")
+
+  def stopwordRatio(text: Column): Column =
+    markerScore(text, allMarkers).cast("double") / tokenCountWs(text)
+
+  def digitRatio(text: Column): Column =
+    regexp_count(text, lit("[0-9]")).cast("double") / length(text)
+
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") / length(text)
+
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (tokenCountWs(text) - 1)).cast("double") / tokenCountWs(text)
+
+  /** Composite [0,1] quality score; every term is a single IEEE op on
+    * exact integer-derived doubles, so the SQL mirror is bit-identical.
+    * Weights follow the usual heuristic-filter shape (length prior +
+    * stopword evidence − symbol noise). */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(lit(1.0), tokenCountWs(text).cast("double") / 100.0) +
+      lit(0.3) * least(lit(1.0), stopwordRatio(text) * 4.0) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), (digitRatio(text) + punctRatio(text)) * 4.0))
+
+  // ---- fingerprints ---------------------------------------------------
+
+  private val Mod = 1000000007L
+  private val CharB = 31L
+  private val TokB = 131L
+
+  /** Polynomial rolling hash of one token's chars, mod 1e9+7.
+    * Seeded at 0 so the first step equals DuckDB's first-element seed. */
+  private def tokenHash(t: Column): Column =
+    aggregate(split(t, ""), lit(0L),
+      (acc, c) => (acc * CharB + ascii(c)) % Mod)
+
+  /** Order-sensitive document fingerprint: rolling hash over the
+    * token-hash sequence. Mirror in DuckDB: nested list_reduce with
+    * the same (B, mod) constants. */
+  def fingerprint(text: Column): Column =
+    aggregate(transform(tokens(text), tokenHash(_)), lit(0L),
+      (acc, h) => (acc * TokB + h) % Mod)
+
+  /** Order-insensitive (canonical) fingerprint: same hash over the
+    * *sorted distinct* token sequence — shuffled near-duplicates
+    * collapse to one value. */
+  def fingerprintCanonical(text: Column): Column =
+    aggregate(transform(array_sort(array_distinct(tokens(text))), tokenHash(_)),
+      lit(0L), (acc, h) => (acc * TokB + h) % Mod)
+}

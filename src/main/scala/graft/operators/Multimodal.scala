@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing (SURVEY.md §2.3 #35).
+  *
+  * Media payloads are opaque `binary` columns plus a typed metadata
+  * struct. The decode / feature-extract step is a batched
+  * `mapPartitions` over the typed Dataset — the distributed shape a
+  * real decoder (image/audio lib) would plug into. The decode itself
+  * is a DETERMINISTIC STUB (no media libs in this environment): it
+  * derives features from the bytes (sha256, length, fake dimensions)
+  * so the plumbing is fully testable end-to-end.
+  *
+  * Scale notes: rows flow through executors in `batchSize` groups
+  * (amortizes per-call decoder setup exactly like mapInPandas batch
+  * semantics); no driver collection; binary columns stay off-heap in
+  * Tungsten rows until the partition iterator touches them.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, blob: Array[Byte], format: String)
+  case class MediaFeature(
+      doc_id: Long, byte_len: Long, sha256_hex: String,
+      width: Long, height: Long, format: String)
+
+  /** Pack a text table into the opaque-blob shape (the stand-in for
+    * an image/audio ingest: bytes + metadata). */
+  def pack(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"),
+      lit("raw").as("format"))
+
+  /** STUB decode of one batch. A real implementation would hand the
+    * batch to an image/audio codec; this fake is deterministic in the
+    * bytes so tests and oracles can verify the plumbing. */
+  private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeature] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    batch.map { r =>
+      md.reset()
+      val digest = md.digest(r.blob)
+      val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+      val len = r.blob.length.toLong
+      MediaFeature(r.doc_id, len, hex,
+        width = len % 64 + 1, height = len % 48 + 1, format = r.format)
+    }
+  }
+
+  /** Batched distributed feature extraction: the Spark-side plumbing
+    * (typed Dataset, per-partition batching, encoder round-trip) is
+    * real; only the innermost decode is stubbed. */
+  def extractFeatures(spark: SparkSession, packed: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
+    import spark.implicits._
+    packed.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(g => decodeBatch(g))
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.3 #29-30).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small)
+  *    query set against the corpus, rank by cosine. One pass over the
+  *    corpus, no shuffle of the corpus itself; this is the oracle path
+  *    and also the right plan whenever |queries| is broadcast-sized.
+  *  - [[lshTopK]] — the scale path: random-hyperplane LSH. Corpus and
+  *    queries are bucketed by sign-bit signatures over `tables`
+  *    independent hyperplane sets; candidates are bucket-joins
+  *    (shuffle on the bucket key), then exact cosine re-ranks. Recall
+  *    is tunable via (bitsPerTable, tables); candidates-per-query is
+  *    ~|corpus| / 2^bits × tables, independent of total corpus size
+  *    for well-spread data.
+  */
+object Similarity {
+
+  /** Deterministic Gaussian hyperplane weights: java.util.Random's
+    * algorithm is specified by its Javadoc, so plane (t, j) is
+    * reproducible everywhere; planes are baked into the plan as
+    * literals (no data dependency, no broadcast needed). */
+  private def plane(table: Int, j: Int, dim: Int): Array[Double] = {
+    val rnd = new java.util.Random(1000003L * table + 31L * j + 7L)
+    Array.fill(dim)(rnd.nextGaussian())
+  }
+
+  private def planeLit(p: Array[Double]): Column =
+    array(p.map(lit): _*)
+
+  /** Sign-bit bucket id for one table: bit j = [v · plane_j > 0]. */
+  def bucketCol(vecCol: Column, table: Int, bits: Int, dim: Int): Column =
+    (0 until bits).map { j =>
+      when(Vectors.dotD(vecCol, planeLit(plane(table, j, dim))) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Explode a frame into (table, bucket) rows — one row per table. */
+  def withBuckets(df: DataFrame, vecCol: String, bits: Int, tables: Int, dim: Int = 64): DataFrame =
+    df.select(col("*"),
+      posexplode(array((0 until tables).map(t =>
+        bucketCol(col(vecCol), t, bits, dim)): _*)))
+      .withColumnRenamed("pos", "__t")
+      .withColumnRenamed("col", "__bucket")
+
+  /** Exact top-k neighbors per query by cosine (desc, id asc tie-break).
+    * `queries` must be broadcast-sized; corpus streams through. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(Vectors.normSq(col("__cv"))))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(Vectors.normSq(col("__qv"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Vectors.cosineFromParts(Vectors.dotD(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
+  }
+
+  /** LSH top-k: same output shape as [[bruteForceTopK]] but candidates
+    * come from bucket collisions across `tables` hash tables (union →
+    * distinct), so each query only scores a small candidate set. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bitsPerTable: Int = 10,
+      tables: Int = 6): DataFrame = {
+    val c = withBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        .withColumn("__cn", sqrt(Vectors.normSq(col("__cv")))),
+      "__cv", bitsPerTable, tables)
+    val q = withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("__qn", sqrt(Vectors.normSq(col("__qv")))),
+      "__qv", bitsPerTable, tables)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(q, Seq("__t", "__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "__qv", "__qn", "__cv", "__cn").distinct()
+      .withColumn("cosine",
+        Vectors.cosineFromParts(Vectors.dotD(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
+  }
+}
