@@ -125,7 +125,7 @@ object Dedup {
     a.join(b2, Seq("__band", "__slice"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "h_a", "h_b").distinct()
-      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

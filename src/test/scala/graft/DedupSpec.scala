@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Dedup
+
+case class Doc(doc_id: Long, text: String)
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog"),
+      Doc(2, "the quick brown fox jumps over the lazy dog"),        // exact dup of 1
+      Doc(3, "dog lazy the over jumps fox brown quick the"),        // shuffled dup of 1
+      Doc(4, "an entirely different sentence about spark engines"),
+      Doc(5, "the quick brown fox jumps over the lazy cat")         // near-dup of 1 (1 word)
+    ).toDF
+  }
+
+  test("exact dedup groups identical text only") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4)
+    val dupGroup = out.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dupGroup.getAs[Long]("rep_id") == 1)
+  }
+
+  test("canonical dedup also groups shuffled duplicates") {
+    val out = Dedup.exactCanonical(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    assert(out.find(_.getAs[Long]("dup_count") == 3).get.getAs[Long]("rep_id") == 1)
+  }
+
+  test("minhash-LSH finds the high-jaccard pairs and only them") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // J(1,2)=J(1,3)=J(2,3)=1.0 (same token set); J(1,5)=7/9≈0.78 (sets); 4 is unrelated
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash-LSH verified output equals exact jaccard pairs on real docs") {
+    val d = Tables.documents(spark, sf("sf0.001"))
+    val lsh = Dedup.minHashLsh(d, "doc_id", "text", 64, 16, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(d, "doc_id", "text", 1, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical token sets collide at hamming 0") {
+    val out = Dedup.simHashNearDup(docs, "doc_id", "text", bands = 8, maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((1L, 2L)) == 0)
+    assert(out((1L, 3L)) == 0) // shuffled → same distinct-token simhash
+  }
+
+  test("ngram jaccard (n=2 shingles) distinguishes order") {
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))   // identical order → shingle J = 1
+    assert(!out.contains((1L, 3L)))  // shuffled → shingles differ
+  }
+
+  test("embedding near-dup: LSH candidates ⊆ exact, and exact pairs recovered") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val exact = Dedup.embeddingNearDupExact(e, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(e, "vec_id", "embedding", 0.35,
+      bitsPerTable = 4, tables = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))     // verification guarantees precision
+    assert(exact.nonEmpty)
+    // recall of the banded path on moderately-similar pairs
+    assert(lsh.size.toDouble / exact.size > 0.5)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+
+class ExactSpec extends SparkSpec {
+
+  test("roundAt implements floor(x*10^s + 0.5)/10^s including half-boundaries") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(2.005, 2.015, -2.005, 1.0 / 3.0, 0.125)
+    val out = vals.toDF("x")
+      .select(Exact.roundAt(col("x"), 2).as("r")).collect().map(_.getDouble(0))
+    val expected = vals.map(x => math.floor(x * 100 + 0.5) / 100)
+    assert(out.toSeq == expected)
+  }
+
+  test("sumExact is partition-order independent") {
+    val s = spark
+    import s.implicits._
+    val xs = (1 to 10000).map(i => (i % 997) * 0.01)
+    val one = xs.toDF("x").coalesce(1)
+      .agg(Exact.sumExact(col("x"))).head.getDouble(0)
+    val many = xs.toDF("x").repartition(32)
+      .agg(Exact.sumExact(col("x"))).head.getDouble(0)
+    assert(one == many) // bit-identical, not approx
+  }
+
+  test("corrExact/covarSampExact agree with closed-form on small data") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (4.0, 9.0))
+    val df = pts.toDF("x", "y")
+    val r = df.agg(
+      Exact.corrExact(col("x"), col("y")).as("c"),
+      Exact.covarSampExact(col("x"), col("y")).as("v")).head
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val syy = pts.map(p => p._2 * p._2).sum
+    val corr = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(r.getDouble(0) - corr) < 1e-12)
+    assert(math.abs(r.getDouble(1) - (sxy - sx * sy / n) / (n - 1)) < 1e-12)
+  }
+}

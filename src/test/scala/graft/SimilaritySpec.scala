@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Similarity
+
+case class Vec(vec_id: Long, embedding: Array[Float])
+
+class SimilaritySpec extends SparkSpec {
+
+  /** Tight synthetic clusters: 10 centroids × 20 members with small
+    * deterministic jitter — in-cluster cosine ≈ 1. */
+  private def clustered = {
+    val s = spark
+    import s.implicits._
+    val rnd = new java.util.Random(7)
+    val centroids = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for {
+      c <- 0 until 10; m <- 0 until 20
+    } yield Vec(c * 100L + m, centroids(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    rows.toDF
+  }
+
+  test("brute-force top-k: nearest neighbors of a cluster member are in-cluster") {
+    val data = clustered
+    val queries = data.filter("vec_id % 100 = 0") // one per cluster
+    val out = Similarity.bruteForceTopK(data, queries, "vec_id", "embedding", 5)
+    assert(out.count() == 50) // 10 queries × 5
+    val wrong = out.filter("query_id div 100 != neighbor_id div 100").count()
+    assert(wrong == 0) // tight clusters: all top-5 are cluster-mates
+    assert(out.filter("cosine < 0.9").count() == 0)
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered data") {
+    val data = clustered
+    val queries = data.filter("vec_id % 100 = 0")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(data, queries, "vec_id", "embedding", 5))
+    val approx = pairs(Similarity.lshTopK(data, queries, "vec_id", "embedding", 5,
+      bitsPerTable = 8, tables = 8))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.9, s"recall $recall")
+  }
+}
