@@ -198,11 +198,11 @@ object SparkEntry {
 
     "q_doc_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.95)),
+        numHashes = 64, bands = 8, threshold = 0.95)),
 
     "q_doc_simhash" -> ((s, dir) =>
       Dedup.simHashNearDup(Tables.documents(s, dir), "doc_id", "text",
-        bands = 8, maxHamming = 6)),
+        bands = 4, maxHamming = 3)),
 
     "q_doc_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",

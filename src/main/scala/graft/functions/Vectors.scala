@@ -15,24 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Σ aᵢ·bᵢ as a sequential double fold. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ — fused codegen loop (VectorDot). */
+  def dotD(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   /** Σ aᵢ² (squared L2 norm). */
   def normSq(a: Column): Column = dotD(a, a)
 
-  /** Cosine similarity; written exactly as dot/(sqrt(na)*sqrt(nb)) —
-    * keep this op order in any SQL mirror. */
-  def cosine(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+  /** Cosine similarity = dot/(sqrt(na)·sqrt(nb)) in one fused codegen
+    * pass (VectorCosine) — keep this op order in any SQL mirror. */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 
-  /** Cosine from a precomputed dot and per-side norms — lets callers
-    * compute each row's norm once instead of once per pair (the
-    * at-scale shape: norms are a projection before the join). */
-  def cosineFromParts(dot: Column, sqrtNormA: Column, sqrtNormB: Column): Column =
-    dot / (sqrtNormA * sqrtNormB)
+  /** Reference HOF formulation (interpreted; kept as the spec-tested
+    * semantic twin of the codegen path). */
+  def cosineHof(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0), (acc, t) => acc + t)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
 }

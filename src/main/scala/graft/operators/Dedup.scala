@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
 
@@ -60,42 +61,55 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 32,
+      numHashes: Int = 64,
       bands: Int = 8,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = df.select(col(idCol).as("__id"), toks(textCol).as("__toks"))
-      .withColumn("__sig",
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          j => array_min(transform(col("__toks"), t => xxhash64(t, j)))))
-    val banded = withSig.select(
-      col("__id"), col("__toks"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("__sig"), b * r + 1, lit(r))))))
+    // hash token strings ONCE; everything downstream (signature,
+    // banding, verification) runs on the 64-bit hash array
+    val hashed = df.select(col(idCol).as("__id"),
+      transform(toks(textCol), t => xxhash64(t)).as("__th"))
+    val banded = hashed
+      // 64-way signature in one codegen loop (MinHashSignature)
+      .withColumn("__sig", graft.functions.TokenHashExpressions.minHashSignature(
+        col("__th"), numHashes))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
-    val a = banded.select(col("__band"), col("__bh"),
-      col("__id").as("id_a"), col("__toks").as("toks_a"))
-    val b = banded.select(col("__band"), col("__bh"),
-      col("__id").as("id_b"), col("__toks").as("toks_b"))
-    a.join(b, Seq("__band", "__bh"))
+    // candidates carry only ids through the band shuffle (narrow rows);
+    // hash sets re-join once per *distinct* pair for verification
+    val candidates = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+      .join(banded.select(col("__band"), col("__bh"), col("__id").as("id_b")),
+        Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "toks_a", "toks_b").distinct()
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .select("id_a", "id_b").distinct()
+    val vsets = hashed.select(col("__id"),
+      array_sort(col("__th")).as("__sh"), size(col("__th")).as("__sz"))
+    candidates
+      .join(vsets.select(col("__id").as("id_a"), col("__sh").as("sh_a"), col("__sz").as("sz_a")), "id_a")
+      .join(vsets.select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", hashSetJaccard(col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.Exact.roundAt(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact Jaccard from two sorted token-hash sets: one codegen merge
+    * walk per pair (SortedLongIntersectCount); same integer-derived
+    * double as the string-set formula, so oracle-identical. */
+  private def hashSetJaccard(shA: Column, shB: Column, szA: Column, szB: Column): Column = {
+    val common = graft.functions.TokenHashExpressions.sortedIntersectCount(shA, shB)
+    common.cast("double") / (szA + szB - common)
+  }
+
   /** 64-bit SimHash of the distinct token set: bit k is the sign of
-    * Σ_tokens (±1 by bit k of xxhash64(token)). Pure expressions —
-    * computed per row with no explode. */
+    * Σ_tokens (±1 by bit k of xxhash64(token)). Token strings are
+    * hashed once; the bit-counting runs as one codegen loop. */
   def simHash64(textCol: String): Column =
-    expr(
-      s"""aggregate(sequence(0, 63), 0L, (acc, k) -> acc +
-         |  IF(aggregate(array_distinct(split($textCol, ' ')), 0L,
-         |       (s, t) -> s + (shiftright(xxhash64(t), k) & 1) * 2 - 1) > 0,
-         |     shiftleft(1L, k), 0L))""".stripMargin)
+    graft.functions.TokenHashExpressions.simHash(
+      transform(array_distinct(split(col(textCol), " ")), t => xxhash64(t)))
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into
     * `bands` equal bit-slices; rows sharing any slice are candidates
@@ -105,11 +119,12 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      bands: Int = 8,
-      maxHamming: Int = 6): DataFrame = {
+      bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
     require(64 % bands == 0)
+    require(maxHamming < bands, "pigeonhole guarantee needs maxHamming <= bands-1")
     val w = 64 / bands
-    val mask = (1L << w) - 1
+    val mask = if (w == 64) -1L else (1L << w) - 1
     val withH = df.select(col(idCol).as("__id"), simHash64(textCol).as("__h"))
     val bandDf = withH
       .select(col("__id"), col("__h"),
@@ -140,6 +155,8 @@ object Dedup {
     * cap on grams (drop grams in >p% of docs) to bound hot keys —
     * semantics-preserving for thresholds above the noise floor.
     */
+  /** @param threshold Jaccard cutoff; the prefix/length filters below
+    *                   are provably lossless for this threshold. */
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
@@ -151,16 +168,40 @@ object Dedup {
       else array_distinct(
         transform(sequence(lit(1), greatest(size(split(col(textCol), " ")) - (n - 1), lit(0))),
           i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n)))))
-    val g = df.select(col(idCol).as("__id"), grams.as("__g"))
-      .withColumn("__sz", size(col("__g")))
-    val inv = g.select(col("__id"), col("__sz"), explode(col("__g")).as("__gram"))
-    val a = inv.select(col("__gram"), col("__id").as("id_a"), col("__sz").as("sz_a"))
-    val b = inv.select(col("__gram"), col("__id").as("id_b"), col("__sz").as("sz_b"))
-    a.join(b, "__gram").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1L)).as("__common"))
-      .withColumn("jaccard",
-        col("__common").cast("double") / (col("sz_a") + col("sz_b") - col("__common")))
+    // hash grams once: the inverted index joins on 64-bit keys and
+    // verification merge-walks sorted hash sets — no string compares
+    // past this projection
+    val g = df.select(col(idCol).as("__id"),
+      array_sort(transform(grams, x => xxhash64(x))).as("__gh"))
+      .withColumn("__sz", size(col("__gh")))
+    val inv = g.select(col("__id"), col("__sz"), explode(col("__gh")).as("__gram"))
+
+    // PPJoin-style candidate pruning (lossless for Jaccard >= t):
+    //  * prefix filter: rank each doc's grams globally rarest-first
+    //    (any fixed total order works; we use (df, gramHash));
+    //    two docs with J >= t MUST share a gram within their first
+    //    (sz - ceil(t*sz) + 1) grams, so only those are indexed —
+    //    frequent grams (the shuffle hot keys) drop out of the index.
+    //  * length filter: J >= t implies t*sz_a <= sz_b <= sz_a/t.
+    val dfreq = inv.groupBy("__gram").agg(count(lit(1L)).as("__df"))
+    val ranked = inv.join(dfreq, "__gram")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__gram"))))
+      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select("__gram", "__id", "__sz")
+    val candidates = ranked.select(col("__gram"), col("__id").as("id_a"), col("__sz").as("sz_a"))
+      .join(ranked.select(col("__gram"), col("__id").as("id_b"), col("__sz").as("sz_b")),
+        "__gram")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") >= lit(threshold) * col("sz_a") &&
+        col("sz_a") >= lit(threshold) * col("sz_b"))
+      .select("id_a", "id_b").distinct()
+
+    // exact verification of the surviving candidates
+    candidates
+      .join(g.select(col("__id").as("id_a"), col("__gh").as("gh_a"), col("__sz").as("sz_a")), "id_a")
+      .join(g.select(col("__id").as("id_b"), col("__gh").as("gh_b"), col("__sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", hashSetJaccard(col("gh_a"), col("gh_b"), col("sz_a"), col("sz_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.Exact.roundAt(col("jaccard"), 4).as("jaccard"))
@@ -173,13 +214,11 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val withNorm = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__n", sqrt(Vectors.normSq(col("__v"))))
-    val a = withNorm.select(col("__id").as("id_a"), col("__v").as("v_a"), col("__n").as("n_a"))
-    val b = withNorm.select(col("__id").as("id_b"), col("__v").as("v_b"), col("__n").as("n_b"))
+    val side = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val a = side.select(col("__id").as("id_a"), col("__v").as("v_a"))
+    val b = side.select(col("__id").as("id_b"), col("__v").as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        Vectors.cosineFromParts(Vectors.dotD(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
+      .withColumn("cosine", Vectors.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
@@ -196,19 +235,17 @@ object Dedup {
       threshold: Double,
       bitsPerTable: Int = 12,
       tables: Int = 4): DataFrame = {
-    val withB = Similarity.withBuckets(
-      df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-        .withColumn("__n", sqrt(Vectors.normSq(col("__v")))),
-      "__v", bitsPerTable, tables)
-    val a = withB.select(col("__t"), col("__bucket"),
-      col("__id").as("id_a"), col("__v").as("v_a"), col("__n").as("n_a"))
-    val b = withB.select(col("__t"), col("__bucket"),
-      col("__id").as("id_b"), col("__v").as("v_b"), col("__n").as("n_b"))
-    a.join(b, Seq("__t", "__bucket"))
+    val side = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val withB = Similarity.withBuckets(side, "__v", bitsPerTable, tables)
+    val candidates = withB.select(col("__t"), col("__bucket"), col("__id").as("id_a"))
+      .join(withB.select(col("__t"), col("__bucket"), col("__id").as("id_b")),
+        Seq("__t", "__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b").distinct()
-      .withColumn("cosine",
-        Vectors.cosineFromParts(Vectors.dotD(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(side.select(col("__id").as("id_a"), col("__v").as("v_a")), "id_a")
+      .join(side.select(col("__id").as("id_b"), col("__v").as("v_b")), "id_b")
+      .withColumn("cosine", Vectors.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))

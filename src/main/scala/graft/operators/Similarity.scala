@@ -58,16 +58,13 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cn", sqrt(Vectors.normSq(col("__cv"))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__qn", sqrt(Vectors.normSq(col("__qv"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        Vectors.cosineFromParts(Vectors.dotD(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("cosine", Vectors.cosine(col("__qv"), col("__cv")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -85,22 +82,20 @@ object Similarity {
       k: Int,
       bitsPerTable: Int = 10,
       tables: Int = 6): DataFrame = {
-    val c = withBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-        .withColumn("__cn", sqrt(Vectors.normSq(col("__cv")))),
-      "__cv", bitsPerTable, tables)
-    val q = withBuckets(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-        .withColumn("__qn", sqrt(Vectors.normSq(col("__qv")))),
-      "__qv", bitsPerTable, tables)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cb = withBuckets(c, "__cv", bitsPerTable, tables)
+      .select(col("__t"), col("__bucket"), col("neighbor_id"))
+    val qb = withBuckets(q, "__qv", bitsPerTable, tables)
+      .select(col("__t"), col("__bucket"), col("query_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    c.join(q, Seq("__t", "__bucket"))
+    cb.join(qb, Seq("__t", "__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "__qv", "__qn", "__cv", "__cn").distinct()
-      .withColumn("cosine",
-        Vectors.cosineFromParts(Vectors.dotD(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .select("query_id", "neighbor_id").distinct()
+      .join(q, "query_id").join(c, "neighbor_id")
+      .withColumn("cosine", Vectors.cosine(col("__qv"), col("__cv")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),

@@ -43,7 +43,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash-LSH verified output equals exact jaccard pairs on real docs") {
     val d = Tables.documents(spark, sf("sf0.001"))
-    val lsh = Dedup.minHashLsh(d, "doc_id", "text", 64, 16, 0.95)
+    val lsh = Dedup.minHashLsh(d, "doc_id", "text", 64, 8, 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.ngramJaccard(d, "doc_id", "text", 1, 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
