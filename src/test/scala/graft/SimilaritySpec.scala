@@ -19,6 +19,20 @@ class SimilaritySpec extends SparkSpec {
     rows.toDF
   }
 
+  test("codegen cosine is bit-identical to the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val e = Tables.embeddings(spark, sf("sf0.001")).limit(60)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val diff = a.join(b, col("ia") < col("ib"))
+      .withColumn("c1", Vectors.cosine(col("va"), col("vb")))
+      .withColumn("c2", Vectors.cosineHof(col("va"), col("vb")))
+      .filter(col("c1") =!= col("c2")) // exact comparison, not approx
+      .count()
+    assert(diff == 0)
+  }
+
   test("brute-force top-k: nearest neighbors of a cluster member are in-cluster") {
     val data = clustered
     val queries = data.filter("vec_id % 100 = 0") // one per cluster

@@ -55,4 +55,15 @@ class WindowsSpec extends SparkSpec {
     val u = Windows.unionAll(Seq(sample, sample))
     assert(u.count() == 8)
   }
+
+  test("event-time vs processing-time clock switch (reference USE_EVENT_TIME)") {
+    val (evDf, evCol) = Windows.withClock(sample, Windows.EventTime, "ts")
+    assert(evCol == "ts" && evDf.columns.sameElements(sample.columns))
+    val (procDf, procCol) = Windows.withClock(sample, Windows.ProcessingTime, "ts")
+    assert(procCol == "processing_time" && procDf.columns.contains("processing_time"))
+    // aggregating on the stamped processing-time column yields one
+    // current-time window holding all rows
+    val out = Windows.tumblingAgg(procDf, procCol, Seq("k"), "v", "o", "1 hour")
+    assert(out.agg(sum("message_count")).head.getLong(0) == 4)
+  }
 }
