@@ -52,6 +52,11 @@ object SparkEntry {
         keys = Seq("user_id"), offsetCol = "event_id",
         valueCols = Seq("value", "event_type"))),
 
+    "q_earliest_by_offset" -> ((s, dir) =>
+      Relational.earliestByOffset(Tables.events(s, dir),
+        keys = Seq("user_id"), offsetCol = "event_id",
+        valueCols = Seq("value", "event_type"))),
+
     "q_latency_stats" -> ((s, dir) =>
       Relational.distributionStats(Tables.events(s, dir),
         keys = Seq("event_type"), valueCol = "value")),
@@ -327,6 +332,14 @@ object SparkEntry {
         |       arg_max(value, event_id) AS latest_value,
         |       arg_max(event_type, event_id) AS latest_event_type,
         |       max(event_id) AS last_offset,
+        |       count(*) AS row_count
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_earliest_by_offset" ->
+      """SELECT user_id,
+        |       arg_min(value, event_id) AS earliest_value,
+        |       arg_min(event_type, event_id) AS earliest_event_type,
+        |       min(event_id) AS first_offset,
         |       count(*) AS row_count
         |FROM events GROUP BY user_id""".stripMargin,
 

@@ -27,6 +27,19 @@ object Relational {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** ksqlDB's EARLIEST_BY_OFFSET — the dual of [[latestByOffset]];
+    * same single hash-aggregation shape via `min_by`. */
+  def earliestByOffset(
+      df: DataFrame,
+      keys: Seq[String],
+      offsetCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val aggs =
+      valueCols.map(v => min_by(col(v), col(offsetCol)).as(s"earliest_$v")) ++
+        Seq(min(col(offsetCol)).as("first_offset"), count(lit(1L)).as("row_count"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** The latency monitor's metric block (latency-monitor
     * models/LatencyMetrics): avg, p50, p95, p99, min, max, stddev,
     * count — as one aggregation pass.

@@ -39,6 +39,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session windows (stateful merge) == batch session agg") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sessRows = Seq(
+      Ev(t("2024-01-01 10:00:00"), "a", 1, 1),
+      Ev(t("2024-01-01 10:10:00"), "a", 2, 2), // same session
+      Ev(t("2024-01-01 12:00:00"), "a", 3, 3), // new session
+      Ev(t("2024-01-01 10:05:00"), "b", 4, 4))
+    // anchor advances the watermark far past every session above, so
+    // append mode (the only mode session windows support besides
+    // complete) closes and emits them; the anchor's own session stays
+    // open and is withheld
+    val anchor = Ev(t("2024-01-02 00:00:00"), "z", 0, 9)
+    val mem = MemoryStream[Ev]
+    mem.addData(sessRows :+ anchor)
+    val out = operators.Windows.sessionAgg(
+      mem.toDF.withWatermark("ts", "2 minutes"),
+      "ts", Seq("k"), "v", "o", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = s.table("sess_out").collect().map(_.toSeq).toSet
+    val batch = operators.Windows.sessionAgg(
+      sessRows.toDF, "ts", Seq("k"), "v", "o", "30 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
   test("update-mode writer carries the reference trigger/output config") {
     val s = spark
     import s.implicits._
