@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{MinHashSignature, SimHashFromHashes, SortedLongIntersectCount, VectorCosine, VectorDot}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * Catalyst expressions as SQL functions, so `spark.sql("SELECT
+  * graft_cosine(a, b) ...")` works anywhere the jar is on the
+  * classpath:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions     // cluster conf, or
+  * SparkSession.builder.withExtensions(new GraftExtensions)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "")
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - fused cosine similarity of two numeric arrays"),
+      (args: Seq[Expression]) => VectorCosine(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - fused dot product of two numeric arrays"),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(tokenHashes, k) - k-wide MinHash signature of a long array"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokenHashes) - 64-bit SimHash of a long array"),
+      (args: Seq[Expression]) => SimHashFromHashes(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_count"),
+      info("graft_intersect_count", "graft_intersect_count(a, b) - |a ∩ b| of two sorted long arrays"),
+      (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))))
+  }
+}

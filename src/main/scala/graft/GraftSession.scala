@@ -18,6 +18,7 @@ object GraftSession {
   def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession = {
     val spark = b
       .appName("graft")
+      .withExtensions(new GraftExtensions) // SQL names for graft's native exprs
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
