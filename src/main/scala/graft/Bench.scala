@@ -4,12 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.tuned(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
     // warm the JVM/codegen/parquet-footer paths so the first timed
     // query doesn't absorb one-time startup cost
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())

@@ -17,6 +17,10 @@ import graft.functions.{MinHashSignature, SimHashFromHashes, SortedLongIntersect
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator custom plan: top-k per key via bounded heaps
+    // (graft.plans.TopKPerKey), planned by its own strategy
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "")
 

@@ -39,6 +39,20 @@ object SparkEntry {
         "ts", Seq("event_type"), "value", "event_id", "6 hours")
     }),
 
+    // The reference's output table column-for-column
+    // (ksqldb-consumer profiles/low_latency.sql:1-27): windowed
+    // avg/min/max/count/min-offset PLUS in-window LATEST_BY_OFFSET,
+    // an AS_VALUE key echo, a max-offset processing-end analog, and
+    // millisecond-formatted TIMESTAMPTOSTRING bounds.
+    "q_weather_output" -> ((s, dir) =>
+      Windows.tumblingAgg(Tables.events(s, dir),
+        "ts", Seq("user_id", "event_type"), "value", "event_id", "30 minutes",
+        extraAggs = Seq(
+          max_by(col("props"), col("event_id")) -> "latest_props",
+          max(col("event_id")) -> "max_ord"),
+        tsFmt = "yyyy-MM-dd HH:mm:ss.SSS")
+        .withColumn("key_user_id", col("user_id"))),
+
     "q_window_hopping" -> ((s, dir) =>
       Windows.hoppingAgg(Tables.events(s, dir),
         "ts", Seq("event_type"), "value", "event_id", "2 hours", "1 hour")),
@@ -194,6 +208,15 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")),
 
+    // Same semantics as q_order_rank but planned by the custom
+    // TopKPerKey operator (bounded per-key heaps, no partition sort —
+    // graft.plans, injected via GraftExtensions).
+    "q_order_rank_heap" -> ((s, dir) =>
+      graft.plans.TopKPerKey(
+        Tables.orders(s, dir), Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")),
+
     // ---- LLM-data-pipeline block (SURVEY §2.3) ----
     "q_doc_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
@@ -299,6 +322,15 @@ object SparkEntry {
          |      UNION ALL
          |      SELECT * FROM events WHERE event_type IN ('purchase','signup'))
          |GROUP BY ALL""".stripMargin,
+
+    "q_weather_output" ->
+      s"""SELECT strftime(time_bucket(INTERVAL '30 minutes', ts), '%Y-%m-%d %H:%M:%S.%g') AS window_start,
+         |       strftime(time_bucket(INTERVAL '30 minutes', ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%g') AS window_end,
+         |       user_id, event_type,$windowAggs,
+         |       arg_max(props, event_id) AS latest_props,
+         |       max(event_id) AS max_ord,
+         |       user_id AS key_user_id
+         |FROM events GROUP BY ALL""".stripMargin,
 
     "q_window_hopping" ->
       s"""WITH hopped AS (
@@ -481,6 +513,14 @@ object SparkEntry {
          |WHERE c_acctbal > (SELECT ${sqlSum("c_acctbal")} / count(*) FROM customer)""".stripMargin,
 
     "q_order_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q_order_rank_heap" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |             row_number() OVER (PARTITION BY o_custkey

@@ -32,29 +32,35 @@ object Windows {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
-  /** The reference's aggregate list over a window struct column. */
+  /** The reference's aggregate list over a window struct column.
+    * `extraAggs` lets callers append further aggregates the way the
+    * ksqlDB profile mixes LATEST_BY_OFFSET / MAX(ROWTIME) into the
+    * same windowed SELECT (low_latency.sql:10-22); `tsFmt` matches
+    * TIMESTAMPTOSTRING's pattern argument. */
   private def aggAndFormat(
       grouped: org.apache.spark.sql.RelationalGroupedDataset,
       keys: Seq[String],
       valueCol: String,
-      ordCol: String): DataFrame = {
+      ordCol: String,
+      extraAggs: Seq[(Column, String)],
+      tsFmt: String): DataFrame = {
     // avg rounded to 2 like the reference; min/max of 2-decimal data
     // are already 2-decimal so the reference's round is an identity.
     val out = grouped.agg(
       graft.functions.Exact.round2(graft.functions.Exact.avgExact(col(valueCol))).as("avg_value"),
-      min(valueCol).as("min_value"),
-      max(valueCol).as("max_value"),
-      count(lit(1)).as("message_count"),
-      min(ordCol).as("min_ord")
+      (Seq(
+        min(valueCol).as("min_value"),
+        max(valueCol).as("max_value"),
+        count(lit(1)).as("message_count"),
+        min(ordCol).as("min_ord")
+      ) ++ extraAggs.map { case (c, alias) => c.as(alias) }): _*
     )
     out.select(
       (Seq(
-        date_format(col("window.start"), TsFmt).as("window_start"),
-        date_format(col("window.end"), TsFmt).as("window_end")
-      ) ++ keys.map(col) ++ Seq(
-        col("avg_value"), col("min_value"), col("max_value"),
-        col("message_count"), col("min_ord")
-      )): _*
+        date_format(col("window.start"), tsFmt).as("window_start"),
+        date_format(col("window.end"), tsFmt).as("window_end")
+      ) ++ (keys ++ Seq("avg_value", "min_value", "max_value",
+        "message_count", "min_ord") ++ extraAggs.map(_._2)).map(col)): _*
     )
   }
 
@@ -65,10 +71,12 @@ object Windows {
       keys: Seq[String],
       valueCol: String,
       ordCol: String,
-      size: String): DataFrame =
+      size: String,
+      extraAggs: Seq[(Column, String)] = Nil,
+      tsFmt: String = TsFmt): DataFrame =
     aggAndFormat(
       events.groupBy((window(col(tsCol), size) +: keys.map(col)): _*),
-      keys, valueCol, ordCol)
+      keys, valueCol, ordCol, extraAggs, tsFmt)
 
   /** Hopping windows (WINDOW HOPPING): each event lands in
     * size/slide overlapping windows. */
@@ -79,10 +87,12 @@ object Windows {
       valueCol: String,
       ordCol: String,
       size: String,
-      slide: String): DataFrame =
+      slide: String,
+      extraAggs: Seq[(Column, String)] = Nil,
+      tsFmt: String = TsFmt): DataFrame =
     aggAndFormat(
       events.groupBy((window(col(tsCol), size, slide) +: keys.map(col)): _*),
-      keys, valueCol, ordCol)
+      keys, valueCol, ordCol, extraAggs, tsFmt)
 
   /** Session windows (WINDOW SESSION): gap-based, per key. */
   def sessionAgg(
@@ -91,10 +101,12 @@ object Windows {
       keys: Seq[String],
       valueCol: String,
       ordCol: String,
-      gap: String): DataFrame =
+      gap: String,
+      extraAggs: Seq[(Column, String)] = Nil,
+      tsFmt: String = TsFmt): DataFrame =
     aggAndFormat(
       events.groupBy((session_window(col(tsCol), gap).as("window") +: keys.map(col)): _*),
-      keys, valueCol, ordCol)
+      keys, valueCol, ordCol, extraAggs, tsFmt)
 
   /** Union N homogeneous source streams before aggregating — the
     * reference unions its wind + sunshine streams
