@@ -252,6 +252,12 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, bitsPerTable = 6, tables = 8)
     }),
 
+    "q_knn_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+    }),
+
     "q_doc_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), graft.functions.Text.langId(col("text")).as("lang_pred"))),
@@ -560,6 +566,40 @@ object SparkEntry {
          |         ${sqlCos("q", "c")} AS cos
          |  FROM embeddings c JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
          |    ON c.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, rnk, ${sqlRound4("cos")} AS cosine
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // Mirrors Similarity.ivfTopK step-for-step: centroids = 16
+    // smallest vec_ids; each row assigned to its argmax-cosine cell
+    // (ties -> smallest cell id); queries probe their 4 nearest
+    // cells; exact cosine ranks the probed candidates.
+    "q_knn_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell_id, embedding FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), casgn AS (
+         |  SELECT c.vec_id AS neighbor_id, c.embedding, ct.cell_id,
+         |         row_number() OVER (PARTITION BY c.vec_id
+         |           ORDER BY ${sqlCos("c", "ct")} DESC, ct.cell_id) AS rk
+         |  FROM embeddings c CROSS JOIN cent ct
+         |), ca AS (
+         |  SELECT neighbor_id, embedding, cell_id FROM casgn WHERE rk = 1
+         |), qasgn AS (
+         |  SELECT q.vec_id AS query_id, q.embedding, ct.cell_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${sqlCos("q", "ct")} DESC, ct.cell_id) AS rk
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q CROSS JOIN cent ct
+         |), qa AS (
+         |  SELECT query_id, embedding, cell_id FROM qasgn WHERE rk <= 4
+         |), s AS (
+         |  SELECT qa.query_id, ca.neighbor_id, ${sqlCos("qa", "ca")} AS cos
+         |  FROM ca JOIN qa ON ca.cell_id = qa.cell_id
+         |   AND ca.neighbor_id <> qa.query_id
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY cos DESC, neighbor_id) AS rnk

@@ -71,6 +71,66 @@ object Similarity {
         graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into cells
+    * around `nCells` centroid rows, then search only the `nProbe`
+    * cells nearest each query.
+    *
+    * Centroids are the `nCells` smallest-id corpus rows — deterministic
+    * and SQL-expressible, so the whole pipeline has a hash-exact DuckDB
+    * oracle; a k-means refinement would replace only the centroid
+    * vectors, not the plan shape. The centroid set is collected to the
+    * driver once (index metadata, tiny by construction) and baked into
+    * the plan as literals, so cell assignment is a *pure projection* —
+    * one fused-codegen cosine per (row, centroid), zero shuffle of the
+    * corpus. The probe side (|queries|·nProbe rows) is broadcast, so
+    * the candidate join is also shuffle-free; only the final per-query
+    * top-k ranks over the reduced candidate set
+    * (~|corpus|·nProbe/nCells per query). At scale, `__cell` is the
+    * natural partition/bucket key for a stored index.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids: Array[(Long, Array[Float])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(nCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def litVec(v: Array[Float]): Column = array(v.map(lit): _*)
+    // argmax-cosine cell, ties to the smallest cell id: max of
+    // (cosine, -cell_id) structs over the literal centroid set.
+    def bestCell(vec: Column): Column =
+      -array_max(array(centroids.map { case (id, v) =>
+        struct(Vectors.cosine(vec, litVec(v)).as("c"), lit(-id).as("nid"))
+      }: _*)).getField("nid")
+    // the nProbe nearest cells: sort (−cosine, cell_id) ascending.
+    def probeCells(vec: Column): Column =
+      slice(transform(array_sort(array(centroids.map { case (id, v) =>
+        struct((-Vectors.cosine(vec, litVec(v))).as("negc"), lit(id).as("cell_id"))
+      }: _*)), s => s.getField("cell_id")), 1, nProbe)
+    val cAssigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", bestCell(col("__cv")))
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell", explode(probeCells(col("__qv"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cAssigned.join(broadcast(qProbes), "__cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Vectors.cosine(col("__qv"), col("__cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
+  }
+
   /** LSH top-k: same output shape as [[bruteForceTopK]] but candidates
     * come from bucket collisions across `tables` hash tables (union →
     * distinct), so each query only scores a small candidate set. */

@@ -55,4 +55,23 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.9, s"recall $recall")
   }
+
+  test("IVF top-k with full probe is exactly brute force; partial probe has high recall") {
+    val data = clustered
+    val queries = data.filter("vec_id % 100 = 0")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    // nProbe == nCells probes every cell -> candidate set is the whole
+    // corpus, so the result must equal the exact baseline row-for-row.
+    val exact = rows(Similarity.bruteForceTopK(data, queries, "vec_id", "embedding", 5))
+    val full = rows(Similarity.ivfTopK(data, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 8))
+    assert(full == exact)
+    // partial probe: clustered data keeps neighbors in nearby cells
+    def pairs(rs: Seq[Seq[Any]]) = rs.map(r => (r(0), r(1))).toSet
+    val partial = rows(Similarity.ivfTopK(data, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 3))
+    val recall = (pairs(exact) intersect pairs(partial)).size.toDouble / exact.size
+    assert(recall > 0.8, s"recall $recall")
+  }
 }
