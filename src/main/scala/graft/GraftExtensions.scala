@@ -49,5 +49,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_intersect_count"),
       info("graft_intersect_count", "graft_intersect_count(a, b) - |a ∩ b| of two sorted long arrays"),
       (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk", "graft_topk(v, k) - aggregate: the k largest values, descending (ksqlDB TOPK)"),
+      (args: Seq[Expression]) => graft.functions.BoundedTopK(args(0),
+        args(1).eval().asInstanceOf[Int], distinct = false)
+        .toAggregateExpression()))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_distinct"),
+      info("graft_topk_distinct", "graft_topk_distinct(v, k) - aggregate: the k largest distinct values, descending (ksqlDB TOPKDISTINCT)"),
+      (args: Seq[Expression]) => graft.functions.BoundedTopK(args(0),
+        args(1).eval().asInstanceOf[Int], distinct = true)
+        .toAggregateExpression()))
   }
 }

@@ -71,6 +71,29 @@ object SparkEntry {
         keys = Seq("user_id"), offsetCol = "event_id",
         valueCols = Seq("value", "event_type"))),
 
+    "q_topk_agg" -> ((s, dir) =>
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(Relational.topK(col("value"), 5).as("top_values"),
+          Relational.topKDistinct(col("user_id"), 5).as("top_users"))),
+
+    "q_histogram" -> ((s, dir) =>
+      Relational.histogram(Tables.events(s, dir),
+        keys = Seq("event_type"), valueCol = "user_id")),
+
+    "q_count_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1L)).as("n_rows"))),
+
+    // HLL scale path for COUNT_DISTINCT: engine-specific sketch, so no
+    // cross-engine oracle — accuracy is spec-checked vs exact instead.
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+
     "q_latency_stats" -> ((s, dir) =>
       Relational.distributionStats(Tables.events(s, dir),
         keys = Seq("event_type"), valueCol = "value")),
@@ -380,6 +403,35 @@ object SparkEntry {
         |       min(event_id) AS first_offset,
         |       count(*) AS row_count
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // Array equality needs both sides sorted descending; equal values
+    // are interchangeable so ties don't affect the array. TOPKDISTINCT
+    // dedups before ranking.
+    "q_topk_agg" ->
+      """WITH tv AS (
+        |  SELECT event_type,
+        |         list_slice(list(value ORDER BY value DESC), 1, 5) AS top_values
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+        |), tu AS (
+        |  SELECT event_type,
+        |         list_slice(list(user_id ORDER BY user_id DESC), 1, 5) AS top_users
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events
+        |        WHERE value IS NOT NULL)
+        |  GROUP BY event_type
+        |)
+        |SELECT tv.event_type, tv.top_values, tu.top_users
+        |FROM tv JOIN tu USING (event_type)""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT event_type, user_id, count(*) AS frequency
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type, user_id""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_latency_stats" ->
       s"""SELECT event_type,

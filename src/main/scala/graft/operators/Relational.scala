@@ -106,6 +106,33 @@ object Relational {
       n.as("sample_count"))
   }
 
+  /** ksqlDB's TOPK(col, k): the k largest values per group, descending.
+    * Backed by [[graft.functions.BoundedTopK]] — O(k) state per group
+    * with map-side trimming, vs the O(group) state of
+    * `slice(sort_array(collect_list(v)))`. */
+  def topK(value: Column, k: Int): Column =
+    graft.functions.ColumnBridge.column(
+      graft.functions.BoundedTopK(
+        graft.functions.ColumnBridge.expression(value), k, distinct = false)
+        .toAggregateExpression())
+
+  /** ksqlDB's TOPKDISTINCT(col, k) — as [[topK]] over distinct values. */
+  def topKDistinct(value: Column, k: Int): Column =
+    graft.functions.ColumnBridge.column(
+      graft.functions.BoundedTopK(
+        graft.functions.ColumnBridge.expression(value), k, distinct = true)
+        .toAggregateExpression())
+
+  /** ksqlDB's HISTOGRAM(col), relationally normalized: one row per
+    * (group, value) with its frequency, instead of ksqlDB's
+    * map<value,count> column. At 100 TB a per-key map is unbounded
+    * driver-side state waiting to happen; rows keep the histogram
+    * distributed, sortable, and joinable. */
+  def histogram(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ col(valueCol)): _*)
+      .agg(count(lit(1L)).as("frequency"))
+
   /** Forward fill — the notebook's `merged.ffill()` (price_prediction
     * .ipynb "Data Analysis" cell), distributed: running
     * `last(ignoreNulls)` per key ordered by `ordCol`. One shuffle on

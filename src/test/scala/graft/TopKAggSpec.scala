@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class TopKAggSpec extends SparkSpec {
+
+  private def events = Tables.events(spark, sf("sf0.001"))
+
+  test("BoundedTopK matches sort_array(collect_list) reference across partitions") {
+    val s = spark
+    import s.implicits._
+    // 40 partitions over planted data forces partial buffers + merges
+    val df = (1 to 10000).map(i => (i % 7L, (i * 2654435761L % 1000).toDouble))
+      .toDF("k", "v").repartition(40)
+    val ours = df.groupBy("k")
+      .agg(Relational.topK(col("v"), 5).as("t"))
+    val ref = df.groupBy("k")
+      .agg(slice(reverse(array_sort(collect_list(col("v")))), 1, 5).as("t"))
+    assert(ours.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toMap == ref.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap)
+  }
+
+  test("topKDistinct dedups: planted duplicates collapse to distinct ranks") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.fill(50)(Seq(9L, 9L, 7L, 5L, 5L, 3L, 1L)).flatten
+      .map(("g", _)).toDF("k", "v").repartition(8)
+    val out = df.groupBy("k")
+      .agg(Relational.topKDistinct(col("v"), 3).as("t"))
+      .head.getSeq[Long](1)
+    assert(out == Seq(9L, 7L, 5L))
+    val plain = df.groupBy("k")
+      .agg(Relational.topK(col("v"), 3).as("t"))
+      .head.getSeq[Long](1)
+    assert(plain == Seq(9L, 9L, 9L))
+  }
+
+  test("string values and null handling") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", "pear"), ("g", null), ("g", "apple"), ("g", "zeta"),
+      ("g", "mango")).toDF("k", "v")
+    val out = df.groupBy("k")
+      .agg(Relational.topK(col("v"), 2).as("t"))
+      .head.getSeq[String](1)
+    assert(out == Seq("zeta", "pear"))
+  }
+
+  test("graft_topk / graft_topk_distinct are SQL-callable via extensions") {
+    events.createOrReplaceTempView("ev_topk")
+    val r = spark.sql(
+      """SELECT event_type,
+        |       graft_topk(value, 3) AS tv,
+        |       graft_topk_distinct(user_id, 3) AS tu
+        |FROM ev_topk WHERE value IS NOT NULL GROUP BY event_type""".stripMargin)
+    assert(r.count() > 0)
+    val row = r.head
+    assert(row.getSeq[Double](1).size <= 3)
+    val tu = row.getSeq[Long](2)
+    assert(tu == tu.distinct && tu == tu.sorted.reverse)
+  }
+
+  test("approx_count_distinct tracks exact within 5%") {
+    val exact = events.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val approx = events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.05, s"$k: exact=$n approx=$a")
+    }
+  }
+}
