@@ -102,6 +102,27 @@ object SparkEntry {
       Relational.latencyReport(Tables.events(s, dir),
         tsCol = "ts", keys = Seq("user_id"), windowSize = "1 hour")),
 
+    "q_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.streaming.StreamJoin.withinJoin(
+        e.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id"),
+        e.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), "ts", before = "0 seconds", after = "1 hour")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("event_id_r").as("purchase_id"), col("value_r").as("purchase_value"))
+    }),
+
+    "q_stream_enrich" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.streaming.StreamJoin.enrich(
+        stream = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value"),
+        changelog = e.filter(col("event_type") === "signup"),
+        keys = Seq("user_id"), offsetCol = "event_id", valueCols = Seq("value"))
+    }),
+
     "q_event_json" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"),
@@ -403,6 +424,26 @@ object SparkEntry {
         |       min(event_id) AS first_offset,
         |       count(*) AS row_count
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // Spark's events.ts is nanos truncated to micros (Tables loader),
+    // so the WITHIN bound compares on epoch-micros both sides.
+    "q_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       p.value AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_ns(p.ts)//1000 >= epoch_ns(c.ts)//1000
+        | AND epoch_ns(p.ts)//1000 <= epoch_ns(c.ts)//1000 + 3600000000""".stripMargin,
+
+    "q_stream_enrich" ->
+      """WITH t AS (
+        |  SELECT user_id, arg_max(value, event_id) AS latest_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |)
+        |SELECT p.event_id, p.user_id, p.value, t.latest_value
+        |FROM events p JOIN t USING (user_id)
+        |WHERE p.event_type = 'purchase'""".stripMargin,
 
     // Array equality needs both sides sorted descending; equal values
     // are interchangeable so ties don't affect the array. TOPKDISTINCT
