@@ -57,6 +57,40 @@ object Dedup {
     * with r = numHashes/bands rows per band, P[candidate] = 1−(1−J^r)^bands
     * — the standard S-curve. Verification is per-candidate, not per-pair.
     */
+  /** Collapse rows with identical hash sets into groups: one
+    * representative (smallest id) per distinct set. Near-dup scoring
+    * (MinHash signatures, Jaccard) depends only on the set, so pair
+    * generation + verification can run over distinct sets and expand
+    * group pairs back afterwards — exactly the "exact-dedup before
+    * near-dup" stage of a production pipeline. Group membership lists
+    * are bounded by duplicate multiplicity (how often one exact
+    * content repeats), not corpus size. */
+  private def collapseSets(hashed: DataFrame): DataFrame =
+    hashed.groupBy("__sh")
+      .agg(min(col("__id")).as("__gid"), collect_list(col("__id")).as("__ids"))
+
+  /** Expand verified representative pairs (gid_a < gid_b, jaccard) to
+    * all member pairs, plus the within-group pairs (identical sets,
+    * jaccard exactly 1.0). Output size equals what the uncollapsed
+    * pipeline emits; only the candidate/verify work shrank. */
+  private def expandGroupPairs(
+      repPairs: DataFrame,
+      groups: DataFrame,
+      threshold: Double): DataFrame = {
+    val members = groups.select(explode(col("__ids")).as("__mid"), col("__gid"))
+    val cross = repPairs
+      .join(members.select(col("__gid").as("id_a"), col("__mid").as("mid_a")), "id_a")
+      .join(members.select(col("__gid").as("id_b"), col("__mid").as("mid_b")), "id_b")
+      .select(least(col("mid_a"), col("mid_b")).as("id_a"),
+        greatest(col("mid_a"), col("mid_b")).as("id_b"), col("jaccard"))
+    val within = members
+      .join(members.withColumnRenamed("__mid", "__mid2"), "__gid")
+      .filter(col("__mid") < col("__mid2"))
+      .select(col("__mid").as("id_a"), col("__mid2").as("id_b"),
+        lit(1.0).as("jaccard"))
+    if (threshold <= 1.0) cross.unionByName(within) else cross
+  }
+
   def minHashLsh(
       df: DataFrame,
       idCol: String,
@@ -66,14 +100,18 @@ object Dedup {
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // hash token strings ONCE; everything downstream (signature,
-    // banding, verification) runs on the 64-bit hash array
+    // hash token strings ONCE; everything downstream (exact-set
+    // collapse, signature, banding, verification) runs on the sorted
+    // 64-bit hash array. MinHash is order-invariant, so the sorted set
+    // gives the same signature the raw token order would.
     val hashed = df.select(col(idCol).as("__id"),
-      transform(toks(textCol), t => xxhash64(t)).as("__th"))
-    val banded = hashed
+      array_sort(transform(toks(textCol), t => xxhash64(t))).as("__sh"))
+    val groups = collapseSets(hashed)
+    val reps = groups.select(col("__gid").as("__id"), col("__sh"))
+    val banded = reps
       // 64-way signature in one codegen loop (MinHashSignature)
       .withColumn("__sig", graft.functions.TokenHashExpressions.minHashSignature(
-        col("__th"), numHashes))
+        col("__sh"), numHashes))
       .select(col("__id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("__sig"), b * r + 1, lit(r))))))
@@ -85,15 +123,15 @@ object Dedup {
         Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val vsets = hashed.select(col("__id"),
-      array_sort(col("__th")).as("__sh"), size(col("__th")).as("__sz"))
-    candidates
+    val vsets = reps.select(col("__id"), col("__sh"), size(col("__sh")).as("__sz"))
+    val repPairs = candidates
       .join(vsets.select(col("__id").as("id_a"), col("__sh").as("sh_a"), col("__sz").as("sz_a")), "id_a")
       .join(vsets.select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__sz").as("sz_b")), "id_b")
       .withColumn("jaccard", hashSetJaccard(col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.Exact.roundAt(col("jaccard"), 4).as("jaccard"))
+    expandGroupPairs(repPairs, groups, threshold)
   }
 
   /** Exact Jaccard from two sorted token-hash sets: one codegen merge
@@ -170,9 +208,11 @@ object Dedup {
           i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n)))))
     // hash grams once: the inverted index joins on 64-bit keys and
     // verification merge-walks sorted hash sets — no string compares
-    // past this projection
-    val g = df.select(col(idCol).as("__id"),
-      array_sort(transform(grams, x => xxhash64(x))).as("__gh"))
+    // past this projection. Identical gram sets collapse to one
+    // representative first (Jaccard is set-determined).
+    val groups = collapseSets(df.select(col(idCol).as("__id"),
+      array_sort(transform(grams, x => xxhash64(x))).as("__sh")))
+    val g = groups.select(col("__gid").as("__id"), col("__sh").as("__gh"))
       .withColumn("__sz", size(col("__gh")))
     val inv = g.select(col("__id"), col("__sz"), explode(col("__gh")).as("__gram"))
 
@@ -198,13 +238,14 @@ object Dedup {
       .select("id_a", "id_b").distinct()
 
     // exact verification of the surviving candidates
-    candidates
+    val repPairs = candidates
       .join(g.select(col("__id").as("id_a"), col("__gh").as("gh_a"), col("__sz").as("sz_a")), "id_a")
       .join(g.select(col("__id").as("id_b"), col("__gh").as("gh_b"), col("__sz").as("sz_b")), "id_b")
       .withColumn("jaccard", hashSetJaccard(col("gh_a"), col("gh_b"), col("sz_a"), col("sz_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.Exact.roundAt(col("jaccard"), 4).as("jaccard"))
+    expandGroupPairs(repPairs, groups, threshold)
   }
 
   /** Embedding near-dup, exact pair scan (verification / small-SF
