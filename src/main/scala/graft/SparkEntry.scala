@@ -302,6 +302,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
     }),
 
+    // k-means-refined IVF: centroid means are shuffled double sums
+    // (run-order FP), so rows-only here; recall vs brute force is
+    // spec-asserted in SimilaritySpec.
+    "q_knn_ivf_kmeans" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopKRefined(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4, iters = 2)
+    }),
+
     "q_doc_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), graft.functions.Text.langId(col("text")).as("lang_pred"))),

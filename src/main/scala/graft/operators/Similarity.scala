@@ -95,30 +95,107 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val centroids: Array[(Long, Array[Float])] = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(nCells)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def litVec(v: Array[Float]): Column = array(v.map(lit): _*)
-    // argmax-cosine cell, ties to the smallest cell id: max of
-    // (cosine, -cell_id) structs over the literal centroid set.
-    def bestCell(vec: Column): Column =
-      -array_max(array(centroids.map { case (id, v) =>
-        struct(Vectors.cosine(vec, litVec(v)).as("c"), lit(-id).as("nid"))
-      }: _*)).getField("nid")
-    // the nProbe nearest cells: sort (−cosine, cell_id) ascending.
-    def probeCells(vec: Column): Column =
-      slice(transform(array_sort(array(centroids.map { case (id, v) =>
-        struct((-Vectors.cosine(vec, litVec(v))).as("negc"), lit(id).as("cell_id"))
-      }: _*)), s => s.getField("cell_id")), 1, nProbe)
+      nProbe: Int = 4): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      sampleCentroids(corpus, idCol, vecCol, nCells), nProbe)
+
+  /** [[ivfTopK]] with Lloyd-refined centroids: `iters` rounds of
+    * spherical k-means tighten the cells, so a given recall needs a
+    * smaller nProbe. Oracle note: centroid means are shuffled double
+    * sums (association order varies run to run), so this variant is
+    * recall-tested rather than hash-compared. */
+  def ivfTopKRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      kmeansCentroids(corpus, idCol, vecCol, nCells, iters), nProbe)
+
+  /** Deterministic index init: the nCells smallest-id corpus rows. */
+  def sampleCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int): Array[(Long, Array[Float])] = corpus
+    .select(col(idCol).cast("long"), col(vecCol))
+    .orderBy(col(idCol)).limit(nCells)
+    .collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** Spherical k-means (cosine assignment, mean update) for IVF cell
+    * centroids. Each iteration is one pass: assignment is the literal
+    * argmax projection (no shuffle), and the mean update shuffles only
+    * map-side partial sums keyed by (cell, dim) — k·dim rows per map
+    * partition, never the vectors themselves. Only the k×dim centroid
+    * matrix ever reaches the driver. Empty cells keep their previous
+    * centroid. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): Array[(Long, Array[Float])] = {
+    var cents = sampleCentroids(corpus, idCol, vecCol, k)
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    val dim = if (cents.nonEmpty) cents(0)._2.length else 0
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .select(col(vecCol).as("__v"))
+        .withColumn("__cell", bestCell(cents, col("__v")))
+        .select(col("__cell"), posexplode(col("__v")))
+        .groupBy("__cell", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val v = new Array[Float](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+          cell -> v
+        }
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    cents
+  }
+
+  private def litVec(v: Array[Float]): Column = array(v.map(lit): _*)
+
+  /** argmax-cosine cell, ties to the smallest cell id: max of
+    * (cosine, -cell_id) structs over the literal centroid set. */
+  private def bestCell(centroids: Array[(Long, Array[Float])], vec: Column): Column =
+    -array_max(array(centroids.map { case (id, v) =>
+      struct(Vectors.cosine(vec, litVec(v)).as("c"), lit(-id).as("nid"))
+    }: _*)).getField("nid")
+
+  /** the nProbe nearest cells: sort (−cosine, cell_id) ascending. */
+  private def probeCells(
+      centroids: Array[(Long, Array[Float])], vec: Column, nProbe: Int): Column =
+    slice(transform(array_sort(array(centroids.map { case (id, v) =>
+      struct((-Vectors.cosine(vec, litVec(v))).as("negc"), lit(id).as("cell_id"))
+    }: _*)), s => s.getField("cell_id")), 1, nProbe)
+
+  /** Search core shared by the sampled and k-means-refined variants:
+    * centroids are plan literals, so corpus cell assignment is a pure
+    * fused-codegen projection (zero shuffle) and the probe side
+    * (|queries|·nProbe rows) broadcasts. */
+  def ivfTopKWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Array[Float])],
+      nProbe: Int): DataFrame = {
     val cAssigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cell", bestCell(col("__cv")))
+      .withColumn("__cell", bestCell(centroids, col("__cv")))
     val qProbes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__cell", explode(probeCells(col("__qv"))))
+      .withColumn("__cell", explode(probeCells(centroids, col("__qv"), nProbe)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))

