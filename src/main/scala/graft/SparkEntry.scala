@@ -186,6 +186,20 @@ object SparkEntry {
         count(lit(1L)).as("count_order"))
     }),
 
+    // OLAP grouping sets: one pass computes per-(flag,status),
+    // per-flag subtotals, and the grand total; grouping() markers
+    // disambiguate subtotal NULLs from data NULLs.
+    "q_rollup" -> ((s, dir) => {
+      import graft.functions.Exact._
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          sumExact(col("l_quantity")).as("sum_qty"),
+          avgExact(col("l_discount")).as("avg_disc"),
+          count(lit(1L)).as("count_order"))
+    }),
+
     "q_top_orders" -> ((s, dir) => {
       import graft.functions.Exact._
       val cut = "TIMESTAMP_NTZ'1998-01-01 00:00:00'"
@@ -575,6 +589,16 @@ object SparkEntry {
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+         |       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+         |       ${sqlSum("l_quantity")} AS sum_qty,
+         |       ${sqlSum("l_discount")} / count(*) AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_top_orders" ->
       s"""SELECT l_orderkey,

@@ -69,6 +69,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 3)
   }
 
+  test("EMIT FINAL analog: append-mode tumbling agg emits each closed window once, == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // anchor advances the watermark past every real window so append
+    // mode (ksqlDB EMIT FINAL) closes and emits them exactly once
+    val anchor = Ev(t("2024-01-02 00:00:00"), "z", 0, 9)
+    val mem = MemoryStream[Ev]
+    mem.addData(rows :+ anchor)
+    val out = operators.Windows.tumblingAgg(
+      mem.toDF.withWatermark("ts", "2 minutes"),
+      "ts", Seq("k"), "v", "o", "1 hour")
+    val q = out.writeStream.format("memory").queryName("final_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = s.table("final_out").collect().map(_.toSeq).toSet
+    val batch = operators.Windows.tumblingAgg(
+      rows.toDF, "ts", Seq("k"), "v", "o", "1 hour")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3) // one row per closed (window, key)
+  }
+
   test("update-mode writer carries the reference trigger/output config") {
     val s = spark
     import s.implicits._
