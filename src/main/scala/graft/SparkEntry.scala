@@ -102,6 +102,12 @@ object SparkEntry {
       Relational.latencyReport(Tables.events(s, dir),
         tsCol = "ts", keys = Seq("user_id"), windowSize = "1 hour")),
 
+    // sketch percentiles (scale path for q_latency_stats): KLL-style
+    // state, engine-specific → rows-only; accuracy spec-bounded.
+    "q_approx_stats" -> ((s, dir) =>
+      Relational.distributionStatsApprox(Tables.events(s, dir),
+        keys = Seq("event_type"), valueCol = "value")),
+
     "q_interval_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       graft.streaming.StreamJoin.withinJoin(

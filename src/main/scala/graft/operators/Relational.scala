@@ -73,6 +73,30 @@ object Relational {
       n.as("sample_count"))
   }
 
+  /** [[distributionStats]]'s scale path: exact `percentile` buffers
+    * every value per group (OOM risk on 100 TB groups);
+    * `approx_percentile` (KLL-style sketch) keeps O(1/accuracy) state
+    * per group and merges map-side. Engine-specific sketch → no
+    * cross-engine oracle; accuracy is spec-bounded against exact. */
+  def distributionStatsApprox(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val v = col(valueCol)
+    val n = count(lit(1L))
+    val grouped =
+      if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+    grouped.agg(
+      avg(v).as("avg_v"),
+      expr(s"approx_percentile($valueCol, 0.5, $accuracy)").as("p50_v"),
+      expr(s"approx_percentile($valueCol, 0.95, $accuracy)").as("p95_v"),
+      expr(s"approx_percentile($valueCol, 0.99, $accuracy)").as("p99_v"),
+      min(v).as("min_v"),
+      max(v).as("max_v"),
+      n.as("sample_count"))
+  }
+
   /** The latency monitor pipeline shape (LatencyMonitor.scala:
     * collectLatencyData → calculateMetrics): derive a per-window
     * latency (window close minus earliest stamp), apply the monitor's

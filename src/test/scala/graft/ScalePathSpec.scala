@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Relational
+import graft.sources.Bucketed
+import graft.streaming.StreamDedup
+
+class ScalePathSpec extends SparkSpec {
+
+  test("bucketed co-located join: SortMergeJoin with zero Exchange on either side") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    // fresh in-memory catalog each JVM: drop any orphaned managed-table
+    // location a previous test run left in the warehouse dir
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Bucketed.write(orders, "b_orders", 8, Seq("o_orderkey"), Seq("o_orderkey"))
+    Bucketed.write(lineitem, "b_lineitem", 8, Seq("o_orderkey"), Seq("o_orderkey"))
+    // at sf0.001 both sides fit the broadcast threshold, which would
+    // hide the layout; disable it to surface the fact-fact plan shape
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketed.cojoin(spark, "b_orders", "b_lineitem", Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it is the same result a plain join computes
+      val plain = orders.join(lineitem, "o_orderkey")
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("approx distribution stats track exact within sketch tolerance") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val exact = Relational.distributionStats(events, Seq("event_type"), "value")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Relational.distributionStatsApprox(events, Seq("event_type"), "value")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    val values = events.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted
+      }
+    // exact cols: key, avg, p50, p95, p99, min, max, stddev, count
+    // approx cols: key, avg, p50, p95, p99, min, max, count
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      // same count/min/max; percentiles within the sketch's rank
+      // guarantee: approx returns an ACTUAL element whose rank is
+      // within ±1 of the target (accuracy 10000 ⇒ rank error < 1 at
+      // this n), where exact interpolates — so the approx value must
+      // lie inside the element bracket around the target rank
+      assert(a.getLong(7) == e.getLong(8))
+      assert(a.getDouble(5) == e.getDouble(5) && a.getDouble(6) == e.getDouble(6))
+      val sorted = values(k)
+      Seq(0.5 -> 2, 0.95 -> 3, 0.99 -> 4).foreach { case (p, i) =>
+        val rank = p * (sorted.length - 1)
+        val lo = sorted(math.max(math.floor(rank).toInt - 1, 0))
+        val hi = sorted(math.min(math.ceil(rank).toInt + 1, sorted.length - 1))
+        assert(a.getDouble(i) >= lo && a.getDouble(i) <= hi,
+          s"$k p$p: approx ${a.getDouble(i)} outside [$lo, $hi]")
+      }
+    }
+  }
+
+  test("streaming dedup within watermark drops redelivered ids, == batch dedup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def t(x: String) = Timestamp.valueOf(x)
+    val rows = Seq(
+      Ev(t("2024-01-01 10:00:00"), "a", 1.0, 100),
+      Ev(t("2024-01-01 10:00:30"), "a", 1.0, 100), // redelivery of 100
+      Ev(t("2024-01-01 10:01:00"), "b", 2.0, 101),
+      Ev(t("2024-01-01 10:01:30"), "b", 2.0, 101), // redelivery of 101
+      Ev(t("2024-01-01 10:02:00"), "c", 3.0, 102))
+    val mem = MemoryStream[Ev]
+    mem.addData(rows)
+    val out = StreamDedup.byKeyWithinWatermark(mem.toDF, "ts", "5 minutes", Seq("o"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = s.table("dedup_out").select("o").collect().map(_.getLong(0)).sorted
+    val batch = StreamDedup.byKeyWithinWatermark(rows.toDF, "ts", "5 minutes", Seq("o"))
+      .select("o").collect().map(_.getLong(0)).sorted
+    assert(streamed.toSeq == Seq(100L, 101L, 102L))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
