@@ -108,6 +108,20 @@ object SparkEntry {
       Relational.distributionStatsApprox(Tables.events(s, dir),
         keys = Seq("event_type"), valueCol = "value")),
 
+    "q_rolling_avg" -> ((s, dir) =>
+      Relational.rollingMean(Tables.events(s, dir),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        idCol = "event_id", trailingSeconds = 3600)),
+
+    // salting changes the shuffle layout, never the result set — the
+    // oracle is the plain join
+    "q_salted_join" -> ((s, dir) =>
+      Relational.saltedJoin(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"),
+        Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        keys = Seq("l_orderkey"), leftSaltCol = "l_linenumber", buckets = 8)),
+
     "q_interval_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       graft.streaming.StreamJoin.withinJoin(
@@ -453,6 +467,21 @@ object SparkEntry {
         |       min(event_id) AS first_offset,
         |       count(*) AS row_count
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // RANGE frame over epoch-micros (mirrors Spark's nanos→micros
+    // truncation); decimal frame sum keeps the mean order-independent.
+    "q_rolling_avg" ->
+      """SELECT event_id, user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE)
+        |         / count(*) OVER w AS roll_avg,
+        |       count(*) OVER w AS n_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
 
     // Spark's events.ts is nanos truncated to micros (Tables loader),
     // so the WITHIN bound compares on epoch-micros both sides.

@@ -73,6 +73,53 @@ object Relational {
       n.as("sample_count"))
   }
 
+  /** Salted equi-join for skewed keys. AQE's skew-join splitting
+    * handles most skew at runtime; explicit salting is the static
+    * fallback for the cases AQE can't fix — a single key too hot for
+    * any split (every row of it still hashes to one map output
+    * partition before AQE sees it) or a build side that must stay
+    * sort-merge. The left (skewed) side gets a deterministic salt in
+    * [0, buckets) hashed from `leftSaltCol`; the right side replicates
+    * each row `buckets` times; the join key becomes (keys, salt), so
+    * one hot key spreads over `buckets` shuffle partitions at the cost
+    * of a `buckets`× right-side blowup — use with a small-ish right
+    * side and buckets sized to the observed skew ratio. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftSaltCol: String,
+      buckets: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(leftSaltCol)), lit(buckets.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Trailing time-range rolling mean (the streaming-dashboard "value
+    * over the last hour" shape): a RANGE-frame window over event-time
+    * micros, so rows with equal timestamps are frame peers on every
+    * engine. One shuffle on the key; the frame sum accumulates in
+    * exact decimal (order-independent) per the oracle discipline. */
+  def rollingMean(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      idCol: String,
+      trailingSeconds: Long,
+      scale: Int = 2): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-trailingSeconds * 1000000L, 0)
+    df.select(col(idCol) +: keys.map(col) :+
+      (sum(col(valueCol).cast(s"decimal(30,$scale)")).over(w).cast("double") /
+        count(lit(1L)).over(w)).as("roll_avg") :+
+      count(lit(1L)).over(w).as("n_window"): _*)
+  }
+
   /** [[distributionStats]]'s scale path: exact `percentile` buffers
     * every value per group (OOM risk on 100 TB groups);
     * `approx_percentile` (KLL-style sketch) keeps O(1/accuracy) state

@@ -35,6 +35,10 @@ object StreamJoin {
     * to recognize the interval and bound stream-stream join state; a
     * post-join filter would keep state forever.
     */
+  /** @param joinType "inner" or "left_outer" (ksqlDB `LEFT JOIN ...
+    *                  WITHIN`): on streams, unmatched left rows emit
+    *                  with null right columns once the watermark
+    *                  closes their interval. */
   def withinJoin(
       left: DataFrame,
       right: DataFrame,
@@ -42,14 +46,15 @@ object StreamJoin {
       tsCol: String,
       before: String,
       after: String,
-      rightSuffix: String = "_r"): DataFrame = {
+      rightSuffix: String = "_r",
+      joinType: String = "inner"): DataFrame = {
     val r = right.columns.foldLeft(right)((d, c) =>
       d.withColumnRenamed(c, c + rightSuffix))
     val rts = col(tsCol + rightSuffix)
     val cond = keys.map(k => col(k) === col(k + rightSuffix)).reduce(_ && _) &&
       rts >= col(tsCol) - expr(s"INTERVAL $before") &&
       rts <= col(tsCol) + expr(s"INTERVAL $after")
-    left.join(r, cond).drop(keys.map(_ + rightSuffix): _*)
+    left.join(r, cond, joinType).drop(keys.map(_ + rightSuffix): _*)
   }
 
   /** Stream-table enrichment: compact `changelog` to its latest value

@@ -77,6 +77,39 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("salted join: identical results to plain join, hot key spread over many partitions") {
+    val s = spark
+    import s.implicits._
+    // 90% of left rows carry one hot key
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i.toLong))
+      .toDF("k", "row_id")
+    val right = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "label")
+    val plain = left.join(right, Seq("k"))
+    val salted = Relational.saltedJoin(left, right, Seq("k"), "row_id", 8)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      plain.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // with AQE coalescing off, the hot key's rows occupy many shuffle
+    // partitions instead of one
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions.spark_partition_id
+      def hotParts(df: org.apache.spark.sql.DataFrame) =
+        df.filter("k = 42").select(spark_partition_id()).distinct().count()
+      val saltedParts = hotParts(Relational.saltedJoin(left, right, Seq("k"), "row_id", 8))
+      val plainParts = hotParts(left.join(right, Seq("k")))
+      assert(plainParts == 1L, s"plain join spread hot key over $plainParts")
+      assert(saltedParts >= 4L, s"salted join only used $saltedParts partitions")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
+
   test("streaming dedup within watermark drops redelivered ids, == batch dedup") {
     val s = spark
     import s.implicits._

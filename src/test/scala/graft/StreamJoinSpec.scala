@@ -45,6 +45,36 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == Set(Seq(1L, 100L, 900L), Seq(2L, 102L, 902L)))
   }
 
+  test("left-outer WITHIN join: streaming emits null-padded rows on watermark close, == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // anchors push the watermark past every real row's interval so the
+    // unmatched left rows' nulls are emitted; the anchors' own rows
+    // stay open, so exclude them from the comparison
+    val aC = Click(99, t("2024-01-03 00:00:00"), 999)
+    val aB = Buy(98, t("2024-01-03 00:00:00"), 998)
+    val mc = MemoryStream[Click]; mc.addData(clicks :+ aC)
+    val mb = MemoryStream[Buy]; mb.addData(buys :+ aB)
+    val streamed = StreamJoin.withinJoin(
+      StreamJoin.marked(mc.toDF, "ts", "10 minutes"),
+      StreamJoin.marked(mb.toDF, "ts", "10 minutes"),
+      Seq("user_id"), "ts", "0 seconds", "1 hour", joinType = "left_outer")
+      .select("user_id", "click_id", "buy_id_r")
+    val q = streamed.writeStream.format("memory").queryName("loj_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = s.table("loj_out").filter("user_id < 90")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamJoin.withinJoin(clicks.toDF, buys.toDF,
+      Seq("user_id"), "ts", "0 seconds", "1 hour", joinType = "left_outer")
+      .select("user_id", "click_id", "buy_id_r").collect().map(_.toSeq).toSet
+    assert(got == batch)
+    // click 101 (13:30 buy is outside its hour) survives null-padded
+    assert(got.contains(Seq(1L, 101L, null)))
+    assert(got.size == 3)
+  }
+
   test("interval-join plan carries the time bound in the join condition (bounded state)") {
     val s = spark
     import s.implicits._
