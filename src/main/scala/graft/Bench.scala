@@ -14,9 +14,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // streaming throughput leg — the reference is a stream benchmark:
+    // drain the whole events table through the watermarked windowed
+    // pipeline (file-stream stand-in for Kafka) and time it
+    val streamSec = {
+      val t0 = System.nanoTime()
+      try {
+        val out = streaming.WeatherPipeline.windowed(
+          Seq(Tables.eventsStream(spark, sfDir)),
+          "ts", Seq("event_type", "user_id"), "value", "event_id", "1 hour")
+        val q = out.writeStream.format("noop").outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    val all = results + ("q_stream_pipeline" -> streamSec)
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (all.nonEmpty) all.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
