@@ -163,7 +163,13 @@ object Dedup {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming <= bands-1")
     val w = 64 / bands
     val mask = if (w == 64) -1L else (1L << w) - 1
-    val withH = df.select(col(idCol).as("__id"), simHash64(textCol).as("__h"))
+    // collapse identical fingerprints first (same move as
+    // [[collapseSets]]): banding/verification run per distinct h;
+    // within-group pairs are hamming 0 by construction
+    val groups = df.select(col(idCol).as("__id"), simHash64(textCol).as("__h"))
+      .groupBy("__h")
+      .agg(min(col("__id")).as("__gid"), collect_list(col("__id")).as("__ids"))
+    val withH = groups.select(col("__gid").as("__id"), col("__h"))
     val bandDf = withH
       .select(col("__id"), col("__h"),
         explode(expr(
@@ -175,12 +181,24 @@ object Dedup {
       col("__id").as("id_a"), col("__h").as("h_a"))
     val b2 = bandDf.select(col("__band"), col("__slice"),
       col("__id").as("id_b"), col("__h").as("h_b"))
-    a.join(b2, Seq("__band", "__slice"))
+    val repPairs = a.join(b2, Seq("__band", "__slice"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "h_a", "h_b").distinct()
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    val members = groups.select(explode(col("__ids")).as("__mid"), col("__gid"))
+    val cross = repPairs
+      .join(members.select(col("__gid").as("id_a"), col("__mid").as("mid_a")), "id_a")
+      .join(members.select(col("__gid").as("id_b"), col("__mid").as("mid_b")), "id_b")
+      .select(least(col("mid_a"), col("mid_b")).as("id_a"),
+        greatest(col("mid_a"), col("mid_b")).as("id_b"), col("hamming"))
+    val within = members
+      .join(members.withColumnRenamed("__mid", "__mid2"), "__gid")
+      .filter(col("__mid") < col("__mid2"))
+      .select(col("__mid").as("id_a"), col("__mid2").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Exact n-gram Jaccard over an inverted index — the verification

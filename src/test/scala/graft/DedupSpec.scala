@@ -57,6 +57,23 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) == 0) // shuffled → same distinct-token simhash
   }
 
+  test("simhash banding equals the exact hamming pair scan on real docs (pigeonhole, post-collapse)") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf("sf0.001"))
+    val banded = Dedup.simHashNearDup(d, "doc_id", "text", bands = 4, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute force: every doc pair's fingerprint hamming distance
+    val h = d.select(col("doc_id").as("id"), Dedup.simHash64("text").as("h"))
+    val exact = h.select(col("id").as("id_a"), col("h").as("h_a"))
+      .join(h.select(col("id").as("id_b"), col("h").as("h_b")),
+        col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(banded == exact)
+  }
+
   test("ngram jaccard (n=2 shingles) distinguishes order") {
     val out = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
