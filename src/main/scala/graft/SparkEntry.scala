@@ -113,6 +113,30 @@ object SparkEntry {
         keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
         idCol = "event_id", trailingSeconds = 3600)),
 
+    // navigation/ranking window functions over the per-user event
+    // sequence (lag/lead exact; percent_rank is an integer-derived
+    // single division — bit-stable)
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+    }),
+
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"))
+      val withO = cust.join(orders, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val withoutO = cust.join(orders, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      withO.unionByName(withoutO)
+    }),
+
     // salting changes the shuffle layout, never the result set — the
     // oracle is the plain join
     "q_salted_join" -> ((s, dir) =>
@@ -482,6 +506,22 @@ object SparkEntry {
     "q_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT event_id, user_id, value,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       lead(value, 1) OVER w AS next_value,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
 
     // Spark's events.ts is nanos truncated to micros (Tables loader),
     // so the WITHIN bound compares on epoch-micros both sides.
