@@ -57,4 +57,41 @@ object Multimodal {
       it.grouped(batchSize).flatMap(g => decodeBatch(g))
     }
   }
+
+  /** STUB resize: a real implementation decodes, scales to (w, h),
+    * re-encodes. The stub derives a deterministic "resized" payload
+    * (prefix of the bytes sized by the target area) so the
+    * blob-in/blob-out plumbing — same batching, same schema shape a
+    * codec UDF would use — is testable. */
+  def resize(spark: SparkSession, packed: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    packed.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val n = math.min(r.blob.length, math.max(1, (w * h) / 64))
+        (r.doc_id, r.blob.take(n), w.toLong, h.toLong, r.format)
+      })
+    }.toDF("doc_id", "blob", "width", "height", "format")
+  }
+
+  /** Frame sampling over a "video" blob: treat the payload as
+    * fixed-size frames and keep every `everyNth` one — the explode
+    * shape (one input row → many frame rows) a real demuxer produces.
+    * Deterministic in the bytes; frame extraction itself is the stub. */
+  def frameSample(
+      spark: SparkSession,
+      packed: DataFrame,
+      frameBytes: Int = 32,
+      everyNth: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    packed.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        r.blob.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % everyNth == 0)
+          .map { case (frame, idx) =>
+            (r.doc_id, idx.toLong, frame, frame.length.toLong)
+          }
+      })
+    }.toDF("doc_id", "frame_idx", "frame", "frame_len")
+  }
 }
