@@ -396,6 +396,15 @@ object SparkEntry {
         T.tokenCountSubwordEst(t).cast("long").as("subword_est"))
     }),
 
+    "q_doc_repetition" -> ((s, dir) => {
+      import graft.functions.{Text => T}
+      import graft.functions.Exact.roundAt
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        roundAt(T.repetitionRatio(col("text"), 2), 4).as("bigram_rep"),
+        roundAt(T.topTokenFraction(col("text")), 4).as("top_tok_frac"))
+    }),
+
     "q_doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -853,6 +862,21 @@ object SparkEntry {
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens,
         |       (length(text) + 3) // 4 AS subword_est
         |FROM documents""".stripMargin,
+
+    "q_doc_repetition" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+         |), g AS (
+         |  SELECT doc_id, s,
+         |         CASE WHEN len(s) < 2 THEN []::VARCHAR[]
+         |              ELSE list_transform(range(1, len(s)),
+         |                                  i -> s[i] || ' ' || s[i+1]) END AS bg
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |  ${sqlRound4("CASE WHEN len(bg) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END")} AS bigram_rep,
+         |  ${sqlRound4("CAST(list_max(list_transform(list_distinct(s), t -> len(list_filter(s, x -> x = t)))) AS DOUBLE) / len(s)")} AS top_tok_frac
+         |FROM g""".stripMargin,
 
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, $sqlFpOrdered AS fp, $sqlFpCanonical AS fp_canonical

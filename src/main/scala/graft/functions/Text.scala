@@ -88,6 +88,35 @@ object Text {
       lit(0.3) * least(lit(1.0), stopwordRatio(text) * 4.0) +
       lit(0.3) * (lit(1.0) - least(lit(1.0), (digitRatio(text) + punctRatio(text)) * 4.0))
 
+  /** All order-n word shingles (with repeats — repetition is the
+    * signal here, unlike the dedup path's distinct sets). Empty when
+    * the doc has fewer than n tokens (Spark's `sequence` runs
+    * *backwards* for start > stop, so that case needs the guard). */
+  def ngrams(text: Column, n: Int): Column = {
+    val s = tokens(text)
+    when(size(s) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(s) - (n - 1)),
+        i => concat_ws(" ", slice(s, i, lit(n)))))
+  }
+
+  /** Gopher-style repetition signal: 1 − |distinct n-grams| / |n-grams|
+    * (0 for docs too short to have any). High values mark
+    * boilerplate/looping text. Integer-derived double division —
+    * bit-stable cross-engine. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val g = ngrams(text, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+  }
+
+  /** Fraction of the document made of its single most frequent token
+    * (the other standard repetition filter). */
+  def topTokenFraction(text: Column): Column = {
+    val s = tokens(text)
+    array_max(transform(array_distinct(s),
+      t => size(filter(s, x => x === t)))).cast("double") / size(s)
+  }
+
   // ---- fingerprints ---------------------------------------------------
 
   private val Mod = 1000000007L

@@ -52,6 +52,21 @@ class TextSpec extends SparkSpec {
     assert(out("d4") == "zh" && out("d5") == "und")
   }
 
+  test("repetition signals: looping text scores high, varied text low, short text safe") {
+    def rep(t: String) = one(t)
+      .select(Text.repetitionRatio(col("text"), 2).as("r"),
+        Text.topTokenFraction(col("text")).as("f")).head
+    val loop = rep("spam ham spam ham spam ham spam ham")
+    assert(loop.getDouble(0) > 0.6) // 7 bigrams, 2 distinct
+    assert(loop.getDouble(1) == 0.5)
+    val varied = rep("every word here is used exactly once today")
+    assert(varied.getDouble(0) == 0.0)
+    assert(varied.getDouble(1) == 0.125)
+    val single = rep("lonely")
+    assert(single.getDouble(0) == 0.0) // no bigrams -> guarded to 0
+    assert(single.getDouble(1) == 1.0)
+  }
+
   test("quality score stays in [0,1] on real docs") {
     val d = Tables.documents(spark, sf("sf0.001"))
     val bad = d.select(Text.qualityScore(col("text")).as("q"))
