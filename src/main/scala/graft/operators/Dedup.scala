@@ -219,11 +219,11 @@ object Dedup {
       textCol: String,
       n: Int = 1,
       threshold: Double = 0.8): DataFrame = {
+    // Text.ngrams guards the <n-token case (Spark's sequence(1, 0)
+    // counts backwards, which would fabricate grams)
     val grams =
       if (n == 1) toks(textCol)
-      else array_distinct(
-        transform(sequence(lit(1), greatest(size(split(col(textCol), " ")) - (n - 1), lit(0))),
-          i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n)))))
+      else array_distinct(graft.functions.Text.ngrams(col(textCol), n))
     // hash grams once: the inverted index joins on 64-bit keys and
     // verification merge-walks sorted hash sets — no string compares
     // past this projection. Identical gram sets collapse to one
