@@ -87,6 +87,15 @@ object SparkEntry {
         .agg(count_distinct(col("user_id")).as("n_users"),
           count(lit(1L)).as("n_rows"))),
 
+    // ksqlDB COLLECT_SET / COLLECT_LIST; Spark's collection order is
+    // partition-dependent, so emit sorted (the only deterministic
+    // contract an engine can offer for these)
+    "q_collect" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(sort_array(collect_set(col("user_id"))).as("user_set"),
+          size(collect_list(col("user_id"))).cast("long").as("list_len"))),
+
     // HLL scale path for COUNT_DISTINCT: engine-specific sketch, so no
     // cross-engine oracle — accuracy is spec-checked vs exact instead.
     "q_approx_distinct" -> ((s, dir) =>
@@ -579,6 +588,12 @@ object SparkEntry {
       """SELECT event_type,
         |       count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_collect" ->
+      """SELECT event_type,
+        |       list_sort(list(DISTINCT user_id)) AS user_set,
+        |       count(user_id) AS list_len
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_latency_stats" ->
