@@ -77,6 +77,22 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("partitionBy write + filtered read prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf("sf0.001"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = back.queryExecution.executedPlan.toString
+    // the filter must become a PartitionFilters entry (directory
+    // pruning — zero bytes read from other event types), not a scan
+    // over everything plus a Filter
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(back.count() ==
+      Tables.events(spark, sf("sf0.001")).filter("event_type = 'click'").count())
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("salted join: identical results to plain join, hot key spread over many partitions") {
     val s = spark
     import s.implicits._
