@@ -408,10 +408,14 @@ object SparkEntry {
     "q_doc_repetition" -> ((s, dir) => {
       import graft.functions.{Text => T}
       import graft.functions.Exact.roundAt
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        roundAt(T.repetitionRatio(col("text"), 2), 4).as("bigram_rep"),
-        roundAt(T.topTokenFraction(col("text")), 4).as("top_tok_frac"))
+      Tables.documents(s, dir)
+        // materialize the hash array once; the lambdas then index an
+        // attribute instead of re-inlining split+hash per element
+        .withColumn("__h", T.tokenHashes(col("text")))
+        .select(
+          col("doc_id"),
+          roundAt(T.repetitionRatioFromHashes(col("__h"), 2), 4).as("bigram_rep"),
+          roundAt(T.topTokenFractionFromHashes(col("__h")), 4).as("top_tok_frac"))
     }),
 
     "q_doc_fingerprint" -> ((s, dir) =>

@@ -99,23 +99,48 @@ object Text {
         i => concat_ws(" ", slice(s, i, lit(n)))))
   }
 
-  /** Gopher-style repetition signal: 1 − |distinct n-grams| / |n-grams|
-    * (0 for docs too short to have any). High values mark
-    * boilerplate/looping text. Integer-derived double division —
-    * bit-stable cross-engine. */
-  def repetitionRatio(text: Column, n: Int = 2): Column = {
-    val g = ngrams(text, n)
-    when(size(g) === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+  /** Token hash array — hash strings ONCE, count on longs. Callers of
+    * the FromHashes variants below must materialize this in its OWN
+    * projection (e.g. `.withColumn`) before use: a lambda that
+    * references a non-attribute array expression re-inlines (and
+    * re-evaluates) it per element — O(n²) string hashing per row.
+    * CollapseProject keeps a non-cheap multi-referenced alias in its
+    * own Project, so the two-step shape is safe. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => xxhash64(t))
+
+  /** Gopher-style repetition signal over a materialized hash array:
+    * 1 − |distinct n-grams| / |n-grams| (0 for docs too short to have
+    * any). N-grams are rotate-xor-combined 64-bit keys — no shingle
+    * strings, long equality (counts identical to the string form
+    * barring a ~2⁻⁶⁴ collision; the oracle compares against DuckDB's
+    * string-side count and passes). */
+  def repetitionRatioFromHashes(h: Column, n: Int = 2): Column = {
+    val m = size(h) - (n - 1)
+    // rotate-xor combine: overflow-free under ANSI mode, order-sensitive
+    val g = transform(sequence(lit(1), greatest(m, lit(1))),
+      i => (0 until n).map(j => element_at(h, i + j))
+        .reduce((a, b) =>
+          (shiftleft(a, 17).bitwiseOR(shiftrightunsigned(a, 47))).bitwiseXOR(b)))
+    when(m <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / m)
   }
 
   /** Fraction of the document made of its single most frequent token
-    * (the other standard repetition filter). */
-  def topTokenFraction(text: Column): Column = {
-    val s = tokens(text)
-    array_max(transform(array_distinct(s),
-      t => size(filter(s, x => x === t)))).cast("double") / size(s)
-  }
+    * (the other standard repetition filter); same materialized-hash
+    * contract as [[repetitionRatioFromHashes]]. */
+  def topTokenFractionFromHashes(h: Column): Column =
+    array_max(transform(array_distinct(h),
+      t => size(filter(h, x => x === t)))).cast("double") / size(h)
+
+  /** Convenience single-expression forms — fine for one-off use; hot
+    * paths should materialize [[tokenHashes]] once and use the
+    * FromHashes variants. */
+  def repetitionRatio(text: Column, n: Int = 2): Column =
+    repetitionRatioFromHashes(tokenHashes(text), n)
+
+  def topTokenFraction(text: Column): Column =
+    topTokenFractionFromHashes(tokenHashes(text))
 
   // ---- fingerprints ---------------------------------------------------
 
