@@ -88,16 +88,20 @@ object Text {
       lit(0.3) * least(lit(1.0), stopwordRatio(text) * 4.0) +
       lit(0.3) * (lit(1.0) - least(lit(1.0), (digitRatio(text) + punctRatio(text)) * 4.0))
 
-  /** All order-n word shingles (with repeats — repetition is the
-    * signal here, unlike the dedup path's distinct sets). Empty when
-    * the doc has fewer than n tokens (Spark's `sequence` runs
-    * *backwards* for start > stop, so that case needs the guard). */
-  def ngrams(text: Column, n: Int): Column = {
-    val s = tokens(text)
+  /** All order-n word shingles from a token-array column (with
+    * repeats). Empty when the doc has fewer than n tokens (Spark's
+    * `sequence` runs *backwards* for start > stop, so that case needs
+    * the guard). The lambda captures `s` — pass a materialized
+    * attribute, not a computed expression, or the split re-evaluates
+    * per element (see [[tokenHashes]]). */
+  def ngramsFromTokens(s: Column, n: Int): Column =
     when(size(s) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(s) - (n - 1)),
         i => concat_ws(" ", slice(s, i, lit(n)))))
-  }
+
+  /** Convenience form over raw text — one-off use only (inline
+    * capture; hot paths materialize the token array first). */
+  def ngrams(text: Column, n: Int): Column = ngramsFromTokens(tokens(text), n)
 
   /** Token hash array — hash strings ONCE, count on longs. Callers of
     * the FromHashes variants below must materialize this in its OWN

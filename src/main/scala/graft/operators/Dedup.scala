@@ -219,16 +219,20 @@ object Dedup {
       textCol: String,
       n: Int = 1,
       threshold: Double = 0.8): DataFrame = {
-    // Text.ngrams guards the <n-token case (Spark's sequence(1, 0)
-    // counts backwards, which would fabricate grams)
+    // ngramsFromTokens guards the <n-token case (Spark's sequence(1,0)
+    // counts backwards, which would fabricate grams); the token array
+    // is materialized first so the shingle lambda indexes an attribute
+    // instead of re-splitting per element
+    val withToks = df.select(col(idCol).as("__id"),
+      split(col(textCol), " ").as("__toks"))
     val grams =
-      if (n == 1) toks(textCol)
-      else array_distinct(graft.functions.Text.ngrams(col(textCol), n))
+      if (n == 1) array_distinct(col("__toks"))
+      else array_distinct(graft.functions.Text.ngramsFromTokens(col("__toks"), n))
     // hash grams once: the inverted index joins on 64-bit keys and
     // verification merge-walks sorted hash sets — no string compares
     // past this projection. Identical gram sets collapse to one
     // representative first (Jaccard is set-determined).
-    val groups = collapseSets(df.select(col(idCol).as("__id"),
+    val groups = collapseSets(withToks.select(col("__id"),
       array_sort(transform(grams, x => xxhash64(x))).as("__sh")))
     val g = groups.select(col("__gid").as("__id"), col("__sh").as("__gh"))
       .withColumn("__sz", size(col("__gh")))
