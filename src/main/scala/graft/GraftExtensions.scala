@@ -63,5 +63,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.BoundedTopK(args(0),
         args(1).eval().asInstanceOf[Int], distinct = true)
         .toAggregateExpression()))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_round"),
+      info("graft_round", "graft_round(x, s) - engine-portable round-half-up: floor(x*10^s + 0.5)/10^s (graft.functions.Exact.roundAt)"),
+      (args: Seq[Expression]) => {
+        // built from resolved Catalyst nodes — a Column round-trip here
+        // would leave unresolved column-node expressions in the plan
+        import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Floor, Literal, Multiply}
+        import org.apache.spark.sql.types.DoubleType
+        val f = Literal(math.pow(10, args(1).eval().asInstanceOf[Int]))
+        Divide(
+          Cast(Floor(Add(Multiply(Cast(args(0), DoubleType), f), Literal(0.5))), DoubleType),
+          f)
+      }))
   }
 }

@@ -8,13 +8,16 @@ class ExtensionsSpec extends SparkSpec {
         |       graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |       graft_simhash(array(0L)) AS sh,
         |       size(graft_minhash(array(7L, 9L), 16)) AS mk,
-        |       graft_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS ic
+        |       graft_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS ic,
+        |       graft_round(2.675D, 2) AS gr
         |""".stripMargin).head
     assert(r.getAs[Double]("c") == 1.0)
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Long]("sh") == 0L) // all bit-counts negative → no bits set
     assert(r.getAs[Int]("mk") == 16)
     assert(r.getAs[Int]("ic") == 2)
+    // floor-formula half-up on the IEEE double nearest 2.675
+    assert(r.getAs[Double]("gr") == math.floor(2.675 * 100 + 0.5) / 100)
   }
 
   test("SQL graft_cosine agrees with the Column API on real embeddings") {
