@@ -405,6 +405,10 @@ object SparkEntry {
         T.tokenCountSubwordEst(t).cast("long").as("subword_est"))
     }),
 
+    "q_doc_cluster" -> ((s, dir) =>
+      Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 8, threshold = 0.95)),
+
     "q_doc_repetition" -> ((s, dir) => {
       import graft.functions.{Text => T}
       import graft.functions.Exact.roundAt
@@ -881,6 +885,29 @@ object SparkEntry {
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens,
         |       (length(text) + 3) // 4 AS subword_est
         |FROM documents""".stripMargin,
+
+    // Cluster membership = connectivity under exact Jaccard >= 0.95
+    // (the minhash pair oracle is proven equal to this pair set);
+    // transitive closure via recursive CTE, label = min reachable id.
+    "q_doc_cluster" ->
+      s"""WITH RECURSIVE p AS (
+         |${sqlJaccardPairs("0.95").split("\n").map("  " + _).mkString("\n")}
+         |), e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM p
+         |), r(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+         |), lbl AS (
+         |  SELECT src AS id, least(src, min(dst)) AS label
+         |  FROM r GROUP BY src
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(l.label, d.doc_id) AS cluster_id,
+         |       coalesce(l.label, d.doc_id) = d.doc_id AS is_rep
+         |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id""".stripMargin,
 
     "q_doc_repetition" ->
       s"""WITH d AS (

@@ -270,6 +270,62 @@ object Dedup {
     expandGroupPairs(repPairs, groups, threshold)
   }
 
+  /** Connected components over an undirected pair list by min-label
+    * propagation: each node repeatedly takes the smallest label in its
+    * neighborhood until fixpoint — the standard distributed CC loop
+    * (converges in O(component diameter) rounds; every round is one
+    * join + one aggregation, both map-side combined). Lineage is cut
+    * per round with localCheckpoint so the plan doesn't grow
+    * exponentially. Deterministic: labels are ids, min is min. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy("src").agg(min(col("nl")).as("min_nl"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("id"), col("min_nl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      done = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** The dedup DECISION step: group near-duplicates into clusters and
+    * pick one representative per cluster. Every doc gets the smallest
+    * doc id of its near-dup connected component as `cluster_id`
+    * (itself if it has no near-dups); `is_rep` marks the keeper. The
+    * pair source is [[minHashLsh]], so cluster membership is exactly
+    * "connected by Jaccard ≥ threshold". */
+  def nearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    val pairs = minHashLsh(df, idCol, textCol, numHashes, bands, threshold)
+      .select("id_a", "id_b")
+    val cc = connectedComponents(pairs)
+    df.select(col(idCol).as("doc_id"))
+      .join(cc.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_rep", (col("doc_id") === col("cluster_id")).cast("boolean"))
+  }
+
   /** Embedding near-dup, exact pair scan (verification / small-SF
     * path; the scale path is [[embeddingNearDupLsh]]). */
   def embeddingNearDupExact(

@@ -81,6 +81,34 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 3L)))  // shuffled → shingles differ
   }
 
+  test("connected components: chain topology propagates the min label end-to-end") {
+    val s = spark
+    import s.implicits._
+    // two components: a 5-node CHAIN 10-20-30-40-50 (needs multiple
+    // propagation rounds) and an edge 100-200; 999 is isolated (absent)
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L), (100L, 200L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(10L, 20L, 30L, 40L, 50L).forall(cc(_) == 10L))
+    assert(cc(100L) == 100L && cc(200L) == 100L)
+    assert(!cc.contains(999L))
+  }
+
+  test("near-dup clusters: every doc labeled, reps are cluster minima, clusters respect pairs") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.95)
+    assert(out.count() == docs.count())
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // rep iff doc_id == cluster_id, and cluster_id <= doc_id always
+    assert(rows.forall { case (d, c, rep) => (d == c) == rep && c <= d })
+    // every near-dup pair lands in one cluster
+    val cl = rows.map(r => r._1 -> r._2).toMap
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => cl(a) == cl(b) })
+  }
+
   test("embedding near-dup: LSH candidates ⊆ exact, and exact pairs recovered") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val exact = Dedup.embeddingNearDupExact(e, "vec_id", "embedding", 0.35)
