@@ -278,26 +278,35 @@ object Dedup {
     * per round with localCheckpoint so the plan doesn't grow
     * exponentially. Deterministic: labels are ids, min is min. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // checkpoint the (possibly expensive) pair plan BEFORE the
+    // self-union — otherwise both union branches recompute it
+    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    // labels only ever decrease, so Σlabel is strictly monotone until
+    // the fixpoint — an O(1)-output convergence probe instead of a
+    // change-count join (decimal sum: exact for any long ids)
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy("src").agg(min(col("nl")).as("min_nl"))
-      val updated = labels
+      labels = labels
         .join(neighborMin.select(col("src").as("id"), col("min_nl")), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
         .localCheckpoint(true)
-      done = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = updated
+      val s = labelSum(labels)
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     labels
