@@ -71,11 +71,17 @@ object SparkEntry {
         keys = Seq("user_id"), offsetCol = "event_id",
         valueCols = Seq("value", "event_type"))),
 
+    // Array outputs are emitted as compact JSON strings (driver's
+    // pandas harness can't hash list cells); doubles are scaled to
+    // centi-unit longs first — integer JSON is formatting-identical
+    // across engines, double printing is not.
     "q_topk_agg" -> ((s, dir) =>
       Tables.events(s, dir).filter(col("value").isNotNull)
         .groupBy("event_type")
-        .agg(Relational.topK(col("value"), 5).as("top_values"),
-          Relational.topKDistinct(col("user_id"), 5).as("top_users"))),
+        .agg(
+          to_json(transform(Relational.topK(col("value"), 5),
+            x => floor(x * 100 + lit(0.5)).cast("long"))).as("top_values_c2"),
+          to_json(Relational.topKDistinct(col("user_id"), 5)).as("top_users"))),
 
     "q_histogram" -> ((s, dir) =>
       Relational.histogram(Tables.events(s, dir),
@@ -89,11 +95,12 @@ object SparkEntry {
 
     // ksqlDB COLLECT_SET / COLLECT_LIST; Spark's collection order is
     // partition-dependent, so emit sorted (the only deterministic
-    // contract an engine can offer for these)
+    // contract an engine can offer for these), JSON-stringified for
+    // the driver's pandas hasher.
     "q_collect" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(sort_array(collect_set(col("user_id"))).as("user_set"),
+        .agg(to_json(sort_array(collect_set(col("user_id")))).as("user_set"),
           size(collect_list(col("user_id"))).cast("long").as("list_len"))),
 
     // HLL scale path for COUNT_DISTINCT: engine-specific sketch, so no
@@ -571,20 +578,24 @@ object SparkEntry {
 
     // Array equality needs both sides sorted descending; equal values
     // are interchangeable so ties don't affect the array. TOPKDISTINCT
-    // dedups before ranking.
+    // dedups before ranking. Arrays → compact JSON strings (pandas-
+    // hashable); doubles → centi-unit longs via the shared floor
+    // formula (IEEE-exact both engines) before stringifying.
     "q_topk_agg" ->
       """WITH tv AS (
         |  SELECT event_type,
-        |         list_slice(list(value ORDER BY value DESC), 1, 5) AS top_values
+        |         to_json(list_transform(
+        |           list_slice(list(value ORDER BY value DESC), 1, 5),
+        |           x -> CAST(floor(x * 100 + 0.5) AS BIGINT))) AS top_values_c2
         |  FROM events WHERE value IS NOT NULL GROUP BY event_type
         |), tu AS (
         |  SELECT event_type,
-        |         list_slice(list(user_id ORDER BY user_id DESC), 1, 5) AS top_users
+        |         to_json(list_slice(list(user_id ORDER BY user_id DESC), 1, 5)) AS top_users
         |  FROM (SELECT DISTINCT event_type, user_id FROM events
         |        WHERE value IS NOT NULL)
         |  GROUP BY event_type
         |)
-        |SELECT tv.event_type, tv.top_values, tu.top_users
+        |SELECT tv.event_type, tv.top_values_c2, tu.top_users
         |FROM tv JOIN tu USING (event_type)""".stripMargin,
 
     "q_histogram" ->
@@ -600,7 +611,7 @@ object SparkEntry {
 
     "q_collect" ->
       """SELECT event_type,
-        |       list_sort(list(DISTINCT user_id)) AS user_set,
+        |       to_json(list_sort(list(DISTINCT user_id))) AS user_set,
         |       count(user_id) AS list_len
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -634,9 +645,11 @@ object SparkEntry {
         |       count(*) AS sample_count
         |FROM v""".stripMargin,
 
+    // DuckDB sum(BIGINT) is HUGEINT → float64 in the driver's pandas
+    // frame; cast back to BIGINT to match Spark's int64.
     "q_event_json" ->
       """SELECT event_type,
-        |       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
         |       CAST(sum(k) AS DOUBLE) / count(*) AS avg_k,
         |       count(*) AS n
         |FROM (SELECT event_type,

@@ -5,24 +5,42 @@ Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
 For each query dir in verify_out_dir: load Spark's parquet, run the
 matching oracle SQL in DuckDB over views named after the testdata
 tables, sort columns by name + rows, and compare values.
+
+Emulates the driver's *pandas* harness: both sides go through
+DuckDB .df(), dtype KINDS must match (catches e.g. HUGEINT sums that
+land as float64 against Spark's int64), and list/array/Decimal cells
+are rejected outright (pandas can't hash them — emit JSON strings).
 """
 import sys, json, math, os
 import duckdb
+import numpy as np
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
+UNHASHABLE = (list, dict, set, bytearray, np.ndarray)
+
+def canon_df(df):
+    """Sort columns by name; return (cols, dtype_kinds, sorted row tuples,
+    unhashable-column set)."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    kinds = [df[c].dtype.kind for c in cols]
+    bad = set()
+    rows = []
+    for r in df.itertuples(index=False, name=None):
         rr = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v): v = 'NaN'
-                else: v = round(v, 6)
-            rr.append(repr(v))
-        out.append(tuple(rr))
-    out.sort()
-    return [c for c in sorted(cols)], out
+        for i, v in enumerate(r):
+            if isinstance(v, UNHASHABLE):
+                bad.add(cols[i])
+                v = repr(v)
+            elif v is None or (isinstance(v, float) and math.isnan(v)):
+                v = 'NULL'
+            elif isinstance(v, float):
+                v = repr(round(v, 6))
+            else:
+                v = repr(v)
+            rr.append(v)
+        rows.append(tuple(rr))
+    rows.sort()
+    return cols, kinds, rows, bad
 
 def main(outdir, sfdir):
     oracle = json.load(open(os.path.join(outdir, 'oracle_sql.json')))
@@ -34,24 +52,33 @@ def main(outdir, sfdir):
     n_pass = n_fail = 0
     qdirs = [d for d in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, d))]
     for q in sorted(qdirs):
-        spark_rel = con.sql(f"SELECT * FROM read_parquet('{outdir}/{q}/*.parquet')")
-        scols, srows = spark_rel.columns, spark_rel.fetchall()
+        sdf = con.sql(f"SELECT * FROM read_parquet('{outdir}/{q}/*.parquet')").df()
+        sc, sk, sr, sbad = canon_df(sdf)
         if q not in oracle:
-            print(f"{q:28s} rows-only: {len(srows)} rows {'PASS' if len(srows)>0 else 'FAIL(empty)'}")
-            n_pass += 1 if len(srows) > 0 else 0
-            n_fail += 0 if len(srows) > 0 else 1
+            ok = len(sr) > 0 and not sbad
+            note = f"rows-only: {len(sr)} rows"
+            if sbad: note += f" UNHASHABLE cols {sorted(sbad)}"
+            print(f"{q:28s} {note} {'PASS' if ok else 'FAIL'}")
+            n_pass += 1 if ok else 0
+            n_fail += 0 if ok else 1
             continue
         try:
-            orel = con.sql(oracle[q])
-            ocols, orows = orel.columns, orel.fetchall()
+            odf = con.sql(oracle[q]).df()
         except Exception as e:
             print(f"{q:28s} ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
-        sc, sr = canon(srows, scols)
-        oc, orr = canon(orows, ocols)
-        if sc != oc:
+        oc, ok_, orr, obad = canon_df(odf)
+        if sbad or obad:
+            print(f"{q:28s} UNHASHABLE cells: spark={sorted(sbad)} oracle={sorted(obad)}"
+                  " (pandas harness cannot hash lists — emit JSON strings)")
+            n_fail += 1
+        elif sc != oc:
             print(f"{q:28s} SCHEMA MISMATCH spark={sc} oracle={oc}")
+            n_fail += 1
+        elif sk != ok_:
+            print(f"{q:28s} DTYPE MISMATCH cols={sc} spark={sk} oracle={ok_}"
+                  " (e.g. DuckDB HUGEINT sum → float64; CAST the oracle)")
             n_fail += 1
         elif sr != orr:
             print(f"{q:28s} VALUE MISMATCH ({len(sr)} vs {len(orr)} rows)")
