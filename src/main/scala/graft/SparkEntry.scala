@@ -436,7 +436,34 @@ object SparkEntry {
         graft.functions.Text.fingerprintCanonical(col("text")).as("fp_canonical"))),
 
     "q_multimodal_fingerprint" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, Multimodal.pack(Tables.documents(s, dir))).toDF)
+      Multimodal.extractFeatures(s, Multimodal.pack(Tables.documents(s, dir))).toDF),
+
+    // ---- corpus-preparation block (Corpus operators) ----
+    "q_vocab" -> ((s, dir) =>
+      Corpus.vocabulary(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_doc_split" -> ((s, dir) =>
+      Corpus.hashSplit(Tables.documents(s, dir), "doc_id")
+        .select("doc_id", "split_bucket", "split")),
+
+    "q_stratified_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(Tables.documents(s, dir), "source", "doc_id", k = 20)
+        .select("doc_id", "source", "sample_rank")),
+
+    "q_contamination" -> ((s, dir) =>
+      Corpus.contamination(Tables.documents(s, dir), "doc_id", "text",
+        benchPred = col("doc_id") % 97 === 0, n = 3)),
+
+    "q_token_pack" -> ((s, dir) =>
+      Corpus.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        budget = 2048, shards = 8)),
+
+    "q_doc_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.Text.normalize(col("text")).as("norm_text"),
+        regexp_count(lower(col("text")),
+          lit(graft.functions.Text.emailPattern)).cast("long").as("n_emails")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -948,7 +975,88 @@ object SparkEntry {
         |       octet_length(encode(text)) % 64 + 1 AS width,
         |       octet_length(encode(text)) % 48 + 1 AS height,
         |       'raw' AS format
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // ---- corpus-preparation block ----
+    "q_vocab" ->
+      """SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token""".stripMargin,
+
+    "q_doc_split" ->
+      s"""SELECT doc_id,
+         |       ${sqlTokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS split_bucket,
+         |       CASE WHEN ${sqlTokenHash("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |            WHEN ${sqlTokenHash("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, source, sample_rank
+         |FROM (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY ${sqlTokenHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS sample_rank
+         |      FROM documents)
+         |WHERE sample_rank <= 20""".stripMargin,
+
+    // String 3-grams oracle-side vs xxhash64'd grams Spark-side:
+    // counts equal barring a ~2^-64 collision (same argument as
+    // q_doc_repetition).
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 97 = 0 AS bench,
+        |         string_split(text, ' ') AS s
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, bench, unnest(list_distinct(
+        |           CASE WHEN len(s) < 3 THEN []::VARCHAR[]
+        |                ELSE list_transform(range(1, len(s) - 1),
+        |                       i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+        |           END)) AS gram
+        |  FROM toks
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM grams WHERE bench
+        |), hits AS (
+        |  SELECT g.doc_id, count(*) AS shared_ngrams
+        |  FROM grams g JOIN bg USING (gram)
+        |  WHERE NOT g.bench GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(h.shared_ngrams, 0) AS shared_ngrams,
+        |       coalesce(h.shared_ngrams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
+
+    // Window sum over BIGINT is HUGEINT in DuckDB — cast back.
+    "q_token_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, n_tokens, tok_offset,
+        |       tok_offset // 2048 AS bin_id
+        |FROM c""".stripMargin,
+
+    "q_doc_normalize" -> {
+      import graft.functions.Text.{emailPattern, ipPattern, phonePattern}
+      s"""SELECT doc_id,
+         |       trim(regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(lower(text), '$emailPattern', '<EMAIL>', 'g'),
+         |             '$ipPattern', '<IP>', 'g'),
+         |           '$phonePattern', '<PHONE>', 'g'),
+         |         '\\s+', ' ', 'g')) AS norm_text,
+         |       CAST(len(regexp_extract_all(lower(text), '$emailPattern')) AS BIGINT) AS n_emails
+         |FROM documents""".stripMargin
+    }
   )
 
   /** Shared DuckDB fragments for the LLM-pipeline oracles. Each is the

@@ -146,6 +146,31 @@ object Text {
   def topTokenFraction(text: Column): Column =
     topTokenFractionFromHashes(tokenHashes(text))
 
+  // ---- normalization / PII scrub -------------------------------------
+
+  /** Redaction patterns — deliberately RE2-compatible (no lookaround,
+    * no backrefs) so the DuckDB oracle can run the *same* regex:
+    * Java regex and RE2 agree on these constructs. Applied to
+    * lowercased text, in order (emails before phones so the phone
+    * pattern never bites a digit run inside an address). */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipPattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val phonePattern = "\\+?\\d[\\d\\- ]{6,}\\d"
+
+  /** PII scrub over lowercased text: emails → <EMAIL>, IPv4 → <IP>,
+    * phone-shaped digit runs → <PHONE>. */
+  def piiRedact(text: Column): Column = {
+    val e = regexp_replace(lower(text), emailPattern, "<EMAIL>")
+    val i = regexp_replace(e, ipPattern, "<IP>")
+    regexp_replace(i, phonePattern, "<PHONE>")
+  }
+
+  /** Training-corpus text normalization: lowercase, PII-redact,
+    * collapse whitespace runs, trim. Pure codegen'd string exprs —
+    * order-free per row, embarrassingly parallel at any scale. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(piiRedact(text), "\\s+", " "))
+
   // ---- fingerprints ---------------------------------------------------
 
   private val Mod = 1000000007L
@@ -157,6 +182,12 @@ object Text {
   private def tokenHash(t: Column): Column =
     aggregate(split(t, ""), lit(0L),
       (acc, c) => (acc * CharB + ascii(c)) % Mod)
+
+  /** Engine-portable deterministic hash of any column (via its string
+    * form) in [0, 1e9+7) — the cross-engine analog of xxhash64 for
+    * ops whose *assignment* must be reproducible in the oracle
+    * (sampling, split bucketing). Mirror: SparkEntry.sqlTokenHash. */
+  def portableHash(c: Column): Column = tokenHash(c.cast("string"))
 
   /** Order-sensitive document fingerprint: rolling hash over the
     * token-hash sequence. Mirror in DuckDB: nested list_reduce with

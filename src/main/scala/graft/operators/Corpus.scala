@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Corpus-preparation operators for the LLM-data-pipeline surface
+  * (SURVEY.md §2.3): vocabulary building, deterministic dataset
+  * splits, stratified sampling, benchmark-contamination checks, and
+  * token-budget sequence packing.
+  *
+  * Everything is a declarative single-pass DataFrame plan; the only
+  * shuffles are the groupBy/window partitionings stated per operator.
+  * Hash-based assignment uses [[Text.portableHash]] so the DuckDB
+  * oracle reproduces the exact bucket of every row.
+  */
+object Corpus {
+
+  /** Vocabulary table: one row per distinct token with corpus term
+    * frequency and document frequency.
+    *
+    * Scale: explode → two-phase aggregate. The term count gets
+    * map-side partial aggregation for free; the doc frequency is a
+    * distinct-aggregate that Spark plans as (token, doc) pre-distinct
+    * then count — both shuffles carry only (token[, id]) pairs, never
+    * text. At 100 TB the token key space is tiny compared to the
+    * corpus, so AQE coalesces the post-agg partitions. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1L)).as("term_freq"),
+        count_distinct(col(idCol)).as("doc_freq"))
+
+  /** Deterministic train/val/test assignment by portable hash of the
+    * id — reproducible across engines, runs, and cluster sizes
+    * (nothing depends on partitioning or row order). `cuts` are
+    * cumulative percentages, e.g. (80, 90) → 80/10/10.
+    *
+    * Scale: a pure projection — no shuffle at all. */
+  def hashSplit(df: DataFrame, idCol: String,
+                cuts: (Int, Int) = (80, 90)): DataFrame = {
+    val bucket = Text.portableHash(col(idCol)) % 100
+    df.withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(col("split_bucket") < cuts._1, lit("train"))
+          .when(col("split_bucket") < cuts._2, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Deterministic stratified sample: the `k` docs per stratum with
+    * the smallest (portableHash(id), id) — a reproducible "random"
+    * choice with exact per-stratum counts.
+    *
+    * Scale: one hash-partition shuffle on the stratum key; Spark's
+    * WindowGroupLimit pushes the rank-≤-k filter below the sort, so
+    * each partition keeps a bounded heap instead of sorting the
+    * stratum (same plan shape PlanGuardSpec checks for q_order_rank). */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(Text.portableHash(col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Benchmark-contamination check: for every candidate (non-
+    * benchmark) doc, the number of distinct word n-grams it shares
+    * with ANY benchmark doc. Standard decontamination step before
+    * training (the reference for the technique is the n-gram overlap
+    * check described in the GPT-3/PaLM data papers).
+    *
+    * Scale: benchmark sets are small by nature → their distinct gram
+    * set broadcasts; the corpus side is explode + broadcast-hash-join
+    * + partial-agg count, one shuffle on the doc id. Grams travel as
+    * xxhash64 longs, never strings. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    benchPred: Column, n: Int = 3): DataFrame = {
+    val grams = df
+      .withColumn("__bench", benchPred)
+      .withColumn("__s", Text.tokens(col(textCol)))
+      .select(col(idCol), col("__bench"),
+        explode(array_distinct(
+          Text.ngramsFromTokens(col("__s"), n))).as("gram"))
+      .select(col(idCol), col("__bench"), xxhash64(col("gram")).as("gram_h"))
+    val benchGrams = grams.filter(col("__bench"))
+      .select("gram_h").distinct()
+    val hits = grams.filter(!col("__bench"))
+      .join(broadcast(benchGrams), "gram_h")
+      .groupBy(idCol)
+      .agg(count(lit(1L)).as("shared_ngrams"))
+    df.filter(!benchPred)
+      .select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("shared_ngrams"), lit(0L)).as("shared_ngrams"))
+      .withColumn("contaminated", col("shared_ngrams") > 0)
+  }
+
+  /** Token-budget sequence packing: shard the corpus by hash of the
+    * id, order each shard by id, and cut it into bins where each bin
+    * starts at the first doc whose running token offset crosses a
+    * `budget` boundary (bin = starting-offset div budget). Emits the
+    * shard, the doc's token count, its offset within the shard, and
+    * its bin — the (shard, bin) pair is the training-batch key.
+    *
+    * Scale: one window shuffle on the shard key; shards are
+    * independent, so parallelism = `shards` × cluster. The running
+    * sum is integer arithmetic — exact and order-stable. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    df.select(col(idCol), col(textCol))
+      .withColumn("shard", col(idCol) % shards)
+      .withColumn("n_tokens", Text.tokenCountWs(col(textCol)).cast("long"))
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id", (col("tok_offset") / budget).cast("long"))
+      .select(idCol, "shard", "n_tokens", "tok_offset", "bin_id")
+  }
+}

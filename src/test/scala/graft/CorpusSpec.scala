@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+import graft.functions.Text
+
+/** Corpus-preparation operators: split determinism, stratified-sample
+  * exactness, planted contamination, packing invariants, planted PII. */
+class CorpusSpec extends SparkSpec {
+  private val s = TestSession.spark
+  import s.implicits._
+
+  private def docs = Tables.documents(spark, sf("sf0.001"))
+
+  test("hashSplit is deterministic, total, and roughly proportioned") {
+    val a = Corpus.hashSplit(docs, "doc_id").select("doc_id", "split")
+    val b = Corpus.hashSplit(docs, "doc_id").select("doc_id", "split")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    val counts = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum
+    assert(counts.keySet === Set("train", "val", "test"))
+    // 80/10/10 target; small-sample slack
+    assert(counts("train") > n * 6 / 10, s"train too small: $counts")
+    assert(counts("val") > 0 && counts("test") > 0)
+  }
+
+  test("stratifiedSample returns exactly k per stratum (strata >= k) and is stable") {
+    val k = 5
+    val s1 = Corpus.stratifiedSample(docs, "source", "doc_id", k)
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val got = s1.groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (src, n) =>
+      assert(got(src) === math.min(n, k.toLong), s"stratum $src")
+    }
+    val s2 = Corpus.stratifiedSample(docs, "source", "doc_id", k)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty)
+  }
+
+  test("contamination flags exactly the docs sharing an n-gram with the benchmark set") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // benchmark (id % 2 == 0 pred below… use explicit set)
+      (1L, "zeta eta theta iota kappa"),
+      (2L, "x alpha beta gamma y"),           // shares 3-gram "alpha beta gamma"
+      (3L, "beta alpha gamma delta order"),   // same words, no shared 3-gram
+      (4L, "zeta eta theta wrong tail")       // shares "zeta eta theta"
+    ).toDF("doc_id", "text")
+    val bench = col("doc_id") <= 1
+    val out = Corpus.contamination(df, "doc_id", "text", bench, n = 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._3).toSeq ===
+      Seq(2L -> true, 3L -> false, 4L -> true))
+    assert(out.find(_._1 == 2L).get._2 === 1L)
+    assert(out.find(_._1 == 4L).get._2 === 1L)
+  }
+
+  test("packSequences: offsets are contiguous per shard and bins cut at budget boundaries") {
+    val budget = 500
+    val packed = Corpus.packSequences(docs, "doc_id", "text", budget, shards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._1)
+      var expectOffset = 0L
+      inOrder.foreach { case (_, _, nTok, off, bin) =>
+        assert(off === expectOffset, "offset must be the running token sum")
+        assert(bin === off / budget, "bin is starting-offset div budget")
+        expectOffset += nTok
+      }
+      // bins are nondecreasing and dense enough: each next bin starts
+      // only after the previous crossed its boundary
+      inOrder.map(_._5).sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(1) >= w(0) && w(1) - w(0) <= (inOrder.map(_._3).max / budget) + 1)
+      }
+    }
+  }
+
+  test("normalize redacts planted PII and collapses whitespace") {
+    val df = Seq(
+      (1L, "Contact John@Example.COM   or +1 555-123-4567 now"),
+      (2L, "server at 192.168.0.1 responded"),
+      (3L, "clean text stays put")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Text.normalize(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "contact <EMAIL> or <PHONE> now")
+    assert(out(2L) === "server at <IP> responded")
+    assert(out(3L) === "clean text stays put")
+  }
+}
