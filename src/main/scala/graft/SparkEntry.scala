@@ -463,7 +463,14 @@ object SparkEntry {
         col("doc_id"),
         graft.functions.Text.normalize(col("text")).as("norm_text"),
         regexp_count(lower(col("text")),
-          lit(graft.functions.Text.emailPattern)).cast("long").as("n_emails")))
+          lit(graft.functions.Text.emailPattern)).cast("long").as("n_emails"))),
+
+    "q_tfidf" -> ((s, dir) =>
+      Corpus.tfIdf(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_global_index" -> ((s, dir) =>
+      Corpus.globalIndex(
+        Tables.documents(s, dir).select("doc_id", "source"), "doc_id"))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -1056,7 +1063,28 @@ object SparkEntry {
          |         '\\s+', ' ', 'g')) AS norm_text,
          |       CAST(len(regexp_extract_all(lower(text), '$emailPattern')) AS BIGINT) AS n_emails
          |FROM documents""".stripMargin
-    }
+    },
+
+    // ln() agrees to <1 ulp across libm implementations; the 4-dp
+    // floor-round absorbs that (same accepted risk class as sqrt in
+    // the stddev oracles).
+    "q_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY doc_id, token
+         |), dfq AS (
+         |  SELECT token, count(*) AS doc_freq FROM tf GROUP BY token
+         |), n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+         |       ${sqlRound4("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.doc_freq)")} AS tfidf
+         |FROM tf JOIN dfq USING (token) CROSS JOIN n""".stripMargin,
+
+    "q_global_index" ->
+      """SELECT doc_id, source,
+        |       row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |FROM documents""".stripMargin
   )
 
   /** Shared DuckDB fragments for the LLM-pipeline oracles. Each is the

@@ -97,6 +97,56 @@ object Corpus {
       .withColumn("contaminated", col("shared_ngrams") > 0)
   }
 
+  /** TF-IDF doc-term matrix (long form): one row per (doc, token)
+    * with term frequency, document frequency, and
+    * tf · ln(N / df) — the standard relevance weighting, built on
+    * [[vocabulary]]'s plan shape.
+    *
+    * Scale: two aggregations — (doc, token) then (token) — both with
+    * map-side partials; N is a broadcast 1-row aggregate (no driver
+    * round-trip, same shape as the scalar-subquery query); the
+    * tf⋈df join shuffles on the token key, where AQE handles the
+    * Zipfian head via skew splitting. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token")
+      .agg(count(lit(1L)).as("tf"))
+    val dfreq = tf.groupBy("token")
+      .agg(count(lit(1L)).as("doc_freq"))
+    val n = df.agg(count(lit(1L)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"), col("tf"), col("doc_freq"),
+        graft.functions.Exact.roundAt(
+          col("tf") * log(col("n_docs").cast("double") / col("doc_freq")),
+          4).as("tfidf"))
+  }
+
+  /** Deterministic contiguous 0-based global index in total
+    * `orderCol` order — the scale-safe replacement for a
+    * partition-less `row_number()` window, which plans ONE partition
+    * holding the entire dataset. Range-repartition + in-partition
+    * sort gives a total order; `zipWithIndex` assigns offsets with
+    * one extra tiny job that ships per-partition *counts* only.
+    * `orderCol` must be unique (with ties the index among equal keys
+    * would depend on the sampled range boundaries). */
+  def globalIndex(df: DataFrame, orderCol: String,
+                  indexName: String = "idx",
+                  numPartitions: Int = 0): DataFrame = {
+    val ranged =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, col(orderCol))
+      else df.repartitionByRange(col(orderCol))
+    val sorted = ranged.sortWithinPartitions(orderCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        indexName, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Token-budget sequence packing: shard the corpus by hash of the
     * id, order each shard by id, and cut it into bins where each bin
     * starts at the first doc whose running token offset crosses a

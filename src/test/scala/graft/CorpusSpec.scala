@@ -74,6 +74,30 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("tfIdf matches a hand computation on a tiny corpus") {
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "a c")
+    ).toDF("doc_id", "text")
+    val out = Corpus.tfIdf(df, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(out((1L, "a")) === ((2L, 2L, 0.0))) // ln(2/2)=0
+    assert(out((1L, "b")) === ((1L, 1L, r4(math.log(2.0)))))
+    assert(out((2L, "c")) === ((1L, 1L, r4(math.log(2.0)))))
+    assert(out((2L, "a")) === ((1L, 2L, 0.0)))
+  }
+
+  test("globalIndex is the exact global rank, contiguous from 0, across partitions") {
+    val out = Corpus.globalIndex(docs.select("doc_id"), "doc_id", numPartitions = 7)
+    assert(out.rdd.getNumPartitions > 1, "explicit partitioning must survive")
+    val got = out.as[(Long, Long)].collect().sortBy(_._1)
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    assert(got.map(_._2).toSeq === got.indices.map(_.toLong))
+    assert(got.map(_._1).toSeq === ids.toSeq)
+  }
+
   test("normalize redacts planted PII and collapses whitespace") {
     val df = Seq(
       (1L, "Contact John@Example.COM   or +1 555-123-4567 now"),
