@@ -470,7 +470,23 @@ object SparkEntry {
 
     "q_global_index" -> ((s, dir) =>
       Corpus.globalIndex(
-        Tables.documents(s, dir).select("doc_id", "source"), "doc_id"))
+        Tables.documents(s, dir).select("doc_id", "source"), "doc_id")),
+
+    "q_doc_chunk" -> ((s, dir) =>
+      Corpus.chunk(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)),
+
+    // CUBE completes the grouping-sets surface next to q_rollup:
+    // all four (flag, status) granularities in one pass.
+    "q_cube" -> ((s, dir) => {
+      import graft.functions.Exact._
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          sumExact(col("l_quantity")).as("sum_qty"),
+          count(lit(1L)).as("count_order"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -1084,7 +1100,32 @@ object SparkEntry {
     "q_global_index" ->
       """SELECT doc_id, source,
         |       row_number() OVER (ORDER BY doc_id) - 1 AS idx
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // range(0, n, stride) excludes n = Spark sequence(0, n-1, stride);
+    // list_slice is inclusive-bounds where Spark slice is start+length.
+    "q_doc_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        |), st AS (
+        |  SELECT doc_id, s, unnest(range(0, len(s), 48)) AS start
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |       start // 48 AS chunk_idx,
+        |       start AS chunk_start,
+        |       array_to_string(list_slice(s, start + 1, start + 64), ' ') AS chunk_text,
+        |       least(64, len(s) - start) AS chunk_len
+        |FROM st""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+         |       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+         |       ${sqlSum("l_quantity")} AS sum_qty,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
   )
 
   /** Shared DuckDB fragments for the LLM-pipeline oracles. Each is the

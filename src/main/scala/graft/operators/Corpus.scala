@@ -97,6 +97,32 @@ object Corpus {
       .withColumn("contaminated", col("shared_ngrams") > 0)
   }
 
+  /** Fixed-token-window document chunking with overlap — context-
+    * window preparation for training/embedding. Chunk starts are
+    * multiples of `chunkTokens - overlap`, the last chunk may be
+    * short, and every token lands in at least one chunk.
+    *
+    * Scale: explode over an int sequence inside one projection — no
+    * shuffle, no UDF; output rows ≈ input tokens / stride. The token
+    * array is materialized once per row (attribute capture, see
+    * Text.tokenHashes). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.withColumn("__s", Text.tokens(col(textCol)))
+      .select(col(idCol), col("__s"),
+        posexplode(sequence(lit(0), size(col("__s")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        concat_ws(" ", slice(col("__s"), col("chunk_start") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("__s")) - col("chunk_start"))
+          .cast("long").as("chunk_len"))
+  }
+
   /** TF-IDF doc-term matrix (long form): one row per (doc, token)
     * with term frequency, document frequency, and
     * tf · ln(N / df) — the standard relevance weighting, built on

@@ -98,6 +98,17 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === ids.toSeq)
   }
 
+  test("chunk covers every token with the declared stride and overlap") {
+    val df = Seq((7L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val out = Corpus.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.map(_._4).toSeq === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(out.map(_._3).toSeq === Seq(0L, 3L, 6L, 9L))
+    assert(out.map(_._5).toSeq === Seq(4L, 4L, 4L, 1L))
+    assert(out.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("normalize redacts planted PII and collapses whitespace") {
     val df = Seq(
       (1L, "Contact John@Example.COM   or +1 555-123-4567 now"),

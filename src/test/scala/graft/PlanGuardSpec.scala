@@ -39,13 +39,35 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("corpus ops keep their scale-plan shapes") {
+    // benchmark gram set rides a broadcast join, never a shuffle
+    assert(plan("q_contamination").contains("BroadcastHashJoin"),
+      s"contamination lost its broadcast:\n${plan("q_contamination")}")
+    // per-stratum rank keeps bounded heaps, not whole-stratum sorts
+    assert(plan("q_stratified_sample").contains("WindowGroupLimit"),
+      s"stratified sample sorts whole strata:\n${plan("q_stratified_sample")}")
+    // vocab/tf-idf aggregate map-side before shuffling token keys
+    Seq("q_vocab", "q_tfidf").foreach { q =>
+      assert(plan(q).contains("partial_count"), s"$q lost partial aggregation:\n${plan(q)}")
+    }
+    // split assignment is a pure projection — zero shuffles
+    assert(!plan("q_doc_split").contains("Exchange"),
+      s"hashSplit must not shuffle:\n${plan("q_doc_split")}")
+    // packing shuffles once, on the shard key
+    val pack = plan("q_token_pack")
+    assert(pack.split("Exchange").length == 2 && pack.contains("hashpartitioning(shard"),
+      s"packing should shuffle exactly once on shard:\n$pack")
+  }
+
   test("no query degrades to a cartesian or nested-loop join") {
     // nested-loop is only pathological with a large build side; these
     // are by-design exceptions: the two *exact* pair/scan baselines
     // (oracle verification paths — scale entries are
     // embeddingNearDupLsh and lshTopK/ivfTopK) and the scalar-subquery
-    // shape whose build side is a broadcast 1-row aggregate
-    val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_customer_above_avg")
+    // shapes whose build side is a broadcast 1-row aggregate
+    // (q_customer_above_avg, q_tfidf's corpus-size N)
+    val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_customer_above_avg",
+      "q_tfidf")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")
