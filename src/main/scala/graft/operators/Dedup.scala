@@ -299,10 +299,23 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy("src").agg(min(col("nl")).as("min_nl"))
-      labels = labels
+      // checkpointed before the self-join below — otherwise the
+      // edges-join lineage would be computed twice (the pairs-plan
+      // hazard all over again)
+      val propagated = labels
         .join(neighborMin.select(col("src").as("id"), col("min_nl")), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // pointer jumping: label ← label(label). Halves chain depth per
+      // round, so convergence is O(log diameter) instead of
+      // O(diameter); labels still only decrease, so the Σlabel
+      // monotone probe below stays a valid fixpoint test.
+      labels = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
       val s = labelSum(labels)
       done = s.compareTo(prevSum) == 0
