@@ -77,5 +77,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(Floor(Add(Multiply(Cast(args(0), DoubleType), f), Literal(0.5))), DoubleType),
           f)
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      info("graft_normalize", "graft_normalize(text) - lowercase, redact email/IP/phone PII, collapse whitespace, trim (graft.functions.Text.normalize)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
+        import graft.functions.Text
+        def rr(e: Expression, pat: String, rep: String) =
+          RegExpReplace(e, Literal(pat), Literal(rep))
+        StringTrim(
+          rr(rr(rr(rr(Lower(args(0)),
+            Text.emailPattern, "<EMAIL>"),
+            Text.ipPattern, "<IP>"),
+            Text.phonePattern, "<PHONE>"),
+            "\\s+", " "))
+      }))
   }
 }

@@ -20,6 +20,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Double]("gr") == math.floor(2.675 * 100 + 0.5) / 100)
   }
 
+  test("graft_normalize in SQL equals Text.normalize and redacts PII") {
+    val r = spark.sql(
+      "SELECT graft_normalize('Mail Bob@Site.ORG  from 10.0.0.1 now') AS n").head
+    assert(r.getAs[String]("n") == "mail <EMAIL> from <IP> now")
+  }
+
   test("SQL graft_cosine agrees with the Column API on real embeddings") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf("sf0.001")).limit(20)
