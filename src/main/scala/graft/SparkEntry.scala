@@ -952,8 +952,10 @@ object SparkEntry {
     // Cluster membership = connectivity under exact Jaccard >= 0.95
     // (the minhash pair oracle is proven equal to this pair set);
     // transitive closure via recursive CTE, label = min reachable id.
+    // MATERIALIZED: the pair scan is referenced by both e branches —
+    // without it DuckDB inlines (and re-runs) the O(n²) scan twice.
     "q_doc_cluster" ->
-      s"""WITH RECURSIVE p AS (
+      s"""WITH RECURSIVE p AS MATERIALIZED (
          |${sqlJaccardPairs("0.95").split("\n").map("  " + _).mkString("\n")}
          |), e AS (
          |  SELECT id_a AS src, id_b AS dst FROM p
