@@ -476,6 +476,15 @@ object SparkEntry {
       Corpus.chunk(Tables.documents(s, dir), "doc_id", "text",
         chunkTokens = 64, overlap = 16)),
 
+    // data mixing: up/down-sample sources at declared rates,
+    // deterministically (hash-uniform vs a per-row weight)
+    "q_weighted_sample" -> ((s, dir) => {
+      val rate = when(col("source").isin("src0", "src1", "src2"), lit(0.8))
+        .otherwise(lit(0.3))
+      Corpus.weightedSample(Tables.documents(s, dir), "doc_id", rate)
+        .select("doc_id", "source", "sample_u")
+    }),
+
     // CUBE completes the grouping-sets surface next to q_rollup:
     // all four (flag, status) granularities in one pass.
     "q_cube" -> ((s, dir) => {
@@ -1011,9 +1020,9 @@ object SparkEntry {
 
     "q_doc_split" ->
       s"""SELECT doc_id,
-         |       ${sqlTokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS split_bucket,
-         |       CASE WHEN ${sqlTokenHash("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
-         |            WHEN ${sqlTokenHash("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ${sqlPortableMix("CAST(doc_id AS VARCHAR)")} % 100 AS split_bucket,
+         |       CASE WHEN ${sqlPortableMix("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |            WHEN ${sqlPortableMix("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM documents""".stripMargin,
 
@@ -1021,7 +1030,7 @@ object SparkEntry {
       s"""SELECT doc_id, source, sample_rank
          |FROM (SELECT doc_id, source,
          |             row_number() OVER (PARTITION BY source
-         |               ORDER BY ${sqlTokenHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS sample_rank
+         |               ORDER BY ${sqlPortableMix("CAST(doc_id AS VARCHAR)")}, doc_id) AS sample_rank
          |      FROM documents)
          |WHERE sample_rank <= 20""".stripMargin,
 
@@ -1120,6 +1129,18 @@ object SparkEntry {
         |       least(64, len(s) - start) AS chunk_len
         |FROM st""".stripMargin,
 
+    // single-division double from an integer hash — bit-identical
+    // across engines, no rounding needed
+    "q_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |         (${sqlPortableMix("CAST(doc_id AS VARCHAR)")}) / 1000000007.0 AS sample_u
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, sample_u FROM h
+         |WHERE sample_u < CASE WHEN source IN ('src0','src1','src2')
+         |                      THEN 0.8 ELSE 0.3 END""".stripMargin,
+
     "q_cube" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
@@ -1135,6 +1156,11 @@ object SparkEntry {
     * Scaladoc there for the bit-identity argument. */
   private def sqlTokenHash(t: String) =
     s"list_reduce(list_transform(string_split($t, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** Mirror of Text.portableMix (see its Scaladoc for the uniformity
+    * argument). */
+  private def sqlPortableMix(t: String) =
+    s"((${sqlTokenHash(t)}) * 2654435761) % 1000000007"
   private val sqlFpOrdered =
     s"list_reduce(list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")}), (a, h) -> (a * 131 + h) % 1000000007)"
   private val sqlFpCanonical =

@@ -189,6 +189,17 @@ object Text {
     * (sampling, split bucketing). Mirror: SparkEntry.sqlTokenHash. */
   def portableHash(c: Column): Column = tokenHash(c.cast("string"))
 
+  /** [[portableHash]] pushed through one multiplicative-congruential
+    * step (Knuth's 2654435761, mod the same prime). The raw
+    * polynomial hash of a short decimal id is nearly MONOTONE in the
+    * id (small alphabet, few wraps), so used directly it is neither
+    * uniform in [0, M) nor order-free; the multiply equidistributes
+    * it (measured deciles ±2% over 5k ids). Fits int64:
+    * (M−1)·2654435761 < 2^63, so no overflow on either engine.
+    * Mirror: SparkEntry.sqlPortableMix. */
+  def portableMix(c: Column): Column =
+    (portableHash(c) * lit(2654435761L)) % lit(1000000007L)
+
   /** Order-sensitive document fingerprint: rolling hash over the
     * token-hash sequence. Mirror in DuckDB: nested list_reduce with
     * the same (B, mod) constants. */

@@ -32,6 +32,18 @@ object Corpus {
       .agg(count(lit(1L)).as("term_freq"),
         count_distinct(col(idCol)).as("doc_freq"))
 
+  /** Streaming-capable vocabulary: same term counts, but document
+    * frequency as an HLL sketch (`approx_count_distinct`) — exact
+    * distinct aggregation isn't executable incrementally on a stream
+    * (and at 100 TB the per-token distinct-doc state wouldn't be
+    * either; the sketch is O(1) state per token). Works identically
+    * on batch frames. */
+  def vocabularyStream(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1L)).as("term_freq"),
+        approx_count_distinct(col(idCol)).as("doc_freq_approx"))
+
   /** Deterministic train/val/test assignment by portable hash of the
     * id — reproducible across engines, runs, and cluster sizes
     * (nothing depends on partitioning or row order). `cuts` are
@@ -40,7 +52,7 @@ object Corpus {
     * Scale: a pure projection — no shuffle at all. */
   def hashSplit(df: DataFrame, idCol: String,
                 cuts: (Int, Int) = (80, 90)): DataFrame = {
-    val bucket = Text.portableHash(col(idCol)) % 100
+    val bucket = Text.portableMix(col(idCol)) % 100
     df.withColumn("split_bucket", bucket)
       .withColumn("split",
         when(col("split_bucket") < cuts._1, lit("train"))
@@ -59,7 +71,7 @@ object Corpus {
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        k: Int): DataFrame = {
     val w = Window.partitionBy(strataCol)
-      .orderBy(Text.portableHash(col(idCol)), col(idCol))
+      .orderBy(Text.portableMix(col(idCol)), col(idCol))
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
@@ -171,6 +183,19 @@ object Corpus {
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic weighted (importance) sampling — the data-mixing
+    * primitive: keep a row with probability `weight` (a column in
+    * [0,1], e.g. a quality score or per-source mixing rate) by
+    * comparing it against the portable hash of the id mapped to
+    * [0,1). Reproducible across engines, runs, and partitionings;
+    * E[kept] = Σ weights.
+    *
+    * Scale: pure projection + filter — zero shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val u = Text.portableMix(col(idCol)).cast("double") / lit(1000000007.0)
+    df.withColumn("sample_u", u).filter(col("sample_u") < weight)
   }
 
   /** Token-budget sequence packing: shard the corpus by hash of the

@@ -98,6 +98,18 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === ids.toSeq)
   }
 
+  test("weightedSample keeps everything at 1.0, nothing at 0.0, ~rate in between, deterministically") {
+    import org.apache.spark.sql.functions.lit
+    val n = docs.count()
+    assert(Corpus.weightedSample(docs, "doc_id", lit(1.0)).count() === n)
+    assert(Corpus.weightedSample(docs, "doc_id", lit(0.0)).count() === 0L)
+    val half = Corpus.weightedSample(docs, "doc_id", lit(0.5))
+    val k = half.count()
+    assert(k > n * 3 / 10 && k < n * 7 / 10, s"0.5-rate kept $k of $n")
+    assert(half.select("doc_id").except(
+      Corpus.weightedSample(docs, "doc_id", lit(0.5)).select("doc_id")).isEmpty)
+  }
+
   test("chunk covers every token with the declared stride and overlap") {
     val df = Seq((7L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
     val out = Corpus.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
@@ -107,6 +119,32 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_._3).toSeq === Seq(0L, 3L, 6L, 9L))
     assert(out.map(_._5).toSeq === Seq(4L, 4L, 4L, 1L))
     assert(out.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("vocabularyStream on a stream == batch term counts, doc-freq sketch within HLL bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = s.sqlContext
+    val rows = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows)
+    val out = Corpus.vocabularyStream(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("vocab_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("vocab_stream")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val batch = Corpus.vocabulary(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed.keySet === batch.keySet)
+    batch.foreach { case (tok, (tf, df)) =>
+      assert(streamed(tok)._1 === tf, s"term_freq($tok)")
+      // HLL default rsd = 5% (one σ) — bound at ~3σ
+      assert(math.abs(streamed(tok)._2 - df) <= math.max(3L, df * 15 / 100),
+        s"doc_freq sketch off for $tok: ${streamed(tok)._2} vs $df")
+    }
   }
 
   test("normalize redacts planted PII and collapses whitespace") {
