@@ -9,6 +9,17 @@ object Bench {
     // warm the JVM/codegen/parquet-footer paths so the first timed
     // query doesn't absorb one-time startup cost
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    // …and run every query once at the smallest SF: JIT + generated-
+    // class loading are per-query-shape one-time costs (measured up to
+    // ~3s on first use of e.g. the JSON path parser). The benchmark
+    // should measure steady-state throughput — what a long-running
+    // cluster job sees — not class-loader latency.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
