@@ -476,6 +476,20 @@ object SparkEntry {
       Corpus.chunk(Tables.documents(s, dir), "doc_id", "text",
         chunkTokens = 64, overlap = 16)),
 
+    // outlier scrubbing + feature standardization (per-group stats
+    // broadcast back onto the rows — no second data shuffle)
+    "q_winsorize" -> ((s, dir) =>
+      Relational.winsorize(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select("event_id", "event_type", "value"),
+        keys = Seq("event_type"), valueCol = "value", lo = 0.05, hi = 0.95)),
+
+    "q_zscore" -> ((s, dir) =>
+      Relational.zscore(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select("event_id", "event_type", "value"),
+        keys = Seq("event_type"), valueCol = "value")),
+
     // data mixing: up/down-sample sources at declared rates,
     // deterministically (hash-uniform vs a per-row weight)
     "q_weighted_sample" -> ((s, dir) => {
@@ -1128,6 +1142,30 @@ object SparkEntry {
         |       array_to_string(list_slice(s, start + 1, start + 64), ' ') AS chunk_text,
         |       least(64, len(s) - start) AS chunk_len
         |FROM st""".stripMargin,
+
+    "q_winsorize" ->
+      s"""WITH src AS (SELECT * FROM events WHERE value IS NOT NULL),
+         |b AS (
+         |  SELECT event_type,
+         |         quantile_cont(value, 0.05) AS plo,
+         |         quantile_cont(value, 0.95) AS phi
+         |  FROM src GROUP BY event_type
+         |)
+         |SELECT e.event_id, e.event_type, e.value,
+         |       ${sqlRound4("least(greatest(e.value, b.plo), b.phi)")} AS value_w
+         |FROM src e JOIN b USING (event_type)""".stripMargin,
+
+    "q_zscore" ->
+      s"""WITH src AS (SELECT * FROM events WHERE value IS NOT NULL),
+         |st AS (
+         |  SELECT event_type,
+         |         ${sqlSum("value")} / count(*) AS m,
+         |         sqrt((${sqlSum("value*value", 4)} - ${sqlSum("value")} * ${sqlSum("value")} / count(*)) / (count(*) - 1)) AS sd
+         |  FROM src GROUP BY event_type
+         |)
+         |SELECT e.event_id, e.event_type, e.value,
+         |       ${sqlRound4("(e.value - st.m) / st.sd")} AS value_z
+         |FROM src e JOIN st USING (event_type)""".stripMargin,
 
     // single-division double from an integer hash — bit-identical
     // across engines, no rounding needed

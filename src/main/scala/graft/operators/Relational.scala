@@ -220,4 +220,49 @@ object Relational {
     valueCols.foldLeft(df)((d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
+
+  /** Winsorize: clip `valueCol` to its per-group [lo, hi] exact
+    * percentiles — standard outlier scrubbing before training.
+    *
+    * Scale: the per-group bounds aggregate is tiny (one row per
+    * group) and broadcasts back onto the fact side — no second
+    * shuffle of the data. The exact `percentile` buffers each group
+    * once in the bounds agg; at 100 TB swap it for
+    * `approx_percentile` (same shape, sketch state) — the
+    * [[distributionStatsApprox]] trade documented in SURVEY §4. */
+  def winsorize(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    val bounds = df.groupBy(keys.map(col): _*).agg(
+      expr(s"percentile($valueCol, $lo)").as("__plo"),
+      expr(s"percentile($valueCol, $hi)").as("__phi"))
+    df.join(broadcast(bounds), keys)
+      .withColumn(s"${valueCol}_w",
+        Exact.roundAt(least(greatest(col(valueCol), col("__plo")), col("__phi")), 4))
+      .drop("__plo", "__phi")
+  }
+
+  /** Per-group z-score standardization (exact decimal mean, sample
+    * stddev via the decimal-sum formula — both engine-portable).
+    * Same broadcast-stats-back shape as [[winsorize]]. */
+  def zscore(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      valueScale: Int = 2): DataFrame = {
+    val v = col(valueCol)
+    val n = count(lit(1L))
+    val s = Exact.sumExact(v, valueScale)
+    val sq = Exact.sumExact(v * v, 2 * valueScale)
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      (s / n).as("__mean"),
+      sqrt((sq - s * s / n) / (n - lit(1L))).as("__std"))
+    df.join(broadcast(stats), keys)
+      .withColumn(s"${valueCol}_z",
+        Exact.roundAt((v - col("__mean")) / col("__std"), 4))
+      .drop("__mean", "__std")
+  }
 }
