@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator custom plan: top-k per key via bounded heaps
     // (graft.plans.TopKPerKey), planned by its own strategy
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // opt-in rewrite of the row_number-then-filter idiom onto that
+    // plan (spark.graft.autoTopK=true)
+    ext.injectOptimizerRule(_ => graft.plans.AutoTopKRule)
 
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "")

@@ -42,4 +42,23 @@ class TopKPerKeySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("b", 5L, 1L)))
   }
+
+  test("autoTopK rule rewrites row_number+filter to the heap plan, results unchanged") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    def idiom = orders
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    val off = idiom.collect().map(_.toSeq).toSet
+    assert(!idiom.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    spark.conf.set("spark.graft.autoTopK", "true")
+    try {
+      val p = idiom.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey"), s"rule did not fire:\n$p")
+      assert(!p.toLowerCase.contains("sortexec"), s"sort survived:\n$p")
+      assert(idiom.collect().map(_.toSeq).toSet == off)
+    } finally spark.conf.set("spark.graft.autoTopK", "false")
+  }
 }
