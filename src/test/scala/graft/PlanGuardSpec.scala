@@ -57,6 +57,11 @@ class PlanGuardSpec extends SparkSpec {
     val pack = plan("q_token_pack")
     assert(pack.split("Exchange").length == 2 && pack.contains("hashpartitioning(shard"),
       s"packing should shuffle exactly once on shard:\n$pack")
+    // winsorize/zscore broadcast their tiny stats aggregate back —
+    // the data itself is never shuffled a second time
+    Seq("q_winsorize", "q_zscore").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its stats broadcast:\n${plan(q)}")
+    }
   }
 
   test("no query degrades to a cartesian or nested-loop join") {
