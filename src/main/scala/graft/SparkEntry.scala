@@ -476,6 +476,9 @@ object SparkEntry {
       Corpus.chunk(Tables.documents(s, dir), "doc_id", "text",
         chunkTokens = 64, overlap = 16)),
 
+    "q_doc_filter" -> ((s, dir) =>
+      Corpus.qualityFilter(Tables.documents(s, dir), "doc_id", "text")),
+
     // outlier scrubbing + feature standardization (per-group stats
     // broadcast back onto the rows — no second data shuffle)
     "q_winsorize" -> ((s, dir) =>
@@ -1142,6 +1145,54 @@ object SparkEntry {
         |       array_to_string(list_slice(s, start + 1, start + 64), ' ') AS chunk_text,
         |       least(64, len(s) - start) AS chunk_len
         |FROM st""".stripMargin,
+
+    // reasons list order mirrors Corpus.qualityFilter's concat_ws
+    // argument order exactly
+    "q_doc_filter" -> {
+      val stop = graft.functions.Text.langMarkers.flatMap(_._2).distinct
+        .mkString("['", "','", "']")
+      def score(markers: Seq[String]) =
+        s"len(list_filter(s, x -> list_contains(${markers.mkString("['", "','", "']")}, x)))"
+      val Seq(en, es, fr, de) = graft.functions.Text.langMarkers.map(m => score(m._2))
+      // DuckDB: array_to_string over the empty (all-filtered) list is
+      // NULL, where Spark's concat_ws gives '' — coalesce to match
+      val reasonsExpr =
+        """coalesce(array_to_string(list_filter([
+          |         CASE WHEN n_tokens < 30 THEN 'too_short' END,
+          |         CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+          |         CASE WHEN rep > 0.5 THEN 'repetitive' END,
+          |         CASE WHEN ttf > 0.25 THEN 'top_token' END,
+          |         CASE WHEN stop_ratio < 0.01 THEN 'low_stopword' END,
+          |         CASE WHEN lang_pred NOT IN ('en') THEN 'wrong_lang' END
+          |       ], x -> x IS NOT NULL), ','), '')""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS s FROM documents
+         |), g AS (
+         |  SELECT doc_id, text, s, len(s) AS n_tokens,
+         |         CAST(len(list_filter(s, x -> list_contains($stop, x))) AS DOUBLE) / len(s) AS stop_ratio,
+         |         CASE WHEN len(s) < 2 THEN []::VARCHAR[]
+         |              ELSE list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1]) END AS bg,
+         |         $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de
+         |  FROM d
+         |), r AS (
+         |  SELECT doc_id, text, s, n_tokens, stop_ratio,
+         |         CASE WHEN len(bg) = 0 THEN 0.0
+         |              ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END AS rep,
+         |         CAST(list_max(list_transform(list_distinct(s), t -> len(list_filter(s, x -> x = t)))) AS DOUBLE) / len(s) AS ttf,
+         |         CASE
+         |           WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+         |           WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         |           WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+         |           WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         |           WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         |           ELSE 'de' END AS lang_pred
+         |  FROM g
+         |)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, lang_pred,
+         |       $reasonsExpr AS reasons,
+         |       $reasonsExpr = '' AS keep
+         |FROM r""".stripMargin
+    },
 
     "q_winsorize" ->
       s"""WITH src AS (SELECT * FROM events WHERE value IS NOT NULL),

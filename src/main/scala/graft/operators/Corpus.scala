@@ -185,6 +185,41 @@ object Corpus {
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Composite quality filter with REASONS — the C4/Gopher-style drop
+    * step as it runs in production: every doc gets a keep/drop verdict
+    * plus the comma-joined list of the rules it failed, so filtering
+    * stays auditable (sample the drops per reason, tune thresholds).
+    *
+    * Rules compose the individual Text signals: token-count band,
+    * n-gram repetition, top-token concentration, stopword evidence,
+    * language allowlist.
+    *
+    * Scale: one projection over materialized token/hash arrays — no
+    * shuffle, whole-stage codegen except the HOF lambdas. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 30, maxTokens: Int = 100000,
+                    maxRepetition: Double = 0.5, maxTopToken: Double = 0.25,
+                    minStopRatio: Double = 0.01,
+                    langs: Seq[String] = Seq("en")): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("__h", Text.tokenHashes(t))
+      .select(col(idCol), t.as("__t"), col("__h"),
+        Text.tokenCountWs(t).cast("long").as("n_tokens"),
+        Text.stopwordRatio(t).as("__stop"),
+        Text.langId(t).as("lang_pred"))
+      .withColumn("__rep", Text.repetitionRatioFromHashes(col("__h"), 2))
+      .withColumn("__ttf", Text.topTokenFractionFromHashes(col("__h")))
+      .withColumn("reasons", concat_ws(",",
+        when(col("n_tokens") < minTokens, lit("too_short")),
+        when(col("n_tokens") > maxTokens, lit("too_long")),
+        when(col("__rep") > maxRepetition, lit("repetitive")),
+        when(col("__ttf") > maxTopToken, lit("top_token")),
+        when(col("__stop") < minStopRatio, lit("low_stopword")),
+        when(!col("lang_pred").isin(langs: _*), lit("wrong_lang"))))
+      .select(col(idCol), col("n_tokens"), col("lang_pred"),
+        col("reasons"), (col("reasons") === "").as("keep"))
+  }
+
   /** Deterministic weighted (importance) sampling — the data-mixing
     * primitive: keep a row with probability `weight` (a column in
     * [0,1], e.g. a quality score or per-source mixing rate) by

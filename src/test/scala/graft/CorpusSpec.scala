@@ -147,6 +147,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("qualityFilter emits exact reason lists for planted violations") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it is going to rain in the city today so we walk to the park and look at the old boats"),
+      (2L, "the cat"),
+      (3L, Seq.fill(20)("the dog").mkString(" ")),
+      (4L, "el la de que y los del casa perro gato mesa silla libro agua fuego tierra viento sol luna mar rio arbol flor piedra cielo nube lluvia nieve campo monte valle"),
+      (5L, "zebra quark lattice photon neutron proton electron muon tau lepton boson gluon hadron meson baryon quasar pulsar nebula galaxy cluster comet meteor asteroid planet moon star dust plasma vacuum field")
+    ).toDF("doc_id", "text")
+    val out = Corpus.qualityFilter(df, "doc_id", "text")
+      .select("doc_id", "reasons", "keep")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === (("", true)))
+    assert(out(2L) === (("too_short,top_token", false)))
+    assert(out(3L) === (("repetitive,top_token", false)))
+    assert(out(4L) === (("wrong_lang", false)))
+    assert(out(5L) === (("low_stopword,wrong_lang", false)))
+  }
+
   test("normalize redacts planted PII and collapses whitespace") {
     val df = Seq(
       (1L, "Contact John@Example.COM   or +1 555-123-4567 now"),
