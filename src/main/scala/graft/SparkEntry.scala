@@ -354,6 +354,13 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         n = 1, threshold = 0.95)),
 
+    "q_doc_cross_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.minHashLshAgainst(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", numHashes = 64, bands = 8, threshold = 0.95)
+    }),
+
     "q_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.35)),
@@ -873,6 +880,17 @@ object SparkEntry {
     // the exact-Jaccard pair set on this data (deterministic seeds;
     // equality checked in DedupSpec).
     "q_doc_minhash" -> sqlJaccardPairs("0.95"),
+
+    // cross-corpus variant of the same oracle: exact Jaccard pairs
+    // between the even-id "new batch" and the odd-id "corpus"
+    "q_doc_cross_dedup" -> {
+      val jac = "CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))"
+      s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS g
+         |           FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${sqlRound4(jac)} AS jaccard
+         |FROM d a JOIN d b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         |WHERE $jac >= 0.95""".stripMargin
+    },
 
     "q_doc_ngram_jaccard" -> sqlJaccardPairs("0.95"),
 

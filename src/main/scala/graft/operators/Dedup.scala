@@ -348,6 +348,55 @@ object Dedup {
       .withColumn("is_rep", (col("doc_id") === col("cluster_id")).cast("boolean"))
   }
 
+  /** Cross-corpus near-dedup: MinHash-LSH pairs BETWEEN two corpora —
+    * "does this new batch duplicate anything in the existing training
+    * set". Same shingle→signature→band machinery as [[minHashLsh]],
+    * but the band join is across sides only, so candidate volume is
+    * |A∩buckets∩B|, never within-corpus pairs.
+    *
+    * Scale: both sides band independently (linear projections); one
+    * shuffle each on (band, bandHash); verification re-joins sorted
+    * hash sets once per distinct cross pair (codegen merge-intersect).
+    * When B is the accumulated corpus, its banded form is exactly
+    * what an incremental dedup service would keep materialized. */
+  def minHashLshAgainst(
+      dfNew: DataFrame,
+      dfCorpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def prep(df: DataFrame) = df.select(col(idCol).as("__id"),
+      array_sort(transform(toks(textCol), t => xxhash64(t))).as("__sh"))
+    def banded(hashed: DataFrame) = hashed
+      .withColumn("__sig", graft.functions.TokenHashExpressions.minHashSignature(
+        col("__sh"), numHashes))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
+    val hNew = prep(dfNew)
+    val hCorpus = prep(dfCorpus)
+    val candidates = banded(hNew)
+      .select(col("__band"), col("__bh"), col("__id").as("id_a"))
+      .join(banded(hCorpus)
+        .select(col("__band"), col("__bh"), col("__id").as("id_b")),
+        Seq("__band", "__bh"))
+      .select("id_a", "id_b").distinct()
+    val vNew = hNew.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
+      size(col("__sh")).as("sz_a"))
+    val vCorpus = hCorpus.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
+      size(col("__sh")).as("sz_b"))
+    candidates.join(vNew, "id_a").join(vCorpus, "id_b")
+      .withColumn("jaccard", hashSetJaccard(col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Exact.roundAt(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Embedding near-dup, exact pair scan (verification / small-SF
     * path; the scale path is [[embeddingNearDupLsh]]). */
   def embeddingNearDupExact(

@@ -50,6 +50,31 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("cross-corpus minhash equals exact cross-side jaccard pairs on real docs") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val a = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val b = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val lsh = Dedup.minHashLshAgainst(a, b, "doc_id", "text",
+      numHashes = 64, bands = 8, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = spark
+    import s.implicits._
+    val sets = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.array_distinct(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val exact = (for {
+      (ia, ga) <- sets.toSeq if ia % 2 == 0
+      (ib, gb) <- sets.toSeq if ib % 2 == 1
+      inter = ga.toSet.intersect(gb.toSet).size
+      j = inter.toDouble / (ga.size + gb.size - inter)
+      if j >= 0.95
+    } yield (ia, ib)).toSet
+    assert(lsh === exact)
+    assert(lsh.nonEmpty, "sf0.001 documents should contain cross-side near-dups")
+  }
+
   test("simhash: identical token sets collide at hamming 0") {
     val out = Dedup.simHashNearDup(docs, "doc_id", "text", bands = 8, maxHamming = 6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
