@@ -344,7 +344,7 @@ object SparkEntry {
 
     "q_doc_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 8, threshold = 0.95)),
+        numHashes = 128, bands = 16, threshold = 0.95)),
 
     "q_doc_simhash" -> ((s, dir) =>
       Dedup.simHashNearDup(Tables.documents(s, dir), "doc_id", "text",
@@ -358,7 +358,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       Dedup.minHashLshAgainst(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", numHashes = 64, bands = 8, threshold = 0.95)
+        "doc_id", "text", numHashes = 128, bands = 16, threshold = 0.95)
     }),
 
     "q_embedding_neardup" -> ((s, dir) =>
@@ -421,7 +421,7 @@ object SparkEntry {
 
     "q_doc_cluster" -> ((s, dir) =>
       Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 8, threshold = 0.95)),
+        numHashes = 128, bands = 16, threshold = 0.95)),
 
     "q_doc_repetition" -> ((s, dir) => {
       import graft.functions.{Text => T}
@@ -874,11 +874,13 @@ object SparkEntry {
          |       min(doc_id) AS rep_id, count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
 
-    // MinHash-LSH with 64 hashes / 16 bands: at threshold 0.95 the
-    // band-collision probability for a qualifying pair is
-    // 1-(1-J^4)^16 > 1-2e-12 — the verified output provably equals
-    // the exact-Jaccard pair set on this data (deterministic seeds;
-    // equality checked in DedupSpec).
+    // MinHash-LSH with 128 hashes / 16 bands (r=8): identical sets
+    // collapse pre-banding (never missed), and a non-identical pair
+    // at J=0.95 collides with probability 1-(1-J^8)^16 ≈ 1-3e-8 —
+    // the verified output equals the exact-Jaccard pair set
+    // (deterministic seeds; equality checked in DedupSpec). r=8 keeps
+    // the low-J candidate rate of the 8-band setup (the 31-word-vocab
+    // corpus floods verification if r drops to 4).
     "q_doc_minhash" -> sqlJaccardPairs("0.95"),
 
     // cross-corpus variant of the same oracle: exact Jaccard pairs

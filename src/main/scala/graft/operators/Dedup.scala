@@ -95,8 +95,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 64,
-      bands: Int = 8,
+      numHashes: Int = 128,
+      bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -335,8 +335,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 64,
-      bands: Int = 8,
+      numHashes: Int = 128,
+      bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     val pairs = minHashLsh(df, idCol, textCol, numHashes, bands, threshold)
       .select("id_a", "id_b")
@@ -364,8 +364,8 @@ object Dedup {
       dfCorpus: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 64,
-      bands: Int = 8,
+      numHashes: Int = 128,
+      bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands

@@ -21,7 +21,7 @@ class CorpusPipelineSpec extends SparkSpec {
     val normalized = docs.select(col("doc_id"), Text.normalize(col("text")).as("text"))
 
     val clusters = Dedup.nearDupClusters(normalized, "doc_id", "text",
-      numHashes = 64, bands = 8, threshold = 0.95)
+      numHashes = 128, bands = 16, threshold = 0.95)
     val reps = clusters.filter(col("is_rep")).select("doc_id")
     // one representative per cluster, every doc labeled
     assert(clusters.count() === normalized.count())

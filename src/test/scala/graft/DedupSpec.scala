@@ -43,7 +43,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash-LSH verified output equals exact jaccard pairs on real docs") {
     val d = Tables.documents(spark, sf("sf0.001"))
-    val lsh = Dedup.minHashLsh(d, "doc_id", "text", 64, 8, 0.95)
+    val lsh = Dedup.minHashLsh(d, "doc_id", "text", 128, 16, 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.ngramJaccard(d, "doc_id", "text", 1, 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -55,7 +55,7 @@ class DedupSpec extends SparkSpec {
     val a = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
     val b = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
     val lsh = Dedup.minHashLshAgainst(a, b, "doc_id", "text",
-      numHashes = 64, bands = 8, threshold = 0.95)
+      numHashes = 128, bands = 16, threshold = 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val s = spark
     import s.implicits._
