@@ -208,6 +208,72 @@ object Similarity {
         graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
   }
 
+  /** Persist an IVF index: the cell-assigned corpus written
+    * PARTITIONED BY CELL (each cell is a directory — the on-disk
+    * analog of the `__cell` bucket key), centroids alongside as JSON.
+    * Writing the layout costs one pass; every later probe reads only
+    * its nProbe directories via partition pruning — the same
+    * pay-once layout trade as `sources.Bucketed`. */
+  def ivfWriteIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Array[Float])],
+      path: String): Unit = {
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .withColumn("cell", bestCell(centroids, col("vec")))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/cells")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+  }
+
+  def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[(Long, Array[Float])] =
+    spark.read.json(s"$path/centroids")
+      .select(col("cell_id").cast("long"),
+        col("centroid").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Query a stored IVF index: the probe-cell set (≤ |queries|·nProbe,
+    * the broadcast-sized side by assumption) becomes a literal
+    * partition filter, so the scan plans `PartitionFilters` and never
+    * opens the other nCells−nProbe directories. At 100 TB this is the
+    * difference between an index lookup and a table scan. */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      path: String,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = ivfReadCentroids(spark, path)
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("cell", explode(probeCells(centroids, col("__qv"), nProbe)))
+    val probedCells = qProbes.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    val cAssigned = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cAssigned.join(broadcast(qProbes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Vectors.cosine(col("__qv"), col("vec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
+  }
+
   /** LSH top-k: same output shape as [[bruteForceTopK]] but candidates
     * come from bucket collisions across `tables` hash tables (union →
     * distinct), so each query only scores a small candidate set. */

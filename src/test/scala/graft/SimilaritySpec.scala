@@ -98,4 +98,20 @@ class SimilaritySpec extends SparkSpec {
     val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding", 10, 5)
     assert(cents.length == 10)
   }
+
+  test("stored IVF index: partition-pruned probe reads equal the in-memory plan") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfWriteIndex(e, "vec_id", "embedding", cents, dir)
+    val indexed = Similarity.ivfTopKIndexed(spark, queries, "vec_id", "embedding",
+      k = 5, path = dir, nProbe = 4)
+    val inMem = Similarity.ivfTopKWith(e, queries, "vec_id", "embedding",
+      k = 5, centroids = cents, nProbe = 4)
+    assert(indexed.collect().map(_.toSeq).toSet === inMem.collect().map(_.toSeq).toSet)
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cell"),
+      s"probe must prune cell directories:\n$p")
+  }
 }
