@@ -98,6 +98,21 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
+    val (repPairs, groups) =
+      minHashRepPairs(df, idCol, textCol, numHashes, bands, threshold)
+    expandGroupPairs(repPairs, groups, threshold)
+  }
+
+  /** The collapse→signature→band→verify core shared by the pair-list,
+    * edge-list, and cross-corpus variants: verified pairs between
+    * group REPRESENTATIVES plus the group table. */
+  private def minHashRepPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // hash token strings ONCE; everything downstream (exact-set
@@ -109,7 +124,7 @@ object Dedup {
     val groups = collapseSets(hashed)
     val reps = groups.select(col("__gid").as("__id"), col("__sh"))
     val banded = reps
-      // 64-way signature in one codegen loop (MinHashSignature)
+      // whole signature in one codegen loop (MinHashSignature)
       .withColumn("__sig", graft.functions.TokenHashExpressions.minHashSignature(
         col("__sh"), numHashes))
       .select(col("__id"),
@@ -131,7 +146,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.Exact.roundAt(col("jaccard"), 4).as("jaccard"))
-    expandGroupPairs(repPairs, groups, threshold)
+    (repPairs, groups)
+  }
+
+  /** Near-dup CONNECTIVITY edges, compact: rep-pair edges plus one
+    * member→representative star edge per duplicate. Same connected
+    * components as the expanded pair list, but |edges| is
+    * O(repPairs + n) instead of O(Σ group² + |A|·|B| expansions) —
+    * on duplicate-heavy corpora this is the difference between
+    * clustering the graph and re-materializing the dup blow-up the
+    * collapse stage just removed. */
+  def minHashLshEdges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    val (repPairs, groups) =
+      minHashRepPairs(df, idCol, textCol, numHashes, bands, threshold)
+    val star = groups
+      .select(explode(col("__ids")).as("id_a"), col("__gid").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    repPairs.select("id_a", "id_b").unionByName(star)
   }
 
   /** Exact Jaccard from two sorted token-hash sets: one codegen merge
@@ -338,8 +375,7 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
-    val pairs = minHashLsh(df, idCol, textCol, numHashes, bands, threshold)
-      .select("id_a", "id_b")
+    val pairs = minHashLshEdges(df, idCol, textCol, numHashes, bands, threshold)
     val cc = connectedComponents(pairs)
     df.select(col(idCol).as("doc_id"))
       .join(cc.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
