@@ -91,9 +91,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           RegExpReplace(e, Literal(pat), Literal(rep))
         StringTrim(
           rr(rr(rr(rr(Lower(args(0)),
-            Text.emailPattern, "<EMAIL>"),
-            Text.ipPattern, "<IP>"),
-            Text.phonePattern, "<PHONE>"),
+            Text.emailPattern, "<email>"),
+            Text.ipPattern, "<ip>"),
+            Text.phonePattern, "<phone>"),
             "\\s+", " "))
       }))
   }

@@ -1121,9 +1121,9 @@ object SparkEntry {
          |       trim(regexp_replace(
          |         regexp_replace(
          |           regexp_replace(
-         |             regexp_replace(lower(text), '$emailPattern', '<EMAIL>', 'g'),
-         |             '$ipPattern', '<IP>', 'g'),
-         |           '$phonePattern', '<PHONE>', 'g'),
+         |             regexp_replace(lower(text), '$emailPattern', '<email>', 'g'),
+         |             '$ipPattern', '<ip>', 'g'),
+         |           '$phonePattern', '<phone>', 'g'),
          |         '\\s+', ' ', 'g')) AS norm_text,
          |       CAST(len(regexp_extract_all(lower(text), '$emailPattern')) AS BIGINT) AS n_emails
          |FROM documents""".stripMargin

@@ -157,17 +157,21 @@ object Text {
   val ipPattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
   val phonePattern = "\\+?\\d[\\d\\- ]{6,}\\d"
 
-  /** PII scrub over lowercased text: emails → <EMAIL>, IPv4 → <IP>,
-    * phone-shaped digit runs → <PHONE>. */
+  /** PII scrub over lowercased text: emails → <email>, IPv4 → <ip>,
+    * phone-shaped digit runs → <phone>. Redaction tokens are
+    * lowercase so a second normalization pass is the identity —
+    * pipelines re-run stages, and idempotence is what makes that safe
+    * (property-checked in PropertySpec). */
   def piiRedact(text: Column): Column = {
-    val e = regexp_replace(lower(text), emailPattern, "<EMAIL>")
-    val i = regexp_replace(e, ipPattern, "<IP>")
-    regexp_replace(i, phonePattern, "<PHONE>")
+    val e = regexp_replace(lower(text), emailPattern, "<email>")
+    val i = regexp_replace(e, ipPattern, "<ip>")
+    regexp_replace(i, phonePattern, "<phone>")
   }
 
   /** Training-corpus text normalization: lowercase, PII-redact,
     * collapse whitespace runs, trim. Pure codegen'd string exprs —
-    * order-free per row, embarrassingly parallel at any scale. */
+    * order-free per row, embarrassingly parallel at any scale.
+    * Idempotent: normalize(normalize(x)) == normalize(x). */
   def normalize(text: Column): Column =
     trim(regexp_replace(piiRedact(text), "\\s+", " "))
 

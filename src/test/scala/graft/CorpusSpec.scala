@@ -173,8 +173,8 @@ class CorpusSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), Text.normalize(col("text")).as("n"))
       .as[(Long, String)].collect().toMap
-    assert(out(1L) === "contact <EMAIL> or <PHONE> now")
-    assert(out(2L) === "server at <IP> responded")
+    assert(out(1L) === "contact <email> or <phone> now")
+    assert(out(2L) === "server at <ip> responded")
     assert(out(3L) === "clean text stays put")
   }
 }

@@ -23,7 +23,7 @@ class ExtensionsSpec extends SparkSpec {
   test("graft_normalize in SQL equals Text.normalize and redacts PII") {
     val r = spark.sql(
       "SELECT graft_normalize('Mail Bob@Site.ORG  from 10.0.0.1 now') AS n").head
-    assert(r.getAs[String]("n") == "mail <EMAIL> from <IP> now")
+    assert(r.getAs[String]("n") == "mail <email> from <ip> now")
   }
 
   test("SQL graft_cosine agrees with the Column API on real embeddings") {
