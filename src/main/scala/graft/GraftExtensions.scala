@@ -89,12 +89,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import graft.functions.Text
         def rr(e: Expression, pat: String, rep: String) =
           RegExpReplace(e, Literal(pat), Literal(rep))
-        StringTrim(
-          rr(rr(rr(rr(Lower(args(0)),
-            Text.emailPattern, "<email>"),
-            Text.ipPattern, "<ip>"),
-            Text.phonePattern, "<phone>"),
-            "\\s+", " "))
+        // collapse whitespace BEFORE redaction — same order as
+        // Text.normalize (idempotence depends on it)
+        rr(rr(rr(
+          StringTrim(rr(Lower(args(0)), "\\s+", " ")),
+          Text.emailPattern, "<email>"),
+          Text.ipPattern, "<ip>"),
+          Text.phonePattern, "<phone>")
       }))
   }
 }

@@ -1118,13 +1118,13 @@ object SparkEntry {
     "q_doc_normalize" -> {
       import graft.functions.Text.{emailPattern, ipPattern, phonePattern}
       s"""SELECT doc_id,
-         |       trim(regexp_replace(
+         |       regexp_replace(
          |         regexp_replace(
          |           regexp_replace(
-         |             regexp_replace(lower(text), '$emailPattern', '<email>', 'g'),
-         |             '$ipPattern', '<ip>', 'g'),
-         |           '$phonePattern', '<phone>', 'g'),
-         |         '\\s+', ' ', 'g')) AS norm_text,
+         |             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+         |             '$emailPattern', '<email>', 'g'),
+         |           '$ipPattern', '<ip>', 'g'),
+         |         '$phonePattern', '<phone>', 'g') AS norm_text,
          |       CAST(len(regexp_extract_all(lower(text), '$emailPattern')) AS BIGINT) AS n_emails
          |FROM documents""".stripMargin
     },

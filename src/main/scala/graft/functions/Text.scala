@@ -152,10 +152,17 @@ object Text {
     * no backrefs) so the DuckDB oracle can run the *same* regex:
     * Java regex and RE2 agree on these constructs. Applied to
     * lowercased text, in order (emails before phones so the phone
-    * pattern never bites a digit run inside an address). */
+    * pattern never bites a digit run inside an address).
+    *
+    * phonePattern: 7-15 digits with at most one `-`/space between
+    * consecutive digits. Deliberately conservative for a PII scrub:
+    * date-like strings ("2024-01-01") and long numeric ids still
+    * match — over-redaction is the accepted trade-off for a
+    * training-corpus normalizer (prefer losing a date to leaking a
+    * number that was a phone). */
   val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val ipPattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-  val phonePattern = "\\+?\\d[\\d\\- ]{6,}\\d"
+  val phonePattern = "\\+?\\d([\\- ]?\\d){6,14}"
 
   /** PII scrub over lowercased text: emails → <email>, IPv4 → <ip>,
     * phone-shaped digit runs → <phone>. Redaction tokens are
@@ -168,12 +175,17 @@ object Text {
     regexp_replace(i, phonePattern, "<phone>")
   }
 
-  /** Training-corpus text normalization: lowercase, PII-redact,
-    * collapse whitespace runs, trim. Pure codegen'd string exprs —
-    * order-free per row, embarrassingly parallel at any scale.
+  /** Training-corpus text normalization: lowercase, collapse
+    * whitespace runs, trim, THEN PII-redact. Whitespace collapse must
+    * precede redaction: the phone pattern's separator class contains
+    * only literal space, so "123\t45678" is untouched when redaction
+    * runs first, then collapses to a redactable form — one pass would
+    * not reach the fixpoint (the round-2 idempotence bug). Pure
+    * codegen'd string exprs — order-free per row, embarrassingly
+    * parallel at any scale.
     * Idempotent: normalize(normalize(x)) == normalize(x). */
   def normalize(text: Column): Column =
-    trim(regexp_replace(piiRedact(text), "\\s+", " "))
+    piiRedact(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   // ---- fingerprints ---------------------------------------------------
 
@@ -182,7 +194,10 @@ object Text {
   private val TokB = 131L
 
   /** Polynomial rolling hash of one token's chars, mod 1e9+7.
-    * Seeded at 0 so the first step equals DuckDB's first-element seed. */
+    * Seeded at 0 so the first step equals DuckDB's first-element seed.
+    * HOF reference form — kept as the differential-test twin of the
+    * compiled kernel ([[PortableHashKernel]]); hot paths use the
+    * kernel (the HOF runs an interpreted lambda per CHARACTER). */
   private def tokenHash(t: Column): Column =
     aggregate(split(t, ""), lit(0L),
       (acc, c) => (acc * CharB + ascii(c)) % Mod)
@@ -190,8 +205,12 @@ object Text {
   /** Engine-portable deterministic hash of any column (via its string
     * form) in [0, 1e9+7) — the cross-engine analog of xxhash64 for
     * ops whose *assignment* must be reproducible in the oracle
-    * (sampling, split bucketing). Mirror: SparkEntry.sqlTokenHash. */
-  def portableHash(c: Column): Column = tokenHash(c.cast("string"))
+    * (sampling, split bucketing). Mirror: SparkEntry.sqlTokenHash.
+    * Compiled kernel; [[portableHashHof]] is the spec twin. */
+  def portableHash(c: Column): Column =
+    PortableHashExpressions.portableHash(c.cast("string"))
+
+  private[graft] def portableHashHof(c: Column): Column = tokenHash(c.cast("string"))
 
   /** [[portableHash]] pushed through one multiplicative-congruential
     * step (Knuth's 2654435761, mod the same prime). The raw
@@ -206,15 +225,22 @@ object Text {
 
   /** Order-sensitive document fingerprint: rolling hash over the
     * token-hash sequence. Mirror in DuckDB: nested list_reduce with
-    * the same (B, mod) constants. */
+    * the same (B, mod) constants. Compiled kernel; the HOF twins
+    * below exist only for the differential spec. */
   def fingerprint(text: Column): Column =
-    aggregate(transform(tokens(text), tokenHash(_)), lit(0L),
-      (acc, h) => (acc * TokB + h) % Mod)
+    PortableHashExpressions.fingerprint(text, canonical = false)
 
   /** Order-insensitive (canonical) fingerprint: same hash over the
     * *sorted distinct* token sequence — shuffled near-duplicates
     * collapse to one value. */
   def fingerprintCanonical(text: Column): Column =
+    PortableHashExpressions.fingerprint(text, canonical = true)
+
+  private[graft] def fingerprintHof(text: Column): Column =
+    aggregate(transform(tokens(text), tokenHash(_)), lit(0L),
+      (acc, h) => (acc * TokB + h) % Mod)
+
+  private[graft] def fingerprintCanonicalHof(text: Column): Column =
     aggregate(transform(array_sort(array_distinct(tokens(text))), tokenHash(_)),
       lit(0L), (acc, h) => (acc * TokB + h) % Mod)
 }

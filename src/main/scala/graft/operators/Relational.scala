@@ -237,8 +237,10 @@ object Relational {
       lo: Double,
       hi: Double): DataFrame = {
     val bounds = df.groupBy(keys.map(col): _*).agg(
-      expr(s"percentile($valueCol, $lo)").as("__plo"),
-      expr(s"percentile($valueCol, $hi)").as("__phi"))
+      // backtick-quoted so non-identifier column names survive the
+      // expr() splice (percentile has no typed Column overload)
+      expr(s"percentile(`$valueCol`, $lo)").as("__plo"),
+      expr(s"percentile(`$valueCol`, $hi)").as("__phi"))
     df.join(broadcast(bounds), keys)
       .withColumn(s"${valueCol}_w",
         Exact.roundAt(least(greatest(col(valueCol), col("__plo")), col("__phi")), 4))
@@ -259,7 +261,10 @@ object Relational {
     val sq = Exact.sumExact(v * v, 2 * valueScale)
     val stats = df.groupBy(keys.map(col): _*).agg(
       (s / n).as("__mean"),
-      sqrt((sq - s * s / n) / (n - lit(1L))).as("__std"))
+      // sample stddev is undefined for 1-row groups ((n-1)=0 → NaN
+      // that would flow through silently); emit NULL instead — the
+      // same thing DuckDB's stddev_samp returns for n=1
+      when(n > 1, sqrt((sq - s * s / n) / (n - lit(1L)))).as("__std"))
     df.join(broadcast(stats), keys)
       .withColumn(s"${valueCol}_z",
         Exact.roundAt((v - col("__mean")) / col("__std"), 4))

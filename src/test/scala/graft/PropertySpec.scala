@@ -14,7 +14,10 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new Random(20260812L)
   private val vocab = Vector("the", "cat", "sat", "mat", "and", "dog", "ran",
-    "Bob@Example.COM", "+1 555-123-4567", "10.0.0.1", "Zebra", "QUARK", "  ")
+    "Bob@Example.COM", "+1 555-123-4567", "10.0.0.1", "Zebra", "QUARK", "  ",
+    // tab/newline-bearing tokens: whitespace collapse must run BEFORE
+    // PII redaction or "123\t45678" dodges the phone pattern on pass 1
+    "123\t45678", "a\tb", "line\nbreak", "2024-01-01")
 
   private def randomDoc(n: Int): String =
     Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")

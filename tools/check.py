@@ -10,6 +10,14 @@ Emulates the driver's *pandas* harness: both sides go through
 DuckDB .df(), dtype KINDS must match (catches e.g. HUGEINT sums that
 land as float64 against Spark's int64), and list/array/Decimal cells
 are rejected outright (pandas can't hash them — emit JSON strings).
+
+NOTE: canon_df deliberately maps BOTH None and float NaN to 'NULL'.
+This matches the pandas harness it emulates: a nullable float column
+round-trips SQL NULL as np.nan, so after .df() the two are already
+indistinguishable on either side — keeping them distinct here would
+flag mismatches the driver can never see. The cost: a genuine
+NaN-vs-NULL divergence between engines is invisible to this checker
+(guard such cases in ScalaTest specs instead).
 """
 import sys, json, math, os
 import duckdb
