@@ -1257,8 +1257,50 @@ object SparkEntry {
          |       ${sqlSum("l_quantity")} AS sum_qty,
          |       count(*) AS count_order
          |FROM lineitem
-         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // portable 4x16-bit SimHash, exact pair scan (banding is lossless
+    // for maxHamming <= bands-1, so the naive scan IS the oracle)
+    "q_doc_simhash" -> sqlSimHashQuery(maxHamming = 3)
   )
+
+  /** DuckDB mirror of PortableHashKernel.simHashPortable: four
+    * polynomial token hashes (bases 31/131/257/313, mod 1e9+7) per
+    * distinct token, bit k = 16j+b of the signature is the sign of
+    * Σ_tokens ±1[bit b of hash_j]. The 64-bit value is assembled as
+    * two unsigned 32-bit halves and recombined with an explicit
+    * two's-complement fold so no BIGINT op overflows. */
+  private def sqlSimHashQuery(maxHamming: Int): String = {
+    def ph(base: Long) =
+      s"list_reduce(list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * $base + b) % 1000000007)"
+    val hashes = graft.functions.PortableHashKernel.SimBases
+      .map(b => ph(b)).mkString("[", ", ", "]")
+    def bitTerm(k: Int, weight: Long): String = {
+      val j = k / 16 + 1 // DuckDB lists are 1-based
+      val b = k % 16
+      s"CASE WHEN list_sum(list_transform(__hs, x -> CASE WHEN (x[$j] >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${weight} ELSE 0 END"
+    }
+    val lo = (0 until 32).map(k => bitTerm(k, 1L << k)).mkString(" + ")
+    val hi = (32 until 64).map(k => bitTerm(k, 1L << (k - 32))).mkString(" + ")
+    // banding is lossless for hamming <= bands-1 (pigeonhole), so the
+    // oracle is the NAIVE exact pair scan; the signed 64-bit value is
+    // assembled from two uint32 halves with an explicit two's-
+    // complement fold so no BIGINT op overflows
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_transform(list_distinct(string_split(text, ' ')), t -> $hashes) AS __hs
+       |  FROM documents),
+       |bits AS MATERIALIZED (
+       |  SELECT doc_id, ($lo) AS __lo, ($hi) AS __hi FROM h),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         (CASE WHEN __hi >= 2147483648 THEN __hi - 4294967296 ELSE __hi END) * 4294967296 + __lo AS sh
+       |  FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming""".stripMargin
+  }
 
   /** Shared DuckDB fragments for the LLM-pipeline oracles. Each is the
     * exact SQL mirror of a graft.functions expression — see the

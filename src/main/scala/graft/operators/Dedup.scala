@@ -179,10 +179,19 @@ object Dedup {
     common.cast("double") / (szA + szB - common)
   }
 
-  /** 64-bit SimHash of the distinct token set: bit k is the sign of
-    * Σ_tokens (±1 by bit k of xxhash64(token)). Token strings are
-    * hashed once; the bit-counting runs as one codegen loop. */
+  /** ENGINE-PORTABLE 64-bit SimHash of the distinct token set: bit
+    * k = 16j+b is the sign of Σ_tokens (±1 by bit b of the base-j
+    * polynomial token hash) — one compiled kernel call per row
+    * (PortableHashKernel.simHashPortable). Portable so the DuckDB
+    * oracle reproduces every bit (SparkEntry's q_doc_simhash oracle);
+    * the xxhash64-based variant remains as [[simHash64Xx]] /
+    * graft_simhash for engine-internal use. */
   def simHash64(textCol: String): Column =
+    graft.functions.PortableHashExpressions.simHashPortable(col(textCol))
+
+  /** xxhash64-based SimHash (stronger per-token mixing, not
+    * reproducible outside Spark). */
+  def simHash64Xx(textCol: String): Column =
     graft.functions.TokenHashExpressions.simHash(
       transform(array_distinct(split(col(textCol), " ")), t => xxhash64(t)))
 
