@@ -38,8 +38,24 @@ object Exact {
   def round2(c: Column): Column = roundAt(c, 2)
 
   /** Exact, order-independent sum of doubles with <= `scale` decimals.
-    * SQL equivalent: `CAST(sum(CAST(x AS DECIMAL(38,scale))) AS DOUBLE)`. */
+    * SQL equivalent: `CAST(sum(CAST(x AS DECIMAL(38,scale))) AS DOUBLE)`.
+    *
+    * Small scales run on [[ExactSum128]] (two-long 128-bit integer
+    * accumulator, HashAggregate codegen fast path) instead of a
+    * decimal(30) sum, whose >18-digit precision forces BigDecimal
+    * aggregation buffers — same bit-exact result, several times
+    * faster (the round-2 "decimal tax" on q_corr/q_cube/q_rollup).
+    * Large scales keep the decimal plan. */
   def sumExact(c: Column, scale: Int = 2): Column =
+    if (scale <= 6)
+      ColumnBridge.column(
+        ExactSum128(ColumnBridge.expression(c.cast("double")), scale)
+          .toAggregateExpression())
+    else sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  /** The decimal-sum reference plan — differential-test twin of the
+    * 128-bit path. */
+  private[graft] def sumExactDecimal(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
 
   /** Order-independent average built from the exact sum.
