@@ -58,6 +58,20 @@ object Exact {
   private[graft] def sumExactDecimal(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
 
+  /** Window-frame form of [[sumExact]]. Needed because the large-scale
+    * decimal plan is `cast(sum(...))` — a cast-wrapped aggregate, on
+    * which `.over(w)` fails analysis (only a bare aggregate accepts a
+    * window spec). Branches like sumExact: bare ExactSum128 for small
+    * scales, `sum(decimal).over(w)` with the double cast applied AFTER
+    * the window for larger ones. */
+  def sumExactOver(c: Column, scale: Int,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    if (scale <= 6)
+      ColumnBridge.column(
+        ExactSum128(ColumnBridge.expression(c.cast("double")), scale)
+          .toAggregateExpression()).over(w)
+    else sum(c.cast(s"decimal(30,$scale)")).over(w).cast("double")
+
   /** Order-independent average built from the exact sum.
     * SQL: `CAST(sum(CAST(x AS DECIMAL(38,s))) AS DOUBLE) / count(*)`. */
   def avgExact(c: Column, scale: Int = 2): Column =

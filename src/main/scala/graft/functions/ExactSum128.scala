@@ -15,15 +15,20 @@ object ExactSumKernel {
   /** The double's value rounded HALF_UP at `scale` decimals, as the
     * scaled integer — exactly `CAST(x AS DECIMAL(_, scale))`'s
     * unscaled value. Fast path: for in-contract inputs (≤ scale
-    * decimals) x·10^scale is integer up to float error ≪ 0.5, so
-    * rint is exact. Slow path (off-contract values or magnitudes
-    * near 2^53): BigDecimal.valueOf = Double.toString semantics —
-    * the same shortest-decimal reading Spark's double→Decimal cast
-    * uses — then HALF_UP, matching the cast bit-for-bit. */
+    * decimals) with |x·10^scale| < 2^51 the product's rounding error
+    * is < 0.5 ulp ≪ the gap to the next integer, so rint is provably
+    * exact. Magnitudes in [2^51, 2^53) are excluded: there x·10^scale
+    * can be an exact integer yet differ by ±1 from the decimal-string
+    * value (e.g. 81023871937164.1 at scale 2). Slow path:
+    * BigDecimal.valueOf = Double.toString semantics — the same
+    * shortest-decimal reading Spark's double→Decimal cast uses — then
+    * HALF_UP, matching the cast bit-for-bit. Callers pre-filter
+    * NaN/Infinity/|x·10^scale| > ~9.2e18 (see ExactSum128's validity
+    * predicate), so both paths are total here. */
   def scaleTo(x: Double, scale: Int): Long = {
     val y = x * Pows(scale)
     val r = Math.rint(y)
-    if (Math.abs(y - r) <= 1e-6 && Math.abs(r) <= 9.007199254740990e15) r.toLong
+    if (Math.abs(y - r) <= 1e-6 && Math.abs(r) < 2.251799813685248e15) r.toLong
     else java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
@@ -96,14 +101,30 @@ case class ExactSum128(child: Expression, scale: Int)
     (newHi, newLo)
   }
 
+  /** Largest |x| whose scaled-and-rounded value is guaranteed inside
+    * Long range (9.2e18 < 2^63−1 leaves headroom for HALF_UP). Rows
+    * outside — NaN, ±Infinity, |x| beyond the bound — are treated as
+    * NULL, mirroring the decimal-cast plan for NaN/Infinity (cast →
+    * NULL in non-ANSI, row ignored by sum) and degrading gracefully,
+    * instead of crashing, for magnitudes the 64-bit scaled row can't
+    * carry (the decimal(30,s) plan still sums those; such values are
+    * off this aggregate's fixed-scale contract). NaN fails both range
+    * comparisons under Java and SQL comparison semantics alike. */
+  private lazy val inRange: Expression = {
+    val bound = 9.2e18 / math.pow(10, scale)
+    And(IsNotNull(child),
+      And(GreaterThanOrEqual(child, Literal(-bound)),
+        LessThanOrEqual(child, Literal(bound))))
+  }
+
   override lazy val updateExpressions: Seq[Expression] = {
     val s = StaticInvoke(ExactSumKernel.getClass, LongType, "scaleTo",
       Seq(child, Literal(scale)), Seq(DoubleType, IntegerType), returnNullable = false)
     val (newHi, newLo) = add128(hi, lo, s)
     Seq(
-      If(IsNull(child), hi, newHi),
-      If(IsNull(child), lo, newLo),
-      Or(nonEmpty, IsNotNull(child)))
+      If(inRange, newHi, hi),
+      If(inRange, newLo, lo),
+      Or(nonEmpty, inRange))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {

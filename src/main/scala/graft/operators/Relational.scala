@@ -115,7 +115,7 @@ object Relational {
       .orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-trailingSeconds * 1000000L, 0)
     df.select(col(idCol) +: keys.map(col) :+
-      (Exact.sumExact(col(valueCol), scale).over(w) /
+      (Exact.sumExactOver(col(valueCol), scale, w) /
         count(lit(1L)).over(w)).as("roll_avg") :+
       count(lit(1L)).over(w).as("n_window"): _*)
   }
