@@ -316,30 +316,41 @@ object Dedup {
     expandGroupPairs(repPairs, groups, threshold)
   }
 
-  /** Connected components over an undirected pair list by min-label
-    * propagation: each node repeatedly takes the smallest label in its
-    * neighborhood until fixpoint — the standard distributed CC loop
-    * (converges in O(component diameter) rounds; every round is one
-    * join + one aggregation, both map-side combined). Lineage is cut
-    * per round with localCheckpoint so the plan doesn't grow
-    * exponentially. Deterministic: labels are ids, min is min. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // checkpoint the (possibly expensive) pair plan BEFORE the
-    // self-union — otherwise both union branches recompute it
-    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .localCheckpoint(true)
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    // labels only ever decrease, so Σlabel is strictly monotone until
-    // the fixpoint — an O(1)-output convergence probe instead of a
-    // change-count join (decimal sum: exact for any long ids)
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+  /** Lineage cut between CC rounds. Default: eager `localCheckpoint`
+    * — executor-memory blocks, fastest, but NOT fault-tolerant (an
+    * executor loss mid-loop is unrecoverable because the lineage is
+    * gone). With `dir` set: the round is persisted as a parquet table
+    * under the directory and read back — durable across executor AND
+    * driver loss, and the unit of [[resumeConnectedComponents]]'s
+    * restart. That is the 100 TB configuration; any Hadoop-compatible
+    * FS path (HDFS/S3) works. */
+  private def cut(df: DataFrame, dir: Option[String], name: String): DataFrame =
+    dir match {
+      case Some(d) =>
+        val path = s"$d/$name"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
+
+  /** labels only ever decrease, so Σlabel is strictly monotone until
+    * the fixpoint — an O(1)-output convergence probe instead of a
+    * change-count join (decimal sum: exact for any long ids) */
+  private def labelSum(l: DataFrame): java.math.BigDecimal =
+    l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+
+  /** The per-round propagation loop shared by the fresh and resumed
+    * entry points. Rounds `startIter` (exclusive state already in
+    * `labels0`) up to `maxIter` total. */
+  private def ccLoop(
+      edges: DataFrame,
+      labels0: DataFrame,
+      startIter: Int,
+      maxIter: Int,
+      checkpointDir: Option[String]): DataFrame = {
+    var labels = labels0
     var prevSum = labelSum(labels)
-    var iter = 0
+    var iter = startIter
     var done = false
     while (!done && iter < maxIter) {
       val neighborMin = edges
@@ -357,18 +368,65 @@ object Dedup {
       // round, so convergence is O(log diameter) instead of
       // O(diameter); labels still only decrease, so the Σlabel
       // monotone probe below stays a valid fixpoint test.
-      labels = propagated
+      labels = cut(propagated
         .join(propagated.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label")),
+        checkpointDir, s"labels_r${iter + 1}")
       val s = labelSum(labels)
       done = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
     labels
+  }
+
+  /** Connected components over an undirected pair list by min-label
+    * propagation: each node repeatedly takes the smallest label in its
+    * neighborhood until fixpoint — the standard distributed CC loop
+    * (converges in O(log diameter) rounds with pointer jumping; every
+    * round is one join + one aggregation, both map-side combined).
+    * Lineage is cut per round (see [[cut]]): in-memory by default,
+    * durable parquet round-tables when `checkpointDir` is given — the
+    * fault-tolerant mode a 100 TB run needs, restartable mid-loop via
+    * [[resumeConnectedComponents]]. Deterministic: labels are ids, min
+    * is min — a resumed run converges to the identical labeling. */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // checkpoint the (possibly expensive) pair plan BEFORE the
+    // self-union — otherwise both union branches recompute it
+    val p = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      checkpointDir, "pairs")
+    val edges = cut(p.union(p.select(col("dst").as("src"), col("src").as("dst"))),
+      checkpointDir, "edges")
+    val init = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")), checkpointDir, "labels_r0")
+    ccLoop(edges, init, 0, maxIter, checkpointDir)
+  }
+
+  /** Restart a durably-checkpointed CC run after a crash: picks up the
+    * newest persisted `labels_r<N>` round table plus the edges table
+    * and continues the loop from round N. Labels only decrease and the
+    * propagation is a deterministic function of (edges, labels), so
+    * resuming from ANY completed round reaches the same fixpoint as an
+    * uninterrupted run. */
+  def resumeConnectedComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String,
+      maxIter: Int = 20): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rounds = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("labels_r")).map(_.stripPrefix("labels_r").toInt)
+    require(rounds.nonEmpty, s"no labels_r* round tables under $checkpointDir")
+    val latest = rounds.max
+    ccLoop(
+      spark.read.parquet(s"$checkpointDir/edges"),
+      spark.read.parquet(s"$checkpointDir/labels_r$latest"),
+      latest, maxIter, Some(checkpointDir))
   }
 
   /** The dedup DECISION step: group near-duplicates into clusters and

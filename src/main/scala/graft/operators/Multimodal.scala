@@ -33,9 +33,23 @@ object Multimodal {
       col("text").cast("binary").as("blob"),
       lit("raw").as("format"))
 
-  /** STUB decode of one batch. A real implementation would hand the
-    * batch to an image/audio codec; this fake is deterministic in the
-    * bytes so tests and oracles can verify the plumbing. */
+  /** Magic-byte sniff — the cheap gate in front of the decoder so
+    * non-image payloads (the common case in a mixed corpus) never pay
+    * for an ImageIO reader probe. */
+  private[operators] def sniffImageFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some("png")
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') Some("gif")
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) Some("jpeg")
+    else None
+
+  /** Decode one batch. Image payloads (PNG/BMP/GIF/JPEG by magic
+    * bytes) are REALLY decoded with the JDK's `javax.imageio` — true
+    * pixel dimensions, no external libs needed. Everything else (and
+    * corrupt image bytes) falls back to the deterministic stub a
+    * non-JDK codec (audio/video) would replace, keeping the batched
+    * plumbing testable end-to-end either way. */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeature] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     batch.map { r =>
@@ -43,8 +57,17 @@ object Multimodal {
       val digest = md.digest(r.blob)
       val hex = digest.map(b => f"${b & 0xff}%02x").mkString
       val len = r.blob.length.toLong
-      MediaFeature(r.doc_id, len, hex,
-        width = len % 64 + 1, height = len % 48 + 1, format = r.format)
+      val decoded = sniffImageFormat(r.blob).flatMap { fmt =>
+        try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.blob)))
+          .map(img => (fmt, img.getWidth.toLong, img.getHeight.toLong))
+        catch { case _: Exception => None } // truncated/corrupt payload
+      }
+      decoded match {
+        case Some((fmt, w, h)) => MediaFeature(r.doc_id, len, hex, w, h, fmt)
+        case None => MediaFeature(r.doc_id, len, hex,
+          width = len % 64 + 1, height = len % 48 + 1, format = r.format)
+      }
     }
   }
 

@@ -120,6 +120,38 @@ class DedupSpec extends SparkSpec {
     assert(!cc.contains(999L))
   }
 
+  test("durable CC: checkpointed run matches in-memory, and a crash-resume converges to identical labels") {
+    val s = spark
+    import s.implicits._
+    // long chain → several propagation rounds, so there are real
+    // intermediate round tables to crash between
+    val chain = (1L to 12L).sliding(2).map(w => (w(0) * 10, w(1) * 10)).toSeq
+    val pairs = (chain :+ ((500L, 600L))).toDF("id_a", "id_b")
+    val expected = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf); f.delete(); ()
+    }
+    try {
+      val durable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(durable == expected)
+      // round tables were persisted — the durability evidence
+      val rounds = new java.io.File(dir).listFiles.map(_.getName)
+        .filter(_.startsWith("labels_r")).map(_.stripPrefix("labels_r").toInt).sorted
+      assert(rounds.head == 0 && rounds.length >= 2,
+        s"expected >=2 persisted rounds, got ${rounds.mkString(",")}")
+      // simulate a crash right after round 1: drop every later round
+      // table, then resume — must reach the identical fixpoint
+      rounds.filter(_ > 1).foreach(r => rmrf(new java.io.File(s"$dir/labels_r$r")))
+      val resumed = Dedup.resumeConnectedComponents(s, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(resumed == expected)
+    } finally rmrf(new java.io.File(dir))
+  }
+
   test("near-dup clusters: every doc labeled, reps are cluster minima, clusters respect pairs") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val out = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.95)

@@ -17,6 +17,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == docs.count())
   }
 
+  test("real image payloads decode to TRUE dimensions via javax.imageio") {
+    val s = spark
+    import s.implicits._
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encode(17, 23, "png")
+    val bmp = encode(5, 41, "bmp")
+    val corrupt = png.take(30) // valid magic, truncated body
+    val packed = Seq(
+      (1L, png, "bin"), (2L, bmp, "bin"), (3L, corrupt, "bin"),
+      (4L, "just text".getBytes("UTF-8"), "raw"))
+      .toDF("doc_id", "blob", "format")
+    val out = Multimodal.extractFeatures(s, packed, batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).width == 17L && out(1L).height == 23L && out(1L).format == "png")
+    assert(out(2L).width == 5L && out(2L).height == 41L && out(2L).format == "bmp")
+    // corrupt image bytes and non-image payloads fall back to the
+    // deterministic stub — no crash, stub dimensions
+    assert(out(3L).width == corrupt.length % 64 + 1 && out(3L).format == "bin")
+    assert(out(4L).width == 9L % 64 + 1 && out(4L).format == "raw")
+    // sha/length features are decode-independent
+    assert(out(1L).byte_len == png.length.toLong)
+  }
+
   test("batch size does not change results (plumbing is pure)") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(100)
     val a = Multimodal.extractFeatures(spark, Multimodal.pack(docs), batchSize = 1)

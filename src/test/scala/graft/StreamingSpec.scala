@@ -107,15 +107,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("KafkaIO builders carry the reference's option keys") {
+  test("KafkaIO builders carry the reference's exact option keys") {
+    // reader keys of SparkWeatherConsumer.scala:163-183, writer keys
+    // of :128-142 — key-set equality, not subset, so a drifting
+    // builder fails here
     val src = KafkaIO.source("b:9092", Seq("wind", "sun"),
-      startingOffsets = "earliest", maxOffsetsPerTrigger = Some(1000))
+      startingOffsets = "earliest", maxOffsetsPerTrigger = Some(1000),
+      minPartitions = Some(5))
+    assert(src.keySet == Set(
+      "kafka.bootstrap.servers", "subscribe", "startingOffsets",
+      "failOnDataLoss", "kafka.fetch.min.bytes", "kafka.fetch.max.wait.ms",
+      "maxOffsetsPerTrigger", "minPartitions"))
     assert(src("kafka.bootstrap.servers") == "b:9092")
     assert(src("subscribe") == "wind,sun")
     assert(src("startingOffsets") == "earliest")
     assert(src("maxOffsetsPerTrigger") == "1000")
+    assert(src("failOnDataLoss") == "false")
+    assert(src("minPartitions") == "5")
     val snk = KafkaIO.sink("b:9092", "agg-out", "/tmp/ckpt")
+    assert(snk.keySet == Set(
+      "kafka.bootstrap.servers", "topic", "checkpointLocation",
+      "kafka.compression.type", "kafka.batch.size", "kafka.linger.ms",
+      "kafka.acks"))
     assert(snk("topic") == "agg-out" && snk.contains("checkpointLocation"))
+    assert(snk("kafka.compression.type") == "snappy" && snk("kafka.acks") == "1")
+  }
+
+  test("kafka reader/writer plans build through StreamIO without the connector jar") {
+    val s = spark
+    // reader: the builder path accepts the full kafka option set;
+    // provider-class resolution happens at load() — in this
+    // environment (no kafka jar) that is the one failure point, and
+    // the error must be the missing DATA SOURCE, not an option/plan
+    // problem upstream of it
+    val rd = graft.streaming.StreamIO.reader(
+      s, "kafka", KafkaIO.source("b:9092", Seq("wind")))
+    val e = intercept[Exception] { rd.load() }
+    assert(String.valueOf(e.getMessage).toLowerCase.contains("kafka"),
+      s"unexpected failure: ${e.getMessage}")
+    // writer: full reference sink config + update mode + trigger
+    // builds a DataStreamWriter fine; start() is the resolution point
+    val streamDf = s.readStream.format("rate").option("rowsPerSecond", "1").load()
+    val w = WeatherPipeline.writer(streamDf, "kafka",
+      options = KafkaIO.sink("b:9092", "agg-out", "/tmp/ckpt_kafka_spec"))
+    val e2 = intercept[Exception] { w.start() }
+    assert(String.valueOf(e2.getMessage).toLowerCase.contains("kafka"),
+      s"unexpected failure: ${e2.getMessage}")
+    // file branch of the same dispatch opens and streams for real
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evSchema = s.read.parquet(sf("sf0.001") + "/events.parquet").schema
+    val fileDf = graft.streaming.StreamIO.open(
+      s, "parquet", Map("pathGlobFilter" -> "events.parquet"),
+      schema = Some(evSchema), path = Some(sf("sf0.001")))
+    assert(fileDf.isStreaming)
   }
 
   test("replay producer: deterministic indexing, rate-source replay emits rows") {
