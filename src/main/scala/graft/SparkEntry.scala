@@ -220,6 +220,9 @@ object SparkEntry {
         graft.functions.Exact.covarSampExact(col("l_quantity"), col("l_extendedprice")).as("covar_qty_price"),
         count(lit(1L)).as("n"))),
 
+    "q_corr_matrix" -> ((s, dir) =>
+      Relational.corrMatrix(Tables.lineitem(s, dir), corrMatrixCols)),
+
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id")
@@ -522,6 +525,11 @@ object SparkEntry {
     })
   )
 
+  /** Metric set of the notebook's correlation_matrix step, shared by
+    * the q_corr_matrix query and its generated oracle. */
+  private val corrMatrixCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   // ---- oracle SQL (DuckDB dialect) ----
 
   /** Engine-portable formulas shared by many oracles (see
@@ -754,6 +762,27 @@ object SparkEntry {
         |         OVER (PARTITION BY user_id ORDER BY event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
         |FROM events""".stripMargin,
+
+    "q_corr_matrix" -> {
+      // one MATERIALIZED stats CTE (single scan, like the Spark
+      // single-agg pass), then one SELECT per matrix cell using the
+      // exact Spark formula: (n·Σxy − Σx·Σy)/√((n·Σx²−Σx²)(n·Σy²−Σy²))
+      val cs = corrMatrixCols
+      val sums = cs.zipWithIndex.map { case (c, i) => s"${sqlSum(c)} AS s_$i" }
+      val prods = for { i <- cs.indices; j <- i until cs.length }
+        yield s"${sqlSum(s"${cs(i)} * ${cs(j)}", 4)} AS p_${i}_$j"
+      def p(i: Int, j: Int) = s"p_${math.min(i, j)}_${math.max(i, j)}"
+      def variance(i: Int) = s"(n * ${p(i, i)} - s_$i * s_$i)"
+      val cells = for { i <- cs.indices; j <- cs.indices } yield
+        s"""SELECT '${cs(i)}' AS col_x, '${cs(j)}' AS col_y,
+           |  (n * ${p(i, j)} - s_$i * s_$j) / sqrt(${variance(i)} * ${variance(j)}) AS corr_v
+           |FROM stats""".stripMargin
+      s"""WITH stats AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         ${(sums ++ prods).mkString(",\n         ")}
+         |  FROM lineitem)
+         |${cells.mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     "q_corr" -> {
       val n = "CAST(count(*) AS DOUBLE)"

@@ -270,4 +270,41 @@ object Relational {
         Exact.roundAt((v - col("__mean")) / col("__std"), 4))
       .drop("__mean", "__std")
   }
+
+  /** Full Pearson correlation matrix over a metric column list — the
+    * reference notebook's `correlation_matrix` step
+    * (dmi/price_prediction.ipynb: df[metrics].corr()) as ONE
+    * aggregation pass.
+    *
+    * A single `agg` computes n, every Σcᵢ and every pairwise Σcᵢ·cⱼ
+    * (i ≤ j) — k + k(k+1)/2 + 1 exact sums in one map-side-combined
+    * HashAggregate over one scan — and the k×k matrix cells are then a
+    * pure PROJECTION over that one stats row (explode of literal
+    * structs): no second shuffle, no per-pair scan. At 100 TB the cost
+    * is exactly one pass over the data regardless of k.
+    *
+    * Bit-stable across engines: sums via [[Exact.sumExact]] and the
+    * same explicit moment formula as [[Exact.corrExact]], so the
+    * DuckDB oracle reproduces every cell exactly. Symmetric cells
+    * reuse the identical Σ terms (IEEE multiplication commutes), and
+    * the long (col_x, col_y, corr_v) form keeps the output
+    * engine-sortable. */
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    val n = count(lit(1L)).cast("double").as("n")
+    val sums = cols.map(c => Exact.sumExact(col(c), scale).as(s"s_$c"))
+    val prods = for { i <- cols.indices; j <- i until cols.length }
+      yield Exact.sumExact(col(cols(i)) * col(cols(j)), 2 * scale)
+        .as(s"p_${i}_$j")
+    val stats = df.agg(n, (sums ++ prods): _*)
+    def p(i: Int, j: Int) = col(s"p_${math.min(i, j)}_${math.max(i, j)}")
+    def variance(i: Int) =
+      col("n") * p(i, i) - col(s"s_${cols(i)}") * col(s"s_${cols(i)}")
+    val cells = for { i <- cols.indices; j <- cols.indices } yield
+      struct(
+        lit(cols(i)).as("col_x"),
+        lit(cols(j)).as("col_y"),
+        ((col("n") * p(i, j) - col(s"s_${cols(i)}") * col(s"s_${cols(j)}")) /
+          sqrt(variance(i) * variance(j))).as("corr_v"))
+    stats.select(explode(array(cells: _*)).as("cell")).select(col("cell.*"))
+  }
 }

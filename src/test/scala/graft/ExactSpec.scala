@@ -42,4 +42,29 @@ class ExactSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - corr) < 1e-12)
     assert(math.abs(r.getDouble(1) - (sxy - sx * sy / n) / (n - 1)) < 1e-12)
   }
+
+  test("corrMatrix: full k×k matrix in ONE aggregation pass, matches built-in corr") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val m = graft.operators.Relational.corrMatrix(li, cols)
+    val cells = m.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(cells.size == cols.length * cols.length)
+    // diagonal is 1 (up to the sqrt(v*v) rounding), matrix symmetric
+    cols.foreach(c => assert(math.abs(cells((c, c)) - 1.0) < 1e-12))
+    for (a <- cols; b <- cols) assert(cells((a, b)) == cells((b, a)))
+    // off-diagonal values agree with Spark's built-in co-moment corr
+    for (a <- cols; b <- cols if a != b) {
+      val ref = li.agg(corr(col(a), col(b))).head.getDouble(0)
+      assert(math.abs(cells((a, b)) - ref) < 1e-9, s"($a,$b)")
+    }
+    // plan shape: exactly one aggregation over the scan (a partial +
+    // final HashAggregate pair with one single-partition exchange
+    // between) — the matrix projection adds no second pass over data
+    // AQE's toString carries Final + Initial sections — count only the final
+    val p = m.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      s"expected partial+final agg pair:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1, s"extra shuffle:\n$p")
+  }
 }
