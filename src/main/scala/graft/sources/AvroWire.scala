@@ -59,10 +59,18 @@ object AvroWire {
 
   /** Serializable per-schema codec; reader/writer are rebuilt lazily
     * on each executor (Avro Schema itself is not serializable-stable,
-    * so we ship the JSON). */
-  final class Codec(schemaJson: String) extends Serializable {
+    * so we ship the JSON). With `readerJson` set, decode performs Avro
+    * schema RESOLUTION: bytes written with `schemaJson` (the writer
+    * schema, from the registry) are projected onto the reader schema —
+    * added-with-default fields filled, removed fields skipped — the
+    * KafkaAvroDeserializer evolution path. */
+  final class Codec(schemaJson: String, readerJson: String = null)
+      extends Serializable {
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
-    @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+    @transient private lazy val readerSchema =
+      if (readerJson == null) schema else new Schema.Parser().parse(readerJson)
+    @transient private lazy val reader =
+      new GenericDatumReader[GenericRecord](schema, readerSchema)
     @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
 
     def newRecord(): GenericRecord = new GenericData.Record(schema)
@@ -95,7 +103,7 @@ object AvroWire {
       | {"name":"station_name","type":"string"},
       | {"name":"metric","type":"string"},
       | {"name":"value","type":"double"},
-      | {"name":"producer_ts","type":"long"}]}""".stripMargin
+      | {"name":"producer_ts","type":"long","default":0}]}""".stripMargin
 
   /** Encode a typed Dataset to wire-framed Kafka-style (key, value)
     * binary pairs — the producer side. */
@@ -114,6 +122,41 @@ object AvroWire {
         (w.station_id.getBytes("UTF-8"), frame(schemaId, codec.encode(rec)))
       }
     }.toDF("key", "value")
+  }
+
+  /** Registry-driven decode: each framed message's WRITER schema is
+    * resolved from its embedded schema id via a broadcast
+    * [[SchemaRegistry.resolver]] snapshot, then projected onto the
+    * fixed reader schema — so one topic can carry several schema
+    * versions at once and old records surface with the reader's
+    * defaults (the consumer's KafkaAvroDeserializer behavior, producer
+    * KafkaWeatherProducer.scala:49-51). Per partition: one codec per
+    * distinct schema id, built lazily and reused — executors never
+    * call the registry. Unframed messages and unknown ids are dropped
+    * like [[decodeWeather]] drops unframed ones. */
+  def decodeWeatherDynamic(
+      df: DataFrame,
+      resolver: Map[Int, String],
+      valueCol: String = "value"): Dataset[WeatherReading] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(resolver)
+    val readerJson = weatherSchemaJson
+    df.select(col(valueCol)).as[Array[Byte]].mapPartitions { it =>
+      val codecs = scala.collection.mutable.Map.empty[Int, Codec]
+      it.flatMap { bytes =>
+        unframe(bytes).flatMap { case (id, body) =>
+          bc.value.get(id).map { writerJson =>
+            val codec = codecs.getOrElseUpdate(id, new Codec(writerJson, readerJson))
+            val r = codec.decode(body)
+            WeatherReading(
+              r.get("station_id").toString, r.get("station_name").toString,
+              r.get("metric").toString, r.get("value").asInstanceOf[Double],
+              r.get("producer_ts").asInstanceOf[Long])
+          }
+        }
+      }
+    }
   }
 
   /** Decode wire-framed messages back to typed rows — the consumer
