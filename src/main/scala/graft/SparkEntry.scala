@@ -478,6 +478,9 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       Corpus.tfIdf(Tables.documents(s, dir), "doc_id", "text")),
 
+    "q_bm25" -> ((s, dir) =>
+      Corpus.bm25(Tables.documents(s, dir), "doc_id", "text", bm25Terms)),
+
     "q_global_index" -> ((s, dir) =>
       Corpus.globalIndex(
         Tables.documents(s, dir).select("doc_id", "source"), "doc_id")),
@@ -529,6 +532,9 @@ object SparkEntry {
     * the q_corr_matrix query and its generated oracle. */
   private val corrMatrixCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Retrieval query for q_bm25, shared with its generated oracle. */
+  private val bm25Terms = Seq("spark", "window", "join", "stream")
 
   // ---- oracle SQL (DuckDB dialect) ----
 
@@ -1173,6 +1179,38 @@ object SparkEntry {
          |SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
          |       ${sqlRound4("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.doc_freq)")} AS tfidf
          |FROM tf JOIN dfq USING (token) CROSS JOIN n""".stripMargin,
+
+    "q_bm25" -> {
+      // constants injected as exact double literals (toString → same
+      // IEEE double on both engines), term sum in the same FIXED order
+      // as the Spark fold
+      val (k1, b) = (1.2, 0.75)
+      val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+      val ts = s"ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))" +
+        s" * ((tf.tf * ${k1 + 1}) / (tf.tf + $k1 * (${1 - b} + $b * dl.dl / stats.avgdl)))"
+      val total = bm25Terms
+        .map(t => s"coalesce(max(CASE WHEN token = '$t' THEN ts END), 0.0)")
+        .reduce((a, x) => s"($a + $x)")
+      s"""WITH dl AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+         |), stats AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  WHERE token IN ($terms)
+         |  GROUP BY doc_id, token
+         |), dfq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY token
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.token, $ts AS ts
+         |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats)
+         |SELECT doc_id, ${sqlRound4(total)} AS bm25
+         |FROM scored GROUP BY doc_id""".stripMargin
+    },
 
     "q_global_index" ->
       """SELECT doc_id, source,

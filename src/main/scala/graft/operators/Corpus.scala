@@ -253,4 +253,50 @@ object Corpus {
       .withColumn("bin_id", (col("tok_offset") / budget).cast("long"))
       .select(idCol, "shard", "n_tokens", "tok_offset", "bin_id")
   }
+
+  /** Okapi BM25 scores of every document containing at least one of
+    * `queryTerms` — the retrieval-ranking step next to [[tfIdf]]:
+    * score(d) = Σ_t ln(1 + (N−df+0.5)/(df+0.5)) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Scale: tokens are FILTERED to the query terms before any
+    * aggregation, so the (doc, term) table is |matching docs|·|Q|
+    * rows, not corpus tokens; per-term doc frequencies come from that
+    * same table (≤|Q| rows, broadcast); N/avgdl is a broadcast 1-row
+    * aggregate; the only per-doc shuffle joins tf with doc length on
+    * the doc id. The per-doc term sum is a FIXED-ORDER fold over |Q|
+    * pivoted columns (not a float `sum`), so the score is
+    * association-order independent — bit-identical in the DuckDB
+    * oracle like the rest of graft.functions.Exact. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    val dl = df.select(col(idCol),
+      size(Text.tokens(col(textCol))).as("__dl"))
+    val stats = dl.agg(
+      count(lit(1L)).cast("double").as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1L))).as("__avgdl"))
+    val tf = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(idCol, "token")
+      .agg(count(lit(1L)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1L)).as("df"))
+    val termScore =
+      log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+        ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("token"), termScore.as("__ts"))
+    // fixed-order fold over the |Q| pivoted term columns
+    val total = queryTerms
+      .map(t => coalesce(max(when(col("token") === t, col("__ts"))), lit(0.0)))
+      .reduce(_ + _)
+    scored.groupBy(idCol)
+      .agg(graft.functions.Exact.roundAt(total, 4).as("bm25"))
+  }
 }

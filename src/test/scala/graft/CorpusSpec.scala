@@ -89,6 +89,23 @@ class CorpusSpec extends SparkSpec {
     assert(out((2L, "a")) === ((1L, 2L, 0.0)))
   }
 
+  test("bm25 matches a hand computation on a tiny corpus") {
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "a c")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25(df, "doc_id", "text", Seq("a", "b"))
+      .as[(Long, Double)].collect().toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val (k1, b) = (1.2, 0.75)
+    def term(tf: Double, dfq: Double, dl: Double): Double =
+      math.log(1.0 + (2.0 - dfq + 0.5) / (dfq + 0.5)) *
+        (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / 2.5))
+    assert(out(1L) === r4(term(2, 2, 3) + term(1, 1, 3)))
+    assert(out(2L) === r4(term(1, 2, 2) + 0.0))
+    assert(!out.contains(3L) && out.size === 2)
+  }
+
   test("globalIndex is the exact global rank, contiguous from 0, across partitions") {
     val out = Corpus.globalIndex(docs.select("doc_id"), "doc_id", numPartitions = 7)
     assert(out.rdd.getNumPartitions > 1, "explicit partitioning must survive")
