@@ -238,11 +238,23 @@ object Corpus {
     * starts at the first doc whose running token offset crosses a
     * `budget` boundary (bin = starting-offset div budget). Emits the
     * shard, the doc's token count, its offset within the shard, and
-    * its bin — the (shard, bin) pair is the training-batch key.
+    * its bin — the COMPOSITE (shard, bin_id) pair is the
+    * training-batch key (bin_id restarts at 0 in every shard; a
+    * single flat id, when needed, is `shard * ceil(maxOffset/budget)
+    * + bin_id`, but downstream grouping should just key on both
+    * columns and avoid the overflow math).
     *
     * Scale: one window shuffle on the shard key; shards are
-    * independent, so parallelism = `shards` × cluster. The running
+    * independent, so the window stage runs `shards`-wide. The
+    * overload without `shards` defaults it to the cluster's
+    * `defaultParallelism` so the packing stage always scales with
+    * the cluster instead of a hard-coded constant. The running
     * sum is integer arithmetic — exact and order-stable. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int): DataFrame =
+    packSequences(df, idCol, textCol, budget,
+      df.sparkSession.sparkContext.defaultParallelism)
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     budget: Int, shards: Int): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(idCol)

@@ -53,6 +53,21 @@ class CorpusSpec extends SparkSpec {
     assert(out.find(_._1 == 4L).get._2 === 1L)
   }
 
+  test("packSequences default shards = cluster parallelism, window stage partitioned by shard") {
+    val packed = Corpus.packSequences(docs, "doc_id", "text", 500)
+    val para = spark.sparkContext.defaultParallelism
+    // every shard in [0, parallelism) is populated — the window stage
+    // has `parallelism` independent groups, not a hard-coded constant
+    val shardsUsed = packed.select("shard").distinct().as[Long].collect().sorted
+    assert(shardsUsed.toSeq === (0L until para.toLong),
+      s"expected $para populated shards, got ${shardsUsed.length}")
+    // and the only exchange keys on the shard column, so tasks scale
+    // with the shard count
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length == 2 && plan.contains("hashpartitioning(shard"),
+      s"packing should shuffle exactly once on shard:\n$plan")
+  }
+
   test("packSequences: offsets are contiguous per shard and bins cut at budget boundaries") {
     val budget = 500
     val packed = Corpus.packSequences(docs, "doc_id", "text", budget, shards = 4)
