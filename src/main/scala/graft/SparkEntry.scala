@@ -464,6 +464,9 @@ object SparkEntry {
       Corpus.contamination(Tables.documents(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 97 === 0, n = 3)),
 
+    "q_span_dedup" -> ((s, dir) =>
+      Corpus.spanDedup(Tables.documents(s, dir), "doc_id", "text", k = 10)),
+
     "q_token_pack" -> ((s, dir) =>
       Corpus.packSequences(Tables.documents(s, dir), "doc_id", "text",
         budget = 2048, shards = 8)),
@@ -1133,6 +1136,36 @@ object SparkEntry {
         |       coalesce(h.shared_ngrams, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+
+    // String 10-token spans oracle-side vs xxhash64 longs Spark-side
+    // (same collision argument as q_contamination).
+    "q_span_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+         |), spans AS (
+         |  SELECT doc_id, unnest(
+         |           CASE WHEN len(s) < 10 THEN []::VARCHAR[]
+         |                ELSE list_transform(range(1, len(s) - 8),
+         |                       i -> array_to_string(s[i:i+9], ' '))
+         |           END) AS gram
+         |  FROM toks
+         |), occ AS (
+         |  SELECT gram, count(*) AS occ FROM spans GROUP BY gram
+         |), per_doc AS (
+         |  SELECT s.doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS dup_spans
+         |  FROM spans s JOIN occ o USING (gram) GROUP BY s.doc_id
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(p.n_spans, 0) AS n_spans,
+         |       coalesce(p.dup_spans, 0) AS dup_spans,
+         |       CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
+         |            ELSE ${sqlRound4(
+                "CAST(p.dup_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE)")}
+         |       END AS dup_ratio
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
 
     // Window sum over BIGINT is HUGEINT in DuckDB — cast back.
     "q_token_pack" ->

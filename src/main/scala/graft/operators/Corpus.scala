@@ -109,6 +109,45 @@ object Corpus {
       .withColumn("contaminated", col("shared_ngrams") > 0)
   }
 
+  /** Span-level duplication profile (ExactSubstr semantics, Lee et
+    * al. 2021, at k-token granularity): a k-token window is
+    * "duplicated" when the same token sequence occurs at more than
+    * one (doc, position) anywhere in the corpus — including twice in
+    * the SAME doc. Per doc: total spans, duplicated spans, and the
+    * duplicated fraction (0.0 for docs shorter than k tokens).
+    *
+    * Scale: spans travel as xxhash64 longs, never shingle strings.
+    * Volume is collapsed BEFORE the global count: per-(doc, span)
+    * counts first (map-side combinable — repeated spans inside a doc
+    * fold locally), then the global occurrence count is a sum over
+    * that collapsed table, and the join back to docs carries only
+    * (span_h, doc, count) triples. No all-pairs anything; two
+    * hash-shuffles on the span key plus one on the doc id. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 10): DataFrame = {
+    val spans = df
+      .withColumn("__s", Text.tokens(col(textCol)))
+      .select(col(idCol),
+        explode(Text.ngramsFromTokens(col("__s"), k)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("span_h"))
+      .groupBy(idCol, "span_h")
+      .agg(count(lit(1L)).as("__c"))
+    val occ = spans.groupBy("span_h")
+      .agg(sum(col("__c")).as("__occ"))
+    val perDoc = spans.join(occ, "span_h")
+      .groupBy(idCol)
+      .agg(sum(col("__c")).as("n_spans"),
+        sum(when(col("__occ") > 1, col("__c")).otherwise(0L)).as("dup_spans"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+      .withColumn("dup_ratio", when(col("n_spans") === 0, lit(0.0))
+        .otherwise(graft.functions.Exact.roundAt(
+          col("dup_spans").cast("double") / col("n_spans").cast("double"), 4)))
+  }
+
   /** Fixed-token-window document chunking with overlap — context-
     * window preparation for training/embedding. Chunk starts are
     * multiples of `chunkTokens - overlap`, the last chunk may be

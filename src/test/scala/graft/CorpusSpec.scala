@@ -53,6 +53,21 @@ class CorpusSpec extends SparkSpec {
     assert(out.find(_._1 == 4L).get._2 === 1L)
   }
 
+  test("spanDedup counts every k-token span occurring at >1 (doc,pos), including intra-doc") {
+    val df = Seq(
+      (1L, "a b c a b c a b"), // every 3-span repeats inside the doc
+      (2L, "a b c x y z q r"), // only "a b c" is shared (with doc 1)
+      (3L, "short doc")        // < k tokens: zero spans
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanDedup(df, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(out(1L) === ((6L, 6L, 1.0)))
+    assert(out(2L) === ((6L, 1L, r4(1.0 / 6.0))))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
   test("packSequences default shards = cluster parallelism, window stage partitioned by shard") {
     val packed = Corpus.packSequences(docs, "doc_id", "text", 500)
     val para = spark.sparkContext.defaultParallelism
