@@ -81,6 +81,83 @@ object Multimodal {
     }
   }
 
+  case class AudioFeature(
+      doc_id: Long, byte_len: Long, sha256_hex: String, format: String,
+      channels: Long, sample_rate: Long, n_frames: Long,
+      duration_ms: Long, rms: Double)
+
+  /** Magic-byte sniff for the JDK-decodable audio containers
+    * (RIFF/WAVE, AIFF, AU) — same cheap gate as [[sniffImageFormat]]. */
+  private[operators] def sniffAudioFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') Some("wav")
+    else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F') Some("aiff")
+    else if (b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
+      Some("au")
+    else None
+
+  /** Decode one audio batch. WAV/AIFF/AU payloads are REALLY decoded
+    * with the JDK's `javax.sound.sampled` — true channel count,
+    * sample rate, frame count, duration, and (for 16-bit PCM) the
+    * normalized RMS amplitude of the actual samples. Non-audio and
+    * corrupt payloads degrade to the deterministic stub, exactly like
+    * the image path. */
+  private def decodeAudioBatch(batch: Seq[MediaRow]): Seq[AudioFeature] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    batch.map { r =>
+      md.reset()
+      val hex = md.digest(r.blob).map(b => f"${b & 0xff}%02x").mkString
+      val len = r.blob.length.toLong
+      val decoded = sniffAudioFormat(r.blob).flatMap { fmt =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(
+              new java.io.ByteArrayInputStream(r.blob)))
+          try {
+            val af = in.getFormat
+            val frames = in.getFrameLength
+            val durMs =
+              if (af.getFrameRate > 0 && frames >= 0)
+                (frames * 1000.0 / af.getFrameRate).toLong
+              else -1L
+            // normalized RMS over the real samples — 16-bit PCM only
+            // (the JDK's WAV/AIFF default); other depths report -1.0
+            val rms =
+              if (af.getSampleSizeInBits == 16 &&
+                  af.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+                val bytes = in.readAllBytes()
+                val bb = java.nio.ByteBuffer.wrap(bytes).order(
+                  if (af.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                  else java.nio.ByteOrder.LITTLE_ENDIAN)
+                var sumSq = 0.0; var n = 0L
+                while (bb.remaining() >= 2) {
+                  val s = bb.getShort / 32768.0; sumSq += s * s; n += 1
+                }
+                if (n > 0) math.sqrt(sumSq / n) else 0.0
+              } else -1.0
+            Some(AudioFeature(r.doc_id, len, hex, fmt,
+              af.getChannels.toLong, af.getSampleRate.toLong, frames,
+              durMs, rms))
+          } finally in.close()
+        } catch { case _: Exception => None } // truncated/corrupt payload
+      }
+      decoded.getOrElse(AudioFeature(r.doc_id, len, hex, r.format,
+        channels = 1L, sample_rate = 8000L, n_frames = len,
+        duration_ms = len * 1000 / 8000, rms = -1.0))
+    }
+  }
+
+  /** Batched distributed audio feature extraction — the audio twin of
+    * [[extractFeatures]]; same per-partition batching, real decode. */
+  def extractAudioFeatures(spark: SparkSession, packed: DataFrame,
+                           batchSize: Int = 64): Dataset[AudioFeature] = {
+    import spark.implicits._
+    packed.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(g => decodeAudioBatch(g))
+    }
+  }
+
   /** STUB resize: a real implementation decodes, scales to (w, h),
     * re-encodes. The stub derives a deterministic "resized" payload
     * (prefix of the bytes sized by the target area) so the

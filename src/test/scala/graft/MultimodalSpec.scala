@@ -48,6 +48,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).byte_len == png.length.toLong)
   }
 
+  test("real WAV payloads decode to TRUE rate/channels/frames/duration/RMS via javax.sound") {
+    val s = spark
+    import s.implicits._
+    // hand-build a PCM16 WAV through the JDK encoder so the bytes are
+    // a genuine container, then verify graft recovers the true signal
+    def wav(rate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .asShortBuffer().put(samples)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // one full period of a sine at amplitude 16384: RMS = 16384/√2 /32768
+    val n = 8000
+    val sine = Array.tabulate(n)(i =>
+      (16384 * math.sin(2 * math.Pi * i / n)).toShort)
+    val mono = wav(8000f, 1, sine)
+    val stereo = wav(44100f, 2, Array.tabulate(200)(i => (i * 3).toShort))
+    val corrupt = mono.take(20) // RIFF/WAVE magic intact, body gone
+    val packed = Seq(
+      (1L, mono, "bin"), (2L, stereo, "bin"), (3L, corrupt, "bin"),
+      (4L, "just text".getBytes("UTF-8"), "raw"))
+      .toDF("doc_id", "blob", "format")
+    val out = Multimodal.extractAudioFeatures(s, packed, batchSize = 3)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).format == "wav" && out(1L).channels == 1L &&
+      out(1L).sample_rate == 8000L && out(1L).n_frames == n.toLong &&
+      out(1L).duration_ms == 1000L)
+    val expectedRms = math.sqrt(
+      sine.map(v => math.pow(v / 32768.0, 2)).sum / n)
+    assert(math.abs(out(1L).rms - expectedRms) < 1e-12)
+    assert(out(2L).format == "wav" && out(2L).channels == 2L &&
+      out(2L).sample_rate == 44100L && out(2L).n_frames == 100L)
+    // corrupt audio bytes and non-audio payloads fall back to the
+    // deterministic stub — no crash
+    assert(out(3L).format == "bin" && out(3L).rms == -1.0 &&
+      out(3L).n_frames == corrupt.length.toLong)
+    assert(out(4L).format == "raw" && out(4L).sample_rate == 8000L)
+    assert(out(1L).byte_len == mono.length.toLong)
+  }
+
   test("batch size does not change results (plumbing is pure)") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(100)
     val a = Multimodal.extractFeatures(spark, Multimodal.pack(docs), batchSize = 1)
