@@ -279,6 +279,33 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      import graft.functions.Exact._
+      // Point-in-interval without a nested loop: each returned
+      // first-line item opens a [shipdate, shipdate + quantity days]
+      // activity window; count/sum the orders placed inside it. The
+      // bare BETWEEN join would be a BroadcastNestedLoopJoin — the
+      // binned rewrite makes it a hash join (PlanGuard sweeps this
+      // query like any other: no NLJ).
+      val pts = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("p"))
+      val iv = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_linenumber") === 1)
+        .select(col("l_orderkey"),
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("lo"),
+          (unix_date(to_date(col("l_shipdate"))).cast("long") +
+            col("l_quantity").cast("long")).as("hi"))
+      val hits = Relational.rangeJoin(pts, "p", iv, "lo", "hi", binWidth = 32)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1L)).as("n_orders"),
+          sumExact(col("o_totalprice"), 2).as("price_sum"))
+      iv.select("l_orderkey").join(hits, Seq("l_orderkey"), "left")
+        .select(col("l_orderkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("price_sum"), lit(0.0)).as("price_sum"))
+    }),
+
     "q_nation_revenue" -> ((s, dir) => {
       import graft.functions.Exact._
       // TPC-H Q5 shape: dims broadcast (region/nation auto-qualify
@@ -855,6 +882,31 @@ object SparkEntry {
          |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
          |ORDER BY revenue DESC, l_orderkey
          |LIMIT 10""".stripMargin,
+
+    // The oracle writes the range join the natural (nested-loop) way;
+    // Spark runs the binned equi-join rewrite — same pairs.
+    "q_range_join" ->
+      s"""WITH iv AS (
+         |  SELECT l_orderkey,
+         |         datediff('day', TIMESTAMP '1970-01-01 00:00:00', l_shipdate) AS lo,
+         |         datediff('day', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
+         |           + CAST(l_quantity AS BIGINT) AS hi
+         |  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1
+         |), pts AS (
+         |  SELECT o_orderkey, o_totalprice,
+         |         datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS p
+         |  FROM orders
+         |), hits AS (
+         |  SELECT iv.l_orderkey,
+         |         CAST(count(*) AS BIGINT) AS n_orders,
+         |         ${sqlSum("o_totalprice", 2)} AS price_sum
+         |  FROM pts JOIN iv ON pts.p BETWEEN iv.lo AND iv.hi
+         |  GROUP BY iv.l_orderkey
+         |)
+         |SELECT iv.l_orderkey,
+         |       coalesce(h.n_orders, 0) AS n_orders,
+         |       coalesce(h.price_sum, 0.0) AS price_sum
+         |FROM iv LEFT JOIN hits h USING (l_orderkey)""".stripMargin,
 
     "q_nation_revenue" ->
       s"""SELECT n_name,

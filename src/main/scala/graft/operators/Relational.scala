@@ -307,4 +307,39 @@ object Relational {
           sqrt(variance(i) * variance(j))).as("corr_v"))
     stats.select(explode(array(cells: _*)).as("cell")).select(col("cell.*"))
   }
+
+  /** Point-in-interval (range) join WITHOUT a nested loop. Spark
+    * plans a bare `p BETWEEN lo AND hi` join condition as
+    * BroadcastNestedLoopJoin — O(|points|·|intervals|) comparisons,
+    * dead at scale. This rewrites it as an EQUI-join on a bin key:
+    * each interval is exploded to the `binWidth`-sized bins it
+    * covers, each point maps to its single bin, the hash join matches
+    * on the bin, and the original predicate runs as a residual
+    * filter. Every qualifying (point, interval) pair matches in
+    * exactly ONE bin — the point's — so the output needs no dedup.
+    *
+    * `pointCol` (in `points`) and `loCol`/`hiCol` (in `intervals`)
+    * must be numeric longs (dates → `unix_date`, timestamps → epoch
+    * units) with `hi >= lo`; negative-width intervals match nothing
+    * and are dropped before the explode. Pick `binWidth` near the
+    * typical interval width: explode factor is ~width/binWidth + 1
+    * rows per interval, and a too-small `binWidth` multiplies the
+    * shuffle. Both sides shuffle (or broadcast) on the bin key;
+    * hot bins are AQE-skew-splittable because the join is a plain
+    * hash join after the rewrite. */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = intervals
+      .filter(col(hiCol) >= col(loCol))
+      .withColumn("__bin",
+        explode(sequence(floor(col(loCol) / binWidth),
+          floor(col(hiCol) / binWidth))))
+    points
+      .withColumn("__bin", floor(col(pointCol) / binWidth))
+      .join(binned, "__bin")
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop("__bin")
+  }
 }
