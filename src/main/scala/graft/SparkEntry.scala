@@ -401,6 +401,9 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    "q_embedding_gram" -> ((s, dir) =>
+      Similarity.gramMatrix(Tables.embeddings(s, dir), "embedding", dim = 64)),
+
     "q_knn_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
@@ -1005,6 +1008,23 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, rnk, ${sqlRound4("cos")} AS cosine
          |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // The oracle computes each of the 64x64 Gram cells as a decimal
+    // sum over a double-cross-unnest; Spark does all cells in ONE
+    // 128-bit-exact aggregation pass (ExactGram) — same rounding
+    // contract, identical doubles.
+    "q_embedding_gram" ->
+      """WITH cells AS (
+        |  SELECT ti.i AS ii, tj.j AS jj,
+        |         sum(CAST(CAST(e.embedding[ti.i] AS DOUBLE)
+        |                  * CAST(e.embedding[tj.j] AS DOUBLE)
+        |                  AS DECIMAL(30,9))) AS s
+        |  FROM embeddings e, range(1, 65) ti(i), range(1, 65) tj(j)
+        |  GROUP BY ti.i, tj.j
+        |)
+        |SELECT CAST(ii - 1 AS BIGINT) AS i, CAST(jj - 1 AS BIGINT) AS j,
+        |       CAST(s AS DOUBLE) AS gram_v
+        |FROM cells""".stripMargin,
 
     // Mirrors Similarity.ivfTopK step-for-step: centroids = 16
     // smallest vec_ids; each row assigned to its argmax-cosine cell

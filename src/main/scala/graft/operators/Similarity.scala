@@ -304,4 +304,106 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
   }
+
+  private def gramAgg(vecCol: Column, dim: Int, scale: Int): Column =
+    graft.functions.ColumnBridge.column(
+      graft.functions.ExactGram(
+        graft.functions.ColumnBridge.expression(vecCol), dim, scale)
+        .toAggregateExpression())
+
+  /** One-pass exact Gram matrix of a vector column as (i, j, gram_v)
+    * rows: Σ vᵢ·vⱼ over every row, all d² cells from a SINGLE
+    * map-side-combined aggregation over one scan
+    * ([[graft.functions.ExactGram]] — 128-bit exact cells with
+    * decimal-cast rounding semantics, so the DuckDB oracle reproduces
+    * every value bit-for-bit; the buffer is O(d²) regardless of row
+    * count). */
+  def gramMatrix(df: DataFrame, vecCol: String, dim: Int,
+                 scale: Int = 9): DataFrame =
+    df.agg(gramAgg(col(vecCol), dim, scale).as("__g"))
+      .select(posexplode(col("__g.gram")))
+      .select(floor(col("pos") / dim).cast("long").as("i"),
+        pmod(col("pos"), lit(dim)).cast("long").as("j"),
+        col("col").as("gram_v"))
+
+  /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric
+    * matrix (driver-side; d×d is bounded metadata, same budget as the
+    * IVF centroid collects). Returns (eigenvalues desc, eigenvectors
+    * row-per-axis), each axis sign-fixed so its largest-|component|
+    * entry is positive — fully deterministic output. */
+  private[graft] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (sweep < 100 && off() > 1e-22) {
+      for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+          else 1.0 / (theta - math.sqrt(theta * theta + 1))
+        val c = 1.0 / math.sqrt(t * t + 1)
+        val s = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (j <- 0 until d) {
+          val apj = a(p)(j); val aqj = a(q)(j)
+          a(p)(j) = c * apj - s * aqj
+          a(q)(j) = s * apj + c * aqj
+          val vjp = v(j)(p); val vjq = v(j)(q)
+          v(j)(p) = c * vjp - s * vjq
+          v(j)(q) = s * vjp + c * vjq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val axis = Array.tabulate(d)(r => v(r)(i))
+      val mx = axis.indices.maxBy(r => (math.abs(axis(r)), -r))
+      if (axis(mx) < 0) axis.map(-_) else axis
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** PCA projection built on the one-pass exact moments: covariance
+    * comes from [[graft.functions.ExactGram]]'s (n, Σv, Σvvᵀ) — ONE
+    * scan of the data — the d×d eigenproblem is solved on the driver
+    * (bounded metadata, deterministic [[jacobiEigen]]), and the top-k
+    * axes go back as broadcast literals for a pure shuffle-free
+    * projection pass. Output: idCol, pc (array of k mean-centered
+    * components). Total cost at any scale: two scans, zero shuffles
+    * beyond the one-buffer aggregation. */
+  def pca(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+          k: Int, scale: Int = 9): DataFrame = {
+    require(k >= 1 && k <= dim, "need 1 <= k <= dim")
+    val g = df.agg(gramAgg(col(vecCol), dim, scale).as("__g"))
+      .select(col("__g.n"), col("__g.sums"), col("__g.gram")).head()
+    val n = g.getLong(0)
+    require(n > 1, s"pca needs >= 2 valid rows, got $n")
+    val sums = g.getSeq[Double](1).toArray
+    val gram = g.getSeq[Double](2).toArray
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      (gram(i * dim + j) - sums(i) * sums(j) / n) / (n - 1)
+    }
+    val (_, axes) = jacobiEigen(cov)
+    val mean = sums.map(_ / n)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val comps = (0 until k).map { a =>
+      val axis = axes(a)
+      val meanProj = axis.indices.map(r => mean(r) * axis(r)).sum
+      Vectors.dotD(vecD, array(axis.map(lit(_)): _*)) - lit(meanProj)
+    }
+    df.select(col(idCol), array(comps: _*).as("pc"))
+  }
 }
