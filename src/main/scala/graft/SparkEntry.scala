@@ -404,6 +404,15 @@ object SparkEntry {
     "q_embedding_gram" -> ((s, dir) =>
       Similarity.gramMatrix(Tables.embeddings(s, dir), "embedding", dim = 64)),
 
+    // codes emitted as compact int-JSON — the harness can't hash list
+    // cells, and integer JSON prints identically across engines
+    "q_embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dim = 64)
+        .select(col("vec_id"), concat(lit("["),
+          concat_ws(",", transform(col("codes"), c => c.cast("string"))),
+          lit("]")).as("codes_json"))),
+
     "q_knn_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
@@ -1025,6 +1034,28 @@ object SparkEntry {
         |SELECT CAST(ii - 1 AS BIGINT) AS i, CAST(jj - 1 AS BIGINT) AS j,
         |       CAST(s AS DOUBLE) AS gram_v
         |FROM cells""".stripMargin,
+
+    // Same linear map + floor(q + 0.5) rounding as quantizeInt8 —
+    // double IEEE ops in the same order on both engines → same ints.
+    "q_embedding_quantize" ->
+      """WITH mm AS (
+        |  SELECT ti.i AS i,
+        |         min(CAST(e.embedding[ti.i] AS DOUBLE)) AS mn,
+        |         max(CAST(e.embedding[ti.i] AS DOUBLE)) AS mx
+        |  FROM embeddings e, range(1, 65) ti(i)
+        |  GROUP BY ti.i
+        |), codes AS (
+        |  SELECT e.vec_id, mm.i,
+        |         CASE WHEN mm.mx = mm.mn THEN 0
+        |              ELSE CAST(floor((CAST(e.embedding[mm.i] AS DOUBLE) - mm.mn)
+        |                     / (mm.mx - mm.mn) * 254 + 0.5) AS INT) - 127
+        |         END AS c
+        |  FROM embeddings e, mm
+        |)
+        |SELECT vec_id,
+        |       '[' || string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) || ']'
+        |         AS codes_json
+        |FROM codes GROUP BY vec_id""".stripMargin,
 
     // Mirrors Similarity.ivfTopK step-for-step: centroids = 16
     // smallest vec_ids; each row assigned to its argmax-cosine cell

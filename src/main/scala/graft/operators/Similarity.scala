@@ -326,6 +326,55 @@ object Similarity {
         pmod(col("pos"), lit(dim)).cast("long").as("j"),
         col("col").as("gram_v"))
 
+  /** Per-dimension (min, max) of a vector column — ONE aggregation
+    * pass (2·d agg cells, no shuffle of vector rows beyond the
+    * partial-agg collapse), collected as bounded driver metadata like
+    * the IVF centroids. */
+  def int8Range(df: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Double]) = {
+    val aggs = (0 until dim).flatMap { i =>
+      val x = element_at(col(vecCol), i + 1).cast("double")
+      Seq(min(x).as(s"mn_$i"), max(x).as(s"mx_$i"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    (Array.tabulate(dim)(i => r.getDouble(2 * i)),
+      Array.tabulate(dim)(i => r.getDouble(2 * i + 1)))
+  }
+
+  /** Scalar int8 quantization — the 4× memory shrink that keeps a
+    * 100 TB embedding corpus ANN-searchable in executor memory. Each
+    * dimension maps linearly from its corpus [min, max] onto
+    * [-127, 127] with the engine-portable floor(q + 0.5) rounding
+    * (same formula as [[graft.functions.Exact.roundAt]]), so the
+    * codes are bit-reproducible in any engine — the DuckDB oracle
+    * computes identical ints. Constant dimensions code to 0. The
+    * range pass is one aggregation; the coding pass is a pure
+    * projection with the 2·d range constants as broadcast literals —
+    * no shuffle at any scale. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+                   dim: Int): DataFrame = {
+    val (mins, maxs) = int8Range(df, vecCol, dim)
+    val mnLit = array(mins.map(lit(_)): _*)
+    val mxLit = array(maxs.map(lit(_)): _*)
+    val codes = zip_with(
+      transform(col(vecCol), x => x.cast("double")),
+      zip_with(mnLit, mxLit, (a, b) => struct(a.as("mn"), b.as("mx"))),
+      (x, r) => when(r("mx") === r("mn"), lit(0)).otherwise(
+        (floor((x - r("mn")) / (r("mx") - r("mn")) * 254 + 0.5)
+          .cast("int") - 127)))
+    df.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Inverse map of [[quantizeInt8]] for approximate distance work:
+    * code c in dimension d → mn_d + (c + 127) / 254 · (mx_d − mn_d). */
+  def dequantizeInt8(codes: Column, mins: Array[Double],
+                     maxs: Array[Double]): Column = {
+    val mnLit = array(mins.map(lit(_)): _*)
+    val mxLit = array(maxs.map(lit(_)): _*)
+    zip_with(codes,
+      zip_with(mnLit, mxLit, (a, b) => struct(a.as("mn"), b.as("mx"))),
+      (c, r) => r("mn") + (c.cast("double") + 127) / 254 * (r("mx") - r("mn")))
+  }
+
   /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric
     * matrix (driver-side; d×d is bounded metadata, same budget as the
     * IVF centroid collects). Returns (eigenvalues desc, eigenvectors
