@@ -194,6 +194,10 @@ object SparkEntry {
           (sum(col("k")).cast("double") / count(lit(1L))).as("avg_k"),
           count(lit(1L)).as("n"))),
 
+    "q_sessionize" -> ((s, dir) =>
+      Relational.sessionStats(Tables.events(s, dir),
+        "user_id", "ts", "event_id", maxGapSec = 1800)),
+
     // ---- batch analytics (SURVEY §2.2: notebook + dmi surface) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -523,6 +527,9 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Corpus.bm25(Tables.documents(s, dir), "doc_id", "text", bm25Terms)),
 
+    "q_doc_logprob" -> ((s, dir) =>
+      Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
     "q_global_index" -> ((s, dir) =>
       Corpus.globalIndex(
         Tables.documents(s, dir).select("doc_id", "source"), "doc_id")),
@@ -795,6 +802,28 @@ object SparkEntry {
         |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS us FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT user_id, us,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_idx
+        |  FROM m
+        |)
+        |SELECT user_id, session_idx,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us,
+        |       max(us) - min(us) AS dur_us
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
 
     // ---- batch analytics ----
     "q_asof_join" ->
@@ -1347,6 +1376,25 @@ object SparkEntry {
          |SELECT doc_id, ${sqlRound4(total)} AS bm25
          |FROM scored GROUP BY doc_id""".stripMargin
     },
+
+    "q_doc_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks
+         |  GROUP BY doc_id, token
+         |), freq AS (
+         |  SELECT token, count(*) AS freq FROM toks GROUP BY token
+         |), tot AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS DOUBLE) AS total FROM toks
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |       ${sqlRound4(
+              s"-(${sqlSum("CAST(tf AS DOUBLE) * ln(CAST(freq AS DOUBLE) / total)", 9)})" +
+              " / CAST(sum(tf) AS DOUBLE)")} AS nll
+         |FROM tf JOIN freq USING (token) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
 
     "q_global_index" ->
       """SELECT doc_id, source,

@@ -305,6 +305,39 @@ object Corpus {
       .select(idCol, "shard", "n_tokens", "tok_offset", "bin_id")
   }
 
+  /** CCNet-style perplexity proxy: each doc's mean unigram negative
+    * log-likelihood under the corpus's OWN unigram language model —
+    * nll(d) = −(1/|d|) Σ_t tf_t(d) · ln(freq(t)/total). High nll =
+    * rare/unusual token mix; the standard cheap stand-in for an LM
+    * perplexity filter when ranking/cleaning training data.
+    *
+    * Scale: the freq table is vocab-bounded (broadcast here; a
+    * web-scale vocab would drop the hint and let the token-key hash
+    * join shuffle), total is a broadcast 1-row aggregate, and the
+    * per-doc sum runs over (doc, token) rows — corpus tokens collapse
+    * map-side in the tf aggregation first. The ln-term sum uses
+    * [[graft.functions.Exact.sumExact]] (128-bit exact over
+    * 9-decimal-rounded terms) so the double is association-order
+    * independent and bit-identical in the DuckDB oracle. */
+  def unigramLogProb(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(idCol, "token").agg(count(lit(1L)).as("tf"))
+    val freq = toks.groupBy("token").agg(count(lit(1L)).as("freq"))
+    val total = toks.agg(count(lit(1L)).cast("double").as("total"))
+    val term = col("tf").cast("double") *
+      log(col("freq").cast("double") / col("total"))
+    tf.join(broadcast(freq), "token")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(graft.functions.Exact.sumExact(term, 9).as("__s"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        graft.functions.Exact.roundAt(
+          -col("__s") / col("n_tokens").cast("double"), 4).as("nll"))
+  }
+
   /** Okapi BM25 scores of every document containing at least one of
     * `queryTerms` — the retrieval-ranking step next to [[tfIdf]]:
     * score(d) = Σ_t ln(1 + (N−df+0.5)/(df+0.5)) ·

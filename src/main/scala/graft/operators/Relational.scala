@@ -308,6 +308,44 @@ object Relational {
     stats.select(explode(array(cells: _*)).as("cell")).select(col("cell.*"))
   }
 
+  /** Batch max-gap sessionization — the batch twin of the streaming
+    * `session_window` agg (#4): an event starts a new session for its
+    * user when the gap since the user's previous event exceeds
+    * `maxGapSec`. Emits every event with its 1-based per-user
+    * `session_idx` (deterministic: events ordered by (ts, id) so
+    * equal timestamps tie-break stably).
+    *
+    * Scale: ONE hash-partition shuffle on the user key; both window
+    * passes (lag → running sum) reuse the same partitioning+ordering,
+    * so Spark plans a single Exchange+Sort. Per-user state during the
+    * scan is O(1). */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, maxGapSec: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    val prevUs = lag(us, 1).over(w)
+    val isNew = when(prevUs.isNull ||
+      us - prevUs > maxGapSec * 1000000L, 1L).otherwise(0L)
+    df.withColumn("__new", isNew)
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Per-session roll-up over [[sessionize]]: event count, start/end
+    * (epoch micros — engine-portable), and duration. Adds one
+    * aggregation on (user, session) — partial-agg collapsed before
+    * its shuffle. */
+  def sessionStats(df: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, maxGapSec: Long): DataFrame =
+    sessionize(df, userCol, tsCol, idCol, maxGapSec)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1L)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+
   /** Point-in-interval (range) join WITHOUT a nested loop. Spark
     * plans a bare `p BETWEEN lo AND hi` join condition as
     * BroadcastNestedLoopJoin — O(|points|·|intervals|) comparisons,

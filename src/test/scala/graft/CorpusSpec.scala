@@ -119,6 +119,28 @@ class CorpusSpec extends SparkSpec {
     assert(out((2L, "a")) === ((1L, 2L, 0.0)))
   }
 
+  test("unigramLogProb matches a hand computation on a tiny corpus") {
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "a c")
+    ).toDF("doc_id", "text")
+    val out = Corpus.unigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // total = 5; freq: a=3, b=1, c=1; terms rounded at 9 decimals and
+    // summed as decimals (the ExactSum128 contract), then -(sum)/n
+    // rounded at 4
+    def dec9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    def nll(n: Long, terms: Double*) = {
+      val s = terms.map(dec9).reduce(_ add _).doubleValue()
+      math.floor(-s / n * 10000 + 0.5) / 10000
+    }
+    val lnA = math.log(3.0 / 5.0); val ln1 = math.log(1.0 / 5.0)
+    assert(out(1L) === ((3L, nll(3L, 2.0 * lnA, 1.0 * ln1))))
+    assert(out(2L) === ((2L, nll(2L, 1.0 * lnA, 1.0 * ln1))))
+  }
+
   test("bm25 matches a hand computation on a tiny corpus") {
     val df = Seq(
       (1L, "a a b"),

@@ -71,9 +71,9 @@ class PlanGuardSpec extends SparkSpec {
     // embeddingNearDupLsh and lshTopK/ivfTopK) and the scalar-subquery
     // shapes whose build side is a broadcast 1-row aggregate
     // (q_customer_above_avg, q_tfidf's corpus-size N, q_bm25's
-    // 1-row N/avgdl stats)
+    // 1-row N/avgdl stats, q_doc_logprob's 1-row token total)
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_customer_above_avg",
-      "q_tfidf", "q_bm25")
+      "q_tfidf", "q_bm25", "q_doc_logprob")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkSpec {
+
+  private def ev = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, 0L, 100L), (1L, 10L, 101L), (1L, 1810L, 102L), // 1810-10=1800: NOT > gap
+      (1L, 3611L, 103L),                                  // 3611-1810=1801 > 1800: new
+      (2L, 5L, 200L)
+    ).toDF("user_id", "sec", "event_id")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+  }
+
+  test("sessionize breaks strictly after maxGap and numbers sessions per user from 1") {
+    val s = spark
+    import s.implicits._
+    val out = Relational.sessionize(ev, "user_id", "ts", "event_id", maxGapSec = 1800)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(out(100L) == 1L && out(101L) == 1L)
+    assert(out(102L) == 1L, "gap == maxGap must NOT break the session")
+    assert(out(103L) == 2L, "gap > maxGap must break")
+    assert(out(200L) == 1L)
+  }
+
+  test("sessionStats aggregates count/start/end/duration per session") {
+    val s = spark
+    import s.implicits._
+    val out = Relational.sessionStats(ev, "user_id", "ts", "event_id", maxGapSec = 1800)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(out((1L, 1L)) === ((3L, 0L, 1810000000L, 1810000000L)))
+    assert(out((1L, 2L)) === ((1L, 3611000000L, 3611000000L, 0L)))
+    assert(out((2L, 1L)) === ((1L, 5000000L, 5000000L, 0L)))
+  }
+
+  test("sessionize plans ONE exchange (both window passes share the user partitioning)") {
+    val plan = Relational.sessionize(
+      Tables.events(spark, sf("sf0.001")), "user_id", "ts", "event_id", 1800)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length == 2,
+      s"sessionize should shuffle exactly once:\n$plan")
+  }
+}
