@@ -198,6 +198,10 @@ object SparkEntry {
       Relational.sessionStats(Tables.events(s, dir),
         "user_id", "ts", "event_id", maxGapSec = 1800)),
 
+    "q_funnel" -> ((s, dir) =>
+      Relational.funnel(Tables.events(s, dir),
+        "user_id", "ts", "event_type", funnelStages)),
+
     // ---- batch analytics (SURVEY §2.2: notebook + dmi surface) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -585,6 +589,9 @@ object SparkEntry {
   /** Retrieval query for q_bm25, shared with its generated oracle. */
   private val bm25Terms = Seq("spark", "window", "join", "stream")
 
+  /** Funnel stages for q_funnel, shared with its generated oracle. */
+  private val funnelStages = Seq("view", "click", "purchase")
+
   // ---- oracle SQL (DuckDB dialect) ----
 
   /** Engine-portable formulas shared by many oracles (see
@@ -824,6 +831,34 @@ object SparkEntry {
         |       min(us) AS start_us, max(us) AS end_us,
         |       max(us) - min(us) AS dur_us
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_funnel" -> {
+      // one CTE per stage, chained exactly like Relational.funnel
+      val k = funnelStages.length
+      val stageCtes = (2 to k).map { i =>
+        s"""f$i AS (
+           |  SELECT e.user_id, min(us) AS t_$i
+           |  FROM e JOIN f${i - 1} USING (user_id)
+           |  WHERE event_type = '${funnelStages(i - 1)}' AND us > t_${i - 1}
+           |  GROUP BY e.user_id
+           |)""".stripMargin
+      }
+      val reached = (2 to k)
+        .map(i => s"CAST(t_$i IS NOT NULL AS BIGINT)")
+        .foldLeft("1")((a, x) => s"$a + $x")
+      val joins = (2 to k).map(i => s"LEFT JOIN f$i USING (user_id)").mkString("\n")
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events
+         |), f1 AS (
+         |  SELECT user_id, min(us) AS t_1 FROM e
+         |  WHERE event_type = '${funnelStages.head}' GROUP BY user_id
+         |), ${stageCtes.mkString(", ")}
+         |SELECT f1.user_id,
+         |       ${(1 to k).map(i => s"coalesce(t_$i, 0) AS t_$i").mkString(", ")},
+         |       CAST($reached AS BIGINT) AS stages_completed
+         |FROM f1
+         |$joins""".stripMargin
+    },
 
     // ---- batch analytics ----
     "q_asof_join" ->

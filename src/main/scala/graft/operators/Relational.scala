@@ -346,6 +346,43 @@ object Relational {
         max(unix_micros(col(tsCol))).as("end_us"))
       .withColumn("dur_us", col("end_us") - col("start_us"))
 
+  /** Ordered funnel over an event stream: for stages [s₁..s_k], the
+    * earliest completion time of each stage per user, where stage i's
+    * event must be STRICTLY after stage i−1's completion. Greedy
+    * earliest-completion is optimal (taking the earliest valid event
+    * for a stage never hurts later stages), so `stages_completed` is
+    * the true furthest stage reached. Emits one row per stage-1
+    * entrant: t_1..t_k as epoch micros (0 = stage not reached, so
+    * every column stays a non-null long) and `stages_completed`.
+    *
+    * Scale: one filtered min-aggregation per stage joined back on the
+    * user key — k small and fixed, every shuffle on the same key (the
+    * per-stage filter prunes the event scan before any shuffle; no
+    * per-user event buffering anywhere, unlike collect-and-scan
+    * funnel UDFs). */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val base = df.select(col(userCol), col(typeCol).as("__et"),
+      unix_micros(col(tsCol)).as("__us"))
+    var acc = base.filter(col("__et") === stages.head)
+      .groupBy(userCol).agg(min(col("__us")).as("t_1"))
+    for (i <- 2 to stages.length) {
+      val next = base.filter(col("__et") === stages(i - 1))
+        .join(acc.select(col(userCol), col(s"t_${i - 1}")), Seq(userCol))
+        .filter(col("__us") > col(s"t_${i - 1}"))
+        .groupBy(userCol).agg(min(col("__us")).as(s"t_$i"))
+      acc = acc.join(next, Seq(userCol), "left")
+    }
+    val reached = stages.indices.drop(1)
+      .map(i => when(col(s"t_${i + 1}").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    acc.select(
+      col(userCol) +:
+        stages.indices.map(i => coalesce(col(s"t_${i + 1}"), lit(0L)).as(s"t_${i + 1}")) :+
+        reached.as("stages_completed"): _*)
+  }
+
   /** Point-in-interval (range) join WITHOUT a nested loop. Spark
     * plans a bare `p BETWEEN lo AND hi` join condition as
     * BroadcastNestedLoopJoin — O(|points|·|intervals|) comparisons,

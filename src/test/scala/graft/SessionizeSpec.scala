@@ -38,6 +38,29 @@ class SessionizeSpec extends SparkSpec {
     assert(out((2L, 1L)) === ((1L, 5000000L, 5000000L, 0L)))
   }
 
+  test("funnel: strict ordering, earliest completion, entrants-only, 0 for unreached") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // user 1: full funnel; click BEFORE the view must be ignored
+      (1L, 5L, "b"), (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      // user 2: view + SIMULTANEOUS click (strictly-after → not counted)
+      (2L, 10L, "a"), (2L, 10L, "b"),
+      // user 3: c then a — enters, never progresses
+      (3L, 1L, "c"), (3L, 2L, "a"),
+      // user 4: no stage-1 event at all → absent from the output
+      (4L, 1L, "b"), (4L, 2L, "c")
+    ).toDF("user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val out = Relational.funnel(df, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) === ((10000000L, 20000000L, 30000000L, 3L)))
+    assert(out(2L) === ((10000000L, 0L, 0L, 1L)), "same-ts event must not advance")
+    assert(out(3L) === ((2000000L, 0L, 0L, 1L)))
+    assert(!out.contains(4L), "non-entrants are excluded")
+  }
+
   test("sessionize plans ONE exchange (both window passes share the user partitioning)") {
     val plan = Relational.sessionize(
       Tables.events(spark, sf("sf0.001")), "user_id", "ts", "event_id", 1800)
