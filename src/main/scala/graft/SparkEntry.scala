@@ -202,6 +202,9 @@ object SparkEntry {
       Relational.funnel(Tables.events(s, dir),
         "user_id", "ts", "event_type", funnelStages)),
 
+    "q_retention" -> ((s, dir) =>
+      Relational.retention(Tables.events(s, dir), "user_id", "ts")),
+
     // ---- batch analytics (SURVEY §2.2: notebook + dmi surface) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -859,6 +862,19 @@ object SparkEntry {
          |FROM f1
          |$joins""".stripMargin
     },
+
+    "q_retention" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id,
+        |         (epoch_ns(ts)//1000) // 604800000000 AS wk
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM b GROUP BY user_id
+        |)
+        |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM b JOIN f USING (user_id)
+        |GROUP BY cohort_wk, wk - cohort_wk""".stripMargin,
 
     // ---- batch analytics ----
     "q_asof_join" ->

@@ -346,6 +346,26 @@ object Relational {
         max(unix_micros(col(tsCol))).as("end_us"))
       .withColumn("dur_us", col("end_us") - col("start_us"))
 
+  /** Weekly retention cohorts: a user's cohort is the epoch week of
+    * their first event; cell (cohort_wk, offset_wk) counts the
+    * cohort's distinct users active that many weeks later (offset 0
+    * row = cohort size, so the retention rate is a self-join away).
+    *
+    * Scale: first-event week is a map-side-combined min-agg on the
+    * user key, the activity join is co-partitioned on that same key,
+    * and the cell rollup is a count-distinct whose expansion is
+    * bounded by (user, week) pairs — already collapsed by the
+    * distinct before the final shuffle. */
+  def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val wk = floor(unix_micros(col(tsCol)) / lit(604800000000L)).cast("long")
+    val base = df.select(col(userCol), wk.as("__wk")).distinct()
+    val first = base.groupBy(userCol).agg(min(col("__wk")).as("cohort_wk"))
+    base.join(first, userCol)
+      .groupBy(col("cohort_wk"),
+        (col("__wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(count(lit(1L)).as("n_active"))
+  }
+
   /** Ordered funnel over an event stream: for stages [s₁..s_k], the
     * earliest completion time of each stage per user, where stage i's
     * event must be STRICTLY after stage i−1's completion. Greedy

@@ -61,6 +61,22 @@ class SessionizeSpec extends SparkSpec {
     assert(!out.contains(4L), "non-entrants are excluded")
   }
 
+  test("retention: cohort = first week, cells count distinct active users per offset") {
+    val s = spark
+    import s.implicits._
+    val wkUs = 604800000000L
+    val df = Seq(
+      (1L, 0L), (1L, 0L), (1L, 1L), (1L, 3L), // dup in week 0 counts once
+      (2L, 1L), (2L, 1L)
+    ).toDF("user_id", "wk")
+      .withColumn("ts", timestamp_micros(col("wk") * wkUs + col("user_id")))
+    val out = Relational.retention(df, "user_id", "ts")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
   test("sessionize plans ONE exchange (both window passes share the user partitioning)") {
     val plan = Relational.sessionize(
       Tables.events(spark, sf("sf0.001")), "user_id", "ts", "event_id", 1800)
