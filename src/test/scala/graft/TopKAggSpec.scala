@@ -61,6 +61,41 @@ class TopKAggSpec extends SparkSpec {
     assert(tu == tu.distinct && tu == tu.sorted.reverse)
   }
 
+  test("BoundedTopK aggregates under Structured Streaming state: windowed stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import java.sql.Timestamp
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def t(x: String) = Timestamp.valueOf(x)
+    val rows = Seq(
+      Ev(t("2024-01-01 10:05:00"), "wind", 1.25, 1),
+      Ev(t("2024-01-01 10:10:00"), "wind", 9.00, 2),
+      Ev(t("2024-01-01 10:20:00"), "wind", 4.50, 3),
+      Ev(t("2024-01-01 10:25:00"), "wind", 7.75, 4),
+      Ev(t("2024-01-01 11:05:00"), "wind", 3.00, 5),
+      Ev(t("2024-01-01 10:30:00"), "sun", 5.50, 6))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(Relational.topK(col("v"), 2).as("top2"))
+      .select(col("window.start").as("ws"), col("k"), col("top2"))
+    val mem = MemoryStream[Ev]
+    mem.addData(rows)
+    val q = agg(mem.toDF.withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = s.table("topk_stream")
+      .as[(Timestamp, String, Seq[Double])].collect().toSet
+    val batch = agg(rows.toDF)
+      .as[(Timestamp, String, Seq[Double])].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the map-side O(k) trim really happened: top2 of the 4-event
+    // window is exactly the two largest, descending
+    assert(streamed.exists(r => r._3 == Seq(9.00, 7.75)))
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val exact = events.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n")).collect()
