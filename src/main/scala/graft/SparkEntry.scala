@@ -205,6 +205,10 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       Relational.retention(Tables.events(s, dir), "user_id", "ts")),
 
+    "q_quantile_bin" -> ((s, dir) =>
+      Relational.quantileBin(Tables.events(s, dir)
+        .select("event_id", "value"), "value", nBins = 8)),
+
     // ---- batch analytics (SURVEY §2.2: notebook + dmi surface) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -307,10 +311,19 @@ object SparkEntry {
           unix_date(to_date(col("l_shipdate"))).cast("long").as("lo"),
           (unix_date(to_date(col("l_shipdate"))).cast("long") +
             col("l_quantity").cast("long")).as("hi"))
-      val hits = Relational.rangeJoin(pts, "p", iv, "lo", "hi", binWidth = 32)
+      // aggregate pushdown THROUGH the range join: points on the same
+      // day are interchangeable for a per-interval count/sum, so
+      // collapse them to day rows before binning (two-level decimal
+      // sums are associative — bit-identical to the flat decimal sum).
+      // The bin join's candidate volume is bins × pointRows ×
+      // intervalRows per bin; collapsing orders → days cuts it ~60×.
+      val dayAgg = pts.groupBy("p").agg(
+        count(lit(1L)).as("n_day"),
+        sum(col("o_totalprice").cast("decimal(30,2)")).as("s_day"))
+      val hits = Relational.rangeJoin(dayAgg, "p", iv, "lo", "hi", binWidth = 32)
         .groupBy("l_orderkey")
-        .agg(count(lit(1L)).as("n_orders"),
-          sumExact(col("o_totalprice"), 2).as("price_sum"))
+        .agg(sum(col("n_day")).as("n_orders"),
+          sum(col("s_day")).cast("double").as("price_sum"))
       iv.select("l_orderkey").join(hits, Seq("l_orderkey"), "left")
         .select(col("l_orderkey"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
@@ -861,6 +874,19 @@ object SparkEntry {
          |       CAST($reached AS BIGINT) AS stages_completed
          |FROM f1
          |$joins""".stripMargin
+    },
+
+    "q_quantile_bin" -> {
+      val ps = (1 until 8).map(i => i / 8.0)
+      val binSum = ps.indices
+        .map(i => s"CAST(value > c[${i + 1}] AS BIGINT)")
+        .reduce((a, x) => s"$a + $x")
+      s"""WITH cuts AS MATERIALIZED (
+         |  SELECT quantile_cont(value, [${ps.mkString(", ")}]) AS c
+         |  FROM events
+         |)
+         |SELECT event_id, value, CAST($binSum AS BIGINT) AS bin
+         |FROM events, cuts""".stripMargin
     },
 
     "q_retention" ->

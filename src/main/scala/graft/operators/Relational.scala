@@ -346,6 +346,26 @@ object Relational {
         max(unix_micros(col(tsCol))).as("end_us"))
       .withColumn("dur_us", col("end_us") - col("start_us"))
 
+  /** Equi-depth (quantile) discretization: bin b(v) = number of the
+    * nBins−1 interpolated-percentile cutpoints strictly below v, so
+    * bins are 0-based and population-balanced. Cutpoints come from
+    * ONE exact-percentile aggregation collected as bounded driver
+    * metadata (nBins−1 doubles — the int8Range budget) and return as
+    * comparison literals, making the binning itself a pure
+    * shuffle-free codegen projection. Spark's exact `percentile`
+    * interpolates identically to DuckDB's `quantile_cont` (proved
+    * bitwise by q_latency_stats), so bins are engine-exact. */
+  def quantileBin(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = df.agg(expr(
+        s"percentile($valueCol, array(${ps.mkString(", ")}))").as("c"))
+      .head().getSeq[Double](0)
+    val bin = cuts.map(c => when(col(valueCol) > c, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn("bin", bin)
+  }
+
   /** Weekly retention cohorts: a user's cohort is the epoch week of
     * their first event; cell (cohort_wk, offset_wk) counts the
     * cohort's distinct users active that many weeks later (offset 0

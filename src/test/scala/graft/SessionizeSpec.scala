@@ -77,6 +77,22 @@ class SessionizeSpec extends SparkSpec {
       (1L, 0L) -> 1L))
   }
 
+  test("quantileBin: population-balanced 0-based bins from exact percentile cutpoints") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 16).map(i => (i.toLong, i.toDouble)).toDF("id", "value")
+      .repartition(5)
+    val out = Relational.quantileBin(df, "value", nBins = 4)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // cutpoints of 1..16 at (.25,.5,.75) interpolate to 4.75/8.5/12.25
+    (1 to 16).foreach { i =>
+      val expect = if (i <= 4) 0L else if (i <= 8) 1L else if (i <= 12) 2L else 3L
+      assert(out(i.toLong) == expect, s"value $i -> bin ${out(i.toLong)}")
+    }
+    assert(out.values.groupBy(identity).values.map(_.size).toSet == Set(4),
+      "equi-depth bins must be balanced")
+  }
+
   test("sessionize plans ONE exchange (both window passes share the user partitioning)") {
     val plan = Relational.sessionize(
       Tables.events(spark, sf("sf0.001")), "user_id", "ts", "event_id", 1800)
