@@ -530,6 +530,16 @@ object SparkEntry {
     "q_span_dedup" -> ((s, dir) =>
       Corpus.spanDedup(Tables.documents(s, dir), "doc_id", "text", k = 10)),
 
+    // k=64 ≥ the 31-word vocab → the Misra-Gries sketch provably
+    // never evicts, so its counts are exact and oracle-able; the
+    // k < distinct regime is spec-bounded instead
+    "q_frequent_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("token"))
+        .agg(Relational.frequentItems(col("token"), 64).as("fi"))
+        .select(explode(col("fi")).as("x"))
+        .select(col("x.item").as("token"), col("x.est").as("est"))),
+
     "q_token_pack" -> ((s, dir) =>
       Corpus.packSequences(Tables.documents(s, dir), "doc_id", "text",
         budget = 2048, shards = 8)),
@@ -1345,6 +1355,12 @@ object SparkEntry {
         |       coalesce(h.shared_ngrams, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+
+    "q_frequent_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS est
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token""".stripMargin,
 
     // String 10-token spans oracle-side vs xxhash64 longs Spark-side
     // (same collision argument as q_contamination).

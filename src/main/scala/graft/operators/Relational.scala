@@ -187,6 +187,17 @@ object Relational {
         graft.functions.ColumnBridge.expression(value), k, distinct = false)
         .toAggregateExpression())
 
+  /** Misra–Gries heavy hitters (bounded-state frequent items): at
+    * most k counters per buffer — O(k) map-side state on an unbounded
+    * item stream, exact when k ≥ |distinct|, guaranteed
+    * ≤ n/(k+1)-undercount otherwise. See
+    * [[graft.functions.FrequentItems]]. */
+  def frequentItems(value: Column, k: Int): Column =
+    graft.functions.ColumnBridge.column(
+      graft.functions.FrequentItems(
+        graft.functions.ColumnBridge.expression(value), k)
+        .toAggregateExpression())
+
   /** ksqlDB's TOPKDISTINCT(col, k) — as [[topK]] over distinct values. */
   def topKDistinct(value: Column, k: Int): Column =
     graft.functions.ColumnBridge.column(

@@ -96,6 +96,45 @@ class TopKAggSpec extends SparkSpec {
     assert(streamed.exists(r => r._3 == Seq(9.00, 7.75)))
   }
 
+  test("FrequentItems is exact (== groupBy count) when k >= distinct, sorted est-desc item-asc") {
+    val s = spark
+    import s.implicits._
+    val toks = events.select(col("event_type").as("t"))
+    val got = toks.agg(Relational.frequentItems(col("t"), 100).as("fi"))
+      .select(explode(col("fi")).as("x"))
+      .select(col("x.item").as("t"), col("x.est"))
+      .as[(String, Long)].collect()
+    val exact = toks.groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(got.toMap == exact)
+    got.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0)._2 > w(1)._2 || (w(0)._2 == w(1)._2 && w(0)._1 < w(1)._1))
+    }
+  }
+
+  test("Misra-Gries bounds at k < distinct: heavy items present, undercount <= n/(k+1)") {
+    val s = spark
+    import s.implicits._
+    // 50 a's + 30 b's + 60 distinct noise items, k = 3: n/(k+1) = 35,
+    // so a (50 > 35) must survive any eviction pattern
+    val data = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ (0 until 60).map(i => f"c$i%02d")
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = data.size
+    for (parts <- Seq(1, 4, 13)) {
+      val out = data.toDF("t").repartition(parts)
+        .agg(Relational.frequentItems(col("t"), 3).as("fi"))
+        .select(explode(col("fi")).as("x"))
+        .select(col("x.item").as("t"), col("x.est"))
+        .as[(String, Long)].collect()
+      assert(out.length <= 3, s"state bound violated at parts=$parts")
+      assert(out.exists(_._1 == "a"), s"guaranteed heavy item evicted at parts=$parts")
+      out.foreach { case (item, est) =>
+        assert(est <= truth(item), s"$item overcounted at parts=$parts")
+        assert(est >= truth(item) - n / (3 + 1), s"$item undercount bound broken at parts=$parts")
+      }
+    }
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val exact = events.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n")).collect()
