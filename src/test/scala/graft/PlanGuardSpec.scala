@@ -62,6 +62,21 @@ class PlanGuardSpec extends SparkSpec {
     Seq("q_winsorize", "q_zscore").foreach { q =>
       assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its stats broadcast:\n${plan(q)}")
     }
+    // the one-pass moment aggregates stay ONE partial+final pair over
+    // one scan — a second Exchange would mean a second pass appeared
+    Seq("q_corr_matrix", "q_embedding_gram", "q_frequent_tokens").foreach { q =>
+      val p = plan(q)
+      assert(p.split("Exchange").length <= 2, s"$q grew a second shuffle:\n$p")
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
+    }
+    // span dedup ships hashed longs, never shingle strings, and
+    // collapses per-(doc,span) before the global count
+    val sd = plan("q_span_dedup")
+    assert(sd.contains("xxhash64") && sd.contains("partial_count"),
+      s"span dedup must collapse hashed spans map-side:\n$sd")
+    // quantize is a pure projection after the driver-side range pass
+    assert(!plan("q_embedding_quantize").contains("Exchange"),
+      s"quantize must be shuffle-free:\n${plan("q_embedding_quantize")}")
   }
 
   test("no query degrades to a cartesian or nested-loop join") {
