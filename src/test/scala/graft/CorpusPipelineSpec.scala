@@ -45,4 +45,27 @@ class CorpusPipelineSpec extends SparkSpec {
     // every packed doc is a clean, kept, train doc
     assert(packed.select("doc_id").except(train.select("doc_id")).isEmpty)
   }
+
+  test("quality-scoring chain: logprob + span-dup profile + quantile bins rank the same docs") {
+    import graft.operators.Relational
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // per-doc scores from three independent signals
+    val lp = Corpus.unigramLogProb(docs, "doc_id", "text")
+    val sd = Corpus.spanDedup(docs, "doc_id", "text", k = 10)
+    val scored = lp.join(sd, "doc_id")
+    assert(scored.count() === docs.count(), "every doc scored by both signals")
+    // discretize the perplexity proxy into deciles for mixing weights
+    val binned = Relational.quantileBin(scored, "nll", nBins = 10)
+    val byBin = binned.groupBy("bin").count().as[(Long, Long)].collect().toMap
+    assert(byBin.keys.max < 10 && byBin.keys.min >= 0)
+    // equi-depth: no decile more than 2× the ideal share (ties allowed)
+    val ideal = docs.count() / 10.0
+    byBin.values.foreach(c => assert(c <= ideal * 2, s"decile of $c vs ideal $ideal"))
+    // weighted sampling by the dup-ratio signal keeps clean docs more
+    val w = lit(1.0) - col("dup_ratio") * 0.9
+    val kept = Corpus.weightedSample(binned.select(col("doc_id"), col("dup_ratio")), "doc_id", w)
+    assert(kept.count() > 0 && kept.count() <= docs.count())
+  }
 }
