@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .toAggregateExpression()))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_frequent_items"),
+      info("graft_frequent_items", "graft_frequent_items(v, k) - aggregate: Misra-Gries heavy hitters, <= k bounded-state counters, array<struct<item,est>> est-desc"),
+      (args: Seq[Expression]) => graft.functions.FrequentItems(args(0),
+        args(1).eval().asInstanceOf[Int])
+        .toAggregateExpression()))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_round"),
       info("graft_round", "graft_round(x, s) - engine-portable round-half-up: floor(x*10^s + 0.5)/10^s (graft.functions.Exact.roundAt)"),
       (args: Seq[Expression]) => {

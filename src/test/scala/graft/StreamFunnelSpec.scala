@@ -43,6 +43,30 @@ class StreamFunnelSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming sessionize drained over the events table == batch sessionize") {
+    import graft.streaming.StreamSessionize
+    import graft.streaming.StreamSessionize.SessEvent
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ev = Tables.events(s, sf("sf0.001"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[SessEvent].collect()
+    val mem = MemoryStream[SessEvent]
+    mem.addData(ev.toSeq)
+    val q = StreamSessionize.sessionize(s, mem.toDS(), maxGapSec = 1800)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = s.table("sess_stream")
+      .select("event_id", "session_idx").as[(Long, Long)].collect()
+    assert(streamed.length == streamed.toSet.size, "each event labeled exactly once")
+    val batch = Relational.sessionize(
+      Tables.events(s, sf("sf0.001")), "user_id", "ts", "event_id", 1800)
+      .select(col("event_id"), col("session_idx")).as[(Long, Long)].collect()
+    assert(streamed.toSet == batch.toSet && batch.nonEmpty)
+  }
+
   test("state persists across micro-batches; in-batch disorder is sorted away") {
     val s = spark
     import s.implicits._

@@ -61,6 +61,20 @@ class TopKAggSpec extends SparkSpec {
     assert(tu == tu.distinct && tu == tu.sorted.reverse)
   }
 
+  test("graft_frequent_items is SQL-callable and exact at k >= distinct") {
+    val s = spark
+    import s.implicits._
+    events.createOrReplaceTempView("ev_fi")
+    val r = s.sql(
+      """SELECT x.item AS t, x.est AS est
+        |FROM (SELECT explode(graft_frequent_items(event_type, 50)) AS x
+        |      FROM ev_fi)""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    val exact = events.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(r == exact)
+  }
+
   test("BoundedTopK aggregates under Structured Streaming state: windowed stream == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
