@@ -209,6 +209,11 @@ object SparkEntry {
       Relational.quantileBin(Tables.events(s, dir)
         .select("event_id", "value"), "value", nBins = 8)),
 
+    "q_top_paths" -> ((s, dir) =>
+      Relational.topPaths(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        maxGapSec = 1800, k = 20)),
+
     // ---- batch analytics (SURVEY §2.2: notebook + dmi surface) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -898,6 +903,31 @@ object SparkEntry {
          |SELECT event_id, value, CAST($binSum AS BIGINT) AS bin
          |FROM events, cuts""".stripMargin
     },
+
+    "q_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts)//1000 AS us FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m
+        |), p AS (
+        |  SELECT user_id, sess,
+        |         string_agg(event_type, '->' ORDER BY us, event_id) AS path
+        |  FROM s GROUP BY user_id, sess
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 20""".stripMargin,
 
     "q_retention" ->
       """WITH b AS (

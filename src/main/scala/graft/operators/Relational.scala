@@ -377,6 +377,30 @@ object Relational {
     df.withColumn("bin", bin)
   }
 
+  /** Path analysis: the k most common within-session event-type
+    * sequences. Builds on [[sessionize]]; each session's path is its
+    * event types joined in (ts, id) order. The per-session collect is
+    * bounded by the session length (the max-gap rule caps it in any
+    * real stream — no unbounded per-key state), path counting is a
+    * map-side-combined agg on the path string, and the final top-k
+    * orders (count desc, path asc) for a deterministic boundary. */
+  def topPaths(df: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String, maxGapSec: Long,
+               k: Int): DataFrame =
+    sessionize(df, userCol, tsCol, idCol, maxGapSec)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(concat_ws("->",
+        transform(
+          array_sort(collect_list(struct(
+            unix_micros(col(tsCol)).as("us"),
+            col(idCol).as("id"),
+            col(typeCol).as("et")))),
+          x => x("et"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1L)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+
   /** Weekly retention cohorts: a user's cohort is the epoch week of
     * their first event; cell (cohort_wk, offset_wk) counts the
     * cohort's distinct users active that many weeks later (offset 0

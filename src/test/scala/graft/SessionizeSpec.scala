@@ -77,6 +77,23 @@ class SessionizeSpec extends SparkSpec {
       (1L, 0L) -> 1L))
   }
 
+  test("topPaths: in-session type sequences in (ts,id) order, deterministic top-k") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 0L, 1L, "a"), (1L, 10L, 2L, "b"),      // session: a->b
+      (1L, 5000L, 3L, "a"), (1L, 5010L, 4L, "b"), // session: a->b
+      (2L, 0L, 5L, "a"), (2L, 10L, 6L, "c"),      // session: a->c
+      (3L, 7L, 7L, "z")                           // session: z
+    ).toDF("user_id", "sec", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val out = Relational.topPaths(df, "user_id", "ts", "event_id", "event_type",
+      maxGapSec = 1800, k = 2)
+      .as[(String, Long)].collect().toSeq
+    // a->b twice; tie between a->c and z broken by path asc
+    assert(out === Seq(("a->b", 2L), ("a->c", 1L)))
+  }
+
   test("quantileBin: population-balanced 0-based bins from exact percentile cutpoints") {
     val s = spark
     import s.implicits._
