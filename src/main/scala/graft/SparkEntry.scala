@@ -214,6 +214,11 @@ object SparkEntry {
         "user_id", "ts", "event_id", "event_type",
         maxGapSec = 1800, k = 20)),
 
+    "q_rolling_anomaly" -> ((s, dir) =>
+      Relational.rollingAnomaly(Tables.events(s, dir),
+        Seq("user_id"), "ts", "value", "event_id",
+        trailingSeconds = 3600, z = 2.0, minN = 5)),
+
     // ---- batch analytics (SURVEY §2.2: notebook + dmi surface) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -903,6 +908,27 @@ object SparkEntry {
          |SELECT event_id, value, CAST($binSum AS BIGINT) AS bin
          |FROM events, cuts""".stripMargin
     },
+
+    // Same RANGE frame + decimal window sums as q_rolling_avg; the
+    // anomaly comparison reuses the identical mean/variance doubles,
+    // so even the boundary booleans match bit-for-bit.
+    "q_rolling_anomaly" ->
+      """SELECT event_id, user_id, value,
+        |       coalesce(floor((s1 / n) * 10000 + 0.5) / 10000, 0.0) AS roll_mean,
+        |       n_int AS n_window,
+        |       (n_int >= 5 AND abs(value - s1 / n)
+        |          > 2.0 * sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))))
+        |         AS is_anomaly
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |         CAST(count(*) OVER w AS DOUBLE) AS n,
+        |         count(*) OVER w AS n_int,
+        |         CAST(sum(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(value * value AS DECIMAL(30,4))) OVER w AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
+        |               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        |)""".stripMargin,
 
     "q_top_paths" ->
       """WITH e AS (

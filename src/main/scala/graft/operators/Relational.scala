@@ -120,6 +120,46 @@ object Relational {
       count(lit(1L)).over(w).as("n_window"): _*)
   }
 
+  /** Rolling z-score anomaly detection: flags a point whose deviation
+    * from the trailing-window mean exceeds `z` sample standard
+    * deviations. The baseline frame is STRICTLY PRIOR (`RANGE …
+    * PRECEDING AND 1 PRECEDING`) — a spike must not inflate its own
+    * baseline, or large outliers mask themselves. Same RANGE-frame
+    * family as [[rollingMean]]; the moment sums use the 128-bit exact
+    * window aggregates so mean/variance — and therefore the boundary
+    * comparison itself — are bit-identical across engines. Baselines
+    * with fewer than `minN` points never flag (a 1-point baseline has
+    * no variance).
+    *
+    * Scale: one shuffle on the key, one ordered frame scan; the two
+    * moment sums ride the same frame. */
+  def rollingAnomaly(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      idCol: String,
+      trailingSeconds: Long,
+      z: Double = 3.0,
+      minN: Long = 5,
+      scale: Int = 2): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-trailingSeconds * 1000000L, -1L)
+    val n = count(lit(1L)).over(w)
+    val s1 = Exact.sumExactOver(col(valueCol), scale, w)
+    val s2 = Exact.sumExactOver(col(valueCol) * col(valueCol), 2 * scale, w)
+    val nD = n.cast("double")
+    val mean = s1 / nD
+    val variance = (nD * s2 - s1 * s1) / (nD * (nD - lit(1.0)))
+    val dev = abs(col(valueCol) - mean)
+    df.select(col(idCol) +: keys.map(col) :+ col(valueCol) :+
+      coalesce(Exact.roundAt(mean, 4), lit(0.0)).as("roll_mean") :+
+      n.as("n_window") :+
+      (n >= minN && dev > lit(z) * sqrt(variance)).as("is_anomaly"): _*)
+  }
+
   /** [[distributionStats]]'s scale path: exact `percentile` buffers
     * every value per group (OOM risk on 100 TB groups);
     * `approx_percentile` (KLL-style sketch) keeps O(1/accuracy) state

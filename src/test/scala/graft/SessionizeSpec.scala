@@ -77,6 +77,31 @@ class SessionizeSpec extends SparkSpec {
       (1L, 0L) -> 1L))
   }
 
+  test("rollingAnomaly flags only a spike after the window has minN points") {
+    val s = spark
+    import s.implicits._
+    // 9 stable points then a spike, 1s apart inside one 3600s window
+    val vals = Seq(10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.2, 9.8, 10.0, 50.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_id", col("sec"))
+    val out = Relational.rollingAnomaly(df, Seq("user_id"), "ts", "value",
+      "event_id", trailingSeconds = 3600, z = 3.0, minN = 5)
+      .select("event_id", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(out(9L), "the spike must flag")
+    (0L to 8L).foreach(i => assert(!out(i), s"stable point $i flagged"))
+    // under minN nothing can flag even with a huge early deviation
+    val early = Seq((1L, 0L, 10.0), (1L, 1L, 500.0))
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_id", col("sec"))
+    val out2 = Relational.rollingAnomaly(early, Seq("user_id"), "ts", "value",
+      "event_id", 3600, z = 3.0, minN = 5)
+      .select("is_anomaly").as[Boolean].collect()
+    assert(out2.forall(!_))
+  }
+
   test("topPaths: in-session type sequences in (ts,id) order, deterministic top-k") {
     val s = spark
     import s.implicits._
