@@ -219,6 +219,10 @@ object SparkEntry {
         Seq("user_id"), "ts", "value", "event_id",
         trailingSeconds = 3600, z = 2.0, minN = 5)),
 
+    "q_quality_checks" -> ((s, dir) =>
+      Relational.qualityChecks(Tables.lineitem(s, dir),
+        qualityRules.map { case (n, p) => n -> expr(p) })),
+
     // ---- batch analytics (SURVEY §2.2: notebook + dmi surface) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -628,6 +632,16 @@ object SparkEntry {
   /** Funnel stages for q_funnel, shared with its generated oracle. */
   private val funnelStages = Seq("view", "click", "purchase")
 
+  /** Quality rules for q_quality_checks — predicates written in the
+    * SQL subset both engines parse identically, so ONE string drives
+    * Spark's `expr` and the generated DuckDB oracle. */
+  private val qualityRules = Seq(
+    "quantity_band" -> "l_quantity BETWEEN 1 AND 50",
+    "price_positive" -> "l_extendedprice > 0",
+    "discount_small" -> "l_discount <= 0.05",
+    "tax_band" -> "l_tax >= 0 AND l_tax <= 0.08",
+    "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')")
+
   // ---- oracle SQL (DuckDB dialect) ----
 
   /** Engine-portable formulas shared by many oracles (see
@@ -907,6 +921,20 @@ object SparkEntry {
          |)
          |SELECT event_id, value, CAST($binSum AS BIGINT) AS bin
          |FROM events, cuts""".stripMargin
+    },
+
+    "q_quality_checks" -> {
+      val branches = qualityRules.map { case (name, pred) =>
+        s"""SELECT '$name' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN coalesce(($pred), false) THEN 0 ELSE 1 END)
+           |            AS BIGINT) AS n_violations
+           |FROM lineitem""".stripMargin
+      }
+      s"""SELECT rule, n_rows, n_violations,
+         |       ${sqlRound4(
+            "CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)")}
+         |         AS violation_rate
+         |FROM (${branches.mkString("\nUNION ALL\n")})""".stripMargin
     },
 
     // Same RANGE frame + decimal window sums as q_rolling_avg; the

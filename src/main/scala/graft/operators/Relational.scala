@@ -498,6 +498,33 @@ object Relational {
         reached.as("stages_completed"): _*)
   }
 
+  /** Data-quality validation (Deequ-style, single pass): evaluate
+    * every (name, predicate) rule as a conditional count in ONE
+    * map-side-combined aggregation over one scan — k rules cost one
+    * pass at any scale — then project the per-rule rows (name, rows
+    * checked, violations, violation rate) as a literal-struct explode
+    * (the [[corrMatrix]] shape). NULL predicate results count as
+    * violations: an unknown is not a pass. */
+  def qualityChecks(df: DataFrame,
+                    rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = count(lit(1L)).as("__n") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$i")
+      }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val cells = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(
+        lit(name).as("rule"),
+        col("__n").as("n_rows"),
+        col(s"__v_$i").as("n_violations"),
+        Exact.roundAt(
+          col(s"__v_$i").cast("double") / col("__n").cast("double"), 4)
+          .as("violation_rate"))
+    }
+    stats.select(explode(array(cells: _*)).as("c")).select(col("c.*"))
+  }
+
   /** Point-in-interval (range) join WITHOUT a nested loop. Spark
     * plans a bare `p BETWEEN lo AND hi` join condition as
     * BroadcastNestedLoopJoin — O(|points|·|intervals|) comparisons,

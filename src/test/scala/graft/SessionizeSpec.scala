@@ -77,6 +77,27 @@ class SessionizeSpec extends SparkSpec {
       (1L, 0L) -> 1L))
   }
 
+  test("qualityChecks: one pass, NULL predicate counts as violation, exact rates") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (60L, "ok"), (null, "ok"), (5L, "bad")
+    ).toDF("qty", "flag")
+    val out = Relational.qualityChecks(df, Seq(
+      "qty_band" -> col("qty").between(1, 50),
+      "flag_ok" -> (col("flag") === "ok")))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // 60 violates, NULL is a violation (unknown is not a pass)
+    assert(out("qty_band") === ((4L, 2L, 0.5)))
+    assert(out("flag_ok") === ((4L, 1L, 0.25)))
+    // single aggregation pass: one partial+final pair, <= 1 exchange
+    val plan = Relational.qualityChecks(df, Seq("a" -> col("qty").isNotNull))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length <= 2 && plan.contains("partial_"),
+      s"qualityChecks grew a second pass:\n$plan")
+  }
+
   test("rollingAnomaly flags only a spike after the window has minN points") {
     val s = spark
     import s.implicits._
