@@ -442,6 +442,10 @@ object SparkEntry {
     "q_embedding_gram" -> ((s, dir) =>
       Similarity.gramMatrix(Tables.embeddings(s, dir), "embedding", dim = 64)),
 
+    "q_nearest_centroid" -> ((s, dir) =>
+      Similarity.nearestCentroid(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", dim = 64)),
+
     // codes emitted as compact int-JSON — the harness can't hash list
     // cells, and integer JSON prints identically across engines
     "q_embedding_quantize" -> ((s, dir) =>
@@ -1234,6 +1238,39 @@ object SparkEntry {
         |SELECT CAST(ii - 1 AS BIGINT) AS i, CAST(jj - 1 AS BIGINT) AS j,
         |       CAST(s AS DOUBLE) AS gram_v
         |FROM cells""".stripMargin,
+
+    // Centroids = decimal-sum means per label; assignment = argmax
+    // cosine, ties to the smallest label (row_number mirror of the
+    // Spark array_max over (cos, -label)).
+    "q_nearest_centroid" -> {
+      val dot = "list_reduce(list_transform(list_zip(e.embedding, c.cv), " +
+        "x -> CAST(x[1] AS DOUBLE) * x[2]), (acc, v) -> acc + v)"
+      val na = "list_reduce(list_transform(e.embedding, " +
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, v) -> acc + v)"
+      val nb = "list_reduce(list_transform(c.cv, v -> v * v), (acc, v) -> acc + v)"
+      s"""WITH cent AS (
+         |  SELECT label, t.i AS i,
+         |         CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(30,9)))
+         |              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+         |  FROM embeddings, range(1, 65) t(i)
+         |  GROUP BY label, t.i
+         |), centv AS (
+         |  SELECT label AS clbl, list(c ORDER BY i) AS cv
+         |  FROM cent GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.label, c.clbl,
+         |         $dot / (sqrt($na) * sqrt($nb)) AS cos
+         |  FROM embeddings e CROSS JOIN centv c
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cos DESC, clbl) AS rk
+         |  FROM scored
+         |)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |       CAST(clbl AS BIGINT) AS pred_label,
+         |       ${sqlRound4("cos")} AS cos
+         |FROM r WHERE rk = 1""".stripMargin
+    },
 
     // Same linear map + floor(q + 0.5) rounding as quantizeInt8 —
     // double IEEE ops in the same order on both engines → same ints.

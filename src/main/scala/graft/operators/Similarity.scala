@@ -326,6 +326,40 @@ object Similarity {
         pmod(col("pos"), lit(dim)).cast("long").as("j"),
         col("col").as("gram_v"))
 
+  /** Nearest-centroid classification: per-label mean embeddings from
+    * one exact aggregation pass (64 ExactSum128 cells per label,
+    * map-side combined; the label-count table is bounded driver
+    * metadata like the IVF centroids), then every vector is assigned
+    * the argmax-cosine centroid — ties to the smallest label — as a
+    * pure shuffle-free projection via `array_max` over (cos, −label)
+    * structs, no per-vector window or join. Deterministic and
+    * engine-exact: centroids are decimal-sum means, cosine is the
+    * proven sequential fold. */
+  def nearestCentroid(df: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, dim: Int,
+                      scale: Int = 9): DataFrame = {
+    val sums = (0 until dim).map(i =>
+      graft.functions.Exact.sumExact(
+        element_at(col(vecCol), i + 1).cast("double"), scale).as(s"s_$i"))
+    val aggs = count(lit(1L)).cast("double").as("__n") +: sums
+    val cents = df.groupBy(col(labelCol).as("__lbl"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+      .map { r =>
+        val n = r.getDouble(1)
+        (r.getInt(0).toLong, Array.tabulate(dim)(i => r.getDouble(i + 2) / n))
+      }.sortBy(_._1)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val scored = cents.map { case (lbl, cv) =>
+      struct(
+        Vectors.cosine(vecD, array(cv.map(lit(_)): _*)).as("cos"),
+        lit(-lbl).as("neg"))
+    }
+    val best = array_max(array(scored.toIndexedSeq: _*))
+    df.select(col(idCol), col(labelCol).cast("long").as("label"),
+      (best("neg") * lit(-1L)).as("pred_label"),
+      graft.functions.Exact.roundAt(best("cos"), 4).as("cos"))
+  }
+
   /** Per-dimension (min, max) of a vector column — ONE aggregation
     * pass (2·d agg cells, no shuffle of vector rows beyond the
     * partial-agg collapse), collected as bounded driver metadata like

@@ -61,6 +61,30 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("nearestCentroid: planted geometry classifies correctly, ties to smallest label") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 7),  // label 7 cluster on the x axis
+      (2L, Array(0.9f, 0.1f), 7),
+      (3L, Array(0.0f, 1.0f), 2),  // label 2 cluster on the y axis
+      (4L, Array(0.1f, 0.9f), 2),
+      (5L, Array(0.8f, 0.2f), 7)   // clearly x-ish
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearestCentroid(df, "vec_id", "embedding", "label", dim = 2)
+      .select("vec_id", "pred_label").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 7L && out(2L) == 7L && out(5L) == 7L)
+    assert(out(3L) == 2L && out(4L) == 2L)
+    // identical centroids force an exact cosine tie → smallest label wins
+    val tied = Seq(
+      (1L, Array(1.0f, 0.0f), 5),
+      (2L, Array(1.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val tiedOut = Similarity.nearestCentroid(tied, "vec_id", "embedding", "label", dim = 2)
+      .select("pred_label").as[Long].collect()
+    assert(tiedOut.forall(_ == 3L))
+  }
+
   test("pca is bit-deterministic across partitionings") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     def run(df: org.apache.spark.sql.DataFrame) =
