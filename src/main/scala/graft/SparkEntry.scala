@@ -223,6 +223,11 @@ object SparkEntry {
       Relational.qualityChecks(Tables.lineitem(s, dir),
         qualityRules.map { case (n, p) => n -> expr(p) })),
 
+    "q_pattern_search" -> ((s, dir) =>
+      Relational.patternSearch(Tables.events(s, dir),
+        Seq("user_id"), "ts", "event_id", "value",
+        patternShape, k = patternK)),
+
     // ---- batch analytics (SURVEY §2.2: notebook + dmi surface) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -636,6 +641,11 @@ object SparkEntry {
   /** Funnel stages for q_funnel, shared with its generated oracle. */
   private val funnelStages = Seq("view", "click", "purchase")
 
+  /** Query shape for q_pattern_search (z-normalized before use), and
+    * its window length/top-k — shared with the generated oracle. */
+  private val patternShape = Seq(1.0, 1.0, 2.0, 4.0, 2.0, 1.0)
+  private val patternK = 25
+
   /** Quality rules for q_quality_checks — predicates written in the
     * SQL subset both engines parse identically, so ONE string drives
     * Spark's `expr` and the generated DuckDB oracle. */
@@ -925,6 +935,47 @@ object SparkEntry {
          |)
          |SELECT event_id, value, CAST($binSum AS BIGINT) AS bin
          |FROM events, cuts""".stripMargin
+    },
+
+    // Same sequential folds as the Spark HOFs (both sums start at an
+    // additive identity, so DuckDB's first-element seed is harmless).
+    "q_pattern_search" -> {
+      val m = patternShape.length
+      val qMean = patternShape.sum / m
+      val qStd = math.sqrt(
+        patternShape.map(x => (x - qMean) * (x - qMean)).sum / m)
+      val qz = patternShape.map(x => (x - qMean) / qStd)
+      val qLit = s"[${qz.mkString(", ")}]"
+      val d = "((p[1] - mu) / sqrt(var) - p[2])"
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_ns(ts)//1000 AS us
+         |  FROM events
+         |), win AS (
+         |  SELECT user_id, event_id,
+         |         list(CAST(value AS DOUBLE)) OVER (
+         |           PARTITION BY user_id ORDER BY us, event_id
+         |           ROWS BETWEEN ${m - 1} PRECEDING AND CURRENT ROW) AS w
+         |  FROM e
+         |), f AS (
+         |  SELECT user_id, event_id, w,
+         |         list_reduce(w, (a, x) -> a + x) / $m.0 AS mu
+         |  FROM win WHERE len(w) = $m
+         |), g AS (
+         |  SELECT *, list_reduce(list_transform(w, x -> (x - mu) * (x - mu)),
+         |              (a, x) -> a + x) / $m.0 AS var
+         |  FROM f
+         |), h AS (
+         |  SELECT user_id, event_id,
+         |         sqrt(list_reduce(
+         |           list_transform(list_zip(w, $qLit), p -> $d * $d),
+         |           (a, x) -> a + x)) AS dist0
+         |  FROM g WHERE var > 0.0
+         |)
+         |SELECT user_id, event_id,
+         |       floor(dist0 * 10000 + 0.5) / 10000 AS dist
+         |FROM h
+         |ORDER BY dist, user_id, event_id
+         |LIMIT $patternK""".stripMargin
     },
 
     "q_quality_checks" -> {

@@ -498,6 +498,53 @@ object Relational {
         reached.as("stages_completed"): _*)
   }
 
+  /** Time-series subsequence search: for every length-m window ending
+    * at each event (per key, (ts, id) order), the z-normalized
+    * Euclidean distance to a query pattern; returns the k closest
+    * windows corpus-wide (deterministic (dist, key, id) tie-break).
+    * Constant windows (σ = 0) carry no shape and are excluded.
+    *
+    * Scale: the sliding window is a ROWS frame of exactly m values —
+    * O(m) state per row, never a per-key collect; the z-normalized
+    * pattern is a broadcast literal; distance is a sequential
+    * zip-fold (engine-mirrorable); the final top-k is a TakeOrdered,
+    * not a global sort. */
+  def patternSearch(df: DataFrame, keys: Seq[String], tsCol: String,
+                    idCol: String, valueCol: String,
+                    pattern: Seq[Double], k: Int): DataFrame = {
+    val m = pattern.length
+    require(m >= 2, "pattern needs at least 2 points")
+    val qMean = pattern.sum / m
+    val qStd = math.sqrt(pattern.map(x => (x - qMean) * (x - qMean)).sum / m)
+    require(qStd > 0, "constant pattern has no shape")
+    val qz = pattern.map(x => (x - qMean) / qStd)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(m - 1), Window.currentRow)
+    val withWin = df
+      .withColumn("__win", collect_list(col(valueCol).cast("double")).over(w))
+      .filter(size(col("__win")) === m)
+      .withColumn("__mu",
+        aggregate(col("__win"), lit(0.0), (a, x) => a + x) / lit(m.toDouble))
+      .withColumn("__var",
+        aggregate(col("__win"), lit(0.0),
+          (a, x) => a + (x - col("__mu")) * (x - col("__mu"))) / lit(m.toDouble))
+      .filter(col("__var") > 0.0)
+      .withColumn("__sd", sqrt(col("__var")))
+    val qLit = array(qz.map(lit(_)): _*)
+    val dist = sqrt(aggregate(
+      zip_with(col("__win"), qLit, (x, q) => {
+        val d = (x - col("__mu")) / col("__sd") - q
+        d * d
+      }),
+      lit(0.0), (a, x) => a + x))
+    withWin
+      .select(keys.map(col) :+ col(idCol) :+
+        Exact.roundAt(dist, 4).as("dist"): _*)
+      .orderBy(col("dist") +: keys.map(col) :+ col(idCol): _*)
+      .limit(k)
+  }
+
   /** Data-quality validation (Deequ-style, single pass): evaluate
     * every (name, predicate) rule as a conditional count in ONE
     * map-side-combined aggregation over one scan — k rules cost one

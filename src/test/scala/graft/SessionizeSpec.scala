@@ -77,6 +77,28 @@ class SessionizeSpec extends SparkSpec {
       (1L, 0L) -> 1L))
   }
 
+  test("patternSearch: scaled+shifted pattern copy scores dist 0, constants excluded") {
+    val s = spark
+    import s.implicits._
+    val pattern = Seq(1.0, 1.0, 2.0, 4.0, 2.0, 1.0)
+    // user 1 carries 2*pattern+10 at positions 4..9 (z-norm invariant
+    // to affine maps → exact 0 distance); user 2 is constant
+    val u1 = Seq(5.0, 7.0, 6.0, 5.5) ++ pattern.map(2 * _ + 10) ++ Seq(6.0, 5.0)
+    val rows =
+      u1.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) } ++
+        (0 until 8).map(i => (2L, i.toLong, 3.0))
+    val df = rows.toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_id", col("sec"))
+    val out = Relational.patternSearch(df, Seq("user_id"), "ts", "event_id",
+      "value", pattern, k = 3)
+      .as[(Long, Long, Double)].collect()
+    // best hit: the window ENDING at the copy's last point (sec 9)
+    assert(out.head === ((1L, 9L, 0.0)))
+    assert(out.forall(_._1 == 1L), "constant series must never match")
+    assert(out.tail.forall(_._3 > 0.0))
+  }
+
   test("qualityChecks: one pass, NULL predicate counts as violation, exact rates") {
     val s = spark
     import s.implicits._
