@@ -593,13 +593,21 @@ object Relational {
     * hash join after the rewrite. */
   def rangeJoin(points: DataFrame, pointCol: String,
                 intervals: DataFrame, loCol: String, hiCol: String,
-                binWidth: Long): DataFrame = {
+                binWidth: Long, maxBinsPerInterval: Long = 10000): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    val loBin = floor(col(loCol) / binWidth)
+    val hiBin = floor(col(hiCol) / binWidth)
     val binned = intervals
       .filter(col(hiCol) >= col(loCol))
-      .withColumn("__bin",
-        explode(sequence(floor(col(loCol) / binWidth),
-          floor(col(hiCol) / binWidth))))
+      // a pathologically wide interval must fail loud, not OOM the
+      // executor materializing its bin sequence — raise binWidth
+      .withColumn("__bin", explode(
+        when(hiBin - loBin >= maxBinsPerInterval,
+          raise_error(concat(lit(s"rangeJoin: interval spans >= " +
+            s"$maxBinsPerInterval bins at binWidth=$binWidth; " +
+            "raise binWidth or maxBinsPerInterval (lo="),
+            col(loCol), lit(", hi="), col(hiCol), lit(")"))))
+          .otherwise(sequence(loBin, hiBin))))
     points
       .withColumn("__bin", floor(col(pointCol) / binWidth))
       .join(binned, "__bin")

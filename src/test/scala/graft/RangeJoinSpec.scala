@@ -28,6 +28,24 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("pathologically wide intervals fail loud instead of exploding") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    val iv = Seq((7L, 0L, 100000000L)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      Relational.rangeJoin(pts, "p", iv, "lo", "hi", binWidth = 2, maxBinsPerInterval = 1000)
+        .collect()
+    }
+    assert(e.getMessage != null && e.toString.contains("rangeJoin") ||
+      Option(e.getCause).exists(_.toString.contains("rangeJoin")),
+      s"expected the rangeJoin guard, got $e")
+    // and the same interval passes with a wide-enough bin
+    val ok = Relational.rangeJoin(pts, "p", iv, "lo", "hi",
+      binWidth = 1000000L, maxBinsPerInterval = 1000)
+    assert(ok.count() == 1)
+  }
+
   test("range join boundaries are inclusive and the plan is a hash join, not NLJ") {
     val s = spark
     import s.implicits._
