@@ -228,6 +228,14 @@ object SparkEntry {
         Seq("user_id"), "ts", "event_id", "value",
         patternShape, k = patternK)),
 
+    // SCD2 over the per-user value stream: each event is a version
+    // valid until the user's next event
+    "q_scd2" -> ((s, dir) =>
+      graft.sources.Cdc.scd2(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("value"), unix_micros(col("ts")).as("seq")),
+        keyCols = Seq("user_id"), seqCol = "seq")),
+
     // ---- batch analytics (SURVEY §2.2: notebook + dmi surface) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -936,6 +944,14 @@ object SparkEntry {
          |SELECT event_id, value, CAST($binSum AS BIGINT) AS bin
          |FROM events, cuts""".stripMargin
     },
+
+    "q_scd2" ->
+      """SELECT user_id, event_id, value, us AS seq,
+        |       us AS valid_from,
+        |       coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us),
+        |                9223372036854775807) AS valid_to
+        |FROM (SELECT user_id, event_id, value,
+        |             epoch_ns(ts)//1000 AS us FROM events)""".stripMargin,
 
     // Same sequential folds as the Spark HOFs (both sums start at an
     // additive identity, so DuckDB's first-element seed is harmless).

@@ -25,6 +25,26 @@ import org.apache.spark.sql.functions._
   * partitions the gigabyte lands in. */
 object Cdc {
 
+  /** SCD-type-2 history from a changelog: every change row becomes a
+    * version valid over [its sequence, next sequence for the key) —
+    * the open current version carries Long.MaxValue. Delete rows
+    * close their predecessor's validity (they bound the lead) but
+    * emit no version themselves.
+    *
+    * Scale: one key-partition window (lead) — a single shuffle, O(1)
+    * state per key during the scan. */
+  def scd2(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+           opCol: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    val versioned = changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to",
+        coalesce(lead(col(seqCol), 1).over(w), lit(Long.MaxValue)))
+    opCol.map(oc => versioned.filter(col(oc) =!= "d").drop(oc))
+      .getOrElse(versioned)
+  }
+
   def applyChanges(
       spark: SparkSession,
       tableDir: String,

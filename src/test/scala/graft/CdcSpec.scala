@@ -12,6 +12,24 @@ class CdcSpec extends SparkSpec {
       .map(f => f.getName + ":" + f.lastModified()).toSet
   }
 
+  test("scd2: versions span [seq, next seq); deletes close validity but emit nothing") {
+    val s = spark
+    import s.implicits._
+    val changes = Seq(
+      (1L, "v1", "u", 10L),
+      (1L, "v2", "u", 20L),
+      (1L, "v2", "d", 30L), // closes v2 at 30, key has no current row
+      (2L, "w1", "u", 5L)   // open current version
+    ).toDF("id", "v", "op", "seq")
+    val out = Cdc.scd2(changes, Seq("id"), "seq", opCol = Some("op"))
+      .select("id", "v", "valid_from", "valid_to")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "v1", 10L, 20L),
+      (1L, "v2", 20L, 30L),
+      (2L, "w1", 5L, Long.MaxValue)))
+  }
+
   test("CDC apply: merges only touched partitions, last-writer-wins incl. deletes") {
     val s = spark
     import s.implicits._
