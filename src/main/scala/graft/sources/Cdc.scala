@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
   * merge is one per-key max_by over (existing ∪ changes) co-shuffled
   * on the key; the write replaces only touched partition directories.
   * A 100 TB table with a 1 GB change batch reads/writes only the
-  * partitions the gigabyte lands in. */
+  * partitions the gigabyte lands in.
+  *
+  * Contract: the partition column must be IMMUTABLE per key — a key
+  * that "moves" partitions would leave its old row stranded in a
+  * partition this batch never reads. [[applyChanges]] validates the
+  * violations it can see (a key with two distinct partition values
+  * within existing-touched ∪ batch) and rejects the batch; a move
+  * whose old partition is untouched by the batch is undetectable
+  * without a full table scan, hence the contract. */
 object Cdc {
 
   /** SCD-type-2 history from a changelog: every change row becomes a
@@ -32,11 +40,19 @@ object Cdc {
     * emit no version themselves.
     *
     * Scale: one key-partition window (lead) — a single shuffle, O(1)
-    * state per key during the scan. */
+    * state per key during the scan.
+    *
+    * Ordering must be total per key: if a key can carry duplicate
+    * sequences (e.g. several columns changed in one transaction LSN),
+    * pass `tieBreak` columns that make (seqCol, tieBreak...) unique —
+    * otherwise lead() over the tied rows is nondeterministic and
+    * valid_from/valid_to can differ run to run. */
   def scd2(changes: DataFrame, keyCols: Seq[String], seqCol: String,
-           opCol: Option[String] = None): DataFrame = {
+           opCol: Option[String] = None,
+           tieBreak: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((seqCol +: tieBreak).map(col): _*)
     val versioned = changes
       .withColumn("valid_from", col(seqCol))
       .withColumn("valid_to",
@@ -58,31 +74,78 @@ object Cdc {
     val touched = changes.select(partCol).distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
 
-    val existing = spark.read.parquet(tableDir)
-      .filter(col(partCol).isin(touched: _*))
-      .select(dataCols.map(col) :+ lit("u").as(opCol) :+
-        lit(Long.MinValue).as(seqCol): _*)
-    val merged = existing
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+
+    // Bootstrap: a first batch against a not-yet-existing table has no
+    // existing side — the merge below still runs (within-batch LWW and
+    // delete suppression apply to the batch itself).
+    val existing =
+      if (fs.exists(tablePath))
+        spark.read.parquet(tableDir)
+          .filter(col(partCol).isin(touched: _*))
+          .select(dataCols.map(col) :+ lit("u").as(opCol) :+
+            lit(Long.MinValue).as(seqCol): _*)
+      else
+        changes.filter(lit(false))
+          .select(dataCols.map(col) :+ lit("u").as(opCol) :+
+            lit(Long.MinValue).as(seqCol): _*)
+
+    val unioned = existing
       .unionByName(changes.filter(col(partCol).isin(touched: _*))
         .select(dataCols.map(col) :+ col(opCol) :+ col(seqCol): _*))
-      .groupBy(keyCols.map(col): _*)
-      .agg(
-        max_by(struct((dataCols.filterNot(keyCols.contains).map(col) :+
-          col(opCol)).map(c => c): _*),
-          struct(col(seqCol), col(opCol))).as("__w"))
-      .select(keyCols.map(col) ++
-        dataCols.filterNot(keyCols.contains).map(c => col(s"__w.$c")) :+
-        col(s"__w.$opCol"): _*)
-      .filter(col(opCol) =!= "d")
-      .select(dataCols.map(col): _*)
+      .persist()
+    try {
+      // Visible slice of the immutable-partition contract: a key seen
+      // with two partition values inside the touched set is a moved
+      // key and would end up duplicated — reject the batch.
+      val moved = unioned
+        .groupBy(keyCols.map(col): _*)
+        .agg(countDistinct(col(partCol)).as("__np"))
+        .filter(col("__np") > 1)
+        .limit(1).collect()
+      require(moved.isEmpty, s"key ${moved.headOption.map(_.toString).getOrElse("")} " +
+        s"changes its $partCol value within this batch; the partition column " +
+        "must be immutable per key (see Cdc contract)")
 
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      merged.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+      val merged = unioned
+        .groupBy(keyCols.map(col): _*)
+        .agg(
+          max_by(struct((dataCols.filterNot(keyCols.contains).map(col) :+
+            col(opCol)).map(c => c): _*),
+            struct(col(seqCol), col(opCol))).as("__w"))
+        .select(keyCols.map(col) ++
+          dataCols.filterNot(keyCols.contains).map(c => col(s"__w.$c")) :+
+          col(s"__w.$opCol"): _*)
+        .filter(col(opCol) =!= "d")
+        .select(dataCols.map(col): _*)
+        .persist()
+
+      // Dynamic partition overwrite replaces only partitions PRESENT in
+      // the written data — a touched partition whose rows were all
+      // deleted contributes nothing to `merged` and would survive
+      // stale. Find those survivors-of-nothing first, then drop their
+      // directories after the write succeeds.
+      val kept = merged.select(partCol).distinct().collect().map(_.get(0)).toSet
+      val emptied = touched.filterNot(kept.contains)
+
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        merged.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
+      finally {
+        merged.unpersist()
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      emptied.foreach { v =>
+        val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partCol, if (v == null) null else v.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(tablePath, dirName), true)
+      }
+    } finally unioned.unpersist()
   }
 }

@@ -55,8 +55,14 @@ object Layout {
 
   /** Compact a parquet directory to ~`targetRows` rows per file —
     * the streaming-sink small-file repair step. Rewrites into a
-    * temporary sibling then swaps, so a crash mid-compaction never
-    * leaves the source half-deleted. */
+    * temporary sibling, verifies the copy, then swaps via
+    * rename-aside → rename-in → drop-aside, so at every instant a
+    * complete copy of the data exists at or next to `path` (a crash
+    * between the two renames leaves the data at `path__compact_old`;
+    * re-running after moving it back, or reading it directly,
+    * recovers everything). On a POSIX/HDFS filesystem each rename is
+    * atomic; object stores emulate rename as copy+delete, so there
+    * the swap is crash-safe but not atomic to concurrent readers. */
   def compact(spark: SparkSession, path: String, targetRows: Long): Long = {
     val df = spark.read.parquet(path)
     val n = df.count()
@@ -69,8 +75,12 @@ object Layout {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val aside = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
+    fs.delete(aside, true) // stale aside from a prior crashed run
+    require(fs.rename(dst, aside), s"compact: could not move $dst aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compact: could not move $tmp into place; original data is at $aside")
+    fs.delete(aside, true)
     n
   }
 }

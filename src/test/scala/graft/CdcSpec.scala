@@ -30,6 +30,28 @@ class CdcSpec extends SparkSpec {
       (2L, "w1", 5L, Long.MaxValue)))
   }
 
+  test("scd2: duplicate sequences order deterministically through tieBreak") {
+    val s = spark
+    import s.implicits._
+    // two rows share (id=1, seq=10); tieBreak on v makes the order total
+    val changes = Seq(
+      (1L, "a", "u", 10L),
+      (1L, "b", "u", 10L),
+      (1L, "c", "u", 20L)
+    ).toDF("id", "v", "op", "seq")
+    val expect = Set(
+      (1L, "a", 10L, 10L),          // a < b at equal seq
+      (1L, "b", 10L, 20L),
+      (1L, "c", 20L, Long.MaxValue))
+    (1 to 3).foreach { _ =>
+      val out = Cdc.scd2(changes.repartition(7), Seq("id"), "seq",
+        opCol = Some("op"), tieBreak = Seq("v"))
+        .select("id", "v", "valid_from", "valid_to")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(out == expect)
+    }
+  }
+
   test("CDC apply: merges only touched partitions, last-writer-wins incl. deletes") {
     val s = spark
     import s.implicits._
@@ -66,5 +88,68 @@ class CdcSpec extends SparkSpec {
     Cdc.applyChanges(s, dir, changes, Seq("id"), "part")
     assert(s.read.parquet(dir).select("id", "v", "part")
       .as[(Long, String, String)].collect().toSet == after)
+  }
+
+  test("CDC apply: a batch that deletes every row of a partition removes the partition") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
+    Seq((1L, "a1", "p0"), (2L, "a2", "p1"), (3L, "a3", "p1"))
+      .toDF("id", "v", "part").write.partitionBy("part").parquet(dir)
+
+    // empty p1 entirely; touch p0 with an update so the batch is mixed
+    val changes = Seq(
+      (2L, "a2", "p1", "d", 1L),
+      (3L, "a3", "p1", "d", 2L),
+      (1L, "a1-new", "p0", "u", 3L)
+    ).toDF("id", "v", "part", "op", "seq")
+    Cdc.applyChanges(s, dir, changes, Seq("id"), "part")
+
+    assert(s.read.parquet(dir).select("id", "v", "part")
+      .as[(Long, String, String)].collect().toSet == Set((1L, "a1-new", "p0")))
+    assert(!new java.io.File(s"$dir/part=p1").exists(),
+      "fully-deleted partition directory must be dropped, not left stale")
+    // a batch that empties EVERY touched partition (nothing written) still cleans up
+    Cdc.applyChanges(s, dir,
+      Seq((1L, "a1-new", "p0", "d", 4L)).toDF("id", "v", "part", "op", "seq"),
+      Seq("id"), "part")
+    assert(!new java.io.File(s"$dir/part=p0").exists())
+    // table is now empty: no partition directories (an empty parquet dir
+    // has no footer to infer a schema from, so we assert on the files)
+    assert(new java.io.File(dir).listFiles().forall(!_.getName.startsWith("part=")))
+  }
+
+  test("CDC apply: bootstraps a not-yet-existing table from the first batch") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString + "/fresh"
+    val changes = Seq(
+      (1L, "x0", "p0", "u", 1L),
+      (1L, "x1", "p0", "u", 2L), // within-batch LWW still applies
+      (2L, "y", "p1", "u", 3L),
+      (3L, "z", "p1", "d", 4L)   // delete of a never-seen key: no row
+    ).toDF("id", "v", "part", "op", "seq")
+    Cdc.applyChanges(s, dir, changes, Seq("id"), "part")
+    assert(s.read.parquet(dir).select("id", "v", "part")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "x1", "p0"), (2L, "y", "p1")))
+  }
+
+  test("CDC apply: rejects a batch where a key changes its partition value") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
+    Seq((1L, "a1", "p0")).toDF("id", "v", "part")
+      .write.partitionBy("part").parquet(dir)
+    val moved = Seq((1L, "a1-moved", "p1", "u", 1L))
+      .toDF("id", "v", "part", "op", "seq")
+    val e = intercept[IllegalArgumentException] {
+      // key 1 exists in p0; this batch also touches p0 so the move is visible
+      Cdc.applyChanges(s, dir,
+        moved.union(Seq((9L, "n", "p0", "u", 2L))
+          .toDF("id", "v", "part", "op", "seq")),
+        Seq("id"), "part")
+    }
+    assert(e.getMessage.contains("immutable"))
   }
 }
