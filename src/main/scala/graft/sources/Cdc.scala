@@ -73,18 +73,31 @@ object Cdc {
     require(dataCols.contains(partCol), s"changes must carry $partCol")
     val touched = changes.select(partCol).distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
+    // Null partition values are first-class (they land in Spark's
+    // __HIVE_DEFAULT_PARTITION__ directory), but `isin` is three-valued
+    // — NULL IN (...) is NULL, never true — so every touched-membership
+    // filter must carry an explicit isNull branch or null-partition
+    // rows silently vanish from the merge.
+    val touchedNonNull = touched.filter(_ != null)
+    val touchedHasNull = touched.contains(null)
+    def inTouched(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val nonNullHit =
+        if (touchedNonNull.isEmpty) lit(false) else c.isin(touchedNonNull: _*)
+      if (touchedHasNull) nonNullHit || c.isNull else nonNullHit
+    }
 
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
     val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+    val tableExisted = fs.exists(tablePath)
 
     // Bootstrap: a first batch against a not-yet-existing table has no
     // existing side — the merge below still runs (within-batch LWW and
     // delete suppression apply to the batch itself).
     val existing =
-      if (fs.exists(tablePath))
+      if (tableExisted)
         spark.read.parquet(tableDir)
-          .filter(col(partCol).isin(touched: _*))
+          .filter(inTouched(col(partCol)))
           .select(dataCols.map(col) :+ lit("u").as(opCol) :+
             lit(Long.MinValue).as(seqCol): _*)
       else
@@ -93,16 +106,20 @@ object Cdc {
             lit(Long.MinValue).as(seqCol): _*)
 
     val unioned = existing
-      .unionByName(changes.filter(col(partCol).isin(touched: _*))
+      .unionByName(changes.filter(inTouched(col(partCol)))
         .select(dataCols.map(col) :+ col(opCol) :+ col(seqCol): _*))
       .persist()
     try {
       // Visible slice of the immutable-partition contract: a key seen
       // with two partition values inside the touched set is a moved
       // key and would end up duplicated — reject the batch.
+      // countDistinct skips nulls, so the null partition is counted as
+      // one extra distinct value explicitly — a key moving between the
+      // null partition and a real one is as moved as any other.
       val moved = unioned
         .groupBy(keyCols.map(col): _*)
-        .agg(countDistinct(col(partCol)).as("__np"))
+        .agg((countDistinct(col(partCol)) +
+          max(when(col(partCol).isNull, 1).otherwise(0))).as("__np"))
         .filter(col("__np") > 1)
         .limit(1).collect()
       require(moved.isEmpty, s"key ${moved.headOption.map(_.toString).getOrElse("")} " +
@@ -141,10 +158,22 @@ object Cdc {
           case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
       }
-      emptied.foreach { v =>
+      // An emptied partition had rows before this batch, so its
+      // directory MUST exist (unless this batch bootstrapped the
+      // table); a miss means the `v.toString` rendering disagrees with
+      // Spark's on-disk partition-path format for this column type —
+      // fail loudly instead of silently leaving the stale partition
+      // alive (string/date/numeric render identically; exotic types
+      // like timestamp may not).
+      if (tableExisted) emptied.foreach { v =>
         val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .getPartitionPathString(partCol, if (v == null) null else v.toString)
-        fs.delete(new org.apache.hadoop.fs.Path(tablePath, dirName), true)
+        val p = new org.apache.hadoop.fs.Path(tablePath, dirName)
+        require(fs.exists(p),
+          s"emptied partition $partCol=$v resolved to missing path $p; " +
+            "partition-path rendering for this column type disagrees with " +
+            "Spark's — the stale partition cannot be dropped safely")
+        fs.delete(p, true)
       }
     } finally unioned.unpersist()
   }

@@ -62,7 +62,12 @@ object Layout {
     * re-running after moving it back, or reading it directly,
     * recovers everything). On a POSIX/HDFS filesystem each rename is
     * atomic; object stores emulate rename as copy+delete, so there
-    * the swap is crash-safe but not atomic to concurrent readers. */
+    * the swap is crash-safe but not atomic to concurrent readers.
+    * Note that on EVERY filesystem (HDFS included) `path` does not
+    * exist for the instant between the two renames — a concurrent
+    * reader listing the directory in that window fails with
+    * path-not-found; schedule compaction when the table is not being
+    * concurrently opened, or retry readers on miss. */
   def compact(spark: SparkSession, path: String, targetRows: Long): Long = {
     val df = spark.read.parquet(path)
     val n = df.count()

@@ -135,6 +135,55 @@ class CdcSpec extends SparkSpec {
       Set((1L, "x1", "p0"), (2L, "y", "p1")))
   }
 
+  test("CDC apply: null partition values merge, delete, and drop like any other") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
+    Seq((1L, "a1", Some("p0")), (2L, "a2", None), (3L, "a3", None))
+      .toDF("id", "v", "part").write.partitionBy("part").parquet(dir)
+    val hiveDefault = new java.io.File(s"$dir/part=__HIVE_DEFAULT_PARTITION__")
+    assert(hiveDefault.isDirectory)
+    val p0Before = partFiles(dir, "p0")
+
+    // touch ONLY the null partition: update 2, delete 3, insert 4
+    val changes = Seq[(Long, String, Option[String], String, Long)](
+      (2L, "a2-new", None, "u", 1L),
+      (3L, "a3", None, "d", 2L),
+      (4L, "a4", None, "u", 3L)
+    ).toDF("id", "v", "part", "op", "seq")
+    Cdc.applyChanges(s, dir, changes, Seq("id"), "part")
+    assert(s.read.parquet(dir).select("id", "v", "part")
+      .as[(Long, String, Option[String])].collect().toSet == Set(
+      (1L, "a1", Some("p0")), (2L, "a2-new", None), (4L, "a4", None)))
+    assert(partFiles(dir, "p0") == p0Before, "untouched p0 was rewritten")
+
+    // a batch that empties the null partition drops its directory too
+    Cdc.applyChanges(s, dir, Seq[(Long, String, Option[String], String, Long)](
+      (2L, "a2-new", None, "d", 4L), (4L, "a4", None, "d", 5L)
+    ).toDF("id", "v", "part", "op", "seq"), Seq("id"), "part")
+    assert(s.read.parquet(dir).select("id", "v", "part")
+      .as[(Long, String, Option[String])].collect().toSet ==
+      Set((1L, "a1", Some("p0"))))
+    assert(!hiveDefault.exists(),
+      "emptied null-partition directory must be dropped, not left stale")
+  }
+
+  test("CDC apply: rejects a key moving between the null partition and a real one") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
+    Seq((1L, "a1", Some("p0")), (2L, "a2", None)).toDF("id", "v", "part")
+      .write.partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      // key 1 lives in p0 but arrives with a null partition; batch also
+      // touches p0 so the move is visible — must be rejected
+      Cdc.applyChanges(s, dir, Seq(
+        (1L, "a1-moved", None, "u", 1L), (9L, "n", Some("p0"), "u", 2L)
+      ).toDF("id", "v", "part", "op", "seq"), Seq("id"), "part")
+    }
+    assert(e.getMessage.contains("immutable"))
+  }
+
   test("CDC apply: rejects a batch where a key changes its partition value") {
     val s = spark
     import s.implicits._
