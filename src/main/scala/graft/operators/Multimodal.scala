@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * Media payloads are opaque `binary` columns plus a typed metadata
   * struct. The decode / feature-extract step is a batched
   * `mapPartitions` over the typed Dataset — the distributed shape a
-  * real decoder (image/audio lib) would plug into. The decode itself
-  * is a DETERMINISTIC STUB (no media libs in this environment): it
-  * derives features from the bytes (sha256, length, fake dimensions)
-  * so the plumbing is fully testable end-to-end.
+  * real decoder plugs into. The JDK-decodable formats are REALLY
+  * decoded: images (PNG/BMP/GIF/JPEG) via `javax.imageio` — feature
+  * extraction, resize, GIF frame sampling; audio (WAV/AIFF/AU) via
+  * `javax.sound.sampled`. Payloads outside the JDK codec set (and
+  * corrupt bytes) degrade to a deterministic byte-derived stub so a
+  * mixed corpus flows through without crashing.
   *
   * Scale notes: rows flow through executors in `batchSize` groups
   * (amortizes per-call decoder setup exactly like mapInPandas batch
@@ -158,25 +160,67 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real implementation decodes, scales to (w, h),
-    * re-encodes. The stub derives a deterministic "resized" payload
-    * (prefix of the bytes sized by the target area) so the
-    * blob-in/blob-out plumbing — same batching, same schema shape a
-    * codec UDF would use — is testable. */
+  /** PNG-encode a decoded image — the canonical interchange format
+    * for resized frames and sampled GIF frames (lossless, JDK-native,
+    * deterministic bytes for a given pixel raster). */
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image resize: PNG/BMP/GIF/JPEG payloads (by magic bytes)
+    * are decoded with `javax.imageio`, scaled to exactly (w, h)
+    * through `Graphics2D` with bilinear interpolation, and re-encoded
+    * as PNG — the output blob is a decodable (w × h) image. Non-image
+    * and corrupt payloads degrade to the deterministic stub (a
+    * byte-prefix payload sized by the target area) so a mixed corpus
+    * flows through without crashing and the plumbing stays testable
+    * on text blobs. */
   def resize(spark: SparkSession, packed: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
     import spark.implicits._
+    require(w > 0 && h > 0, s"target dimensions must be positive: ${w}x$h")
     packed.as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
-        val n = math.min(r.blob.length, math.max(1, (w * h) / 64))
-        (r.doc_id, r.blob.take(n), w.toLong, h.toLong, r.format)
+        val real = sniffImageFormat(r.blob).flatMap { _ =>
+          try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.blob))).map { src =>
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, w, h, null)
+            } finally g.dispose()
+            encodePng(dst)
+          } catch { case _: Exception => None } // truncated/corrupt payload
+        }
+        real match {
+          case Some(png) => (r.doc_id, png, w.toLong, h.toLong, "png")
+          case None =>
+            val n = math.min(r.blob.length, math.max(1, (w * h) / 64))
+            (r.doc_id, r.blob.take(n), w.toLong, h.toLong, r.format)
+        }
       })
     }.toDF("doc_id", "blob", "width", "height", "format")
   }
 
-  /** Frame sampling over a "video" blob: treat the payload as
-    * fixed-size frames and keep every `everyNth` one — the explode
-    * shape (one input row → many frame rows) a real demuxer produces.
-    * Deterministic in the bytes; frame extraction itself is the stub. */
+  /** Frame sampling — one input row explodes into every-`everyNth`
+    * frame rows, the shape a demuxer produces.
+    *
+    * GIF payloads get REAL frame extraction: `ImageIO.getImageReaders`
+    * walks the multi-frame container, every `everyNth` stored frame is
+    * decoded and re-encoded as PNG, and `frame_idx` is the frame's
+    * index in the original animation. (The JDK GIF reader returns each
+    * frame's stored raster; delta-encoded GIFs yield the delta region,
+    * full-frame GIFs — e.g. anything the JDK sequence writer produces —
+    * yield full frames.)
+    *
+    * Non-GIF payloads keep the deterministic byte-chunk stub (fixed
+    * `frameBytes` slices), standing in for video containers whose
+    * demuxers live outside the JDK. */
   def frameSample(
       spark: SparkSession,
       packed: DataFrame,
@@ -186,11 +230,35 @@ object Multimodal {
     import spark.implicits._
     packed.as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.flatMap { r =>
-        r.blob.grouped(frameBytes).zipWithIndex
-          .filter(_._2 % everyNth == 0)
-          .map { case (frame, idx) =>
-            (r.doc_id, idx.toLong, frame, frame.length.toLong)
+        val gif: Option[Seq[(Long, Long, Array[Byte], Long)]] =
+          sniffImageFormat(r.blob).filter(_ == "gif").flatMap { _ =>
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(r.blob))
+              try {
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) None
+                else {
+                  val reader = readers.next()
+                  try {
+                    reader.setInput(iis)
+                    val n = reader.getNumImages(true)
+                    Some((0 until n).filter(_ % everyNth == 0).map { i =>
+                      val png = encodePng(reader.read(i))
+                      (r.doc_id, i.toLong, png, png.length.toLong)
+                    })
+                  } finally reader.dispose()
+                }
+              } finally iis.close()
+            } catch { case _: Exception => None } // truncated/corrupt payload
           }
+        gif.getOrElse {
+          r.blob.grouped(frameBytes).zipWithIndex
+            .filter(_._2 % everyNth == 0)
+            .map { case (frame, idx) =>
+              (r.doc_id, idx.toLong, frame, frame.length.toLong)
+            }.toSeq
+        }
       })
     }.toDF("doc_id", "frame_idx", "frame", "frame_len")
   }

@@ -116,6 +116,72 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: real image payloads scale to true target dimensions, decodable PNG out") {
+    val s = spark
+    import s.implicits._
+    // 16x12 solid red PNG: bilinear downscale of a constant image is
+    // the same constant, so the output pixels are checkable exactly
+    val img = new java.awt.image.BufferedImage(
+      16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g0 = img.createGraphics()
+    g0.setColor(java.awt.Color.RED); g0.fillRect(0, 0, 16, 12); g0.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val packed = Seq((1L, png, "bin"), (2L, "just text".getBytes("UTF-8"), "raw"))
+      .toDF("doc_id", "blob", "format")
+    val out = Multimodal.resize(s, packed, w = 8, h = 6)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val blob = out(1L).getAs[Array[Byte]]("blob")
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    assert(decoded != null && decoded.getWidth == 8 && decoded.getHeight == 6)
+    assert((decoded.getRGB(4, 3) & 0xffffff) == 0xff0000,
+      "constant-red image must stay red through a bilinear resize")
+    assert(out(1L).getAs[String]("format") == "png")
+    // non-image payloads keep the deterministic stub
+    assert(out(2L).getAs[String]("format") == "raw")
+    assert(out(2L).getAs[Array[Byte]]("blob").length <= math.max(1, 8 * 6 / 64))
+  }
+
+  test("frame sampling: real multi-frame GIF yields true frames with true dimensions") {
+    val s = spark
+    import s.implicits._
+    // write a genuine 3-frame animated GIF through the JDK sequence writer
+    def gif(frames: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { rgb =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val threeFrames = gif(Seq(0xff0000, 0x00ff00, 0x0000ff), 9, 7)
+    val packed = Seq((5L, threeFrames, "bin")).toDF("doc_id", "blob", "format")
+
+    val all = Multimodal.frameSample(s, packed, everyNth = 1)
+      .orderBy("frame_idx").collect()
+    assert(all.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 1L, 2L),
+      "a 3-frame GIF must yield exactly its 3 real frames")
+    all.foreach { r =>
+      val f = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+      assert(f != null && f.getWidth == 9 && f.getHeight == 7,
+        "sampled frames must decode to the animation's true dimensions")
+    }
+    // every-2nd sampling keeps original animation indexes 0 and 2
+    val sampled = Multimodal.frameSample(s, packed, everyNth = 2)
+      .orderBy("frame_idx").collect()
+    assert(sampled.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 2L))
+  }
+
   test("frame sampling explodes one blob into every-nth fixed-size frames, deterministically") {
     val s = spark
     import s.implicits._
