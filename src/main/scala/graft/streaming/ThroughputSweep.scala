@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Multi-throughput benchmark sweep — the analog of the reference
+  * producer's BenchmarkRunner (producer BenchmarkRunner.scala:1-157),
+  * which steps through target throughputs and emits a per-level
+  * latency report (benchmark-results/latency-report-100msg-s-*.txt).
+  *
+  * Per target rate: the events table is replayed through the built-in
+  * `rate` source at `rowsPerSecond` (wrap-around modulo join, so the
+  * stream never runs dry), watermarked and windowed by EMIT time, and
+  * every update-mode window row yields one end-to-end latency sample
+  * `observed_wallclock − min(emit_ts in window)` — the same
+  * "window update vs oldest producer timestamp" semantics as the
+  * reference latency monitor (LatencyMonitor.collectLatencyData).
+  * Achieved throughput comes from the stream's own progress counters
+  * (numInputRows / elapsed), not from the target.
+  *
+  * Driver state is bounded: only per-update (window × key) stat rows
+  * are collected (tens per batch), never the stream itself.
+  */
+object ThroughputSweep {
+
+  case class SweepLevel(
+      target: Int, achievedPerS: Double,
+      p50Ms: Long, p95Ms: Long, p99Ms: Long, samples: Long)
+
+  case class SweepResult(levels: Seq[SweepLevel]) {
+    /** Full per-level record for BENCH_FULL.json. */
+    def json: String = levels.map { l =>
+      s"""{"target":${l.target},"achieved_msgs_per_s":${math.round(l.achievedPerS)},""" +
+        s""""p50_ms":${l.p50Ms},"p95_ms":${l.p95Ms},"p99_ms":${l.p99Ms},"samples":${l.samples}}"""
+    }.mkString("[", ",", "]")
+    /** Tiny `{target:[achieved,p95_ms]}` block for the driver's
+      * bounded-tail bench line. */
+    def compactJson: String = levels.map { l =>
+      "\"" + l.target + "\":[" + math.round(l.achievedPerS) + "," + l.p95Ms + "]"
+    }.mkString("{", ",", "}")
+  }
+
+  /** Nearest-rank percentile over an unsorted sample. */
+  private[graft] def percentile(xs: Seq[Long], p: Double): Long =
+    if (xs.isEmpty) -1L
+    else {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.max(0, math.round(p * (s.size - 1)).toInt)))
+    }
+
+  /** One sweep over `targets`, `secondsPerLevel` of steady streaming
+    * each. Batch 0's samples are excluded from the latency population
+    * (stream-start scheduling cost is startup, not steady state) but
+    * its rows still count toward achieved throughput. */
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      targets: Seq[Int] = Seq(100, 1000, 10000, 50000),
+      secondsPerLevel: Int =
+        sys.env.getOrElse("SPARK_GRAFT_SWEEP_SECS", "8").toInt): SweepResult = {
+    val events = graft.Tables.load(spark, sfDir, "events")
+    val n = events.count()
+    // only the join key + one grouping key ride along — the replayed
+    // payload is irrelevant to the latency measurement
+    val indexed = ReplayProducer.indexed(events, Seq("event_id"))
+      .select(col("__idx"), col("event_type")).cache()
+    indexed.count()
+
+    val levels = targets.map { target =>
+      val src = spark.readStream.format("rate")
+        .option("rowsPerSecond", target).load()
+      val stream = src.join(broadcast(indexed),
+          pmod(src("value"), lit(n)) === col("__idx"))
+        .withColumnRenamed("timestamp", "emit_ts")
+      val agg = stream
+        .withWatermark("emit_ts", "2 seconds")
+        .groupBy(window(col("emit_ts"), "1 second"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), min(unix_millis(col("emit_ts"))).as("min_emit"))
+      val samples = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = agg.writeStream.outputMode("update")
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val emits = df.select("min_emit").collect().map(_.getLong(0))
+          val now = System.currentTimeMillis()
+          if (batchId > 0) samples.synchronized { samples ++= emits.map(now - _) }
+          ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secondsPerLevel * 1000L)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop(); q.awaitTermination()
+      val latencies = samples.synchronized { samples.toSeq }
+      SweepLevel(target, inputRows / elapsed,
+        percentile(latencies, 0.50), percentile(latencies, 0.95),
+        percentile(latencies, 0.99), latencies.size.toLong)
+    }
+    indexed.unpersist()
+    SweepResult(levels)
+  }
+}
