@@ -480,8 +480,9 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
     }),
 
-    // k-means-refined IVF: centroid means are shuffled double sums
-    // (run-order FP), so rows-only here; recall vs brute force is
+    // k-means-refined IVF: centroid means are exact decimal sums, so
+    // the 2 Lloyd iterations are deterministic and the oracle unrolls
+    // them step-for-step; recall vs brute force additionally
     // spec-asserted in SimilaritySpec.
     "q_knn_ivf_kmeans" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1394,6 +1395,74 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, rnk, ${sqlRound4("cos")} AS cosine
          |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // Mirrors Similarity.ivfTopKRefined step-for-step: 2 unrolled
+    // Lloyd iterations (argmax-cosine assignment, exact DECIMAL(30,6)
+    // per-dim mean cast to FLOAT like the Array[Float] centroids,
+    // empty cells keeping their previous centroid), then the same
+    // probe-4 search as q_knn_ivf under the refined centroids. The
+    // means match Spark's Exact.avgExact(_, 6) bit for bit, so the
+    // whole refinement is hash-comparable.
+    "q_knn_ivf_kmeans" -> {
+      // cosine(embedding FLOAT list, centroid cv DOUBLE list) with the
+      // same per-element double accumulation as Spark's VectorCosine
+      def cosEC(e: String, c: String) = {
+        val dot = s"list_reduce(list_transform(list_zip($e.embedding, $c.cv), " +
+          "x -> CAST(x[1] AS DOUBLE) * x[2]), (acc, v) -> acc + v)"
+        val ne = s"list_reduce(list_transform($e.embedding, " +
+          "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, v) -> acc + v)"
+        val nc = s"list_reduce(list_transform($c.cv, v -> v * v), (acc, v) -> acc + v)"
+        s"$dot / (sqrt($ne) * sqrt($nc))"
+      }
+      def iter(prev: String, a: String, m: String, out: String) =
+        s"""$a AS (
+           |  SELECT e.vec_id, e.embedding, c.cell_id,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosEC("e", "c")} DESC, c.cell_id) AS rk
+           |  FROM embeddings e CROSS JOIN $prev c
+           |), $m AS (
+           |  SELECT cell_id, t.i AS i,
+           |         CAST(CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE)
+           |                            AS DECIMAL(30,6))) AS DOUBLE)
+           |              / CAST(count(*) AS DOUBLE) AS FLOAT) AS m
+           |  FROM $a, range(1, 65) t(i) WHERE rk = 1
+           |  GROUP BY cell_id, t.i
+           |), $out AS (
+           |  SELECT c.cell_id, coalesce(mv.mcv, c.cv) AS cv
+           |  FROM $prev c LEFT JOIN (
+           |    SELECT cell_id, list(CAST(m AS DOUBLE) ORDER BY i) AS mcv
+           |    FROM $m GROUP BY cell_id
+           |  ) mv ON c.cell_id = mv.cell_id
+           |)"""
+      s"""WITH cent0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+         |),
+         |${iter("cent0", "a1", "m1", "cent1")},
+         |${iter("cent1", "a2", "m2", "cent2")},
+         |a3 AS (
+         |  SELECT e.vec_id, e.embedding, c.cell_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosEC("e", "c")} DESC, c.cell_id) AS rk
+         |  FROM embeddings e CROSS JOIN cent2 c
+         |), ca AS (
+         |  SELECT vec_id AS neighbor_id, embedding, cell_id FROM a3 WHERE rk = 1
+         |), qa AS (
+         |  SELECT vec_id AS query_id, embedding, cell_id FROM a3
+         |  WHERE vec_id < 8 AND rk <= 4
+         |), s AS (
+         |  SELECT qa.query_id, ca.neighbor_id, ${sqlCos("qa", "ca")} AS cos
+         |  FROM ca JOIN qa ON ca.cell_id = qa.cell_id
+         |   AND ca.neighbor_id <> qa.query_id
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, rnk, ${sqlRound4("cos")} AS cosine
+         |FROM r WHERE rnk <= 5""".stripMargin
+    },
 
     "q_doc_langid" -> {
       def score(markers: Seq[String]) =

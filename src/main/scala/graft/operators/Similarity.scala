@@ -101,9 +101,11 @@ object Similarity {
 
   /** [[ivfTopK]] with Lloyd-refined centroids: `iters` rounds of
     * spherical k-means tighten the cells, so a given recall needs a
-    * smaller nProbe. Oracle note: centroid means are shuffled double
-    * sums (association order varies run to run), so this variant is
-    * recall-tested rather than hash-compared. */
+    * smaller nProbe. Centroid means are exact decimal sums
+    * ([[graft.functions.Exact.sumExact]]), so refined centroids — and
+    * therefore results — are partition-order-deterministic and
+    * hash-comparable against an oracle that unrolls the same
+    * iterations. */
   def ivfTopKRefined(
       corpus: DataFrame,
       queries: DataFrame,
@@ -133,7 +135,15 @@ object Similarity {
     * map-side partial sums keyed by (cell, dim) — k·dim rows per map
     * partition, never the vectors themselves. Only the k×dim centroid
     * matrix ever reaches the driver. Empty cells keep their previous
-    * centroid. */
+    * centroid.
+    *
+    * The mean is an exact 6-decimal sum divided by the count
+    * ([[graft.functions.Exact.avgExact]]): order-independent, so the
+    * refined centroids are bit-identical run to run AND to a SQL
+    * oracle computing `CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+    * / count(*)` — a shuffled double `avg` here made every downstream
+    * result nondeterministic. The 1e-6 input rounding is far inside
+    * float precision and irrelevant to cluster geometry. */
   def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -149,7 +159,7 @@ object Similarity {
         .withColumn("__cell", bestCell(cents, col("__v")))
         .select(col("__cell"), posexplode(col("__v")))
         .groupBy("__cell", "pos")
-        .agg(avg(col("col").cast("double")).as("m"))
+        .agg(graft.functions.Exact.avgExact(col("col"), 6).as("m"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>
