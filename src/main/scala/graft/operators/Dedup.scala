@@ -382,16 +382,63 @@ object Dedup {
     labels
   }
 
-  /** Connected components over an undirected pair list by min-label
-    * propagation: each node repeatedly takes the smallest label in its
-    * neighborhood until fixpoint — the standard distributed CC loop
-    * (converges in O(log diameter) rounds with pointer jumping; every
-    * round is one join + one aggregation, both map-side combined).
-    * Lineage is cut per round (see [[cut]]): in-memory by default,
-    * durable parquet round-tables when `checkpointDir` is given — the
-    * fault-tolerant mode a 100 TB run needs, restartable mid-loop via
-    * [[resumeConnectedComponents]]. Deterministic: labels are ids, min
-    * is min — a resumed run converges to the identical labeling. */
+  /** Phase 1 of two-phase CC: partition-local label compression. A
+    * union-find (path-halving, union-by-min-root) over each
+    * partition's edges collapses every locally-visible component to
+    * its minimum id in ONE pass with zero driver round-trips; the
+    * global loop then only has to stitch components that span
+    * partitions. Edges are pre-shuffled on `src` so a node's edge
+    * fan-out lands together — star-shaped near-dup components (the
+    * common case) collapse entirely here. Executor memory is
+    * O(distinct nodes per partition); emitted rows are (id,
+    * local-min-label), reduced by a map-side-combined min per id.
+    * Labels are node ids within the same component and ≤ id, so the
+    * global min-propagation loop converges to the identical fixpoint
+    * it reaches from identity labels — just in fewer rounds. */
+  private def localCompress(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    p.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) {
+            val g = parent.getOrElse(parent(r), parent(r))
+            parent(r) = g // path halving
+            r = g
+          }
+          r
+        }
+        it.foreach { case (s, d) =>
+          val rs = find(s); val rd = find(d)
+          if (rs < rd) parent(rd) = rs
+          else if (rd < rs) parent(rs) = rd
+          parent.getOrElseUpdate(rs, rs); parent.getOrElseUpdate(rd, rd)
+        }
+        // snapshot keys before resolving: find()'s path halving
+        // updates values, and iterating while writing is fragile
+        parent.keys.toArray.iterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "label")
+      .groupBy("id").agg(min(col("label")).as("label"))
+  }
+
+  /** Connected components over an undirected pair list, two-phase:
+    * partition-local union-find compression ([[localCompress]]) seeds
+    * the labels, then min-label propagation with pointer jumping runs
+    * to fixpoint — the standard distributed CC loop (O(log diameter)
+    * rounds; every round is one join + one aggregation, both map-side
+    * combined). Lineage is cut per round (see [[cut]]): in-memory by
+    * default, durable parquet round-tables when `checkpointDir` is
+    * given — the fault-tolerant mode a 100 TB run needs, restartable
+    * mid-loop via [[resumeConnectedComponents]]. Deterministic: labels
+    * are ids, min is min — a resumed run converges to the identical
+    * labeling, and the local-compression phase only changes the
+    * starting point, not the fixpoint. Non-integral id types skip the
+    * compression phase and seed with identity labels. */
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 20,
@@ -402,8 +449,17 @@ object Dedup {
       checkpointDir, "pairs")
     val edges = cut(p.union(p.select(col("dst").as("src"), col("src").as("dst"))),
       checkpointDir, "edges")
-    val init = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")), checkpointDir, "labels_r0")
+    val integralIds = Seq(p.schema("src").dataType, p.schema("dst").dataType)
+      .forall {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+    val init = cut(
+      if (integralIds) localCompress(p)
+      else edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")),
+      checkpointDir, "labels_r0")
     ccLoop(edges, init, 0, maxIter, checkpointDir)
   }
 

@@ -120,6 +120,35 @@ class DedupSpec extends SparkSpec {
     assert(!cc.contains(999L))
   }
 
+  test("two-phase CC: partition-scattered pseudo-random graph matches a driver union-find") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random multigraph over ~300 nodes, spread
+    // over 13 partitions so local compression sees only fragments of
+    // most components and the global stitch phase has real work
+    val edges = (0 until 400).map { i =>
+      val a = (i * 7919 % 300).toLong + 1
+      val b = ((i * 104729 + 31) % 300).toLong + 1
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2)
+    // reference labeling: plain driver-side union-find
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long =
+      if (parent.getOrElse(x, x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      parent.getOrElseUpdate(ra, ra); parent.getOrElseUpdate(rb, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val cc = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b").repartition(13))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == expected)
+  }
+
   test("durable CC: checkpointed run matches in-memory, and a crash-resume converges to identical labels") {
     val s = spark
     import s.implicits._
