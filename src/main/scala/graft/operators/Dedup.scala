@@ -527,28 +527,52 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    def prep(df: DataFrame) = df.select(col(idCol).as("__id"),
+    val hNew = shingleSets(dfNew, idCol, textCol)
+    val hCorpus = shingleSets(dfCorpus, idCol, textCol)
+    val candidates = bandedSignatures(hNew, numHashes, bands)
+      .select(col("__band"), col("__bh"), col("__id").as("id_a"))
+      .join(bandedSignatures(hCorpus, numHashes, bands)
+        .select(col("__band"), col("__bh"), col("__id").as("id_b")),
+        Seq("__band", "__bh"))
+      .select("id_a", "id_b").distinct()
+    val vCorpus = hCorpus.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
+      size(col("__sh")).as("sz_b"))
+    verifyCrossPairs(candidates, hNew, vCorpus, threshold)
+  }
+
+  /** (id, sorted 64-bit token-hash set) — the canonical prepared form
+    * every MinHash variant starts from. */
+  private[operators] def shingleSets(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
       array_sort(transform(toks(textCol), t => xxhash64(t))).as("__sh"))
-    def banded(hashed: DataFrame) = hashed
+
+  /** Banded LSH keys for prepared sets: whole signature in one
+    * codegen loop, then one (band, bandHash) row per band — the
+    * narrow ids-only shape the band shuffle carries, and exactly what
+    * [[MinHashIndex]] persists per corpus document. */
+  private[operators] def bandedSignatures(
+      hashed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    hashed
       .withColumn("__sig", graft.functions.TokenHashExpressions.minHashSignature(
         col("__sh"), numHashes))
       .select(col("__id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("__sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
-    val hNew = prep(dfNew)
-    val hCorpus = prep(dfCorpus)
-    val candidates = banded(hNew)
-      .select(col("__band"), col("__bh"), col("__id").as("id_a"))
-      .join(banded(hCorpus)
-        .select(col("__band"), col("__bh"), col("__id").as("id_b")),
-        Seq("__band", "__bh"))
-      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact-Jaccard verification of cross-side candidate pairs: hash
+    * sets re-join once per distinct pair, merge-walk intersect. */
+  private[operators] def verifyCrossPairs(
+      candidates: DataFrame,
+      hNew: DataFrame,
+      vCorpus: DataFrame,
+      threshold: Double): DataFrame = {
     val vNew = hNew.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
       size(col("__sh")).as("sz_a"))
-    val vCorpus = hCorpus.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
-      size(col("__sh")).as("sz_b"))
     candidates.join(vNew, "id_a").join(vCorpus, "id_b")
       .withColumn("jaccard", hashSetJaccard(col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b")))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Dedup, MinHashIndex}
+import org.apache.spark.sql.functions._
+
+class MinHashIndexSpec extends SparkSpec {
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmrf); f.delete(); ()
+  }
+
+  test("build + append + query equals re-banding the whole corpus from scratch") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // corpus arrives as two batches; the third slice is the new batch
+    val batch1 = docs.filter(col("doc_id") % 3 === 0)
+    val batch2 = docs.filter(col("doc_id") % 3 === 1)
+    val fresh = docs.filter(col("doc_id") % 3 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString + "/idx"
+    try {
+      MinHashIndex.build(spark, dir, batch1, "doc_id", "text")
+      MinHashIndex.append(spark, dir, batch2, "doc_id", "text")
+      val viaIndex = MinHashIndex.query(spark, dir, fresh, "doc_id", "text",
+          threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val scratch = Dedup.minHashLshAgainst(fresh, batch1.union(batch2),
+          "doc_id", "text", numHashes = 128, bands = 16, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaIndex == scratch)
+      assert(viaIndex.nonEmpty, "sf0.001 documents should contain cross-side near-dups")
+    } finally rmrf(new java.io.File(dir).getParentFile)
+  }
+
+  test("append adds files without rewriting, and band reads partition-prune") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString + "/idx"
+    try {
+      MinHashIndex.build(spark, dir, docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      def bandFiles(): Map[String, Set[String]] =
+        new java.io.File(s"$dir/bands").listFiles.filter(_.getName.startsWith("__band="))
+          .map(d => d.getName -> d.listFiles.filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName + ":" + f.lastModified()).toSet).toMap
+      val before = bandFiles()
+      assert(before.keySet == (0 until 16).map(b => s"__band=$b").toSet)
+      MinHashIndex.append(spark, dir,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      val after = bandFiles()
+      // every pre-existing file survives byte-identical (same mtime);
+      // the append only ADDED files inside each band directory
+      before.foreach { case (band, files) =>
+        assert(files.subsetOf(after(band)), s"$band files were rewritten")
+        assert(after(band).size > files.size, s"$band gained no files")
+      }
+      // a band-scoped read prunes to exactly one of the 16 partitions
+      val plan = MinHashIndex.bandScan(spark, dir, band = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+          "__band#\\d+ = 3".r.findFirstIn(plan).isDefined,
+        s"band scan must partition-prune, got:\n$plan")
+    } finally rmrf(new java.io.File(dir).getParentFile)
+  }
+
+  test("append and query reject nothing silently: meta mismatch is impossible by construction") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString + "/idx"
+    try {
+      MinHashIndex.build(spark, dir, docs, "doc_id", "text",
+        numHashes = 64, bands = 8)
+      val meta = MinHashIndex.readMeta(spark, dir)
+      assert(meta.numHashes == 64 && meta.bands == 8)
+      // band partitions reflect the stored meta, not the defaults
+      val bands = new java.io.File(s"$dir/bands").listFiles
+        .map(_.getName).filter(_.startsWith("__band=")).toSet
+      assert(bands == (0 until 8).map(b => s"__band=$b").toSet)
+    } finally rmrf(new java.io.File(dir).getParentFile)
+  }
+}
