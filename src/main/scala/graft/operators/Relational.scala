@@ -184,6 +184,43 @@ object Relational {
       n.as("sample_count"))
   }
 
+  /** Streaming twin of [[distributionStatsApprox]]: the same sketch
+    * aggregation keyed by (event-time window, keys) under a watermark
+    * — the shape a live latency dashboard runs. The KLL-style
+    * `approx_percentile` buffer is a TypedImperativeAggregate, so it
+    * lives in the streaming state store (RocksDB by default in
+    * [[graft.GraftSession]]) with O(1/accuracy) state per open window
+    * × key, merged map-side per micro-batch; the watermark evicts
+    * closed windows, bounding state independent of stream length. On a
+    * batch frame the watermark is a no-op and the result is the exact
+    * batch windowed aggregation — the parity the spec asserts after
+    * draining the same rows through a stream. */
+  def distributionStatsApproxStream(
+      df: DataFrame,
+      tsCol: String,
+      windowSize: String,
+      keys: Seq[String],
+      valueCol: String,
+      accuracy: Int = 10000,
+      watermarkDelay: String = "2 minutes"): DataFrame = {
+    val v = col(valueCol)
+    val marked =
+      if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    marked
+      .groupBy(window(col(tsCol), windowSize) +: keys.map(col): _*)
+      .agg(
+        avg(v).as("avg_v"),
+        expr(s"approx_percentile($valueCol, 0.5, $accuracy)").as("p50_v"),
+        expr(s"approx_percentile($valueCol, 0.95, $accuracy)").as("p95_v"),
+        expr(s"approx_percentile($valueCol, 0.99, $accuracy)").as("p99_v"),
+        min(v).as("min_v"),
+        max(v).as("max_v"),
+        count(lit(1L)).as("sample_count"))
+      .select(col("window.start").as("window_start") +: keys.map(col) :+
+        col("avg_v") :+ col("p50_v") :+ col("p95_v") :+ col("p99_v") :+
+        col("min_v") :+ col("max_v") :+ col("sample_count"): _*)
+  }
+
   /** The latency monitor pipeline shape (LatencyMonitor.scala:
     * collectLatencyData → calculateMetrics): derive a per-window
     * latency (window close minus earliest stamp), apply the monitor's

@@ -126,6 +126,33 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("streaming quantile sketch == batch sketch after draining the same rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def t(x: String) = Timestamp.valueOf(x)
+    // two 1-hour windows × two keys; values chosen so approx_percentile
+    // (which returns actual elements) is deterministic at high accuracy
+    val rows = (0 until 40).map { i =>
+      Ev(t(f"2024-01-01 ${10 + i % 2}%02d:${i % 30}%02d:00"),
+        if (i % 4 < 2) "a" else "b", (i * 7 % 23).toDouble, 100L + i)
+    }
+    val mem = MemoryStream[Ev]
+    mem.addData(rows)
+    val out = Relational.distributionStatsApproxStream(
+      mem.toDF, "ts", "1 hour", Seq("k"), "v")
+    val q = out.writeStream.format("memory").queryName("approx_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.map(String.valueOf(_)).mkString("|")).sorted.toSeq
+    val streamed = canon(s.table("approx_stream"))
+    val batch = canon(Relational.distributionStatsApproxStream(
+      rows.toDF, "ts", "1 hour", Seq("k"), "v"))
+    assert(streamed == batch)
+    assert(streamed.size == 4, s"expected 2 windows x 2 keys, got $streamed")
+  }
+
   test("streaming dedup within watermark drops redelivered ids, == batch dedup") {
     val s = spark
     import s.implicits._
