@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{MinHashSignature, SimHashFromHashes, SortedLongIntersectCount, VectorCosine, VectorDot}
@@ -14,8 +14,36 @@ import graft.functions.{MinHashSignature, SimHashFromHashes, SortedLongIntersect
   * spark.sql.extensions=graft.GraftExtensions     // cluster conf, or
   * SparkSession.builder.withExtensions(new GraftExtensions)
   * }}}
+  *
+  * Besides scalar/aggregate functions, the event-analytics operators
+  * (sessionize, funnel, retention, quality checks, top paths) are
+  * registered as SQL TABLE functions — `SELECT * FROM
+  * graft_sessionize('events', 'user_id', 'ts', 'event_id', 1800)` —
+  * so a ksqlDB/SQL-only user reaches the whole analytic surface
+  * without touching the DataFrame API. Each TVF evaluates its literal
+  * arguments at analysis time, builds the SAME DataFrame the Scala
+  * API builds (one code path, not a SQL re-implementation), and
+  * splices its analyzed plan into the enclosing query — Catalyst then
+  * optimizes across the boundary exactly as it would a view.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Evaluate a TVF argument that must be a foldable literal. */
+  private def litVal(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a literal")
+    val v = e.eval()
+    require(v != null, s"$what must not be null")
+    v
+  }
+  private def litStr(e: Expression, what: String): String =
+    litVal(e, what).toString // UTF8String → String
+  private def litLong(e: Expression, what: String): Long = litVal(e, what) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => other.toString.toLong
+  }
+  private def litInt(e: Expression, what: String): Int =
+    litLong(e, what).toInt
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator custom plan: top-k per key via bounded heaps
     // (graft.plans.TopKPerKey), planned by its own strategy
@@ -104,5 +132,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Text.ipPattern, "<ip>"),
           Text.phonePattern, "<phone>")
       }))
+
+    // ---- table-valued functions: the event-analytics operators ----
+    // Arg 0 is always the source table/view name; remaining args are
+    // operator parameters. The builder runs at analysis time on the
+    // active session, so `spark.table(name)` resolves temp views,
+    // catalog tables, and global views alike.
+    def tvf(name: String, usage: String)(
+        build: (SparkSession, Seq[Expression]) => DataFrame): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        info(name, usage),
+        (args: Seq[Expression]) =>
+          build(SparkSession.active, args).queryExecution.analyzed))
+
+    tvf("graft_sessionize",
+      "graft_sessionize(table, userCol, tsCol, idCol, maxGapSec) - every event with its 1-based per-user session_idx (max-gap rule)") {
+      (s, a) =>
+        operators.Relational.sessionize(s.table(litStr(a(0), "table")),
+          litStr(a(1), "userCol"), litStr(a(2), "tsCol"),
+          litStr(a(3), "idCol"), litLong(a(4), "maxGapSec"))
+    }
+
+    tvf("graft_session_stats",
+      "graft_session_stats(table, userCol, tsCol, idCol, maxGapSec) - per-session event count, start/end epoch micros, duration") {
+      (s, a) =>
+        operators.Relational.sessionStats(s.table(litStr(a(0), "table")),
+          litStr(a(1), "userCol"), litStr(a(2), "tsCol"),
+          litStr(a(3), "idCol"), litLong(a(4), "maxGapSec"))
+    }
+
+    tvf("graft_funnel",
+      "graft_funnel(table, userCol, tsCol, typeCol, stage1, stage2, ...) - per-user ordered-funnel completion times + stages_completed") {
+      (s, a) =>
+        require(a.length >= 5, "graft_funnel needs at least one stage")
+        operators.Relational.funnel(s.table(litStr(a(0), "table")),
+          litStr(a(1), "userCol"), litStr(a(2), "tsCol"),
+          litStr(a(3), "typeCol"),
+          a.drop(4).zipWithIndex.map { case (e, i) => litStr(e, s"stage$i") })
+    }
+
+    tvf("graft_retention",
+      "graft_retention(table, userCol, tsCol) - weekly cohort retention cells (cohort_wk, offset_wk, n_active)") {
+      (s, a) =>
+        operators.Relational.retention(s.table(litStr(a(0), "table")),
+          litStr(a(1), "userCol"), litStr(a(2), "tsCol"))
+    }
+
+    tvf("graft_top_paths",
+      "graft_top_paths(table, userCol, tsCol, idCol, typeCol, maxGapSec, k) - the k most common within-session event-type paths") {
+      (s, a) =>
+        operators.Relational.topPaths(s.table(litStr(a(0), "table")),
+          litStr(a(1), "userCol"), litStr(a(2), "tsCol"),
+          litStr(a(3), "idCol"), litStr(a(4), "typeCol"),
+          litLong(a(5), "maxGapSec"), litInt(a(6), "k"))
+    }
+
+    tvf("graft_quality_checks",
+      "graft_quality_checks(table, name1, predicateSql1, name2, predicateSql2, ...) - one-pass Deequ-style rule violations (rule, n_rows, n_violations, violation_rate)") {
+      (s, a) =>
+        require(a.length >= 3 && a.length % 2 == 1,
+          "graft_quality_checks takes a table then (name, predicateSql) pairs")
+        val rules = a.drop(1).grouped(2).map { pair =>
+          litStr(pair(0), "rule name") ->
+            org.apache.spark.sql.functions.expr(litStr(pair(1), "rule predicate"))
+        }.toSeq
+        operators.Relational.qualityChecks(s.table(litStr(a(0), "table")), rules)
+    }
   }
 }

@@ -17,6 +17,20 @@ import org.apache.spark.sql.SparkSession
   * matches) runs all its state on. Changelog checkpointing uploads
   * per-batch deltas instead of full RocksDB snapshots, so checkpoint
   * cost tracks the batch's state churn rather than total state size.
+  *
+  * RocksDB's OFF-HEAP memory is explicitly bounded: without
+  * `boundedMemoryUsage`, every RocksDB instance on an executor (one
+  * per stateful-operator partition — dozens on a 32-core executor)
+  * allocates its own block cache + memtables outside the JVM heap,
+  * and at 100 TB-tier state the sum silently exceeds
+  * `memoryOverhead` until the YARN/K8s container is OOM-killed —
+  * the classic large-cluster streaming failure. With the bound, all
+  * instances on an executor share ONE LRU cache capped at
+  * `maxMemoryUsageMB` (write buffers charged against the same cap),
+  * so the engine's total memory is executor heap + this single
+  * known constant, whatever the key cardinality does. 512 MB is the
+  * local[32] default; on a real cluster set it alongside
+  * `spark.executor.memoryOverhead` (overhead must exceed the cap).
   */
 object GraftSession {
   def local(cores: Int = 32): SparkSession = tuned(
@@ -36,6 +50,11 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // one shared, capped LRU cache across all RocksDB instances on
+      // the executor instead of per-instance unbounded off-heap — see
+      // the class doc for why this is load-bearing at cluster scale
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

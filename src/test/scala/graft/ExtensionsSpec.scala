@@ -20,6 +20,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Double]("gr") == math.floor(2.675 * 100 + 0.5) / 100)
   }
 
+  test("session bounds RocksDB off-heap memory (shared capped cache)") {
+    // without this, per-partition RocksDB instances each allocate
+    // unbounded off-heap and the executor container is OOM-killed at
+    // cluster scale — the cap is part of the engine's memory contract
+    assert(spark.conf.get(
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage") == "true")
+    assert(spark.conf.get(
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB").toInt > 0)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+  }
+
   test("graft_normalize in SQL equals Text.normalize and redacts PII") {
     val r = spark.sql(
       "SELECT graft_normalize('Mail Bob@Site.ORG  from 10.0.0.1 now') AS n").head

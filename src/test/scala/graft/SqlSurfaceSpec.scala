@@ -34,6 +34,60 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql.count() > 0)
   }
 
+  test("event-analytics TVFs: SQL table functions == the DataFrame operators") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    ev.createOrReplaceTempView("ev_tvf")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted.toSeq
+
+    // sessionize
+    val sqlSess = spark.sql(
+      "SELECT * FROM graft_sessionize('ev_tvf', 'user_id', 'ts', 'event_id', 1800)")
+    val dfSess = operators.Relational.sessionize(ev, "user_id", "ts", "event_id", 1800L)
+    assert(canon(sqlSess) == canon(dfSess) && sqlSess.count() > 0)
+
+    // session stats
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_session_stats('ev_tvf', 'user_id', 'ts', 'event_id', 1800)"))
+      == canon(operators.Relational.sessionStats(ev, "user_id", "ts", "event_id", 1800L)))
+
+    // funnel — stages as trailing varargs
+    val stages = Seq("view", "click", "purchase")
+    val sqlFun = spark.sql(
+      "SELECT * FROM graft_funnel('ev_tvf', 'user_id', 'ts', 'event_type', 'view', 'click', 'purchase')")
+    val dfFun = operators.Relational.funnel(ev, "user_id", "ts", "event_type", stages)
+    assert(canon(sqlFun) == canon(dfFun) && sqlFun.count() > 0)
+
+    // retention
+    assert(canon(spark.sql("SELECT * FROM graft_retention('ev_tvf', 'user_id', 'ts')"))
+      == canon(operators.Relational.retention(ev, "user_id", "ts")))
+
+    // top paths
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_top_paths('ev_tvf', 'user_id', 'ts', 'event_id', 'event_type', 1800, 10)"))
+      == canon(operators.Relational.topPaths(ev, "user_id", "ts", "event_id", "event_type", 1800L, 10)))
+
+    // quality checks — predicates arrive as SQL strings
+    val sqlQc = spark.sql(
+      """SELECT * FROM graft_quality_checks('ev_tvf',
+        |  'value_non_negative', 'value >= 0',
+        |  'known_type', "event_type IN ('view','click','purchase','signup','error')")""".stripMargin)
+    val dfQc = operators.Relational.qualityChecks(ev, Seq(
+      "value_non_negative" -> expr("value >= 0"),
+      "known_type" -> expr("event_type IN ('view','click','purchase','signup','error')")))
+    assert(canon(sqlQc) == canon(dfQc) && sqlQc.count() == 2)
+  }
+
+  test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
+    Tables.events(spark, sf("sf0.001")).createOrReplaceTempView("ev_tvf2")
+    val r = spark.sql(
+      """SELECT user_id, max(session_idx) AS n_sessions
+        |FROM graft_sessionize('ev_tvf2', 'user_id', 'ts', 'event_id', 1800)
+        |GROUP BY user_id ORDER BY n_sessions DESC, user_id LIMIT 5""".stripMargin)
+    assert(r.count() == 5)
+    assert(r.collect().head.getLong(1) >= 1L)
+  }
+
   test("graft's custom expressions are first-class in SQL (cosine ranking query)") {
     Tables.embeddings(spark, sf("sf0.001")).createOrReplaceTempView("emb")
     val r = spark.sql(
