@@ -110,6 +110,51 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
+    // Sketch rollup table: one pass emits per-(type, day) theta + HLL
+    // binaries; the per-type rollup merges STORED sketches (no raw
+    // rescan). Oracled in the exact regime — distinct users per cell
+    // are far below the 4096-entry sampling threshold, so both
+    // estimates ARE the exact distinct count (SketchesSpec pins the
+    // sampling regime separately).
+    "q_sketch_distinct_rollup" -> ((s, dir) => {
+      val daily = operators.Sketches.distinctSketchTable(
+        Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      val r = operators.Sketches.rollupDistinct(daily, Seq("event_type"), "user_id")
+      r.select(col("event_type"),
+        col("user_id_distinct_theta").cast("long").as("distinct_theta"),
+        col("user_id_distinct_hll").cast("long").as("distinct_hll"),
+        col("n_rows"))
+    }),
+
+    // Cohort set algebra from the same sketch table: |A|, |B|, |A∪B|,
+    // |A∩B|, |A\B| per cohort pair without joining raw data — the
+    // pair join touches one bounded sketch row per cohort.
+    "q_sketch_overlap" -> ((s, dir) => {
+      val sk = operators.Sketches.distinctSketchTable(
+        Tables.events(s, dir), Seq("event_type"), "user_id")
+      val o = operators.Sketches.cohortOverlap(sk, "event_type", "user_id")
+      o.select(col("cohort_a"), col("cohort_b"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("n_union").cast("long").as("n_union"),
+        col("n_intersect").cast("long").as("n_intersect"),
+        col("n_only_a").cast("long").as("n_only_a"))
+    }),
+
+    // KLL quantile rollup from stored daily sketches; k=4096 exceeds
+    // every per-type row count at the verify SF, so merged quantiles
+    // are exact order statistics (inclusive rank: item at ceil(p·n)).
+    // At larger SFs the same code degrades to the published ~1.33%/k
+    // rank-error bound (bench times it; the spec bounds it).
+    "q_sketch_quantile_rollup" -> ((s, dir) => {
+      val daily = operators.Sketches.quantileSketchTable(
+        Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "value", k = 4096)
+      operators.Sketches.rollupQuantiles(daily, Seq("event_type"), "value",
+        Seq(0.5, 0.95), k = 4096)
+    }),
+
     "q_latency_stats" -> ((s, dir) =>
       Relational.distributionStats(Tables.events(s, dir),
         keys = Seq("event_type"), valueCol = "value")),
@@ -840,6 +885,48 @@ object SparkEntry {
         |       to_json(list_sort(list(DISTINCT user_id))) AS user_set,
         |       count(user_id) AS list_len
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // exact regime: distinct users per cell << 4096 nominal entries,
+    // so theta/HLL estimates equal the true distinct count
+    "q_sketch_distinct_rollup" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS distinct_theta,
+        |       count(DISTINCT user_id) AS distinct_hll,
+        |       count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_sketch_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |     t AS (SELECT DISTINCT event_type FROM events)
+        |SELECT a.event_type AS cohort_a, b.event_type AS cohort_b,
+        |       (SELECT count(*) FROM s WHERE event_type = a.event_type) AS n_a,
+        |       (SELECT count(*) FROM s WHERE event_type = b.event_type) AS n_b,
+        |       (SELECT count(DISTINCT user_id) FROM s
+        |        WHERE event_type IN (a.event_type, b.event_type)) AS n_union,
+        |       (SELECT count(*) FROM
+        |          (SELECT user_id FROM s WHERE event_type = a.event_type
+        |           INTERSECT
+        |           SELECT user_id FROM s WHERE event_type = b.event_type)) AS n_intersect,
+        |       (SELECT count(*) FROM
+        |          (SELECT user_id FROM s WHERE event_type = a.event_type
+        |           EXCEPT
+        |           SELECT user_id FROM s WHERE event_type = b.event_type)) AS n_only_a
+        |FROM t a JOIN t b ON a.event_type < b.event_type""".stripMargin,
+
+    // exact regime: k=4096 >= per-type row count at the verify SF, so
+    // the merged KLL holds every value and the inclusive-rank quantile
+    // is the order statistic at ceil(p*n) (1-based)
+    "q_sketch_quantile_rollup" ->
+      """WITH v AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS value_p50,
+        |       max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS value_p95,
+        |       max(n) AS n_rows
+        |FROM v GROUP BY event_type""".stripMargin,
 
     "q_latency_stats" ->
       s"""SELECT event_type,

@@ -83,12 +83,15 @@ class PlanGuardSpec extends SparkSpec {
     // nested-loop is only pathological with a large build side; these
     // are by-design exceptions: the two *exact* pair/scan baselines
     // (oracle verification paths — scale entries are
-    // embeddingNearDupLsh and lshTopK/ivfTopK) and the scalar-subquery
+    // embeddingNearDupLsh and lshTopK/ivfTopK), the scalar-subquery
     // shapes whose build side is a broadcast 1-row aggregate
     // (q_customer_above_avg, q_tfidf's corpus-size N, q_bm25's
-    // 1-row N/avgdl stats, q_doc_logprob's 1-row token total)
+    // 1-row N/avgdl stats, q_doc_logprob's 1-row token total), and
+    // q_sketch_overlap's cohort-pair join, whose BOTH sides are the
+    // sketch table — one bounded O(k)-byte row per cohort, however
+    // large the fact table (the whole point of the sketch pattern)
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_customer_above_avg",
-      "q_tfidf", "q_bm25", "q_doc_logprob")
+      "q_tfidf", "q_bm25", "q_doc_logprob", "q_sketch_overlap")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")

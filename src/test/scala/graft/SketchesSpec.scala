@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Sketch rollup tables: exact-regime equalities (the oracle
+  * contract), lossless mergeability across partitionings, binary
+  * round-trip through parquet, and sampling-regime error bounds. */
+class SketchesSpec extends SparkSpec {
+
+  private lazy val ev = Tables.events(spark, sf("sf0.001"))
+
+  test("theta rollup from daily sketches == exact distinct count (exact regime)") {
+    val daily = Sketches.distinctSketchTable(
+      ev.withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day"), "user_id")
+    val rolled = Sketches.rollupDistinct(daily, Seq("event_type"), "user_id")
+      .collect().map(r => (r.getString(0),
+        r.getAs[Any]("user_id_distinct_theta").toString.toDouble.round,
+        r.getAs[Any]("user_id_distinct_hll").toString.toDouble.round,
+        r.getAs[Long]("n_rows"))).sortBy(_._1)
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("d"), count(lit(1L)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rolled.map(r => (r._1, r._2, r._4)).toSeq ==
+      exact.map(e => (e._1, e._2, e._3)).toSeq,
+      s"theta rollup != exact: $rolled vs $exact")
+    // HLL keeps exact coupons at these cardinalities too
+    assert(rolled.map(r => (r._1, r._3)).toSeq ==
+      exact.map(e => (e._1, e._2)).toSeq,
+      s"hll rollup != exact: $rolled vs $exact")
+  }
+
+  test("rollup is partitioning-invariant: same estimates from any daily split") {
+    val byDay = Sketches.distinctSketchTable(
+      ev.withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day"), "user_id")
+    val byUserMod = Sketches.distinctSketchTable(
+      ev.withColumn("day", pmod(col("user_id"), lit(7))),
+      Seq("event_type", "day"), "user_id")
+    def roll(t: org.apache.spark.sql.DataFrame) =
+      Sketches.rollupDistinct(t, Seq("event_type"), "user_id")
+        .select("event_type", "user_id_distinct_theta", "user_id_distinct_hll")
+        .collect().map(_.toSeq.map(String.valueOf(_))).sortBy(_.mkString)
+    assert(roll(byDay).toSeq == roll(byUserMod).toSeq)
+  }
+
+  test("cohort overlap: exact set algebra without touching raw data") {
+    val sk = Sketches.distinctSketchTable(ev, Seq("event_type"), "user_id")
+    val overlaps = Sketches.cohortOverlap(sk, "event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Any]("n_a").toString.toDouble.round,
+        r.getAs[Any]("n_b").toString.toDouble.round,
+        r.getAs[Any]("n_union").toString.toDouble.round,
+        r.getAs[Any]("n_intersect").toString.toDouble.round,
+        r.getAs[Any]("n_only_a").toString.toDouble.round))
+    assert(overlaps.nonEmpty)
+    val sets = ev.select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    overlaps.foreach { case (a, b, na, nb, nu, ni, nd) =>
+      val (sa, sb) = (sets(a), sets(b))
+      assert(na == sa.size && nb == sb.size, s"sizes wrong for ($a,$b)")
+      assert(nu == (sa ++ sb).size, s"union wrong for ($a,$b)")
+      assert(ni == (sa & sb).size, s"intersect wrong for ($a,$b)")
+      assert(nd == (sa -- sb).size, s"difference wrong for ($a,$b)")
+      assert(nu == na + nb - ni) // inclusion-exclusion closes
+    }
+  }
+
+  test("sketch table round-trips through parquet (binary columns persist)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    val daily = Sketches.distinctSketchTable(
+      ev.withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day"), "user_id")
+    daily.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    def roll(t: org.apache.spark.sql.DataFrame) =
+      Sketches.rollupDistinct(t, Seq("event_type"), "user_id")
+        .collect().map(_.toSeq.map(String.valueOf(_))).sortBy(_.mkString)
+    assert(roll(reloaded).toSeq == roll(daily).toSeq)
+  }
+
+  test("KLL quantile rollup == exact order statistics (exact regime)") {
+    // k=4096 > total rows at sf0.001, so per-day sketches AND their
+    // merge retain every value: quantiles are exact order statistics
+    // under inclusive-rank semantics (item at ceil(p*n), 1-based)
+    val daily = Sketches.quantileSketchTable(
+      ev.withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day"), "value", k = 4096)
+    val rolled = Sketches.rollupQuantiles(daily, Seq("event_type"), "value",
+      Seq(0.5, 0.95), k = 4096)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val exact = ev.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        val v = rs.map(_.getDouble(1)).sorted
+        def q(p: Double) = v(math.ceil(p * v.length).toInt - 1)
+        (t, q(0.5), q(0.95))
+      }.toSeq.sortBy(_._1)
+    assert(rolled.toSeq == exact, s"$rolled vs $exact")
+  }
+
+  test("sampling regime: theta/HLL within published RSE at k << n") {
+    // force sampling with tiny sketches (lgK=4 -> 16 nominal entries)
+    // over 10x more distinct ids; 3-sigma RSE bounds
+    val distinct = ev.select("user_id").distinct().count().toDouble
+    val sk = Sketches.distinctSketchTable(ev, Seq.empty, "user_id", lgK = 4)
+    val est = Sketches.rollupDistinct(sk, Seq.empty, "user_id", lgK = 4)
+      .head()
+    val theta = est.getAs[Any]("user_id_distinct_theta").toString.toDouble
+    val hll = est.getAs[Any]("user_id_distinct_hll").toString.toDouble
+    val rseTheta = 3.0 / math.sqrt(16)   // 3σ, 1/sqrt(k)
+    val rseHll = 3.0 * 1.04 / math.sqrt(16)
+    assert(math.abs(theta - distinct) / distinct <= rseTheta,
+      s"theta $theta vs $distinct")
+    assert(math.abs(hll - distinct) / distinct <= rseHll,
+      s"hll $hll vs $distinct")
+  }
+}
