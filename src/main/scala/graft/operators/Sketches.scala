@@ -88,6 +88,31 @@ object Sketches {
           theta_difference(col("__sa"), col("__sb"))).as("n_only_a"))
   }
 
+  /** Streaming twin of [[distinctSketchTable]] keyed by event-time
+    * window: the theta/HLL buffers are TypedImperativeAggregates, so
+    * they live in the streaming state store (RocksDB by default in
+    * [[graft.GraftSession]]) with O(k)-byte state per open window ×
+    * key, merged map-side per micro-batch; the watermark evicts
+    * closed windows. The output rows are sketch-TABLE rows — append
+    * them to the stored table and historical rollups via
+    * [[rollupDistinct]] include the live data with no batch backfill.
+    * On a batch frame the watermark is a no-op and the result is the
+    * exact batch windowed sketch table (the parity the spec drains). */
+  def distinctSketchStream(df: DataFrame, tsCol: String, windowSize: String,
+                           keys: Seq[String], idCol: String, lgK: Int = 12,
+                           watermarkDelay: String = "2 minutes"): DataFrame = {
+    val marked =
+      if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    marked
+      .groupBy(window(col(tsCol), windowSize) +: keys.map(col): _*)
+      .agg(
+        theta_sketch_agg(col(idCol), lgK).as(s"${idCol}_theta"),
+        hll_sketch_agg(col(idCol), lgK).as(s"${idCol}_hll"),
+        count(lit(1L)).as("n_rows"))
+      .select(col("window.start").as("window_start") +: keys.map(col) :+
+        col(s"${idCol}_theta") :+ col(s"${idCol}_hll") :+ col("n_rows"): _*)
+  }
+
   /** One-pass quantile sketch table: one KLL(double) sketch of
     * `valueCol` per `keys` cell. With k ≥ the largest cell's row
     * count the sketch holds every value and quantiles are exact;

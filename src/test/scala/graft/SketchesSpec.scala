@@ -1,6 +1,9 @@
 package graft
 
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.operators.Sketches
 
 /** Sketch rollup tables: exact-regime equalities (the oracle
@@ -97,6 +100,45 @@ class SketchesSpec extends SparkSpec {
         (t, q(0.5), q(0.95))
       }.toSeq.sortBy(_._1)
     assert(rolled.toSeq == exact, s"$rolled vs $exact")
+  }
+
+  test("streaming windowed sketch table == batch after draining (RocksDB state)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def t(x: String) = Timestamp.valueOf(x)
+    // two 1-hour windows x two keys; ids overlap across rows so the
+    // sketches do real distinct work
+    val rows = (0 until 60).map { i =>
+      Ev(t(f"2024-03-01 ${9 + i % 2}%02d:${i % 50}%02d:00"),
+        if (i % 4 < 2) "a" else "b", (i % 13).toDouble, (i % 11).toLong)
+    }
+    val mem = MemoryStream[Ev]
+    mem.addData(rows)
+    // sketch the o column (longs with duplicates)
+    val out = Sketches.distinctSketchStream(mem.toDF, "ts", "1 hour", Seq("k"), "o")
+    val q = out.writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // compare post-rollup estimates (buffer bytes may differ by merge
+    // order; estimates in the exact regime cannot)
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("window_start"), col("k"),
+          theta_sketch_estimate(col("o_theta")).as("d_theta"),
+          hll_sketch_estimate(col("o_hll")).as("d_hll"),
+          col("n_rows"))
+        .collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted.toSeq
+    val streamed = est(s.table("sketch_stream"))
+    val batch = est(Sketches.distinctSketchStream(rows.toDF, "ts", "1 hour", Seq("k"), "o"))
+    assert(streamed == batch)
+    assert(streamed.size == 4, s"expected 2 windows x 2 keys, got $streamed")
+    // and the streamed sketch rows are exact in this regime
+    val exact = rows.groupBy(r => (r.ts.getTime / 3600000, r.k))
+      .map { case (_, rs) => rs.map(_.o).toSet.size }.toSeq.sorted
+    val got = s.table("sketch_stream")
+      .select(theta_sketch_estimate(col("o_theta")))
+      .collect().map(_.get(0).toString.toDouble.round.toInt).toSeq.sorted
+    assert(got == exact, s"$got vs $exact")
   }
 
   test("sampling regime: theta/HLL within published RSE at k << n") {
