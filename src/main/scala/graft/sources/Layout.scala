@@ -67,7 +67,10 @@ object Layout {
     * exist for the instant between the two renames — a concurrent
     * reader listing the directory in that window fails with
     * path-not-found; schedule compaction when the table is not being
-    * concurrently opened, or retry readers on miss. */
+    * concurrently opened, or retry readers on miss. For a table that
+    * must stay readable THROUGH compaction, use
+    * [[Snapshots.compactCommit]] — its manifest swap has no such
+    * window at all. */
   def compact(spark: SparkSession, path: String, targetRows: Long): Long = {
     val df = spark.read.parquet(path)
     val n = df.count()

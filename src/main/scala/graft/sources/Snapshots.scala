@@ -1,0 +1,207 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated parquet tables: the commit protocol that makes a
+  * 100 TB table safely writable while it is being read.
+  *
+  * Plain `mode("overwrite")` deletes before it writes, and even the
+  * verify-then-swap compaction in [[Layout.compact]] has an instant
+  * where the path does not exist. This layout removes the window the
+  * way Iceberg/Delta do — data files are IMMUTABLE and a snapshot is
+  * a MANIFEST listing them:
+  *
+  * {{{
+  * dir/data/<commitId>/part-*.parquet   — immutable, written once
+  * dir/_manifests/v<zero-padded>/       — one parquet manifest per
+  *                                        snapshot: (path, rows,
+  *                                        stats_min, stats_max,
+  *                                        version, parent)
+  * }}}
+  *
+  * A commit writes its data files first, then publishes a manifest
+  * directory via an atomic filesystem rename. Readers resolve the
+  * highest published manifest and read exactly the files it lists:
+  * they see the previous snapshot until the rename lands, the new one
+  * after — never a partial state, with no read-retry loop. A crash
+  * before the rename leaves only unreferenced data files (garbage,
+  * not corruption); two racing writers both write data, but only one
+  * rename can create a given version — the loser retries against the
+  * next number (optimistic concurrency, like Iceberg's).
+  *
+  * The manifest is itself a parquet TABLE, not driver JSON: listing a
+  * 100k-file snapshot is a distributed scan, per-file row counts and
+  * min/max stats of a chosen column ride along, and [[readPruned]]
+  * uses them for MANIFEST-LEVEL file skipping — files whose stats
+  * range can't intersect the predicate are never opened, the same
+  * pruning [[Layout.writeZClustered]] gives within a file, one level
+  * up. Old snapshots stay readable (time travel for reproducible
+  * training-data runs) until [[expire]] drops their manifests and any
+  * data file no surviving snapshot references.
+  */
+object Snapshots {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def manifestRoot(dir: String) = s"${dir.stripSuffix("/")}/_manifests"
+  private def dataRoot(dir: String) = s"${dir.stripSuffix("/")}/data"
+  private def manifestPath(dir: String, v: Long) =
+    new Path(manifestRoot(dir), f"v$v%012d")
+
+  /** Highest published snapshot version, if any. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val root = new Path(manifestRoot(dir))
+    val f = fs(spark, dir)
+    if (!f.exists(root)) None
+    else {
+      val vs = f.listStatus(root).map(_.getPath.getName)
+        .filter(_.matches("v\\d{12}")).map(_.drop(1).toLong)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** The manifest table of a snapshot (latest by default):
+    * one row per data file — (path, rows, stats_min, stats_max,
+    * version, parent). */
+  def manifest(spark: SparkSession, dir: String,
+               version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $dir"))
+    spark.read.parquet(manifestPath(dir, v).toString)
+  }
+
+  /** Commit `df` as a new snapshot. `overwrite = false` appends to
+    * the current snapshot's files; `true` replaces them (the old
+    * files stay on disk for time travel until [[expire]]). `statsCol`
+    * names a numeric column whose per-file min/max should ride in the
+    * manifest for [[readPruned]]. Returns the published version.
+    *
+    * Scale: the data write is one normal parquet job; the stats pass
+    * re-reads ONLY `statsCol` (columnar projection) of the new files;
+    * the manifest write is one tiny job. Nothing here holds per-row
+    * driver state. */
+  def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
+             statsCol: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    val commitId = java.util.UUID.randomUUID().toString
+    val commitDir = s"${dataRoot(dir)}/$commitId"
+    df.write.parquet(commitDir)
+
+    // per-file stats in one columnar scan of the fresh files
+    val written = spark.read.parquet(commitDir)
+    val statsAgg = statsCol match {
+      case Some(c) => Seq(count(lit(1L)).as("rows"),
+        min(col(c)).cast("double").as("stats_min"),
+        max(col(c)).cast("double").as("stats_max"))
+      case None => Seq(count(lit(1L)).as("rows"),
+        lit(null).cast("double").as("stats_min"),
+        lit(null).cast("double").as("stats_max"))
+    }
+    val newFiles = written.groupBy(input_file_name().as("path"))
+      .agg(statsAgg.head, statsAgg.tail: _*)
+
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(manifestRoot(dir)))
+    var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
+    while (true) {
+      val parent = attempt - 1
+      val base: Option[DataFrame] =
+        if (overwrite || attempt == 0L) None
+        else Some(manifest(spark, dir, Some(parent))
+          .select("path", "rows", "stats_min", "stats_max"))
+      val entries = base match {
+        case Some(b) => b.unionByName(
+          newFiles.select("path", "rows", "stats_min", "stats_max"))
+        case None => newFiles.select("path", "rows", "stats_min", "stats_max")
+      }
+      val full = entries
+        .withColumn("version", lit(attempt))
+        .withColumn("parent", lit(if (attempt == 0L) -1L else parent))
+      val tmp = new Path(manifestRoot(dir), s".tmp-$commitId")
+      f.delete(tmp, true)
+      full.coalesce(1).write.parquet(tmp.toString)
+      // the publish point: rename fails (returns false) if another
+      // writer already published this version — retry one higher
+      if (f.rename(tmp, manifestPath(dir, attempt))) return attempt
+      f.delete(tmp, true)
+      attempt += 1
+    }
+    attempt // unreachable
+  }
+
+  private def filesOf(spark: SparkSession, dir: String,
+                      version: Option[Long]): Seq[String] =
+    manifest(spark, dir, version).select("path").collect().map(_.getString(0)).toSeq
+
+  /** Read a snapshot (latest by default; pass a version for time
+    * travel). Reads exactly the manifest's files — concurrent commits
+    * are invisible. */
+  def read(spark: SparkSession, dir: String,
+           version: Option[Long] = None): DataFrame =
+    spark.read.parquet(filesOf(spark, dir, version): _*)
+
+  /** Read only the files whose `statsCol` range can intersect
+    * [lo, hi] — manifest-level data skipping. Files committed without
+    * stats are always read (no silent misses). The residual predicate
+    * still applies row-level; this only shrinks the file list. */
+  def readPruned(spark: SparkSession, dir: String, lo: Double, hi: Double,
+                 version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, dir, version)
+    val keep = m.filter(col("stats_min").isNull ||
+        (col("stats_min") <= hi && col("stats_max") >= lo))
+      .select("path").collect().map(_.getString(0)).toSeq
+    if (keep.isEmpty)
+      // preserve the schema even when every file is pruned
+      spark.read.parquet(filesOf(spark, dir, version): _*).limit(0)
+    else spark.read.parquet(keep: _*)
+  }
+
+  /** Number of data files in a snapshot (plan-free, from the
+    * manifest). */
+  def fileCount(spark: SparkSession, dir: String,
+                version: Option[Long] = None): Long =
+    manifest(spark, dir, version).count()
+
+  /** Compact the current snapshot to ~`targetRows` rows per file as a
+    * NEW snapshot — the [[Layout.compact]] job without its rename
+    * window: readers of the old snapshot keep their immutable files,
+    * readers arriving after the commit get the compacted ones, and a
+    * crash mid-compaction leaves only unreferenced files. */
+  def compactCommit(spark: SparkSession, dir: String, targetRows: Long,
+                    statsCol: Option[String] = None): Long = {
+    val cur = read(spark, dir)
+    val n = cur.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    val v = commit(cur.repartition(files), dir, overwrite = true, statsCol)
+    val m = read(spark, dir, Some(v)).count()
+    require(m == n, s"compaction row mismatch: $n -> $m (snapshot v$v)")
+    v
+  }
+
+  /** Drop all but the newest `keepLast` snapshots and delete every
+    * data file referenced ONLY by dropped snapshots. Unreferenced
+    * commit directories (crashed commits) are NOT touched — they are
+    * garbage, not corruption, and an in-flight writer may still be
+    * about to publish them. Returns the number of deleted files. */
+  def expire(spark: SparkSession, dir: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val f = fs(spark, dir)
+    val root = new Path(manifestRoot(dir))
+    if (!f.exists(root)) return 0
+    val versions = f.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v\\d{12}")).map(_.drop(1).toLong).sorted
+    if (versions.length <= keepLast) return 0
+    val (dead, live) = versions.splitAt(versions.length - keepLast)
+    val liveFiles = live.map(v => filesOf(spark, dir, Some(v)).toSet)
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val deadFiles = dead.map(v => filesOf(spark, dir, Some(v)).toSet)
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val doomed = deadFiles -- liveFiles
+    doomed.foreach(p => f.delete(new Path(new java.net.URI(p)), false))
+    dead.foreach(v => f.delete(manifestPath(dir, v), true))
+    doomed.size
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots
+
+/** Snapshot table protocol: append/overwrite commits, time travel,
+  * manifest-level pruning, windowless compaction, crash orphans,
+  * optimistic-concurrency retry, and snapshot expiry. */
+class SnapshotsSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap").toString
+
+  private def nations = Tables.load(spark, sf("sf0.001"), "nation")
+
+  test("append commits accumulate; every snapshot stays readable (time travel)") {
+    val dir = tmpDir()
+    val a = nations.filter(col("n_nationkey") < 10)
+    val b = nations.filter(col("n_nationkey") >= 10)
+    val v0 = Snapshots.commit(a, dir)
+    val v1 = Snapshots.commit(b, dir)
+    assert(v0 == 0L && v1 == 1L)
+    assert(Snapshots.read(spark, dir).count() == nations.count())
+    // time travel: v0 is exactly the first batch
+    val tt = Snapshots.read(spark, dir, Some(0L))
+      .select("n_nationkey").collect().map(_.get(0).toString.toLong).sorted.toSeq
+    assert(tt == a.select("n_nationkey").collect().map(_.get(0).toString.toLong).sorted.toSeq)
+    assert(Snapshots.latestVersion(spark, dir).contains(1L))
+  }
+
+  test("overwrite commit replaces the file set but not history") {
+    val dir = tmpDir()
+    Snapshots.commit(nations, dir)
+    val small = nations.filter(col("n_regionkey") === 0)
+    val v1 = Snapshots.commit(small, dir, overwrite = true)
+    assert(Snapshots.read(spark, dir).count() == small.count())
+    assert(Snapshots.read(spark, dir, Some(0L)).count() == nations.count())
+    assert(v1 == 1L)
+  }
+
+  test("a crashed commit (data written, no manifest) is invisible to readers") {
+    val dir = tmpDir()
+    Snapshots.commit(nations, dir)
+    // simulate the crash: a data directory with no published manifest
+    nations.limit(3).write.parquet(s"$dir/data/orphan-commit")
+    assert(Snapshots.read(spark, dir).count() == nations.count())
+    assert(Snapshots.fileCount(spark, dir) ==
+      Snapshots.manifest(spark, dir).count())
+  }
+
+  test("version collision: the losing writer retries to the next version") {
+    val dir = tmpDir()
+    Snapshots.commit(nations, dir)
+    // occupy v1 the way a racing winner would (manifest dir exists,
+    // non-empty), then commit — the rename must fail and retry to v2
+    val m0 = s"$dir/_manifests/v${"%012d".format(0L)}"
+    val m1 = s"$dir/_manifests/v${"%012d".format(1L)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(m0),
+      fs, new org.apache.hadoop.fs.Path(m1), false,
+      spark.sparkContext.hadoopConfiguration)
+    val v = Snapshots.commit(nations.limit(5), dir)
+    assert(v == 2L, s"expected retry to v2, got v$v")
+    assert(Snapshots.read(spark, dir).count() == nations.count() + 5)
+  }
+
+  test("manifest-level pruning reads only stat-overlapping files") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .repartitionByRange(8, col("user_id"))
+    Snapshots.commit(ev, dir, overwrite = false, statsCol = Some("user_id"))
+    val total = Snapshots.fileCount(spark, dir)
+    assert(total >= 8, s"expected >=8 files, got $total")
+    // a narrow user_id range lives in few of the range-partitioned files
+    val pruned = Snapshots.readPruned(spark, dir, 0, 2)
+    val prunedFiles = pruned.select(input_file_name()).distinct().count()
+    assert(prunedFiles < total,
+      s"pruning read $prunedFiles of $total files — no skipping")
+    val want = ev.filter(col("user_id").between(0, 2)).count()
+    assert(pruned.filter(col("user_id").between(0, 2)).count() == want)
+    // fully-disjoint range: zero rows, schema preserved
+    val none = Snapshots.readPruned(spark, dir, 1e12, 2e12)
+    assert(none.count() == 0 && none.columns.sameElements(pruned.columns))
+  }
+
+  test("compaction commits a new snapshot with fewer files, no rename window") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001")).repartition(16)
+    Snapshots.commit(ev, dir)
+    val before = Snapshots.fileCount(spark, dir)
+    val n = Snapshots.read(spark, dir).count()
+    val v = Snapshots.compactCommit(spark, dir, targetRows = n) // -> 1 file
+    assert(Snapshots.fileCount(spark, dir, Some(v)) < before)
+    assert(Snapshots.read(spark, dir, Some(v)).count() == n)
+    // the pre-compaction snapshot still reads its original files
+    assert(Snapshots.read(spark, dir, Some(0L)).count() == n)
+    assert(Snapshots.fileCount(spark, dir, Some(0L)) == before)
+  }
+
+  test("expire keeps the newest snapshots and deletes only their dead files") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+    Snapshots.commit(ev.limit(100), dir)                       // v0
+    Snapshots.commit(ev.limit(50), dir, overwrite = true)      // v1 (v0 files dead)
+    Snapshots.commit(ev.limit(25), dir)                        // v2 (appends to v1)
+    val n2 = Snapshots.read(spark, dir, Some(2L)).count()
+    val deleted = Snapshots.expire(spark, dir, keepLast = 2)
+    assert(deleted > 0, "v0's files should have been deleted")
+    // survivors unaffected
+    assert(Snapshots.read(spark, dir, Some(1L)).count() == 50)
+    assert(Snapshots.read(spark, dir, Some(2L)).count() == n2)
+    // v0 is gone
+    intercept[Exception](Snapshots.manifest(spark, dir, Some(0L)).collect())
+    // second expire is a no-op
+    assert(Snapshots.expire(spark, dir, keepLast = 2) == 0)
+  }
+}
