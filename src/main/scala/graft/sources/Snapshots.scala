@@ -73,24 +73,16 @@ object Snapshots {
     spark.read.parquet(manifestPath(dir, v).toString)
   }
 
-  /** Commit `df` as a new snapshot. `overwrite = false` appends to
-    * the current snapshot's files; `true` replaces them (the old
-    * files stay on disk for time travel until [[expire]]). `statsCol`
-    * names a numeric column whose per-file min/max should ride in the
-    * manifest for [[readPruned]]. Returns the published version.
-    *
-    * Scale: the data write is one normal parquet job; the stats pass
-    * re-reads ONLY `statsCol` (columnar projection) of the new files;
-    * the manifest write is one tiny job. Nothing here holds per-row
-    * driver state. */
-  def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
-             statsCol: Option[String] = None): Long = {
+  /** Write `df` into a fresh immutable commit directory and return
+    * its per-file manifest entries (path, rows, stats_min, stats_max)
+    * — the stats pass re-reads ONLY `statsCol` (columnar projection)
+    * of the new files. */
+  private def writeDataFiles(df: DataFrame, dir: String,
+                             statsCol: Option[String]): (String, DataFrame) = {
     val spark = df.sparkSession
     val commitId = java.util.UUID.randomUUID().toString
     val commitDir = s"${dataRoot(dir)}/$commitId"
     df.write.parquet(commitDir)
-
-    // per-file stats in one columnar scan of the fresh files
     val written = spark.read.parquet(commitDir)
     val statsAgg = statsCol match {
       case Some(c) => Seq(count(lit(1L)).as("rows"),
@@ -100,36 +92,133 @@ object Snapshots {
         lit(null).cast("double").as("stats_min"),
         lit(null).cast("double").as("stats_max"))
     }
-    val newFiles = written.groupBy(input_file_name().as("path"))
-      .agg(statsAgg.head, statsAgg.tail: _*)
+    (commitId, written.groupBy(input_file_name().as("path"))
+      .agg(statsAgg.head, statsAgg.tail: _*))
+  }
 
+  /** One publish attempt: write the manifest aside, rename it to
+    * `version`. The rename fails (returns false) if another writer
+    * already published that version. */
+  private def tryPublish(spark: SparkSession, dir: String, tag: String,
+                         entries: DataFrame, version: Long): Boolean = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(manifestRoot(dir)))
+    val full = entries.select("path", "rows", "stats_min", "stats_max")
+      .withColumn("version", lit(version))
+      .withColumn("parent", lit(version - 1L))
+    val tmp = new Path(manifestRoot(dir), s".tmp-$tag")
+    f.delete(tmp, true)
+    full.coalesce(1).write.parquet(tmp.toString)
+    val ok = f.rename(tmp, manifestPath(dir, version))
+    if (!ok) f.delete(tmp, true)
+    ok
+  }
+
+  /** Commit `df` as a new snapshot. `overwrite = false` appends to
+    * the current snapshot's files; `true` replaces them (the old
+    * files stay on disk for time travel until [[expire]]). `statsCol`
+    * names a numeric column whose per-file min/max should ride in the
+    * manifest for [[readPruned]]. Returns the published version.
+    *
+    * Scale: the data write is one normal parquet job; the stats pass
+    * is one columnar scan of the new files; the manifest write is one
+    * tiny job. Nothing here holds per-row driver state. */
+  def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
+             statsCol: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    val (commitId, newFiles) = writeDataFiles(df, dir, statsCol)
     var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
     while (true) {
       val parent = attempt - 1
-      val base: Option[DataFrame] =
-        if (overwrite || attempt == 0L) None
-        else Some(manifest(spark, dir, Some(parent))
-          .select("path", "rows", "stats_min", "stats_max"))
-      val entries = base match {
-        case Some(b) => b.unionByName(
-          newFiles.select("path", "rows", "stats_min", "stats_max"))
-        case None => newFiles.select("path", "rows", "stats_min", "stats_max")
-      }
-      val full = entries
-        .withColumn("version", lit(attempt))
-        .withColumn("parent", lit(if (attempt == 0L) -1L else parent))
-      val tmp = new Path(manifestRoot(dir), s".tmp-$commitId")
-      f.delete(tmp, true)
-      full.coalesce(1).write.parquet(tmp.toString)
-      // the publish point: rename fails (returns false) if another
-      // writer already published this version — retry one higher
-      if (f.rename(tmp, manifestPath(dir, attempt))) return attempt
-      f.delete(tmp, true)
+      val entries =
+        if (overwrite || attempt == 0L) newFiles
+        else manifest(spark, dir, Some(parent))
+          .select("path", "rows", "stats_min", "stats_max")
+          .unionByName(newFiles.select("path", "rows", "stats_min", "stats_max"))
+      if (tryPublish(spark, dir, commitId, entries, attempt)) return attempt
       attempt += 1
     }
     attempt // unreachable
+  }
+
+  /** Merge a CDC batch into the snapshot table, rewriting ONLY the
+    * files whose `pruneCol` stats range can contain a changed key —
+    * Iceberg-style copy-on-write at file granularity. Change rows
+    * carry the table schema plus `opCol` ('u' = upsert, 'd' =
+    * delete) and `seqCol`; conflict resolution is last-writer-wins by
+    * (seq, op) per key with existing rows ranked below every change —
+    * the [[Cdc.applyChanges]] semantics, WITHOUT its immutable-
+    * partition contract: a key always lives inside some file whose
+    * stats range covers it, so every key a change names is found and
+    * rewritten wherever it sits.
+    *
+    * `pruneCol` (default: the first key column) must be numeric and
+    * should be the column the table was committed/clustered by —
+    * files without stats are conservatively rewritten. Untouched
+    * files are carried into the new manifest by reference: a 1 GB
+    * batch against a 100 TB table rewrites the few files its keys
+    * land in. On a version collision the whole merge re-derives
+    * against the new latest snapshot and retries. */
+  def mergeCommit(spark: SparkSession, dir: String, changes: DataFrame,
+                  keyCols: Seq[String], opCol: String = "op",
+                  seqCol: String = "seq",
+                  pruneCol: Option[String] = None): Long = {
+    val dataCols = changes.columns.filterNot(c => c == opCol || c == seqCol)
+    val pc = pruneCol.getOrElse(keyCols.head)
+    require(dataCols.contains(pc), s"changes must carry $pc")
+    while (true) {
+      val latest = latestVersion(spark, dir)
+      val (kept, affected) = latest match {
+        case None => (None: Option[DataFrame], Seq.empty[String])
+        case Some(v) =>
+          val m = manifest(spark, dir, Some(v))
+            .select("path", "rows", "stats_min", "stats_max")
+          val keys = changes.select(col(pc).cast("double").as("__k")).distinct()
+          // the manifest side is bounded metadata — broadcast it; a
+          // file is affected if any changed key can sit in its range,
+          // or if it carries no stats (cannot be ruled out)
+          val aff = keys.join(broadcast(m),
+              col("__k").between(col("stats_min"), col("stats_max")) ||
+                col("stats_min").isNull)
+            .select("path").distinct().collect().map(_.getString(0)).toSeq
+          val keptEntries =
+            if (aff.isEmpty) m
+            else m.filter(!col("path").isin(aff: _*))
+          (Some(keptEntries), aff)
+      }
+      val base =
+        if (affected.nonEmpty)
+          spark.read.parquet(affected: _*)
+            .select(dataCols.map(col) :+ lit("u").as(opCol) :+
+              lit(Long.MinValue).as(seqCol): _*)
+        else changes.filter(lit(false))
+          .select(dataCols.map(col) :+ col(opCol) :+ col(seqCol): _*)
+      val merged = base
+        .unionByName(changes.select(
+          dataCols.map(col) :+ col(opCol) :+ col(seqCol): _*))
+        .groupBy(keyCols.map(col): _*)
+        .agg(max_by(
+          struct((dataCols.filterNot(keyCols.contains).map(col) :+
+            col(opCol)).map(c => c): _*),
+          struct(col(seqCol), col(opCol))).as("__w"))
+        .select(keyCols.map(col) ++
+          dataCols.filterNot(keyCols.contains).map(c => col(s"__w.$c")) :+
+          col(s"__w.$opCol"): _*)
+        .filter(col(opCol) =!= "d")
+        .select(dataCols.map(col): _*)
+      val (commitId, newFiles) = writeDataFiles(merged, dir, Some(pc))
+      val entries = kept match {
+        case Some(k) => k.unionByName(
+          newFiles.select("path", "rows", "stats_min", "stats_max"))
+        case None => newFiles.select("path", "rows", "stats_min", "stats_max")
+      }
+      val version = latest.map(_ + 1).getOrElse(0L)
+      if (tryPublish(spark, dir, commitId, entries, version)) return version
+      // collision: a concurrent commit changed the base — the merged
+      // files we wrote are now stale garbage (never referenced);
+      // re-derive against the new latest
+    }
+    -1L // unreachable
   }
 
   private def filesOf(spark: SparkSession, dir: String,

@@ -98,6 +98,68 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.fileCount(spark, dir, Some(0L)) == before)
   }
 
+  test("mergeCommit rewrites only stat-affected files and applies LWW upsert/delete") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    // 4 range-partitioned files over user_id so a narrow change batch
+    // can only touch some of them
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "value")
+      .repartitionByRange(4, col("user_id"))
+    Snapshots.commit(ev, dir, overwrite = false, statsCol = Some("event_id"))
+    val before = Snapshots.manifest(spark, dir)
+      .select("path").collect().map(_.getString(0)).toSet
+
+    val n0 = Snapshots.read(spark, dir).count()
+    val someIds = ev.orderBy("event_id").limit(3)
+      .select("event_id").collect().map(_.getLong(0))
+    val newId = 900000001L
+    val changes = Seq(
+      // update one existing row, delete another, insert a new key;
+      // a late delete beats an early upsert for the same key
+      (someIds(0), 1L, "upd", 1.5, "u", 10L),
+      (someIds(1), 2L, "del", 0.0, "d", 10L),
+      (someIds(2), 3L, "first", 2.0, "u", 5L),
+      (someIds(2), 3L, "second", 3.0, "d", 6L),
+      (newId, 4L, "ins", 9.0, "u", 10L)
+    ).toDF("event_id", "user_id", "event_type", "value", "op", "seq")
+
+    val v = Snapshots.mergeCommit(spark, dir, changes,
+      keyCols = Seq("event_id"), pruneCol = Some("event_id"))
+    val after = Snapshots.read(spark, dir, Some(v))
+    // net: -2 deletes (someIds(1), someIds(2)) +1 insert
+    assert(after.count() == n0 - 1)
+    assert(after.filter(col("event_id") === someIds(0))
+      .select("event_type").head().getString(0) == "upd")
+    assert(after.filter(col("event_id") === someIds(1)).count() == 0)
+    assert(after.filter(col("event_id") === someIds(2)).count() == 0)
+    assert(after.filter(col("event_id") === newId).count() == 1)
+    // untouched files carried by reference: the low-id change keys sit
+    // in the early range files, so at least one original file survives
+    val surviving = Snapshots.manifest(spark, dir, Some(v))
+      .select("path").collect().map(_.getString(0)).toSet
+    assert((before & surviving).nonEmpty,
+      s"merge rewrote every file despite range stats")
+    assert((surviving -- before).nonEmpty, "no new files written")
+    // pre-merge snapshot unchanged (time travel across a merge)
+    assert(Snapshots.read(spark, dir, Some(0L)).count() == n0)
+  }
+
+  test("mergeCommit bootstraps an empty table from the batch alone") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val changes = Seq(
+      (1L, "a", "u", 1L), (1L, "b", "u", 2L), // LWW within batch
+      (2L, "x", "u", 1L), (2L, "x", "d", 2L)  // delete wins
+    ).toDF("id", "payload", "op", "seq")
+    val v = Snapshots.mergeCommit(spark, dir, changes, keyCols = Seq("id"))
+    val rows = Snapshots.read(spark, dir, Some(v))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "b")))
+  }
+
   test("expire keeps the newest snapshots and deletes only their dead files") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))
