@@ -98,20 +98,83 @@ object Snapshots {
 
   /** One publish attempt: write the manifest aside, rename it to
     * `version`. The rename fails (returns false) if another writer
-    * already published that version. */
+    * already published that version. `batchId` fences streaming
+    * replays (see [[commitStreamBatch]]); the manifest records
+    * max(batchId, parent's watermark), so the fence survives
+    * interleaved batch commits (compaction, merges) that pass -1. */
   private def tryPublish(spark: SparkSession, dir: String, tag: String,
-                         entries: DataFrame, version: Long): Boolean = {
+                         entries: DataFrame, version: Long,
+                         batchId: Long = -1L): Boolean = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(manifestRoot(dir)))
+    val carried = math.max(batchId,
+      if (version == 0L) -1L else batchWatermarkAt(spark, dir, version - 1))
     val full = entries.select("path", "rows", "stats_min", "stats_max")
       .withColumn("version", lit(version))
       .withColumn("parent", lit(version - 1L))
+      .withColumn("batch_id", lit(carried))
     val tmp = new Path(manifestRoot(dir), s".tmp-$tag")
     f.delete(tmp, true)
     full.coalesce(1).write.parquet(tmp.toString)
     val ok = f.rename(tmp, manifestPath(dir, version))
     if (!ok) f.delete(tmp, true)
     ok
+  }
+
+  private def batchWatermarkAt(spark: SparkSession, dir: String, v: Long): Long = {
+    val m = manifest(spark, dir, Some(v))
+    if (!m.columns.contains("batch_id")) -1L
+    else m.select(max(col("batch_id"))).head().getLong(0)
+  }
+
+  /** Highest streaming batch id fenced into the snapshot history (-1
+    * if none). Every manifest carries the running maximum, so the
+    * latest one IS the high-water mark even after non-stream commits
+    * (compaction, CDC merges) in between. */
+  def lastCommittedBatch(spark: SparkSession, dir: String): Long =
+    latestVersion(spark, dir) match {
+      case None => -1L
+      case Some(v) => batchWatermarkAt(spark, dir, v)
+    }
+
+  /** Exactly-once micro-batch append for `foreachBatch`: commit the
+    * batch as a new snapshot UNLESS this `batchId` (or a later one)
+    * is already in the table's history — after a crash, Structured
+    * Streaming replays the last uncommitted-in-ITS-checkpoint batch,
+    * and if the previous run died between our manifest rename and the
+    * checkpoint write, the replayed batch is already durable here and
+    * must be skipped, not appended twice. The fence rides IN the
+    * manifest (same atomic rename as the data), so the marker can
+    * never disagree with the data. Returns the committed version, or
+    * None when fenced.
+    *
+    * {{{
+    * stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *   Snapshots.commitStreamBatch(b, dir, id, statsCol = Some("ts"))
+    *   ()
+    * }.option("checkpointLocation", cp).start()
+    * }}}
+    */
+  def commitStreamBatch(batch: DataFrame, dir: String, batchId: Long,
+                        statsCol: Option[String] = None): Option[Long] = {
+    val spark = batch.sparkSession
+    if (lastCommittedBatch(spark, dir) >= batchId) return None
+    val (commitId, newFiles) = writeDataFiles(batch, dir, statsCol)
+    var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
+    while (true) {
+      // re-check the fence under the current version: a concurrent
+      // replica may have fenced this batch while we wrote data files
+      if (lastCommittedBatch(spark, dir) >= batchId) return None
+      val entries =
+        if (attempt == 0L) newFiles
+        else manifest(spark, dir, Some(attempt - 1))
+          .select("path", "rows", "stats_min", "stats_max")
+          .unionByName(newFiles.select("path", "rows", "stats_min", "stats_max"))
+      if (tryPublish(spark, dir, commitId, entries, attempt, batchId))
+        return Some(attempt)
+      attempt += 1
+    }
+    None // unreachable
   }
 
   /** Commit `df` as a new snapshot. `overwrite = false` appends to

@@ -160,6 +160,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows == Seq((1L, "b")))
   }
 
+  test("streaming sink: exactly-once commits with replayed batches fenced") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = tmpDir()
+    // drive a real stream through foreachBatch into the table
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = mem.toDF.toDF("id", "payload").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Snapshots.commitStreamBatch(b, dir, id, statsCol = Some("id")); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir())
+      .start()
+    q.awaitTermination(60000)
+    val afterStream = Snapshots.read(spark, dir).count()
+    assert(afterStream == 2)
+    val fencedAt = Snapshots.lastCommittedBatch(spark, dir)
+    assert(fencedAt >= 0)
+    // crash replay: the same batch id arrives again -> fenced, no dupes
+    val replay = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    assert(Snapshots.commitStreamBatch(replay, dir, fencedAt, Some("id")).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == afterStream)
+    // the fence survives an interleaved maintenance commit
+    Snapshots.compactCommit(spark, dir, targetRows = 1000)
+    assert(Snapshots.lastCommittedBatch(spark, dir) == fencedAt)
+    assert(Snapshots.commitStreamBatch(replay, dir, fencedAt, Some("id")).isEmpty)
+    // a genuinely new batch still lands
+    val next = Seq((3L, "c")).toDF("id", "payload")
+    assert(Snapshots.commitStreamBatch(next, dir, fencedAt + 1, Some("id")).nonEmpty)
+    assert(Snapshots.read(spark, dir).count() == afterStream + 1)
+  }
+
   test("expire keeps the newest snapshots and deletes only their dead files") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))
