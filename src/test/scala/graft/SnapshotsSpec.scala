@@ -194,6 +194,63 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == afterStream + 1)
   }
 
+  test("model check: random op sequences match an in-memory table model") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val dir = tmpDir()
+    // model: key -> payload; ops mirror the table API
+    var model = Map.empty[Long, String]
+    var mutation = 0
+    def freshRows(n: Int): Seq[(Long, String)] =
+      Seq.fill(n) { mutation += 1; (rnd.nextInt(40).toLong, s"v$mutation") }
+    def check(): Unit = {
+      val got = Snapshots.read(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      // appends may duplicate keys (no implicit dedup in plain
+      // commits) — the model tracks a multiset for those, so compare
+      // per-key payload SETS only after merge ops collapse them; here
+      // we keep the model exact by always merging (see ops below)
+      assert(got == model.toSeq.sorted, s"table $got != model ${model.toSeq.sorted}")
+    }
+    // per-row strictly increasing sequences keep within-batch LWW
+    // deterministic even when a key repeats in one batch
+    var seq = 0L
+    def nextSeq(): Long = { seq += 1; seq }
+    // seed the table through a merge so keys stay unique thereafter
+    val first = freshRows(10).map { case (k, p) => (k, p, "u", nextSeq()) }
+    Snapshots.mergeCommit(spark, dir,
+      first.toDF("id", "payload", "op", "seq"), keyCols = Seq("id"))
+    // within-batch LWW: the highest-seq (= last) occurrence of a key wins
+    model = first.foldLeft(model) { case (m, (k, p, _, _)) => m + (k -> p) }
+    check()
+    (1 to 12).foreach { i =>
+      rnd.nextInt(3) match {
+        case 0 => // merge a mixed upsert/delete batch
+          val ups = freshRows(1 + rnd.nextInt(5))
+          val dels = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+          val batch =
+            ups.map { case (k, p) => (k, p, "u", nextSeq()) } ++
+              dels.map(k => (k, "", "d", nextSeq()))
+          // drop ups of keys this same batch deletes: the deletes carry
+          // higher seqs, so they'd win anyway — keep the model trivial
+          val clean = batch.filterNot { case (k, _, op, _) =>
+            op == "u" && dels.contains(k) }
+          Snapshots.mergeCommit(spark, dir,
+            clean.toDF("id", "payload", "op", "seq"), keyCols = Seq("id"))
+          model = clean.foldLeft(model) {
+            case (m, (k, _, "d", _)) => m - k
+            case (m, (k, p, _, _)) => m + (k -> p)
+          }
+        case 1 => // compact
+          Snapshots.compactCommit(spark, dir, targetRows = 1000)
+        case 2 => // expire history
+          Snapshots.expire(spark, dir, keepLast = 1 + rnd.nextInt(2))
+      }
+      check()
+    }
+  }
+
   test("expire keeps the newest snapshots and deletes only their dead files") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))
