@@ -290,10 +290,16 @@ object Snapshots {
 
   /** Read a snapshot (latest by default; pass a version for time
     * travel). Reads exactly the manifest's files — concurrent commits
-    * are invisible. */
+    * are invisible. `mergeSchema = true` unions the file schemas
+    * (parquet schema evolution: columns added by later appends read
+    * as null in older files). */
   def read(spark: SparkSession, dir: String,
-           version: Option[Long] = None): DataFrame =
-    spark.read.parquet(filesOf(spark, dir, version): _*)
+           version: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
+    val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
+            else spark.read
+    r.parquet(filesOf(spark, dir, version): _*)
+  }
 
   /** Read only the files whose `statsCol` range can intersect
     * [lo, hi] — manifest-level data skipping. Files committed without
@@ -333,11 +339,60 @@ object Snapshots {
     v
   }
 
+  /** Re-publish an old snapshot's file list as the NEW latest version
+    * — rollback as a forward commit, so the history (including the
+    * rolled-back versions) stays intact and auditable, and concurrent
+    * readers switch atomically like any other commit. The batch-id
+    * fence carries forward (a rollback must not re-open the door to a
+    * replayed streaming batch). */
+  def rollback(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val entries = manifest(spark, dir, Some(toVersion))
+      .select("path", "rows", "stats_min", "stats_max")
+    val tag = java.util.UUID.randomUUID().toString
+    var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
+    while (true) {
+      if (tryPublish(spark, dir, tag, entries, attempt)) return attempt
+      attempt += 1
+    }
+    -1L // unreachable
+  }
+
+  /** Delete data directories no manifest references and older than
+    * `graceMs` — the crashed-commit garbage [[expire]] deliberately
+    * leaves. The grace period protects in-flight writers: a commit
+    * writes data first and publishes second, so a young unreferenced
+    * directory may be about to become live. Returns directories
+    * removed. */
+  def gcOrphans(spark: SparkSession, dir: String,
+                graceMs: Long = 24L * 3600 * 1000): Int = {
+    val f = fs(spark, dir)
+    val root = new Path(dataRoot(dir))
+    if (!f.exists(root)) return 0
+    val referenced = latestVersion(spark, dir) match {
+      case None => Set.empty[String]
+      case Some(latest) =>
+        // every surviving manifest, not just the latest — time travel
+        // must keep working for all unexpired snapshots
+        val vs = f.listStatus(new Path(manifestRoot(dir))).map(_.getPath.getName)
+          .filter(_.matches("v\\d{12}")).map(_.drop(1).toLong)
+        vs.flatMap(v => filesOf(spark, dir, Some(v))).map(p =>
+          new Path(new java.net.URI(p)).getParent.getName).toSet
+    }
+    val now = System.currentTimeMillis()
+    val doomed = f.listStatus(root)
+      .filter(s => s.isDirectory &&
+        !referenced.contains(s.getPath.getName) &&
+        now - s.getModificationTime > graceMs)
+    doomed.foreach(s => f.delete(s.getPath, true))
+    doomed.length
+  }
+
   /** Drop all but the newest `keepLast` snapshots and delete every
     * data file referenced ONLY by dropped snapshots. Unreferenced
     * commit directories (crashed commits) are NOT touched — they are
     * garbage, not corruption, and an in-flight writer may still be
-    * about to publish them. Returns the number of deleted files. */
+    * about to publish them ([[gcOrphans]] reaps them after a grace
+    * period). Returns the number of deleted files. */
   def expire(spark: SparkSession, dir: String, keepLast: Int): Int = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val f = fs(spark, dir)

@@ -194,6 +194,54 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == afterStream + 1)
   }
 
+  test("rollback re-publishes an old file list as a new version; fence survives") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    Snapshots.commit(nations, dir)                                    // v0
+    Snapshots.commitStreamBatch(
+      Seq((1L, "x")).toDF("id", "payload"), dir, batchId = 7L)        // v1
+    Snapshots.commit(nations.limit(3), dir, overwrite = true)         // v2
+    val v = Snapshots.rollback(spark, dir, toVersion = 0L)
+    assert(v == 3L)
+    assert(Snapshots.read(spark, dir).count() == nations.count())
+    // history intact: the rolled-back v2 still reads
+    assert(Snapshots.read(spark, dir, Some(2L)).count() == 3)
+    // the streaming fence survived the rollback
+    assert(Snapshots.lastCommittedBatch(spark, dir) == 7L)
+  }
+
+  test("gcOrphans reaps only old unreferenced commit dirs") {
+    val dir = tmpDir()
+    Snapshots.commit(nations, dir)
+    nations.limit(2).write.parquet(s"$dir/data/orphan-old")
+    nations.limit(2).write.parquet(s"$dir/data/orphan-young")
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // age one orphan past the grace period
+    f.setTimes(new org.apache.hadoop.fs.Path(s"$dir/data/orphan-old"),
+      System.currentTimeMillis() - 100000, -1)
+    val removed = Snapshots.gcOrphans(spark, dir, graceMs = 50000)
+    assert(removed == 1)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/data/orphan-old")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/data/orphan-young")))
+    // live data untouched
+    assert(Snapshots.read(spark, dir).count() == nations.count())
+  }
+
+  test("schema evolution: a later append's new column reads as null in old files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "payload"), dir)
+    Snapshots.commit(Seq((2L, "b", 9.9)).toDF("id", "payload", "score"), dir)
+    val merged = Snapshots.read(spark, dir, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "payload", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.9)
+  }
+
   test("model check: random op sequences match an in-memory table model") {
     val s = spark
     import s.implicits._
