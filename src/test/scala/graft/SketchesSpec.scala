@@ -141,6 +141,22 @@ class SketchesSpec extends SparkSpec {
     assert(got == exact, s"$got vs $exact")
   }
 
+  test("plan shape: one map-side-combined agg pass, single Exchange each stage") {
+    val daily = Sketches.distinctSketchTable(
+      ev.withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day"), "user_id")
+    val p1 = daily.queryExecution.executedPlan.toString
+    // partial + final aggregate around exactly one shuffle
+    assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p1).size >= 2,
+      s"no partial/final agg pair:\n$p1")
+    assert("Exchange".r.findAllIn(p1).size <= 1, s"more than one Exchange:\n$p1")
+    val rolled = Sketches.rollupDistinct(daily, Seq("event_type"), "user_id")
+    val p2 = rolled.queryExecution.executedPlan.toString
+    // the rollup adds at most one more shuffle over the CELLS
+    assert("Exchange".r.findAllIn(p2).size <= 2,
+      s"rollup added more than one Exchange:\n$p2")
+  }
+
   test("sampling regime: theta/HLL within published RSE at k << n") {
     // force sampling with tiny sketches (lgK=4 -> 16 nominal entries)
     // over 10x more distinct ids; 3-sigma RSE bounds
