@@ -199,5 +199,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }.toSeq
         operators.Relational.qualityChecks(s.table(litStr(a(0), "table")), rules)
     }
+
+    tvf("graft_distinct_rollup",
+      "graft_distinct_rollup(table, keyCol, idCol) - per-key theta/HLL distinct counts via one sketch pass (exact below sketch capacity)") {
+      (s, a) =>
+        val idCol = litStr(a(2), "idCol")
+        operators.Sketches.rollupDistinct(
+          operators.Sketches.distinctSketchTable(
+            s.table(litStr(a(0), "table")), Seq(litStr(a(1), "keyCol")), idCol),
+          Seq(litStr(a(1), "keyCol")), idCol)
+    }
+
+    tvf("graft_cohort_overlap",
+      "graft_cohort_overlap(table, keyCol, idCol) - pairwise |A|,|B|,|A union B|,|A intersect B|,|A minus B| per cohort pair from theta sketches") {
+      (s, a) =>
+        val idCol = litStr(a(2), "idCol")
+        operators.Sketches.cohortOverlap(
+          operators.Sketches.distinctSketchTable(
+            s.table(litStr(a(0), "table")), Seq(litStr(a(1), "keyCol")), idCol),
+          litStr(a(1), "keyCol"), idCol)
+    }
   }
 }

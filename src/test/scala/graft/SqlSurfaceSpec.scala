@@ -78,6 +78,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(canon(sqlQc) == canon(dfQc) && sqlQc.count() == 2)
   }
 
+  test("sketch TVFs: SQL distinct rollup and cohort overlap match exact counts") {
+    Tables.events(spark, sf("sf0.001")).createOrReplaceTempView("ev_sk")
+    // exact regime: per-type distinct users << sketch capacity
+    val rolled = spark.sql(
+      """SELECT event_type, CAST(user_id_distinct_theta AS BIGINT) AS d
+        |FROM graft_distinct_rollup('ev_sk', 'event_type', 'user_id')""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val exact = spark.sql(
+      "SELECT event_type, count(DISTINCT user_id) FROM ev_sk GROUP BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rolled == exact)
+    val ov = spark.sql(
+      """SELECT * FROM graft_cohort_overlap('ev_sk', 'event_type', 'user_id')
+        |WHERE cohort_a = 'click' AND cohort_b = 'view'""".stripMargin).head()
+    val nu = ov.getAs[Any]("n_union").toString.toDouble.round
+    val ni = ov.getAs[Any]("n_intersect").toString.toDouble.round
+    val na = ov.getAs[Any]("n_a").toString.toDouble.round
+    val nb = ov.getAs[Any]("n_b").toString.toDouble.round
+    assert(nu == na + nb - ni) // inclusion-exclusion closes exactly
+    assert(ni > 0 && nu > 0)
+  }
+
   test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
     Tables.events(spark, sf("sf0.001")).createOrReplaceTempView("ev_tvf2")
     val r = spark.sql(
