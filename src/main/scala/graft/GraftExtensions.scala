@@ -103,6 +103,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .toAggregateExpression()))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "graft_bloom_agg(hash64, numBits, numHashes) - aggregate: bloom filter over 64-bit hashes as array<long> (word 0 = k)"),
+      (args: Seq[Expression]) => graft.functions.BloomBuildAgg(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])
+        .toAggregateExpression()))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "graft_bloom_contains(filter, hash64) - bloom probe; false = definitely absent"),
+      (args: Seq[Expression]) => graft.functions.BloomMightContain(args(0), args(1))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_round"),
       info("graft_round", "graft_round(x, s) - engine-portable round-half-up: floor(x*10^s + 0.5)/10^s (graft.functions.Exact.roundAt)"),
       (args: Seq[Expression]) => {

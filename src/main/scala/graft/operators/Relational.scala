@@ -97,6 +97,39 @@ object Relational {
     l.join(r, keys :+ "__salt").drop("__salt")
   }
 
+  /** Bloom-prefiltered semi join — the explicit runtime-filter
+    * pattern for a BIG probe side whose exact join keys are too many
+    * to broadcast raw: one pass over `small` builds a
+    * hundreds-of-KB bit set ([[graft.functions.BloomBuildAgg]],
+    * map-side OR-merged), the bit set rides into `big`'s scan as a
+    * plan literal probed inside whole-stage codegen, and only the
+    * surviving rows (true matches + ≤fpp false positives) pay the
+    * exact semi-join shuffle. No false negatives → result-identical
+    * to the plain semi join at any fpp.
+    *
+    * `expectedItems` sizes the filter (pass the small side's distinct
+    * key estimate; 0 = count it with one extra job). At 100 TB this
+    * is the difference between shuffling the full fact table and
+    * shuffling ~selectivity of it — the same move Spark's runtime
+    * row-level filtering makes for eligible plans, available here for
+    * ANY plan shape and tunable fpp. */
+  def bloomSemiJoin(big: DataFrame, bigKey: String,
+                    small: DataFrame, smallKey: String,
+                    expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.{BloomBuildAgg, BloomMightContain, BloomUtil, ColumnBridge}
+    val n = if (expectedItems > 0) expectedItems
+            else small.select(smallKey).distinct().count()
+    val (numBits, numHashes) = BloomUtil.sizing(math.max(1L, n), fpp)
+    val filterWords = small.select(ColumnBridge.column(
+        BloomBuildAgg(ColumnBridge.expression(xxhash64(col(smallKey))),
+          numBits, numHashes).toAggregateExpression()).as("f"))
+      .head().getSeq[Long](0)
+    val pre = big.filter(ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(typedLit(filterWords)),
+      ColumnBridge.expression(xxhash64(col(bigKey))))))
+    pre.join(small, pre(bigKey) === small(smallKey), "left_semi")
+  }
+
   /** Trailing time-range rolling mean (the streaming-dashboard "value
     * over the last hour" shape): a RANGE-frame window over event-time
     * micros, so rows with equal timestamps are frame peers on every
