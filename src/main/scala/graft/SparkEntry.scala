@@ -198,6 +198,16 @@ object SparkEntry {
       withO.unionByName(withoutO)
     }),
 
+    // the bloom pre-filter admits no false negatives, so the result
+    // set equals the plain semi join — the oracle is the IN-subquery
+    "q_bloom_semi" -> ((s, dir) =>
+      Relational.bloomSemiJoin(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+          .select("c_custkey"),
+        "c_custkey")),
+
     // salting changes the shuffle layout, never the result set — the
     // oracle is the plain join
     "q_salted_join" -> ((s, dir) =>
@@ -826,6 +836,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, 'no_orders' AS status FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_bloom_semi" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin,
 
     // Spark's events.ts is nanos truncated to micros (Tables loader),
     // so the WITHIN bound compares on epoch-micros both sides.
