@@ -42,4 +42,30 @@ object CsvSource {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(dir)
+
+  /** Schema-bound JSON-lines ingest with the same quarantine
+    * discipline — the event-feed twin of the CSV reader (the
+    * reference's monitor parses JSON payloads; `props` in the events
+    * table is a JSON column). Explicit schema (no inference scan),
+    * PERMISSIVE mode, bad lines land in `_corrupt` instead of
+    * failing the job. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  def streamJson(spark: SparkSession, dir: String, schema: StructType,
+                 maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains("_corrupt")) schema
+    else schema.add(StructField("_corrupt", StringType, nullable = true))
 }

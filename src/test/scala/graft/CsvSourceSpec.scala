@@ -25,4 +25,25 @@ class CsvSourceSpec extends SparkSpec {
     // streaming variant builds on the same schema/options
     assert(CsvSource.streamWeather(spark, dir.getAbsolutePath).isStreaming)
   }
+
+  test("schema-bound JSON-lines read types rows and quarantines bad lines") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "events.json")
+    Files.writeString(f.toPath,
+      """{"event_id": 1, "event_type": "click", "value": 2.5}
+        |{"event_id": 2, "event_type": "view", "value": 0.5}
+        |{"event_id": "oops", "event_type": 7, "value": []}
+        |this is not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val df = CsvSource.readJson(spark, f.getAbsolutePath, schema).cache()
+    val good = df.filter("_corrupt IS NULL").collect()
+    assert(good.length == 2)
+    assert(good.map(_.getAs[Long]("event_id")).sorted.sameElements(Array(1L, 2L)))
+    assert(df.filter("_corrupt IS NOT NULL").count() == 2)
+    assert(CsvSource.streamJson(spark, dir.getAbsolutePath, schema).isStreaming)
+  }
 }
