@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Dedup, MinHashIndex}
+import graft.sources.Snapshots
+
+/** The deployable incremental training-corpus ingest pipeline — the
+  * composition the individual operators exist for. Per micro-batch
+  * (`foreachBatch` body, batch driven by Structured Streaming):
+  *
+  *  1. quality gate ([[Corpus.qualityFilter]]: token band, repetition,
+  *     top-token, stopword, language);
+  *  2. within-batch exact dedup (smallest id survives per normalized
+  *     text);
+  *  3. within-batch near-dedup (MinHash-LSH pairs; the larger id of
+  *     each verified pair drops — conservative on chains);
+  *  4. cross-corpus near-dedup against the DURABLE MinHash index of
+  *     everything accepted so far ([[MinHashIndex.query]] — reads the
+  *     index, not the historical documents);
+  *  5. survivors append to the index and commit to a snapshot table
+  *     exactly-once ([[Snapshots.commitStreamBatch]]'s batch fence).
+  *
+  * Crash safety: the table commit is the fenced operation, and the
+  * index appends BEFORE it. A crash between the two replays the batch
+  * into a duplicate index append, which is benign — dedup decisions
+  * are EXISTS-style (left_anti on the pair list), so duplicate index
+  * rows change no decision — while the table (the actual corpus) can
+  * never double-commit. The reverse order would lose index entries on
+  * replay: missed near-dups forever after.
+  *
+  * Scale: each stage is the already-audited operator plan (one
+  * hash-agg for the gates and exact dedup, banded candidate join for
+  * near-dup, index-pruned cross query); nothing here adds a shuffle
+  * or a driver loop beyond the stats counts the caller asked for. */
+object CorpusIngest {
+
+  case class IngestStats(
+      batchId: Long, arrived: Long, failedQuality: Long,
+      dupInBatch: Long, dupVsCorpus: Long, accepted: Long, fenced: Boolean)
+
+  /** Process one micro-batch; returns what happened to every arriving
+    * document. Idempotent per `batchId`: a replayed batch is fenced
+    * by the snapshot table and touches nothing. */
+  def ingestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      tableDir: String,
+      indexDir: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.9,
+      minTokens: Int = 5,
+      langs: Seq[String] = Seq("en")): IngestStats = {
+    val spark = batch.sparkSession
+    val arrived = batch.count()
+    if (Snapshots.lastCommittedBatch(spark, tableDir) >= batchId)
+      return IngestStats(batchId, arrived, 0, 0, 0, 0, fenced = true)
+
+    // 1. quality gate
+    val verdicts = Corpus.qualityFilter(batch, idCol, textCol,
+      minTokens = minTokens, langs = langs)
+    val passed = batch.join(
+      verdicts.filter(col("keep")).select(idCol), Seq(idCol), "left_semi")
+    val nPassed = passed.count()
+
+    // 2. within-batch exact dedup: one survivor per normalized text
+    val exactReps = Dedup.exact(passed, idCol, textCol)
+      .select(col("rep_id").as(idCol))
+    val exactKept = passed.join(exactReps, Seq(idCol), "left_semi")
+
+    // 3. within-batch near-dedup: larger id of each verified pair drops
+    val inBatchPairs = Dedup.minHashLsh(exactKept, idCol, textCol,
+      threshold = threshold)
+    val nearKept = exactKept.join(
+      inBatchPairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+    // 4. cross-corpus near-dedup against the durable index
+    val indexExists = {
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+      f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
+    }
+    val accepted =
+      if (!indexExists) nearKept
+      else nearKept.join(
+        MinHashIndex.query(spark, indexDir, nearKept, idCol, textCol, threshold)
+          .select(col("id_a").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    val nAccepted = accepted.count()
+    val nNearKept = nearKept.count()
+
+    // 5. index first (duplicate-append-safe), fenced table commit
+    // second; an all-dropped batch commits nothing (replaying it
+    // re-derives the same empty decision — still idempotent)
+    if (nAccepted > 0) {
+      if (indexExists) MinHashIndex.append(spark, indexDir, accepted, idCol, textCol)
+      else MinHashIndex.build(spark, indexDir, accepted, idCol, textCol)
+      Snapshots.commitStreamBatch(accepted, tableDir, batchId)
+    }
+
+    IngestStats(batchId, arrived,
+      failedQuality = arrived - nPassed,
+      dupInBatch = nPassed - nNearKept,
+      dupVsCorpus = nNearKept - nAccepted,
+      accepted = nAccepted,
+      fenced = false)
+  }
+}

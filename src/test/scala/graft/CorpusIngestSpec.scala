@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots
+import graft.streaming.CorpusIngest
+
+/** End-to-end incremental corpus ingest: quality gate → within-batch
+  * exact + near dedup → cross-corpus dedup via the durable index →
+  * exactly-once snapshot commit; replays fenced; the index stays in
+  * lockstep with the accepted corpus. */
+class CorpusIngestSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ingest").toString
+
+  // ~45 English tokens with the seed woven into every clause, so two
+  // different seeds share almost no shingles (genuinely distinct
+  // docs) while a copy with one appended token stays a near-dup
+  private def doc(seed: String): String =
+    (1 to 15).map(i => s"the $seed$i report and").mkString(" ") +
+      " it was stable for the season"
+
+  test("two batches: gates, dedup tiers, exactly-once commits, fenced replay") {
+    val s = spark
+    import s.implicits._
+    val tableDir = tmp(); val indexDir = tmp()
+
+    // batch 0: unique good doc; exact-dup pair; near-dup pair (one
+    // appended token); a too-short reject
+    val b0 = Seq(
+      (1L, doc("alpha")),
+      (2L, doc("beta")),
+      (3L, doc("beta")),                       // exact dup of 2
+      (4L, doc("gamma")),
+      (5L, doc("gamma") + " addendum"),        // near dup of 4
+      (6L, "too short")                        // quality reject
+    ).toDF("doc_id", "text")
+    val s0 = CorpusIngest.ingestBatch(b0, 0L, tableDir, indexDir,
+      "doc_id", "text", threshold = 0.8)
+    assert(!s0.fenced && s0.arrived == 6)
+    assert(s0.failedQuality == 1, s0)
+    assert(s0.dupInBatch == 2, s0)             // ids 3 (exact) and 5 (near)
+    assert(s0.dupVsCorpus == 0 && s0.accepted == 3, s0)
+    val t0 = Snapshots.read(spark, tableDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(t0 == Seq(1L, 2L, 4L))
+
+    // batch 1: fresh doc; near-dup of ACCEPTED doc 1 -> cross-corpus drop
+    val b1 = Seq(
+      (7L, doc("delta")),
+      (8L, doc("alpha") + " postscript")
+    ).toDF("doc_id", "text")
+    val s1 = CorpusIngest.ingestBatch(b1, 1L, tableDir, indexDir,
+      "doc_id", "text", threshold = 0.8)
+    assert(s1.accepted == 1 && s1.dupVsCorpus == 1, s1)
+    val t1 = Snapshots.read(spark, tableDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(t1 == Seq(1L, 2L, 4L, 7L))
+
+    // crash replay of batch 1: fenced, corpus unchanged
+    val s1r = CorpusIngest.ingestBatch(b1, 1L, tableDir, indexDir,
+      "doc_id", "text", threshold = 0.8)
+    assert(s1r.fenced && s1r.accepted == 0)
+    assert(Snapshots.read(spark, tableDir).count() == 4)
+
+    // the index is in lockstep: a near-dup of batch-1's accepted doc
+    // is caught by a fresh query
+    val probe = Seq((9L, doc("delta") + " afterword")).toDF("doc_id", "text")
+    val hits = graft.operators.MinHashIndex.query(
+      spark, indexDir, probe, "doc_id", "text", threshold = 0.8)
+    assert(hits.filter(col("id_b") === 7L).count() == 1)
+  }
+
+  test("duplicate index append (crash window) changes no dedup decision") {
+    val s = spark
+    import s.implicits._
+    val tableDir = tmp(); val indexDir = tmp()
+    val b0 = Seq((1L, doc("omega"))).toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(b0, 0L, tableDir, indexDir, "doc_id", "text")
+    // simulate the crash-window replay artifact: the same accepted
+    // batch appended to the index AGAIN
+    graft.operators.MinHashIndex.append(spark, indexDir, b0, "doc_id", "text")
+    val b1 = Seq(
+      (2L, doc("omega") + " afterword"),  // near dup of 1 (twice indexed)
+      (3L, doc("sigma"))
+    ).toDF("doc_id", "text")
+    val s1 = CorpusIngest.ingestBatch(b1, 1L, tableDir, indexDir,
+      "doc_id", "text", threshold = 0.8)
+    assert(s1.dupVsCorpus == 1 && s1.accepted == 1, s1)
+    assert(Snapshots.read(spark, tableDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+}
