@@ -231,5 +231,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s.table(litStr(a(0), "table")), Seq(litStr(a(1), "keyCol")), idCol),
           litStr(a(1), "keyCol"), idCol)
     }
+
+    tvf("graft_quantile_rollup",
+      "graft_quantile_rollup(table, keyCol, valueCol, k, p1, p2, ...) - per-key KLL quantiles via one sketch pass (exact while rows <= k)") {
+      (s, a) =>
+        require(a.length >= 5, "graft_quantile_rollup needs at least one quantile")
+        val vCol = litStr(a(2), "valueCol")
+        val k = litInt(a(3), "k")
+        val ps = a.drop(4).zipWithIndex.map { case (e, i) =>
+          litVal(e, s"p$i").toString.toDouble }
+        operators.Sketches.rollupQuantiles(
+          operators.Sketches.quantileSketchTable(
+            s.table(litStr(a(0), "table")), Seq(litStr(a(1), "keyCol")), vCol, k),
+          Seq(litStr(a(1), "keyCol")), vCol, ps, k)
+    }
   }
 }

@@ -76,6 +76,28 @@ class BloomSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("property: zero false negatives over seeded-random key sets") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { trial =>
+      val n = 100 + rnd.nextInt(2000)
+      val keys = Seq.fill(n)(rnd.nextLong())
+      val (numBits, numHashes) = BloomUtil.sizing(n, 0.01)
+      val filter = keys.toDF("k").select(
+          graft.functions.ColumnBridge.column(
+            graft.functions.BloomBuildAgg(
+              graft.functions.ColumnBridge.expression(xxhash64(col("k"))),
+              numBits, numHashes).toAggregateExpression()).as("f"))
+        .head().getSeq[Long](0)
+      val pass = keys.toDF("k").filter(
+        graft.functions.ColumnBridge.column(graft.functions.BloomMightContain(
+          graft.functions.ColumnBridge.expression(typedLit(filter)),
+          graft.functions.ColumnBridge.expression(xxhash64(col("k")))))).count()
+      assert(pass == n, s"trial $trial: $pass of $n member rows passed")
+    }
+  }
+
   test("SQL surface: graft_bloom_agg + graft_bloom_contains") {
     ev.createOrReplaceTempView("ev_bloom")
     val r = spark.sql(

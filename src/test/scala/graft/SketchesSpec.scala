@@ -157,6 +157,24 @@ class SketchesSpec extends SparkSpec {
       s"rollup added more than one Exchange:\n$p2")
   }
 
+  test("property: theta estimate exact below capacity for seeded-random multisets") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { trial =>
+      // multiset with duplicates; distinct count stays < 4096 capacity
+      val rows = Seq.fill(500 + rnd.nextInt(3000))(
+        (rnd.nextInt(1 + rnd.nextInt(2000)).toLong, rnd.nextInt(3)))
+      val sk = Sketches.distinctSketchTable(rows.toDF("id", "g"), Seq("g"), "id")
+      val est = Sketches.rollupDistinct(sk, Seq("g"), "id")
+        .collect().map(r => (r.getInt(0),
+          r.getAs[Any]("id_distinct_theta").toString.toDouble.round)).toMap
+      val exact = rows.distinct.groupBy(_._2).map { case (g, rs) =>
+        (g, rs.map(_._1).distinct.size.toLong) }
+      assert(est == exact, s"trial $trial: $est vs $exact")
+    }
+  }
+
   test("sampling regime: theta/HLL within published RSE at k << n") {
     // force sampling with tiny sketches (lgK=4 -> 16 nominal entries)
     // over 10x more distinct ids; 3-sigma RSE bounds

@@ -98,6 +98,19 @@ class SqlSurfaceSpec extends SparkSpec {
     val nb = ov.getAs[Any]("n_b").toString.toDouble.round
     assert(nu == na + nb - ni) // inclusion-exclusion closes exactly
     assert(ni > 0 && nu > 0)
+
+    // quantile TVF in its exact regime (k >= per-key rows at sf0.001)
+    val q = spark.sql(
+      """SELECT event_type, value_p50
+        |FROM graft_quantile_rollup('ev_sk', 'event_type', 'value', 4096, 0.5)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val qExact = Tables.events(spark, sf("sf0.001"))
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        val v = rs.map(_.getDouble(1)).sorted
+        (t, v(math.ceil(0.5 * v.length).toInt - 1))
+      }.toSeq.sortBy(_._1)
+    assert(q == qExact)
   }
 
   test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
