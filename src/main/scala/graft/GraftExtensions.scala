@@ -232,6 +232,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(a(1), "keyCol"), idCol)
     }
 
+    tvf("graft_snapshot",
+      "graft_snapshot(dir[, version]) - read a snapshot table (latest, or time-travel to a version)") {
+      (s, a) =>
+        val v = if (a.length > 1) Some(litVal(a(1), "version").toString.toLong) else None
+        sources.Snapshots.read(s, litStr(a(0), "dir"), v)
+    }
+
+    tvf("graft_snapshot_manifest",
+      "graft_snapshot_manifest(dir[, version]) - a snapshot's manifest table (path, rows, stats, version, parent)") {
+      (s, a) =>
+        val v = if (a.length > 1) Some(litVal(a(1), "version").toString.toLong) else None
+        sources.Snapshots.manifest(s, litStr(a(0), "dir"), v)
+    }
+
     tvf("graft_quantile_rollup",
       "graft_quantile_rollup(table, keyCol, valueCol, k, p1, p2, ...) - per-key KLL quantiles via one sketch pass (exact while rows <= k)") {
       (s, a) =>

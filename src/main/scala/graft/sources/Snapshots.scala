@@ -323,6 +323,15 @@ object Snapshots {
                 version: Option[Long] = None): Long =
     manifest(spark, dir, version).count()
 
+  /** Total rows in a snapshot WITHOUT opening a single data file —
+    * the per-file counts were paid once at commit time and live in
+    * the manifest; a `count(*)` dashboard over a 100 TB table is a
+    * manifest scan. */
+  def rowCount(spark: SparkSession, dir: String,
+               version: Option[Long] = None): Long =
+    manifest(spark, dir, version)
+      .agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0)
+
   /** Compact the current snapshot to ~`targetRows` rows per file as a
     * NEW snapshot — the [[Layout.compact]] job without its rename
     * window: readers of the old snapshot keep their immutable files,

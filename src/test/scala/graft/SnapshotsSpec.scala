@@ -242,6 +242,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.9)
   }
 
+  test("SQL TVFs and manifest row count: snapshots readable without the Scala API") {
+    val dir = tmpDir()
+    Snapshots.commit(nations, dir)
+    Snapshots.commit(nations.limit(3), dir, overwrite = true)
+    // manifest-only row count agrees with a real count at every version
+    assert(Snapshots.rowCount(spark, dir) == 3)
+    assert(Snapshots.rowCount(spark, dir, Some(0L)) == nations.count())
+    // SQL: latest, time travel, and the manifest as tables
+    val latest = spark.sql(s"SELECT count(*) AS n FROM graft_snapshot('$dir')")
+      .head().getLong(0)
+    val v0 = spark.sql(s"SELECT count(*) AS n FROM graft_snapshot('$dir', 0)")
+      .head().getLong(0)
+    assert(latest == 3 && v0 == nations.count())
+    val mRows = spark.sql(
+      s"SELECT sum(rows) AS n FROM graft_snapshot_manifest('$dir', 0)")
+      .head().getLong(0)
+    assert(mRows == nations.count())
+  }
+
   test("model check: random op sequences match an in-memory table model") {
     val s = spark
     import s.implicits._
