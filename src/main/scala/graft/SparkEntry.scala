@@ -163,8 +163,11 @@ object SparkEntry {
       Relational.latencyReport(Tables.events(s, dir),
         tsCol = "ts", keys = Seq("user_id"), windowSize = "1 hour")),
 
-    // sketch percentiles (scale path for q_latency_stats): KLL-style
-    // state, engine-specific → rows-only; accuracy spec-bounded.
+    // sketch percentiles (scale path for q_latency_stats). Oracled in
+    // the sketch's EXACT regime: with n <= accuracy the GK summary
+    // keeps every sample and approx_percentile returns the order
+    // statistic at ceil(p*n) — mirrored verbatim in the oracle; the
+    // sampling regime stays spec-bounded (ScalePathSpec +-1 rank).
     "q_approx_stats" -> ((s, dir) =>
       Relational.distributionStatsApprox(Tables.events(s, dir),
         keys = Seq("event_type"), valueCol = "value")),
@@ -942,6 +945,22 @@ object SparkEntry {
         |       max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS value_p95,
         |       max(n) AS n_rows
         |FROM v GROUP BY event_type""".stripMargin,
+
+    "q_approx_stats" ->
+      s"""WITH v AS (
+         |  SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events)
+         |SELECT event_type,
+         |       ${sqlSum("value")} / count(*) AS avg_v,
+         |       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50_v,
+         |       max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p95_v,
+         |       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99_v,
+         |       min(value) AS min_v,
+         |       max(value) AS max_v,
+         |       count(*) AS sample_count
+         |FROM v GROUP BY event_type""".stripMargin,
 
     "q_latency_stats" ->
       s"""SELECT event_type,

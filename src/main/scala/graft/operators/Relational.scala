@@ -208,7 +208,12 @@ object Relational {
     val grouped =
       if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
     grouped.agg(
-      avg(v).as("avg_v"),
+      // exact-decimal avg (order-independent) like the exact twin —
+      // the SKETCH part is the percentiles; an engine-exact mean costs
+      // nothing and makes the query oracle-able in the sketch's exact
+      // regime (n <= accuracy: the GK summary keeps every sample and
+      // returns the order statistic at ceil(p*n))
+      (Exact.sumExact(v, 2) / n).as("avg_v"),
       expr(s"approx_percentile($valueCol, 0.5, $accuracy)").as("p50_v"),
       expr(s"approx_percentile($valueCol, 0.95, $accuracy)").as("p95_v"),
       expr(s"approx_percentile($valueCol, 0.99, $accuracy)").as("p99_v"),
