@@ -20,13 +20,6 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def r2(v: Double): Double = math.round(v * 100) / 100.0
   private def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-  /** 2-decimal rendering with trailing zeros (and a bare dot)
-    * stripped — "0.50"→"0.5", "1.00"→"1" — worth ~100 bytes across
-    * the inventory against the driver's bounded tail. */
-  private def fmt2(v: Double): String = {
-    val s = f"${r2(v)}%.2f"
-    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,13 +112,13 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () } // the stdout line is the contract
 
-    // compact line: q_ prefix dropped, 2-decimal secs, basename sf —
-    // full names and precision live in BENCH_FULL.json
-    val qs = all.map { case (k, v) =>
-      "\"" + k.stripPrefix("q_") + "\":" + fmt2(v) }.mkString("{", ",", "}")
-    val sweepLine = sweep.map(s => ",\"sweep\":" + s.compactJson).getOrElse("")
+    // compact line via the byte-budgeted composer (BenchLine): the
+    // driver only ever sees a bounded tail of the sbt output, so the
+    // line must fit alongside sbt's "[success] Total time…" trailer.
+    // The sweep block deliberately does NOT appear here — it lives in
+    // BENCH_FULL.json — after six straight rounds of `parsed: null`.
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate$sweepLine$errs,"queries":$qs,"sf":"$sfName"}"""
+    val line = BenchLine.compose(total, reps, streamRate, errs, all, sfName)
     spark.stop()
     println(line)
   }

@@ -1,0 +1,63 @@
+package graft
+
+/** Composes the single compact JSON line `Bench.main` prints as its
+  * last stdout line — separated from Bench so the byte-budget logic is
+  * unit-testable without a SparkSession.
+  *
+  * The driver machine-reads this line out of a bounded 2000-character
+  * tail of the sbt output. That tail also contains whatever sbt prints
+  * AFTER the line — `[success] Total time: NNN s (MM:SS), completed
+  * <date>` plus newlines, ~80 bytes — so the line itself must stay
+  * within `LineBudget` = 2000 − `TrailerAllowance`. Rounds 1–6 all
+  * produced `parsed: null` by overflowing this; round 6 missed by ~40
+  * bytes because the sweep block pushed the line to 1960B.
+  *
+  * Budget strategy, applied in order until the line fits:
+  *  1. 2-decimal times, trailing zeros stripped ("0.50"→"0.5").
+  *  2. 1-decimal times (rounding error ≤ 0.05s — fine for a
+  *     driver-side signal; BENCH_FULL.json keeps millisecond
+  *     precision for every rep).
+  *  3. Drop the errors map (errors still land in BENCH_FULL.json).
+  *  4. Whole-second times — the last-resort floor, only reachable if
+  *     the inventory grows past ~100 queries.
+  * The sweep block never appears on the line at all.
+  */
+object BenchLine {
+  /** Bytes reserved for sbt's success trailer inside the 2000-char
+    * driver tail. Round 6 measured it: a 1960B line missed the tail
+    * by ~40B, so the trailer ("[success] Total time: NNNN s (MM:SS),
+    * completed <date>" + newlines) is ~80B; 100 leaves slack for
+    * locale-long dates. */
+  val TrailerAllowance = 100
+  val LineBudget: Int = 2000 - TrailerAllowance
+
+  private def r2(v: Double): Double = math.round(v * 100) / 100.0
+  private def strip(s: String): String =
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+  /** 2-decimal rendering with trailing zeros (and a bare dot) stripped
+    * — "0.50"→"0.5", "1.00"→"1". */
+  def fmt2(v: Double): String = strip(f"${r2(v)}%.2f")
+  /** 1-decimal fallback rendering — "0.37"→"0.4", "6.04"→"6". */
+  def fmt1(v: Double): String = strip(f"${math.round(v * 10) / 10.0}%.1f")
+  /** Whole-second floor rendering — "0.37"→"0", "6.04"→"6". */
+  def fmt0(v: Double): String = math.round(v).toString
+
+  /** Build the line, degrading precision until it fits `LineBudget`.
+    * `errs` is either "" or a pre-rendered `,"errors":{…}` fragment. */
+  def compose(total: Double, reps: Int, streamRate: Double, errs: String,
+              queries: Seq[(String, Double)], sfName: String): String = {
+    def render(fmt: Double => String, withErrs: Boolean): String = {
+      val qs = queries.map { case (k, v) =>
+        "\"" + k.stripPrefix("q_") + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val e = if (withErrs) errs else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate$e,"queries":$qs,"sf":"$sfName"}"""
+    }
+    val attempts = Iterator(
+      render(fmt2, withErrs = true),
+      render(fmt1, withErrs = true),
+      render(fmt1, withErrs = false),
+      render(fmt0, withErrs = false))
+    attempts.find(_.getBytes("UTF-8").length <= LineBudget)
+      .getOrElse(render(fmt0, withErrs = false))
+  }
+}

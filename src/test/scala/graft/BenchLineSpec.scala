@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses the bench line out of a 2000-character tail of
+  * the sbt output that ALSO contains sbt's `[success] Total time…`
+  * trailer. These cases pin the whole-tail arithmetic so the line can
+  * never again silently outgrow the window (rounds 1–6 all did). */
+class BenchLineSpec extends AnyFunSuite {
+  private val sbtTrailer =
+    "\n[success] Total time: 1242 s (20:42), completed Aug 13, 2026, 11:59:59 PM\n"
+
+  // names sized to the real inventory's average (stripped names avg
+  // ~12 chars), times shaped like the real distribution (mostly
+  // sub-second, a handful multi-second)
+  private def fakeQueries(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q_fake_qry_nm$i%02d",
+      if (i % 12 == 0) 1.0 + (i % 7) * 0.97 else 0.05 + (i % 10) * 0.093))
+
+  test("95 synthetic queries + sbt trailer fit the 2000-char tail") {
+    val line = BenchLine.compose(
+      total = 123.45, reps = 3, streamRate = 43714.0, errs = "",
+      queries = fakeQueries(95), sfName = "sf0.1")
+    val tail = line + sbtTrailer
+    assert(tail.getBytes("UTF-8").length <= 2000,
+      s"tail is ${tail.length}B; line is ${line.length}B")
+  }
+
+  test("real inventory at pessimistic times fits with the trailer") {
+    // every query pinned at a 3-char-integer time (worst realistic
+    // rendering width with fmt2: "999.99" → 6 chars each)
+    val names = SparkEntry.queries.keys.toSeq.sorted :+ "q_stream_pipeline"
+    val line = BenchLine.compose(
+      total = 9999.99, reps = 3, streamRate = 43714.0, errs = "",
+      queries = names.map(_ -> 999.99), sfName = "sf0.1")
+    assert((line + sbtTrailer).getBytes("UTF-8").length <= 2000,
+      s"line is ${line.length}B for ${names.size} queries")
+  }
+
+  test("line degrades precision rather than overflow") {
+    // 98 realistic-length queries: 2-decimal rendering overflows the
+    // budget, so the composer must fall back to a coarser format —
+    // and the fallback must actually fit
+    val many = fakeQueries(98)
+    val line = BenchLine.compose(6.0, 3, 1000.0, "", many, "sf0.1")
+    val two = many.map { case (k, v) =>
+      "\"" + k.stripPrefix("q_") + "\":" + BenchLine.fmt2(v) }.mkString(",")
+    assert(two.length > BenchLine.LineBudget - 120,
+      "precondition: 2-decimal body should be near/over budget for this case")
+    assert(line.getBytes("UTF-8").length <= BenchLine.LineBudget,
+      s"composer emitted ${line.length}B, over the ${BenchLine.LineBudget}B budget")
+  }
+
+  test("line is valid JSON with expected fields and no sweep block") {
+    val line = BenchLine.compose(46.6, 3, 43714.0, "", fakeQueries(10), "sf0.1")
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":46.6,"))
+    assert(line.contains("\"stream_msgs_per_s\":43714.0"))
+    assert(line.contains("\"queries\":{\"fake_qry_nm01\":"))
+    assert(line.endsWith("\"sf\":\"sf0.1\"}"))
+    assert(!line.contains("\"sweep\""), "sweep must stay out of the stdout line")
+    // structural JSON sanity: balanced braces, no raw newline
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    assert(!line.contains('\n'))
+  }
+
+  test("errors fragment is kept when it fits, dropped at the floor") {
+    val errs = ",\"errors\":{\"q_x\":\"SomeException: boom\"}"
+    val small = BenchLine.compose(1.0, 3, 100.0, errs, fakeQueries(5), "sf0.1")
+    assert(small.contains("\"errors\""))
+    val huge = (1 to 200).map(i => (f"q_extremely_long_query_name_padding_$i%03d", 123.456))
+    val floor = BenchLine.compose(1.0, 3, 100.0, errs, huge, "sf0.1")
+    assert(!floor.contains("\"errors\"") || floor.getBytes("UTF-8").length <= BenchLine.LineBudget)
+  }
+
+  test("fmt rounding behaves at the boundaries") {
+    assert(BenchLine.fmt2(0.5) === "0.5")
+    assert(BenchLine.fmt2(1.0) === "1")
+    assert(BenchLine.fmt2(0.375) === "0.38")
+    assert(BenchLine.fmt1(0.37) === "0.4")
+    assert(BenchLine.fmt1(6.04) === "6")
+    assert(BenchLine.fmt1(0.04) === "0")
+  }
+}
