@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   * after — never a partial state, with no read-retry loop. A crash
   * before the rename leaves only unreferenced data files (garbage,
   * not corruption); two racing writers both write data, but only one
-  * rename can create a given version — the loser retries against the
-  * next number (optimistic concurrency, like Iceberg's).
+  * can own a given version — the publish step verifies its rename
+  * actually created the version directory (a Hadoop rename onto an
+  * existing directory "succeeds" by nesting the source inside it),
+  * and the loser retries against the next number (optimistic
+  * concurrency, like Iceberg's).
   *
   * The manifest is itself a parquet TABLE, not driver JSON: listing a
   * 100k-file snapshot is a distributed scan, per-file row counts and
@@ -76,7 +79,13 @@ object Snapshots {
   /** Write `df` into a fresh immutable commit directory and return
     * its per-file manifest entries (path, rows, stats_min, stats_max)
     * — the stats pass re-reads ONLY `statsCol` (columnar projection)
-    * of the new files. */
+    * of the new files. Stats keep the column's NATIVE type (numeric,
+    * timestamp, date, or string), so [[readPruned]] skips files for
+    * time-keyed and string-keyed tables too — the reference's data is
+    * timestamp-keyed, where manifest pruning matters most. The stats
+    * type is part of the table's manifest schema: use the same
+    * `statsCol` for every commit to a given table ([[alignStats]]
+    * coerces stray mismatches to the established type). */
   private def writeDataFiles(df: DataFrame, dir: String,
                              statsCol: Option[String]): (String, DataFrame) = {
     val spark = df.sparkSession
@@ -86,8 +95,8 @@ object Snapshots {
     val written = spark.read.parquet(commitDir)
     val statsAgg = statsCol match {
       case Some(c) => Seq(count(lit(1L)).as("rows"),
-        min(col(c)).cast("double").as("stats_min"),
-        max(col(c)).cast("double").as("stats_max"))
+        min(col(c)).as("stats_min"),
+        max(col(c)).as("stats_max"))
       case None => Seq(count(lit(1L)).as("rows"),
         lit(null).cast("double").as("stats_min"),
         lit(null).cast("double").as("stats_max"))
@@ -96,13 +105,36 @@ object Snapshots {
       .agg(statsAgg.head, statsAgg.tail: _*))
   }
 
+  /** Cast `entries`' stats columns to the types `parent`'s manifest
+    * already uses, so append commits union cleanly even when a commit
+    * passes a different (or no) `statsCol` than the table was created
+    * with — e.g. a stats-less compaction appending into a
+    * timestamp-keyed table contributes typed nulls, not a schema
+    * conflict. */
+  private def alignStats(entries: DataFrame, parent: DataFrame): DataFrame = {
+    val want = parent.schema
+    entries.select(col("path"), col("rows"),
+      col("stats_min").cast(want("stats_min").dataType).as("stats_min"),
+      col("stats_max").cast(want("stats_max").dataType).as("stats_max"))
+  }
+
   /** One publish attempt: write the manifest aside, rename it to
-    * `version`. The rename fails (returns false) if another writer
-    * already published that version. `batchId` fences streaming
-    * replays (see [[commitStreamBatch]]); the manifest records
-    * max(batchId, parent's watermark), so the fence survives
-    * interleaved batch commits (compaction, merges) that pass -1. */
-  private def tryPublish(spark: SparkSession, dir: String, tag: String,
+    * `version`, then VERIFY the rename actually created the version.
+    * Hadoop's directory rename is not exclusive — with the local FS
+    * (and HDFS), `rename(tmp, vN)` when `vN` already exists returns
+    * TRUE and moves `tmp` INSIDE `vN` as a hidden child — so a bare
+    * rename would let the loser of a race believe it committed while
+    * its manifest is invisible to readers (a silent lost commit, and
+    * a broken exactly-once fence). The loser detects the nesting
+    * (its uniquely-tagged tmp dir now sits under `vN`), removes the
+    * orphan, and reports failure so the caller retries at the next
+    * version. The nested dir is dot-prefixed, so even between the
+    * rename and the cleanup readers of `vN` never see it (hidden-file
+    * filter). `batchId` fences streaming replays (see
+    * [[commitStreamBatch]]); the manifest records max(batchId,
+    * parent's watermark), so the fence survives interleaved batch
+    * commits (compaction, merges) that pass -1. */
+  private[graft] def tryPublish(spark: SparkSession, dir: String, tag: String,
                          entries: DataFrame, version: Long,
                          batchId: Long = -1L): Boolean = {
     val f = fs(spark, dir)
@@ -116,8 +148,12 @@ object Snapshots {
     val tmp = new Path(manifestRoot(dir), s".tmp-$tag")
     f.delete(tmp, true)
     full.coalesce(1).write.parquet(tmp.toString)
-    val ok = f.rename(tmp, manifestPath(dir, version))
-    if (!ok) f.delete(tmp, true)
+    val target = manifestPath(dir, version)
+    val renamed = f.rename(tmp, target)
+    val nested = new Path(target, s".tmp-$tag")
+    val ok = renamed && !f.exists(nested)
+    if (renamed && !ok) f.delete(nested, true) // we lost: reap our orphan
+    if (!renamed) f.delete(tmp, true)
     ok
   }
 
@@ -167,9 +203,11 @@ object Snapshots {
       if (lastCommittedBatch(spark, dir) >= batchId) return None
       val entries =
         if (attempt == 0L) newFiles
-        else manifest(spark, dir, Some(attempt - 1))
-          .select("path", "rows", "stats_min", "stats_max")
-          .unionByName(newFiles.select("path", "rows", "stats_min", "stats_max"))
+        else {
+          val parent = manifest(spark, dir, Some(attempt - 1))
+            .select("path", "rows", "stats_min", "stats_max")
+          parent.unionByName(alignStats(newFiles, parent))
+        }
       if (tryPublish(spark, dir, commitId, entries, attempt, batchId))
         return Some(attempt)
       attempt += 1
@@ -192,12 +230,13 @@ object Snapshots {
     val (commitId, newFiles) = writeDataFiles(df, dir, statsCol)
     var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
     while (true) {
-      val parent = attempt - 1
       val entries =
         if (overwrite || attempt == 0L) newFiles
-        else manifest(spark, dir, Some(parent))
-          .select("path", "rows", "stats_min", "stats_max")
-          .unionByName(newFiles.select("path", "rows", "stats_min", "stats_max"))
+        else {
+          val parent = manifest(spark, dir, Some(attempt - 1))
+            .select("path", "rows", "stats_min", "stats_max")
+          parent.unionByName(alignStats(newFiles, parent))
+        }
       if (tryPublish(spark, dir, commitId, entries, attempt)) return attempt
       attempt += 1
     }
@@ -236,7 +275,10 @@ object Snapshots {
         case Some(v) =>
           val m = manifest(spark, dir, Some(v))
             .select("path", "rows", "stats_min", "stats_max")
-          val keys = changes.select(col(pc).cast("double").as("__k")).distinct()
+          // keys keep pc's native type — the between-comparison against
+          // the (equally native-typed) stats range prunes timestamp,
+          // date, and string keyed tables, not just numeric ones
+          val keys = changes.select(col(pc).as("__k")).distinct()
           // the manifest side is bounded metadata — broadcast it; a
           // file is affected if any changed key can sit in its range,
           // or if it carries no stats (cannot be ruled out)
@@ -271,8 +313,7 @@ object Snapshots {
         .select(dataCols.map(col): _*)
       val (commitId, newFiles) = writeDataFiles(merged, dir, Some(pc))
       val entries = kept match {
-        case Some(k) => k.unionByName(
-          newFiles.select("path", "rows", "stats_min", "stats_max"))
+        case Some(k) => k.unionByName(alignStats(newFiles, k))
         case None => newFiles.select("path", "rows", "stats_min", "stats_max")
       }
       val version = latest.map(_ + 1).getOrElse(0L)
@@ -304,12 +345,17 @@ object Snapshots {
   /** Read only the files whose `statsCol` range can intersect
     * [lo, hi] — manifest-level data skipping. Files committed without
     * stats are always read (no silent misses). The residual predicate
-    * still applies row-level; this only shrinks the file list. */
-  def readPruned(spark: SparkSession, dir: String, lo: Double, hi: Double,
+    * still applies row-level; this only shrinks the file list.
+    *
+    * `lo`/`hi` take any literal comparable to the stats type: numbers
+    * for numeric keys, `java.sql.Timestamp`/`java.sql.Date` (or an
+    * ISO string, coerced by Spark) for time keys, strings for string
+    * keys. */
+  def readPruned(spark: SparkSession, dir: String, lo: Any, hi: Any,
                  version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, dir, version)
     val keep = m.filter(col("stats_min").isNull ||
-        (col("stats_min") <= hi && col("stats_max") >= lo))
+        (col("stats_min") <= lit(hi) && col("stats_max") >= lit(lo)))
       .select("path").collect().map(_.getString(0)).toSeq
     if (keep.isEmpty)
       // preserve the schema even when every file is pruned

@@ -48,21 +48,33 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.manifest(spark, dir).count())
   }
 
-  test("version collision: the losing writer retries to the next version") {
+  test("version collision: the losing writer detects the non-exclusive rename") {
     val dir = tmpDir()
-    Snapshots.commit(nations, dir)
-    // occupy v1 the way a racing winner would (manifest dir exists,
-    // non-empty), then commit — the rename must fail and retry to v2
-    val m0 = s"$dir/_manifests/v${"%012d".format(0L)}"
-    val m1 = s"$dir/_manifests/v${"%012d".format(1L)}"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    Snapshots.commit(nations, dir)                    // v0
+    val v1 = Snapshots.commit(nations.limit(5), dir)  // v1: real, occupied
+    assert(v1 == 1L)
+    val occupiedRows = Snapshots.read(spark, dir, Some(1L)).count()
+    // Drive the REAL losing path: publish aimed at the occupied v1,
+    // exactly what a racing replica that computed attempt=1
+    // concurrently would do. Hadoop's directory rename onto an
+    // existing dir returns TRUE and nests the source inside it — the
+    // publish must detect that, reap its orphan, and report failure
+    // (a bare rename-result check silently "succeeds" here).
+    val entries = Snapshots.manifest(spark, dir, Some(0L))
+      .select("path", "rows", "stats_min", "stats_max")
+    val lost = Snapshots.tryPublish(spark, dir, "racing-loser", entries, 1L)
+    assert(!lost, "publishing onto an occupied version must report failure")
+    // the occupied version is untouched: same rows, no nested orphan
+    assert(Snapshots.read(spark, dir, Some(1L)).count() == occupiedRows)
+    val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(m0),
-      fs, new org.apache.hadoop.fs.Path(m1), false,
-      spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/v${"%012d".format(1L)}/.tmp-racing-loser")),
+      "the loser's nested orphan must be cleaned up")
+    // and the full commit loop retries past the occupied version
     val v = Snapshots.commit(nations.limit(5), dir)
     assert(v == 2L, s"expected retry to v2, got v$v")
-    assert(Snapshots.read(spark, dir).count() == nations.count() + 5)
+    assert(Snapshots.read(spark, dir).count() == nations.count() + 10)
   }
 
   test("manifest-level pruning reads only stat-overlapping files") {
@@ -82,6 +94,75 @@ class SnapshotsSpec extends SparkSpec {
     // fully-disjoint range: zero rows, schema preserved
     val none = Snapshots.readPruned(spark, dir, 1e12, 2e12)
     assert(none.count() == 0 && none.columns.sameElements(pruned.columns))
+  }
+
+  test("manifest pruning on a timestamp statsCol skips files") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .repartitionByRange(8, col("ts"))
+    Snapshots.commit(ev, dir, overwrite = false, statsCol = Some("ts"))
+    // stats ride in the column's NATIVE type, not a double shadow
+    assert(Snapshots.manifest(spark, dir).schema("stats_min").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val b = ev.agg(min("ts"), max("ts")).head()
+    val tmin = b.getTimestamp(0)
+    val mid = new java.sql.Timestamp(
+      tmin.getTime + (b.getTimestamp(1).getTime - tmin.getTime) / 8)
+    val total = Snapshots.fileCount(spark, dir)
+    val pruned = Snapshots.readPruned(spark, dir, tmin, mid)
+    val prunedFiles = pruned.select(input_file_name()).distinct().count()
+    assert(prunedFiles < total,
+      s"time-range read $prunedFiles of $total files — no skipping")
+    val want = ev.filter(col("ts").between(lit(tmin), lit(mid))).count()
+    assert(want > 0)
+    assert(pruned.filter(col("ts").between(lit(tmin), lit(mid))).count() == want)
+  }
+
+  test("manifest pruning on a string statsCol; stats-less appends align") {
+    val dir = tmpDir()
+    val byName = nations.repartitionByRange(4, col("n_name"))
+    Snapshots.commit(byName, dir, overwrite = false, statsCol = Some("n_name"))
+    assert(Snapshots.manifest(spark, dir).schema("stats_min").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val total = Snapshots.fileCount(spark, dir)
+    // names are NATION_0..NATION_24; this lexicographic band catches
+    // NATION_1, NATION_10..NATION_16 — a strict subset of the range
+    // files
+    val pruned = Snapshots.readPruned(spark, dir, "NATION_1", "NATION_16")
+    assert(pruned.select(input_file_name()).distinct().count() < total)
+    val want = nations.filter(col("n_name").between("NATION_1", "NATION_16")).count()
+    assert(want > 0)
+    assert(pruned.filter(col("n_name").between("NATION_1", "NATION_16")).count() == want)
+    // an append WITHOUT stats unions cleanly into the typed manifest
+    // (null stats of the table's type) and is never pruned away
+    Snapshots.commit(nations.limit(3), dir)
+    val all = Snapshots.readPruned(spark, dir, "ZZZZ", "ZZZZZZ")
+    assert(all.count() == 3, "stats-less files must survive any prune")
+  }
+
+  test("mergeCommit prunes rewrites by a timestamp key") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .repartitionByRange(4, col("ts"))
+    Snapshots.commit(ev, dir, overwrite = false, statsCol = Some("ts"))
+    val before = Snapshots.manifest(spark, dir)
+      .select("path").collect().map(_.getString(0)).toSet
+    // change one early-timestamp row: only early range files rewrite
+    val victim = ev.orderBy("ts").limit(1)
+    val changes = victim
+      .withColumn("event_type", lit("patched"))
+      .withColumn("op", lit("u")).withColumn("seq", lit(99L))
+    val v = Snapshots.mergeCommit(spark, dir, changes,
+      keyCols = Seq("event_id"), pruneCol = Some("ts"))
+    val surviving = Snapshots.manifest(spark, dir, Some(v))
+      .select("path").collect().map(_.getString(0)).toSet
+    assert((before & surviving).nonEmpty,
+      "merge rewrote every file despite timestamp range stats")
+    val patched = Snapshots.read(spark, dir, Some(v))
+      .filter(col("event_type") === "patched").count()
+    assert(patched == 1)
+    assert(Snapshots.read(spark, dir, Some(v)).count() == ev.count())
   }
 
   test("compaction commits a new snapshot with fewer files, no rename window") {
