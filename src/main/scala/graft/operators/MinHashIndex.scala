@@ -96,7 +96,15 @@ object MinHashIndex {
     * NEW batch only, join its keys against `bands/`, verify surviving
     * pairs against `sets/`. Result rows and semantics are identical to
     * `Dedup.minHashLshAgainst(dfNew, <all appended batches>, ...)` —
-    * proven by the spec — without touching the corpus documents. */
+    * proven by the spec — without touching the corpus documents.
+    *
+    * Self-pairs (a query doc whose own id is already IN the index) are
+    * excluded: they self-match at jaccard 1.0 and carry no near-dup
+    * information. This is load-bearing for replay idempotency — a
+    * crash between an index append and the fenced table commit replays
+    * the batch against an index that already contains it, and without
+    * the exclusion every replayed doc would drop as a "corpus dup",
+    * permanently losing the batch ([[graft.streaming.CorpusIngest]]). */
   def query(
       spark: SparkSession,
       dir: String,
@@ -111,6 +119,7 @@ object MinHashIndex {
       .join(spark.read.parquet(s"$dir/bands")
           .select(col("__band"), col("__bh"), col("__id").as("id_b")),
         Seq("__band", "__bh"))
+      .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
     val vCorpus = spark.read.parquet(s"$dir/sets")
       .select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__sz").as("sz_b"))

@@ -23,11 +23,14 @@ import graft.sources.Snapshots
   *
   * Crash safety: the table commit is the fenced operation, and the
   * index appends BEFORE it. A crash between the two replays the batch
-  * into a duplicate index append, which is benign — dedup decisions
-  * are EXISTS-style (left_anti on the pair list), so duplicate index
-  * rows change no decision — while the table (the actual corpus) can
-  * never double-commit. The reverse order would lose index entries on
-  * replay: missed near-dups forever after.
+  * against an index that ALREADY CONTAINS it — safe on both axes:
+  * duplicate index rows change no decision (dedup decisions are
+  * EXISTS-style left_antis on the pair list), and a replayed doc does
+  * not match ITSELF in the index ([[MinHashIndex.query]] drops
+  * id_a == id_b self-pairs), so the replay re-derives the original
+  * accept set and the fenced table commit lands it exactly once. The
+  * reverse order would lose index entries on replay: missed near-dups
+  * forever after.
   *
   * Scale: each stage is the already-audited operator plan (one
   * hash-agg for the gates and exact dedup, banded candidate join for
@@ -57,54 +60,68 @@ object CorpusIngest {
     if (Snapshots.lastCommittedBatch(spark, tableDir) >= batchId)
       return IngestStats(batchId, arrived, 0, 0, 0, 0, fenced = true)
 
-    // 1. quality gate
-    val verdicts = Corpus.qualityFilter(batch, idCol, textCol,
-      minTokens = minTokens, langs = langs)
-    val passed = batch.join(
-      verdicts.filter(col("keep")).select(idCol), Seq(idCol), "left_semi")
-    val nPassed = passed.count()
+    // Each stage below is persisted before its count: the stats plus
+    // the index/table writes would otherwise re-evaluate the whole
+    // gate→exact→near→cross lineage per action — the MinHash
+    // signature stage alone ran 4+ times per micro-batch before this.
+    // MEMORY_AND_DISK: a micro-batch fits executor memory by
+    // construction (it was sized by the trigger), disk is the safety
+    // valve. Unpersisted in the finally so a failed batch leaks
+    // nothing into the next.
+    val cached = scala.collection.mutable.ListBuffer[DataFrame]()
+    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    try {
+      // 1. quality gate
+      val verdicts = Corpus.qualityFilter(batch, idCol, textCol,
+        minTokens = minTokens, langs = langs)
+      val passed = cache(batch.join(
+        verdicts.filter(col("keep")).select(idCol), Seq(idCol), "left_semi"))
+      val nPassed = passed.count()
 
-    // 2. within-batch exact dedup: one survivor per normalized text
-    val exactReps = Dedup.exact(passed, idCol, textCol)
-      .select(col("rep_id").as(idCol))
-    val exactKept = passed.join(exactReps, Seq(idCol), "left_semi")
+      // 2. within-batch exact dedup: one survivor per normalized text
+      val exactReps = Dedup.exact(passed, idCol, textCol)
+        .select(col("rep_id").as(idCol))
+      val exactKept = passed.join(exactReps, Seq(idCol), "left_semi")
 
-    // 3. within-batch near-dedup: larger id of each verified pair drops
-    val inBatchPairs = Dedup.minHashLsh(exactKept, idCol, textCol,
-      threshold = threshold)
-    val nearKept = exactKept.join(
-      inBatchPairs.select(col("id_b").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+      // 3. within-batch near-dedup: larger id of each verified pair drops
+      val inBatchPairs = Dedup.minHashLsh(exactKept, idCol, textCol,
+        threshold = threshold)
+      val nearKept = cache(exactKept.join(
+        inBatchPairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti"))
+      val nNearKept = nearKept.count()
 
-    // 4. cross-corpus near-dedup against the durable index
-    val indexExists = {
-      val f = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-      f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
-    }
-    val accepted =
-      if (!indexExists) nearKept
-      else nearKept.join(
-        MinHashIndex.query(spark, indexDir, nearKept, idCol, textCol, threshold)
-          .select(col("id_a").as(idCol)).distinct(),
-        Seq(idCol), "left_anti")
-    val nAccepted = accepted.count()
-    val nNearKept = nearKept.count()
+      // 4. cross-corpus near-dedup against the durable index (replay-
+      // safe: a doc already indexed by a crashed previous run does not
+      // match itself — MinHashIndex.query drops self-pairs)
+      val indexExists = {
+        val f = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+        f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
+      }
+      val accepted =
+        if (!indexExists) nearKept // already cached above
+        else cache(nearKept.join(
+          MinHashIndex.query(spark, indexDir, nearKept, idCol, textCol, threshold)
+            .select(col("id_a").as(idCol)).distinct(),
+          Seq(idCol), "left_anti"))
+      val nAccepted = accepted.count()
 
-    // 5. index first (duplicate-append-safe), fenced table commit
-    // second; an all-dropped batch commits nothing (replaying it
-    // re-derives the same empty decision — still idempotent)
-    if (nAccepted > 0) {
-      if (indexExists) MinHashIndex.append(spark, indexDir, accepted, idCol, textCol)
-      else MinHashIndex.build(spark, indexDir, accepted, idCol, textCol)
-      Snapshots.commitStreamBatch(accepted, tableDir, batchId)
-    }
+      // 5. index first (duplicate-append-safe), fenced table commit
+      // second; an all-dropped batch commits nothing (replaying it
+      // re-derives the same empty decision — still idempotent)
+      if (nAccepted > 0) {
+        if (indexExists) MinHashIndex.append(spark, indexDir, accepted, idCol, textCol)
+        else MinHashIndex.build(spark, indexDir, accepted, idCol, textCol)
+        Snapshots.commitStreamBatch(accepted, tableDir, batchId)
+      }
 
-    IngestStats(batchId, arrived,
-      failedQuality = arrived - nPassed,
-      dupInBatch = nPassed - nNearKept,
-      dupVsCorpus = nNearKept - nAccepted,
-      accepted = nAccepted,
-      fenced = false)
+      IngestStats(batchId, arrived,
+        failedQuality = arrived - nPassed,
+        dupInBatch = nPassed - nNearKept,
+        dupVsCorpus = nNearKept - nAccepted,
+        accepted = nAccepted,
+        fenced = false)
+    } finally cached.foreach(_.unpersist(blocking = false))
   }
 }

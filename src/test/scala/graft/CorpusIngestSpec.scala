@@ -71,6 +71,78 @@ class CorpusIngestSpec extends SparkSpec {
     assert(hits.filter(col("id_b") === 7L).count() == 1)
   }
 
+  test("crash between index append and table commit: replay reproduces the accept decision") {
+    val s = spark
+    import s.implicits._
+    val tableDir = tmp(); val indexDir = tmp()
+    val b0 = Seq((1L, doc("omega"))).toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(b0, 0L, tableDir, indexDir, "doc_id", "text",
+      threshold = 0.8)
+    // batch 1 = a fresh doc + a near-dup of the accepted corpus; its
+    // first run ACCEPTED doc 2, appended it to the index, then crashed
+    // BEFORE the fenced table commit — simulate by appending batch 1's
+    // accept set to the index with no table commit
+    val b1 = Seq(
+      (2L, doc("sigma")),                 // would be accepted
+      (3L, doc("omega") + " afterword")   // cross-corpus dup of 1
+    ).toDF("doc_id", "text")
+    graft.operators.MinHashIndex.append(spark, indexDir,
+      b1.filter(col("doc_id") === 2L), "doc_id", "text")
+    // the replay: doc 2 is already IN the index. It must not match
+    // ITSELF and be dropped as a corpus dup (that would lose the batch
+    // forever); doc 3 must still drop against doc 1.
+    val s1 = CorpusIngest.ingestBatch(b1, 1L, tableDir, indexDir,
+      "doc_id", "text", threshold = 0.8)
+    assert(!s1.fenced, s1)
+    assert(s1.accepted == 1 && s1.dupVsCorpus == 1, s1)
+    assert(Snapshots.read(spark, tableDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(Snapshots.lastCommittedBatch(spark, tableDir) == 1L)
+  }
+
+  test("a batch's lineage is persisted, not recomputed per stat/write") {
+    val s = spark
+    import s.implicits._
+    val tableDir = tmp(); val indexDir = tmp()
+    CorpusIngest.ingestBatch(
+      Seq((1L, doc("kappa"))).toDF("doc_id", "text"),
+      0L, tableDir, indexDir, "doc_id", "text")
+    // Across a batch against an EXISTING index (the expensive path:
+    // gate + exact + near + cross + append + commit), assert the fix's
+    // mechanism directly: the three stage frames are persisted during
+    // the batch (unpersist events observed) and released afterwards,
+    // and the total job count stays bounded — before the persist fix
+    // the four stat counts each re-ran the whole MinHash lineage.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unpersists = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onUnpersistRDD(
+          u: org.apache.spark.scheduler.SparkListenerUnpersistRDD): Unit =
+        unpersists.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // other suites sharing this session may legitimately hold caches;
+    // only RDDs persisted by THIS batch must be gone afterwards
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val b1 = (2 to 9).map(i => (i.toLong, doc(s"seed$i"))).toDF("doc_id", "text")
+      val s1 = CorpusIngest.ingestBatch(b1, 1L, tableDir, indexDir,
+        "doc_id", "text", threshold = 0.8)
+      assert(s1.accepted == 8, s1)
+      // give the listener bus a moment to drain its async events
+      Thread.sleep(1000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(unpersists.get() >= 3,
+      s"expected the 3 stage frames to be cached and released, saw ${unpersists.get()} unpersists")
+    assert(jobs.get() <= 100, s"ingestBatch ran ${jobs.get()} jobs — lineage recompute?")
+    // and the batch-scoped caches are released afterwards
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"ingestBatch leaked persisted RDDs: $leaked")
+  }
+
   test("duplicate index append (crash window) changes no dedup decision") {
     val s = spark
     import s.implicits._
