@@ -103,12 +103,23 @@ object SparkEntry {
         .agg(to_json(sort_array(collect_set(col("user_id")))).as("user_set"),
           size(collect_list(col("user_id"))).cast("long").as("list_len"))),
 
-    // HLL scale path for COUNT_DISTINCT: engine-specific sketch, so no
-    // cross-engine oracle — accuracy is spec-checked vs exact instead.
+    // HLL scale path for COUNT_DISTINCT, oracled in the sketch's
+    // EXACT regime (same bar as the theta/KLL rollups and GK stats):
+    // the DataSketches HLL at lgK=14 stays in its coupon (sparse)
+    // mode — an exact hash-set — far beyond the verify SF's 150
+    // distinct users per group, so the long-cast estimate IS
+    // count(DISTINCT) and DuckDB mirrors it exactly; beyond the
+    // coupon regime the published RSE bound applies (spec-checked at
+    // sf0.1). DataSketches (TypedImperativeAggregate, compact byte
+    // buffer) rather than approx_count_distinct(rsd): native HLL++ at
+    // comparable precision carries its 2^p registers as ~50k LONG
+    // FIELDS in the aggregation buffer row — measured 170x slower at
+    // sf0.1 (23.98s vs 0.14s) because the wide buffer breaks codegen.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14))
+          .cast("long").as("approx_users"))),
 
     // Sketch rollup table: one pass emits per-(type, day) theta + HLL
     // binaries; the per-type rollup merges STORED sketches (no raw
@@ -896,6 +907,14 @@ object SparkEntry {
       """SELECT event_type,
         |       count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // exact regime: 150 distinct per group vs 2^19 HLL registers —
+    // linear counting with deterministic hashing is measured exact at
+    // the verify SF, so exact DISTINCT is the mirror (see queries)
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS approx_users
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_collect" ->

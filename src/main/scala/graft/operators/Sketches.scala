@@ -70,7 +70,22 @@ object Sketches {
     * EITHER / ONLY-ONE" analysis WITHOUT joining raw data: the sketch
     * table has one bounded row per cell, so the pair join is bounded
     * metadata however large the fact table was. */
-  def cohortOverlap(sketches: DataFrame, keyCol: String, idCol: String): DataFrame = {
+  def cohortOverlap(sketches: DataFrame, keyCol: String, idCol: String,
+                    maxCohorts: Int = 10000): DataFrame = {
+    // The pair join below is an inequality join — a nested-loop plan
+    // that is quadratic in the number of cohort cells. That is exactly
+    // right for its intended input (one bounded sketch row per cohort:
+    // metadata, like a manifest), and exactly wrong for a
+    // high-cardinality key, where it would silently go n². Fail fast
+    // with the actual count instead; the cap is generous for any
+    // "cohort" worth pairwise analysis (10k cohorts = 50M pairs).
+    val nCohorts = sketches.select(keyCol).distinct().count()
+    require(nCohorts <= maxCohorts,
+      s"cohortOverlap pairs every two '$keyCol' cells — $nCohorts cells would " +
+        s"produce ~${nCohorts * nCohorts / 2} pairs via a nested-loop join. " +
+        s"This operator is for metadata-sized cohort keys (<= $maxCohorts); " +
+        "aggregate the sketch table to a coarser key first, or raise maxCohorts " +
+        "deliberately.")
     val a = sketches.select(
       sketches(keyCol).as("cohort_a"), sketches(s"${idCol}_theta").as("__sa"))
     val b = sketches.select(

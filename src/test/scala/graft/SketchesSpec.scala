@@ -48,6 +48,16 @@ class SketchesSpec extends SparkSpec {
     assert(roll(byDay).toSeq == roll(byUserMod).toSeq)
   }
 
+  test("cohortOverlap refuses a cohort key beyond the metadata bound") {
+    val sk = Sketches.distinctSketchTable(ev, Seq("event_type"), "user_id")
+    val e = intercept[IllegalArgumentException](
+      Sketches.cohortOverlap(sk, "event_type", "user_id", maxCohorts = 2))
+    assert(e.getMessage.contains("pairs every two"),
+      s"guard should explain the quadratic blowup: ${e.getMessage}")
+    // at the default bound the same call is fine
+    assert(Sketches.cohortOverlap(sk, "event_type", "user_id").count() > 0)
+  }
+
   test("cohort overlap: exact set algebra without touching raw data") {
     val sk = Sketches.distinctSketchTable(ev, Seq("event_type"), "user_id")
     val overlaps = Sketches.cohortOverlap(sk, "event_type", "user_id")
@@ -173,6 +183,78 @@ class SketchesSpec extends SparkSpec {
         (g, rs.map(_._1).distinct.size.toLong) }
       assert(est == exact, s"trial $trial: $est vs $exact")
     }
+  }
+
+  test("live rollup: streamed sketch rows commit into the stored table and roll up with history") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_tbl").toString
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val all = ev.select(cols.map(col): _*)
+    val historical = all.filter(col("event_id") % 2 === 0)
+    val live = all.filter(col("event_id") % 2 === 1)
+    // historical half: the batch path of the SAME operator, committed
+    // as the stored sketch table's first snapshot
+    graft.sources.Snapshots.commit(
+      Sketches.distinctSketchStream(historical, "ts", "1 hour",
+        Seq("event_type"), "user_id"), dir)
+    // live half: a real stream through the streaming twin, sunk into
+    // the SAME table via the exactly-once snapshot sink
+    val mem = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    mem.addData(live.collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getDouble(3), r.getTimestamp(4))): _*)
+    val q = Sketches.distinctSketchStream(
+        mem.toDF.toDF(cols: _*), "ts", "1 hour", Seq("event_type"), "user_id")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.sources.Snapshots.commitStreamBatch(b, dir, id); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sketch_cp").toString)
+      .start()
+    q.awaitTermination(120000)
+    // the PROMISE: a historical rollup over the STORED table now
+    // includes the live data — estimates equal the exact distincts
+    // over ALL events (exact regime), with no batch backfill
+    val rolled = Sketches.rollupDistinct(
+        graft.sources.Snapshots.read(spark, dir), Seq("event_type"), "user_id")
+      .collect().map(r => (r.getString(0),
+        r.getAs[Any]("user_id_distinct_theta").toString.toDouble.round,
+        r.getAs[Any]("user_id_distinct_hll").toString.toDouble.round,
+        r.getAs[Long]("n_rows"))).sortBy(_._1).toSeq
+    val exact = all.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("d"), count(lit(1L)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq
+    assert(rolled == exact, s"stored+streamed rollup $rolled != exact $exact")
+  }
+
+  test("q_approx_distinct exact regime holds at the verify SFs; bounded beyond") {
+    // the oracle bar: at sf0.001/sf0.01 the DataSketches HLL (lgK=14)
+    // is still in coupon mode — an exact hash set — so the estimate
+    // IS the exact distinct count; this is what lets the driver
+    // hash-compare the query against DuckDB's count(DISTINCT)
+    for (sfn <- Seq("sf0.001", "sf0.01")) {
+      val got = SparkEntry.queries("q_approx_distinct")(spark, sf(sfn))
+        .join(Tables.events(spark, sf(sfn)).groupBy("event_type")
+            .agg(countDistinct(col("user_id")).as("exact")),
+          Seq("event_type"))
+      assert(got.filter(col("approx_users") =!= col("exact")).count() == 0,
+        s"HLL estimate not exact at $sfn")
+    }
+    // beyond the exact regime the estimate stays inside the sketch's
+    // published error (lgK=14 RSE ≈ 0.8%/σ; 1500 distinct may still
+    // sit in the coupon-exact zone, so 1% is a roomy determinism-safe
+    // bound either way)
+    val big = SparkEntry.queries("q_approx_distinct")(spark, sf("sf0.1"))
+      .join(Tables.events(spark, sf("sf0.1")).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact")),
+        Seq("event_type"))
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact")) / col("exact"))
+    assert(big.filter(col("rel_err") > 0.01).count() == 0)
   }
 
   test("sampling regime: theta/HLL within published RSE at k << n") {
