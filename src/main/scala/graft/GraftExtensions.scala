@@ -40,10 +40,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def litLong(e: Expression, what: String): Long = litVal(e, what) match {
     case i: Int => i.toLong
     case l: Long => l
-    case other => other.toString.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    // fractional literals parse as Decimal/Double (e.g. `1800.0`);
+    // accept them when they are whole numbers, reject with the
+    // argument's name otherwise — `toString.toLong` on "1800.0" threw
+    // an unhelpful NumberFormatException
+    case d: org.apache.spark.sql.types.Decimal =>
+      val bd = d.toJavaBigDecimal
+      require(bd.stripTrailingZeros.scale <= 0,
+        s"$what must be a whole number, got $bd")
+      bd.longValueExact
+    case d: Double =>
+      require(d == math.rint(d) && !d.isInfinite,
+        s"$what must be a whole number, got $d")
+      d.toLong
+    case f: Float =>
+      require(f == math.rint(f.toDouble).toFloat && !f.isInfinite,
+        s"$what must be a whole number, got $f")
+      f.toLong
+    case other => // e.g. a string literal '1800' (UTF8String)
+      try {
+        val bd = new java.math.BigDecimal(other.toString)
+        require(bd.stripTrailingZeros.scale <= 0,
+          s"$what must be a whole number, got $bd")
+        bd.longValueExact
+      } catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got '$other' (${other.getClass.getSimpleName})")
+      }
   }
   private def litInt(e: Expression, what: String): Int =
     litLong(e, what).toInt
+  private def litDouble(e: Expression, what: String): Double = litVal(e, what) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other =>
+      try other.toString.toDouble
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$what must be a numeric literal, got '$other'")
+      }
+  }
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator custom plan: top-k per key via bounded heaps
     // (graft.plans.TopKPerKey), planned by its own strategy
@@ -230,6 +271,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           operators.Sketches.distinctSketchTable(
             s.table(litStr(a(0), "table")), Seq(litStr(a(1), "keyCol")), idCol),
           litStr(a(1), "keyCol"), idCol)
+    }
+
+    tvf("graft_bloom_semi",
+      "graft_bloom_semi(bigTable, bigKey, smallTable, smallKey[, fpp]) - bloom-prefiltered semi join; the filter auto-sizes from the small side's distinct key count, so SQL callers cannot mis-size it") {
+      (s, a) =>
+        require(a.length == 4 || a.length == 5,
+          "graft_bloom_semi takes (bigTable, bigKey, smallTable, smallKey[, fpp])")
+        val fpp = if (a.length == 5) litDouble(a(4), "fpp") else 0.01
+        require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+        operators.Relational.bloomSemiJoin(
+          s.table(litStr(a(0), "bigTable")), litStr(a(1), "bigKey"),
+          s.table(litStr(a(2), "smallTable")), litStr(a(3), "smallKey"),
+          expectedItems = 0L, fpp = fpp)
     }
 
     tvf("graft_snapshot",

@@ -111,4 +111,35 @@ class BloomSpec extends SparkSpec {
     val want = ev.filter(col("user_id") % 2 === 0).count()
     assert(r == want) // every member passes through the SQL path too
   }
+
+  test("SQL TVF graft_bloom_semi auto-sizes and equals the exact semi join") {
+    ev.createOrReplaceTempView("ev_bloom_big")
+    ev.filter(col("user_id") % 7 === 0)
+      .select(col("user_id").as("uid")).distinct()
+      .createOrReplaceTempView("ev_bloom_small")
+    // no sizing arguments anywhere: the TVF counts the small side
+    val got = spark.sql(
+      """SELECT event_id
+        |FROM graft_bloom_semi('ev_bloom_big', 'user_id',
+        |                      'ev_bloom_small', 'uid')""".stripMargin)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = spark.sql(
+      """SELECT event_id FROM ev_bloom_big
+        |WHERE user_id IN (SELECT uid FROM ev_bloom_small)""".stripMargin)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // explicit fpp still accepted, including a fractional literal
+    // (exercises the Decimal-tolerant litDouble path)
+    val loose = spark.sql(
+      """SELECT count(*) AS n
+        |FROM graft_bloom_semi('ev_bloom_big', 'user_id',
+        |                      'ev_bloom_small', 'uid', 0.2)""".stripMargin)
+      .head().getLong(0)
+    assert(loose == want.length.toLong)
+    // a nonsense fpp is rejected with a clear message
+    val err = intercept[Exception](spark.sql(
+      """SELECT * FROM graft_bloom_semi('ev_bloom_big', 'user_id',
+        |                               'ev_bloom_small', 'uid', 7.5)""".stripMargin))
+    assert(err.getMessage.contains("fpp"))
+  }
 }
