@@ -300,6 +300,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.Snapshots.manifest(s, litStr(a(0), "dir"), v)
     }
 
+    tvf("graft_snapshot_point",
+      "graft_snapshot_point(dir, value) - snapshot read pruned to the files whose per-file bloom might contain value (see Snapshots.readPoint)") {
+      (s, a) =>
+        val v = litVal(a(1), "value") match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+          case x => x
+        }
+        sources.Snapshots.readPoint(s, litStr(a(0), "dir"), v)
+    }
+
     tvf("graft_quantile_rollup",
       "graft_quantile_rollup(table, keyCol, valueCol, k, p1, p2, ...) - per-key KLL quantiles via one sketch pass (exact while rows <= k)") {
       (s, a) =>

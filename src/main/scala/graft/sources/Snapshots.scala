@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   * dir/_manifests/v<zero-padded>/       — one parquet manifest per
   *                                        snapshot: (path, rows,
   *                                        stats_min, stats_max,
+  *                                        bloom, bloom_type,
   *                                        version, parent)
   * }}}
   *
@@ -40,7 +41,13 @@ import org.apache.spark.sql.functions._
   * uses them for MANIFEST-LEVEL file skipping — files whose stats
   * range can't intersect the predicate are never opened, the same
   * pruning [[Layout.writeZClustered]] gives within a file, one level
-  * up. Old snapshots stay readable (time travel for reproducible
+  * up. `commit(bloomCol = ...)` additionally stores a per-file bloom
+  * filter of a (typically secondary, unclustered) key column —
+  * [[readPoint]] then serves needle-in-100TB id lookups by opening
+  * only the files whose filters fire, a probe min/max stats cannot
+  * answer on an unclustered key — and enables parquet's in-file bloom
+  * on the same column for row-group skipping inside the survivors.
+  * Old snapshots stay readable (time travel for reproducible
   * training-data runs) until [[expire]] drops their manifests and any
   * data file no surviving snapshot references.
   */
@@ -87,11 +94,21 @@ object Snapshots {
     * `statsCol` for every commit to a given table ([[alignStats]]
     * coerces stray mismatches to the established type). */
   private def writeDataFiles(df: DataFrame, dir: String,
-                             statsCol: Option[String]): (String, DataFrame) = {
+                             statsCol: Option[String],
+                             bloomCol: Option[String] = None,
+                             bloomFpp: Double = 0.01): (String, DataFrame) = {
     val spark = df.sparkSession
     val commitId = java.util.UUID.randomUUID().toString
     val commitDir = s"${dataRoot(dir)}/$commitId"
-    df.write.parquet(commitDir)
+    // when a bloom column is declared, also ask parquet for its
+    // IN-FILE bloom filter — scans with key = literal predicates then
+    // skip row groups inside the files the manifest could not prune
+    val writer = bloomCol match {
+      case Some(c) => df.write
+        .option(s"parquet.bloom.filter.enabled#$c", "true")
+      case None => df.write
+    }
+    writer.parquet(commitDir)
     val written = spark.read.parquet(commitDir)
     val statsAgg = statsCol match {
       case Some(c) => Seq(count(lit(1L)).as("rows"),
@@ -101,8 +118,44 @@ object Snapshots {
         lit(null).cast("double").as("stats_min"),
         lit(null).cast("double").as("stats_max"))
     }
+    val bloomAgg = bloomCol match {
+      case Some(c) =>
+        import graft.functions.{BloomBuildAgg, BloomUtil, ColumnBridge}
+        // size for the largest new file (one shared layout so the
+        // per-file aggregation buffers merge); the budget guard keeps
+        // the whole commit's manifest bloom payload driver-review
+        // sized — beyond it, rely on the in-file parquet blooms
+        val counts = written.groupBy(input_file_name()).count()
+          .agg(coalesce(max("count"), lit(1L)), count(lit(1))).head()
+        val (maxRows, nFiles) = (counts.getLong(0), counts.getLong(1))
+        val (bits, k) = BloomUtil.sizing(math.max(1L, maxRows), bloomFpp)
+        require(bits.toLong / 8 * nFiles <= 256L * 1024 * 1024,
+          s"manifest blooms for this commit would need ${bits / 8}B x $nFiles files" +
+            " — over the 256 MB manifest budget; raise bloomFpp, write larger" +
+            " files, or rely on the in-file parquet blooms alone")
+        // the source type rides along: xxhash64 is type-sensitive, so
+        // readPoint must hash its probe value AS this type
+        Seq(ColumnBridge.column(
+            BloomBuildAgg(ColumnBridge.expression(xxhash64(col(c))), bits, k)
+              .toAggregateExpression()).as("bloom"),
+          lit(written.schema(c).dataType.catalogString).as("bloom_type"))
+      case None => Seq(lit(null).cast("array<bigint>").as("bloom"),
+        lit(null).cast("string").as("bloom_type"))
+    }
     (commitId, written.groupBy(input_file_name().as("path"))
-      .agg(statsAgg.head, statsAgg.tail: _*))
+      .agg((statsAgg ++ bloomAgg).head, (statsAgg ++ bloomAgg).tail: _*))
+  }
+
+  /** The manifest-entry columns, tolerating manifests written before
+    * a column existed (older snapshots read as typed nulls — a file
+    * without a bloom/stat is simply never pruned by it). */
+  private def entryCols(df: DataFrame): DataFrame = {
+    val withBloom =
+      if (df.columns.contains("bloom")) df
+      else df.withColumn("bloom", lit(null).cast("array<bigint>"))
+        .withColumn("bloom_type", lit(null).cast("string"))
+    withBloom.select("path", "rows", "stats_min", "stats_max",
+      "bloom", "bloom_type")
   }
 
   /** Cast `entries`' stats columns to the types `parent`'s manifest
@@ -113,9 +166,10 @@ object Snapshots {
     * conflict. */
   private def alignStats(entries: DataFrame, parent: DataFrame): DataFrame = {
     val want = parent.schema
-    entries.select(col("path"), col("rows"),
+    entryCols(entries).select(col("path"), col("rows"),
       col("stats_min").cast(want("stats_min").dataType).as("stats_min"),
-      col("stats_max").cast(want("stats_max").dataType).as("stats_max"))
+      col("stats_max").cast(want("stats_max").dataType).as("stats_max"),
+      col("bloom"), col("bloom_type"))
   }
 
   /** One publish attempt: write the manifest aside, rename it to
@@ -141,7 +195,7 @@ object Snapshots {
     f.mkdirs(new Path(manifestRoot(dir)))
     val carried = math.max(batchId,
       if (version == 0L) -1L else batchWatermarkAt(spark, dir, version - 1))
-    val full = entries.select("path", "rows", "stats_min", "stats_max")
+    val full = entryCols(entries)
       .withColumn("version", lit(version))
       .withColumn("parent", lit(version - 1L))
       .withColumn("batch_id", lit(carried))
@@ -192,10 +246,12 @@ object Snapshots {
     * }}}
     */
   def commitStreamBatch(batch: DataFrame, dir: String, batchId: Long,
-                        statsCol: Option[String] = None): Option[Long] = {
+                        statsCol: Option[String] = None,
+                        bloomCol: Option[String] = None,
+                        bloomFpp: Double = 0.01): Option[Long] = {
     val spark = batch.sparkSession
     if (lastCommittedBatch(spark, dir) >= batchId) return None
-    val (commitId, newFiles) = writeDataFiles(batch, dir, statsCol)
+    val (commitId, newFiles) = writeDataFiles(batch, dir, statsCol, bloomCol, bloomFpp)
     var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
     while (true) {
       // re-check the fence under the current version: a concurrent
@@ -204,8 +260,7 @@ object Snapshots {
       val entries =
         if (attempt == 0L) newFiles
         else {
-          val parent = manifest(spark, dir, Some(attempt - 1))
-            .select("path", "rows", "stats_min", "stats_max")
+          val parent = entryCols(manifest(spark, dir, Some(attempt - 1)))
           parent.unionByName(alignStats(newFiles, parent))
         }
       if (tryPublish(spark, dir, commitId, entries, attempt, batchId))
@@ -225,16 +280,17 @@ object Snapshots {
     * is one columnar scan of the new files; the manifest write is one
     * tiny job. Nothing here holds per-row driver state. */
   def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
-             statsCol: Option[String] = None): Long = {
+             statsCol: Option[String] = None,
+             bloomCol: Option[String] = None,
+             bloomFpp: Double = 0.01): Long = {
     val spark = df.sparkSession
-    val (commitId, newFiles) = writeDataFiles(df, dir, statsCol)
+    val (commitId, newFiles) = writeDataFiles(df, dir, statsCol, bloomCol, bloomFpp)
     var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
     while (true) {
       val entries =
         if (overwrite || attempt == 0L) newFiles
         else {
-          val parent = manifest(spark, dir, Some(attempt - 1))
-            .select("path", "rows", "stats_min", "stats_max")
+          val parent = entryCols(manifest(spark, dir, Some(attempt - 1)))
           parent.unionByName(alignStats(newFiles, parent))
         }
       if (tryPublish(spark, dir, commitId, entries, attempt)) return attempt
@@ -264,7 +320,9 @@ object Snapshots {
   def mergeCommit(spark: SparkSession, dir: String, changes: DataFrame,
                   keyCols: Seq[String], opCol: String = "op",
                   seqCol: String = "seq",
-                  pruneCol: Option[String] = None): Long = {
+                  pruneCol: Option[String] = None,
+                  bloomCol: Option[String] = None,
+                  bloomFpp: Double = 0.01): Long = {
     val dataCols = changes.columns.filterNot(c => c == opCol || c == seqCol)
     val pc = pruneCol.getOrElse(keyCols.head)
     require(dataCols.contains(pc), s"changes must carry $pc")
@@ -273,8 +331,7 @@ object Snapshots {
       val (kept, affected) = latest match {
         case None => (None: Option[DataFrame], Seq.empty[String])
         case Some(v) =>
-          val m = manifest(spark, dir, Some(v))
-            .select("path", "rows", "stats_min", "stats_max")
+          val m = entryCols(manifest(spark, dir, Some(v)))
           // keys keep pc's native type — the between-comparison against
           // the (equally native-typed) stats range prunes timestamp,
           // date, and string keyed tables, not just numeric ones
@@ -311,10 +368,10 @@ object Snapshots {
           col(s"__w.$opCol"): _*)
         .filter(col(opCol) =!= "d")
         .select(dataCols.map(col): _*)
-      val (commitId, newFiles) = writeDataFiles(merged, dir, Some(pc))
+      val (commitId, newFiles) = writeDataFiles(merged, dir, Some(pc), bloomCol, bloomFpp)
       val entries = kept match {
         case Some(k) => k.unionByName(alignStats(newFiles, k))
-        case None => newFiles.select("path", "rows", "stats_min", "stats_max")
+        case None => entryCols(newFiles)
       }
       val version = latest.map(_ + 1).getOrElse(0L)
       if (tryPublish(spark, dir, commitId, entries, version)) return version
@@ -363,6 +420,45 @@ object Snapshots {
     else spark.read.parquet(keep: _*)
   }
 
+  /** Point-lookup file pruning: read only the files that might
+    * contain `value` in the table's bloom column. Min/max stats can
+    * only prune a point probe when the table is CLUSTERED by the key;
+    * the per-file blooms written by `commit(bloomCol = ...)` prune it
+    * on any layout — a needle-in-100TB id lookup opens the handful of
+    * files whose filters fire (true matches + fpp false alarms), and
+    * the parquet in-file blooms the same commit enabled then skip row
+    * groups inside those. No false negatives: a file is dropped only
+    * when its bloom PROVES the value absent; files without blooms
+    * (older snapshots, stats-less commits) are always read. Both
+    * tests run as one distributed scan of the manifest.
+    *
+    * The caller's `value` is cast to the bloom column's recorded
+    * source type before hashing — xxhash64 is type-sensitive, so
+    * probing a bigint column with an Int literal would otherwise miss
+    * silently. */
+  def readPoint(spark: SparkSession, dir: String, value: Any,
+                version: Option[Long] = None): DataFrame = {
+    import graft.functions.{BloomMightContain, ColumnBridge}
+    val m = entryCols(manifest(spark, dir, version))
+    val bloomType = m.filter(col("bloom_type").isNotNull)
+      .select("bloom_type").limit(1).collect().headOption.map(_.getString(0))
+    val probe = bloomType.map(t => lit(value).cast(t)).getOrElse(lit(value))
+    // only the bloom may prune here: the min/max stats can belong to
+    // a DIFFERENT column than the bloom (ts-stats + id-bloom is the
+    // expected pairing), so a stats range test against this value
+    // could drop files that do hold it — callers whose point key IS
+    // the stats column get range pruning from readPruned(v, v)
+    val bloomPass = col("bloom").isNull ||
+      ColumnBridge.column(BloomMightContain(
+        ColumnBridge.expression(col("bloom")),
+        ColumnBridge.expression(xxhash64(probe))))
+    val keep = m.filter(bloomPass)
+      .select("path").collect().map(_.getString(0)).toSeq
+    if (keep.isEmpty)
+      spark.read.parquet(filesOf(spark, dir, version): _*).limit(0)
+    else spark.read.parquet(keep: _*)
+  }
+
   /** Number of data files in a snapshot (plan-free, from the
     * manifest). */
   def fileCount(spark: SparkSession, dir: String,
@@ -401,8 +497,7 @@ object Snapshots {
     * fence carries forward (a rollback must not re-open the door to a
     * replayed streaming batch). */
   def rollback(spark: SparkSession, dir: String, toVersion: Long): Long = {
-    val entries = manifest(spark, dir, Some(toVersion))
-      .select("path", "rows", "stats_min", "stats_max")
+    val entries = entryCols(manifest(spark, dir, Some(toVersion)))
     val tag = java.util.UUID.randomUUID().toString
     var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
     while (true) {

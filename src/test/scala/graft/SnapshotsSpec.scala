@@ -140,6 +140,50 @@ class SnapshotsSpec extends SparkSpec {
     assert(all.count() == 3, "stats-less files must survive any prune")
   }
 
+  test("point-lookup pruning: per-file blooms open only candidate files") {
+    val dir = tmpDir()
+    // deliberately NOT clustered by event_id: every file's id range
+    // spans the table, so min/max stats (on ts) cannot prune an id
+    // probe — exactly the layout blooms exist for
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .repartition(8, col("user_id"))
+    Snapshots.commit(ev, dir, overwrite = false,
+      statsCol = Some("ts"), bloomCol = Some("event_id"))
+    val total = Snapshots.fileCount(spark, dir)
+    assert(total >= 4, s"need several files for the pruning claim, got $total")
+    val m = Snapshots.manifest(spark, dir)
+    assert(m.filter(col("bloom").isNotNull).count() == total)
+    assert(m.select("bloom_type").head().getString(0) == "bigint")
+
+    val ids = ev.select("event_id").limit(20).collect().map(_.getLong(0))
+    // no false negatives: every probed id's rows all surface, and the
+    // probe opens fewer files than the full snapshot
+    var openedTotal = 0L
+    ids.foreach { id =>
+      val got = Snapshots.readPoint(spark, dir, id)
+      openedTotal += got.select(input_file_name()).distinct().count()
+      assert(got.filter(col("event_id") === id).count() ==
+        ev.filter(col("event_id") === id).count(), s"lost rows for id $id")
+    }
+    assert(openedTotal < ids.length * total,
+      s"point probes opened $openedTotal of ${ids.length * total} file-reads — no bloom skipping")
+    // type-sensitivity guard: an Int probe of the bigint column is
+    // cast to the recorded bloom_type before hashing, so it still hits
+    val asInt = Snapshots.readPoint(spark, dir, ids.head.toInt)
+    assert(asInt.filter(col("event_id") === ids.head).count() ==
+      ev.filter(col("event_id") === ids.head).count())
+    // files appended WITHOUT a bloom are never pruned away; bloom'd
+    // files mostly are when the id does not exist anywhere
+    Snapshots.commit(ev.limit(3), dir)
+    val absent = Snapshots.readPoint(spark, dir, -987654321L)
+    val opened = absent.select(input_file_name()).distinct().count()
+    assert(opened >= 1, "bloom-less files must always be read")
+    assert(opened < Snapshots.fileCount(spark, dir),
+      s"a nonexistent id opened $opened files — blooms pruned nothing")
+    assert(absent.columns.contains("event_id"))
+  }
+
   test("mergeCommit prunes rewrites by a timestamp key") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))
@@ -340,6 +384,20 @@ class SnapshotsSpec extends SparkSpec {
       s"SELECT sum(rows) AS n FROM graft_snapshot_manifest('$dir', 0)")
       .head().getLong(0)
     assert(mRows == nations.count())
+  }
+
+  test("SQL point lookup prunes through the bloom TVF") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "event_type", "ts")
+      .repartition(6, col("event_type"))
+    Snapshots.commit(ev, dir, overwrite = false,
+      statsCol = Some("ts"), bloomCol = Some("event_id"))
+    val id = ev.select("event_id").head().getLong(0)
+    val got = spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot_point('$dir', ${id}L)" +
+        s" WHERE event_id = ${id}L").head().getLong(0)
+    assert(got == ev.filter(col("event_id") === id).count() && got > 0)
   }
 
   test("model check: random op sequences match an in-memory table model") {
