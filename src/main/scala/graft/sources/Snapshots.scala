@@ -73,6 +73,27 @@ object Snapshots {
     }
   }
 
+  /** Highest version published at or before `tsMillis` — wall-clock
+    * time travel ("the table as the 09:00 dashboard saw it"): pass
+    * the result to [[read]]. Publish time is the manifest directory's
+    * filesystem mtime — stamped when the manifest was written aside,
+    * instants before its rename made it visible. Reproducible-run
+    * bookkeeping should still pin explicit versions; this is for
+    * human retrospection. */
+  def versionAsOf(spark: SparkSession, dir: String,
+                  tsMillis: Long): Option[Long] = {
+    val root = new Path(manifestRoot(dir))
+    val f = fs(spark, dir)
+    if (!f.exists(root)) None
+    else {
+      val vs = f.listStatus(root)
+        .filter(s => s.getPath.getName.matches("v\\d{12}") &&
+          s.getModificationTime <= tsMillis)
+        .map(_.getPath.getName.drop(1).toLong)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
   /** The manifest table of a snapshot (latest by default):
     * one row per data file — (path, rows, stats_min, stats_max,
     * version, parent). */
@@ -310,7 +331,9 @@ object Snapshots {
     * stats range covers it, so every key a change names is found and
     * rewritten wherever it sits.
     *
-    * `pruneCol` (default: the first key column) must be numeric and
+    * `pruneCol` (default: the first key column) may be numeric,
+    * timestamp, date, or string — the key join compares it against
+    * the manifest stats in its native type — and
     * should be the column the table was committed/clustered by —
     * files without stats are conservatively rewritten. Untouched
     * files are carried into the new manifest by reference: a 1 GB
@@ -322,11 +345,17 @@ object Snapshots {
                   seqCol: String = "seq",
                   pruneCol: Option[String] = None,
                   bloomCol: Option[String] = None,
-                  bloomFpp: Double = 0.01): Long = {
+                  bloomFpp: Double = 0.01,
+                  batchId: Long = -1L): Long = {
     val dataCols = changes.columns.filterNot(c => c == opCol || c == seqCol)
     val pc = pruneCol.getOrElse(keyCols.head)
     require(dataCols.contains(pc), s"changes must carry $pc")
     while (true) {
+      // fenced (streaming) merges re-check under the current version:
+      // a concurrent replica may have applied this batch while we
+      // derived the merge — -2 tells mergeStreamBatch "fenced"
+      if (batchId >= 0 && lastCommittedBatch(spark, dir) >= batchId)
+        return -2L
       val latest = latestVersion(spark, dir)
       val (kept, affected) = latest match {
         case None => (None: Option[DataFrame], Seq.empty[String])
@@ -374,12 +403,42 @@ object Snapshots {
         case None => entryCols(newFiles)
       }
       val version = latest.map(_ + 1).getOrElse(0L)
-      if (tryPublish(spark, dir, commitId, entries, version)) return version
+      if (tryPublish(spark, dir, commitId, entries, version, batchId))
+        return version
       // collision: a concurrent commit changed the base — the merged
       // files we wrote are now stale garbage (never referenced);
       // re-derive against the new latest
     }
     -1L // unreachable
+  }
+
+  /** Exactly-once CDC apply for `foreachBatch`: merge the change
+    * batch UNLESS this `batchId` (or a later one) is already fenced
+    * into the table's history — the [[commitStreamBatch]] replay
+    * guard, for merges. An upsert/delete stream (Debezium-shaped:
+    * rows + op + seq) lands in the snapshot table with file-granular
+    * copy-on-write and never double-applies after a crash. Returns
+    * the committed version, or None when fenced.
+    *
+    * {{{
+    * cdc.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *   Snapshots.mergeStreamBatch(b, dir, id, keyCols = Seq("k")); ()
+    * }.option("checkpointLocation", cp).start()
+    * }}}
+    */
+  def mergeStreamBatch(changes: DataFrame, dir: String, batchId: Long,
+                       keyCols: Seq[String], opCol: String = "op",
+                       seqCol: String = "seq",
+                       pruneCol: Option[String] = None,
+                       bloomCol: Option[String] = None,
+                       bloomFpp: Double = 0.01): Option[Long] = {
+    val spark = changes.sparkSession
+    if (lastCommittedBatch(spark, dir) >= batchId) return None
+    mergeCommit(spark, dir, changes, keyCols, opCol, seqCol,
+      pruneCol, bloomCol, bloomFpp, batchId) match {
+      case -2L => None // fenced by a concurrent replica mid-merge
+      case v => Some(v)
+    }
   }
 
   private def filesOf(spark: SparkSession, dir: String,
@@ -480,11 +539,27 @@ object Snapshots {
     * readers arriving after the commit get the compacted ones, and a
     * crash mid-compaction leaves only unreferenced files. */
   def compactCommit(spark: SparkSession, dir: String, targetRows: Long,
-                    statsCol: Option[String] = None): Long = {
+                    statsCol: Option[String] = None,
+                    clusterBy: Option[String] = None,
+                    bloomCol: Option[String] = None,
+                    bloomFpp: Double = 0.01): Long = {
     val cur = read(spark, dir)
     val n = cur.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
-    val v = commit(cur.repartition(files), dir, overwrite = true, statsCol)
+    // clustered compaction: range-partition + sort by the cluster key
+    // so the rewritten files carry TIGHT disjoint stats ranges — after
+    // many unclustered appends, this is what restores readPruned's
+    // skipping (each appended file's range spans the table; the
+    // compacted files' ranges tile it)
+    val shaped = clusterBy match {
+      case Some(c) => cur.repartitionByRange(files, col(c))
+        .sortWithinPartitions(col(c))
+      case None => cur.repartition(files)
+    }
+    // stats default to the cluster key — clustering exists to make
+    // those ranges prunable, so not recording them would waste it
+    val v = commit(shaped, dir, overwrite = true,
+      statsCol.orElse(clusterBy), bloomCol, bloomFpp)
     val m = read(spark, dir, Some(v)).count()
     require(m == n, s"compaction row mismatch: $n -> $m (snapshot v$v)")
     v

@@ -113,7 +113,11 @@ object CorpusIngest {
       if (nAccepted > 0) {
         if (indexExists) MinHashIndex.append(spark, indexDir, accepted, idCol, textCol)
         else MinHashIndex.build(spark, indexDir, accepted, idCol, textCol)
-        Snapshots.commitStreamBatch(accepted, tableDir, batchId)
+        // the corpus table carries per-file id blooms: "fetch document
+        // N" against the accumulated corpus opens only the files whose
+        // filters fire (Snapshots.readPoint), not every batch's output
+        Snapshots.commitStreamBatch(accepted, tableDir, batchId,
+          bloomCol = Some(idCol))
       }
 
       IngestStats(batchId, arrived,

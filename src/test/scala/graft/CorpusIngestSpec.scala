@@ -69,6 +69,10 @@ class CorpusIngestSpec extends SparkSpec {
     val hits = graft.operators.MinHashIndex.query(
       spark, indexDir, probe, "doc_id", "text", threshold = 0.8)
     assert(hits.filter(col("id_b") === 7L).count() == 1)
+
+    // the corpus table serves point lookups through its id blooms
+    val one = Snapshots.readPoint(spark, tableDir, 7L)
+    assert(one.filter(col("doc_id") === 7L).count() == 1)
   }
 
   test("crash between index append and table commit: replay reproduces the accept decision") {

@@ -209,6 +209,74 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, Some(v)).count() == ev.count())
   }
 
+  test("clustered compaction restores pruning after unclustered appends") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    // four unclustered appends: every file's user_id range spans the
+    // table, so the stats prune NOTHING
+    (0 until 4).foreach { i =>
+      Snapshots.commit(ev.filter(pmod(col("event_id"), lit(4)) === i)
+        .repartition(3), dir, overwrite = false, statsCol = Some("user_id"))
+    }
+    val before = Snapshots.fileCount(spark, dir)
+    val prunedBefore = Snapshots.readPruned(spark, dir, 0, 2)
+      .select(input_file_name()).distinct().count()
+    assert(prunedBefore == before, "precondition: unclustered appends unprunable")
+    // clustered compaction: ranges tile, the same probe skips files
+    val rows = Snapshots.read(spark, dir).count()
+    val v = Snapshots.compactCommit(spark, dir, targetRows = rows / 5,
+      clusterBy = Some("user_id"))
+    val after = Snapshots.fileCount(spark, dir, Some(v))
+    assert(after >= 4, s"expected several compacted files, got $after")
+    val prunedAfter = Snapshots.readPruned(spark, dir, 0, 2)
+      .select(input_file_name()).distinct().count()
+    assert(prunedAfter < after,
+      s"clustered compaction read $prunedAfter of $after files — no skipping")
+    // and nothing was lost
+    assert(Snapshots.read(spark, dir, Some(v)).count() == rows)
+    val want = ev.filter(col("user_id").between(0, 2)).count()
+    assert(Snapshots.readPruned(spark, dir, 0, 2)
+      .filter(col("user_id").between(0, 2)).count() == want)
+  }
+
+  test("date statsCol prunes like timestamp; in-file parquet blooms are written") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .withColumn("day", to_date(col("ts")))
+      .repartitionByRange(6, col("day"))
+    Snapshots.commit(ev, dir, overwrite = false,
+      statsCol = Some("day"), bloomCol = Some("event_id"))
+    assert(Snapshots.manifest(spark, dir).schema("stats_min").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val b = ev.agg(min("day"), max("day")).head()
+    val (dmin, dmax) = (b.getDate(0), b.getDate(1))
+    if (dmin.toLocalDate.isBefore(dmax.toLocalDate)) {
+      val total = Snapshots.fileCount(spark, dir)
+      val pruned = Snapshots.readPruned(spark, dir, dmin, dmin)
+      assert(pruned.select(input_file_name()).distinct().count() < total)
+      assert(pruned.filter(col("day") === lit(dmin)).count() ==
+        ev.filter(col("day") === lit(dmin)).count())
+    }
+    // the commit's parquet write really carries in-file bloom filters
+    // for the declared column (option is not a silent no-op)
+    val file = Snapshots.manifest(spark, dir)
+      .select("path").head().getString(0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(new java.net.URI(file)), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val idCol = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == "event_id").get
+      assert(idCol.getBloomFilterOffset >= 0,
+        "parquet.bloom.filter.enabled#event_id did not write a bloom filter")
+      val bf = reader.readBloomFilter(idCol)
+      assert(bf != null, "bloom filter unreadable from the footer offset")
+    } finally reader.close()
+  }
+
   test("compaction commits a new snapshot with fewer files, no rename window") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001")).repartition(16)
@@ -319,6 +387,49 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == afterStream + 1)
   }
 
+  test("streaming CDC merge: exactly-once, replays fenced, concurrent fence honored") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    Snapshots.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload"), dir,
+      overwrite = false, statsCol = Some("id"))
+    val b0 = Seq((2L, "b2", "u", 1L), (3L, "", "d", 1L))
+      .toDF("id", "payload", "op", "seq")
+    val v = Snapshots.mergeStreamBatch(b0, dir, batchId = 0L, keyCols = Seq("id"))
+    assert(v.nonEmpty)
+    def table() = Snapshots.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(table() == Seq((1L, "a"), (2L, "b2")))
+    // crash replay of the same batch: fenced, nothing reapplied
+    assert(Snapshots.mergeStreamBatch(b0, dir, 0L, Seq("id")).isEmpty)
+    assert(table() == Seq((1L, "a"), (2L, "b2")))
+    // the fence survives an interleaved append commit
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "payload"), dir)
+    assert(Snapshots.mergeStreamBatch(b0, dir, 0L, Seq("id")).isEmpty)
+    // a genuinely new CDC batch still lands
+    val b1 = Seq((1L, "a2", "u", 2L)).toDF("id", "payload", "op", "seq")
+    assert(Snapshots.mergeStreamBatch(b1, dir, 1L, Seq("id")).nonEmpty)
+    assert(table() == Seq((1L, "a2"), (2L, "b2"), (9L, "z")))
+    assert(Snapshots.lastCommittedBatch(spark, dir) == 1L)
+  }
+
+  test("versionAsOf resolves wall-clock time travel") {
+    val dir = tmpDir()
+    val t00 = System.currentTimeMillis()
+    Snapshots.commit(nations.limit(5), dir)                       // v0
+    Thread.sleep(1200)
+    val t01 = System.currentTimeMillis()
+    Thread.sleep(1200)
+    Snapshots.commit(nations.limit(10), dir, overwrite = true)    // v1
+    val now = System.currentTimeMillis() + 1000
+    assert(Snapshots.versionAsOf(spark, dir, t00 - 10000).isEmpty)
+    assert(Snapshots.versionAsOf(spark, dir, t01).contains(0L))
+    assert(Snapshots.versionAsOf(spark, dir, now).contains(1L))
+    val asOf = Snapshots.versionAsOf(spark, dir, t01)
+    assert(Snapshots.read(spark, dir, asOf).count() == 5)
+  }
+
   test("rollback re-publishes an old file list as a new version; fence survives") {
     val s = spark
     import s.implicits._
@@ -398,6 +509,36 @@ class SnapshotsSpec extends SparkSpec {
       s"SELECT count(*) AS n FROM graft_snapshot_point('$dir', ${id}L)" +
         s" WHERE event_id = ${id}L").head().getLong(0)
     assert(got == ev.filter(col("event_id") === id).count() && got > 0)
+  }
+
+  test("true concurrency: racing writers lose no commits") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    // 4 threads x 6 commits each, all racing for versions. With the
+    // verified-rename protocol every append must survive: the loser
+    // of a version race retries rather than silently nesting its
+    // manifest inside the winner's.
+    val ex = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { t =>
+        ex.submit(new java.util.concurrent.Callable[Seq[Long]] {
+          override def call(): Seq[Long] = (0 until 6).map { i =>
+            Snapshots.commit(
+              Seq((t * 100L + i, s"w$t-c$i")).toDF("id", "payload"), dir)
+          }
+        })
+      }
+      val versions = futures.flatMap(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      // every commit got its own version
+      assert(versions.distinct.size == 24, s"version collision slipped through: $versions")
+      assert(versions.max == 23L)
+    } finally ex.shutdownNow()
+    // nothing lost: the latest snapshot holds all 24 appended rows
+    val rows = Snapshots.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (for (t <- 0 until 4; i <- 0 until 6) yield t * 100L + i).sorted
+    assert(rows == want, s"lost commits: got ${rows.size} of 24 rows")
   }
 
   test("model check: random op sequences match an in-memory table model") {
