@@ -94,9 +94,9 @@ object Snapshots {
     }
   }
 
-  /** The manifest table of a snapshot (latest by default):
-    * one row per data file — (path, rows, stats_min, stats_max,
-    * version, parent). */
+  /** The manifest table of a snapshot (latest by default): one row
+    * per data file — (path, rows, stats_min, stats_max, bloom,
+    * bloom_type, version, parent, batch_id). */
   def manifest(spark: SparkSession, dir: String,
                version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(

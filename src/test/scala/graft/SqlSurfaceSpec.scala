@@ -46,6 +46,15 @@ class SqlSurfaceSpec extends SparkSpec {
     val dfSess = operators.Relational.sessionize(ev, "user_id", "ts", "event_id", 1800L)
     assert(canon(sqlSess) == canon(dfSess) && sqlSess.count() > 0)
 
+    // numeric TVF literal leniency: 1800.0 parses as Decimal — accept
+    // whole-valued fractions, reject genuine ones with the arg's name
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_sessionize('ev_tvf', 'user_id', 'ts', 'event_id', 1800.0)"))
+      == canon(dfSess))
+    val frac = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_sessionize('ev_tvf', 'user_id', 'ts', 'event_id', 1800.5)"))
+    assert(frac.getMessage.contains("whole number"), frac.getMessage)
+
     // session stats
     assert(canon(spark.sql(
       "SELECT * FROM graft_session_stats('ev_tvf', 'user_id', 'ts', 'event_id', 1800)"))
