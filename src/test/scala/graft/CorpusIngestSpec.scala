@@ -147,6 +147,43 @@ class CorpusIngestSpec extends SparkSpec {
     assert(leaked.isEmpty, s"ingestBatch leaked persisted RDDs: $leaked")
   }
 
+  test("end-to-end: a real stream drives ingestBatch through foreachBatch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tableDir = tmp(); val indexDir = tmp(); val cp = tmp()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stats = scala.collection.mutable.ArrayBuffer[CorpusIngest.IngestStats]()
+    // same checkpoint across both runs: run 2 resumes the offset log,
+    // reads only the new rows, and continues the batch-id sequence —
+    // the restart shape a deployed foreachBatch sink actually sees
+    def run(): Unit = {
+      val q = mem.toDF.toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          stats.synchronized {
+            stats += CorpusIngest.ingestBatch(b, id, tableDir, indexDir,
+              "doc_id", "text", threshold = 0.8)
+          }
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    mem.addData((1L, doc("alpha")), (2L, doc("alpha")), (3L, doc("beta")))
+    run()
+    // second stream run: new docs + a cross-corpus dup of an accepted one
+    mem.addData((4L, doc("beta") + " afterword"), (5L, doc("gamma")))
+    run()
+    val corpus = Snapshots.read(spark, tableDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 2 dropped as exact dup of 1; 4 dropped as cross-corpus dup of 3
+    assert(corpus == Seq(1L, 3L, 5L), s"stats: $stats corpus: $corpus")
+    assert(stats.map(_.accepted).sum == 3)
+  }
+
   test("duplicate index append (crash window) changes no dedup decision") {
     val s = spark
     import s.implicits._

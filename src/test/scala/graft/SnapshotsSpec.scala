@@ -571,8 +571,9 @@ class SnapshotsSpec extends SparkSpec {
     // within-batch LWW: the highest-seq (= last) occurrence of a key wins
     model = first.foldLeft(model) { case (m, (k, p, _, _)) => m + (k -> p) }
     check()
-    (1 to 12).foreach { i =>
-      rnd.nextInt(3) match {
+    var nextBatch = 0L
+    (1 to 16).foreach { i =>
+      rnd.nextInt(6) match {
         case 0 => // merge a mixed upsert/delete batch
           val ups = freshRows(1 + rnd.nextInt(5))
           val dels = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
@@ -593,6 +594,42 @@ class SnapshotsSpec extends SparkSpec {
           Snapshots.compactCommit(spark, dir, targetRows = 1000)
         case 2 => // expire history
           Snapshots.expire(spark, dir, keepLast = 1 + rnd.nextInt(2))
+        case 3 => // clustered compaction (range+sort by the key)
+          Snapshots.compactCommit(spark, dir,
+            targetRows = 5 + rnd.nextInt(20), clusterBy = Some("id"))
+        case 4 => // fenced streaming merge, then a replay that must fence
+          val ups = freshRows(1 + rnd.nextInt(3))
+            .map { case (k, p) => (k, p, "u", nextSeq()) }
+          val b = ups.toDF("id", "payload", "op", "seq")
+          val id = nextBatch; nextBatch += 1
+          assert(Snapshots.mergeStreamBatch(b, dir, id, Seq("id")).nonEmpty)
+          assert(Snapshots.mergeStreamBatch(b, dir, id, Seq("id")).isEmpty,
+            s"replay of batch $id was not fenced")
+          model = ups.foldLeft(model) { case (m, (k, p, _, _)) => m + (k -> p) }
+        case 5 => // rollback to a random surviving version, then
+          // re-merge the model state so table == model again (the
+          // model does not track history; rollback correctness is
+          // "the chosen version's exact file list becomes latest")
+          val f = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+          val vs = f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_manifests"))
+            .map(_.getPath.getName).filter(_.matches("v\\d{12}"))
+            .map(_.drop(1).toLong).sorted
+          val target = vs(rnd.nextInt(vs.length))
+          val expect = Snapshots.read(spark, dir, Some(target))
+            .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+          val v = Snapshots.rollback(spark, dir, toVersion = target)
+          val got = Snapshots.read(spark, dir, Some(v))
+            .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+          assert(got == expect, s"rollback to v$target changed content")
+          // restore model state on the table: upsert every model row,
+          // delete any stray keys the rolled-back snapshot re-exposed
+          val strays = got.map(_._1).toSet -- model.keySet
+          val fix =
+            model.toSeq.map { case (k, p) => (k, p, "u", nextSeq()) } ++
+              strays.toSeq.map(k => (k, "", "d", nextSeq()))
+          Snapshots.mergeCommit(spark, dir,
+            fix.toDF("id", "payload", "op", "seq"), keyCols = Seq("id"))
       }
       check()
     }
