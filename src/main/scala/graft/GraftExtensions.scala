@@ -301,14 +301,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_snapshot_point",
-      "graft_snapshot_point(dir, value) - snapshot read pruned to the files whose per-file bloom might contain value (see Snapshots.readPoint)") {
+      "graft_snapshot_point(dir, column, value) - snapshot read pruned to the files whose per-file bloom for column might contain value (see Snapshots.readPoint)") {
       (s, a) =>
-        val v = litVal(a(1), "value") match {
+        val v = litVal(a(2), "value") match {
           case u: org.apache.spark.unsafe.types.UTF8String => u.toString
           case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
           case x => x
         }
-        sources.Snapshots.readPoint(s, litStr(a(0), "dir"), v)
+        sources.Snapshots.readPoint(s, litStr(a(0), "dir"), litStr(a(1), "column"), v)
     }
 
     tvf("graft_quantile_rollup",

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * dir/_manifests/v<zero-padded>/       — one parquet manifest per
   *                                        snapshot: (path, rows,
   *                                        stats_min, stats_max,
-  *                                        bloom, bloom_type,
+  *                                        blooms, bloom_types,
   *                                        version, parent)
   * }}}
   *
@@ -41,12 +41,13 @@ import org.apache.spark.sql.functions._
   * uses them for MANIFEST-LEVEL file skipping — files whose stats
   * range can't intersect the predicate are never opened, the same
   * pruning [[Layout.writeZClustered]] gives within a file, one level
-  * up. `commit(bloomCol = ...)` additionally stores a per-file bloom
-  * filter of a (typically secondary, unclustered) key column —
-  * [[readPoint]] then serves needle-in-100TB id lookups by opening
-  * only the files whose filters fire, a probe min/max stats cannot
-  * answer on an unclustered key — and enables parquet's in-file bloom
-  * on the same column for row-group skipping inside the survivors.
+  * up. `commit(bloomCols = ...)` additionally stores per-file bloom
+  * filters of any number of (typically secondary, unclustered) key
+  * columns — [[readPoint]] then serves needle-in-100TB id lookups by
+  * opening only the files whose filters fire, a probe min/max stats
+  * cannot answer on an unclustered key — and enables parquet's
+  * in-file bloom on the same columns for row-group skipping inside
+  * the survivors.
   * Old snapshots stay readable (time travel for reproducible
   * training-data runs) until [[expire]] drops their manifests and any
   * data file no surviving snapshot references.
@@ -95,8 +96,8 @@ object Snapshots {
   }
 
   /** The manifest table of a snapshot (latest by default): one row
-    * per data file — (path, rows, stats_min, stats_max, bloom,
-    * bloom_type, version, parent, batch_id). */
+    * per data file — (path, rows, stats_min, stats_max, blooms,
+    * bloom_types, version, parent, batch_id). */
   def manifest(spark: SparkSession, dir: String,
                version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
@@ -116,18 +117,16 @@ object Snapshots {
     * coerces stray mismatches to the established type). */
   private def writeDataFiles(df: DataFrame, dir: String,
                              statsCol: Option[String],
-                             bloomCol: Option[String] = None,
+                             bloomCols: Seq[String] = Nil,
                              bloomFpp: Double = 0.01): (String, DataFrame) = {
     val spark = df.sparkSession
     val commitId = java.util.UUID.randomUUID().toString
     val commitDir = s"${dataRoot(dir)}/$commitId"
-    // when a bloom column is declared, also ask parquet for its
+    // for every declared bloom column, also ask parquet for its
     // IN-FILE bloom filter — scans with key = literal predicates then
     // skip row groups inside the files the manifest could not prune
-    val writer = bloomCol match {
-      case Some(c) => df.write
-        .option(s"parquet.bloom.filter.enabled#$c", "true")
-      case None => df.write
+    val writer = bloomCols.foldLeft(df.write) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     writer.parquet(commitDir)
     val written = spark.read.parquet(commitDir)
@@ -139,8 +138,11 @@ object Snapshots {
         lit(null).cast("double").as("stats_min"),
         lit(null).cast("double").as("stats_max"))
     }
-    val bloomAgg = bloomCol match {
-      case Some(c) =>
+    val bloomAgg =
+      if (bloomCols.isEmpty)
+        Seq(lit(null).cast("map<string,array<bigint>>").as("blooms"),
+          lit(null).cast("map<string,string>").as("bloom_types"))
+      else {
         import graft.functions.{BloomBuildAgg, BloomUtil, ColumnBridge}
         // size for the largest new file (one shared layout so the
         // per-file aggregation buffers merge); the budget guard keeps
@@ -150,19 +152,26 @@ object Snapshots {
           .agg(coalesce(max("count"), lit(1L)), count(lit(1))).head()
         val (maxRows, nFiles) = (counts.getLong(0), counts.getLong(1))
         val (bits, k) = BloomUtil.sizing(math.max(1L, maxRows), bloomFpp)
-        require(bits.toLong / 8 * nFiles <= 256L * 1024 * 1024,
+        require(bits.toLong / 8 * nFiles * bloomCols.size <= 256L * 1024 * 1024,
           s"manifest blooms for this commit would need ${bits / 8}B x $nFiles files" +
-            " — over the 256 MB manifest budget; raise bloomFpp, write larger" +
-            " files, or rely on the in-file parquet blooms alone")
-        // the source type rides along: xxhash64 is type-sensitive, so
-        // readPoint must hash its probe value AS this type
-        Seq(ColumnBridge.column(
-            BloomBuildAgg(ColumnBridge.expression(xxhash64(col(c))), bits, k)
-              .toAggregateExpression()).as("bloom"),
-          lit(written.schema(c).dataType.catalogString).as("bloom_type"))
-      case None => Seq(lit(null).cast("array<bigint>").as("bloom"),
-        lit(null).cast("string").as("bloom_type"))
-    }
+            s" x ${bloomCols.size} columns — over the 256 MB manifest budget;" +
+            " raise bloomFpp, write larger files, declare fewer bloom columns," +
+            " or rely on the in-file parquet blooms alone")
+        def filterOf(c: String) = ColumnBridge.column(
+          BloomBuildAgg(ColumnBridge.expression(xxhash64(col(c))), bits, k)
+            .toAggregateExpression())
+        // one bloom per declared column, keyed by column name; the
+        // source types ride along — xxhash64 is type-sensitive, so
+        // readPoint must hash its probe value AS the column's type
+        Seq(
+          map_from_arrays(
+            array(bloomCols.map(lit(_)): _*),
+            array(bloomCols.map(filterOf): _*)).as("blooms"),
+          map_from_arrays(
+            array(bloomCols.map(lit(_)): _*),
+            array(bloomCols.map(c =>
+              lit(written.schema(c).dataType.catalogString)): _*)).as("bloom_types"))
+      }
     (commitId, written.groupBy(input_file_name().as("path"))
       .agg((statsAgg ++ bloomAgg).head, (statsAgg ++ bloomAgg).tail: _*))
   }
@@ -172,11 +181,11 @@ object Snapshots {
     * without a bloom/stat is simply never pruned by it). */
   private def entryCols(df: DataFrame): DataFrame = {
     val withBloom =
-      if (df.columns.contains("bloom")) df
-      else df.withColumn("bloom", lit(null).cast("array<bigint>"))
-        .withColumn("bloom_type", lit(null).cast("string"))
+      if (df.columns.contains("blooms")) df
+      else df.withColumn("blooms", lit(null).cast("map<string,array<bigint>>"))
+        .withColumn("bloom_types", lit(null).cast("map<string,string>"))
     withBloom.select("path", "rows", "stats_min", "stats_max",
-      "bloom", "bloom_type")
+      "blooms", "bloom_types")
   }
 
   /** Cast `entries`' stats columns to the types `parent`'s manifest
@@ -190,7 +199,7 @@ object Snapshots {
     entryCols(entries).select(col("path"), col("rows"),
       col("stats_min").cast(want("stats_min").dataType).as("stats_min"),
       col("stats_max").cast(want("stats_max").dataType).as("stats_max"),
-      col("bloom"), col("bloom_type"))
+      col("blooms"), col("bloom_types"))
   }
 
   /** One publish attempt: write the manifest aside, rename it to
@@ -268,11 +277,11 @@ object Snapshots {
     */
   def commitStreamBatch(batch: DataFrame, dir: String, batchId: Long,
                         statsCol: Option[String] = None,
-                        bloomCol: Option[String] = None,
+                        bloomCols: Seq[String] = Nil,
                         bloomFpp: Double = 0.01): Option[Long] = {
     val spark = batch.sparkSession
     if (lastCommittedBatch(spark, dir) >= batchId) return None
-    val (commitId, newFiles) = writeDataFiles(batch, dir, statsCol, bloomCol, bloomFpp)
+    val (commitId, newFiles) = writeDataFiles(batch, dir, statsCol, bloomCols, bloomFpp)
     var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
     while (true) {
       // re-check the fence under the current version: a concurrent
@@ -302,10 +311,10 @@ object Snapshots {
     * tiny job. Nothing here holds per-row driver state. */
   def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
              statsCol: Option[String] = None,
-             bloomCol: Option[String] = None,
+             bloomCols: Seq[String] = Nil,
              bloomFpp: Double = 0.01): Long = {
     val spark = df.sparkSession
-    val (commitId, newFiles) = writeDataFiles(df, dir, statsCol, bloomCol, bloomFpp)
+    val (commitId, newFiles) = writeDataFiles(df, dir, statsCol, bloomCols, bloomFpp)
     var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
     while (true) {
       val entries =
@@ -344,7 +353,7 @@ object Snapshots {
                   keyCols: Seq[String], opCol: String = "op",
                   seqCol: String = "seq",
                   pruneCol: Option[String] = None,
-                  bloomCol: Option[String] = None,
+                  bloomCols: Seq[String] = Nil,
                   bloomFpp: Double = 0.01,
                   batchId: Long = -1L): Long = {
     val dataCols = changes.columns.filterNot(c => c == opCol || c == seqCol)
@@ -397,7 +406,7 @@ object Snapshots {
           col(s"__w.$opCol"): _*)
         .filter(col(opCol) =!= "d")
         .select(dataCols.map(col): _*)
-      val (commitId, newFiles) = writeDataFiles(merged, dir, Some(pc), bloomCol, bloomFpp)
+      val (commitId, newFiles) = writeDataFiles(merged, dir, Some(pc), bloomCols, bloomFpp)
       val entries = kept match {
         case Some(k) => k.unionByName(alignStats(newFiles, k))
         case None => entryCols(newFiles)
@@ -430,12 +439,12 @@ object Snapshots {
                        keyCols: Seq[String], opCol: String = "op",
                        seqCol: String = "seq",
                        pruneCol: Option[String] = None,
-                       bloomCol: Option[String] = None,
+                       bloomCols: Seq[String] = Nil,
                        bloomFpp: Double = 0.01): Option[Long] = {
     val spark = changes.sparkSession
     if (lastCommittedBatch(spark, dir) >= batchId) return None
     mergeCommit(spark, dir, changes, keyCols, opCol, seqCol,
-      pruneCol, bloomCol, bloomFpp, batchId) match {
+      pruneCol, bloomCols, bloomFpp, batchId) match {
       case -2L => None // fenced by a concurrent replica mid-merge
       case v => Some(v)
     }
@@ -480,36 +489,40 @@ object Snapshots {
   }
 
   /** Point-lookup file pruning: read only the files that might
-    * contain `value` in the table's bloom column. Min/max stats can
+    * contain `value` in the named bloom column. Min/max stats can
     * only prune a point probe when the table is CLUSTERED by the key;
-    * the per-file blooms written by `commit(bloomCol = ...)` prune it
-    * on any layout — a needle-in-100TB id lookup opens the handful of
+    * the per-file blooms written by `commit(bloomCols = ...)` prune
+    * it on any layout and for SEVERAL keys at once (doc id, url hash,
+    * content hash…) — a needle-in-100TB lookup opens the handful of
     * files whose filters fire (true matches + fpp false alarms), and
     * the parquet in-file blooms the same commit enabled then skip row
     * groups inside those. No false negatives: a file is dropped only
-    * when its bloom PROVES the value absent; files without blooms
-    * (older snapshots, stats-less commits) are always read. Both
-    * tests run as one distributed scan of the manifest.
+    * when its bloom PROVES the value absent; files without a bloom
+    * for this column (older snapshots, stats-less commits) are always
+    * read. The probe runs as one distributed scan of the manifest.
     *
     * The caller's `value` is cast to the bloom column's recorded
     * source type before hashing — xxhash64 is type-sensitive, so
     * probing a bigint column with an Int literal would otherwise miss
     * silently. */
-  def readPoint(spark: SparkSession, dir: String, value: Any,
+  def readPoint(spark: SparkSession, dir: String, column: String, value: Any,
                 version: Option[Long] = None): DataFrame = {
     import graft.functions.{BloomMightContain, ColumnBridge}
     val m = entryCols(manifest(spark, dir, version))
-    val bloomType = m.filter(col("bloom_type").isNotNull)
-      .select("bloom_type").limit(1).collect().headOption.map(_.getString(0))
+    val bloomType = m
+      .select(element_at(col("bloom_types"), column).as("__t"))
+      .filter(col("__t").isNotNull)
+      .limit(1).collect().headOption.map(_.getString(0))
     val probe = bloomType.map(t => lit(value).cast(t)).getOrElse(lit(value))
     // only the bloom may prune here: the min/max stats can belong to
-    // a DIFFERENT column than the bloom (ts-stats + id-bloom is the
+    // a DIFFERENT column than the bloom (ts-stats + id-blooms is the
     // expected pairing), so a stats range test against this value
     // could drop files that do hold it — callers whose point key IS
     // the stats column get range pruning from readPruned(v, v)
-    val bloomPass = col("bloom").isNull ||
+    val filter = element_at(col("blooms"), column)
+    val bloomPass = filter.isNull ||
       ColumnBridge.column(BloomMightContain(
-        ColumnBridge.expression(col("bloom")),
+        ColumnBridge.expression(filter),
         ColumnBridge.expression(xxhash64(probe))))
     val keep = m.filter(bloomPass)
       .select("path").collect().map(_.getString(0)).toSeq
@@ -541,7 +554,7 @@ object Snapshots {
   def compactCommit(spark: SparkSession, dir: String, targetRows: Long,
                     statsCol: Option[String] = None,
                     clusterBy: Option[String] = None,
-                    bloomCol: Option[String] = None,
+                    bloomCols: Seq[String] = Nil,
                     bloomFpp: Double = 0.01): Long = {
     val cur = read(spark, dir)
     val n = cur.count()
@@ -559,7 +572,7 @@ object Snapshots {
     // stats default to the cluster key — clustering exists to make
     // those ranges prunable, so not recording them would waste it
     val v = commit(shaped, dir, overwrite = true,
-      statsCol.orElse(clusterBy), bloomCol, bloomFpp)
+      statsCol.orElse(clusterBy), bloomCols, bloomFpp)
     val m = read(spark, dir, Some(v)).count()
     require(m == n, s"compaction row mismatch: $n -> $m (snapshot v$v)")
     v

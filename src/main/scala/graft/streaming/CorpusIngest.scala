@@ -117,7 +117,7 @@ object CorpusIngest {
         // N" against the accumulated corpus opens only the files whose
         // filters fire (Snapshots.readPoint), not every batch's output
         Snapshots.commitStreamBatch(accepted, tableDir, batchId,
-          bloomCol = Some(idCol))
+          bloomCols = Seq(idCol))
       }
 
       IngestStats(batchId, arrived,

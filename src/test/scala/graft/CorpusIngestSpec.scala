@@ -71,7 +71,7 @@ class CorpusIngestSpec extends SparkSpec {
     assert(hits.filter(col("id_b") === 7L).count() == 1)
 
     // the corpus table serves point lookups through its id blooms
-    val one = Snapshots.readPoint(spark, tableDir, 7L)
+    val one = Snapshots.readPoint(spark, tableDir, "doc_id", 7L)
     assert(one.filter(col("doc_id") === 7L).count() == 1)
   }
 

@@ -149,19 +149,22 @@ class SnapshotsSpec extends SparkSpec {
       .select("event_id", "user_id", "event_type", "value", "ts")
       .repartition(8, col("user_id"))
     Snapshots.commit(ev, dir, overwrite = false,
-      statsCol = Some("ts"), bloomCol = Some("event_id"))
+      statsCol = Some("ts"), bloomCols = Seq("event_id", "event_type"))
     val total = Snapshots.fileCount(spark, dir)
     assert(total >= 4, s"need several files for the pruning claim, got $total")
     val m = Snapshots.manifest(spark, dir)
-    assert(m.filter(col("bloom").isNotNull).count() == total)
-    assert(m.select("bloom_type").head().getString(0) == "bigint")
+    assert(m.filter(col("blooms").isNotNull).count() == total)
+    assert(m.select(element_at(col("bloom_types"), "event_id"))
+      .head().getString(0) == "bigint")
+    assert(m.select(element_at(col("bloom_types"), "event_type"))
+      .head().getString(0) == "string")
 
     val ids = ev.select("event_id").limit(20).collect().map(_.getLong(0))
     // no false negatives: every probed id's rows all surface, and the
     // probe opens fewer files than the full snapshot
     var openedTotal = 0L
     ids.foreach { id =>
-      val got = Snapshots.readPoint(spark, dir, id)
+      val got = Snapshots.readPoint(spark, dir, "event_id", id)
       openedTotal += got.select(input_file_name()).distinct().count()
       assert(got.filter(col("event_id") === id).count() ==
         ev.filter(col("event_id") === id).count(), s"lost rows for id $id")
@@ -170,13 +173,21 @@ class SnapshotsSpec extends SparkSpec {
       s"point probes opened $openedTotal of ${ids.length * total} file-reads — no bloom skipping")
     // type-sensitivity guard: an Int probe of the bigint column is
     // cast to the recorded bloom_type before hashing, so it still hits
-    val asInt = Snapshots.readPoint(spark, dir, ids.head.toInt)
+    val asInt = Snapshots.readPoint(spark, dir, "event_id", ids.head.toInt)
     assert(asInt.filter(col("event_id") === ids.head).count() ==
       ev.filter(col("event_id") === ids.head).count())
+    // the SECOND bloom key (a string column) answers its own probes:
+    // a real value surfaces every row; a nonexistent one prunes files
+    val byType = Snapshots.readPoint(spark, dir, "event_type", "click")
+    assert(byType.filter(col("event_type") === "click").count() ==
+      ev.filter(col("event_type") === "click").count())
+    val noType = Snapshots.readPoint(spark, dir, "event_type", "no_such_type")
+    assert(noType.select(input_file_name()).distinct().count() < total,
+      "string-key bloom pruned nothing for a nonexistent value")
     // files appended WITHOUT a bloom are never pruned away; bloom'd
     // files mostly are when the id does not exist anywhere
     Snapshots.commit(ev.limit(3), dir)
-    val absent = Snapshots.readPoint(spark, dir, -987654321L)
+    val absent = Snapshots.readPoint(spark, dir, "event_id", -987654321L)
     val opened = absent.select(input_file_name()).distinct().count()
     assert(opened >= 1, "bloom-less files must always be read")
     assert(opened < Snapshots.fileCount(spark, dir),
@@ -246,7 +257,7 @@ class SnapshotsSpec extends SparkSpec {
       .withColumn("day", to_date(col("ts")))
       .repartitionByRange(6, col("day"))
     Snapshots.commit(ev, dir, overwrite = false,
-      statsCol = Some("day"), bloomCol = Some("event_id"))
+      statsCol = Some("day"), bloomCols = Seq("event_id"))
     assert(Snapshots.manifest(spark, dir).schema("stats_min").dataType ==
       org.apache.spark.sql.types.DateType)
     val b = ev.agg(min("day"), max("day")).head()
@@ -503,10 +514,10 @@ class SnapshotsSpec extends SparkSpec {
       .select("event_id", "event_type", "ts")
       .repartition(6, col("event_type"))
     Snapshots.commit(ev, dir, overwrite = false,
-      statsCol = Some("ts"), bloomCol = Some("event_id"))
+      statsCol = Some("ts"), bloomCols = Seq("event_id"))
     val id = ev.select("event_id").head().getLong(0)
     val got = spark.sql(
-      s"SELECT count(*) AS n FROM graft_snapshot_point('$dir', ${id}L)" +
+      s"SELECT count(*) AS n FROM graft_snapshot_point('$dir', 'event_id', ${id}L)" +
         s" WHERE event_id = ${id}L").head().getLong(0)
     assert(got == ev.filter(col("event_id") === id).count() && got > 0)
   }
