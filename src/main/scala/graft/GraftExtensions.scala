@@ -300,15 +300,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.Snapshots.manifest(s, litStr(a(0), "dir"), v)
     }
 
+    // TVF literals arrive as Catalyst internal values; surface the
+    // JVM-typed equivalent a lit() can re-wrap
+    def litAny(e: Expression, what: String): Any = litVal(e, what) match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case x => x
+    }
+
     tvf("graft_snapshot_point",
       "graft_snapshot_point(dir, column, value) - snapshot read pruned to the files whose per-file bloom for column might contain value (see Snapshots.readPoint)") {
       (s, a) =>
-        val v = litVal(a(2), "value") match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-          case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
-          case x => x
-        }
-        sources.Snapshots.readPoint(s, litStr(a(0), "dir"), litStr(a(1), "column"), v)
+        sources.Snapshots.readPoint(s, litStr(a(0), "dir"),
+          litStr(a(1), "column"), litAny(a(2), "value"))
+    }
+
+    tvf("graft_snapshot_pruned",
+      "graft_snapshot_pruned(dir, lo, hi) - snapshot read pruned to the files whose stats range can intersect [lo, hi] (see Snapshots.readPruned)") {
+      (s, a) =>
+        sources.Snapshots.readPruned(s, litStr(a(0), "dir"),
+          litAny(a(1), "lo"), litAny(a(2), "hi"))
     }
 
     tvf("graft_quantile_rollup",

@@ -522,6 +522,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(got == ev.filter(col("event_id") === id).count() && got > 0)
   }
 
+  test("SQL range pruning through graft_snapshot_pruned") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .repartitionByRange(6, col("user_id"))
+    Snapshots.commit(ev, dir, overwrite = false, statsCol = Some("user_id"))
+    val got = spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot_pruned('$dir', 0, 2)" +
+        " WHERE user_id BETWEEN 0 AND 2").head().getLong(0)
+    assert(got == ev.filter(col("user_id").between(0, 2)).count() && got > 0)
+    // and the TVF really pruned: fewer files than the snapshot holds
+    val opened = spark.sql(
+      s"SELECT count(*) FROM (SELECT DISTINCT input_file_name() AS f" +
+        s" FROM graft_snapshot_pruned('$dir', 0, 2))").head().getLong(0)
+    assert(opened < Snapshots.fileCount(spark, dir))
+  }
+
   test("true concurrency: racing writers lose no commits") {
     val s = spark
     import s.implicits._
