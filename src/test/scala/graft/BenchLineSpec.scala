@@ -72,6 +72,32 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!floor.contains("\"errors\"") || floor.getBytes("UTF-8").length <= BenchLine.LineBudget)
   }
 
+  test("property: seeded random inventories up to 100 queries always fit") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 200).foreach { trial =>
+      val n = 1 + rnd.nextInt(100)
+      val qs = (1 to n).map { i =>
+        val nameLen = 6 + rnd.nextInt(9) // 6..14 chars, the real spread
+        val name = "q_" + rnd.alphanumeric.filter(_.isLetter)
+          .take(nameLen).mkString.toLowerCase
+        val t = rnd.nextInt(4) match {
+          case 0 => rnd.nextDouble() * 0.5
+          case 1 => rnd.nextDouble() * 2
+          case 2 => rnd.nextDouble() * 10
+          case _ => rnd.nextDouble() * 120
+        }
+        (name, t)
+      }
+      val errs = if (rnd.nextBoolean()) "" else
+        ",\"errors\":{\"q_x\":\"SomeException: " + ("e" * rnd.nextInt(40)) + "\"}"
+      val line = BenchLine.compose(rnd.nextDouble() * 1000, 3,
+        rnd.nextDouble() * 99999, errs, qs, "sf0.1")
+      assert((line + sbtTrailer).getBytes("UTF-8").length <= 2000,
+        s"trial $trial: $n queries overflowed (${line.length}B)")
+      assert(line.count(_ == '{') == line.count(_ == '}'), s"trial $trial: unbalanced")
+    }
+  }
+
   test("fmt rounding behaves at the boundaries") {
     assert(BenchLine.fmt2(0.5) === "0.5")
     assert(BenchLine.fmt2(1.0) === "1")

@@ -522,6 +522,31 @@ class SnapshotsSpec extends SparkSpec {
     assert(got == ev.filter(col("event_id") === id).count() && got > 0)
   }
 
+  test("stats and bloom on the SAME clustered key: both prunings compose") {
+    val dir = tmpDir()
+    // clustered by user_id with stats AND bloom on it: range probes
+    // prune via stats, point probes prune via bloom, and the point
+    // probe beats the range probe on a clustered layout (1 file's
+    // range contains the value, and only its bloom should fire)
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .repartitionByRange(6, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+    Snapshots.commit(ev, dir, overwrite = false,
+      statsCol = Some("user_id"), bloomCols = Seq("user_id"))
+    val total = Snapshots.fileCount(spark, dir)
+    val uid = ev.select("user_id").head().getLong(0)
+    val want = ev.filter(col("user_id") === uid).count()
+    val byRange = Snapshots.readPruned(spark, dir, uid, uid)
+    val byPoint = Snapshots.readPoint(spark, dir, "user_id", uid)
+    assert(byRange.filter(col("user_id") === uid).count() == want)
+    assert(byPoint.filter(col("user_id") === uid).count() == want)
+    val rangeFiles = byRange.select(input_file_name()).distinct().count()
+    val pointFiles = byPoint.select(input_file_name()).distinct().count()
+    assert(rangeFiles < total && pointFiles < total)
+    assert(pointFiles <= rangeFiles,
+      s"bloom point probe opened $pointFiles files vs stats range's $rangeFiles")
+  }
+
   test("SQL range pruning through graft_snapshot_pruned") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))
