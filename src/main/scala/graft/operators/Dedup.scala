@@ -336,8 +336,12 @@ object Dedup {
   /** labels only ever decrease, so Σlabel is strictly monotone until
     * the fixpoint — an O(1)-output convergence probe instead of a
     * change-count join (decimal sum: exact for any long ids) */
-  private def labelSum(l: DataFrame): java.math.BigDecimal =
-    l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+  private def labelSum(l: DataFrame): java.math.BigDecimal = {
+    // coalesce: an EMPTY edge set (a batch with no near-dups at all)
+    // must converge on round one, not NPE on a null sum
+    val s = l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    if (s == null) java.math.BigDecimal.ZERO else s
+  }
 
   /** The per-round propagation loop shared by the fresh and resumed
     * entry points. Rounds `startIter` (exclusive state already in
@@ -505,6 +509,74 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("is_rep", (col("doc_id") === col("cluster_id")).cast("boolean"))
+  }
+
+  /** Incrementally maintain a DURABLE near-dup cluster assignment
+    * table — the per-batch twin of [[nearDupClusters]]. The table is
+    * a snapshot table ([[graft.sources.Snapshots]]) of
+    * `(id, cluster_id)` where `cluster_id` is the smallest id of the
+    * near-dup connected component, exactly the label a from-scratch
+    * CC over every edge ever seen would assign (min labels are
+    * composition-stable: the old cluster_id IS a member id, so star
+    * edges reproduce the component and min-propagation re-derives the
+    * global minimum) — proven by the spec's equivalence check.
+    *
+    * Per batch, only AFFECTED components are touched:
+    *  1. clusters reachable from any new edge endpoint are looked up
+    *     in the assignment table (one semi join);
+    *  2. CC runs over new edges + one star edge per affected member —
+    *     a subgraph of size O(batch + affected), never the corpus;
+    *  3. the relabeled rows upsert through [[Snapshots.mergeCommit]]
+    *     (file-granular copy-on-write on an id-clustered table), so
+    *     the write is O(affected files) too.
+    * A batch whose edges touch nothing re-labels only itself. At
+    * 100 TB this is the difference between a per-batch corpus-wide
+    * CC and a bounded incremental step; the snapshot history also
+    * gives reproducible "clusters as of batch N" time travel. */
+  def incrementalClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      assignDir: String,
+      newDocs: DataFrame,
+      newEdges: DataFrame,
+      idCol: String): DataFrame = {
+    import graft.sources.Snapshots
+    val newIds = newDocs.select(col(idCol).as("id")).distinct()
+    val edges = newEdges.select(col("id_a"), col("id_b"))
+    if (Snapshots.latestVersion(spark, assignDir).isEmpty) {
+      val cc = connectedComponents(edges)
+      val assigns = newIds
+        .join(cc.select(col("id"), col("label")), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("cluster_id"))
+      Snapshots.commit(assigns, assignDir, overwrite = false,
+        statsCol = Some("id"))
+    } else {
+      val existing = Snapshots.read(spark, assignDir)
+      val endpoints = edges.select(col("id_a").as("id"))
+        .union(edges.select(col("id_b").as("id"))).distinct()
+      val affectedClusters = existing
+        .join(endpoints, Seq("id"), "left_semi")
+        .select("cluster_id").distinct()
+      val affectedMembers = existing
+        .join(affectedClusters, Seq("cluster_id"), "left_semi")
+      val starEdges = affectedMembers
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+      val cc = connectedComponents(edges.unionByName(starEdges))
+      val subNodes = newIds
+        .unionByName(affectedMembers.select("id")).distinct()
+      val updated = subNodes
+        .join(cc.select(col("id"), col("label")), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("cluster_id"))
+      // upsert only the relabeled/new rows; within-batch rows are
+      // unique per id, and any change outranks an existing row, so a
+      // constant seq is sufficient
+      Snapshots.mergeCommit(spark, assignDir,
+        updated.withColumn("op", lit("u")).withColumn("seq", lit(0L)),
+        keyCols = Seq("id"), pruneCol = Some("id"))
+    }
+    Snapshots.read(spark, assignDir)
   }
 
   /** Cross-corpus near-dedup: MinHash-LSH pairs BETWEEN two corpora —
