@@ -22,6 +22,19 @@ object Bench {
   private def r3(v: Double): Double = math.round(v * 1000) / 1000.0
 
   def main(args: Array[String]): Unit = {
+    // Round 7's line was displaced from the driver's bounded tail by a
+    // ~1.9 KB netty stack trace printed on stderr DURING JVM SHUTDOWN,
+    // after main returned. Two defenses: silence the known shutdown
+    // chatterboxes outright (they log nothing a benchmark needs), and
+    // halt(0) right after the line (below) so no shutdown hook or
+    // daemon thread can emit anything after it.
+    try {
+      import org.apache.logging.log4j.Level
+      import org.apache.logging.log4j.core.config.Configurator
+      Configurator.setLevel("io.netty", Level.OFF)
+      Configurator.setLevel("org.apache.spark.network", Level.OFF)
+      Configurator.setLevel("org.apache.spark.rpc", Level.OFF)
+    } catch { case _: Throwable => () }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
@@ -90,9 +103,18 @@ object Bench {
     // with per-level achieved rate + p50/p95/p99 end-to-end latency
     // (BenchmarkRunner/latency-report parity); small JSON inline, full
     // detail in BENCH_FULL.json
+    // 100k is the headroom probe: every reference-parity level
+    // (100..50k) holds 100% of target, so one deliberately-beyond
+    // level records where the ceiling actually is (achieved + p95 at
+    // saturation live in BENCH_FULL's per-level block)
     val sweep =
-      try Some(streaming.ThroughputSweep.run(spark, sfDir))
+      try Some(streaming.ThroughputSweep.run(spark, sfDir,
+        targets = Seq(100, 1000, 10000, 50000, 100000)))
       catch { case e: Throwable => recordErr("sweep", e); None }
+    // a dead sweep level is an error, not data — surface it on the
+    // stdout line too, so the driver sees the stall was flagged
+    sweep.foreach(_.errors.foreach { case (t, m) =>
+      errors.getOrElseUpdate(s"sweep_$t", m.take(60)) })
 
     val all = results :+ ("q_stream_pipeline" -> streamSec)
     val errs =
@@ -121,5 +143,15 @@ object Bench {
     val line = BenchLine.compose(total, reps, streamRate, errs, all, sfName)
     spark.stop()
     println(line)
+    // The line MUST be the last bytes this process emits. spark.stop()
+    // returned, BENCH_FULL.json is on disk — nothing of value can still
+    // happen, but netty/RPC shutdown hooks and daemon threads CAN still
+    // print stack traces (they did in round 7, clobbering the driver's
+    // bounded tail for the 7th time). fork := true (build.sbt), so
+    // halting this JVM is safe: flush stdout, then halt(0) — exit code
+    // 0 keeps sbt's `[success]` trailer, and halt (unlike exit) runs no
+    // shutdown hooks, so nothing can follow the line.
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
   }
 }

@@ -28,17 +28,64 @@ object ThroughputSweep {
       target: Int, achievedPerS: Double,
       p50Ms: Long, p95Ms: Long, p99Ms: Long, samples: Long)
 
-  case class SweepResult(levels: Seq[SweepLevel]) {
-    /** Full per-level record for BENCH_FULL.json. */
-    def json: String = levels.map { l =>
-      s"""{"target":${l.target},"achieved_msgs_per_s":${math.round(l.achievedPerS)},""" +
-        s""""p50_ms":${l.p50Ms},"p95_ms":${l.p95Ms},"p99_ms":${l.p99Ms},"samples":${l.samples}}"""
-    }.mkString("[", ",", "]")
+  case class SweepResult(
+      levels: Seq[SweepLevel], errors: Map[Int, String] = Map.empty) {
+    /** Full per-level record for BENCH_FULL.json. A dead level (zero
+      * post-startup samples even after retry) appears ONLY in
+      * `errors`, never as a `{achieved: 0, p50: -1}` data row — round
+      * 7's driver run recorded an environmental stall as a measured
+      * throughput collapse because the two were indistinguishable. */
+    def json: String = {
+      val ls = levels.map { l =>
+        s"""{"target":${l.target},"achieved_msgs_per_s":${math.round(l.achievedPerS)},""" +
+          s""""p50_ms":${l.p50Ms},"p95_ms":${l.p95Ms},"p99_ms":${l.p99Ms},"samples":${l.samples}}"""
+      }.mkString("[", ",", "]")
+      if (errors.isEmpty) ls
+      else {
+        val es = errors.map { case (t, m) =>
+          "\"" + t + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+        }.mkString("{", ",", "}")
+        s"""{"levels":$ls,"errors":$es}"""
+      }
+    }
     /** Tiny `{target:[achieved,p95_ms]}` block for the driver's
       * bounded-tail bench line. */
     def compactJson: String = levels.map { l =>
       "\"" + l.target + "\":[" + math.round(l.achievedPerS) + "," + l.p95Ms + "]"
     }.mkString("{", ",", "}")
+  }
+
+  /** Retry/classify policy around a per-level measurement: a level
+    * whose post-startup sample count is zero is re-measured once
+    * (stream-start scheduling on a contended machine can starve an
+    * entire short level), and if still empty it is recorded as an
+    * ERROR, not as data — `achieved: 0, p50: -1` must never
+    * masquerade as a measured collapse. Factored from `run` so the
+    * policy is testable with an injected measure function. */
+  private[graft] def sweepWithMeasure(
+      targets: Seq[Int],
+      measure: Int => SweepLevel,
+      retries: Int = 1): SweepResult = {
+    val errs = scala.collection.mutable.LinkedHashMap[Int, String]()
+    val good = targets.flatMap { t =>
+      var lastErr = "zero post-startup samples"
+      val found = (0 to retries).iterator.map { _ =>
+        try {
+          val l = measure(t)
+          if (l.samples > 0) Some(l) else None
+        } catch {
+          case e: Throwable =>
+            lastErr = e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).take(60)
+            None
+        }
+      }.collectFirst { case Some(l) => l }
+      if (found.isEmpty)
+        errs(t) = s"$lastErr in ${retries + 1} attempts " +
+          "(environmental stall; level not measured)"
+      found
+    }
+    SweepResult(good, errs.toMap)
   }
 
   /** Nearest-rank percentile over an unsorted sample. */
@@ -73,7 +120,7 @@ object ThroughputSweep {
       .select(col("__idx"), col("event_type")).cache()
     indexed.count()
 
-    val levels = targets.map { target =>
+    def measureLevel(target: Int): SweepLevel = {
       val src = spark.readStream.format("rate")
         .option("rowsPerSecond", target).load()
       val stream = src.join(broadcast(indexed),
@@ -117,7 +164,8 @@ object ThroughputSweep {
         percentile(latencies, 0.50), percentile(latencies, 0.95),
         percentile(latencies, 0.99), latencies.size.toLong)
     }
+    val result = sweepWithMeasure(targets, measureLevel)
     indexed.unpersist()
-    SweepResult(levels)
+    result
   }
 }

@@ -13,6 +13,46 @@ class ThroughputSweepSpec extends SparkSpec {
     assert(ThroughputSweep.percentile(xs, 0.99) == 99L)
   }
 
+  test("a dead level is an error, never an achieved:0 data row") {
+    import ThroughputSweep.{SweepLevel, sweepWithMeasure}
+    // 1000 is permanently dead (zero post-startup samples every
+    // attempt); 100 and 10000 measure fine
+    def measure(t: Int): SweepLevel =
+      if (t == 1000) SweepLevel(t, 0.0, -1, -1, -1, 0)
+      else SweepLevel(t, t.toDouble, 5, 9, 12, 40)
+    val r = sweepWithMeasure(Seq(100, 1000, 10000), measure, retries = 1)
+    assert(r.levels.map(_.target) == Seq(100, 10000),
+      "dead level leaked into the data rows")
+    assert(r.errors.keySet == Set(1000))
+    assert(r.errors(1000).contains("zero post-startup samples"))
+    // the JSON block carries the marker, and no zero-achieved row
+    assert(r.json.contains("\"errors\":{\"1000\":"))
+    assert(!r.json.contains("\"achieved_msgs_per_s\":0"))
+  }
+
+  test("a transiently dead level is retried once and then reported as data") {
+    import ThroughputSweep.{SweepLevel, sweepWithMeasure}
+    var calls = 0
+    def measure(t: Int): SweepLevel = {
+      calls += 1
+      if (calls == 1) SweepLevel(t, 0.0, -1, -1, -1, 0) // first attempt starved
+      else SweepLevel(t, t.toDouble, 5, 9, 12, 40)
+    }
+    val r = sweepWithMeasure(Seq(50000), measure, retries = 1)
+    assert(calls == 2, "zero-sample first attempt was not retried")
+    assert(r.errors.isEmpty && r.levels.map(_.target) == Seq(50000))
+  }
+
+  test("a level whose measurement throws lands in errors with the cause") {
+    import ThroughputSweep.{SweepLevel, sweepWithMeasure}
+    def measure(t: Int): SweepLevel =
+      if (t == 100) throw new IllegalStateException("stream never started")
+      else SweepLevel(t, t.toDouble, 5, 9, 12, 40)
+    val r = sweepWithMeasure(Seq(100, 1000), measure)
+    assert(r.levels.map(_.target) == Seq(1000))
+    assert(r.errors(100).contains("IllegalStateException"))
+  }
+
   test("one-level sweep measures achieved rate and update latency") {
     val r = ThroughputSweep.run(spark, sf("sf0.001"),
       targets = Seq(500), secondsPerLevel = 6)
