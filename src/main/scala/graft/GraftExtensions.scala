@@ -293,6 +293,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.Snapshots.read(s, litStr(a(0), "dir"), v)
     }
 
+    tvf("graft_snapshot_asof",
+      "graft_snapshot_asof(dir, ts_millis) - read the snapshot that was latest at the given wall-clock epoch millis (manifest-stamped committed_at; see Snapshots.versionAsOf)") {
+      (s, a) =>
+        require(a.length == 2, "graft_snapshot_asof takes (dir, ts_millis)")
+        val dir = litStr(a(0), "dir")
+        val ts = litVal(a(1), "ts_millis").toString.toLong
+        val v = sources.Snapshots.versionAsOf(s, dir, ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"no snapshot at $dir existed at or before epoch-millis $ts"))
+        sources.Snapshots.read(s, dir, Some(v))
+    }
+
     tvf("graft_snapshot_manifest",
       "graft_snapshot_manifest(dir[, version]) - a snapshot's manifest table (path, rows, stats, version, parent)") {
       (s, a) =>
@@ -311,15 +323,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tvf("graft_snapshot_point",
       "graft_snapshot_point(dir, column, value) - snapshot read pruned to the files whose per-file bloom for column might contain value (see Snapshots.readPoint)") {
       (s, a) =>
+        require(a.length == 3,
+          "graft_snapshot_point takes (dir, column, value)")
         sources.Snapshots.readPoint(s, litStr(a(0), "dir"),
           litStr(a(1), "column"), litAny(a(2), "value"))
     }
 
     tvf("graft_snapshot_pruned",
-      "graft_snapshot_pruned(dir, lo, hi) - snapshot read pruned to the files whose stats range can intersect [lo, hi] (see Snapshots.readPruned)") {
+      "graft_snapshot_pruned(dir, lo, hi[, column]) - snapshot read pruned to the files whose stats range for column (default: the table's primary stats pair) can intersect [lo, hi] (see Snapshots.readPruned)") {
       (s, a) =>
+        require(a.length == 3 || a.length == 4,
+          "graft_snapshot_pruned takes (dir, lo, hi[, column])")
+        val column = if (a.length == 4) Some(litStr(a(3), "column")) else None
         sources.Snapshots.readPruned(s, litStr(a(0), "dir"),
-          litAny(a(1), "lo"), litAny(a(2), "hi"))
+          litAny(a(1), "lo"), litAny(a(2), "hi"), column = column)
     }
 
     tvf("graft_quantile_rollup",

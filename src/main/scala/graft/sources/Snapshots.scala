@@ -76,28 +76,43 @@ object Snapshots {
 
   /** Highest version published at or before `tsMillis` — wall-clock
     * time travel ("the table as the 09:00 dashboard saw it"): pass
-    * the result to [[read]]. Publish time is the manifest directory's
-    * filesystem mtime — stamped when the manifest was written aside,
-    * instants before its rename made it visible. Reproducible-run
-    * bookkeeping should still pin explicit versions; this is for
-    * human retrospection. */
+    * the result to [[read]]. Publish time is the `committed_at`
+    * wall-clock stamped INSIDE the manifest by [[tryPublish]] —
+    * filesystem-independent (directory-mtime semantics vary across
+    * object stores), stamped when the manifest was written aside,
+    * instants before its rename made it visible. Manifests from
+    * before the column existed fall back to the directory mtime.
+    * Clock skew between racing writers can still make the mapping
+    * non-monotonic; reproducible-run bookkeeping should pin explicit
+    * versions — this is for human retrospection. */
   def versionAsOf(spark: SparkSession, dir: String,
                   tsMillis: Long): Option[Long] = {
     val root = new Path(manifestRoot(dir))
     val f = fs(spark, dir)
-    if (!f.exists(root)) None
-    else {
-      val vs = f.listStatus(root)
-        .filter(s => s.getPath.getName.matches("v\\d{12}") &&
-          s.getModificationTime <= tsMillis)
-        .map(_.getPath.getName.drop(1).toLong)
-      if (vs.isEmpty) None else Some(vs.max)
+    if (!f.exists(root)) return None
+    val stats = f.listStatus(root)
+      .filter(_.getPath.getName.matches("v\\d{12}"))
+      .sortBy(-_.getPath.getName.drop(1).toLong)
+    // newest-first: the first version committed at-or-before the ask
+    // is the answer — on the common "as of recently" ask this reads
+    // one or two manifest footers, not the whole history
+    stats.collectFirst {
+      case s if {
+        val v = s.getPath.getName.drop(1).toLong
+        val m = manifest(spark, dir, Some(v))
+        val at =
+          if (m.columns.contains("committed_at"))
+            m.select(max(col("committed_at"))).head().getLong(0)
+          else s.getModificationTime
+        at <= tsMillis
+      } => s.getPath.getName.drop(1).toLong
     }
   }
 
   /** The manifest table of a snapshot (latest by default): one row
-    * per data file — (path, rows, stats_min, stats_max, blooms,
-    * bloom_types, version, parent, batch_id). */
+    * per data file — (path, rows, stats_min, stats_max, smin_<c>/
+    * smax_<c> per stats column, blooms, bloom_types, version, parent,
+    * batch_id, committed_at). */
   def manifest(spark: SparkSession, dir: String,
                version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
@@ -107,16 +122,27 @@ object Snapshots {
 
   /** Write `df` into a fresh immutable commit directory and return
     * its per-file manifest entries (path, rows, stats_min, stats_max)
-    * — the stats pass re-reads ONLY `statsCol` (columnar projection)
-    * of the new files. Stats keep the column's NATIVE type (numeric,
-    * timestamp, date, or string), so [[readPruned]] skips files for
-    * time-keyed and string-keyed tables too — the reference's data is
-    * timestamp-keyed, where manifest pruning matters most. The stats
-    * type is part of the table's manifest schema: use the same
-    * `statsCol` for every commit to a given table ([[alignStats]]
-    * coerces stray mismatches to the established type). */
+    * — the stats pass re-reads ONLY the stats columns (columnar
+    * projection) of the new files. Stats keep each column's NATIVE
+    * type (numeric, timestamp, date, or string), so [[readPruned]]
+    * skips files for time-keyed and string-keyed tables too — the
+    * reference's data is timestamp-keyed, where manifest pruning
+    * matters most.
+    *
+    * The FIRST stats column doubles as the legacy `stats_min` /
+    * `stats_max` pair (older manifests and every pre-existing reader
+    * use it); EVERY stats column additionally gets a named, typed
+    * manifest column pair `smin_<c>` / `smax_<c>` — a map cannot hold
+    * a timestamp range and a string range at once, so multi-column
+    * stats are dynamic typed manifest columns, the same shape Iceberg
+    * gives per-column bounds. [[readPrunedBy]] ANDs range tests over
+    * any subset of them. The stats types are part of the table's
+    * manifest schema: use the same columns for every commit to a
+    * given table ([[alignStats]] coerces stray mismatches to the
+    * established types; a commit that skips a column contributes
+    * typed nulls — those files are simply never pruned by it). */
   private def writeDataFiles(df: DataFrame, dir: String,
-                             statsCol: Option[String],
+                             statsCols: Seq[String],
                              bloomCols: Seq[String] = Nil,
                              bloomFpp: Double = 0.01): (String, DataFrame) = {
     val spark = df.sparkSession
@@ -130,14 +156,15 @@ object Snapshots {
     }
     writer.parquet(commitDir)
     val written = spark.read.parquet(commitDir)
-    val statsAgg = statsCol match {
+    val statsAgg = (statsCols.headOption match {
       case Some(c) => Seq(count(lit(1L)).as("rows"),
         min(col(c)).as("stats_min"),
         max(col(c)).as("stats_max"))
       case None => Seq(count(lit(1L)).as("rows"),
         lit(null).cast("double").as("stats_min"),
         lit(null).cast("double").as("stats_max"))
-    }
+    }) ++ statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"smin_$c"), max(col(c)).as(s"smax_$c")))
     val bloomAgg =
       if (bloomCols.isEmpty)
         Seq(lit(null).cast("map<string,array<bigint>>").as("blooms"),
@@ -178,14 +205,20 @@ object Snapshots {
 
   /** The manifest-entry columns, tolerating manifests written before
     * a column existed (older snapshots read as typed nulls — a file
-    * without a bloom/stat is simply never pruned by it). */
+    * without a bloom/stat is simply never pruned by it). The named
+    * per-column stats pairs (`smin_*` / `smax_*`) vary per table, so
+    * whichever are present ride along, in sorted order for a
+    * deterministic manifest schema. */
   private def entryCols(df: DataFrame): DataFrame = {
     val withBloom =
       if (df.columns.contains("blooms")) df
       else df.withColumn("blooms", lit(null).cast("map<string,array<bigint>>"))
         .withColumn("bloom_types", lit(null).cast("map<string,string>"))
-    withBloom.select("path", "rows", "stats_min", "stats_max",
-      "blooms", "bloom_types")
+    val named = withBloom.columns
+      .filter(c => c.startsWith("smin_") || c.startsWith("smax_")).sorted
+    withBloom.select(
+      (Seq("path", "rows", "stats_min", "stats_max") ++ named ++
+        Seq("blooms", "bloom_types")).map(col): _*)
   }
 
   /** Cast `entries`' stats columns to the types `parent`'s manifest
@@ -193,13 +226,19 @@ object Snapshots {
     * passes a different (or no) `statsCol` than the table was created
     * with — e.g. a stats-less compaction appending into a
     * timestamp-keyed table contributes typed nulls, not a schema
-    * conflict. */
+    * conflict. Named stats columns present on only one side are left
+    * for the caller's `unionByName(allowMissingColumns = true)` to
+    * null-fill. */
   private def alignStats(entries: DataFrame, parent: DataFrame): DataFrame = {
     val want = parent.schema
-    entryCols(entries).select(col("path"), col("rows"),
-      col("stats_min").cast(want("stats_min").dataType).as("stats_min"),
-      col("stats_max").cast(want("stats_max").dataType).as("stats_max"),
-      col("blooms"), col("bloom_types"))
+    val e = entryCols(entries)
+    def isStats(c: String) = c == "stats_min" || c == "stats_max" ||
+      c.startsWith("smin_") || c.startsWith("smax_")
+    e.select(e.columns.map { c =>
+      if (isStats(c) && want.fieldNames.contains(c))
+        col(c).cast(want(c).dataType).as(c)
+      else col(c)
+    }: _*)
   }
 
   /** One publish attempt: write the manifest aside, rename it to
@@ -229,6 +268,10 @@ object Snapshots {
       .withColumn("version", lit(version))
       .withColumn("parent", lit(version - 1L))
       .withColumn("batch_id", lit(carried))
+      // commit wall-clock stamped INSIDE the manifest: filesystem-
+      // independent input for versionAsOf (directory mtime semantics
+      // vary across object stores; a parquet column does not)
+      .withColumn("committed_at", lit(System.currentTimeMillis()))
     val tmp = new Path(manifestRoot(dir), s".tmp-$tag")
     f.delete(tmp, true)
     full.coalesce(1).write.parquet(tmp.toString)
@@ -278,10 +321,12 @@ object Snapshots {
   def commitStreamBatch(batch: DataFrame, dir: String, batchId: Long,
                         statsCol: Option[String] = None,
                         bloomCols: Seq[String] = Nil,
-                        bloomFpp: Double = 0.01): Option[Long] = {
+                        bloomFpp: Double = 0.01,
+                        extraStatsCols: Seq[String] = Nil): Option[Long] = {
     val spark = batch.sparkSession
     if (lastCommittedBatch(spark, dir) >= batchId) return None
-    val (commitId, newFiles) = writeDataFiles(batch, dir, statsCol, bloomCols, bloomFpp)
+    val (commitId, newFiles) = writeDataFiles(batch, dir,
+      statsCol.toSeq ++ extraStatsCols, bloomCols, bloomFpp)
     var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
     while (true) {
       // re-check the fence under the current version: a concurrent
@@ -291,7 +336,8 @@ object Snapshots {
         if (attempt == 0L) newFiles
         else {
           val parent = entryCols(manifest(spark, dir, Some(attempt - 1)))
-          parent.unionByName(alignStats(newFiles, parent))
+          parent.unionByName(alignStats(newFiles, parent),
+            allowMissingColumns = true)
         }
       if (tryPublish(spark, dir, commitId, entries, attempt, batchId))
         return Some(attempt)
@@ -303,8 +349,11 @@ object Snapshots {
   /** Commit `df` as a new snapshot. `overwrite = false` appends to
     * the current snapshot's files; `true` replaces them (the old
     * files stay on disk for time travel until [[expire]]). `statsCol`
-    * names a numeric column whose per-file min/max should ride in the
-    * manifest for [[readPruned]]. Returns the published version.
+    * names a column whose per-file min/max should ride in the
+    * manifest for [[readPruned]]; `extraStatsCols` adds further
+    * columns, each pruned independently by [[readPrunedBy]] — a table
+    * clustered by time but also roughly partitioned by tenant skips
+    * on BOTH dimensions. Returns the published version.
     *
     * Scale: the data write is one normal parquet job; the stats pass
     * is one columnar scan of the new files; the manifest write is one
@@ -312,16 +361,19 @@ object Snapshots {
   def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
              statsCol: Option[String] = None,
              bloomCols: Seq[String] = Nil,
-             bloomFpp: Double = 0.01): Long = {
+             bloomFpp: Double = 0.01,
+             extraStatsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val (commitId, newFiles) = writeDataFiles(df, dir, statsCol, bloomCols, bloomFpp)
+    val (commitId, newFiles) = writeDataFiles(df, dir,
+      statsCol.toSeq ++ extraStatsCols, bloomCols, bloomFpp)
     var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
     while (true) {
       val entries =
         if (overwrite || attempt == 0L) newFiles
         else {
           val parent = entryCols(manifest(spark, dir, Some(attempt - 1)))
-          parent.unionByName(alignStats(newFiles, parent))
+          parent.unionByName(alignStats(newFiles, parent),
+            allowMissingColumns = true)
         }
       if (tryPublish(spark, dir, commitId, entries, attempt)) return attempt
       attempt += 1
@@ -355,7 +407,8 @@ object Snapshots {
                   pruneCol: Option[String] = None,
                   bloomCols: Seq[String] = Nil,
                   bloomFpp: Double = 0.01,
-                  batchId: Long = -1L): Long = {
+                  batchId: Long = -1L,
+                  extraStatsCols: Seq[String] = Nil): Long = {
     val dataCols = changes.columns.filterNot(c => c == opCol || c == seqCol)
     val pc = pruneCol.getOrElse(keyCols.head)
     require(dataCols.contains(pc), s"changes must carry $pc")
@@ -372,14 +425,23 @@ object Snapshots {
           val m = entryCols(manifest(spark, dir, Some(v)))
           // keys keep pc's native type — the between-comparison against
           // the (equally native-typed) stats range prunes timestamp,
-          // date, and string keyed tables, not just numeric ones
+          // date, and string keyed tables, not just numeric ones.
+          // Prefer pc's NAMED stats pair when the manifest has one:
+          // it is correct even when pc differs from the column behind
+          // the legacy stats_min/stats_max pair
+          val (mn, mx) =
+            if (m.columns.contains(s"smin_$pc"))
+              (col(s"smin_$pc"), col(s"smax_$pc"))
+            else (col("stats_min"), col("stats_max"))
           val keys = changes.select(col(pc).as("__k")).distinct()
           // the manifest side is bounded metadata — broadcast it; a
           // file is affected if any changed key can sit in its range,
-          // or if it carries no stats (cannot be ruled out)
+          // if it carries no stats (cannot be ruled out), or if the
+          // key is NULL — stats min/max ignore nulls, so no range can
+          // rule a null key in or out of any file
           val aff = keys.join(broadcast(m),
-              col("__k").between(col("stats_min"), col("stats_max")) ||
-                col("stats_min").isNull)
+              col("__k").between(mn, mx) ||
+                mn.isNull || col("__k").isNull)
             .select("path").distinct().collect().map(_.getString(0)).toSeq
           val keptEntries =
             if (aff.isEmpty) m
@@ -406,9 +468,11 @@ object Snapshots {
           col(s"__w.$opCol"): _*)
         .filter(col(opCol) =!= "d")
         .select(dataCols.map(col): _*)
-      val (commitId, newFiles) = writeDataFiles(merged, dir, Some(pc), bloomCols, bloomFpp)
+      val (commitId, newFiles) = writeDataFiles(merged, dir,
+        pc +: extraStatsCols.filterNot(_ == pc), bloomCols, bloomFpp)
       val entries = kept match {
-        case Some(k) => k.unionByName(alignStats(newFiles, k))
+        case Some(k) => k.unionByName(alignStats(newFiles, k),
+          allowMissingColumns = true)
         case None => entryCols(newFiles)
       }
       val version = latest.map(_ + 1).getOrElse(0L)
@@ -477,10 +541,42 @@ object Snapshots {
     * ISO string, coerced by Spark) for time keys, strings for string
     * keys. */
   def readPruned(spark: SparkSession, dir: String, lo: Any, hi: Any,
-                 version: Option[Long] = None): DataFrame = {
+                 version: Option[Long] = None,
+                 column: Option[String] = None): DataFrame =
+    readPrunedBy(spark, dir,
+      Seq(column.getOrElse("") -> (lo, hi)).toMap, version)
+
+  /** Read only the files that can satisfy EVERY range predicate in
+    * `preds` (column → [lo, hi]) — multi-dimensional manifest-level
+    * data skipping. A table committed with `statsCol = Some("ts"),
+    * extraStatsCols = Seq("user_id")` skips on a
+    * `ts BETWEEN … AND user_id BETWEEN …` predicate from the
+    * intersection of both columns' survivor sets — fewer files than
+    * either dimension alone. The empty-string key (or a column with
+    * no named stats pair in this manifest) addresses the legacy
+    * primary `stats_min`/`stats_max` pair; files with null stats for
+    * a column are never pruned by it (no silent misses). The residual
+    * predicate still applies row-level; this only shrinks the file
+    * list. */
+  def readPrunedBy(spark: SparkSession, dir: String,
+                   preds: Map[String, (Any, Any)],
+                   version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, dir, version)
-    val keep = m.filter(col("stats_min").isNull ||
-        (col("stats_min") <= lit(hi) && col("stats_max") >= lit(lo)))
+    val cond = preds.map { case (c, (lo, hi)) =>
+      val pair =
+        if (c.isEmpty) Some((col("stats_min"), col("stats_max")))
+        else if (m.columns.contains(s"smin_$c"))
+          Some((col(s"smin_$c"), col(s"smax_$c")))
+        // a NAMED column this manifest has no stats pair for: the
+        // legacy pair may describe a DIFFERENT column, so pruning on
+        // it could drop files that DO match — keep every file instead
+        else None
+      pair match {
+        case Some((mn, mx)) => mn.isNull || (mn <= lit(hi) && mx >= lit(lo))
+        case None => lit(true)
+      }
+    }.reduce(_ && _)
+    val keep = m.filter(cond)
       .select("path").collect().map(_.getString(0)).toSeq
     if (keep.isEmpty)
       // preserve the schema even when every file is pruned
@@ -509,11 +605,20 @@ object Snapshots {
                 version: Option[Long] = None): DataFrame = {
     import graft.functions.{BloomMightContain, ColumnBridge}
     val m = entryCols(manifest(spark, dir, version))
-    val bloomType = m
+    // ALL distinct recorded source types for this column, not one
+    // arbitrary row's: under schema evolution (int→bigint) different
+    // commits' blooms hashed different types, and a single-type probe
+    // would silently false-negative against the other generation's
+    // files. One hashed probe per recorded type, OR'd — a file passes
+    // if ANY generation's hash fires (its own type's probe is among
+    // them; extra probes only add false positives, never misses).
+    val bloomTypes = m
       .select(element_at(col("bloom_types"), column).as("__t"))
       .filter(col("__t").isNotNull)
-      .limit(1).collect().headOption.map(_.getString(0))
-    val probe = bloomType.map(t => lit(value).cast(t)).getOrElse(lit(value))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val probes =
+      if (bloomTypes.isEmpty) Seq(lit(value))
+      else bloomTypes.map(t => lit(value).cast(t))
     // only the bloom may prune here: the min/max stats can belong to
     // a DIFFERENT column than the bloom (ts-stats + id-blooms is the
     // expected pairing), so a stats range test against this value
@@ -521,9 +626,9 @@ object Snapshots {
     // the stats column get range pruning from readPruned(v, v)
     val filter = element_at(col("blooms"), column)
     val bloomPass = filter.isNull ||
-      ColumnBridge.column(BloomMightContain(
+      probes.map(p => ColumnBridge.column(BloomMightContain(
         ColumnBridge.expression(filter),
-        ColumnBridge.expression(xxhash64(probe))))
+        ColumnBridge.expression(xxhash64(p))))).reduce(_ || _)
     val keep = m.filter(bloomPass)
       .select("path").collect().map(_.getString(0)).toSeq
     if (keep.isEmpty)
@@ -555,7 +660,8 @@ object Snapshots {
                     statsCol: Option[String] = None,
                     clusterBy: Option[String] = None,
                     bloomCols: Seq[String] = Nil,
-                    bloomFpp: Double = 0.01): Long = {
+                    bloomFpp: Double = 0.01,
+                    extraStatsCols: Seq[String] = Nil): Long = {
     val cur = read(spark, dir)
     val n = cur.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
@@ -572,7 +678,7 @@ object Snapshots {
     // stats default to the cluster key — clustering exists to make
     // those ranges prunable, so not recording them would waste it
     val v = commit(shaped, dir, overwrite = true,
-      statsCol.orElse(clusterBy), bloomCols, bloomFpp)
+      statsCol.orElse(clusterBy), bloomCols, bloomFpp, extraStatsCols)
     val m = read(spark, dir, Some(v)).count()
     require(m == n, s"compaction row mismatch: $n -> $m (snapshot v$v)")
     v

@@ -687,6 +687,145 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("multi-column stats: a two-column predicate opens fewer files than either alone") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val b = ev.agg(min("ts"), max("ts"), min("user_id"), max("user_id")).head()
+    val (tmin, tmax) = (b.getTimestamp(0), b.getTimestamp(1))
+    val tmid = new java.sql.Timestamp(tmin.getTime + (tmax.getTime - tmin.getTime) / 2)
+    val umid = (b.getLong(2) + b.getLong(3)) / 2
+    // four quadrant commits, one file each: (ts half × user_id half)
+    for (tsLo <- Seq(true, false); uidLo <- Seq(true, false)) {
+      val q = ev
+        .filter(if (tsLo) col("ts") <= lit(tmid) else col("ts") > lit(tmid))
+        .filter(if (uidLo) col("user_id") <= umid else col("user_id") > umid)
+        .coalesce(1)
+      Snapshots.commit(q, dir, statsCol = Some("ts"),
+        extraStatsCols = Seq("user_id"))
+    }
+    assert(Snapshots.fileCount(spark, dir) == 4)
+    def nFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    // each single-column slice opens its two quadrant files…
+    val tsOnly = Snapshots.readPruned(spark, dir, tmin, tmid)
+    val uidOnly = Snapshots.readPruned(spark, dir, b.getLong(2), umid,
+      column = Some("user_id"))
+    assert(nFiles(tsOnly) == 2 && nFiles(uidOnly) == 2)
+    // …the conjunction opens exactly their one-file intersection
+    val both = Snapshots.readPrunedBy(spark, dir, Map(
+      "ts" -> (tmin, tmid), "user_id" -> (b.getLong(2), umid)))
+    assert(nFiles(both) == 1,
+      s"two-column prune opened ${nFiles(both)} files, expected 1")
+    // and the pruned read is still complete for the predicate
+    val want = ev.filter(col("ts").between(lit(tmin), lit(tmid)) &&
+      col("user_id").between(b.getLong(2), umid)).count()
+    assert(want > 0)
+    assert(both.filter(col("ts").between(lit(tmin), lit(tmid)) &&
+      col("user_id").between(b.getLong(2), umid)).count() == want)
+    // the named stats keep native types
+    val ms = Snapshots.manifest(spark, dir).schema
+    assert(ms("smin_ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(ms("smin_user_id").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("graft_snapshot_pruned TVF prunes on a named stats column; arity checked") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .repartitionByRange(4, col("user_id"))
+    Snapshots.commit(ev, dir, statsCol = Some("ts"),
+      extraStatsCols = Seq("user_id"))
+    // named-column TVF == the DataFrame path, and it skips files
+    val viaTvf = spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot_pruned('$dir', 0, 2, 'user_id')" +
+        " WHERE user_id BETWEEN 0 AND 2").head().getLong(0)
+    val viaDf = Snapshots.readPruned(spark, dir, 0, 2, column = Some("user_id"))
+      .filter(col("user_id").between(0, 2)).count()
+    assert(viaTvf == viaDf && viaTvf ==
+      ev.filter(col("user_id").between(0, 2)).count())
+    val opened = spark.sql(
+      "SELECT count(*) FROM (SELECT DISTINCT input_file_name()" +
+        s" FROM graft_snapshot_pruned('$dir', 0, 2, 'user_id'))").head().getLong(0)
+    assert(opened < Snapshots.fileCount(spark, dir))
+    // wrong arity dies with a usage message, not IndexOutOfBounds
+    val e1 = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_snapshot_pruned('$dir')").collect())
+    assert(e1.getMessage.contains("graft_snapshot_pruned takes"))
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_snapshot_point('$dir', 'x')").collect())
+    assert(e2.getMessage.contains("graft_snapshot_point takes"))
+  }
+
+  test("mergeCommit: a NULL-key change row rewrites conservatively, no duplicate") {
+    val dir = tmpDir()
+    val s = spark
+    import s.implicits._
+    val base = Seq((Option(1L), "a"), (Option(2L), "b"), (None: Option[Long], "n0"))
+      .toDF("k", "v")
+    Snapshots.commit(base, dir, statsCol = Some("k"))
+    // upsert the NULL key: min/max stats ignore nulls, so no file's
+    // range can claim it — the merge must still find and rewrite the
+    // file holding the existing null-key row instead of appending a
+    // duplicate
+    val changes = Seq((None: Option[Long], "n1", "u", 1L))
+      .toDF("k", "v", "op", "seq")
+    Snapshots.mergeCommit(spark, dir, changes, keyCols = Seq("k"))
+    val out = Snapshots.read(spark, dir)
+    assert(out.count() == 3, "null-key upsert duplicated the row")
+    assert(out.filter(col("k").isNull).select("v").head().getString(0) == "n1")
+  }
+
+  test("versionAsOf reads committed_at from the manifest, not directory mtime") {
+    val dir = tmpDir()
+    Snapshots.commit(nations.limit(5), dir)                    // v0
+    Thread.sleep(50)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(50)
+    Snapshots.commit(nations.limit(10), dir, overwrite = true) // v1
+    // committed_at rides in every manifest row
+    assert(Snapshots.manifest(spark, dir).columns.contains("committed_at"))
+    // sabotage the mtimes: touch v0's directory far into the future —
+    // an mtime-based resolution would now pick the wrong version
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    f.setTimes(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/v${"%012d".format(0L)}"),
+      System.currentTimeMillis() + 3600 * 1000, -1)
+    assert(Snapshots.versionAsOf(spark, dir, mid).contains(0L))
+    assert(Snapshots.versionAsOf(spark, dir,
+      System.currentTimeMillis() + 10).contains(1L))
+    // and the SQL surface: the as-of read IS the v0 snapshot
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot_asof('$dir', ${mid}L)")
+      .head().getLong(0) == 5)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_snapshot_asof('$dir', 0L)").collect())
+    assert(e.getMessage.contains("no snapshot at"))
+  }
+
+  test("readPoint probes every recorded bloom type after schema evolution") {
+    val dir = tmpDir()
+    val s = spark
+    import s.implicits._
+    // generation 1: id committed as INT; generation 2: as BIGINT —
+    // xxhash64 is type-sensitive, so each generation's blooms hashed
+    // different bytes for the same logical value
+    val g1 = Seq(1, 2, 3).toDF("id").withColumn("id", col("id").cast("int"))
+    val g2 = Seq(100L, 200L, 300L).toDF("id")
+    // fpp tiny so a cross-generation false positive (which would make
+    // the read open int AND bigint files together) is ~1e-4, not ~1e-2
+    Snapshots.commit(g1, dir, bloomCols = Seq("id"), bloomFpp = 1e-4)
+    Snapshots.commit(g2, dir, bloomCols = Seq("id"), bloomFpp = 1e-4)
+    val types = Snapshots.manifest(spark, dir)
+      .select(element_at(col("bloom_types"), "id")).distinct().count()
+    assert(types == 2, "expected two recorded bloom source types")
+    // a probe must find values from BOTH generations (no silent
+    // false negatives against the other generation's files)
+    assert(Snapshots.readPoint(spark, dir, "id", 2)
+      .filter(col("id") === 2).count() == 1)
+    assert(Snapshots.readPoint(spark, dir, "id", 200L)
+      .filter(col("id") === 200L).count() == 1)
+  }
+
   test("expire keeps the newest snapshots and deletes only their dead files") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))
