@@ -44,7 +44,22 @@ object CorpusIngest {
 
   /** Process one micro-batch; returns what happened to every arriving
     * document. Idempotent per `batchId`: a replayed batch is fenced
-    * by the snapshot table and touches nothing. */
+    * by the snapshot table and touches nothing.
+    *
+    * `clusterDir = Some(dir)` switches the pipeline to CLUSTER mode:
+    * nothing past the quality gate is dropped — duplication becomes
+    * LABELS instead of deletions. The edges the dedup stages already
+    * compute (within-batch LSH pairs + cross-corpus index hits) feed
+    * [[Dedup.incrementalClusters]], whose durable `(id, cluster_id)`
+    * assignment table is committed as part of the same batch, BEFORE
+    * the fenced table commit — so a crash anywhere in the window
+    * replays into the identical assignment (edge derivation is
+    * deterministic, the assignment upsert idempotent) and a fenced
+    * replay touches nothing. Downstream consumers choose their own
+    * policy (keep representatives, sample per cluster, weight by
+    * cluster size) instead of inheriting an irreversible drop. In
+    * this mode `dupInBatch`/`dupVsCorpus` report 0 — the assignment
+    * table carries the duplication structure. */
   def ingestBatch(
       batch: DataFrame,
       batchId: Long,
@@ -54,7 +69,8 @@ object CorpusIngest {
       textCol: String,
       threshold: Double = 0.9,
       minTokens: Int = 5,
-      langs: Seq[String] = Seq("en")): IngestStats = {
+      langs: Seq[String] = Seq("en"),
+      clusterDir: Option[String] = None): IngestStats = {
     val spark = batch.sparkSession
     val arrived = batch.count()
     if (Snapshots.lastCommittedBatch(spark, tableDir) >= batchId)
@@ -78,6 +94,44 @@ object CorpusIngest {
         verdicts.filter(col("keep")).select(idCol), Seq(idCol), "left_semi"))
       val nPassed = passed.count()
 
+      val indexExistsNow = {
+        val f = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+        f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
+      }
+
+      clusterDir match {
+        case Some(cd) =>
+          // CLUSTER mode: label, don't drop. Edges = within-batch LSH
+          // edge list (rep pairs + exact-dup stars — the same edge set
+          // nearDupClusters uses) ∪ cross-corpus index hits, queried
+          // BEFORE this batch is appended (a replayed batch already in
+          // the index yields the in-batch pairs again as cross pairs —
+          // same union, same clusters).
+          val inBatch = Dedup.minHashLshEdges(passed, idCol, textCol,
+            threshold = threshold).select("id_a", "id_b")
+          val edges = cache(
+            if (!indexExistsNow) inBatch
+            else inBatch.unionByName(
+              MinHashIndex.query(spark, indexDir, passed, idCol, textCol,
+                threshold).select("id_a", "id_b")))
+          if (nPassed > 0) {
+            if (indexExistsNow)
+              MinHashIndex.append(spark, indexDir, passed, idCol, textCol)
+            else MinHashIndex.build(spark, indexDir, passed, idCol, textCol)
+            // assignment table BEFORE the fenced commit: once the fence
+            // is up, a replay must find the clusters already durable
+            Dedup.incrementalClusters(spark, cd, passed, edges, idCol)
+            Snapshots.commitStreamBatch(passed, tableDir, batchId,
+              bloomCols = Seq(idCol))
+          }
+          return IngestStats(batchId, arrived,
+            failedQuality = arrived - nPassed,
+            dupInBatch = 0, dupVsCorpus = 0,
+            accepted = nPassed, fenced = false)
+        case None => () // drop mode continues below
+      }
+
       // 2. within-batch exact dedup: one survivor per normalized text
       val exactReps = Dedup.exact(passed, idCol, textCol)
         .select(col("rep_id").as(idCol))
@@ -94,11 +148,7 @@ object CorpusIngest {
       // 4. cross-corpus near-dedup against the durable index (replay-
       // safe: a doc already indexed by a crashed previous run does not
       // match itself — MinHashIndex.query drops self-pairs)
-      val indexExists = {
-        val f = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-        f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
-      }
+      val indexExists = indexExistsNow
       val accepted =
         if (!indexExists) nearKept // already cached above
         else cache(nearKept.join(

@@ -184,6 +184,80 @@ class CorpusIngestSpec extends SparkSpec {
     assert(stats.map(_.accepted).sum == 3)
   }
 
+  test("cluster mode: near-dups kept + labeled; assignment == from-scratch; replay fenced") {
+    val s = spark
+    import s.implicits._
+    val tableDir = tmp(); val indexDir = tmp(); val clusterDir = tmp()
+    // batch 0: alpha + its near-dup, beta, and a quality reject
+    val b0 = Seq(
+      (1L, doc("alpha")),
+      (2L, doc("alpha") + " addendum"),   // near dup of 1 — KEPT here
+      (3L, doc("beta")),
+      (4L, "too short")                   // quality reject
+    ).toDF("doc_id", "text")
+    val s0 = CorpusIngest.ingestBatch(b0, 0L, tableDir, indexDir,
+      "doc_id", "text", threshold = 0.8, clusterDir = Some(clusterDir))
+    assert(!s0.fenced && s0.failedQuality == 1, s0)
+    assert(s0.accepted == 3, s"cluster mode must keep near-dups: $s0")
+    assert(Snapshots.read(spark, tableDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // batch 1: CROSS-BATCH near-dups — 5 joins batch-0's beta, 6 joins
+    // the alpha pair (transitively, via 2's addendum form), 7 is fresh
+    val b1 = Seq(
+      (5L, doc("beta") + " afterword"),
+      (6L, doc("alpha") + " addendum extra"),
+      (7L, doc("gamma"))
+    ).toDF("doc_id", "text")
+    val s1 = CorpusIngest.ingestBatch(b1, 1L, tableDir, indexDir,
+      "doc_id", "text", threshold = 0.8, clusterDir = Some(clusterDir))
+    assert(s1.accepted == 3, s1)
+
+    // the durable assignment equals clustering ALL quality-passing
+    // docs from scratch — cross-batch transitive merges included
+    val allDocs = b0.filter(col("doc_id") =!= 4L).unionByName(b1)
+    val want = graft.operators.Dedup
+      .nearDupClusters(allDocs, "doc_id", "text", threshold = 0.8)
+      .select(col("doc_id"), col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def assignment() = Snapshots.read(spark, clusterDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(assignment() == want,
+      s"incremental assignment ${assignment()} != from-scratch $want")
+
+    // fenced replay: corpus, index decisions, and assignment untouched
+    val s1r = CorpusIngest.ingestBatch(b1, 1L, tableDir, indexDir,
+      "doc_id", "text", threshold = 0.8, clusterDir = Some(clusterDir))
+    assert(s1r.fenced && s1r.accepted == 0)
+    assert(assignment() == want)
+    assert(Snapshots.read(spark, tableDir).count() == 6)
+  }
+
+  test("cluster mode: crash between index append and table commit replays to the same assignment") {
+    val s = spark
+    import s.implicits._
+    val tableDir = tmp(); val indexDir = tmp(); val clusterDir = tmp()
+    CorpusIngest.ingestBatch(
+      Seq((1L, doc("omega")), (2L, doc("sigma"))).toDF("doc_id", "text"),
+      0L, tableDir, indexDir, "doc_id", "text", threshold = 0.8,
+      clusterDir = Some(clusterDir))
+    // batch 1's first run indexed its docs, then crashed before the
+    // fenced table commit — the replay sees its own docs in the index
+    val b1 = Seq(
+      (3L, doc("omega") + " afterword"),  // cross-batch near dup of 1
+      (4L, doc("tau"))
+    ).toDF("doc_id", "text")
+    graft.operators.MinHashIndex.append(spark, indexDir, b1, "doc_id", "text")
+    val s1 = CorpusIngest.ingestBatch(b1, 1L, tableDir, indexDir,
+      "doc_id", "text", threshold = 0.8, clusterDir = Some(clusterDir))
+    assert(!s1.fenced && s1.accepted == 2, s1)
+    val got = Snapshots.read(spark, clusterDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 4L)),
+      s"replayed assignment diverged: $got")
+    assert(Snapshots.read(spark, tableDir).count() == 4)
+  }
+
   test("duplicate index append (crash window) changes no dedup decision") {
     val s = spark
     import s.implicits._
