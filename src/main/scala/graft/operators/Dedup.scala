@@ -551,30 +551,39 @@ object Dedup {
       Snapshots.commit(assigns, assignDir, overwrite = false,
         statsCol = Some("id"))
     } else {
-      val existing = Snapshots.read(spark, assignDir)
-      val endpoints = edges.select(col("id_a").as("id"))
-        .union(edges.select(col("id_b").as("id"))).distinct()
-      val affectedClusters = existing
-        .join(endpoints, Seq("id"), "left_semi")
-        .select("cluster_id").distinct()
-      val affectedMembers = existing
-        .join(affectedClusters, Seq("cluster_id"), "left_semi")
-      val starEdges = affectedMembers
-        .filter(col("id") =!= col("cluster_id"))
-        .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
-      val cc = connectedComponents(edges.unionByName(starEdges))
-      val subNodes = newIds
-        .unionByName(affectedMembers.select("id")).distinct()
-      val updated = subNodes
-        .join(cc.select(col("id"), col("label")), Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("label"), col("id")).as("cluster_id"))
-      // upsert only the relabeled/new rows; within-batch rows are
-      // unique per id, and any change outranks an existing row, so a
-      // constant seq is sufficient
-      Snapshots.mergeCommit(spark, assignDir,
-        updated.withColumn("op", lit("u")).withColumn("seq", lit(0L)),
-        keyCols = Seq("id"), pruneCol = Some("id"))
+      // the edge frame is typically the OUTPUT OF AN LSH PIPELINE —
+      // the most expensive lineage in the system — and is consumed
+      // twice below (endpoint lookup, then the CC subgraph). Persist
+      // it once; without this each consumer re-ran the entire
+      // shingle→signature→band→verify chain (measured ~2× the whole
+      // step's cost on the dup-heavy benchmark corpus).
+      val edgesP = edges.persist()
+      try {
+        val existing = Snapshots.read(spark, assignDir)
+        val endpoints = edgesP.select(col("id_a").as("id"))
+          .union(edgesP.select(col("id_b").as("id"))).distinct()
+        val affectedClusters = existing
+          .join(endpoints, Seq("id"), "left_semi")
+          .select("cluster_id").distinct()
+        val affectedMembers = existing
+          .join(affectedClusters, Seq("cluster_id"), "left_semi")
+        val starEdges = affectedMembers
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+        val cc = connectedComponents(edgesP.unionByName(starEdges))
+        val subNodes = newIds
+          .unionByName(affectedMembers.select("id")).distinct()
+        val updated = subNodes
+          .join(cc.select(col("id"), col("label")), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("label"), col("id")).as("cluster_id"))
+        // upsert only the relabeled/new rows; within-batch rows are
+        // unique per id, and any change outranks an existing row, so a
+        // constant seq is sufficient
+        Snapshots.mergeCommit(spark, assignDir,
+          updated.withColumn("op", lit("u")).withColumn("seq", lit(0L)),
+          keyCols = Seq("id"), pruneCol = Some("id"))
+      } finally edgesP.unpersist(blocking = false)
     }
     Snapshots.read(spark, assignDir)
   }
