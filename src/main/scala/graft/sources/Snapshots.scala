@@ -485,6 +485,115 @@ object Snapshots {
     -1L // unreachable
   }
 
+  /** Predicate-level DELETE as file-granular copy-on-write — the
+    * retention-sweep / right-to-erasure shape (`DELETE WHERE ts <
+    * cutoff`, `WHERE user_id = x`) that keyed [[mergeCommit]] does not
+    * cover. Touched files are DISCOVERED, not guessed: one scan of the
+    * current snapshot — manifest-pruned first when `pruneHint` gives
+    * range bounds on stats columns, with the predicate and the
+    * `input_file_name` projection pushed to parquet — yields the
+    * files holding at least one matching row; only those are
+    * rewritten without their matching rows, every other file is
+    * carried into the new manifest by reference. A 100 TB table with
+    * a time-clustered layout deletes a day by rewriting that day's
+    * files. The rewrite preserves the table's recorded stats columns
+    * (recovered from the manifest's named stats pairs) and per-file
+    * blooms (from its bloom_types), so pruning keeps working after
+    * the delete. A predicate matching nothing publishes nothing.
+    * Returns the new version (or the current one on a no-op).
+    * Version collisions re-derive against the new latest and retry,
+    * like every other commit here. */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  cond: org.apache.spark.sql.Column,
+                  pruneHint: Map[String, (Any, Any)] = Map.empty): Long =
+    rewriteWhere(spark, dir, cond, pruneHint, None)
+
+  /** Predicate-level UPDATE, same copy-on-write machinery as
+    * [[deleteWhere]]: rows matching `cond` in the touched files get
+    * `assignments` applied (column → new expression, which may read
+    * the old row); everything else is byte-identical carried state. */
+  def updateWhere(spark: SparkSession, dir: String,
+                  cond: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column],
+                  pruneHint: Map[String, (Any, Any)] = Map.empty): Long =
+    rewriteWhere(spark, dir, cond, pruneHint, Some(assignments))
+
+  private def rewriteWhere(spark: SparkSession, dir: String,
+                           cond: org.apache.spark.sql.Column,
+                           pruneHint: Map[String, (Any, Any)],
+                           assignments: Option[Map[String, org.apache.spark.sql.Column]]): Long = {
+    while (true) {
+      val latest = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no snapshots at $dir"))
+      val m = entryCols(manifest(spark, dir, Some(latest)))
+      // manifest-level candidate pruning (same semantics as
+      // readPrunedBy: a hinted column without a recorded stats pair
+      // keeps every file — never a correctness risk, the hint only
+      // shrinks the DISCOVERY scan)
+      val candidates =
+        if (pruneHint.isEmpty) m.select("path").collect().map(_.getString(0)).toSeq
+        else {
+          val c = pruneHint.map { case (col0, (lo, hi)) =>
+            if (m.columns.contains(s"smin_$col0"))
+              col(s"smin_$col0").isNull ||
+                (col(s"smin_$col0") <= lit(hi) && col(s"smax_$col0") >= lit(lo))
+            else lit(true)
+          }.reduce(_ && _)
+          m.filter(c).select("path").collect().map(_.getString(0)).toSeq
+        }
+      if (candidates.isEmpty) return latest
+      val touched = spark.read.parquet(candidates: _*)
+        .filter(cond).select(input_file_name().as("p"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      if (touched.isEmpty) return latest
+      val base = spark.read.parquet(touched: _*)
+      val rewritten = assignments match {
+        // delete exactly the TRUE rows: a NULL predicate result keeps
+        // the row (plain !cond would delete it — three-valued logic)
+        case None => base.filter(!coalesce(cond, lit(false)))
+        case Some(as) => base.select(base.columns.map { c =>
+          as.get(c) match {
+            case Some(expr) => when(cond, expr).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      }
+      val kept = m.filter(!col("path").isin(touched: _*))
+      val entries =
+        if (assignments.isEmpty && rewritten.isEmpty && kept.count() > 0)
+          kept // every row of every touched file deleted: nothing to write
+        else {
+          // preserve the table's physical-design metadata on the
+          // rewrite: stats columns from the manifest's named pairs,
+          // bloom columns from its recorded bloom_types
+          val statsCols = m.columns.filter(_.startsWith("smin_"))
+            .map(_.stripPrefix("smin_")).toSeq
+            .filter(rewritten.columns.contains)
+          val bloomCols = m.select(explode(map_keys(col("bloom_types"))).as("c"))
+            .distinct().collect().map(_.getString(0)).toSeq
+            .filter(rewritten.columns.contains)
+          val (_, newFiles) =
+            writeDataFiles(rewritten, dir, statsCols, bloomCols)
+          // the LEGACY stats pair's column identity is not recorded in
+          // the manifest, so the rewrite cannot know which column to
+          // put there — null it (conservative: rewritten files are
+          // simply never pruned by the legacy path; the NAMED pairs
+          // carry full pruning) rather than risk describing a
+          // different column than the rest of the table
+          val nf = newFiles
+            .withColumn("stats_min", lit(null))
+            .withColumn("stats_max", lit(null))
+          kept.unionByName(alignStats(nf, kept), allowMissingColumns = true)
+        }
+      if (tryPublish(spark, dir,
+          java.util.UUID.randomUUID().toString, entries, latest + 1))
+        return latest + 1
+      // collision: a concurrent commit changed the base under us —
+      // our rewritten files are unreferenced garbage; re-derive
+    }
+    -1L // unreachable
+  }
+
   /** Exactly-once CDC apply for `foreachBatch`: merge the change
     * batch UNLESS this `batchId` (or a later one) is already fenced
     * into the table's history — the [[commitStreamBatch]] replay

@@ -826,6 +826,72 @@ class SnapshotsSpec extends SparkSpec {
       .filter(col("id") === 200L).count() == 1)
   }
 
+  test("deleteWhere: predicate CoW delete rewrites only touched files") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .repartitionByRange(8, col("user_id"))
+    Snapshots.commit(ev, dir, statsCol = Some("user_id"))
+    val before = Snapshots.manifest(spark, dir)
+      .select("path").collect().map(_.getString(0)).toSet
+    val total = ev.count()
+    val nDel = ev.filter(col("user_id") <= 2).count()
+    assert(nDel > 0)
+    val v = Snapshots.deleteWhere(spark, dir, col("user_id") <= 2,
+      pruneHint = Map("user_id" -> (0, 2)))
+    val after = Snapshots.manifest(spark, dir, Some(v))
+      .select("path").collect().map(_.getString(0)).toSet
+    // untouched files carried by REFERENCE, touched ones replaced
+    assert((before intersect after).nonEmpty, "no files carried by reference")
+    assert((before -- after).nonEmpty && (before -- after).size < before.size,
+      s"expected a strict subset rewritten, got ${(before -- after).size} of ${before.size}")
+    assert(Snapshots.read(spark, dir).count() == total - nDel)
+    assert(Snapshots.read(spark, dir).filter(col("user_id") <= 2).count() == 0)
+    // the pre-delete snapshot is intact (time travel / audit)
+    assert(Snapshots.read(spark, dir, Some(0L)).count() == total)
+    // a predicate matching nothing publishes nothing
+    assert(Snapshots.deleteWhere(spark, dir, col("user_id") === -999L) == v)
+    // named stats survive the rewrite: range pruning still skips files
+    val pruned = Snapshots.readPruned(spark, dir, 3, 4, column = Some("user_id"))
+    assert(pruned.select(input_file_name()).distinct().count() <
+      Snapshots.fileCount(spark, dir))
+  }
+
+  test("deleteWhere fully-emptied files are dropped, not rewritten empty") {
+    val dir = tmpDir()
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(2, col("k"))
+    Snapshots.commit(df, dir, statsCol = Some("k"))
+    assert(Snapshots.fileCount(spark, dir) == 2)
+    Snapshots.deleteWhere(spark, dir, col("k") <= 10L)
+    assert(Snapshots.fileCount(spark, dir) == 1,
+      "the fully-deleted file should vanish from the manifest, not be rewritten empty")
+    assert(Snapshots.read(spark, dir).count() == 10)
+    assert(Snapshots.read(spark, dir).agg(min(col("k"))).head().getLong(0) == 11L)
+  }
+
+  test("updateWhere applies assignments to TRUE rows only; NULL predicate keeps rows") {
+    val dir = tmpDir()
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", Option(5L)), (2L, "b", None: Option[Long]),
+      (3L, "c", Option(10L))).toDF("k", "v", "x")
+    Snapshots.commit(df, dir, statsCol = Some("k"))
+    Snapshots.updateWhere(spark, dir, col("x") > 4L,
+      Map("v" -> concat(col("v"), lit("!"))))
+    val got = Snapshots.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // row 2's predicate is NULL (x is null) — untouched, not updated
+    assert(got == Seq((1L, "a!"), (2L, "b"), (3L, "c!")))
+    // delete with a NULL predicate row: NULL means KEEP, not delete
+    Snapshots.deleteWhere(spark, dir, col("x") > 6L)
+    val left = Snapshots.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(left == Seq((1L, "a!"), (2L, "b")),
+      s"three-valued logic violated: $left")
+  }
+
   test("expire keeps the newest snapshots and deletes only their dead files") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))
