@@ -305,6 +305,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.Snapshots.read(s, dir, Some(v))
     }
 
+    tvf("graft_snapshot_diff",
+      "graft_snapshot_diff(dir, from_version, to_version) - row-level change feed between two snapshots (__change = insert/delete; an update is its delete + its insert); reads only churned files (see Snapshots.diff)") {
+      (s, a) =>
+        require(a.length == 3,
+          "graft_snapshot_diff takes (dir, from_version, to_version)")
+        sources.Snapshots.diff(s, litStr(a(0), "dir"),
+          litVal(a(1), "from_version").toString.toLong,
+          litVal(a(2), "to_version").toString.toLong)
+    }
+
     tvf("graft_snapshot_manifest",
       "graft_snapshot_manifest(dir[, version]) - a snapshot's manifest table (path, rows, stats, version, parent)") {
       (s, a) =>

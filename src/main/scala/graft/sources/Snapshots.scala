@@ -745,6 +745,44 @@ object Snapshots {
     else spark.read.parquet(keep: _*)
   }
 
+  /** Row-level change feed between two snapshots: every row as
+    * `__change = 'insert'` (in `toVersion` but not `fromVersion`) or
+    * `'delete'` (vice versa; an update appears as its delete + its
+    * insert — the classic CDF encoding). Computed from the FILE-set
+    * diff: only files added or removed between the versions are read,
+    * and `exceptAll` (multiset semantics, so duplicate rows survive
+    * correctly) cancels the rows a copy-on-write rewrite carried over
+    * unchanged — cost is O(churned files), never O(table). This is
+    * the CDC-OUT counterpart to [[mergeCommit]]'s CDC-in: an
+    * incremental consumer (re-embed changed docs, refresh a
+    * downstream aggregate) asks "what changed since version N"
+    * instead of re-reading 100 TB. Columns follow `toVersion`'s
+    * schema; rows from older files missing a column read as null. */
+  def diff(spark: SparkSession, dir: String,
+           fromVersion: Long, toVersion: Long): DataFrame = {
+    val fromFiles = filesOf(spark, dir, Some(fromVersion)).toSet
+    val toFiles = filesOf(spark, dir, Some(toVersion)).toSet
+    val added = (toFiles -- fromFiles).toSeq
+    val removed = (fromFiles -- toFiles).toSeq
+    // mergeSchema: the target version's files may straddle a schema
+    // evolution — the feed's schema must be their UNION, not whichever
+    // single file's footer the reader happens to sample
+    val template = read(spark, dir, Some(toVersion), mergeSchema = true).limit(0)
+    def side(files: Seq[String]): DataFrame =
+      if (files.isEmpty) template
+      else {
+        val df = spark.read.parquet(files: _*)
+        template.schema.foldLeft(df) { (d, f) =>
+          if (d.columns.contains(f.name)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType))
+        }.select(template.columns.map(col): _*)
+      }
+    val a = side(added)
+    val r = side(removed)
+    a.exceptAll(r).withColumn("__change", lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn("__change", lit("delete")))
+  }
+
   /** Number of data files in a snapshot (plan-free, from the
     * manifest). */
   def fileCount(spark: SparkSession, dir: String,
