@@ -797,7 +797,11 @@ object SparkEntry {
       graft.sources.Snapshots.readPrunedBy(s, snapDir, Map(
           "ts" -> (usToTs(loUs), usToTs(cutUs)),
           "user_id" -> (loU, cutU)))
-        .filter(unix_micros(col("ts")).between(loUs, cutUs) &&
+        // residual filter on the NATIVE columns (ts is micros-exact,
+        // so the timestamp bounds equal the integer-micros bounds row
+        // for row) — arithmetic like unix_micros(ts) would block the
+        // parquet pushdown; this way BOTH ranges reach the scan
+        .filter(col("ts").between(lit(usToTs(loUs)), lit(usToTs(cutUs))) &&
           col("user_id").between(loU, cutU))
         .groupBy("event_type")
         .agg(count(lit(1L)).as("n_rows"),
