@@ -18,8 +18,14 @@ package graft
   *     driver-side signal; BENCH_FULL.json keeps millisecond
   *     precision for every rep).
   *  3. Drop the errors map (errors still land in BENCH_FULL.json).
-  *  4. Whole-second times — the last-resort floor, only reachable if
-  *     the inventory grows past ~100 queries.
+  *  4. Whole-second times — only reachable if the inventory grows
+  *     past ~100 queries.
+  *  5. Keep only the MOST EXPENSIVE queries that fit, with a
+  *     `"queries_omitted":K` marker — the per-query names dominate
+  *     the byte budget (~16B each vs ≤4B of time), so past ~115
+  *     queries no numeric format can save the full map. The line's
+  *     job is the headline total + the hot queries; BENCH_FULL.json
+  *     always carries every rep of every query at full precision.
   * The sweep block never appears on the line at all.
   */
 object BenchLine {
@@ -57,7 +63,19 @@ object BenchLine {
       render(fmt1, withErrs = true),
       render(fmt1, withErrs = false),
       render(fmt0, withErrs = false))
-    attempts.find(_.getBytes("UTF-8").length <= LineBudget)
-      .getOrElse(render(fmt0, withErrs = false))
+    def fits(s: String): Boolean = s.getBytes("UTF-8").length <= LineBudget
+    attempts.find(fits).getOrElse {
+      // rung 5: the full map cannot fit in ANY numeric format — keep
+      // the most expensive queries (the ones a reader of the line
+      // acts on) and say how many were dropped
+      val byCost = queries.sortBy(-_._2)
+      def renderTop(n: Int): String = {
+        val qs = byCost.take(n).map { case (k, v) =>
+          "\"" + k.stripPrefix("q_") + "\":" + fmt0(v) }.mkString("{", ",", "}")
+        s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate,"queries_omitted":${queries.size - n},"queries":$qs,"sf":"$sfName"}"""
+      }
+      (queries.size to 0 by -1).iterator.map(renderTop).find(fits)
+        .getOrElse(renderTop(0))
+    }
   }
 }

@@ -305,6 +305,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.Snapshots.read(s, dir, Some(v))
     }
 
+    tvf("graft_snapshot_history",
+      "graft_snapshot_history(dir) - one row per live snapshot version: (version, parent, n_files, n_rows, batch_id, committed_at)") {
+      (s, a) =>
+        require(a.length == 1, "graft_snapshot_history takes (dir)")
+        sources.Snapshots.history(s, litStr(a(0), "dir"))
+    }
+
     tvf("graft_snapshot_diff",
       "graft_snapshot_diff(dir, from_version, to_version) - row-level change feed between two snapshots (__change = insert/delete; an update is its delete + its insert); reads only churned files (see Snapshots.diff)") {
       (s, a) =>

@@ -92,6 +92,29 @@ object MinHashIndex {
       textCol: String): Unit =
     writeBatch(dir, batch, idCol, textCol, readMeta(spark, dir), "append")
 
+  /** Logically delete documents from the index: their ids append to a
+    * tombstone set and [[query]] stops matching them. The banded files
+    * are never rewritten (append-only layout stays append-only); the
+    * exclusion is one anti-join on the candidate list, O(candidates).
+    * Pair this with [[graft.sources.Snapshots.deleteWhere]] on the
+    * corpus table — a doc erased from the corpus must also stop
+    * vetoing future near-duplicates of itself, or a right-to-erasure
+    * delete would silently keep suppressing content forever.
+    * Duplicate tombstones are harmless (set semantics via anti-join). */
+  def tombstone(spark: SparkSession, dir: String,
+                ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).as("__id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  private def liveCandidates(spark: SparkSession, dir: String,
+                             candidates: DataFrame): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (!fs(spark, dir).exists(t)) candidates
+    else candidates.join(
+      spark.read.parquet(s"$dir/tombstones").select(col("__id").as("id_b")),
+      Seq("id_b"), "left_anti")
+  }
+
   /** Cross-corpus near-dup query against the stored index: band the
     * NEW batch only, join its keys against `bands/`, verify surviving
     * pairs against `sets/`. Result rows and semantics are identical to
@@ -121,9 +144,10 @@ object MinHashIndex {
         Seq("__band", "__bh"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
+    val live = liveCandidates(spark, dir, candidates)
     val vCorpus = spark.read.parquet(s"$dir/sets")
       .select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__sz").as("sz_b"))
-    Dedup.verifyCrossPairs(candidates, hNew, vCorpus, threshold)
+    Dedup.verifyCrossPairs(live, hNew, vCorpus, threshold)
   }
 
   /** Band-scoped scan — the read shape whose partition pruning the

@@ -745,6 +745,31 @@ object Snapshots {
     else spark.read.parquet(keep: _*)
   }
 
+  /** The table's commit history, one row per live (unexpired)
+    * version: (version, parent, n_files, n_rows, batch_id,
+    * committed_at) — the DESCRIBE HISTORY surface. Every manifest row
+    * already carries its version, so this is ONE distributed read
+    * over all manifest directories (mergeSchema tolerates manifests
+    * from before a column existed), not a per-version loop. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val root = new Path(manifestRoot(dir))
+    require(fs(spark, dir).exists(root), s"no snapshots at $dir")
+    val m = spark.read.option("mergeSchema", "true")
+      .parquet(s"${manifestRoot(dir)}/v*")
+    val withCols = Seq("batch_id" -> "bigint", "committed_at" -> "bigint")
+      .foldLeft(m) { case (d, (c, t)) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(t))
+      }
+    withCols.groupBy(col("version"))
+      .agg(max(col("parent")).as("parent"),
+        count(lit(1)).as("n_files"),
+        coalesce(sum(col("rows")), lit(0L)).as("n_rows"),
+        max(col("batch_id")).as("batch_id"),
+        max(col("committed_at")).as("committed_at"))
+      .orderBy(col("version"))
+  }
+
   /** Row-level change feed between two snapshots: every row as
     * `__change = 'insert'` (in `toVersion` but not `fromVersion`) or
     * `'delete'` (vice versa; an update appears as its delete + its

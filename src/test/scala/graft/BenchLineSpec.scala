@@ -37,6 +37,22 @@ class BenchLineSpec extends AnyFunSuite {
       s"line is ${line.length}B for ${names.size} queries")
   }
 
+  test("past the floor, the line keeps the most expensive queries and says what it dropped") {
+    // 140 long-named queries at 4-char pessimistic times: no numeric
+    // format fits the full map, so rung 5 must truncate BY COST with
+    // an explicit marker, never overflow
+    val many = (1 to 140).map(i => (f"q_very_long_query_name_$i%03d",
+      if (i <= 5) 5000.0 + i else 999.99))
+    val line = BenchLine.compose(99999.9, 3, 50000.0, "", many, "sf0.1")
+    assert((line + sbtTrailer).getBytes("UTF-8").length <= 2000,
+      s"rung-5 line is ${line.length}B")
+    assert(line.contains("\"queries_omitted\":"))
+    // the expensive outliers survive the cut
+    (1 to 5).foreach(i => assert(
+      line.contains(f"very_long_query_name_$i%03d"),
+      s"hot query $i was dropped while cheap ones might remain"))
+  }
+
   test("line degrades precision rather than overflow") {
     // 98 realistic-length queries: 2-decimal rendering overflows the
     // budget, so the composer must fall back to a coarser format —

@@ -30,6 +30,40 @@ class MinHashIndexSpec extends SparkSpec {
     } finally rmrf(new java.io.File(dir).getParentFile)
   }
 
+  test("tombstoned docs stop matching queries; everything else still does") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 2)
+    val fresh = docs.filter(col("doc_id") % 3 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("mh_tomb").toString + "/idx"
+    try {
+      MinHashIndex.build(spark, dir, corpus, "doc_id", "text")
+      val before = MinHashIndex.query(spark, dir, fresh, "doc_id", "text",
+          threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before.nonEmpty)
+      // erase every matched corpus doc — their near-dup veto must go
+      // with them (the deleteWhere pairing: an erased doc must not
+      // keep suppressing future content)
+      val gone = before.map(_._2)
+      val s = spark
+      import s.implicits._
+      MinHashIndex.tombstone(spark, dir, gone.toSeq.toDF("doc_id"), "doc_id")
+      val after = MinHashIndex.query(spark, dir, fresh, "doc_id", "text",
+          threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after.forall(p => !gone.contains(p._2)),
+        s"tombstoned ids still matched: ${after.filter(p => gone.contains(p._2))}")
+      // duplicate tombstones are harmless; untombstoned corpus intact
+      MinHashIndex.tombstone(spark, dir, gone.take(1).toSeq.toDF("doc_id"), "doc_id")
+      val corpusProbe = MinHashIndex.query(spark, dir,
+        corpus.filter(!col("doc_id").isin(gone.toSeq: _*)).limit(50)
+          .withColumn("doc_id", col("doc_id") + 1000000L),
+        "doc_id", "text", threshold = 0.9)
+      assert(corpusProbe.count() > 0,
+        "live corpus docs must still match (a shifted-id copy of a live doc is its exact dup)")
+    } finally rmrf(new java.io.File(dir).getParentFile)
+  }
+
   test("append adds files without rewriting, and band reads partition-prune") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString + "/idx"

@@ -944,6 +944,34 @@ class SnapshotsSpec extends SparkSpec {
     assert(r.getLong(0) == 2L && r.getString(1) == "b" && r.getLong(2) == 9L)
   }
 
+  test("history lists every live version with counts and commit stamps") {
+    val dir = tmpDir()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(nations.limit(5), dir)                      // v0
+    Snapshots.commit(nations.limit(3), dir)                      // v1 append
+    Snapshots.commitStreamBatch(Seq((1L, "x")).toDF("k", "v"),
+      dir, batchId = 7L)                                         // v2, fenced
+    val h = Snapshots.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(_.getLong(1)).toSeq == Seq(-1L, 0L, 1L))        // parents
+    val rows = h.map(r => r.getLong(3)).toSeq
+    assert(rows == Seq(5L, 8L, 9L), s"cumulative row counts wrong: $rows")
+    assert(h.last.getLong(4) == 7L, "batch watermark missing from history")
+    val stamps = h.map(_.getLong(5)).toSeq
+    assert(stamps == stamps.sorted && stamps.forall(_ > 0))
+    // SQL surface + arity check
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_snapshot_history('$dir')")
+      .head().getLong(0) == 3)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_snapshot_history('a', 'b')").collect())
+    assert(e.getMessage.contains("graft_snapshot_history takes"))
+    // expiry drops versions from the history too
+    Snapshots.expire(spark, dir, keepLast = 2)
+    assert(Snapshots.history(spark, dir).collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+  }
+
   test("expire keeps the newest snapshots and deletes only their dead files") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))

@@ -54,8 +54,13 @@ class ThroughputSweepSpec extends SparkSpec {
   }
 
   test("one-level sweep measures achieved rate and update latency") {
+    // 10s level: on the shared 4-core test session under a loaded
+    // suite JVM, batch 0 alone can eat a 6s level — zero post-startup
+    // samples is then the dead-level GUARD firing (correctly), not a
+    // measurement; give the level room so the test measures
     val r = ThroughputSweep.run(spark, sf("sf0.001"),
-      targets = Seq(500), secondsPerLevel = 6)
+      targets = Seq(500), secondsPerLevel = 10)
+    assert(r.errors.isEmpty, s"sweep level starved twice: ${r.errors}")
     assert(r.levels.size == 1)
     val l = r.levels.head
     assert(l.target == 500)
