@@ -356,6 +356,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litAny(a(1), "lo"), litAny(a(2), "hi"), column = column)
     }
 
+    tvf("graft_snapshot_pruned_multi",
+      "graft_snapshot_pruned_multi(dir, col1, lo1, hi1[, col2, lo2, hi2, ...]) - snapshot read pruned to the files whose stats admit EVERY (column, lo, hi) range - multi-dimensional manifest skipping (see Snapshots.readPrunedBy)") {
+      (s, a) =>
+        require(a.length >= 4 && (a.length - 1) % 3 == 0,
+          "graft_snapshot_pruned_multi takes (dir, col1, lo1, hi1[, col2, lo2, hi2, ...])")
+        val preds = a.drop(1).grouped(3).zipWithIndex.map { case (g, i) =>
+          litStr(g(0), s"col$i") ->
+            (litAny(g(1), s"lo$i"), litAny(g(2), s"hi$i"))
+        }.toMap
+        sources.Snapshots.readPrunedBy(s, litStr(a(0), "dir"), preds)
+    }
+
     tvf("graft_quantile_rollup",
       "graft_quantile_rollup(table, keyCol, valueCol, k, p1, p2, ...) - per-key KLL quantiles via one sketch pass (exact while rows <= k)") {
       (s, a) =>

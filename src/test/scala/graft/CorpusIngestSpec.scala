@@ -258,6 +258,39 @@ class CorpusIngestSpec extends SparkSpec {
     assert(Snapshots.read(spark, tableDir).count() == 4)
   }
 
+  test("cluster mode end-to-end: a real stream labels cross-batch near-dups") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tableDir = tmp(); val indexDir = tmp(); val clusterDir = tmp()
+    val cp = tmp()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = mem.toDF.toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          CorpusIngest.ingestBatch(b, id, tableDir, indexDir,
+            "doc_id", "text", threshold = 0.8, clusterDir = Some(clusterDir))
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    mem.addData((1L, doc("alpha")), (2L, doc("alpha") + " addendum"),
+      (3L, doc("beta")))
+    run()
+    mem.addData((4L, doc("beta") + " afterword"), (5L, doc("gamma")))
+    run()
+    // everything kept; cross-run near-dups share a cluster label
+    assert(Snapshots.read(spark, tableDir).count() == 5)
+    val assign = Snapshots.read(spark, clusterDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(assign == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L)),
+      s"stream-driven assignment wrong: $assign")
+  }
+
   test("duplicate index append (crash window) changes no dedup decision") {
     val s = spark
     import s.implicits._

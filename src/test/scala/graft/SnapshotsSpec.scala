@@ -726,6 +726,19 @@ class SnapshotsSpec extends SparkSpec {
     val ms = Snapshots.manifest(spark, dir).schema
     assert(ms("smin_ts").dataType == org.apache.spark.sql.types.TimestampType)
     assert(ms("smin_user_id").dataType == org.apache.spark.sql.types.LongType)
+    // SQL surface: the multi-dimensional TVF opens the same single
+    // file (ts passed as an ISO string literal, coerced to timestamp)
+    val fmtTs = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmtTs.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val sqlOpened = spark.sql(
+      "SELECT count(*) FROM (SELECT DISTINCT input_file_name() FROM " +
+        s"graft_snapshot_pruned_multi('$dir', 'ts', '${fmtTs.format(tmin)}', " +
+        s"'${fmtTs.format(tmid)}', 'user_id', ${b.getLong(2)}L, ${umid}L))")
+      .head().getLong(0)
+    assert(sqlOpened == 1, s"TVF opened $sqlOpened files, expected 1")
+    val eArity = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_snapshot_pruned_multi('$dir', 'ts')").collect())
+    assert(eArity.getMessage.contains("graft_snapshot_pruned_multi takes"))
   }
 
   test("graft_snapshot_pruned TVF prunes on a named stats column; arity checked") {
