@@ -33,6 +33,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(!scan.contains("lang,"), s"unused column read: $scan")
   }
 
+  test("snapshot-slice query pushes BOTH range predicates to the scan") {
+    // executedPlan.toString TRUNCATES long PushedFilters lists —
+    // formatted explain prints them in full
+    val p = SparkEntry.queries("q_snapshot_pruned")(spark, sf("sf0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = p.split("\n").filter(_.contains("PushedFilters")).mkString
+    // comparing unix_micros(ts) instead of the native column silently
+    // drops the time range out of PushedFilters — guard both dims
+    assert(pushed.contains("GreaterThanOrEqual(ts,") &&
+      pushed.contains("LessThanOrEqual(ts,"),
+      s"ts range no longer reaches the parquet scan: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(user_id,") &&
+      pushed.contains("LessThanOrEqual(user_id,"),
+      s"user_id range no longer reaches the parquet scan: $pushed")
+  }
+
   test("rank-filter queries plan as WindowGroupLimit (partial top-k before shuffle)") {
     Seq("q_order_rank", "q_knn_ivf").foreach { q =>
       assert(plan(q).contains("WindowGroupLimit"), s"$q sorts whole partitions:\n${plan(q)}")
