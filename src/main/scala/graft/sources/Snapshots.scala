@@ -808,6 +808,52 @@ object Snapshots {
       .unionByName(r.exceptAll(a).withColumn("__change", lit("delete")))
   }
 
+  /** Durable incremental consumption of a table's change feed: invoke
+    * `f(changes, version)` once per not-yet-processed version, oldest
+    * first — `changes` is [[diff]] from the previous version (the
+    * first version arrives as pure inserts). Progress is recorded in
+    * `stateDir` as one EMPTY MARKER FILE per processed version — the
+    * name carries the watermark, so a torn write cannot corrupt it
+    * (older markers are garbage-collected; the max survives). A crash
+    * between `f` and its marker re-invokes `f` for that version on
+    * restart: at-least-once here, and EXACTLY-ONCE end-to-end when
+    * `f` lands its output through a fenced sink with
+    * `batchId = version` ([[commitStreamBatch]] / [[mergeStreamBatch]]
+    * — the replay is then fenced downstream). With `f = mergeStreamBatch
+    * of the change rows`, this is incremental TABLE REPLICATION:
+    * the target mirrors the source, paying O(churn) per version.
+    * Keep [[expire]]'s horizon behind the slowest consumer — a
+    * consumer that has fallen past the expiry horizon fails loudly
+    * on the missing manifest rather than silently skipping.
+    * Returns the versions processed this call. */
+  def consumeChanges(spark: SparkSession, dir: String, stateDir: String)
+                    (f: (DataFrame, Long) => Unit): Seq[Long] = {
+    val fsys = fs(spark, stateDir)
+    val root = new Path(stateDir)
+    fsys.mkdirs(root)
+    val markers = fsys.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("processed-v\\d{12}"))
+    val done =
+      if (markers.isEmpty) -1L
+      else markers.map(_.stripPrefix("processed-v").toLong).max
+    val latest = latestVersion(spark, dir).getOrElse(return Nil)
+    val todo = (done + 1) to latest
+    todo.foreach { v =>
+      val changes =
+        if (v == 0L) read(spark, dir, Some(0L))
+          .withColumn("__change", lit("insert"))
+        else diff(spark, dir, v - 1, v)
+      f(changes, v)
+      fsys.create(new Path(root, f"processed-v$v%012d"), true).close()
+      // older markers are redundant once a newer one exists
+      fsys.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.matches("processed-v\\d{12}") &&
+          p.getName.stripPrefix("processed-v").toLong < v)
+        .foreach(fsys.delete(_, false))
+    }
+    todo
+  }
+
   /** Number of data files in a snapshot (plan-free, from the
     * manifest). */
   def fileCount(spark: SparkSession, dir: String,

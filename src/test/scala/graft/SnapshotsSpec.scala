@@ -985,6 +985,57 @@ class SnapshotsSpec extends SparkSpec {
       Seq(1L, 2L))
   }
 
+  test("consumeChanges replicates a table exactly-once through the change feed") {
+    val src = tmpDir(); val state = tmpDir(); val dst = tmpDir()
+    val s = spark
+    import s.implicits._
+    def applyBatch(changes: org.apache.spark.sql.DataFrame, v: Long): Unit = {
+      // change rows → CDC batch → fenced merge: batchId = source
+      // version makes the downstream apply exactly-once under replay
+      Snapshots.mergeStreamBatch(changes
+          .withColumn("op", when(col("__change") === "insert", lit("u"))
+            .otherwise(lit("d")))
+          .withColumn("seq", lit(v)).drop("__change"),
+        dst, batchId = v, keyCols = Seq("k"))
+      ()
+    }
+    def srcRows() = Snapshots.read(spark, src).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def dstRows() = Snapshots.read(spark, dst).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    Snapshots.commit((1L to 6L).map(k => (k, s"v$k")).toDF("k", "v"),
+      src, statsCol = Some("k"))                                    // v0
+    assert(Snapshots.consumeChanges(spark, src, state)(applyBatch) == Seq(0L))
+    assert(dstRows() == srcRows())
+    // mixed churn: append, then CoW upsert+delete, then predicate delete
+    Snapshots.commit(Seq((7L, "v7")).toDF("k", "v"), src)           // v1
+    Snapshots.mergeCommit(spark, src,
+      Seq((3L, "V3", "u", 1L), (5L, "x", "d", 1L)).toDF("k", "v", "op", "seq"),
+      keyCols = Seq("k"))                                           // v2
+    Snapshots.deleteWhere(spark, src, col("k") === 1L)              // v3
+    assert(Snapshots.consumeChanges(spark, src, state)(applyBatch) ==
+      Seq(1L, 2L, 3L))
+    assert(dstRows() == srcRows(), s"replica diverged: ${dstRows()} vs ${srcRows()}")
+    // nothing new → nothing processed
+    assert(Snapshots.consumeChanges(spark, src, state)(applyBatch).isEmpty)
+    // crash window: f(v3)'s downstream merge landed but the run died
+    // BEFORE writing marker v3 — i.e., the state still holds marker
+    // v2. The replayed f is FENCED by the batch watermark and the
+    // replica stays correct.
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(state), spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(
+      s"$state/processed-v${"%012d".format(2L)}"), true).close()
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"$state/processed-v${"%012d".format(3L)}"), false)
+    var calls = 0
+    assert(Snapshots.consumeChanges(spark, src, state) { (c, v) =>
+      calls += 1; applyBatch(c, v) } == Seq(3L))
+    assert(calls == 1 && dstRows() == srcRows(),
+      "fenced replay must leave the replica untouched")
+  }
+
   test("expire keeps the newest snapshots and deletes only their dead files") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))
