@@ -854,6 +854,20 @@ object Snapshots {
     todo
   }
 
+  /** The table's change feed as a STREAMING DataFrame — offsets are
+    * snapshot versions, each micro-batch is the row-level [[diff]] of
+    * the versions it covers (see [[ChangeFeedSource]]). With a
+    * checkpointed query this is the always-on form of
+    * [[consumeChanges]]: exactly-once end-to-end when the sink fences
+    * by batchId. `startingVersion = None` replays the full history
+    * (replication bootstrap); `Some(v)` starts at version v. */
+  def changesStream(spark: SparkSession, dir: String,
+                    startingVersion: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-changes").option("dir", dir)
+    startingVersion.fold(r)(v => r.option("startingVersion", v.toString))
+      .load()
+  }
+
   /** Number of data files in a snapshot (plan-free, from the
     * manifest). */
   def fileCount(spark: SparkSession, dir: String,

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots
+
+/** The snapshot table as a streaming SOURCE (format "graft-changes"):
+  * per-version change batches, checkpointed exactly-once restart, and
+  * the startingVersion=latest subscription mode. */
+class ChangeFeedStreamSpec extends SparkSpec {
+
+  private def tmpDir(pfx: String = "graft_cfs"): String =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  private type Change = (Long, String, String, Long) // k, v, __change, __version
+
+  /** Run the feed through foreachBatch (the one sink that supports
+    * checkpoint recovery) into a driver-side buffer. */
+  private def drain(ckpt: String, src: String,
+                    buf: scala.collection.mutable.Buffer[Change],
+                    startingVersion: Option[Long] = None,
+                    latest: Boolean = false): Unit = {
+    val reader = {
+      val r = spark.readStream.format("graft-changes").option("dir", src)
+      if (latest) r.option("startingVersion", "latest")
+      else startingVersion.fold(r)(v => r.option("startingVersion", v.toString))
+    }
+    val q = reader.load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("change-feed stream: per-version diffs, multi-version first batch, " +
+    "exactly-once checkpointed restart") {
+    val src = tmpDir(); val ckpt = tmpDir("graft_cfs_ckpt")
+    val s = spark
+    import s.implicits._
+    Snapshots.commit((1L to 6L).map(k => (k, s"v$k")).toDF("k", "v"),
+      src, statsCol = Some("k"))                                     // v0
+    Snapshots.commit(Seq((7L, "v7")).toDF("k", "v"), src)            // v1
+    Snapshots.mergeCommit(spark, src,
+      Seq((3L, "V3", "u", 1L), (5L, "x", "d", 1L)).toDF("k", "v", "op", "seq"),
+      keyCols = Seq("k"))                                            // v2
+    Snapshots.deleteWhere(spark, src, col("k") === 1L)               // v3
+
+    val got = scala.collection.mutable.Buffer[Change]()
+    drain(ckpt, src, got) // one query start covers v0..v3
+    val expected = Seq[Change](
+      (1L, "v1", "insert", 0L), (2L, "v2", "insert", 0L),
+      (3L, "v3", "insert", 0L), (4L, "v4", "insert", 0L),
+      (5L, "v5", "insert", 0L), (6L, "v6", "insert", 0L),
+      (7L, "v7", "insert", 1L),
+      // the CoW rewrite carried rows 1,2,4,6 over unchanged — the feed
+      // must cancel them and surface only the update (delete+insert)
+      // and the delete
+      (3L, "v3", "delete", 2L), (3L, "V3", "insert", 2L),
+      (5L, "v5", "delete", 2L),
+      (1L, "v1", "delete", 3L))
+    assert(got.sorted == expected.sorted,
+      s"feed mismatch:\n got ${got.sorted}\n want ${expected.sorted}")
+
+    // new commit + restart from the SAME checkpoint: only v4 arrives,
+    // nothing replays — the offset log is the watermark
+    Snapshots.commit(Seq((8L, "v8")).toDF("k", "v"), src)            // v4
+    drain(ckpt, src, got)
+    assert(got.sorted == (expected :+ (8L, "v8", "insert", 4L)).sorted,
+      "restart must deliver exactly the unconsumed version")
+  }
+
+  test("startingVersion=latest subscribes to new commits only") {
+    val src = tmpDir(); val ckpt = tmpDir("graft_cfs_ckpt")
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src)  // v0
+    Snapshots.commit(Seq((3L, "c")).toDF("k", "v"), src)             // v1
+
+    val got = scala.collection.mutable.Buffer[Change]()
+    val q = spark.readStream.format("graft-changes")
+      .option("dir", src).option("startingVersion", "latest").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got ++= df.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.isEmpty, "history must not replay under latest")
+      Snapshots.commit(Seq((4L, "d")).toDF("k", "v"), src)           // v2
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.sorted == Seq[Change]((4L, "d", "insert", 2L)),
+      s"only the post-subscription commit should arrive: $got")
+  }
+
+  test("stream started after schema evolution reads old versions with nulls") {
+    val src = tmpDir(); val ckpt = tmpDir("graft_cfs_ckpt")
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), src)             // v0: (k,v)
+    Snapshots.commit(Seq((2L, "b", 9L)).toDF("k", "v", "w"), src)    // v1: +w
+
+    val got = scala.collection.mutable.Buffer[(Long, String, Option[Long], String, Long)]()
+    val q = Snapshots.changesStream(spark, src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got ++= df.collect().map(r =>
+          (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            r.getString(3), r.getLong(4)))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.sortBy(_._1) == Seq(
+      (1L, "a", None, "insert", 0L),
+      (2L, "b", Some(9L), "insert", 1L)),
+      s"evolved feed mismatch: $got")
+  }
+}

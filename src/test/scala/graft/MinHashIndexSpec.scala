@@ -108,4 +108,68 @@ class MinHashIndexSpec extends SparkSpec {
       assert(bands == (0 until 8).map(b => s"__band=$b").toSet)
     } finally rmrf(new java.io.File(dir).getParentFile)
   }
+
+  test("index subscribed to a snapshot table's change feed tracks the live corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
+    val third0 = docs.filter(col("doc_id") % 3 === 0)
+    val third1 = docs.filter(col("doc_id") % 3 === 1)
+    val fresh = docs.filter(col("doc_id") % 3 === 2)
+    val root = java.nio.file.Files.createTempDirectory("mh_feed").toString
+    val tbl = s"$root/tbl"; val idx = s"$root/idx"; val ckpt = s"$root/ckpt"
+    try {
+      graft.sources.Snapshots.commit(third0, tbl,
+        statsCol = Some("doc_id"))                                  // v0
+      graft.sources.Snapshots.commit(third1, tbl)                   // v1
+
+      // the subscription: inserts append to the index, deletes
+      // tombstone it — the index pays O(churn) per trigger and never
+      // re-reads the corpus
+      def start() = graft.sources.Snapshots.changesStream(spark, tbl)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.persist()
+          try {
+            val ins = df.filter(col("__change") === "insert")
+              .select("doc_id", "text")
+            val del = df.filter(col("__change") === "delete")
+              .select("doc_id")
+            if (ins.head(1).nonEmpty) {
+              if (!new java.io.File(s"$idx/_graft_minhash_meta.json").exists)
+                MinHashIndex.build(spark, idx, ins, "doc_id", "text")
+              else MinHashIndex.append(spark, idx, ins, "doc_id", "text")
+            }
+            if (del.head(1).nonEmpty)
+              MinHashIndex.tombstone(spark, idx, del, "doc_id")
+          } finally { df.unpersist(); () }
+        }.start()
+
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      def viaIndex() = MinHashIndex.query(spark, idx, fresh,
+          "doc_id", "text", threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def scratch() = Dedup.minHashLshAgainst(fresh,
+          graft.sources.Snapshots.read(spark, tbl),
+          "doc_id", "text", numHashes = 128, bands = 16, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = viaIndex()
+      assert(before == scratch() && before.nonEmpty,
+        "subscribed index must equal re-banding the live table")
+
+      // right-to-erasure on the TABLE: the feed's deletes must reach
+      // the index on the next trigger — erased docs stop vetoing
+      val gone = before.map(_._2).toSeq
+      graft.sources.Snapshots.deleteWhere(spark, tbl,
+        col("doc_id").isin(gone: _*))                               // v2
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val after = viaIndex()
+      assert(after == scratch(),
+        s"index diverged from the live table after erasure: $after vs ${scratch()}")
+      assert(after.forall(p => !gone.contains(p._2)),
+        "erased docs still vetoing")
+    } finally rmrf(new java.io.File(root))
+  }
 }
