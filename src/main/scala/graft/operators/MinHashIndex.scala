@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *    verification joins.
   *  - `_graft_minhash_meta.json` — numHashes/bands; appends and
   *    queries validate against it, because mixing banding parameters
-  *    silently produces disjoint key spaces (zero recall).
+  *    silently produces disjoint key spaces (zero recall). Also the
+  *    storage-generation pointer [[compact]] flips after rewriting
+  *    the index into merged, tombstone-applied `bands-g<n>`/
+  *    `sets-g<n>` directories — append-only growth stays bounded.
   *
   * Contract: document ids must be unique across all appended batches
   * (duplicate ids would duplicate verification rows, same as unioning
@@ -31,9 +34,20 @@ import org.apache.spark.sql.functions._
   */
 object MinHashIndex {
 
-  case class Meta(numHashes: Int, bands: Int)
+  /** `gen` is the storage GENERATION: [[compact]] rewrites the index
+    * into fresh `bands-g<n>`/`sets-g<n>` directories and flips this
+    * pointer, so readers never observe a half-rewritten layout (the
+    * same publish-then-point idea as [[graft.sources.Snapshots]],
+    * one level simpler). Generation 0 keeps the original
+    * `bands`/`sets` names. */
+  case class Meta(numHashes: Int, bands: Int, gen: Int = 0)
 
   private def metaPath(dir: String) = s"$dir/_graft_minhash_meta.json"
+
+  private[graft] def bandsPath(dir: String, meta: Meta): String =
+    if (meta.gen == 0) s"$dir/bands" else s"$dir/bands-g${meta.gen}"
+  private[graft] def setsPath(dir: String, meta: Meta): String =
+    if (meta.gen == 0) s"$dir/sets" else s"$dir/sets-g${meta.gen}"
 
   private def fs(spark: SparkSession, dir: String) =
     org.apache.hadoop.fs.FileSystem.get(
@@ -43,7 +57,7 @@ object MinHashIndex {
     val out = fs(spark, dir).create(
       new org.apache.hadoop.fs.Path(metaPath(dir)), true)
     try out.write(
-      s"""{"numHashes":${meta.numHashes},"bands":${meta.bands}}"""
+      s"""{"numHashes":${meta.numHashes},"bands":${meta.bands},"gen":${meta.gen}}"""
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -51,11 +65,12 @@ object MinHashIndex {
   def readMeta(spark: SparkSession, dir: String): Meta = {
     val in = fs(spark, dir).open(new org.apache.hadoop.fs.Path(metaPath(dir)))
     val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    def field(name: String): Int =
-      s""""$name":(\\d+)""".r.findFirstMatchIn(s)
-        .map(_.group(1).toInt)
-        .getOrElse(sys.error(s"corrupt index meta at ${metaPath(dir)}: $s"))
-    Meta(field("numHashes"), field("bands"))
+    def fieldOpt(name: String): Option[Int] =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    def field(name: String): Int = fieldOpt(name)
+      .getOrElse(sys.error(s"corrupt index meta at ${metaPath(dir)}: $s"))
+    // gen is optional: metas written before compaction existed are gen 0
+    Meta(field("numHashes"), field("bands"), fieldOpt("gen").getOrElse(0))
   }
 
   private def writeBatch(
@@ -63,12 +78,15 @@ object MinHashIndex {
       meta: Meta, mode: String): Unit = {
     val hashed = Dedup.shingleSets(batch, idCol, textCol)
     Dedup.bandedSignatures(hashed, meta.numHashes, meta.bands)
-      .write.mode(mode).partitionBy("__band").parquet(s"$dir/bands")
+      .write.mode(mode).partitionBy("__band").parquet(bandsPath(dir, meta))
     hashed.select(col("__id"), col("__sh"), size(col("__sh")).as("__sz"))
-      .write.mode(mode).parquet(s"$dir/sets")
+      .write.mode(mode).parquet(setsPath(dir, meta))
   }
 
-  /** Create (or replace) the index from an initial corpus. */
+  /** Create (or replace) the index from an initial corpus. A rebuild
+    * resets to generation 0 and clears any prior generations and
+    * tombstones (not crash-atomic — this is the create path, not a
+    * maintenance op). */
   def build(
       spark: SparkSession,
       dir: String,
@@ -78,6 +96,13 @@ object MinHashIndex {
       numHashes: Int = 128,
       bands: Int = 16): Unit = {
     val meta = Meta(numHashes, bands)
+    val f = fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (f.exists(root))
+      f.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith("bands-g") ||
+          p.getName.startsWith("sets-g") || p.getName == "tombstones")
+        .foreach(f.delete(_, true))
     writeBatch(dir, corpus, idCol, textCol, meta, "overwrite")
     writeMeta(spark, dir, meta)
   }
@@ -109,7 +134,11 @@ object MinHashIndex {
   private def liveCandidates(spark: SparkSession, dir: String,
                              candidates: DataFrame): DataFrame = {
     val t = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    if (!fs(spark, dir).exists(t)) candidates
+    val f = fs(spark, dir)
+    // a dir emptied by compact (or never written) holds no schema
+    if (!f.exists(t) ||
+      !f.listStatus(t).exists(_.getPath.getName.endsWith(".parquet")))
+      candidates
     else candidates.join(
       spark.read.parquet(s"$dir/tombstones").select(col("__id").as("id_b")),
       Seq("id_b"), "left_anti")
@@ -139,13 +168,13 @@ object MinHashIndex {
     val hNew = Dedup.shingleSets(dfNew, idCol, textCol)
     val candidates = Dedup.bandedSignatures(hNew, meta.numHashes, meta.bands)
       .select(col("__band"), col("__bh"), col("__id").as("id_a"))
-      .join(spark.read.parquet(s"$dir/bands")
+      .join(spark.read.parquet(bandsPath(dir, meta))
           .select(col("__band"), col("__bh"), col("__id").as("id_b")),
         Seq("__band", "__bh"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
     val live = liveCandidates(spark, dir, candidates)
-    val vCorpus = spark.read.parquet(s"$dir/sets")
+    val vCorpus = spark.read.parquet(setsPath(dir, meta))
       .select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__sz").as("sz_b"))
     Dedup.verifyCrossPairs(live, hNew, vCorpus, threshold)
   }
@@ -153,5 +182,54 @@ object MinHashIndex {
   /** Band-scoped scan — the read shape whose partition pruning the
     * layout exists for (and the spec asserts). */
   def bandScan(spark: SparkSession, dir: String, band: Int): DataFrame =
-    spark.read.parquet(s"$dir/bands").filter(col("__band") === band)
+    spark.read.parquet(bandsPath(dir, readMeta(spark, dir)))
+      .filter(col("__band") === band)
+
+  /** Compact the index into the next storage generation: merge the
+    * per-append band files (an append-only stream writes one file per
+    * band per batch — 10k batches is 160k files at bands=16; after
+    * compaction each band holds ~one) and apply tombstones PHYSICALLY
+    * (dead rows leave `bands`/`sets`, and the applied tombstone files
+    * are dropped, re-bounding [[query]]'s anti-join at zero cost).
+    *
+    * Crash-safe the snapshot way: the new generation is fully written
+    * to fresh `bands-g<n+1>`/`sets-g<n+1>` directories BEFORE the meta
+    * pointer flips, so readers see the old generation until the flip
+    * and the new one after; a crash mid-compaction leaves orphan
+    * next-gen directories that the retry overwrites. Tombstones
+    * appended WHILE compaction runs survive (only the files listed at
+    * start are deleted). Single maintenance writer assumed, like
+    * [[graft.sources.Layout.compact]]. */
+  def compact(spark: SparkSession, dir: String, setFiles: Int = 0): Unit = {
+    val meta = readMeta(spark, dir)
+    val next = meta.copy(gen = meta.gen + 1)
+    val f = fs(spark, dir)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val tombFiles =
+      if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath).toSeq
+      else Nil
+    val tomb =
+      if (tombFiles.isEmpty) None
+      else Some(spark.read.parquet(s"$dir/tombstones").select("__id").distinct())
+    val bandsIn = spark.read.parquet(bandsPath(dir, meta))
+    val setsIn = spark.read.parquet(setsPath(dir, meta))
+    val liveBands = tomb.fold(bandsIn)(t => bandsIn.join(t, Seq("__id"), "left_anti"))
+    val liveSets = tomb.fold(setsIn)(t => setsIn.join(t, Seq("__id"), "left_anti"))
+    // each band's rows hash to one shuffle partition → ~one file per band
+    liveBands.repartition(meta.bands, col("__band"))
+      .write.mode("overwrite").partitionBy("__band")
+      .parquet(bandsPath(dir, next))
+    val nSet =
+      if (setFiles > 0) setFiles
+      else math.max(1, math.ceil(liveSets.count() / 4e6).toInt)
+    liveSets.repartition(nSet)
+      .write.mode("overwrite").parquet(setsPath(dir, next))
+    writeMeta(spark, dir, next) // the flip: readers now resolve gen n+1
+    f.delete(new org.apache.hadoop.fs.Path(bandsPath(dir, meta)), true)
+    f.delete(new org.apache.hadoop.fs.Path(setsPath(dir, meta)), true)
+    tombFiles.foreach(f.delete(_, false))
+    // drop the dir itself only if nothing new appeared meanwhile
+    if (f.exists(tombPath) && f.listStatus(tombPath).isEmpty)
+      f.delete(tombPath, false)
+  }
 }

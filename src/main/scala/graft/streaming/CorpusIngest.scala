@@ -97,7 +97,10 @@ object CorpusIngest {
       val indexExistsNow = {
         val f = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-        f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
+        // the meta file is the index's identity — the band directory
+        // NAME changes across compaction generations
+        f.exists(new org.apache.hadoop.fs.Path(
+          s"$indexDir/_graft_minhash_meta.json"))
       }
 
       clusterDir match {

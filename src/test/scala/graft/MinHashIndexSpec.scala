@@ -109,6 +109,65 @@ class MinHashIndexSpec extends SparkSpec {
     } finally rmrf(new java.io.File(dir).getParentFile)
   }
 
+  test("compact merges band files, applies tombstones physically, preserves queries") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 2)
+    val fresh = docs.filter(col("doc_id") % 3 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("mh_cpt").toString + "/idx"
+    def bandFiles(): Int = {
+      val meta = MinHashIndex.readMeta(spark, dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(MinHashIndex.bandsPath(dir, meta)))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    try {
+      // three appends → ≥3 files per band; then tombstone the matches
+      MinHashIndex.build(spark, dir, corpus.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text")
+      MinHashIndex.append(spark, dir,
+        corpus.filter(col("doc_id") % 4 === 1), "doc_id", "text")
+      MinHashIndex.append(spark, dir,
+        corpus.filter(col("doc_id") % 4 > 1), "doc_id", "text")
+      val matched = MinHashIndex.query(spark, dir, fresh, "doc_id", "text",
+          threshold = 0.9)
+        .collect().map(_.getLong(1)).toSet
+      assert(matched.nonEmpty)
+      val gone = matched.take(math.max(1, matched.size / 2))
+      MinHashIndex.tombstone(spark, dir, gone.toSeq.toDF("doc_id"), "doc_id")
+      val before = MinHashIndex.query(spark, dir, fresh, "doc_id", "text",
+          threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filesBefore = bandFiles()
+
+      MinHashIndex.compact(spark, dir)
+
+      assert(MinHashIndex.readMeta(spark, dir).gen == 1)
+      val after = MinHashIndex.query(spark, dir, fresh, "doc_id", "text",
+          threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == before, "compaction must not change query results")
+      val filesAfter = bandFiles()
+      assert(filesAfter < filesBefore && filesAfter <= 16,
+        s"band files should merge: $filesBefore -> $filesAfter")
+      // tombstones applied PHYSICALLY: the marker files are gone, yet
+      // an exact copy of a tombstoned doc still finds no veto
+      assert(!new java.io.File(s"$dir/tombstones").exists ||
+        new java.io.File(s"$dir/tombstones").listFiles.isEmpty)
+      val probe = docs.filter(col("doc_id").isin(gone.toSeq: _*))
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+      val ghost = MinHashIndex.query(spark, dir, probe, "doc_id", "text",
+          threshold = 0.9)
+        .filter(col("id_b").isin(gone.toSeq: _*))
+      assert(ghost.count() == 0, "tombstoned docs must be physically gone")
+      // appends keep working after the generation flip
+      MinHashIndex.append(spark, dir, fresh.limit(5), "doc_id", "text")
+      assert(MinHashIndex.bandScan(spark, dir, 0).count() > 0)
+    } finally rmrf(new java.io.File(dir).getParentFile)
+  }
+
   test("index subscribed to a snapshot table's change feed tracks the live corpus") {
     val s = spark
     import s.implicits._
