@@ -251,6 +251,49 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
 
+  /** Incrementally add vectors to a stored IVF index: assign against
+    * the STORED centroids and append into the hit cell partitions —
+    * O(batch) work, no existing file rewritten, the streaming-ingest
+    * shape for a vector index (cell quality degrades only as far as
+    * the frozen centroids do; re-run [[kmeansCentroids]] +
+    * [[ivfWriteIndex]] when drift warrants it). Ids must be unique
+    * across appends, as for [[graft.operators.MinHashIndex]]. */
+  def ivfAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val centroids = ivfReadCentroids(spark, path)
+    batch
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .withColumn("cell", bestCell(centroids, col("vec")))
+      .write.partitionBy("cell").mode("append")
+      .parquet(s"$path/cells")
+  }
+
+  /** Logically delete vectors from a stored IVF index (the
+    * [[graft.operators.MinHashIndex.tombstone]] pattern): queries
+    * anti-join the probed candidates, O(candidates) not O(index).
+    * Pair with the erasure on the owning table. */
+  def ivfTombstone(spark: org.apache.spark.sql.SparkSession,
+                   path: String, ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def ivfLive(spark: org.apache.spark.sql.SparkSession,
+                      path: String, candidates: DataFrame): DataFrame = {
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!f.exists(t) ||
+      !f.listStatus(t).exists(_.getPath.getName.endsWith(".parquet")))
+      candidates
+    else candidates.join(
+      spark.read.parquet(s"$path/tombstones").select("neighbor_id"),
+      Seq("neighbor_id"), "left_anti")
+  }
+
   /** Query a stored IVF index: the probe-cell set (≤ |queries|·nProbe,
     * the broadcast-sized side by assumption) becomes a literal
     * partition filter, so the scan plans `PartitionFilters` and never
@@ -270,8 +313,9 @@ object Similarity {
       .withColumn("cell", explode(probeCells(centroids, col("__qv"), nProbe)))
     val probedCells = qProbes.select("cell").distinct()
       .collect().map(_.getLong(0))
-    val cAssigned = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(probedCells: _*))
+    val cAssigned = ivfLive(spark, path,
+      spark.read.parquet(s"$path/cells")
+        .filter(col("cell").isin(probedCells: _*)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -114,4 +114,55 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [cell"),
       s"probe must prune cell directories:\n$p")
   }
+
+  test("stored IVF index maintained from a table's change feed: " +
+    "appends assign to frozen centroids, erasures tombstone") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001")).select("vec_id", "embedding")
+    val half0 = e.filter(col("vec_id") % 2 === 0)
+    val half1 = e.filter(col("vec_id") % 2 === 1)
+    val queries = e.filter(col("vec_id") < 8)
+    val cents = Similarity.sampleCentroids(half0, "vec_id", "embedding", 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_feed").toString
+    val tbl = s"$root/tbl"; val idx = s"$root/idx"; val ckpt = s"$root/ckpt"
+
+    graft.sources.Snapshots.commit(half0, tbl, statsCol = Some("vec_id")) // v0
+    def start() = graft.sources.Snapshots.changesStream(spark, tbl)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.persist()
+        try {
+          val ins = df.filter(col("__change") === "insert")
+            .select("vec_id", "embedding")
+          val del = df.filter(col("__change") === "delete").select("vec_id")
+          if (ins.head(1).nonEmpty) {
+            if (!new java.io.File(s"$idx/centroids").exists)
+              Similarity.ivfWriteIndex(ins, "vec_id", "embedding", cents, idx)
+            else Similarity.ivfAppend(spark, ins, "vec_id", "embedding", idx)
+          }
+          if (del.head(1).nonEmpty)
+            Similarity.ivfTombstone(spark, idx, del, "vec_id")
+        } finally { df.unpersist(); () }
+      }.start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // churn: the other half arrives, then three vectors are erased
+    graft.sources.Snapshots.commit(half1, tbl)                          // v1
+    graft.sources.Snapshots.deleteWhere(spark, tbl,
+      col("vec_id").isin(10L, 12L, 14L))                                // v2
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val indexed = Similarity.ivfTopKIndexed(spark, queries,
+      "vec_id", "embedding", k = 5, path = idx, nProbe = 4)
+    val live = graft.sources.Snapshots.read(spark, tbl)
+    val inMem = Similarity.ivfTopKWith(live, queries, "vec_id", "embedding",
+      k = 5, centroids = cents, nProbe = 4)
+    assert(indexed.collect().map(_.toSeq).toSet ===
+      inMem.collect().map(_.toSeq).toSet,
+      "feed-maintained index must equal the in-memory plan over the live table")
+    assert(indexed.filter(col("neighbor_id").isin(10L, 12L, 14L)).count() == 0,
+      "erased vectors must stop being returned")
+  }
 }
