@@ -291,6 +291,57 @@ class CorpusIngestSpec extends SparkSpec {
       s"stream-driven assignment wrong: $assign")
   }
 
+  test("medallion path: a landing table's change feed drives the ingest pipeline") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_medallion").toString
+    val landing = s"$root/landing"; val ckpt = s"$root/ckpt"
+    val curated = s"$root/curated"; val idx = s"$root/idx"
+    val refTable = s"$root/ref_tbl"; val refIdx = s"$root/ref_idx"
+
+    // bronze: raw docs land as snapshot commits (from any producer)
+    val b0 = Seq(
+      (1L, doc("alpha")),
+      (2L, doc("beta")),
+      (3L, doc("beta")),                       // exact dup of 2
+      (4L, "too short")                        // quality reject
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (5L, doc("delta")),
+      (6L, doc("alpha") + " postscript")       // cross-batch near dup of 1
+    ).toDF("doc_id", "text")
+    Snapshots.commit(b0, landing, statsCol = Some("doc_id"))          // v0
+    Snapshots.commit(b1, landing)                                     // v1
+
+    // silver: the curated corpus = ingestBatch fed BY the change feed.
+    // Exactly-once composes: the engine's offset log replays only
+    // unconsumed versions, and ingestBatch's own fence absorbs any
+    // overlap. Erasures propagate separately (deleteWhere + tombstone).
+    val q = Snapshots.changesStream(spark, landing)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val ins = df.filter(col("__change") === "insert")
+          .select("doc_id", "text")
+        CorpusIngest.ingestBatch(ins, id, curated, idx,
+          "doc_id", "text", threshold = 0.8)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    // reference: the same two batches pushed through ingestBatch
+    // directly — the feed-driven path must land the identical corpus
+    CorpusIngest.ingestBatch(b0, 0L, refTable, refIdx,
+      "doc_id", "text", threshold = 0.8)
+    CorpusIngest.ingestBatch(b1, 1L, refTable, refIdx,
+      "doc_id", "text", threshold = 0.8)
+    def ids(dir: String) = Snapshots.read(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(curated) == ids(refTable),
+      s"feed-driven ingest diverged: ${ids(curated)} vs ${ids(refTable)}")
+    assert(ids(curated) == Seq(1L, 2L, 5L),
+      s"expected gates+dedup to keep 1,2,5: ${ids(curated)}")
+  }
+
   test("duplicate index append (crash window) changes no dedup decision") {
     val s = spark
     import s.implicits._
