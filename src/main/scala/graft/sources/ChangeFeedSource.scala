@@ -34,7 +34,12 @@ import graft.plans.DatasetBridge
   * Options: `dir` (or the `.load(path)` argument) — the table root;
   * `startingVersion` — first version to emit (default 0 = replay the
   * full history as inserts-first, the replication bootstrap;
-  * `"latest"` = only versions committed after the query starts).
+  * `"latest"` = only versions committed after the query starts);
+  * `maxVersionsPerTrigger` — admission cap per micro-batch, so a
+  * bootstrap over a deep history streams as bounded batches instead
+  * of one plan unioning every version (the `maxFilesPerTrigger`
+  * analog; the cursor it throttles from survives restarts in the
+  * source's checkpoint subdir).
   * Keep [[Snapshots.expire]]'s horizon behind the slowest stream —
   * a consumer that has fallen past it fails loudly on the missing
   * manifest rather than silently skipping (same rule as
@@ -68,7 +73,9 @@ class ChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
       case Some(v) => v.toLong - 1 // first emitted version is v itself
       case None => -1L // full-history replay from version 0
     }
-    new ChangeFeedStream(spark, dir, startAfter)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    require(maxVersions.forall(_ > 0), "maxVersionsPerTrigger must be > 0")
+    new ChangeFeedStream(spark, dir, startAfter, maxVersions, metadataPath)
   }
 }
 
@@ -85,17 +92,57 @@ object ChangeFeedSource {
 }
 
 private[sources] class ChangeFeedStream(spark: SparkSession, dir: String,
-                                        startAfter: Long) extends Source {
+                                        startAfter: Long,
+                                        maxVersionsPerTrigger: Option[Long] = None,
+                                        metadataPath: String = "")
+  extends Source {
 
   override val schema: StructType = ChangeFeedSource.feedSchema(spark, dir)
   private val dataSchema = StructType(schema.dropRight(2))
 
-  /** Latest available offset = the table's latest published version.
-    * One filesystem listing per trigger — no data is touched until
-    * the engine asks for the batch. */
-  override def getOffset: Option[OffsetV1] =
-    Snapshots.latestVersion(spark, dir).filter(_ > startAfter)
-      .map(LongOffset(_))
+  /** Highest version already handed to the engine — the admission
+    * cursor `maxVersionsPerTrigger` throttles from. Durable in the
+    * source's own checkpoint subdir: after a restart, a stale-LOW
+    * cursor could make [[getOffset]] answer BEHIND the engine's
+    * committed offset, which the engine would treat as new data and
+    * plan a backwards batch. The engine's offset log remains the
+    * correctness watermark; this file only needs to never lag it,
+    * and it's rewritten in [[getBatch]] before the batch runs. */
+  private var cursor: Long = {
+    val p = cursorPath
+    if (p.exists(f => fsys.exists(f)))
+      try {
+        val in = fsys.open(p.get)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      } catch { case _: Exception => startAfter }
+    else startAfter
+  }
+
+  private def fsys =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def cursorPath: Option[org.apache.hadoop.fs.Path] =
+    if (metadataPath.isEmpty) None
+    else Some(new org.apache.hadoop.fs.Path(metadataPath, "graft-cursor"))
+
+  private def persistCursor(v: Long): Unit = cursorPath.foreach { p =>
+    val out = fsys.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Latest available offset = the table's latest published version,
+    * clamped to `cursor + maxVersionsPerTrigger` so a bootstrap over a
+    * deep history arrives as bounded micro-batches instead of one
+    * union of every version. One filesystem listing per trigger — no
+    * data is touched until the engine asks for the batch. */
+  override def getOffset: Option[OffsetV1] = {
+    val latest = Snapshots.latestVersion(spark, dir).getOrElse(return None)
+    val capped = maxVersionsPerTrigger
+      .fold(latest)(m => math.min(latest, math.max(cursor, startAfter) + m))
+    Some(capped).filter(_ > startAfter).map(LongOffset(_))
+  }
 
   /** Versions (start, end], one [[Snapshots.diff]] per version so the
     * feed preserves per-commit granularity (a row inserted in v1 and
@@ -105,6 +152,11 @@ private[sources] class ChangeFeedStream(spark: SparkSession, dir: String,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(_.json.toLong).getOrElse(startAfter)
     val to = end.json.toLong
+    if (to > cursor) { cursor = to; persistCursor(to) }
+    if (from >= to) // engine replaying an empty/stale range
+      return DatasetBridge.streamingDataFrame(spark,
+        spark.emptyDataFrame.queryExecution.toRdd
+          .mapPartitions(_ => Iterator.empty), schema)
     val perVersion = ((from + 1) to to).map { v =>
       val changes =
         if (v == 0L) Snapshots.read(spark, dir, Some(0L), mergeSchema = true)

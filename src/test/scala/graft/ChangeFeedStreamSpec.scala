@@ -98,6 +98,37 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"only the post-subscription commit should arrive: $got")
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch and survives restart") {
+    val src = tmpDir(); val ckpt = tmpDir("graft_cfs_ckpt")
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), src)             // v0
+    Snapshots.commit(Seq((2L, "b")).toDF("k", "v"), src)             // v1
+    Snapshots.commit(Seq((3L, "c")).toDF("k", "v"), src)             // v2
+
+    val batches = scala.collection.mutable.Buffer[Set[Long]]()
+    def start() = spark.readStream.format("graft-changes")
+      .option("dir", src).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val vs = df.select("__version").collect().map(_.getLong(0)).toSet
+        if (vs.nonEmpty) batches += vs
+        ()
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(batches.toSeq == Seq(Set(0L), Set(1L), Set(2L)),
+      s"each trigger must admit exactly one version: $batches")
+
+    // restart: the throttle cursor must not replay or skip
+    Snapshots.commit(Seq((4L, "d")).toDF("k", "v"), src)             // v3
+    Snapshots.commit(Seq((5L, "e")).toDF("k", "v"), src)             // v4
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.toSeq == Seq(Set(0L), Set(1L), Set(2L), Set(3L), Set(4L)),
+      s"restart must continue one version per trigger: $batches")
+  }
+
   test("stream started after schema evolution reads old versions with nulls") {
     val src = tmpDir(); val ckpt = tmpDir("graft_cfs_ckpt")
     val s = spark
