@@ -129,6 +129,45 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"restart must continue one version per trigger: $batches")
   }
 
+  test("a stream fallen past the expiry horizon fails loudly, not silently") {
+    val src = tmpDir(); val ckpt = tmpDir("graft_cfs_ckpt")
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), src)             // v0
+    Snapshots.commit(Seq((2L, "b")).toDF("k", "v"), src)             // v1
+    Snapshots.commit(Seq((3L, "c")).toDF("k", "v"), src)             // v2
+
+    // consume ONLY v0, then fall behind while the table expires
+    val got = scala.collection.mutable.Buffer[Change]()
+    val q1 = spark.readStream.format("graft-changes")
+      .option("dir", src).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got ++= df.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        if (got.size == 1) throw new RuntimeException("simulated consumer crash")
+        ()
+      }.start()
+    intercept[Exception](q1.processAllAvailable())
+    q1.stop()
+    assert(got.map(_._4).toSet == Set(0L), s"only v0 should have landed: $got")
+
+    Snapshots.expire(spark, src, keepLast = 1) // v0/v1 manifests gone
+    val q2 = spark.readStream.format("graft-changes")
+      .option("dir", src).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got ++= df.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        ()
+      }.start()
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    assert(got.map(_._4).toSet == Set(0L),
+      s"nothing past v0 may land silently after the horizon passed: $got")
+    assert(e.getMessage != null, "expiry gap must surface as a query error")
+  }
+
   test("stream started after schema evolution reads old versions with nulls") {
     val src = tmpDir(); val ckpt = tmpDir("graft_cfs_ckpt")
     val s = spark
