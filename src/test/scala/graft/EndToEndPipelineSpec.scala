@@ -76,4 +76,49 @@ class EndToEndPipelineSpec extends SparkSpec {
     assert(stats.getLong(7) == monitored.count()) // sample_count
     assert(stats.getLong(4) > 0)                  // min latency positive
   }
+
+  test("the windowed output table lands in the storage layer: " +
+    "update-mode stream → snapshot merge sink == batch recompute") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_e2e_tbl").toString
+    val dst = s"$root/out"; val ckpt = s"$root/ckpt"
+
+    val wind = readings("wind", 120)
+    val sun = readings("sunshine", 120)
+    val mem = MemoryStream[WeatherReading]
+    val streamed = WeatherPipeline.windowed(
+      Seq(mem.toDF.withColumn("ts", timestamp_millis(col("producer_ts")))),
+      "ts", Seq("station_id", "metric"), "value", "producer_ts", "1 minute")
+      .drop("processing_end_ts") // wall-clock stamp, not comparable
+    // ksqlDB's output TABLE, re-expressed: evolving windows upsert into
+    // a snapshot table keyed by (window, station, metric) — the sink
+    // defaults op-less rows to batch-sequenced upserts (LWW per key)
+    val q = streamed.writeStream.outputMode("update")
+      .format("graft-snapshot")
+      .option("dir", dst).option("mode", "merge")
+      .option("keyCols", "window_start,station_id,metric")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // two triggers split by event time: trigger 2 REVISES the split
+      // window, so the sink must upsert, not append
+      mem.addData(wind.take(60) ++ sun.take(60))
+      q.processAllAvailable()
+      mem.addData(wind.drop(60) ++ sun.drop(60))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cols = Seq("window_start", "window_end", "station_id", "metric",
+      "avg_value", "min_value", "max_value", "message_count", "min_ord")
+    val table = graft.sources.Snapshots.read(spark, dst)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val batch = WeatherPipeline.windowed(
+      Seq((wind ++ sun).toDF.withColumn("ts", timestamp_millis(col("producer_ts")))),
+      "ts", Seq("station_id", "metric"), "value", "producer_ts", "1 minute")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(table == batch,
+      "the maintained output table must equal the batch recompute")
+    assert(table.nonEmpty)
+  }
 }
