@@ -224,22 +224,94 @@ object Similarity {
     * Writing the layout costs one pass; every later probe reads only
     * its nProbe directories via partition pruning — the same
     * pay-once layout trade as `sources.Bucketed`. */
+  private def ivfFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Storage generation of a stored IVF index (the
+    * [[graft.operators.MinHashIndex.Meta.gen]] pattern): [[ivfCompact]]
+    * rewrites cells into `cells-g<n>` and flips this pointer after the
+    * full rewrite lands. Indexes written before compaction existed
+    * have no meta file and read as generation 0 (`cells`). */
+  def ivfGen(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ivf_meta.json")
+    val f = ivfFs(spark, path)
+    if (!f.exists(p)) 0
+    else {
+      val in = f.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      """"gen":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"corrupt IVF meta at $p: $s"))
+    }
+  }
+
+  private[graft] def ivfCellsPath(path: String, gen: Int): String =
+    if (gen == 0) s"$path/cells" else s"$path/cells-g$gen"
+
+  private def writeIvfGen(spark: org.apache.spark.sql.SparkSession,
+                          path: String, gen: Int): Unit = {
+    val out = ivfFs(spark, path).create(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_ivf_meta.json"), true)
+    try out.write(s"""{"gen":$gen}""".getBytes("UTF-8")) finally out.close()
+  }
+
   def ivfWriteIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: Array[(Long, Array[Float])],
       path: String): Unit = {
+    val spark = corpus.sparkSession
+    // rebuild semantics: clear prior generations, tombstones, meta
+    val f = ivfFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(root))
+      f.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith("cells-g") ||
+          p.getName == "tombstones" || p.getName == "_graft_ivf_meta.json")
+        .foreach(f.delete(_, true))
     corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
       .withColumn("cell", bestCell(centroids, col("vec")))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/cells")
-    val spark = corpus.sparkSession
     import spark.implicits._
     centroids.toSeq.map { case (id, v) => (id, v.toSeq) }
       .toDF("cell_id", "centroid")
       .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+  }
+
+  /** Compact a stored IVF index into the next storage generation:
+    * per-append cell files merge to ~one per cell and tombstones are
+    * applied PHYSICALLY (then dropped — the probe-time anti-join
+    * re-bounds at zero). Publish-then-point like
+    * [[graft.operators.MinHashIndex.compact]]: the meta pointer flips
+    * only after the full rewrite lands; a crash mid-compaction leaves
+    * orphan next-gen dirs the retry overwrites. Single maintenance
+    * writer assumed. */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Unit = {
+    val gen = ivfGen(spark, path)
+    val f = ivfFs(spark, path)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tombFiles =
+      if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath).toSeq
+      else Nil
+    val cellsIn = spark.read.parquet(ivfCellsPath(path, gen))
+    val live =
+      if (tombFiles.isEmpty) cellsIn
+      else cellsIn.join(
+        spark.read.parquet(s"$path/tombstones").select("neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
+    val nCells = ivfReadCentroids(spark, path).length
+    live.repartition(nCells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(ivfCellsPath(path, gen + 1))
+    writeIvfGen(spark, path, gen + 1) // the flip
+    f.delete(new org.apache.hadoop.fs.Path(ivfCellsPath(path, gen)), true)
+    tombFiles.foreach(f.delete(_, false))
+    if (f.exists(tombPath) && f.listStatus(tombPath).isEmpty)
+      f.delete(tombPath, false)
   }
 
   def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -269,7 +341,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
       .withColumn("cell", bestCell(centroids, col("vec")))
       .write.partitionBy("cell").mode("append")
-      .parquet(s"$path/cells")
+      .parquet(ivfCellsPath(path, ivfGen(spark, path)))
   }
 
   /** Logically delete vectors from a stored IVF index (the
@@ -314,7 +386,7 @@ object Similarity {
     val probedCells = qProbes.select("cell").distinct()
       .collect().map(_.getLong(0))
     val cAssigned = ivfLive(spark, path,
-      spark.read.parquet(s"$path/cells")
+      spark.read.parquet(ivfCellsPath(path, ivfGen(spark, path)))
         .filter(col("cell").isin(probedCells: _*)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")

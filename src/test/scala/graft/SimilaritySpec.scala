@@ -164,5 +164,37 @@ class SimilaritySpec extends SparkSpec {
       "feed-maintained index must equal the in-memory plan over the live table")
     assert(indexed.filter(col("neighbor_id").isin(10L, 12L, 14L)).count() == 0,
       "erased vectors must stop being returned")
+
+    // compaction: merge the append's files, apply the tombstones
+    // physically, flip the generation — queries unchanged
+    def cellFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(
+        Similarity.ivfCellsPath(idx, Similarity.ivfGen(spark, idx))))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = cellFiles()
+    Similarity.ivfCompact(spark, idx)
+    assert(Similarity.ivfGen(spark, idx) == 1)
+    val afterCompact = Similarity.ivfTopKIndexed(spark, queries,
+      "vec_id", "embedding", k = 5, path = idx, nProbe = 4)
+    assert(afterCompact.collect().map(_.toSeq).toSet ===
+      inMem.collect().map(_.toSeq).toSet,
+      "compaction must not change query results")
+    assert(cellFiles() < filesBefore,
+      s"cell files should merge: $filesBefore -> ${cellFiles()}")
+    assert(!new java.io.File(s"$idx/tombstones").exists,
+      "applied tombstones must be dropped")
+    // erased ids stay gone even with the tombstone set cleared
+    assert(afterCompact.filter(col("neighbor_id").isin(10L, 12L, 14L))
+      .count() == 0, "tombstoned vectors must be physically gone")
+    // appends keep working after the flip
+    Similarity.ivfAppend(spark,
+      spark.createDataFrame(Seq((9000001L, Array.fill(64)(0.1f))))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx)
+    assert(spark.read.parquet(Similarity.ivfCellsPath(idx, 1))
+      .filter(col("neighbor_id") === 9000001L).count() == 1)
   }
 }
