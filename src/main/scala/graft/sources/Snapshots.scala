@@ -156,6 +156,16 @@ object Snapshots {
     }
     writer.parquet(commitDir)
     val written = spark.read.parquet(commitDir)
+    (commitId, fileEntries(written, statsCols, bloomCols, bloomFpp))
+  }
+
+  /** Per-file manifest entries (path, rows, stats, blooms) computed by
+    * ONE grouped scan over `written` that reads only the stats/bloom
+    * columns — shared by the write path and [[analyzeCommit]]'s
+    * metadata-only retrofit. */
+  private def fileEntries(written: DataFrame, statsCols: Seq[String],
+                          bloomCols: Seq[String],
+                          bloomFpp: Double): DataFrame = {
     val statsAgg = (statsCols.headOption match {
       case Some(c) => Seq(count(lit(1L)).as("rows"),
         min(col(c)).as("stats_min"),
@@ -199,8 +209,38 @@ object Snapshots {
             array(bloomCols.map(c =>
               lit(written.schema(c).dataType.catalogString)): _*)).as("bloom_types"))
       }
-    (commitId, written.groupBy(input_file_name().as("path"))
-      .agg((statsAgg ++ bloomAgg).head, (statsAgg ++ bloomAgg).tail: _*))
+    written.groupBy(input_file_name().as("path"))
+      .agg((statsAgg ++ bloomAgg).head, (statsAgg ++ bloomAgg).tail: _*)
+  }
+
+  /** Retrofit stats and/or manifest blooms onto an EXISTING table as a
+    * METADATA-ONLY commit: the current snapshot's data files are
+    * re-listed in a new manifest carrying freshly computed per-file
+    * stats — not one data file is rewritten or moved, and time travel
+    * to earlier versions is untouched. One grouped scan projecting
+    * only the named columns pays for it. This is the upgrade path for
+    * a table ingested before anyone chose a `statsCol`:
+    * [[readPruned]]/[[readPoint]]/[[mergeCommit]] start pruning it the
+    * moment the new manifest publishes. (In-file parquet blooms
+    * cannot be added without rewriting data; MANIFEST blooms — the
+    * file-skipping layer — can, and are.) Optimistic-retry safe
+    * against concurrent commits: a collision recomputes against the
+    * new latest snapshot. */
+  def analyzeCommit(spark: SparkSession, dir: String,
+                    statsCols: Seq[String],
+                    bloomCols: Seq[String] = Nil,
+                    bloomFpp: Double = 0.01): Long = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "analyzeCommit needs at least one stats or bloom column")
+    val tag = s"analyze-${java.util.UUID.randomUUID()}"
+    while (true) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no snapshots at $dir"))
+      val written = spark.read.parquet(filesOf(spark, dir, Some(v)): _*)
+      val entries = fileEntries(written, statsCols, bloomCols, bloomFpp)
+      if (tryPublish(spark, dir, tag, entries, v + 1)) return v + 1
+    }
+    -1L // unreachable
   }
 
   /** The manifest-entry columns, tolerating manifests written before

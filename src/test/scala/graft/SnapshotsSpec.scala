@@ -1036,6 +1036,48 @@ class SnapshotsSpec extends SparkSpec {
       "fenced replay must leave the replica untouched")
   }
 
+  test("analyzeCommit retrofits stats + blooms metadata-only; pruning starts working") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf("sf0.001")).repartitionByRange(8, col("ts"))
+    // a legacy table: two commits, no stats, no blooms
+    Snapshots.commit(ev.filter(col("event_id") % 2 === 0), dir)      // v0
+    Snapshots.commit(ev.filter(col("event_id") % 2 === 1), dir)      // v1
+    val m1 = Snapshots.manifest(spark, dir)
+    assert(m1.filter(col("stats_min").isNotNull).count() == 0,
+      "precondition: the legacy table has no stats")
+    val filesBefore = m1.select("path").collect().map(_.getString(0)).toSet
+
+    val v = Snapshots.analyzeCommit(spark, dir,
+      statsCols = Seq("ts"), bloomCols = Seq("user_id"))
+    assert(v == 2L)
+    val m2 = Snapshots.manifest(spark, dir)
+    // metadata only: the SAME data files, now with typed stats + blooms
+    assert(m2.select("path").collect().map(_.getString(0)).toSet == filesBefore)
+    assert(m2.schema("smin_ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(m2.filter(col("smin_ts").isNull).count() == 0)
+    assert(m2.filter(col("blooms").isNull).count() == 0)
+
+    // range pruning now skips files
+    val b = ev.agg(min("ts"), max("ts")).head()
+    val tmin = b.getTimestamp(0)
+    val mid = new java.sql.Timestamp(
+      tmin.getTime + (b.getTimestamp(1).getTime - tmin.getTime) / 8)
+    val total = Snapshots.fileCount(spark, dir)
+    val pruned = Snapshots.readPruned(spark, dir, tmin, mid, column = Some("ts"))
+    assert(pruned.select(input_file_name()).distinct().count() < total)
+    val want = ev.filter(col("ts").between(lit(tmin), lit(mid))).count()
+    assert(pruned.filter(col("ts").between(lit(tmin), lit(mid))).count() == want)
+
+    // point lookups prune through the retrofitted blooms
+    val someUser = ev.select("user_id").head().getLong(0)
+    val hit = Snapshots.readPoint(spark, dir, "user_id", someUser)
+    assert(hit.filter(col("user_id") === someUser).count() ==
+      ev.filter(col("user_id") === someUser).count())
+    // earlier versions stay readable, stats-less as they were
+    assert(Snapshots.read(spark, dir, Some(1L)).count() == ev.count())
+  }
+
   test("expire keeps the newest snapshots and deletes only their dead files") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))
