@@ -155,7 +155,16 @@ object Snapshots {
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     writer.parquet(commitDir)
-    val written = spark.read.parquet(commitDir)
+    // a zero-row commit (e.g. a merge whose every affected row was
+    // deleted) writes only _SUCCESS — no part files to read schema
+    // from; its manifest contribution is an empty, correctly-typed
+    // entry set computed from `df`'s own schema
+    val f = fs(spark, dir)
+    val hasParts = f.exists(new Path(commitDir)) &&
+      f.listStatus(new Path(commitDir)).exists(_.getPath.getName.endsWith(".parquet"))
+    val written =
+      if (hasParts) spark.read.parquet(commitDir)
+      else df.filter(lit(false))
     (commitId, fileEntries(written, statsCols, bloomCols, bloomFpp))
   }
 
@@ -448,7 +457,8 @@ object Snapshots {
                   bloomCols: Seq[String] = Nil,
                   bloomFpp: Double = 0.01,
                   batchId: Long = -1L,
-                  extraStatsCols: Seq[String] = Nil): Long = {
+                  extraStatsCols: Seq[String] = Nil,
+                  clusterBy: Option[String] = None): Long = {
     val dataCols = changes.columns.filterNot(c => c == opCol || c == seqCol)
     val pc = pruneCol.getOrElse(keyCols.head)
     require(dataCols.contains(pc), s"changes must carry $pc")
@@ -508,7 +518,17 @@ object Snapshots {
           col(s"__w.$opCol"): _*)
         .filter(col(opCol) =!= "d")
         .select(dataCols.map(col): _*)
-      val (commitId, newFiles) = writeDataFiles(merged, dir,
+      // clustered merge (same convention as compactCommit): the
+      // grouped merge output is hash-scattered, so without reshaping
+      // every rewritten file's pruneCol range spans the key space and
+      // the NEXT merge prunes nothing — range-partition + sort to keep
+      // the rewritten files' stats ranges tiling
+      val shaped = clusterBy match {
+        case Some(c) => merged.repartitionByRange(col(c))
+          .sortWithinPartitions(col(c))
+        case None => merged
+      }
+      val (commitId, newFiles) = writeDataFiles(shaped, dir,
         pc +: extraStatsCols.filterNot(_ == pc), bloomCols, bloomFpp)
       val entries = kept match {
         case Some(k) => k.unionByName(alignStats(newFiles, k),
@@ -653,11 +673,12 @@ object Snapshots {
                        seqCol: String = "seq",
                        pruneCol: Option[String] = None,
                        bloomCols: Seq[String] = Nil,
-                       bloomFpp: Double = 0.01): Option[Long] = {
+                       bloomFpp: Double = 0.01,
+                       clusterBy: Option[String] = None): Option[Long] = {
     val spark = changes.sparkSession
     if (lastCommittedBatch(spark, dir) >= batchId) return None
     mergeCommit(spark, dir, changes, keyCols, opCol, seqCol,
-      pruneCol, bloomCols, bloomFpp, batchId) match {
+      pruneCol, bloomCols, bloomFpp, batchId, Nil, clusterBy) match {
       case -2L => None // fenced by a concurrent replica mid-merge
       case v => Some(v)
     }
@@ -677,7 +698,23 @@ object Snapshots {
            mergeSchema: Boolean = false): DataFrame = {
     val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
             else spark.read
-    r.parquet(filesOf(spark, dir, version): _*)
+    val files = filesOf(spark, dir, version)
+    if (files.nonEmpty) r.parquet(files: _*)
+    else {
+      // an EMPTIED table (every row deleted) is a legitimate state:
+      // its manifest lists no files, so the schema is borrowed from
+      // the nearest earlier version that had data — only the empty
+      // edge case pays this backward walk
+      val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+        throw new IllegalArgumentException(s"no snapshots at $dir"))
+      val prior = Iterator.range(v - 1, -1L, -1L)
+        .map(pv => filesOf(spark, dir, Some(pv))).find(_.nonEmpty)
+      prior match {
+        case Some(fs0) => r.parquet(fs0: _*).limit(0)
+        case None => throw new IllegalArgumentException(
+          s"table at $dir has no data files in any version")
+      }
+    }
   }
 
   /** Read only the files whose `statsCol` range can intersect
