@@ -808,6 +808,50 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           min(col("event_id")).as("min_eid"),
           max(col("event_id")).as("max_eid"))
+    }),
+
+    // The incrementally-maintained join view on the driver's clock:
+    // orders ⋈ customer kept as a stored view over two snapshot
+    // tables, built in two ticks with an append, keyed updates, and
+    // keyed deletes between them — the final view must equal a
+    // from-scratch join of the final inputs (the SQL oracle). Fresh
+    // state per invocation: every rep pays the real two-tick
+    // maintenance path, not a memoized read. The update flips the
+    // balance's sign (exact in IEEE — no float arithmetic drift) and
+    // the delete outranks it by seq for customers hit by both.
+    "q_join_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      import graft.functions.Exact.sumExact
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_jview").toString
+      val (l, r, v) = (s"$root/l", s"$root/r", s"$root/v")
+      val orders = Tables.orders(s, dir).select(
+        col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").as("custkey"), col("c_acctbal"))
+      // tick 1: two-thirds of the orders, every customer
+      Snapshots.commit(orders.filter(col("o_orderkey") % 3 =!= 0), l,
+        statsCol = Some("custkey"))
+      Snapshots.commit(cust, r, statsCol = Some("custkey"))
+      IncrementalViews.refreshJoin(s, l, r, v, Seq("custkey"))
+      // between ticks: the remaining orders arrive; balances of
+      // customers divisible by 5 flip sign, divisible by 7 leave
+      Snapshots.commit(orders.filter(col("o_orderkey") % 3 === 0), l,
+        statsCol = Some("custkey"))
+      Snapshots.mergeCommit(s, r,
+        cust.filter(col("custkey") % 5 === 0)
+          .withColumn("c_acctbal", -col("c_acctbal"))
+          .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+          .unionByName(cust.filter(col("custkey") % 7 === 0)
+            .withColumn("op", lit("d")).withColumn("seq", lit(2L))),
+        keyCols = Seq("custkey"))
+      IncrementalViews.refreshJoin(s, l, r, v, Seq("custkey"))
+      IncrementalViews.readExpanded(s, v)
+        .groupBy("custkey")
+        .agg(count(lit(1L)).as("n_orders"),
+          sumExact(col("o_totalprice")).as("sum_price"),
+          max(col("c_acctbal")).as("acctbal"))
     })
   )
 
@@ -2150,7 +2194,26 @@ object SparkEntry {
         |FROM events, b
         |WHERE epoch_ns(ts)//1000 BETWEEN b.lo_us AND b.cut_us
         |  AND user_id BETWEEN b.lo_u AND b.cut_u
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    // the incrementally-maintained view must equal a from-scratch
+    // join of the FINAL inputs: all orders, customers minus the
+    // deleted %7 keys, %5 balances sign-flipped (delete outranks
+    // update for keys divisible by both)
+    "q_join_view_incr" ->
+      s"""WITH leftf AS (
+         |  SELECT o_custkey AS custkey, o_totalprice FROM orders
+         |), rightf AS (
+         |  SELECT c_custkey AS custkey,
+         |         CASE WHEN c_custkey % 5 = 0 THEN -c_acctbal
+         |              ELSE c_acctbal END AS c_acctbal
+         |  FROM customer WHERE c_custkey % 7 <> 0
+         |)
+         |SELECT custkey, count(*) AS n_orders,
+         |       ${sqlSum("o_totalprice")} AS sum_price,
+         |       max(c_acctbal) AS acctbal
+         |FROM leftf JOIN rightf USING (custkey)
+         |GROUP BY custkey""".stripMargin
   )
 
   /** DuckDB mirror of PortableHashKernel.simHashPortable: four
