@@ -852,6 +852,39 @@ object SparkEntry {
         .agg(count(lit(1L)).as("n_orders"),
           sumExact(col("o_totalprice")).as("sum_price"),
           max(col("c_acctbal")).as("acctbal"))
+    }),
+
+    // The incrementally-maintained AGGREGATE view on the driver's
+    // clock: per-event-type totals folded from the events table's
+    // change feed across three source versions (two appends and a
+    // predicate delete) — sums/counts maintained from the deltas
+    // alone (decimal accumulators, no source rescan), min/max
+    // re-scanned for affected groups only. The maintained view must
+    // equal a from-scratch aggregation of the final state (the SQL
+    // oracle). Fresh state per invocation.
+    "q_agg_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_aggview").toString
+      val (src, v) = (s"$root/src", s"$root/v")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      Snapshots.commit(ev.filter(col("event_id") <= mid), src,
+        statsCol = Some("event_type"))
+      IncrementalViews.refreshAgg(s, src, v, Seq("event_type"),
+        Seq("value"), minMaxCols = Seq("value"))
+      Snapshots.commit(ev.filter(col("event_id") > mid), src,
+        statsCol = Some("event_type"))
+      Snapshots.deleteWhere(s, src, col("user_id") % 10 === 3)
+      IncrementalViews.refreshAgg(s, src, v, Seq("event_type"),
+        Seq("value"), minMaxCols = Seq("value"))
+      Snapshots.read(s, v).select(
+        col("event_type"),
+        col("__cnt").as("n_rows"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"))
     })
   )
 
@@ -2213,7 +2246,21 @@ object SparkEntry {
          |       ${sqlSum("o_totalprice")} AS sum_price,
          |       max(c_acctbal) AS acctbal
          |FROM leftf JOIN rightf USING (custkey)
-         |GROUP BY custkey""".stripMargin
+         |GROUP BY custkey""".stripMargin,
+
+    // the incrementally-folded aggregate view must equal a
+    // from-scratch aggregation of the final source state (all events
+    // minus the deleted user_id band); the view's sum accumulator is
+    // DECIMAL(30,6), mirrored exactly
+    "q_agg_view_incr" ->
+      s"""SELECT event_type,
+         |       count(*) AS n_rows,
+         |       ${sqlSum("value", 6)} AS sum_value,
+         |       min(value) AS min_value,
+         |       max(value) AS max_value
+         |FROM events
+         |WHERE user_id % 10 <> 3
+         |GROUP BY event_type""".stripMargin
   )
 
   /** DuckDB mirror of PortableHashKernel.simHashPortable: four

@@ -164,6 +164,107 @@ object IncrementalViews {
     version
   }
 
+  /** Incrementally-maintained GROUP BY view over ONE snapshot table:
+    * `viewDir` holds per-group `sum_<c>` (exact decimal accumulators),
+    * `__cnt`, and optionally `min_<c>`/`max_<c>`, current as of the
+    * source's latest version. Built on [[Snapshots.consumeChanges]],
+    * so each source version is folded in exactly once (write-ahead
+    * marker + the view manifest's batch fence).
+    *
+    * Sums and counts are maintained PURELY from the change feed —
+    * inserts add, deletes subtract, no source rescan ever; decimal
+    * accumulation makes the fold exact and order-independent, so the
+    * maintained totals equal a from-scratch aggregation bit for bit.
+    * Min/max cannot be folded under deletes, so when `minMaxCols` is
+    * set the affected GROUPS (only) are re-scanned from the source
+    * as-of the consumed version — still O(churned groups), never
+    * O(table). A group whose count reaches zero leaves the view.
+    * Groups with NULL keys aggregate like SQL GROUP BY (null-safe
+    * joins throughout). Returns the source versions folded this call. */
+  def refreshAgg(spark: SparkSession, srcDir: String, viewDir: String,
+                 groupKeys: Seq[String], sumCols: Seq[String],
+                 sumScale: Int = 6,
+                 minMaxCols: Seq[String] = Nil): Seq[Long] = {
+    require(groupKeys.nonEmpty, "refreshAgg needs at least one group key")
+    val stateDir = s"${viewDir.stripSuffix("/")}/_agg_state"
+    Snapshots.consumeChanges(spark, srcDir, stateDir) { (changes, v) =>
+      applyAggDelta(spark, srcDir, viewDir, groupKeys, sumCols, sumScale,
+        minMaxCols, changes, v)
+    }
+  }
+
+  private def applyAggDelta(spark: SparkSession, srcDir: String,
+                            viewDir: String, groupKeys: Seq[String],
+                            sumCols: Seq[String], sumScale: Int,
+                            minMaxCols: Seq[String], changes: DataFrame,
+                            v: Long): Unit = {
+    val dec = s"decimal(30,$sumScale)"
+    val sign = when(col("__change") === lit("insert"), lit(1)).otherwise(lit(-1))
+    val dAggs = sumCols.map(c =>
+      sum(sign * col(c).cast(dec)).cast(dec).as(s"__d_$c")) :+
+      sum(sign.cast("long")).as("__d_cnt")
+    val delta = changes.groupBy(groupKeys.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*)
+    val affKeys = delta.select(groupKeys.map(col): _*).distinct()
+    def nullSafeOn(a: String, b: String) =
+      groupKeys.map(k => col(s"$a.$k") <=> col(s"$b.$k")).reduce(_ && _)
+
+    val viewExists = Snapshots.latestVersion(spark, viewDir).isDefined
+    val viewCols = groupKeys ++ sumCols.map(c => s"sum_$c") ++ Seq("__cnt") ++
+      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val oldAff =
+      if (!viewExists)
+        // shape an empty frame with the view's schema (typed nulls)
+        delta.limit(0).select(
+          (groupKeys.map(col) ++
+            sumCols.map(c => lit(null).cast(dec).as(s"sum_$c")) :+
+            lit(null).cast("long").as("__cnt")) ++
+            minMaxCols.flatMap(c => Seq(
+              lit(null).cast(changes.schema(c).dataType).as(s"min_$c"),
+              lit(null).cast(changes.schema(c).dataType).as(s"max_$c"))): _*)
+      else Snapshots.read(spark, viewDir).as("vw")
+        .join(affKeys.as("ak"), nullSafeOn("vw", "ak"), "left_semi")
+
+    val folded = oldAff.as("o").join(delta.as("d"),
+        nullSafeOn("o", "d"), "full_outer")
+      .select(
+        (groupKeys.map(k => coalesce(col(s"o.$k"), col(s"d.$k")).as(k)) ++
+          sumCols.map(c =>
+            (coalesce(col(s"o.sum_$c"), lit(0).cast(dec)) +
+              coalesce(col(s"d.__d_$c"), lit(0).cast(dec)))
+              .cast(dec).as(s"sum_$c")) :+
+          (coalesce(col("o.__cnt"), lit(0L)) +
+            coalesce(col("d.__d_cnt"), lit(0L))).as("__cnt")): _*)
+
+    val withMm =
+      if (minMaxCols.isEmpty) folded
+      else {
+        // min/max are not delta-foldable under deletes: re-scan just
+        // the affected groups from the source AS-OF the consumed
+        // version (pinned — a replay sees identical data)
+        val srcAff = Snapshots.read(spark, srcDir, Some(v)).as("s")
+          .join(affKeys.as("ak2"), nullSafeOn("s", "ak2"), "left_semi")
+        val mmAggs = minMaxCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        val mm = srcAff.groupBy(groupKeys.map(col): _*)
+          .agg(mmAggs.head, mmAggs.tail: _*)
+        folded.as("f").join(mm.as("m"), nullSafeOn("f", "m"), "left_outer")
+          .select((groupKeys ++ sumCols.map(c => s"sum_$c") :+ "__cnt")
+            .map(c => col(s"f.$c")) ++
+            minMaxCols.flatMap(c =>
+              Seq(col(s"m.min_$c"), col(s"m.max_$c"))): _*)
+      }
+
+    val out = withMm
+      .withColumn("__op", when(col("__cnt") === 0L, lit("d")).otherwise(lit("u")))
+      .withColumn("__seq", lit(v))
+      .select((viewCols :+ "__op" :+ "__seq").map(col): _*)
+    Snapshots.mergeStreamBatch(out, viewDir, v,
+      keyCols = groupKeys, opCol = "__op", seqCol = "__seq",
+      pruneCol = Some(groupKeys.head), clusterBy = Some(groupKeys.head))
+    ()
+  }
+
   /** The view with multiplicities expanded back into duplicate rows —
     * exactly `left JOIN right USING (joinKeys)` as a plain DataFrame.
     * `__n` is bounded by the product of the inputs' per-key duplicate

@@ -153,6 +153,78 @@ class IncrementalViewsSpec extends SparkSpec {
     assertViewCurrent(l, r, v, Seq("k"))
   }
 
+  /** Agg-view expected state: from-scratch grouped aggregation of the
+    * current source snapshot, in the view's column layout. */
+  private def recomputeAgg(srcDir: String): DataFrame =
+    Snapshots.read(spark, srcDir).groupBy("g")
+      .agg(sum(col("x").cast("decimal(30,6)")).cast("decimal(30,6)").as("sum_x"),
+        count(lit(1)).as("__cnt"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+
+  private def assertAggCurrent(srcDir: String, viewDir: String): Unit =
+    assert(canon(Snapshots.read(spark, viewDir)
+        .select("g", "sum_x", "__cnt", "min_x", "max_x")) ==
+      canon(recomputeAgg(srcDir)))
+
+  test("agg view: sums/counts fold from the feed alone; min/max recompute per affected group") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq(("a", 1.5), ("a", 2.25), ("b", 10.0), (null, 7.0))
+      .toDF("g", "x"), src, statsCol = Some("g"))
+    val done = IncrementalViews.refreshAgg(spark, src, v,
+      Seq("g"), Seq("x"), minMaxCols = Seq("x"))
+    assert(done == Seq(0L))
+    assertAggCurrent(src, v)
+
+    // three source versions land before one refresh call: an append,
+    // a keyed delete (shrinks group a and erases group b), and an
+    // update that moves a row BETWEEN groups — one call folds all
+    Snapshots.commit(Seq(("a", 0.25), ("c", 3.0)).toDF("g", "x"), src,
+      statsCol = Some("g"))
+    Snapshots.deleteWhere(spark, src, col("x") === 10.0 || col("x") === 2.25)
+    Snapshots.updateWhere(spark, src, col("x") === 3.0,
+      Map("g" -> lit("a")))
+    assert(IncrementalViews.refreshAgg(spark, src, v,
+      Seq("g"), Seq("x"), minMaxCols = Seq("x")) == Seq(1L, 2L, 3L))
+    assertAggCurrent(src, v)
+    // group b's count hit zero: it must have LEFT the view
+    assert(Snapshots.read(spark, v).filter(col("g") === "b").count() == 0L)
+    // the NULL group aggregates like SQL GROUP BY
+    assert(Snapshots.read(spark, v).filter(col("g").isNull).count() == 1L)
+
+    // nothing new: no versions folded, view untouched
+    val vv = Snapshots.latestVersion(spark, v)
+    assert(IncrementalViews.refreshAgg(spark, src, v,
+      Seq("g"), Seq("x"), minMaxCols = Seq("x")).isEmpty)
+    assert(Snapshots.latestVersion(spark, v) == vv)
+  }
+
+  test("agg view: interrupted fold replays exactly once (marker gone, merge fenced)") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq(("a", 1.0)).toDF("g", "x"), src, statsCol = Some("g"))
+    Snapshots.commit(Seq(("a", 2.0)).toDF("g", "x"), src, statsCol = Some("g"))
+    IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"))
+    val committed = Snapshots.latestVersion(spark, v).get
+    // crash window: the v1 fold committed but its marker did not
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(v), spark.sparkContext.hadoopConfiguration)
+    val state = new org.apache.hadoop.fs.Path(s"$v/_agg_state")
+    f.listStatus(state).map(_.getPath)
+      .filter(_.getName == "processed-v000000000001")
+      .foreach(p => f.delete(p, false))
+    // marker regime: consumeChanges GC'd older markers, so restore v0's
+    f.create(new org.apache.hadoop.fs.Path(state,
+      "processed-v000000000000"), true).close()
+    assert(IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"))
+      == Seq(1L)) // replayed...
+    assert(Snapshots.latestVersion(spark, v).contains(committed)) // ...fenced
+    assert(canon(Snapshots.read(spark, v).select("g", "sum_x", "__cnt")) ==
+      canon(Snapshots.read(spark, src).groupBy("g")
+        .agg(sum(col("x").cast("decimal(30,6)")).cast("decimal(30,6)").as("sum_x"),
+          count(lit(1)).as("__cnt"))))
+  }
+
   test("a tick that deletes every joining row of a key leaves a correct, smaller view") {
     val s = spark; import s.implicits._
     val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
