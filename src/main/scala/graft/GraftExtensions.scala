@@ -322,6 +322,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litVal(a(2), "to_version").toString.toLong)
     }
 
+    tvf("graft_snapshot_stats",
+      "graft_snapshot_stats(dir[, version]) - manifest-only table statistics: per recorded stats column (column, min_value, max_value, files_with_stats, n_files, n_rows) - opens zero data files (see Snapshots.statsSummary)") {
+      (s, a) =>
+        require(a.length == 1 || a.length == 2,
+          "graft_snapshot_stats takes (dir[, version])")
+        val v = if (a.length > 1) Some(litVal(a(1), "version").toString.toLong) else None
+        sources.Snapshots.statsSummary(s, litStr(a(0), "dir"), v)
+    }
+
+    tvf("graft_join_view",
+      "graft_join_view(dir) - an incrementally-maintained join view with its Z-set multiplicities expanded back into plain rows (see IncrementalViews.readExpanded)") {
+      (s, a) =>
+        require(a.length == 1, "graft_join_view takes (dir)")
+        sources.IncrementalViews.readExpanded(s, litStr(a(0), "dir"))
+    }
+
     tvf("graft_snapshot_manifest",
       "graft_snapshot_manifest(dir[, version]) - a snapshot's manifest table (path, rows, stats, version, parent)") {
       (s, a) =>

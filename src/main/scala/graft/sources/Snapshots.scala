@@ -847,6 +847,38 @@ object Snapshots {
       .orderBy(col("version"))
   }
 
+  /** Manifest-only table statistics: one row per recorded stats
+    * column — (column, min_value, max_value, files_with_stats,
+    * n_files, n_rows), values rendered as strings so mixed-typed
+    * columns share a schema. Answered ENTIRELY from the manifest:
+    * "what's the time range / key range / row count of this 100 TB
+    * table" opens zero data files. Columns without a named stats pair
+    * don't appear (commit with `statsCol`/`extraStatsCols`, or
+    * retrofit with [[analyzeCommit]]). */
+  def statsSummary(spark: SparkSession, dir: String,
+                   version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, dir, version)
+    val statCols = m.columns.filter(_.startsWith("smin_"))
+      .map(_.stripPrefix("smin_")).sorted
+    val rows = statCols.map { c =>
+      m.agg(
+        lit(c).as("column"),
+        min(col(s"smin_$c")).cast("string").as("min_value"),
+        max(col(s"smax_$c")).cast("string").as("max_value"),
+        count(col(s"smin_$c")).as("files_with_stats"),
+        count(lit(1)).as("n_files"),
+        coalesce(sum(col("rows")), lit(0L)).as("n_rows"))
+    }
+    if (rows.isEmpty)
+      m.agg(lit(null).cast("string").as("column"),
+        lit(null).cast("string").as("min_value"),
+        lit(null).cast("string").as("max_value"),
+        lit(0L).as("files_with_stats"),
+        count(lit(1)).as("n_files"),
+        coalesce(sum(col("rows")), lit(0L)).as("n_rows")).limit(0)
+    else rows.reduce(_ unionByName _)
+  }
+
   /** Row-level change feed between two snapshots: every row as
     * `__change = 'insert'` (in `toVersion` but not `fromVersion`) or
     * `'delete'` (vice versa; an update appears as its delete + its

@@ -42,6 +42,9 @@ class IncrementalViewsSpec extends SparkSpec {
     val v0 = IncrementalViews.refreshJoin(spark, l, r, v, Seq("k"))
     assert(v0.isDefined)
     assertViewCurrent(l, r, v, Seq("k"))
+    // the SQL surface expands multiplicities the same way
+    assert(spark.sql(s"SELECT * FROM graft_join_view('$v')").count() ==
+      recompute(l, r, Seq("k")).count())
     // Z-set shape: k=3 joins 1 left row x 2 right rows -> 2 distinct
     // tuples? no — (3,a3,30.0) and (3,a3,31.0), each __n = 1;
     // k=2 matches nothing (no right row) and k=4 nothing (no left)

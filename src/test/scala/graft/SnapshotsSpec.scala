@@ -985,6 +985,31 @@ class SnapshotsSpec extends SparkSpec {
       Seq(1L, 2L))
   }
 
+  test("statsSummary answers table min/max/rows from the manifest alone") {
+    val dir = tmpDir()
+    Snapshots.commit(nations, dir, statsCol = Some("n_nationkey"),
+      extraStatsCols = Seq("n_name"))
+    val stats = Snapshots.statsSummary(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.keySet == Set("n_name", "n_nationkey"))
+    val key = stats("n_nationkey")
+    assert(key.getString(1) == "0" && key.getString(2) == "24")
+    assert(key.getLong(5) == 25L)
+    val name = stats("n_name")
+    assert(name.getString(1) == "ALGERIA" && name.getString(2) == "VIETNAM")
+    // PROOF it is manifest-only: delete every data file — the
+    // summary still answers (a read would now fail)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/data"), true)
+    assert(Snapshots.statsSummary(spark, dir).count() == 2L)
+    // SQL surface + arity check
+    assert(spark.sql(s"SELECT * FROM graft_snapshot_stats('$dir')").count() == 2L)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_snapshot_stats('a', 1, 2)").collect())
+    assert(e.getMessage.contains("graft_snapshot_stats takes"))
+  }
+
   test("consumeChanges replicates a table exactly-once through the change feed") {
     val src = tmpDir(); val state = tmpDir(); val dst = tmpDir()
     val s = spark
