@@ -13,18 +13,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The generator has emitted `events.ts` two ways across driver
+    * versions: TIMESTAMP(NANOS) (vectorized reader rejects it — read
+    * nanos as long via the legacy conf and convert), and naive
+    * TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ). Both
+    * are normalized to plain TimestampType here, matching what every
+    * downstream operator (watermarks, window(), unix_micros) and the
+    * DuckDB oracle expect; the session timezone is UTC
+    * (GraftSession), so the NTZ→LTZ cast is micros-identity. The
+    * date-ish columns on orders/lineitem stay NTZ as read — all code
+    * and oracles already use NTZ literals for them. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long: exact integer division —
+        // double division would lose ns precision
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long and convert below. Set at
-    // runtime so it also holds under a driver-owned session.
+    // harmless when the column is already a timestamp; required for
+    // the legacy nanos layout. Set at runtime so it also holds under
+    // a driver-owned session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // exact integer division — double division would lose ns precision
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Streaming reader over the events parquet — same nanos→micros
@@ -35,11 +53,8 @@ object Tables {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-stream sources take a directory; select just the events
     // table out of the shared testdata dir
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
