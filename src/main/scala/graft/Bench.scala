@@ -141,6 +141,11 @@ object Bench {
     // BENCH_FULL.json — after six straight rounds of `parsed: null`.
     val sfName = new java.io.File(sfDir).getName
     val line = BenchLine.compose(total, reps, streamRate, errs, all, sfName)
+    // belt-and-braces: no late stack trace (netty shutdown, executor
+    // teardown) can ever race the tail again — stderr goes to the void
+    // from here on; BENCH_FULL.json already has everything of value
+    try System.setErr(new java.io.PrintStream(
+      java.io.OutputStream.nullOutputStream())) catch { case _: Throwable => () }
     spark.stop()
     println(line)
     // The line MUST be the last bytes this process emits. spark.stop()

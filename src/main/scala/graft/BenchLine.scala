@@ -32,9 +32,11 @@ object BenchLine {
   /** Bytes reserved for sbt's success trailer inside the 2000-char
     * driver tail. Round 6 measured it: a 1960B line missed the tail
     * by ~40B, so the trailer ("[success] Total time: NNNN s (MM:SS),
-    * completed <date>" + newlines) is ~80B; 100 leaves slack for
-    * locale-long dates. */
-  val TrailerAllowance = 100
+    * completed <date>" + newlines) is ~80B. Round 8's 1869B line +
+    * trailer left <60B of margin in the tail — too tight; reserve
+    * 200 so the line tops out at 1800B and any locale-long date or
+    * stray sbt info line still can't displace it. */
+  val TrailerAllowance = 200
   val LineBudget: Int = 2000 - TrailerAllowance
 
   private def r2(v: Double): Double = math.round(v * 100) / 100.0
