@@ -338,6 +338,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.IncrementalViews.readExpanded(s, litStr(a(0), "dir"))
     }
 
+    tvf("graft_view_refresh_join",
+      "graft_view_refresh_join(leftDir, rightDir, viewDir, joinType, key1[, key2, ...]) - run one incremental-maintenance tick of the materialized join view (see IncrementalViews.refreshJoin); returns (view_version) - null when already current") {
+      (s, a) =>
+        require(a.length >= 5,
+          "graft_view_refresh_join takes (leftDir, rightDir, viewDir, joinType, key1[, key2, ...])")
+        val keys = a.drop(4).zipWithIndex.map { case (e, i) => litStr(e, s"key$i") }
+        val v = sources.IncrementalViews.refreshJoin(s,
+          litStr(a(0), "leftDir"), litStr(a(1), "rightDir"),
+          litStr(a(2), "viewDir"), keys, litStr(a(3), "joinType"))
+        s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(v.map(Long.box).orNull)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("view_version",
+              org.apache.spark.sql.types.LongType, nullable = true))))
+    }
+
+    tvf("graft_view_refresh_agg",
+      "graft_view_refresh_agg(srcDir, viewDir, groupKeysCsv, sumColsCsv[, minMaxColsCsv]) - fold every pending source version into the materialized GROUP BY view in one tick (see IncrementalViews.refreshAgg); returns the folded versions, one row each") {
+      (s, a) =>
+        require(a.length == 4 || a.length == 5,
+          "graft_view_refresh_agg takes (srcDir, viewDir, groupKeysCsv, sumColsCsv[, minMaxColsCsv])")
+        def csv(e: Expression, what: String): Seq[String] =
+          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val mm = if (a.length == 5) csv(a(4), "minMaxColsCsv") else Nil
+        val folded = sources.IncrementalViews.refreshAgg(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
+          csv(a(2), "groupKeysCsv"), csv(a(3), "sumColsCsv"), minMaxCols = mm)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          folded.map(v => org.apache.spark.sql.Row(v)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("folded_version",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
     tvf("graft_snapshot_manifest",
       "graft_snapshot_manifest(dir[, version]) - a snapshot's manifest table (path, rows, stats, version, parent)") {
       (s, a) =>

@@ -854,14 +854,63 @@ object SparkEntry {
           max(col("c_acctbal")).as("acctbal"))
     }),
 
+    // The OUTER-join variant of the maintained view — the reference
+    // notebook's shape (price_prediction.ipynb full-outer merge):
+    // customers with no orders and orders whose customer never
+    // arrived (or was deleted) both survive as null-padded rows,
+    // maintained incrementally through the same two-tick
+    // append/update/delete schedule as q_join_view_incr.
+    "q_join_view_outer" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      import graft.functions.Exact.sumExact
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_joview").toString
+      val (l, r, v) = (s"$root/l", s"$root/r", s"$root/v")
+      val orders = Tables.orders(s, dir).select(
+        col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").as("custkey"), col("c_acctbal"))
+      // tick 1: two-thirds of the orders; customers outside the %4==1
+      // band — the missing band's orders are left-only (null-padded)
+      Snapshots.commit(orders.filter(col("o_orderkey") % 3 =!= 0), l,
+        statsCol = Some("custkey"))
+      Snapshots.commit(cust.filter(col("custkey") % 4 =!= 1), r,
+        statsCol = Some("custkey"))
+      IncrementalViews.refreshJoin(s, l, r, v, Seq("custkey"),
+        joinType = "full")
+      // between ticks: the remaining orders arrive; present customers
+      // divisible by 5 flip sign, divisible by 7 leave (their orders
+      // flip from matched to null-padded in place)
+      Snapshots.commit(orders.filter(col("o_orderkey") % 3 === 0), l,
+        statsCol = Some("custkey"))
+      Snapshots.mergeCommit(s, r,
+        cust.filter(col("custkey") % 4 =!= 1 && col("custkey") % 5 === 0)
+          .withColumn("c_acctbal", -col("c_acctbal"))
+          .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+          .unionByName(
+            cust.filter(col("custkey") % 4 =!= 1 && col("custkey") % 7 === 0)
+              .withColumn("op", lit("d")).withColumn("seq", lit(2L))),
+        keyCols = Seq("custkey"))
+      IncrementalViews.refreshJoin(s, l, r, v, Seq("custkey"),
+        joinType = "full")
+      IncrementalViews.readExpanded(s, v)
+        .groupBy("custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sumExact(col("o_totalprice")), lit(0.0)).as("sum_price"),
+          coalesce(max(col("c_acctbal")), lit(0.0)).as("acctbal"))
+    }),
+
     // The incrementally-maintained AGGREGATE view on the driver's
     // clock: per-event-type totals folded from the events table's
     // change feed across three source versions (two appends and a
-    // predicate delete) — sums/counts maintained from the deltas
-    // alone (decimal accumulators, no source rescan), min/max
-    // re-scanned for affected groups only. The maintained view must
-    // equal a from-scratch aggregation of the final state (the SQL
-    // oracle). Fresh state per invocation.
+    // predicate delete) — the two post-build versions land in ONE
+    // catch-up tick: sums/counts maintained from the deltas alone
+    // (decimal accumulators, no source rescan), min/max re-scanned
+    // only for groups a delete touched, reading only the files that
+    // can hold them. The maintained view must equal a from-scratch
+    // aggregation of the final state (the SQL oracle). Fresh state
+    // per invocation.
     "q_agg_view_incr" -> ((s, dir) => {
       import graft.sources.{IncrementalViews, Snapshots}
       val root = java.nio.file.Files
@@ -2247,6 +2296,27 @@ object SparkEntry {
          |       max(c_acctbal) AS acctbal
          |FROM leftf JOIN rightf USING (custkey)
          |GROUP BY custkey""".stripMargin,
+
+    // the maintained FULL-join view must equal a from-scratch full
+    // outer join of the final inputs: all orders, customers minus the
+    // never-present %4==1 band and the deleted %7 keys, %5 balances
+    // sign-flipped; unmatched sides null-padded (nulls coalesced to 0
+    // on both engines — the pandas harness can't hash a null double)
+    "q_join_view_outer" ->
+      s"""WITH leftf AS (
+         |  SELECT o_custkey AS custkey, o_orderkey, o_totalprice FROM orders
+         |), rightf AS (
+         |  SELECT c_custkey AS custkey,
+         |         CASE WHEN c_custkey % 5 = 0 THEN -c_acctbal
+         |              ELSE c_acctbal END AS c_acctbal
+         |  FROM customer WHERE c_custkey % 4 <> 1 AND c_custkey % 7 <> 0
+         |)
+         |SELECT coalesce(leftf.custkey, rightf.custkey) AS custkey,
+         |       count(o_orderkey) AS n_orders,
+         |       coalesce(${sqlSum("o_totalprice")}, 0.0) AS sum_price,
+         |       coalesce(max(c_acctbal), 0.0) AS acctbal
+         |FROM leftf FULL JOIN rightf ON leftf.custkey = rightf.custkey
+         |GROUP BY 1""".stripMargin,
 
     // the incrementally-folded aggregate view must equal a
     // from-scratch aggregation of the final source state (all events

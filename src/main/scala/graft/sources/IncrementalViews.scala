@@ -1,20 +1,20 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Incrementally-maintained JOIN views over [[Snapshots]] tables —
-  * the change-feed consumer that closes the storage layer's loop:
-  * CDC-in ([[Snapshots.mergeCommit]]) and CDC-out ([[Snapshots.diff]])
-  * compose into a materialized `left JOIN right` whose refresh cost is
-  * O(churn), never O(table).
+/** Incrementally-maintained JOIN and GROUP BY views over
+  * [[Snapshots]] tables — the change-feed consumer that closes the
+  * storage layer's loop: CDC-in ([[Snapshots.mergeCommit]]) and
+  * CDC-out ([[Snapshots.diff]]) compose into materialized views whose
+  * refresh cost is O(churn), never O(table).
   *
-  * The view is stored as a Z-set (the DBSP / Differential-Dataflow
-  * encoding): DISTINCT join-result rows annotated with a `__n`
-  * multiplicity column. That makes every view row uniquely keyed by
-  * its full value tuple, so the refresh lands through the keyed,
-  * file-granular copy-on-write [[Snapshots.mergeCommit]] — and
+  * The join view is stored as a Z-set (the DBSP / Differential-
+  * Dataflow encoding): DISTINCT join-result rows annotated with a
+  * `__n` multiplicity column. That makes every view row uniquely
+  * keyed by its full value tuple, so the refresh lands through the
+  * keyed, file-granular copy-on-write [[Snapshots.mergeCommit]] — and
   * multiset join semantics (duplicate rows on either input) survive
   * exactly.
   *
@@ -22,24 +22,34 @@ import org.apache.spark.sql.functions._
   * correct under arbitrary mixes of insert/update/delete on BOTH
   * sides without signed-delta bookkeeping: the join keys named by
   * either side's change feed are re-joined from the two CURRENT
-  * snapshots (each side semi-join-restricted to those keys first), and
-  * the view's rows for exactly those keys are replaced. Keys nobody
-  * touched are never read, and the view files they live in are carried
-  * into the new manifest by reference. At 100 TB: a day's churn
-  * re-joins a day's keys.
+  * snapshots (each side semi-join-restricted to those keys first),
+  * and the view's rows for exactly those keys are replaced. Keys
+  * nobody touched are never read, and the view files they live in are
+  * carried into the new manifest by reference.
   *
-  * Exactly-once across crashes: each refresh tick writes a WRITE-AHEAD
-  * INTENT marker (file NAME carries tick + the pinned from/to versions
-  * of both inputs — a torn write cannot corrupt it), then merges with
-  * `batchId = tick` (fenced inside the view's own manifest), then
-  * writes a PROCESSED marker. A replay of an interrupted tick re-reads
-  * the intent's pinned versions — so it recomputes the identical
-  * change batch — and the manifest fence drops it if the crash
-  * happened after the merge committed.
+  * I/O is O(churn) too, not just compute: every re-read of an input
+  * or the view is routed through manifest-level file pruning
+  * ([[Snapshots.readPrunedBy]]) on the affected keys' bounds — the
+  * semi-join then filters rows only within the files that can hold
+  * churned keys. Inputs committed with `statsCol` on the join/group
+  * key and the view (clustered by that key at every merge) both
+  * skip; a table without recorded stats degrades to reading every
+  * file, never to wrong answers. At 100 TB: a day's churn re-reads a
+  * day's files.
+  *
+  * Exactly-once across crashes: each refresh tick writes a
+  * WRITE-AHEAD INTENT marker (the file NAME carries tick + the pinned
+  * from/to versions — a torn write cannot corrupt it), then merges
+  * with `batchId = tick` (fenced inside the view's own manifest),
+  * then writes a PROCESSED marker. A replay of an interrupted tick
+  * re-reads the intent's pinned versions — so it recomputes the
+  * identical change batch — and the manifest fence drops it if the
+  * crash happened after the merge committed.
   *
   * Reference scope: the reference's `price_prediction.ipynb` re-runs
-  * its merge/join of weather+price tables from scratch on every
-  * refresh; this is that join kept continuously current.
+  * its outer merge/join of weather+price tables from scratch on every
+  * refresh; this is that join kept continuously current (`joinType =
+  * "full"` is the notebook's shape).
   */
 object IncrementalViews {
 
@@ -69,21 +79,71 @@ object IncrementalViews {
     f.create(new Path(root, name), true).close()
   }
 
-  /** Create or refresh the materialized inner equi-join of two
-    * snapshot tables: `viewDir` holds
-    * `SELECT *, count(*) AS __n FROM left JOIN right USING (joinKeys)
-    * GROUP BY ALL`, current as of both inputs' latest versions.
-    * Non-key column names must be disjoint across the inputs (project
-    * or rename upstream). Rows with a NULL in any join key never join
-    * and never dirty the view — standard inner-join semantics.
+  /** Affected-key prune bounds: (n affected, Some(lo, hi)) when every
+    * affected key is non-null, (n, None) when the key set is empty or
+    * holds nulls — min/max file stats ignore nulls, so no range can
+    * locate a null key's rows and pruning must stand down. One tiny
+    * aggregation job; `affected` should be persisted by the caller. */
+  private def keyBounds(affected: DataFrame,
+                        key: String): (Long, Option[(Any, Any)]) = {
+    val r = affected.agg(count(lit(1)), count(col(key)),
+      min(col(key)), max(col(key))).head()
+    val (n, nonNull) = (r.getLong(0), r.getLong(1))
+    if (n == 0L || nonNull < n || r.isNullAt(2)) (n, None)
+    else (n, Some((r.get(2), r.get(3))))
+  }
+
+  /** A snapshot read that opens only the files whose `key` stats range
+    * overlaps the affected bounds — the manifest-level half of the
+    * affected-key restriction (the semi-join is the row-level half). */
+  private def readForKeys(spark: SparkSession, dir: String,
+                          version: Option[Long], key: String,
+                          bounds: Option[(Any, Any)]): DataFrame =
+    bounds match {
+      case Some((lo, hi)) =>
+        Snapshots.readPrunedBy(spark, dir, Map(key -> (lo, hi)), version)
+      case None => Snapshots.read(spark, dir, version)
+    }
+
+  private def nullSafeSemi(df: DataFrame, affected: DataFrame,
+                           keys: Seq[String]): DataFrame =
+    df.as("t").join(affected.as("af"),
+      keys.map(k => col(s"t.$k") <=> col(s"af.$k")).reduce(_ && _),
+      "left_semi")
+
+  private val JoinTypes = Map(
+    "inner" -> "inner",
+    "left" -> "left_outer", "left_outer" -> "left_outer",
+    "right" -> "right_outer", "right_outer" -> "right_outer",
+    "full" -> "full_outer", "full_outer" -> "full_outer",
+    "outer" -> "full_outer")
+
+  /** Create or refresh the materialized equi-join of two snapshot
+    * tables: `viewDir` holds
+    * `SELECT *, count(*) AS __n FROM left <joinType> JOIN right
+    * USING (joinKeys) GROUP BY ALL`, current as of both inputs'
+    * latest versions. Non-key column names must be disjoint across
+    * the inputs (project or rename upstream).
+    *
+    * `joinType`: inner (default), left, right, or full — outer
+    * variants null-pad the unmatched side, exactly Spark/SQL OUTER
+    * JOIN USING semantics (key columns coalesced). Under inner
+    * semantics rows with a NULL in any join key never join and never
+    * dirty the view; under outer semantics they surface as unmatched
+    * rows, so null-key churn is tracked too (with pruning stood down
+    * for that tick — stats cannot range-locate nulls).
     *
     * Returns the view version published this call, or None when the
     * view is already current (or the tick was replay-fenced).
-    * Each call processes ONE tick covering everything that happened on
-    * both inputs since the previous tick. */
+    * Each call processes ONE tick covering everything that happened
+    * on both inputs since the previous tick. */
   def refreshJoin(spark: SparkSession, leftDir: String, rightDir: String,
-                  viewDir: String, joinKeys: Seq[String]): Option[Long] = {
+                  viewDir: String, joinKeys: Seq[String],
+                  joinType: String = "inner"): Option[Long] = {
     require(joinKeys.nonEmpty, "refreshJoin needs at least one join key")
+    val jt = JoinTypes.getOrElse(joinType.toLowerCase,
+      throw new IllegalArgumentException(
+        s"joinType must be one of ${JoinTypes.keys.mkString("/")}: $joinType"))
     val f = fs(spark, viewDir)
     val root = new Path(stateRoot(viewDir))
     val ms = markers(f, root)
@@ -121,155 +181,268 @@ object IncrementalViews {
 
     val keyCols = joinKeys.map(col)
     val notNullKeys = joinKeys.map(col(_).isNotNull).reduce(_ && _)
-    val affected = dA.select(keyCols: _*).unionByName(dB.select(keyCols: _*))
-      .filter(notNullKeys).distinct()
+    val affectedAll = dA.select(keyCols: _*).unionByName(dB.select(keyCols: _*))
+    // inner joins never emit null-key rows, so null-key churn cannot
+    // change the view; outer joins DO surface them (null-padded)
+    val affected = (if (jt == "inner") affectedAll.filter(notNullKeys)
+                    else affectedAll).distinct().persist()
+    try {
+      val (nAffected, bounds) = keyBounds(affected, joinKeys.head)
+      val version: Option[Long] =
+        if (nAffected == 0L) None // pure-rewrite churn (compaction): no keys moved
+        else {
+          val leftNow = nullSafeSemi(
+            readForKeys(spark, leftDir, Some(tick.tl), joinKeys.head, bounds),
+            affected, joinKeys)
+          val rightNow = nullSafeSemi(
+            readForKeys(spark, rightDir, Some(tick.tr), joinKeys.head, bounds),
+            affected, joinKeys)
+          // USING-style join: key columns appear once (coalesced for
+          // full outer), the unmatched side's value columns are null
+          val recomputed = leftNow.join(rightNow, joinKeys, jt)
+          val valueCols = recomputed.columns.toSeq
+          val fresh = recomputed.groupBy(valueCols.map(col): _*)
+            .agg(count(lit(1)).as("__n"))
+            .withColumn("__op", lit("u")).withColumn("__seq", lit(1L))
+          val viewExists = Snapshots.latestVersion(spark, viewDir).isDefined
+          val stale =
+            if (!viewExists) fresh.limit(0)
+            else nullSafeSemi(
+              readForKeys(spark, viewDir, None, joinKeys.head, bounds),
+              affected, joinKeys)
+              .withColumn("__op", lit("d")).withColumn("__seq", lit(0L))
+          val changes = stale.unionByName(fresh)
+          // keys = the full value tuple (the Z-set identity); __n is the
+          // value a same-tuple upsert replaces; file pruning AND file
+          // clustering on the first join key — the merge range-partitions
+          // its rewrite so view files keep tight, tiling key ranges, and
+          // the next tick's CoW rewrites only the files its keys land in
+          if (changes.isEmpty) None // churned keys join nothing, before and after
+          else Snapshots.mergeStreamBatch(changes, viewDir, tick.t,
+            keyCols = valueCols, opCol = "__op", seqCol = "__seq",
+            pruneCol = Some(joinKeys.head), clusterBy = Some(joinKeys.head))
+        }
 
-    val version: Option[Long] =
-      if (affected.isEmpty) None // pure-rewrite churn (compaction): no keys moved
-      else {
-        val leftNow = Snapshots.read(spark, leftDir, Some(tick.tl))
-          .join(affected, joinKeys, "left_semi")
-        val rightNow = Snapshots.read(spark, rightDir, Some(tick.tr))
-          .join(affected, joinKeys, "left_semi")
-        val recomputed = leftNow.join(rightNow, joinKeys)
-        val valueCols = recomputed.columns.toSeq
-        val fresh = recomputed.groupBy(valueCols.map(col): _*)
-          .agg(count(lit(1)).as("__n"))
-          .withColumn("__op", lit("u")).withColumn("__seq", lit(1L))
-        val viewExists = Snapshots.latestVersion(spark, viewDir).isDefined
-        val stale =
-          if (!viewExists) fresh.limit(0)
-          else Snapshots.read(spark, viewDir)
-            .join(affected, joinKeys, "left_semi")
-            .withColumn("__op", lit("d")).withColumn("__seq", lit(0L))
-        val changes = stale.unionByName(fresh)
-        // keys = the full value tuple (the Z-set identity); __n is the
-        // value a same-tuple upsert replaces; file pruning AND file
-        // clustering on the first join key — the merge range-partitions
-        // its rewrite so view files keep tight, tiling key ranges, and
-        // the next tick's CoW rewrites only the files its keys land in
-        if (changes.isEmpty) None // churned keys join nothing, before and after
-        else Snapshots.mergeStreamBatch(changes, viewDir, tick.t,
-          keyCols = valueCols, opCol = "__op", seqCol = "__seq",
-          pruneCol = Some(joinKeys.head), clusterBy = Some(joinKeys.head))
-      }
+      writeMarker(f, root, tick.copy(kind = "processed"))
+      // intents at or below the new watermark are spent
+      markers(f, root).filter(m => m.kind == "intent" && m.t <= tick.t)
+        .foreach { m =>
+          val name = f"intent-T${m.t}%06d-FL${m.fl}-FR${m.fr}-TL${m.tl}-TR${m.tr}"
+          f.delete(new Path(root, name), false)
+        }
+      version
+    } finally affected.unpersist()
+  }
 
-    writeMarker(f, root, tick.copy(kind = "processed"))
-    // intents at or below the new watermark are spent
-    markers(f, root).filter(m => m.kind == "intent" && m.t <= tick.t)
-      .foreach { m =>
-        val name = f"intent-T${m.t}%06d-FL${m.fl}-FR${m.fr}-TL${m.tl}-TR${m.tr}"
-        f.delete(new Path(root, name), false)
-      }
-    version
+  private val AggMarkerRe = raw"(intent|processed)-F(-?\d+)-T(-?\d+)".r
+  private case class AggTick(kind: String, from: Long, to: Long)
+
+  private def aggMarkers(f: FileSystem, root: Path): Seq[AggTick] =
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).map(_.getPath.getName).toSeq.collect {
+      case AggMarkerRe(k, fr, to) => AggTick(k, fr.toLong, to.toLong)
+      // pre-round-9 state wrote one `processed-v%012d` per folded
+      // version — read it as a watermark so existing views upgrade
+      // in place
+      case v if v.matches("processed-v\\d{12}") =>
+        AggTick("processed", -1L, v.stripPrefix("processed-v").toLong)
+    }
+
+  private def writeAggMarker(f: FileSystem, root: Path, t: AggTick): Unit = {
+    f.mkdirs(root)
+    f.create(new Path(root, s"${t.kind}-F${t.from}-T${t.to}"), true).close()
   }
 
   /** Incrementally-maintained GROUP BY view over ONE snapshot table:
     * `viewDir` holds per-group `sum_<c>` (exact decimal accumulators),
     * `__cnt`, and optionally `min_<c>`/`max_<c>`, current as of the
-    * source's latest version. Built on [[Snapshots.consumeChanges]],
-    * so each source version is folded in exactly once (write-ahead
-    * marker + the view manifest's batch fence).
+    * source's latest version.
+    *
+    * Each call processes ONE tick covering EVERY source version
+    * committed since the previous tick — a consumer that fell N
+    * versions behind catches up with a single diff(done → latest),
+    * one delta fold, and one merge, not N of each. Exactly-once via
+    * the same pinned write-ahead intent as [[refreshJoin]] plus the
+    * view manifest's batch fence (`batchId` = the tick's target
+    * version).
     *
     * Sums and counts are maintained PURELY from the change feed —
     * inserts add, deletes subtract, no source rescan ever; decimal
     * accumulation makes the fold exact and order-independent, so the
     * maintained totals equal a from-scratch aggregation bit for bit.
-    * Min/max cannot be folded under deletes, so when `minMaxCols` is
-    * set the affected GROUPS (only) are re-scanned from the source
-    * as-of the consumed version — still O(churned groups), never
-    * O(table). A group whose count reaches zero leaves the view.
-    * Groups with NULL keys aggregate like SQL GROUP BY (null-safe
-    * joins throughout). Returns the source versions folded this call. */
+    * Min/max fold from the delta alone for groups the tick only
+    * INSERTED into (monotone); only groups that saw a delete are
+    * re-scanned from the source as-of the consumed version — and that
+    * rescan opens only the files whose stats range can hold those
+    * groups. Still O(churned groups), never O(table); an append-only
+    * tick does zero source re-reads. A group whose count reaches zero
+    * leaves the view. Groups with NULL keys aggregate like SQL GROUP
+    * BY (null-safe joins throughout; pruning stands down when a null
+    * group is affected). Returns the source versions folded this
+    * call. */
   def refreshAgg(spark: SparkSession, srcDir: String, viewDir: String,
                  groupKeys: Seq[String], sumCols: Seq[String],
                  sumScale: Int = 6,
                  minMaxCols: Seq[String] = Nil): Seq[Long] = {
     require(groupKeys.nonEmpty, "refreshAgg needs at least one group key")
-    val stateDir = s"${viewDir.stripSuffix("/")}/_agg_state"
-    Snapshots.consumeChanges(spark, srcDir, stateDir) { (changes, v) =>
-      applyAggDelta(spark, srcDir, viewDir, groupKeys, sumCols, sumScale,
-        minMaxCols, changes, v)
+    val root = new Path(s"${viewDir.stripSuffix("/")}/_agg_state")
+    val f = fs(spark, viewDir)
+    val ms = aggMarkers(f, root)
+    val processed = ms.filter(_.kind == "processed")
+    val done = if (processed.isEmpty) -1L else processed.map(_.to).max
+    val pendingIntent = ms.filter(m => m.kind == "intent" && m.to > done)
+      .sortBy(_.to).headOption
+
+    val tick = pendingIntent match {
+      case Some(p) => p // replay the pinned tick
+      case None =>
+        val latest = Snapshots.latestVersion(spark, srcDir).getOrElse(return Nil)
+        if (latest <= done) return Nil // already current
+        val t = AggTick("intent", done, latest)
+        writeAggMarker(f, root, t)
+        t
     }
+
+    // ONE delta covering every pending version, pinned for replay
+    val changes =
+      if (tick.from < 0L)
+        Snapshots.read(spark, srcDir, Some(tick.to))
+          .withColumn("__change", lit("insert"))
+      else Snapshots.diff(spark, srcDir, tick.from, tick.to)
+    applyAggDelta(spark, srcDir, viewDir, groupKeys, sumCols, sumScale,
+      minMaxCols, changes, tick.to)
+
+    writeAggMarker(f, root, tick.copy(kind = "processed"))
+    // spent markers: intents at or below the watermark, older processed
+    f.listStatus(root).map(_.getPath).filter { p =>
+      p.getName match {
+        case AggMarkerRe("intent", _, to) => to.toLong <= tick.to
+        case AggMarkerRe("processed", _, to) => to.toLong < tick.to
+        case n if n.matches("processed-v\\d{12}") =>
+          n.stripPrefix("processed-v").toLong < tick.to
+        case _ => false
+      }
+    }.foreach(f.delete(_, false))
+    ((tick.from + 1) to tick.to)
   }
 
   private def applyAggDelta(spark: SparkSession, srcDir: String,
                             viewDir: String, groupKeys: Seq[String],
                             sumCols: Seq[String], sumScale: Int,
-                            minMaxCols: Seq[String], changes: DataFrame,
+                            minMaxCols: Seq[String], changes0: DataFrame,
                             v: Long): Unit = {
     val dec = s"decimal(30,$sumScale)"
-    val sign = when(col("__change") === lit("insert"), lit(1)).otherwise(lit(-1))
-    val dAggs = sumCols.map(c =>
-      sum(sign * col(c).cast(dec)).cast(dec).as(s"__d_$c")) :+
-      sum(sign.cast("long")).as("__d_cnt")
-    val delta = changes.groupBy(groupKeys.map(col): _*)
-      .agg(dAggs.head, dAggs.tail: _*)
-    val affKeys = delta.select(groupKeys.map(col): _*).distinct()
-    def nullSafeOn(a: String, b: String) =
-      groupKeys.map(k => col(s"$a.$k") <=> col(s"$b.$k")).reduce(_ && _)
+    val changes = changes0.persist()
+    try {
+      val sign = when(col("__change") === lit("insert"), lit(1)).otherwise(lit(-1))
+      val dAggs = (sumCols.map(c =>
+        sum(sign * col(c).cast(dec)).cast(dec).as(s"__d_$c")) :+
+        sum(sign.cast("long")).as("__d_cnt")) ++
+        // per-group min/max over the tick's INSERTS (null when the
+        // group saw only deletes) + a delete flag: inserts fold into
+        // min/max monotonically, deletes force the group's rescan
+        minMaxCols.flatMap(c => Seq(
+          min(when(col("__change") === "insert", col(c))).as(s"__i_min_$c"),
+          max(when(col("__change") === "insert", col(c))).as(s"__i_max_$c"))) :+
+        max(when(col("__change") === "delete", lit(1)).otherwise(lit(0)))
+          .as("__has_del")
+      val delta = changes.groupBy(groupKeys.map(col): _*)
+        .agg(dAggs.head, dAggs.tail: _*)
+      val affKeys = delta.select(groupKeys.map(col): _*).persist()
+      def nullSafeOn(a: String, b: String) =
+        groupKeys.map(k => col(s"$a.$k") <=> col(s"$b.$k")).reduce(_ && _)
 
-    val viewExists = Snapshots.latestVersion(spark, viewDir).isDefined
-    val viewCols = groupKeys ++ sumCols.map(c => s"sum_$c") ++ Seq("__cnt") ++
-      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
-    val oldAff =
-      if (!viewExists)
-        // shape an empty frame with the view's schema (typed nulls)
-        delta.limit(0).select(
-          (groupKeys.map(col) ++
-            sumCols.map(c => lit(null).cast(dec).as(s"sum_$c")) :+
-            lit(null).cast("long").as("__cnt")) ++
+      val viewExists = Snapshots.latestVersion(spark, viewDir).isDefined
+      val viewCols = groupKeys ++ sumCols.map(c => s"sum_$c") ++ Seq("__cnt") ++
+        minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+      val (_, bounds) = keyBounds(affKeys, groupKeys.head)
+      val oldAff =
+        if (!viewExists)
+          // shape an empty frame with the view's schema (typed nulls)
+          delta.limit(0).select(
+            (groupKeys.map(col) ++
+              sumCols.map(c => lit(null).cast(dec).as(s"sum_$c")) :+
+              lit(null).cast("long").as("__cnt")) ++
+              minMaxCols.flatMap(c => Seq(
+                lit(null).cast(changes.schema(c).dataType).as(s"min_$c"),
+                lit(null).cast(changes.schema(c).dataType).as(s"max_$c"))): _*)
+        else readForKeys(spark, viewDir, None, groupKeys.head, bounds).as("vw")
+          .join(affKeys.as("ak"), nullSafeOn("vw", "ak"), "left_semi")
+
+      val folded = oldAff.as("o").join(delta.as("d"),
+          nullSafeOn("o", "d"), "full_outer")
+        .select(
+          (groupKeys.map(k => coalesce(col(s"o.$k"), col(s"d.$k")).as(k)) ++
+            sumCols.map(c =>
+              (coalesce(col(s"o.sum_$c"), lit(0).cast(dec)) +
+                coalesce(col(s"d.__d_$c"), lit(0).cast(dec)))
+                .cast(dec).as(s"sum_$c")) :+
+            (coalesce(col("o.__cnt"), lit(0L)) +
+              coalesce(col("d.__d_cnt"), lit(0L))).as("__cnt")) ++
+            // carried for the insert-only fold below; null-safe:
+            // least/greatest skip nulls (new group → delta value)
             minMaxCols.flatMap(c => Seq(
-              lit(null).cast(changes.schema(c).dataType).as(s"min_$c"),
-              lit(null).cast(changes.schema(c).dataType).as(s"max_$c"))): _*)
-      else Snapshots.read(spark, viewDir).as("vw")
-        .join(affKeys.as("ak"), nullSafeOn("vw", "ak"), "left_semi")
+              least(col(s"o.min_$c"), col(s"d.__i_min_$c")).as(s"__f_min_$c"),
+              greatest(col(s"o.max_$c"), col(s"d.__i_max_$c")).as(s"__f_max_$c")
+            )) :+
+            coalesce(col("d.__has_del"), lit(0)).as("__has_del"): _*)
 
-    val folded = oldAff.as("o").join(delta.as("d"),
-        nullSafeOn("o", "d"), "full_outer")
-      .select(
-        (groupKeys.map(k => coalesce(col(s"o.$k"), col(s"d.$k")).as(k)) ++
-          sumCols.map(c =>
-            (coalesce(col(s"o.sum_$c"), lit(0).cast(dec)) +
-              coalesce(col(s"d.__d_$c"), lit(0).cast(dec)))
-              .cast(dec).as(s"sum_$c")) :+
-          (coalesce(col("o.__cnt"), lit(0L)) +
-            coalesce(col("d.__d_cnt"), lit(0L))).as("__cnt")): _*)
+      val withMm =
+        if (minMaxCols.isEmpty) folded
+        else {
+          // min/max are not delta-foldable under deletes: re-scan just
+          // the groups a DELETE touched, from the source AS-OF the
+          // consumed version (pinned — a replay sees identical data),
+          // opening only the files whose stats can hold those groups.
+          // Insert-only groups keep the monotone fold from above —
+          // an append-only tick does ZERO source re-reads.
+          val delKeys = delta.filter(col("__has_del") === 1)
+            .select(groupKeys.map(col): _*)
+          val (nDel, delBounds) = keyBounds(delKeys, groupKeys.head)
+          val mm =
+            if (nDel == 0L) {
+              // build an empty, correctly-typed frame without
+              // touching the source
+              val empty = minMaxCols.flatMap(c => Seq(
+                lit(null).cast(changes.schema(c).dataType).as(s"min_$c"),
+                lit(null).cast(changes.schema(c).dataType).as(s"max_$c")))
+              delta.limit(0).select(groupKeys.map(col) ++ empty: _*)
+            } else {
+              val srcAff = readForKeys(spark, srcDir, Some(v),
+                  groupKeys.head, delBounds).as("s")
+                .join(delKeys.as("ak2"), nullSafeOn("s", "ak2"), "left_semi")
+              val mmAggs = minMaxCols.flatMap(c =>
+                Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+              srcAff.groupBy(groupKeys.map(col): _*)
+                .agg(mmAggs.head, mmAggs.tail: _*)
+            }
+          folded.as("f").join(mm.as("m"), nullSafeOn("f", "m"), "left_outer")
+            .select((groupKeys ++ sumCols.map(c => s"sum_$c") :+ "__cnt")
+              .map(c => col(s"f.$c")) ++
+              minMaxCols.flatMap(c => Seq(
+                when(col("f.__has_del") === 1, col(s"m.min_$c"))
+                  .otherwise(col(s"f.__f_min_$c")).as(s"min_$c"),
+                when(col("f.__has_del") === 1, col(s"m.max_$c"))
+                  .otherwise(col(s"f.__f_max_$c")).as(s"max_$c"))): _*)
+        }
 
-    val withMm =
-      if (minMaxCols.isEmpty) folded
-      else {
-        // min/max are not delta-foldable under deletes: re-scan just
-        // the affected groups from the source AS-OF the consumed
-        // version (pinned — a replay sees identical data)
-        val srcAff = Snapshots.read(spark, srcDir, Some(v)).as("s")
-          .join(affKeys.as("ak2"), nullSafeOn("s", "ak2"), "left_semi")
-        val mmAggs = minMaxCols.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        val mm = srcAff.groupBy(groupKeys.map(col): _*)
-          .agg(mmAggs.head, mmAggs.tail: _*)
-        folded.as("f").join(mm.as("m"), nullSafeOn("f", "m"), "left_outer")
-          .select((groupKeys ++ sumCols.map(c => s"sum_$c") :+ "__cnt")
-            .map(c => col(s"f.$c")) ++
-            minMaxCols.flatMap(c =>
-              Seq(col(s"m.min_$c"), col(s"m.max_$c"))): _*)
-      }
-
-    val out = withMm
-      .withColumn("__op", when(col("__cnt") === 0L, lit("d")).otherwise(lit("u")))
-      .withColumn("__seq", lit(v))
-      .select((viewCols :+ "__op" :+ "__seq").map(col): _*)
-    Snapshots.mergeStreamBatch(out, viewDir, v,
-      keyCols = groupKeys, opCol = "__op", seqCol = "__seq",
-      pruneCol = Some(groupKeys.head), clusterBy = Some(groupKeys.head))
-    ()
+      val out = withMm
+        .withColumn("__op", when(col("__cnt") === 0L, lit("d")).otherwise(lit("u")))
+        .withColumn("__seq", lit(v))
+        .select((viewCols :+ "__op" :+ "__seq").map(col): _*)
+      Snapshots.mergeStreamBatch(out, viewDir, v,
+        keyCols = groupKeys, opCol = "__op", seqCol = "__seq",
+        pruneCol = Some(groupKeys.head), clusterBy = Some(groupKeys.head))
+      affKeys.unpersist()
+      ()
+    } finally changes.unpersist()
   }
 
   /** The view with multiplicities expanded back into duplicate rows —
-    * exactly `left JOIN right USING (joinKeys)` as a plain DataFrame.
-    * `__n` is bounded by the product of the inputs' per-key duplicate
-    * counts; `array_repeat` expands it executor-side, no driver
-    * round-trip. */
+    * exactly `left <type> JOIN right USING (joinKeys)` as a plain
+    * DataFrame. `__n` is bounded by the product of the inputs' per-key
+    * duplicate counts; `array_repeat` expands it executor-side, no
+    * driver round-trip. */
   def readExpanded(spark: SparkSession, viewDir: String): DataFrame = {
     val v = Snapshots.read(spark, viewDir)
     val dataCols = v.columns.filterNot(_ == "__n")

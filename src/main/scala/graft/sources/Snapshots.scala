@@ -765,8 +765,9 @@ object Snapshots {
     val keep = m.filter(cond)
       .select("path").collect().map(_.getString(0)).toSeq
     if (keep.isEmpty)
-      // preserve the schema even when every file is pruned
-      spark.read.parquet(filesOf(spark, dir, version): _*).limit(0)
+      // preserve the schema even when every file is pruned — via
+      // read(), which also handles an EMPTIED table (zero files)
+      read(spark, dir, version).limit(0)
     else spark.read.parquet(keep: _*)
   }
 
@@ -817,8 +818,7 @@ object Snapshots {
         ColumnBridge.expression(xxhash64(p))))).reduce(_ || _)
     val keep = m.filter(bloomPass)
       .select("path").collect().map(_.getString(0)).toSeq
-    if (keep.isEmpty)
-      spark.read.parquet(filesOf(spark, dir, version): _*).limit(0)
+    if (keep.isEmpty) read(spark, dir, version).limit(0)
     else spark.read.parquet(keep: _*)
   }
 

@@ -206,26 +206,218 @@ class IncrementalViewsSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val (src, v) = (tmpDir(), tmpDir())
     Snapshots.commit(Seq(("a", 1.0)).toDF("g", "x"), src, statsCol = Some("g"))
-    Snapshots.commit(Seq(("a", 2.0)).toDF("g", "x"), src, statsCol = Some("g"))
     IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"))
+    Snapshots.commit(Seq(("a", 2.0)).toDF("g", "x"), src, statsCol = Some("g"))
+    assert(IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"))
+      == Seq(1L))
     val committed = Snapshots.latestVersion(spark, v).get
-    // crash window: the v1 fold committed but its marker did not
+    // crash window: the (0→1] tick's merge committed but its
+    // processed marker did not — restore the intent a finished tick
+    // GC'd, as a crash would leave it, and drop the processed marker
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(v), spark.sparkContext.hadoopConfiguration)
     val state = new org.apache.hadoop.fs.Path(s"$v/_agg_state")
     f.listStatus(state).map(_.getPath)
-      .filter(_.getName == "processed-v000000000001")
+      .filter(_.getName == "processed-F0-T1")
       .foreach(p => f.delete(p, false))
-    // marker regime: consumeChanges GC'd older markers, so restore v0's
-    f.create(new org.apache.hadoop.fs.Path(state,
-      "processed-v000000000000"), true).close()
+    f.create(new org.apache.hadoop.fs.Path(state, "intent-F0-T1"), true).close()
+    // a post-crash append: a naive replay that read "current latest"
+    // instead of the pinned intent would fold it with the wrong fence
+    Snapshots.commit(Seq(("a", 4.0)).toDF("g", "x"), src, statsCol = Some("g"))
     assert(IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"))
-      == Seq(1L)) // replayed...
+      == Seq(1L)) // replayed the PINNED tick...
     assert(Snapshots.latestVersion(spark, v).contains(committed)) // ...fenced
+    // the next tick folds the post-crash append normally
+    assert(IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"))
+      == Seq(2L))
     assert(canon(Snapshots.read(spark, v).select("g", "sum_x", "__cnt")) ==
       canon(Snapshots.read(spark, src).groupBy("g")
         .agg(sum(col("x").cast("decimal(30,6)")).cast("decimal(30,6)").as("sum_x"),
           count(lit(1)).as("__cnt"))))
+  }
+
+  test("agg view: a consumer N versions behind catches up in ONE tick, and pre-round-9 markers upgrade in place") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq(("a", 1.0), ("b", 5.0)).toDF("g", "x"), src,
+      statsCol = Some("g"))
+    IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"),
+      minMaxCols = Seq("x"))
+    val v0 = Snapshots.latestVersion(spark, v).get
+    // legacy state: rewrite the watermark in the pre-round-9
+    // per-version format — the reader must treat it as done=0
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(v), spark.sparkContext.hadoopConfiguration)
+    val state = new org.apache.hadoop.fs.Path(s"$v/_agg_state")
+    f.listStatus(state).foreach(p => f.delete(p.getPath, false))
+    f.create(new org.apache.hadoop.fs.Path(state,
+      "processed-v000000000000"), true).close()
+    // three source versions pile up before the next call
+    Snapshots.commit(Seq(("a", 2.0), ("c", 9.0)).toDF("g", "x"), src,
+      statsCol = Some("g"))
+    Snapshots.deleteWhere(spark, src, col("x") === 5.0)
+    Snapshots.commit(Seq(("c", 8.0)).toDF("g", "x"), src, statsCol = Some("g"))
+    // ONE call, ONE tick, ONE new view version — not three
+    assert(IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"),
+      minMaxCols = Seq("x")) == Seq(1L, 2L, 3L))
+    assert(Snapshots.latestVersion(spark, v).contains(v0 + 1))
+    assertAggCurrent(src, v)
+  }
+
+  /** Expected state for a given join type. */
+  private def recomputeAs(leftDir: String, rightDir: String,
+                          keys: Seq[String], joinType: String): DataFrame =
+    Snapshots.read(spark, leftDir)
+      .join(Snapshots.read(spark, rightDir), keys, joinType)
+
+  test("outer join views: full-join null padding stays correct through appends, updates, deletes") {
+    val s = spark; import s.implicits._
+    val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
+    // k=1 left-only, k=3 right-only, k=2 matches: the full join must
+    // hold one null-padded row for each unmatched side
+    Snapshots.commit(Seq((1L, "a1"), (2L, "a2")).toDF("k", "a"), l,
+      statsCol = Some("k"))
+    Snapshots.commit(Seq((2L, 20.0), (3L, 30.0)).toDF("k", "b"), r,
+      statsCol = Some("k"))
+    assert(IncrementalViews.refreshJoin(spark, l, r, v, Seq("k"),
+      joinType = "full").isDefined)
+    def current(): Unit =
+      assert(canon(IncrementalViews.readExpanded(spark, v)
+          .select(recomputeAs(l, r, Seq("k"), "full_outer").columns.map(col): _*)) ==
+        canon(recomputeAs(l, r, Seq("k"), "full_outer")))
+    current()
+    assert(IncrementalViews.readExpanded(spark, v)
+      .filter(col("k") === 1 && col("b").isNull).count() == 1L)
+    assert(IncrementalViews.readExpanded(spark, v)
+      .filter(col("k") === 3 && col("a").isNull).count() == 1L)
+
+    // k=3 starts matching (padding must disappear), k=2's right row
+    // leaves (padding must appear), k=4 arrives right-only — and a
+    // NULL-key left row arrives: outer semantics keep it, null-padded
+    Snapshots.commit(Seq((Some(3L), "a3"), (None: Option[Long], "an"))
+      .toDF("k", "a"), l, statsCol = Some("k"))
+    Snapshots.mergeCommit(spark, r,
+      Seq((2L, 0.0, "d", 1L), (4L, 40.0, "u", 1L)).toDF("k", "b", "op", "seq"),
+      keyCols = Seq("k"))
+    assert(IncrementalViews.refreshJoin(spark, l, r, v, Seq("k"),
+      joinType = "full").isDefined)
+    current()
+    assert(IncrementalViews.readExpanded(spark, v)
+      .filter(col("k").isNull && col("a") === "an").count() == 1L)
+    assert(IncrementalViews.readExpanded(spark, v)
+      .filter(col("k") === 3 && col("a").isNull).count() == 0L)
+
+    // left-outer view of the same inputs, maintained independently
+    val v2 = tmpDir()
+    assert(IncrementalViews.refreshJoin(spark, l, r, v2, Seq("k"),
+      joinType = "left").isDefined)
+    assert(canon(IncrementalViews.readExpanded(spark, v2)
+        .select(recomputeAs(l, r, Seq("k"), "left_outer").columns.map(col): _*)) ==
+      canon(recomputeAs(l, r, Seq("k"), "left_outer")))
+  }
+
+  /** Zero the first 200 data bytes of a parquet file, leaving the
+    * footer (at the tail) intact: schema/footer reads keep working,
+    * any attempt to read the file's ROWS fails — which is how the
+    * pruning tests below prove a file was never opened. */
+  private def corruptDataBytes(path: String): Unit = {
+    val p = path.stripPrefix("file:")
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try {
+      val n = math.min(200L, math.max(0L, raf.length() - 1000L)).toInt
+      if (n > 0) { raf.seek(4); raf.write(Array.fill[Byte](n)(0x5A)) }
+    } finally raf.close()
+  }
+
+  test("pruned refresh I/O: a tick touching one key range never opens out-of-range files") {
+    val s = spark; import s.implicits._
+    val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      // both inputs and the view tile the key space across files
+      val left = spark.range(0, 400).select(col("id").as("k"),
+        concat(lit("L"), col("id")).as("a"))
+        .repartitionByRange(8, col("k"))
+      val right = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") * 2.0).as("b")).repartitionByRange(8, col("k"))
+      Snapshots.commit(left, l, statsCol = Some("k"))
+      Snapshots.commit(right, r, statsCol = Some("k"))
+      IncrementalViews.refreshJoin(spark, l, r, v, Seq("k"))
+
+      // churn exactly one key (k=7), then CORRUPT the data bytes of
+      // every left-input and view file whose stats range cannot hold
+      // k=7: if the refresh opened any of them it would crash — it
+      // must instead prune them from all three re-reads
+      def farFiles(dir: String): Seq[String] =
+        Snapshots.manifest(spark, dir)
+          .select("path", "smin_k", "smax_k").collect().toSeq
+          .filter(row => !row.isNullAt(1) &&
+            (row.getLong(1) > 7L || row.getLong(2) < 7L))
+          .map(_.getString(0))
+      val farL = farFiles(l)
+      val farV = farFiles(v)
+      assert(farL.size >= 4, s"need tiling left files, got ${farL.size}")
+      assert(farV.size >= 2, s"need tiling view files, got ${farV.size}")
+      (farL ++ farV).foreach(corruptDataBytes)
+
+      Snapshots.commit(Seq((7L, 777.7)).toDF("k", "b"), r, statsCol = Some("k"))
+      assert(IncrementalViews.refreshJoin(spark, l, r, v, Seq("k")).isDefined)
+      // spot-check through the pruned read path (the corrupted files
+      // are still referenced by the manifest, so a full view read
+      // would now fail — which is itself proof they weren't rewritten)
+      val k7 = Snapshots.readPrunedBy(spark, v, Map("k" -> (7L, 7L)))
+        .filter(col("k") === 7)
+      assert(k7.count() == 2L) // the original b=14.0 row + b=777.7
+      assert(k7.filter(col("b") === 777.7).count() == 1L)
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
+  test("agg view: an append-only tick folds min/max from the delta — zero source re-reads") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    // v0 holds group a's global min (1.0) and max (9.0)
+    Snapshots.commit(Seq(("a", 1.0), ("a", 9.0), ("b", 5.0)).toDF("g", "x"),
+      src, statsCol = Some("g"))
+    IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"),
+      minMaxCols = Seq("x"))
+    // replace v0's data files with EMPTY (schema-only) ones: footers
+    // stay readable, rows are gone — a rescan would now lose the
+    // min/max, only the monotone delta fold can keep them
+    val v0files = Snapshots.manifest(spark, src, Some(0L))
+      .select("path").collect().map(_.getString(0))
+    val emptyDir = tmpDir() + "/empty"
+    Snapshots.read(spark, src, Some(0L)).limit(0).coalesce(1)
+      .write.parquet(emptyDir)
+    val emptyFile = new java.io.File(emptyDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    v0files.foreach { p =>
+      val target = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      java.nio.file.Files.copy(emptyFile, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // drop the local FS's checksum sidecar — it describes the old bytes
+      java.nio.file.Files.deleteIfExists(
+        target.resolveSibling("." + target.getFileName + ".crc"))
+    }
+    // append-only tick: x=4.0 is inside (1.0, 9.0) — correct min/max
+    // can only come from the carried view row
+    Snapshots.commit(Seq(("a", 4.0)).toDF("g", "x"), src, statsCol = Some("g"))
+    assert(IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"),
+      minMaxCols = Seq("x")) == Seq(1L))
+    val rowA = Snapshots.read(spark, v).filter(col("g") === "a")
+      .select("sum_x", "__cnt", "min_x", "max_x").head()
+    assert(rowA.getDecimal(0).doubleValue() == 14.0)
+    assert(rowA.getLong(1) == 3L)
+    assert(rowA.getDouble(2) == 1.0, "min lost — the tick re-scanned the source")
+    assert(rowA.getDouble(3) == 9.0, "max lost — the tick re-scanned the source")
+    // a new group in an append-only tick seeds min/max from the delta
+    Snapshots.commit(Seq(("c", 2.5)).toDF("g", "x"), src, statsCol = Some("g"))
+    assert(IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"),
+      minMaxCols = Seq("x")) == Seq(2L))
+    val rowC = Snapshots.read(spark, v).filter(col("g") === "c")
+      .select("min_x", "max_x").head()
+    assert(rowC.getDouble(0) == 2.5 && rowC.getDouble(1) == 2.5)
   }
 
   test("a tick that deletes every joining row of a key leaves a correct, smaller view") {

@@ -122,6 +122,47 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(q == qExact)
   }
 
+  test("view-maintenance TVFs: build, refresh, and read a materialized join + agg view from pure SQL") {
+    val s = spark; import s.implicits._
+    import graft.sources.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlview").toString
+    val (l, r, v, av) = (s"$root/l", s"$root/r", s"$root/v", s"$root/av")
+    Snapshots.commit(Seq((1L, "x"), (2L, "y")).toDF("k", "a"), l,
+      statsCol = Some("k"))
+    Snapshots.commit(Seq((1L, 10.0), (3L, 30.0)).toDF("k", "b"), r,
+      statsCol = Some("k"))
+    // one maintenance tick from SQL; the returned version is row 0
+    val t1 = spark.sql(
+      s"SELECT * FROM graft_view_refresh_join('$l', '$r', '$v', 'full', 'k')")
+    assert(t1.columns.toSeq == Seq("view_version"))
+    assert(!t1.head().isNullAt(0))
+    // the view read back from SQL == the Scala API == a plain full join
+    val fromSql = spark.sql(s"SELECT * FROM graft_join_view('$v')")
+    val expected = Snapshots.read(spark, l)
+      .join(Snapshots.read(spark, r), Seq("k"), "full_outer")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(fromSql) == canon(expected.select(fromSql.columns.map(col): _*)))
+    // already current: the TVF reports null, no new version
+    assert(spark.sql(
+      s"SELECT * FROM graft_view_refresh_join('$l', '$r', '$v', 'full', 'k')")
+      .head().isNullAt(0))
+
+    // aggregate view: two source versions fold in one SQL call
+    Snapshots.commit(Seq(("a", 1.5), ("b", 4.0)).toDF("g", "x"), s"$root/src",
+      statsCol = Some("g"))
+    Snapshots.commit(Seq(("a", 2.5)).toDF("g", "x"), s"$root/src",
+      statsCol = Some("g"))
+    val folded = spark.sql(
+      s"SELECT * FROM graft_view_refresh_agg('$root/src', '$av', 'g', 'x', 'x')")
+    assert(folded.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val aggRow = Snapshots.read(spark, av).filter(col("g") === "a")
+      .select("sum_x", "__cnt", "min_x", "max_x").head()
+    assert(aggRow.getDecimal(0).doubleValue() == 4.0 &&
+      aggRow.getLong(1) == 2L &&
+      aggRow.getDouble(2) == 1.5 && aggRow.getDouble(3) == 2.5)
+  }
+
   test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
     Tables.events(spark, sf("sf0.001")).createOrReplaceTempView("ev_tvf2")
     val r = spark.sql(
