@@ -103,19 +103,25 @@ object MinHashIndex {
         .filter(p => p.getName.startsWith("bands-g") ||
           p.getName.startsWith("sets-g") || p.getName == "tombstones")
         .foreach(f.delete(_, true))
+    IndexMaintenance.clearState(spark, dir) // ledgers + a stale lock
     writeBatch(dir, corpus, idCol, textCol, meta, "overwrite")
     writeMeta(spark, dir, meta)
   }
 
   /** Append an accepted batch — banding parameters come from the
-    * stored meta, existing files are never rewritten. */
+    * stored meta, existing files are never rewritten. Takes the
+    * index's single-writer lock: an append racing [[compact]] would
+    * otherwise land in the generation the compaction is about to
+    * retire and silently vanish from the index. */
   def append(
       spark: SparkSession,
       dir: String,
       batch: DataFrame,
       idCol: String,
       textCol: String): Unit =
-    writeBatch(dir, batch, idCol, textCol, readMeta(spark, dir), "append")
+    IndexMaintenance.withWriterLock(spark, dir, "MinHashIndex.append") {
+      writeBatch(dir, batch, idCol, textCol, readMeta(spark, dir), "append")
+    }
 
   /** Logically delete documents from the index: their ids append to a
     * tombstone set and [[query]] stops matching them. The banded files
@@ -198,38 +204,49 @@ object MinHashIndex {
     * and the new one after; a crash mid-compaction leaves orphan
     * next-gen directories that the retry overwrites. Tombstones
     * appended WHILE compaction runs survive (only the files listed at
-    * start are deleted). Single maintenance writer assumed, like
-    * [[graft.sources.Layout.compact]]. */
-  def compact(spark: SparkSession, dir: String, setFiles: Int = 0): Unit = {
-    val meta = readMeta(spark, dir)
-    val next = meta.copy(gen = meta.gen + 1)
-    val f = fs(spark, dir)
-    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val tombFiles =
-      if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath).toSeq
-      else Nil
-    val tomb =
-      if (tombFiles.isEmpty) None
-      else Some(spark.read.parquet(s"$dir/tombstones").select("__id").distinct())
-    val bandsIn = spark.read.parquet(bandsPath(dir, meta))
-    val setsIn = spark.read.parquet(setsPath(dir, meta))
-    val liveBands = tomb.fold(bandsIn)(t => bandsIn.join(t, Seq("__id"), "left_anti"))
-    val liveSets = tomb.fold(setsIn)(t => setsIn.join(t, Seq("__id"), "left_anti"))
-    // each band's rows hash to one shuffle partition → ~one file per band
-    liveBands.repartition(meta.bands, col("__band"))
-      .write.mode("overwrite").partitionBy("__band")
-      .parquet(bandsPath(dir, next))
-    val nSet =
-      if (setFiles > 0) setFiles
-      else math.max(1, math.ceil(liveSets.count() / 4e6).toInt)
-    liveSets.repartition(nSet)
-      .write.mode("overwrite").parquet(setsPath(dir, next))
-    writeMeta(spark, dir, next) // the flip: readers now resolve gen n+1
-    f.delete(new org.apache.hadoop.fs.Path(bandsPath(dir, meta)), true)
-    f.delete(new org.apache.hadoop.fs.Path(setsPath(dir, meta)), true)
-    tombFiles.foreach(f.delete(_, false))
-    // drop the dir itself only if nothing new appeared meanwhile
-    if (f.exists(tombPath) && f.listStatus(tombPath).isEmpty)
-      f.delete(tombPath, false)
-  }
+    * start are retired). Writers are serialized by the index lock
+    * (see [[IndexMaintenance]]); a concurrent [[append]] fails loudly
+    * instead of losing its batch into the doomed generation.
+    *
+    * The OLD generation is NOT deleted here: a query that resolved
+    * the old meta just before the flip must be able to finish its
+    * scan. The flip writes a retirement ledger instead; run
+    * [[vacuum]] once in-flight readers have drained to reclaim the
+    * space. */
+  def compact(spark: SparkSession, dir: String, setFiles: Int = 0): Unit =
+    IndexMaintenance.withWriterLock(spark, dir, "MinHashIndex.compact") {
+      val meta = readMeta(spark, dir)
+      val next = meta.copy(gen = meta.gen + 1)
+      val f = fs(spark, dir)
+      val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      val tombFiles =
+        if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath).toSeq
+        else Nil
+      val tomb =
+        if (tombFiles.isEmpty) None
+        else Some(spark.read.parquet(s"$dir/tombstones").select("__id").distinct())
+      val bandsIn = spark.read.parquet(bandsPath(dir, meta))
+      val setsIn = spark.read.parquet(setsPath(dir, meta))
+      val liveBands = tomb.fold(bandsIn)(t => bandsIn.join(t, Seq("__id"), "left_anti"))
+      val liveSets = tomb.fold(setsIn)(t => setsIn.join(t, Seq("__id"), "left_anti"))
+      // each band's rows hash to one shuffle partition → ~one file per band
+      liveBands.repartition(meta.bands, col("__band"))
+        .write.mode("overwrite").partitionBy("__band")
+        .parquet(bandsPath(dir, next))
+      val nSet =
+        if (setFiles > 0) setFiles
+        else math.max(1, math.ceil(liveSets.count() / 4e6).toInt)
+      liveSets.repartition(nSet)
+        .write.mode("overwrite").parquet(setsPath(dir, next))
+      writeMeta(spark, dir, next) // the flip: readers now resolve gen n+1
+      IndexMaintenance.recordRetired(spark, dir, s"g${meta.gen}",
+        Seq(bandsPath(dir, meta), setsPath(dir, meta)) ++
+          tombFiles.map(_.toString))
+    }
+
+  /** Reclaim the directories and applied tombstone files retired by
+    * past [[compact]] runs — call once queries that started before the
+    * generation flip have drained. Idempotent. */
+  def vacuum(spark: SparkSession, dir: String): Int =
+    IndexMaintenance.vacuum(spark, dir)
 }

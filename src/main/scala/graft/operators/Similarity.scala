@@ -270,6 +270,7 @@ object Similarity {
         .filter(p => p.getName.startsWith("cells-g") ||
           p.getName == "tombstones" || p.getName == "_graft_ivf_meta.json")
         .foreach(f.delete(_, true))
+    IndexMaintenance.clearState(spark, path) // ledgers + a stale lock
     corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
       .withColumn("cell", bestCell(centroids, col("vec")))
@@ -283,36 +284,45 @@ object Similarity {
 
   /** Compact a stored IVF index into the next storage generation:
     * per-append cell files merge to ~one per cell and tombstones are
-    * applied PHYSICALLY (then dropped — the probe-time anti-join
-    * re-bounds at zero). Publish-then-point like
-    * [[graft.operators.MinHashIndex.compact]]: the meta pointer flips
-    * only after the full rewrite lands; a crash mid-compaction leaves
-    * orphan next-gen dirs the retry overwrites. Single maintenance
-    * writer assumed. */
+    * applied PHYSICALLY (the probe-time anti-join re-bounds at zero).
+    * Publish-then-point like [[graft.operators.MinHashIndex.compact]]:
+    * the meta pointer flips only after the full rewrite lands; a
+    * crash mid-compaction leaves orphan next-gen dirs the retry
+    * overwrites. Writers are serialized by the index lock — a
+    * concurrent [[ivfAppend]] fails loudly instead of losing its
+    * batch into the doomed generation. The old generation and applied
+    * tombstone files are NOT deleted here (in-flight readers of the
+    * old meta keep their files); they land in a retirement ledger for
+    * [[ivfVacuum]] to reclaim once those readers drain. */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
-                 path: String): Unit = {
-    val gen = ivfGen(spark, path)
-    val f = ivfFs(spark, path)
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val tombFiles =
-      if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath).toSeq
-      else Nil
-    val cellsIn = spark.read.parquet(ivfCellsPath(path, gen))
-    val live =
-      if (tombFiles.isEmpty) cellsIn
-      else cellsIn.join(
-        spark.read.parquet(s"$path/tombstones").select("neighbor_id"),
-        Seq("neighbor_id"), "left_anti")
-    val nCells = ivfReadCentroids(spark, path).length
-    live.repartition(nCells, col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(ivfCellsPath(path, gen + 1))
-    writeIvfGen(spark, path, gen + 1) // the flip
-    f.delete(new org.apache.hadoop.fs.Path(ivfCellsPath(path, gen)), true)
-    tombFiles.foreach(f.delete(_, false))
-    if (f.exists(tombPath) && f.listStatus(tombPath).isEmpty)
-      f.delete(tombPath, false)
-  }
+                 path: String): Unit =
+    IndexMaintenance.withWriterLock(spark, path, "Similarity.ivfCompact") {
+      val gen = ivfGen(spark, path)
+      val f = ivfFs(spark, path)
+      val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      val tombFiles =
+        if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath).toSeq
+        else Nil
+      val cellsIn = spark.read.parquet(ivfCellsPath(path, gen))
+      val live =
+        if (tombFiles.isEmpty) cellsIn
+        else cellsIn.join(
+          spark.read.parquet(s"$path/tombstones").select("neighbor_id"),
+          Seq("neighbor_id"), "left_anti")
+      val nCells = ivfReadCentroids(spark, path).length
+      live.repartition(nCells, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(ivfCellsPath(path, gen + 1))
+      writeIvfGen(spark, path, gen + 1) // the flip
+      IndexMaintenance.recordRetired(spark, path, s"g$gen",
+        ivfCellsPath(path, gen) +: tombFiles.map(_.toString))
+    }
+
+  /** Reclaim directories and tombstone files retired by past
+    * [[ivfCompact]] runs — call once queries that started before the
+    * generation flip have drained. Idempotent. */
+  def ivfVacuum(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    IndexMaintenance.vacuum(spark, path)
 
   def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): Array[(Long, Array[Float])] =
@@ -335,14 +345,17 @@ object Similarity {
       batch: DataFrame,
       idCol: String,
       vecCol: String,
-      path: String): Unit = {
-    val centroids = ivfReadCentroids(spark, path)
-    batch
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
-      .withColumn("cell", bestCell(centroids, col("vec")))
-      .write.partitionBy("cell").mode("append")
-      .parquet(ivfCellsPath(path, ivfGen(spark, path)))
-  }
+      path: String): Unit =
+    // single-writer lock: an append racing [[ivfCompact]] would land
+    // in the generation the compaction is about to retire
+    IndexMaintenance.withWriterLock(spark, path, "Similarity.ivfAppend") {
+      val centroids = ivfReadCentroids(spark, path)
+      batch
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+        .withColumn("cell", bestCell(centroids, col("vec")))
+        .write.partitionBy("cell").mode("append")
+        .parquet(ivfCellsPath(path, ivfGen(spark, path)))
+    }
 
   /** Logically delete vectors from a stored IVF index (the
     * [[graft.operators.MinHashIndex.tombstone]] pattern): queries

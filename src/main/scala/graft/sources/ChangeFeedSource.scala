@@ -110,13 +110,26 @@ private[sources] class ChangeFeedStream(spark: SparkSession, dir: String,
     * and it's rewritten in [[getBatch]] before the batch runs. */
   private var cursor: Long = {
     val p = cursorPath
-    if (p.exists(f => fsys.exists(f)))
-      try {
-        val in = fsys.open(p.get)
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong
-        finally in.close()
-      } catch { case _: Exception => startAfter }
-    else startAfter
+    if (p.exists(f => fsys.exists(f))) {
+      // a cursor file that EXISTS but cannot be read/parsed must fail
+      // loudly: silently regressing to startAfter is exactly the
+      // stale-LOW state described above — with maxVersionsPerTrigger
+      // set, getOffset could then answer behind the engine's committed
+      // offset and re-emit already-delivered versions (duplicates to
+      // any non-fenced sink). The file is tiny and rewritten wholesale
+      // on every batch, so corruption means something is genuinely
+      // wrong with the checkpoint volume; surface it.
+      val in = fsys.open(p.get)
+      val raw = try new String(in.readAllBytes(), "UTF-8").trim
+                finally in.close()
+      try raw.toLong catch {
+        case e: NumberFormatException => throw new IllegalStateException(
+          s"corrupt graft-changes cursor at ${p.get}: '$raw' — refusing " +
+            "to regress the admission watermark; inspect the checkpoint " +
+            "or delete the file to rebuild it from the engine's offset log",
+          e)
+      }
+    } else startAfter
   }
 
   private def fsys =

@@ -906,9 +906,16 @@ object Snapshots {
       if (files.isEmpty) template
       else {
         val df = spark.read.parquet(files: _*)
+        // align EVERY column to the template's type, not just add the
+        // missing ones: under a type-widening schema evolution
+        // (int→bigint) the churned files straddle both types, and the
+        // exceptAll/unionByName below would fail on the mismatch
         template.schema.foldLeft(df) { (d, f) =>
-          if (d.columns.contains(f.name)) d
-          else d.withColumn(f.name, lit(null).cast(f.dataType))
+          if (!d.columns.contains(f.name))
+            d.withColumn(f.name, lit(null).cast(f.dataType))
+          else if (d.schema(f.name).dataType != f.dataType)
+            d.withColumn(f.name, col(f.name).cast(f.dataType))
+          else d
         }.select(template.columns.map(col): _*)
       }
     val a = side(added)

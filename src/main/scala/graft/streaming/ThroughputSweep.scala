@@ -40,13 +40,14 @@ object ThroughputSweep {
         s"""{"target":${l.target},"achieved_msgs_per_s":${math.round(l.achievedPerS)},""" +
           s""""p50_ms":${l.p50Ms},"p95_ms":${l.p95Ms},"p99_ms":${l.p99Ms},"samples":${l.samples}}"""
       }.mkString("[", ",", "]")
-      if (errors.isEmpty) ls
-      else {
-        val es = errors.map { case (t, m) =>
-          "\"" + t + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
-        }.mkString("{", ",", "}")
-        s"""{"levels":$ls,"errors":$es}"""
-      }
+      // one STABLE shape whatever the error state: always the
+      // {levels, errors} object (errors possibly empty) — a consumer
+      // written against the happy path must not break the first time
+      // a level stalls
+      val es = errors.map { case (t, m) =>
+        "\"" + t + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+      }.mkString("{", ",", "}")
+      s"""{"levels":$ls,"errors":$es}"""
     }
     /** Tiny `{target:[achieved,p95_ms]}` block for the driver's
       * bounded-tail bench line. */

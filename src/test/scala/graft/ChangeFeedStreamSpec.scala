@@ -129,6 +129,37 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"restart must continue one version per trigger: $batches")
   }
 
+  test("a corrupt admission cursor fails loudly instead of regressing the watermark") {
+    val src = tmpDir(); val ckpt = tmpDir("graft_cfs_ckpt")
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), src)
+    Snapshots.commit(Seq((2L, "b")).toDF("k", "v"), src)
+    def start() = spark.readStream.format("graft-changes")
+      .option("dir", src).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // trash the durable cursor: a silent fallback to startAfter would
+    // answer getOffset BEHIND the engine's committed offset and
+    // re-emit delivered versions to any non-fenced sink
+    val cursorFile = new java.io.File(s"$ckpt/sources/0/graft-cursor")
+    assert(cursorFile.exists, s"expected a durable cursor at $cursorFile")
+    java.nio.file.Files.writeString(cursorFile.toPath, "not-a-number")
+    // drop the checksum sidecar so the READ succeeds and the PARSE
+    // fails — the case under test (a crc mismatch already fails loudly
+    // on its own)
+    java.nio.file.Files.deleteIfExists(
+      cursorFile.toPath.resolveSibling(".graft-cursor.crc"))
+    val e = intercept[Exception] { val q = start()
+      try q.processAllAvailable() finally q.stop() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("corrupt graft-changes cursor"),
+      s"expected the loud cursor error, got: $msgs")
+  }
+
   test("a stream fallen past the expiry horizon fails loudly, not silently") {
     val src = tmpDir(); val ckpt = tmpDir("graft_cfs_ckpt")
     val s = spark

@@ -142,6 +142,8 @@ class MinHashIndexSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val filesBefore = bandFiles()
 
+      val oldGenBands = MinHashIndex.bandsPath(dir,
+        MinHashIndex.readMeta(spark, dir))
       MinHashIndex.compact(spark, dir)
 
       assert(MinHashIndex.readMeta(spark, dir).gen == 1)
@@ -152,6 +154,15 @@ class MinHashIndexSpec extends SparkSpec {
       val filesAfter = bandFiles()
       assert(filesAfter < filesBefore && filesAfter <= 16,
         s"band files should merge: $filesBefore -> $filesAfter")
+      // grace window: the retired generation survives the flip — an
+      // in-flight reader that resolved the old meta can finish its
+      // scan; only vacuum() reclaims it
+      assert(new java.io.File(oldGenBands).exists,
+        "the old generation must outlive the flip until vacuum")
+      assert(MinHashIndex.vacuum(spark, dir) > 0)
+      assert(!new java.io.File(oldGenBands).exists,
+        "vacuum must reclaim the retired generation")
+      assert(MinHashIndex.vacuum(spark, dir) == 0) // idempotent
       // tombstones applied PHYSICALLY: the marker files are gone, yet
       // an exact copy of a tombstoned doc still finds no veto
       assert(!new java.io.File(s"$dir/tombstones").exists ||
@@ -165,6 +176,17 @@ class MinHashIndexSpec extends SparkSpec {
       // appends keep working after the generation flip
       MinHashIndex.append(spark, dir, fresh.limit(5), "doc_id", "text")
       assert(MinHashIndex.bandScan(spark, dir, 0).count() > 0)
+      // the single-writer lock: with a compaction's lock in place an
+      // append fails LOUDLY instead of losing its batch into the
+      // generation the compaction is about to retire
+      val lock = new java.io.File(s"$dir/_graft_maintenance.lock")
+      assert(lock.createNewFile())
+      val e = intercept[IllegalStateException] {
+        MinHashIndex.append(spark, dir, fresh.limit(1), "doc_id", "text")
+      }
+      assert(e.getMessage.contains("maintenance writer"))
+      assert(lock.delete())
+      MinHashIndex.append(spark, dir, fresh.limit(1), "doc_id", "text")
     } finally rmrf(new java.io.File(dir).getParentFile)
   }
 

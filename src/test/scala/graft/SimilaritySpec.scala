@@ -175,6 +175,7 @@ class SimilaritySpec extends SparkSpec {
         .count(_.getName.endsWith(".parquet"))
     }
     val filesBefore = cellFiles()
+    val oldGenCells = Similarity.ivfCellsPath(idx, 0)
     Similarity.ivfCompact(spark, idx)
     assert(Similarity.ivfGen(spark, idx) == 1)
     val afterCompact = Similarity.ivfTopKIndexed(spark, queries,
@@ -184,11 +185,26 @@ class SimilaritySpec extends SparkSpec {
       "compaction must not change query results")
     assert(cellFiles() < filesBefore,
       s"cell files should merge: $filesBefore -> ${cellFiles()}")
-    assert(!new java.io.File(s"$idx/tombstones").exists,
-      "applied tombstones must be dropped")
-    // erased ids stay gone even with the tombstone set cleared
+    // erased ids stay gone (this reader's plan still anti-joins the
+    // applied tombstones — it must DRAIN before vacuum reclaims them)
     assert(afterCompact.filter(col("neighbor_id").isin(10L, 12L, 14L))
       .count() == 0, "tombstoned vectors must be physically gone")
+    // grace window: the retired generation outlives the flip for
+    // readers that resolved the old meta; vacuum reclaims it
+    assert(new java.io.File(oldGenCells).exists,
+      "the old generation must outlive the flip until vacuum")
+    assert(Similarity.ivfVacuum(spark, idx) > 0)
+    assert(!new java.io.File(oldGenCells).exists,
+      "vacuum must reclaim the retired generation")
+    assert(!new java.io.File(s"$idx/tombstones").exists,
+      "applied tombstones must be dropped by vacuum")
+    // a FRESH query after vacuum: erased ids stay gone with the
+    // tombstone set physically cleared
+    val afterVacuum = Similarity.ivfTopKIndexed(spark, queries,
+      "vec_id", "embedding", k = 5, path = idx, nProbe = 4)
+    assert(afterVacuum.collect().map(_.toSeq).toSet ===
+      inMem.collect().map(_.toSeq).toSet,
+      "post-vacuum queries must be unchanged")
     // appends keep working after the flip
     Similarity.ivfAppend(spark,
       spark.createDataFrame(Seq((9000001L, Array.fill(64)(0.1f))))

@@ -489,6 +489,28 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.9)
   }
 
+  test("diff across a type-widening evolution casts both sides to the merged schema") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    // v0 writes id as INT; v1 is a full rewrite to BIGINT (the
+    // type-widening migration shape). diff's template follows the
+    // TARGET version (all bigint), and its removed side — v0's int
+    // files — must CAST to it, not just null-pad missing columns, or
+    // the exceptAll union fails on the int/bigint mismatch
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("id", "payload"), dir)
+    Snapshots.commit(Seq((2L, "b"), (3L, "c")).toDF("id", "payload"), dir,
+      overwrite = true)
+    val d = Snapshots.diff(spark, dir, 0L, 1L)
+    assert(d.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val changes = d.select("id", "payload", "__change").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // (2,b) exists on both sides and must CANCEL across the type
+    // boundary — only the true churn remains
+    assert(changes == Set((1L, "a", "delete"), (3L, "c", "insert")))
+  }
+
   test("SQL TVFs and manifest row count: snapshots readable without the Scala API") {
     val dir = tmpDir()
     Snapshots.commit(nations, dir)

@@ -70,6 +70,10 @@ class ThroughputSweepSpec extends SparkSpec {
     // JSON surfaces: full block carries the level, compact block is
     // the bounded {target:[achieved,p95]} form for the bench line
     assert(r.json.contains("\"target\":500") && r.json.contains("\"p99_ms\":"))
+    // the shape is STABLE across error states: always the
+    // {levels, errors} object, errors empty on the happy path
+    assert(r.json.startsWith("{\"levels\":[") &&
+      r.json.endsWith("\"errors\":{}}"))
     assert(r.compactJson.startsWith("{\"500\":["))
   }
 }
