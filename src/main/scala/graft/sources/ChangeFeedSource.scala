@@ -82,9 +82,12 @@ class ChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
 object ChangeFeedSource {
   /** Feed schema: the table's (merged) schema + `__change` + `__version`.
     * Fixed at query start; versions written before a schema evolution
-    * read missing columns as null (same alignment as [[Snapshots.diff]]). */
+    * read missing columns as null (same alignment as [[Snapshots.diff]]).
+    * Answered from the manifest's recorded schemas when available —
+    * a stream start over a 100 TB table must not open every footer. */
   def feedSchema(spark: SparkSession, dir: String): StructType = {
-    val base = Snapshots.read(spark, dir, None, mergeSchema = true).schema
+    val base = Snapshots.tableSchema(spark, dir).getOrElse(
+      Snapshots.read(spark, dir, None, mergeSchema = true).schema)
     StructType(base.fields :+
       StructField("__change", StringType) :+
       StructField("__version", LongType))

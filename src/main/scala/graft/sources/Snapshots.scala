@@ -165,7 +165,12 @@ object Snapshots {
     val written =
       if (hasParts) spark.read.parquet(commitDir)
       else df.filter(lit(false))
-    (commitId, fileEntries(written, statsCols, bloomCols, bloomFpp))
+    // every file in one commit shares a schema — record it in the
+    // manifest so schema-shaped asks (diff's template, the change
+    // feed's query-start schema) never have to open data footers
+    (commitId,
+      fileEntries(written, statsCols, bloomCols, bloomFpp,
+        Some(written.schema.json)))
   }
 
   /** Per-file manifest entries (path, rows, stats, blooms) computed by
@@ -174,7 +179,8 @@ object Snapshots {
     * metadata-only retrofit. */
   private def fileEntries(written: DataFrame, statsCols: Seq[String],
                           bloomCols: Seq[String],
-                          bloomFpp: Double): DataFrame = {
+                          bloomFpp: Double,
+                          schemaJson: Option[String] = None): DataFrame = {
     val statsAgg = (statsCols.headOption match {
       case Some(c) => Seq(count(lit(1L)).as("rows"),
         min(col(c)).as("stats_min"),
@@ -220,6 +226,8 @@ object Snapshots {
       }
     written.groupBy(input_file_name().as("path"))
       .agg((statsAgg ++ bloomAgg).head, (statsAgg ++ bloomAgg).tail: _*)
+      .withColumn("file_schema",
+        schemaJson.map(lit(_)).getOrElse(lit(null).cast("string")))
   }
 
   /** Retrofit stats and/or manifest blooms onto an EXISTING table as a
@@ -246,7 +254,17 @@ object Snapshots {
       val v = latestVersion(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no snapshots at $dir"))
       val written = spark.read.parquet(filesOf(spark, dir, Some(v)): _*)
-      val entries = fileEntries(written, statsCols, bloomCols, bloomFpp)
+      val entries0 = fileEntries(written, statsCols, bloomCols, bloomFpp)
+      // the retrofit re-lists EXISTING files: their per-file schemas
+      // are whatever the original commits recorded — carry them by
+      // path rather than stamping this read's single inferred schema
+      // over possibly mixed generations
+      val m = manifest(spark, dir, Some(v))
+      val entries =
+        if (m.columns.contains("file_schema"))
+          entries0.drop("file_schema")
+            .join(m.select(col("path"), col("file_schema")), Seq("path"), "left")
+        else entries0
       if (tryPublish(spark, dir, tag, entries, v + 1)) return v + 1
     }
     -1L // unreachable
@@ -263,11 +281,14 @@ object Snapshots {
       if (df.columns.contains("blooms")) df
       else df.withColumn("blooms", lit(null).cast("map<string,array<bigint>>"))
         .withColumn("bloom_types", lit(null).cast("map<string,string>"))
-    val named = withBloom.columns
+    val withSchema =
+      if (withBloom.columns.contains("file_schema")) withBloom
+      else withBloom.withColumn("file_schema", lit(null).cast("string"))
+    val named = withSchema.columns
       .filter(c => c.startsWith("smin_") || c.startsWith("smax_")).sorted
-    withBloom.select(
+    withSchema.select(
       (Seq("path", "rows", "stats_min", "stats_max") ++ named ++
-        Seq("blooms", "bloom_types")).map(col): _*)
+        Seq("blooms", "bloom_types", "file_schema")).map(col): _*)
   }
 
   /** Cast `entries`' stats columns to the types `parent`'s manifest
@@ -879,6 +900,60 @@ object Snapshots {
     else rows.reduce(_ unionByName _)
   }
 
+  /** The table's schema at a version, answered ENTIRELY from the
+    * manifest's recorded per-file schemas — zero data footers opened.
+    * At 100 TB a "what columns does this table have" ask (diff's
+    * template, a change-feed query start) must not list-and-open
+    * every file's footer the way a mergeSchema read does. Distinct
+    * recorded schemas across a schema evolution are merged
+    * field-by-field with numeric widening (int→bigint etc. — the
+    * migration shape; the merged type is what [[diff]] casts both
+    * sides to). Returns None — callers fall back to the footer walk —
+    * when any file predates schema recording or the schemas cannot
+    * be widened. */
+  def tableSchema(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] = {
+    val m = manifest(spark, dir, version)
+    if (!m.columns.contains("file_schema")) return None
+    val counts = m.agg(count(lit(1)), count(col("file_schema"))).head()
+    if (counts.getLong(0) == 0L || counts.getLong(0) != counts.getLong(1))
+      return None // emptied table, or legacy files without a recorded schema
+    val js = m.select("file_schema").distinct().collect().map(_.getString(0))
+    try Some(js.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .reduce(widenMerge))
+    catch { case _: Exception => None }
+  }
+
+  /** Field-by-field schema union with numeric widening: same-typed
+    * fields keep their type, integral/floating pairs widen
+    * (byte<short<int<long<float<double — parquet's legal promotion
+    * ladder), a field on one side only joins as nullable. Anything
+    * else (string vs int) throws — the caller falls back to the
+    * footer walk rather than guess. */
+  private def widenMerge(a: org.apache.spark.sql.types.StructType,
+                         b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val ladder: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    def merge(x: DataType, y: DataType): DataType =
+      if (x == y) x
+      else (ladder.indexOf(x), ladder.indexOf(y)) match {
+        case (i, j) if i >= 0 && j >= 0 => ladder(math.max(i, j))
+        case _ => throw new IllegalArgumentException(s"cannot widen $x vs $y")
+      }
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    StructType(
+      a.fields.map { f =>
+        bByName.get(f.name) match {
+          case Some(g) => StructField(f.name, merge(f.dataType, g.dataType),
+            f.nullable || g.nullable)
+          case None => f.copy(nullable = true)
+        }
+      } ++ b.fields.filterNot(f => a.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true)))
+  }
+
   /** Row-level change feed between two snapshots: every row as
     * `__change = 'insert'` (in `toVersion` but not `fromVersion`) or
     * `'delete'` (vice versa; an update appears as its delete + its
@@ -898,10 +973,17 @@ object Snapshots {
     val toFiles = filesOf(spark, dir, Some(toVersion)).toSet
     val added = (toFiles -- fromFiles).toSeq
     val removed = (fromFiles -- toFiles).toSeq
-    // mergeSchema: the target version's files may straddle a schema
-    // evolution — the feed's schema must be their UNION, not whichever
-    // single file's footer the reader happens to sample
-    val template = read(spark, dir, Some(toVersion), mergeSchema = true).limit(0)
+    // the target version's files may straddle a schema evolution —
+    // the feed's schema must be their UNION, not whichever single
+    // file's footer the reader happens to sample. The manifest's
+    // recorded schemas answer this without opening ANY footer (the
+    // mergeSchema walk below opens every one — O(files) metadata per
+    // tick at 100 TB); only legacy tables pay the walk
+    val template = tableSchema(spark, dir, Some(toVersion)) match {
+      case Some(sc) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case None => read(spark, dir, Some(toVersion), mergeSchema = true).limit(0)
+    }
     def side(files: Seq[String]): DataFrame =
       if (files.isEmpty) template
       else {

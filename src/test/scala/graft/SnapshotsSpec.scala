@@ -1007,6 +1007,36 @@ class SnapshotsSpec extends SparkSpec {
       Seq(1L, 2L))
   }
 
+  test("tableSchema answers from the manifest alone, widened across generations") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    // generation 1: id INT; generation 2: id BIGINT + a new column —
+    // the recorded per-file schemas must merge with numeric widening
+    Snapshots.commit(Seq((1, "a")).toDF("id", "payload"), dir)
+    Snapshots.commit(Seq((2L, "b", 9.9)).toDF("id", "payload", "score"), dir)
+    val sc = Snapshots.tableSchema(spark, dir).get
+    assert(sc("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(sc.fieldNames.toSet == Set("id", "payload", "score"))
+    assert(sc("score").nullable)
+    // PROOF it is manifest-only: delete every data file — the schema
+    // (and the change feed's query-start schema, which is built on
+    // it) still answers; a footer walk would now fail
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/data"), true)
+    assert(Snapshots.tableSchema(spark, dir).contains(sc))
+    val feed = graft.sources.ChangeFeedSource.feedSchema(spark, dir)
+    assert(feed.fieldNames.toSeq ==
+      Seq("id", "payload", "score", "__change", "__version"))
+    // irreconcilable evolution (string vs numeric) falls back to None
+    // rather than guessing
+    val dir2 = tmpDir()
+    Snapshots.commit(Seq((1, "a")).toDF("id", "payload"), dir2)
+    Snapshots.commit(Seq(("one", "b")).toDF("id", "payload"), dir2)
+    assert(Snapshots.tableSchema(spark, dir2).isEmpty)
+  }
+
   test("statsSummary answers table min/max/rows from the manifest alone") {
     val dir = tmpDir()
     Snapshots.commit(nations, dir, statsCol = Some("n_nationkey"),
