@@ -373,6 +373,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               org.apache.spark.sql.types.LongType, nullable = false))))
     }
 
+    tvf("graft_view_refresh_distinct",
+      "graft_view_refresh_distinct(srcDir, pairsDir, viewDir, groupKeysCsv, valueCol) - one maintenance tick of the cascaded exact COUNT(DISTINCT) view (see IncrementalViews.refreshDistinct); returns the folded source versions, one row each") {
+      (s, a) =>
+        require(a.length == 5,
+          "graft_view_refresh_distinct takes (srcDir, pairsDir, viewDir, groupKeysCsv, valueCol)")
+        val keys = litStr(a(3), "groupKeysCsv").split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val folded = sources.IncrementalViews.refreshDistinct(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "pairsDir"),
+          litStr(a(2), "viewDir"), keys, litStr(a(4), "valueCol"))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          folded.map(v => org.apache.spark.sql.Row(v)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("folded_version",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
+    tvf("graft_distinct_view",
+      "graft_distinct_view(dir) - an incrementally-maintained exact COUNT(DISTINCT) view: the group keys plus the maintained count as n_distinct (see IncrementalViews.readDistinct)") {
+      (s, a) =>
+        require(a.length == 1, "graft_distinct_view takes (dir)")
+        sources.IncrementalViews.readDistinct(s, litStr(a(0), "dir"))
+    }
+
     tvf("graft_snapshot_manifest",
       "graft_snapshot_manifest(dir[, version]) - a snapshot's manifest table (path, rows, stats, version, parent)") {
       (s, a) =>

@@ -934,6 +934,34 @@ object SparkEntry {
         col("__cnt").as("n_rows"),
         col("sum_value").cast("double").as("sum_value"),
         col("min_value"), col("max_value"))
+    }),
+
+    // The CASCADED incremental view on the driver's clock: exact
+    // per-event-type COUNT(DISTINCT user_id) maintained as two
+    // chained aggregate views — a Z-set of live (type, user) pairs,
+    // and a count over that VIEW's own change feed. A user's second
+    // event surfaces downstream as delete+insert of the same pair
+    // (net zero); the deleted user band drops each pair exactly once.
+    // The maintained count must equal a from-scratch COUNT(DISTINCT)
+    // of the final source state. Fresh state per invocation.
+    "q_distinct_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dview").toString
+      val (src, pairs, v) = (s"$root/src", s"$root/pairs", s"$root/v")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      Snapshots.commit(ev.filter(col("event_id") <= mid), src,
+        statsCol = Some("event_type"))
+      IncrementalViews.refreshDistinct(s, src, pairs, v,
+        Seq("event_type"), "user_id")
+      Snapshots.commit(ev.filter(col("event_id") > mid), src,
+        statsCol = Some("event_type"))
+      Snapshots.deleteWhere(s, src, col("user_id") % 10 === 3)
+      IncrementalViews.refreshDistinct(s, src, pairs, v,
+        Seq("event_type"), "user_id")
+      IncrementalViews.readDistinct(s, v, countName = "n_users")
     })
   )
 
@@ -2328,6 +2356,15 @@ object SparkEntry {
          |       ${sqlSum("value", 6)} AS sum_value,
          |       min(value) AS min_value,
          |       max(value) AS max_value
+         |FROM events
+         |WHERE user_id % 10 <> 3
+         |GROUP BY event_type""".stripMargin,
+
+    // the cascaded distinct view must equal a from-scratch
+    // COUNT(DISTINCT) over the final source state (all events minus
+    // the deleted user_id band)
+    "q_distinct_view_incr" ->
+      s"""SELECT event_type, count(DISTINCT user_id) AS n_users
          |FROM events
          |WHERE user_id % 10 <> 3
          |GROUP BY event_type""".stripMargin

@@ -279,11 +279,18 @@ object IncrementalViews {
     * leaves the view. Groups with NULL keys aggregate like SQL GROUP
     * BY (null-safe joins throughout; pruning stands down when a null
     * group is affected). Returns the source versions folded this
-    * call. */
+    * call.
+    *
+    * `where` makes it a FILTERED view — `SELECT ... FROM src WHERE
+    * <where> GROUP BY keys` kept current. The predicate is applied to
+    * the change feed (a delta row outside it can't move the view) and
+    * to the min/max rescan, so it must reference only the source's
+    * data columns and be deterministic. */
   def refreshAgg(spark: SparkSession, srcDir: String, viewDir: String,
                  groupKeys: Seq[String], sumCols: Seq[String],
                  sumScale: Int = 6,
-                 minMaxCols: Seq[String] = Nil): Seq[Long] = {
+                 minMaxCols: Seq[String] = Nil,
+                 where: Option[Column] = None): Seq[Long] = {
     require(groupKeys.nonEmpty, "refreshAgg needs at least one group key")
     val root = new Path(s"${viewDir.stripSuffix("/")}/_agg_state")
     val f = fs(spark, viewDir)
@@ -310,7 +317,7 @@ object IncrementalViews {
           .withColumn("__change", lit("insert"))
       else Snapshots.diff(spark, srcDir, tick.from, tick.to)
     applyAggDelta(spark, srcDir, viewDir, groupKeys, sumCols, sumScale,
-      minMaxCols, changes, tick.to)
+      minMaxCols, where, changes, tick.to)
 
     writeAggMarker(f, root, tick.copy(kind = "processed"))
     // spent markers: intents at or below the watermark, older processed
@@ -329,10 +336,10 @@ object IncrementalViews {
   private def applyAggDelta(spark: SparkSession, srcDir: String,
                             viewDir: String, groupKeys: Seq[String],
                             sumCols: Seq[String], sumScale: Int,
-                            minMaxCols: Seq[String], changes0: DataFrame,
-                            v: Long): Unit = {
+                            minMaxCols: Seq[String], where: Option[Column],
+                            changes0: DataFrame, v: Long): Unit = {
     val dec = s"decimal(30,$sumScale)"
-    val changes = changes0.persist()
+    val changes = where.foldLeft(changes0)(_.filter(_)).persist()
     try {
       val sign = when(col("__change") === lit("insert"), lit(1)).otherwise(lit(-1))
       val dAggs = (sumCols.map(c =>
@@ -408,8 +415,9 @@ object IncrementalViews {
                 lit(null).cast(changes.schema(c).dataType).as(s"max_$c")))
               delta.limit(0).select(groupKeys.map(col) ++ empty: _*)
             } else {
-              val srcAff = readForKeys(spark, srcDir, Some(v),
-                  groupKeys.head, delBounds).as("s")
+              val srcAff = where.foldLeft(
+                  readForKeys(spark, srcDir, Some(v),
+                    groupKeys.head, delBounds))(_.filter(_)).as("s")
                 .join(delKeys.as("ak2"), nullSafeOn("s", "ak2"), "left_semi")
               val mmAggs = minMaxCols.flatMap(c =>
                 Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -436,6 +444,48 @@ object IncrementalViews {
       affKeys.unpersist()
       ()
     } finally changes.unpersist()
+  }
+
+  /** Incrementally-maintained per-group `COUNT(DISTINCT valueCol)` —
+    * a CASCADE of two aggregate views, the composition the Z-set
+    * encoding exists for: views can consume a VIEW's change feed.
+    *
+    * Level 1 (`pairsDir`): the Z-set of live `(groupKeys, valueCol)`
+    * pairs — [[refreshAgg]] grouped by the pair, counting source rows
+    * (NULL values filtered like SQL COUNT(DISTINCT), via `where`).
+    * Level 2 (`viewDir`): [[refreshAgg]] grouped by `groupKeys` over
+    * the PAIRS VIEW's own change feed — counting live pairs rows,
+    * which IS the distinct count. A pair whose row count merely
+    * changes surfaces in the feed as its delete + its insert: net
+    * zero downstream. A pair entering (first occurrence) or leaving
+    * (count hit zero) moves the distinct count by exactly one.
+    *
+    * Both levels are O(churned groups) in compute AND I/O (the same
+    * manifest pruning, clustered by the first group key), and each
+    * level is individually exactly-once: a crash between the two
+    * ticks leaves level 2 one version behind — the next call's
+    * multi-version tick catches it up. Unlike sketch-based distinct
+    * counts (HLL), the cascade is EXACT and handles deletes.
+    *
+    * Returns the source versions folded into level 1 this call. */
+  def refreshDistinct(spark: SparkSession, srcDir: String,
+                      pairsDir: String, viewDir: String,
+                      groupKeys: Seq[String], valueCol: String): Seq[Long] = {
+    require(!groupKeys.contains(valueCol),
+      s"valueCol $valueCol cannot also be a group key")
+    val folded = refreshAgg(spark, srcDir, pairsDir, groupKeys :+ valueCol,
+      Nil, where = Some(col(valueCol).isNotNull))
+    refreshAgg(spark, pairsDir, viewDir, groupKeys, Nil)
+    folded
+  }
+
+  /** The distinct-count view as a plain DataFrame: the group keys plus
+    * the maintained `COUNT(DISTINCT ...)` as `countName`. */
+  def readDistinct(spark: SparkSession, viewDir: String,
+                   countName: String = "n_distinct"): DataFrame = {
+    val v = Snapshots.read(spark, viewDir)
+    v.select(v.columns.filterNot(_ == "__cnt").map(col) :+
+      col("__cnt").as(countName): _*)
   }
 
   /** The view with multiplicities expanded back into duplicate rows —

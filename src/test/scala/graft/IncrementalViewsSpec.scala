@@ -420,6 +420,113 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(rowC.getDouble(0) == 2.5 && rowC.getDouble(1) == 2.5)
   }
 
+  test("filtered agg view: WHERE applies to the feed and the rescan alike") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    def expected(): DataFrame =
+      Snapshots.read(spark, src).filter(col("x") > 0.0).groupBy("g")
+        .agg(sum(col("x").cast("decimal(30,6)")).cast("decimal(30,6)").as("sum_x"),
+          count(lit(1)).as("__cnt"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+    def tick(): Seq[Long] = IncrementalViews.refreshAgg(spark, src, v,
+      Seq("g"), Seq("x"), minMaxCols = Seq("x"),
+      where = Some(col("x") > 0.0))
+    Snapshots.commit(Seq(("a", 1.0), ("a", -5.0), ("b", 2.0), ("c", -1.0))
+      .toDF("g", "x"), src, statsCol = Some("g"))
+    tick()
+    // group c is all-filtered: it must not exist in the view at all
+    assert(canon(Snapshots.read(spark, v)
+        .select("g", "sum_x", "__cnt", "min_x", "max_x")) == canon(expected()))
+    assert(Snapshots.read(spark, v).filter(col("g") === "c").count() == 0L)
+    // a delete of a FILTERED-OUT row must not disturb the view; a
+    // delete of an in-filter row triggers the (filtered) rescan
+    Snapshots.deleteWhere(spark, src, col("x") === -5.0)
+    Snapshots.commit(Seq(("a", 3.0), ("a", -9.0)).toDF("g", "x"), src,
+      statsCol = Some("g"))
+    Snapshots.deleteWhere(spark, src, col("x") === 1.0)
+    assert(tick() == Seq(1L, 2L, 3L))
+    assert(canon(Snapshots.read(spark, v)
+        .select("g", "sum_x", "__cnt", "min_x", "max_x")) == canon(expected()))
+    // min_x for group a must be 3.0 — the rescan filtered out -9.0
+    assert(Snapshots.read(spark, v).filter(col("g") === "a")
+      .select("min_x").head().getDouble(0) == 3.0)
+  }
+
+  test("distinct view: the cascade counts distinct values exactly through appends and deletes") {
+    val s = spark; import s.implicits._
+    val (src, pairs, v) = (tmpDir(), tmpDir(), tmpDir())
+    def expected(): DataFrame =
+      Snapshots.read(spark, src).groupBy("g")
+        .agg(countDistinct(col("u")).as("n_distinct"))
+        .filter(col("n_distinct") > 0L)
+    def current(): Unit =
+      assert(canon(IncrementalViews.readDistinct(spark, v)
+        .select("g", "n_distinct")) == canon(expected()))
+    // duplicates of (a,1); a NULL value (ignored, like COUNT(DISTINCT));
+    // a NULL group key (a group, like GROUP BY)
+    Snapshots.commit(
+      Seq((Some("a"), Some(1L)), (Some("a"), Some(1L)), (Some("a"), Some(2L)),
+        (Some("b"), Some(1L)), (Some("a"), None), (None, Some(7L)))
+        .toDF("g", "u"), src, statsCol = Some("g"))
+    assert(IncrementalViews.refreshDistinct(spark, src, pairs, v,
+      Seq("g"), "u") == Seq(0L))
+    current()
+    assert(IncrementalViews.readDistinct(spark, v)
+      .filter(col("g") === "a").head().getLong(1) == 2L)
+    assert(IncrementalViews.readDistinct(spark, v)
+      .filter(col("g").isNull).head().getLong(1) == 1L)
+    // the SQL surface reads the same counts
+    assert(spark.sql(s"SELECT * FROM graft_distinct_view('$v')")
+      .filter(col("g") === "a").head().getLong(1) == 2L)
+
+    // three source versions, ONE call: a second copy of pair (b,1)
+    // (its pairs-row count moves 1→2 — the feed shows delete+insert,
+    // net ZERO downstream), a new value for a, a delete that removes
+    // EVERY copy of (a,1) (count falls), and an update that moves the
+    // null group's value 7→8 (one pair out, one in — count holds)
+    Snapshots.commit(Seq(("a", 1L), ("b", 1L), ("a", 3L)).toDF("g", "u"), src,
+      statsCol = Some("g"))
+    Snapshots.deleteWhere(spark, src, col("g") === "a" && col("u") === 1L)
+    Snapshots.updateWhere(spark, src, col("g").isNull,
+      Map("u" -> lit(8L)))
+    assert(IncrementalViews.refreshDistinct(spark, src, pairs, v,
+      Seq("g"), "u") == Seq(1L, 2L, 3L))
+    current()
+    assert(IncrementalViews.readDistinct(spark, v)
+      .filter(col("g") === "a").head().getLong(1) == 2L) // {2,3}
+    assert(IncrementalViews.readDistinct(spark, v)
+      .filter(col("g") === "b").head().getLong(1) == 1L)
+    // no-op call: both levels current, nothing folded
+    assert(IncrementalViews.refreshDistinct(spark, src, pairs, v,
+      Seq("g"), "u").isEmpty)
+
+    // a group whose every value leaves must leave the view
+    Snapshots.deleteWhere(spark, src, col("g") === "b")
+    IncrementalViews.refreshDistinct(spark, src, pairs, v, Seq("g"), "u")
+    current()
+    assert(IncrementalViews.readDistinct(spark, v)
+      .filter(col("g") === "b").count() == 0L)
+  }
+
+  test("distinct view: a crash between the two levels self-heals on the next call") {
+    val s = spark; import s.implicits._
+    val (src, pairs, v) = (tmpDir(), tmpDir(), tmpDir())
+    Snapshots.commit(Seq(("a", 1L), ("a", 2L)).toDF("g", "u"), src,
+      statsCol = Some("g"))
+    IncrementalViews.refreshDistinct(spark, src, pairs, v, Seq("g"), "u")
+    // simulate the crash window: level 1 folds a new source version,
+    // level 2 never runs (a refreshDistinct that died in the middle)
+    Snapshots.commit(Seq(("a", 9L)).toDF("g", "u"), src, statsCol = Some("g"))
+    IncrementalViews.refreshAgg(spark, src, pairs, Seq("g", "u"), Nil,
+      where = Some(col("u").isNotNull))
+    assert(IncrementalViews.readDistinct(spark, v)
+      .filter(col("g") === "a").head().getLong(1) == 2L) // stale level 2
+    // the next full call finds level 1 current and catches level 2 up
+    IncrementalViews.refreshDistinct(spark, src, pairs, v, Seq("g"), "u")
+    assert(IncrementalViews.readDistinct(spark, v)
+      .filter(col("g") === "a").head().getLong(1) == 3L)
+  }
+
   test("a tick that deletes every joining row of a key leaves a correct, smaller view") {
     val s = spark; import s.implicits._
     val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
