@@ -488,6 +488,63 @@ object IncrementalViews {
       col("__cnt").as(countName): _*)
   }
 
+  /** Keep a view CONTINUOUSLY current: a streaming query subscribed
+    * to the inputs' change feeds that runs `tick` once per arriving
+    * micro-batch. The feed rows are only the WAKE-UP signal — every
+    * tick re-resolves its own pinned versions and is individually
+    * exactly-once on its markers, so a replayed or dropped signal
+    * batch can never corrupt the view; the checkpoint merely
+    * remembers how far the signal got. `Trigger.AvailableNow()`
+    * (default) catches the view up and stops — cron-style;
+    * `Trigger.ProcessingTime(...)` keeps it always-on. (The V1 feed
+    * source downgrades AvailableNow to single-batch execution — same
+    * drain-everything-pending semantics here; and even a signal batch
+    * racing a concurrent commit is harmless, because the NEXT tick
+    * folds whatever this one didn't see.) */
+  def maintain(spark: SparkSession, inputDirs: Seq[String],
+               checkpointDir: String,
+               trigger: org.apache.spark.sql.streaming.Trigger =
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              (tick: () => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(inputDirs.nonEmpty, "maintain needs at least one input feed")
+    val signal = inputDirs.map(d =>
+        Snapshots.changesStream(spark, d).select(lit(1).as("__sig")))
+      .reduce(_ unionByName _)
+    signal.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) => tick() }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** [[refreshJoin]] driven by both inputs' change feeds — the join
+    * view as an always-on (or catch-up-and-stop) streaming job. */
+  def maintainJoin(spark: SparkSession, leftDir: String, rightDir: String,
+                   viewDir: String, joinKeys: Seq[String],
+                   joinType: String = "inner", checkpointDir: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(leftDir, rightDir), checkpointDir, trigger) { () =>
+      refreshJoin(spark, leftDir, rightDir, viewDir, joinKeys, joinType)
+      ()
+    }
+
+  /** [[refreshAgg]] driven by the source's change feed. */
+  def maintainAgg(spark: SparkSession, srcDir: String, viewDir: String,
+                  groupKeys: Seq[String], sumCols: Seq[String],
+                  sumScale: Int = 6, minMaxCols: Seq[String] = Nil,
+                  where: Option[Column] = None, checkpointDir: String,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshAgg(spark, srcDir, viewDir, groupKeys, sumCols, sumScale,
+        minMaxCols, where)
+      ()
+    }
+
   /** The view with multiplicities expanded back into duplicate rows —
     * exactly `left <type> JOIN right USING (joinKeys)` as a plain
     * DataFrame. `__n` is bounded by the product of the inputs' per-key

@@ -527,6 +527,58 @@ class IncrementalViewsSpec extends SparkSpec {
       .filter(col("g") === "a").head().getLong(1) == 3L)
   }
 
+  test("continuous maintenance: the change feeds wake the refresh, catch-up and always-on") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val (l, r, v, ckpt) = (tmpDir(), tmpDir(), tmpDir(), tmpDir() + "/ck")
+    Snapshots.commit(Seq((1L, "a1"), (2L, "a2")).toDF("k", "a"), l,
+      statsCol = Some("k"))
+    Snapshots.commit(Seq((1L, 1.0), (3L, 3.0)).toDF("k", "b"), r,
+      statsCol = Some("k"))
+    // catch-up-and-stop: AvailableNow drains both feeds, ticks, exits
+    IncrementalViews.maintainJoin(spark, l, r, v, Seq("k"),
+      checkpointDir = ckpt).awaitTermination()
+    assertViewCurrent(l, r, v, Seq("k"))
+
+    // a second catch-up from the SAME checkpoint sees only the new
+    // versions (append left + delete right in one signal batch)
+    Snapshots.commit(Seq((3L, "a3")).toDF("k", "a"), l, statsCol = Some("k"))
+    Snapshots.deleteWhere(spark, r, col("k") === 1L)
+    IncrementalViews.maintainJoin(spark, l, r, v, Seq("k"),
+      checkpointDir = ckpt).awaitTermination()
+    assertViewCurrent(l, r, v, Seq("k"))
+    assert(IncrementalViews.readExpanded(spark, v)
+      .filter(col("k") === 1).count() == 0L)
+
+    // always-on: commits made WHILE the query runs land in the view
+    val q = IncrementalViews.maintainJoin(spark, l, r, v, Seq("k"),
+      checkpointDir = ckpt, trigger = Trigger.ProcessingTime(0))
+    try {
+      Snapshots.commit(Seq((9L, "a9")).toDF("k", "a"), l, statsCol = Some("k"))
+      Snapshots.commit(Seq((9L, 9.0)).toDF("k", "b"), r, statsCol = Some("k"))
+      q.processAllAvailable()
+      assertViewCurrent(l, r, v, Seq("k"))
+      assert(IncrementalViews.readExpanded(spark, v)
+        .filter(col("k") === 9).count() == 1L)
+    } finally q.stop()
+  }
+
+  test("continuous maintenance: an aggregate view rides its source's feed") {
+    val s = spark; import s.implicits._
+    val (src, v, ckpt) = (tmpDir(), tmpDir(), tmpDir() + "/ck")
+    Snapshots.commit(Seq(("a", 1.0), ("b", 2.0)).toDF("g", "x"), src,
+      statsCol = Some("g"))
+    IncrementalViews.maintainAgg(spark, src, v, Seq("g"), Seq("x"),
+      minMaxCols = Seq("x"), checkpointDir = ckpt).awaitTermination()
+    assertAggCurrent(src, v)
+    Snapshots.commit(Seq(("a", 5.0)).toDF("g", "x"), src, statsCol = Some("g"))
+    Snapshots.deleteWhere(spark, src, col("x") === 2.0)
+    IncrementalViews.maintainAgg(spark, src, v, Seq("g"), Seq("x"),
+      minMaxCols = Seq("x"), checkpointDir = ckpt).awaitTermination()
+    assertAggCurrent(src, v)
+    assert(Snapshots.read(spark, v).filter(col("g") === "b").count() == 0L)
+  }
+
   test("a tick that deletes every joining row of a key leaves a correct, smaller view") {
     val s = spark; import s.implicits._
     val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
