@@ -391,6 +391,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               org.apache.spark.sql.types.LongType, nullable = false))))
     }
 
+    tvf("graft_view_refresh_topk",
+      "graft_view_refresh_topk(srcDir, viewDir, keysCsv, orderCol, k[, tieBreakCsv]) - one maintenance tick of the per-key TOP-K leaderboard view, descending by orderCol (see IncrementalViews.refreshTopK); returns the folded source versions, one row each") {
+      (s, a) =>
+        require(a.length == 5 || a.length == 6,
+          "graft_view_refresh_topk takes (srcDir, viewDir, keysCsv, orderCol, k[, tieBreakCsv])")
+        def csv(e: Expression, what: String): Seq[String] =
+          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val tb = if (a.length == 6) csv(a(5), "tieBreakCsv") else Nil
+        val folded = sources.IncrementalViews.refreshTopK(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
+          csv(a(2), "keysCsv"), litStr(a(3), "orderCol"),
+          litVal(a(4), "k").toString.toInt, tieBreak = tb)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          folded.map(v => org.apache.spark.sql.Row(v)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("folded_version",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
     tvf("graft_distinct_view",
       "graft_distinct_view(dir) - an incrementally-maintained exact COUNT(DISTINCT) view: the group keys plus the maintained count as n_distinct (see IncrementalViews.readDistinct)") {
       (s, a) =>

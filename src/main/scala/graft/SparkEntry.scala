@@ -962,6 +962,36 @@ object SparkEntry {
       IncrementalViews.refreshDistinct(s, src, pairs, v,
         Seq("event_type"), "user_id")
       IncrementalViews.readDistinct(s, v, countName = "n_users")
+    }),
+
+    // The maintained TOP-K leaderboard on the driver's clock: per
+    // event-type top-5 events by value, kept current across an
+    // append and a delete that removes leaders — the displaced ranks
+    // must be refilled from OUTSIDE the old top-k (the recompute path
+    // no delta-only fold can express). Must equal a from-scratch
+    // ROW_NUMBER() <= 5 of the final source. Fresh state per
+    // invocation.
+    "q_topk_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tkview").toString
+      val (src, v) = (s"$root/src", s"$root/v")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      Snapshots.commit(ev.filter(col("event_id") <= mid), src,
+        statsCol = Some("event_type"))
+      IncrementalViews.refreshTopK(s, src, v, Seq("event_type"),
+        "value", 5, tieBreak = Seq("event_id"))
+      Snapshots.commit(ev.filter(col("event_id") > mid), src,
+        statsCol = Some("event_type"))
+      Snapshots.deleteWhere(s, src, col("user_id") % 10 === 3)
+      IncrementalViews.refreshTopK(s, src, v, Seq("event_type"),
+        "value", 5, tieBreak = Seq("event_id"))
+      Snapshots.read(s, v).select(
+        col("event_type"), col("event_id"), col("user_id"),
+        col("value"), col("__rank").as("rnk"))
     })
   )
 
@@ -2367,7 +2397,18 @@ object SparkEntry {
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users
          |FROM events
          |WHERE user_id % 10 <> 3
-         |GROUP BY event_type""".stripMargin
+         |GROUP BY event_type""".stripMargin,
+
+    // the maintained leaderboard must equal a from-scratch top-5 per
+    // event type over the final source state (value desc, event_id
+    // breaking ties)
+    "q_topk_view_incr" ->
+      s"""SELECT event_type, event_id, user_id, value, rnk FROM (
+         |  SELECT event_type, event_id, user_id, value,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY value DESC, event_id) AS rnk
+         |  FROM events WHERE user_id % 10 <> 3) t
+         |WHERE rnk <= 5""".stripMargin
   )
 
   /** DuckDB mirror of PortableHashKernel.simHashPortable: four

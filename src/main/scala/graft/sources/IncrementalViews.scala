@@ -286,13 +286,15 @@ object IncrementalViews {
     * the change feed (a delta row outside it can't move the view) and
     * to the min/max rescan, so it must reference only the source's
     * data columns and be deterministic. */
-  def refreshAgg(spark: SparkSession, srcDir: String, viewDir: String,
-                 groupKeys: Seq[String], sumCols: Seq[String],
-                 sumScale: Int = 6,
-                 minMaxCols: Seq[String] = Nil,
-                 where: Option[Column] = None): Seq[Long] = {
-    require(groupKeys.nonEmpty, "refreshAgg needs at least one group key")
-    val root = new Path(s"${viewDir.stripSuffix("/")}/_agg_state")
+  /** The one-input pinned-tick protocol shared by every single-source
+    * view ([[refreshAgg]], [[refreshTopK]]): resolve or replay ONE
+    * intent covering every pending source version, hand `work` the
+    * pinned (from, to] delta, then publish the processed watermark and
+    * GC spent markers. Returns the versions the tick folded. */
+  private def withSourceTick(spark: SparkSession, srcDir: String,
+                             viewDir: String, stateName: String)
+                            (work: (DataFrame, AggTick) => Unit): Seq[Long] = {
+    val root = new Path(s"${viewDir.stripSuffix("/")}/$stateName")
     val f = fs(spark, viewDir)
     val ms = aggMarkers(f, root)
     val processed = ms.filter(_.kind == "processed")
@@ -316,8 +318,7 @@ object IncrementalViews {
         Snapshots.read(spark, srcDir, Some(tick.to))
           .withColumn("__change", lit("insert"))
       else Snapshots.diff(spark, srcDir, tick.from, tick.to)
-    applyAggDelta(spark, srcDir, viewDir, groupKeys, sumCols, sumScale,
-      minMaxCols, where, changes, tick.to)
+    work(changes, tick)
 
     writeAggMarker(f, root, tick.copy(kind = "processed"))
     // spent markers: intents at or below the watermark, older processed
@@ -331,6 +332,18 @@ object IncrementalViews {
       }
     }.foreach(f.delete(_, false))
     ((tick.from + 1) to tick.to)
+  }
+
+  def refreshAgg(spark: SparkSession, srcDir: String, viewDir: String,
+                 groupKeys: Seq[String], sumCols: Seq[String],
+                 sumScale: Int = 6,
+                 minMaxCols: Seq[String] = Nil,
+                 where: Option[Column] = None): Seq[Long] = {
+    require(groupKeys.nonEmpty, "refreshAgg needs at least one group key")
+    withSourceTick(spark, srcDir, viewDir, "_agg_state") { (changes, tick) =>
+      applyAggDelta(spark, srcDir, viewDir, groupKeys, sumCols, sumScale,
+        minMaxCols, where, changes, tick.to)
+    }
   }
 
   private def applyAggDelta(spark: SparkSession, srcDir: String,
@@ -445,6 +458,82 @@ object IncrementalViews {
       ()
     } finally changes.unpersist()
   }
+
+  /** Incrementally-maintained per-key TOP-K view — the continuously-
+    * current leaderboard: each `partitionKeys` group's k best rows by
+    * `orderCol` (descending unless `ascending`), stored with their
+    * 1-based `__rank`. Maintained by affected-key recompute, the only
+    * plan that stays correct under deletes: a change-feed key's group
+    * is re-ranked from the CURRENT source (manifest-pruned to the
+    * affected keys' bounds + semi-join), and the view's rows for
+    * exactly those keys are replaced — a demoted or deleted leader is
+    * displaced by whatever NOW ranks k-th, which no delta-only fold
+    * could know. Untouched groups are never read. The merge is keyed
+    * by (partitionKeys, __rank): a shrunken group's trailing ranks
+    * are deleted, the rest upsert in place.
+    *
+    * `orderCol` + `tieBreak` must totally order each group (e.g. a
+    * unique id as the last tie-break) or ranks beyond the tie are
+    * nondeterministic. Same pinned-tick exactly-once protocol as
+    * [[refreshAgg]]; a consumer N versions behind catches up in one
+    * tick. Returns the source versions folded this call. */
+  def refreshTopK(spark: SparkSession, srcDir: String, viewDir: String,
+                  partitionKeys: Seq[String], orderCol: String, k: Int,
+                  tieBreak: Seq[String] = Nil,
+                  ascending: Boolean = false): Seq[Long] = {
+    require(partitionKeys.nonEmpty, "refreshTopK needs at least one key")
+    require(k > 0, s"k must be positive: $k")
+    withSourceTick(spark, srcDir, viewDir, "_topk_state") { (changes, tick) =>
+      val keyCols = partitionKeys.map(col)
+      val affected = changes.select(keyCols: _*).distinct().persist()
+      try {
+        val (nAffected, bounds) = keyBounds(affected, partitionKeys.head)
+        if (nAffected != 0L) {
+          val srcAff = nullSafeSemi(
+            readForKeys(spark, srcDir, Some(tick.to), partitionKeys.head,
+              bounds), affected, partitionKeys)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols: _*)
+            .orderBy((if (ascending) col(orderCol).asc
+                      else col(orderCol).desc) +:
+              tieBreak.map(col(_).asc): _*)
+          val fresh = srcAff
+            .withColumn("__rank", row_number().over(w).cast("long"))
+            .filter(col("__rank") <= k)
+            .withColumn("__op", lit("u")).withColumn("__seq", lit(1L))
+          val viewExists = Snapshots.latestVersion(spark, viewDir).isDefined
+          val stale =
+            if (!viewExists) fresh.limit(0)
+            else nullSafeSemi(
+              readForKeys(spark, viewDir, None, partitionKeys.head, bounds),
+              affected, partitionKeys)
+              .withColumn("__op", lit("d")).withColumn("__seq", lit(0L))
+          val out = stale.unionByName(fresh)
+          if (!out.isEmpty)
+            Snapshots.mergeStreamBatch(out, viewDir, tick.to,
+              keyCols = partitionKeys :+ "__rank",
+              opCol = "__op", seqCol = "__seq",
+              pruneCol = Some(partitionKeys.head),
+              clusterBy = Some(partitionKeys.head))
+        }
+      } finally affected.unpersist()
+      ()
+    }
+  }
+
+  /** [[refreshTopK]] driven by the source's change feed. */
+  def maintainTopK(spark: SparkSession, srcDir: String, viewDir: String,
+                   partitionKeys: Seq[String], orderCol: String, k: Int,
+                   tieBreak: Seq[String] = Nil, ascending: Boolean = false,
+                   checkpointDir: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshTopK(spark, srcDir, viewDir, partitionKeys, orderCol, k,
+        tieBreak, ascending)
+      ()
+    }
 
   /** Incrementally-maintained per-group `COUNT(DISTINCT valueCol)` —
     * a CASCADE of two aggregate views, the composition the Z-set

@@ -579,6 +579,52 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(Snapshots.read(spark, v).filter(col("g") === "b").count() == 0L)
   }
 
+  test("top-k view: a deleted leader is displaced by the new k-th; shrunken groups drop trailing ranks") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (src, v) = (tmpDir(), tmpDir())
+    def expected(): DataFrame =
+      Snapshots.read(spark, src)
+        .withColumn("__rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("x").desc, col("id")))
+          .cast("long"))
+        .filter(col("__rank") <= 2)
+    def current(): Unit =
+      assert(canon(Snapshots.read(spark, v).select("g", "id", "x", "__rank")) ==
+        canon(expected().select("g", "id", "x", "__rank")))
+    Snapshots.commit(
+      Seq(("a", 1L, 10.0), ("a", 2L, 8.0), ("a", 3L, 6.0), ("a", 4L, 4.0),
+        ("b", 5L, 1.0)).toDF("g", "id", "x"), src, statsCol = Some("g"))
+    assert(IncrementalViews.refreshTopK(spark, src, v, Seq("g"), "x", 2,
+      tieBreak = Seq("id")) == Seq(0L))
+    current()
+
+    // one catch-up tick over two versions: group a's LEADER leaves —
+    // the new 2nd (x=6.0) must be pulled from outside the old top-k —
+    // and group b grows a new leader; ranks rewrite in place
+    Snapshots.deleteWhere(spark, src, col("id") === 1L)
+    Snapshots.commit(Seq(("b", 6L, 5.0)).toDF("g", "id", "x"), src,
+      statsCol = Some("g"))
+    assert(IncrementalViews.refreshTopK(spark, src, v, Seq("g"), "x", 2,
+      tieBreak = Seq("id")) == Seq(1L, 2L))
+    current()
+    assert(Snapshots.read(spark, v)
+      .filter(col("g") === "a" && col("__rank") === 2L)
+      .select("x").head().getDouble(0) == 6.0)
+
+    // a group shrinking below k must DROP its trailing rank row
+    Snapshots.deleteWhere(spark, src, col("g") === "a" && col("id") =!= 4L)
+    IncrementalViews.refreshTopK(spark, src, v, Seq("g"), "x", 2,
+      tieBreak = Seq("id"))
+    current()
+    assert(Snapshots.read(spark, v).filter(col("g") === "a").count() == 1L)
+    // nothing pending: no tick, no version
+    val vv = Snapshots.latestVersion(spark, v)
+    assert(IncrementalViews.refreshTopK(spark, src, v, Seq("g"), "x", 2,
+      tieBreak = Seq("id")).isEmpty)
+    assert(Snapshots.latestVersion(spark, v) == vv)
+  }
+
   test("a tick that deletes every joining row of a key leaves a correct, smaller view") {
     val s = spark; import s.implicits._
     val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
