@@ -163,6 +163,39 @@ class SqlSurfaceSpec extends SparkSpec {
       aggRow.getDouble(2) == 1.5 && aggRow.getDouble(3) == 2.5)
   }
 
+  test("cascaded + top-k view TVFs: COUNT(DISTINCT) and a leaderboard from pure SQL") {
+    val s = spark; import s.implicits._
+    import graft.sources.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlview2").toString
+    Snapshots.commit(
+      Seq(("a", 1L, 9.0), ("a", 1L, 7.0), ("a", 2L, 5.0), ("b", 3L, 3.0))
+        .toDF("g", "u", "x"), s"$root/src", statsCol = Some("g"))
+    // distinct cascade: one SQL call refreshes both levels
+    val folded = spark.sql(
+      s"""SELECT * FROM graft_view_refresh_distinct(
+         |  '$root/src', '$root/pairs', '$root/dv', 'g', 'u')""".stripMargin)
+    assert(folded.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    val counts = spark.sql(s"SELECT * FROM graft_distinct_view('$root/dv')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(counts == Seq(("a", 2L), ("b", 1L)))
+    // leaderboard: top-1 per group by x desc, u breaking ties
+    spark.sql(
+      s"""SELECT * FROM graft_view_refresh_topk(
+         |  '$root/src', '$root/tv', 'g', 'x', 1, 'u')""".stripMargin).collect()
+    val top = Snapshots.read(spark, s"$root/tv")
+      .select("g", "u", "x", "__rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(top == Seq(("a", 1L, 9.0, 1L), ("b", 3L, 3.0, 1L)))
+    // a delete churns the leaderboard through the same SQL tick
+    Snapshots.deleteWhere(spark, s"$root/src", col("x") === 9.0)
+    spark.sql(
+      s"""SELECT * FROM graft_view_refresh_topk(
+         |  '$root/src', '$root/tv', 'g', 'x', 1, 'u')""".stripMargin).collect()
+    assert(Snapshots.read(spark, s"$root/tv")
+      .filter(col("g") === "a").select("x").head().getDouble(0) == 7.0)
+  }
+
   test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
     Tables.events(spark, sf("sf0.001")).createOrReplaceTempView("ev_tvf2")
     val r = spark.sql(
