@@ -352,23 +352,27 @@ object IncrementalViews {
                             minMaxCols: Seq[String], where: Option[Column],
                             changes0: DataFrame, v: Long): Unit = {
     val dec = s"decimal(30,$sumScale)"
-    val changes = where.foldLeft(changes0)(_.filter(_)).persist()
+    // the feed is consumed in ONE streaming aggregation pass — never
+    // cached (the initial tick's feed is the whole source; an O(table)
+    // persist would be the scale bug). What IS reused three ways
+    // (bounds, fold, delete-keys) is `delta`: O(churned groups).
+    val changes = where.foldLeft(changes0)(_.filter(_))
+    val sign = when(col("__change") === lit("insert"), lit(1)).otherwise(lit(-1))
+    val dAggs = (sumCols.map(c =>
+      sum(sign * col(c).cast(dec)).cast(dec).as(s"__d_$c")) :+
+      sum(sign.cast("long")).as("__d_cnt")) ++
+      // per-group min/max over the tick's INSERTS (null when the
+      // group saw only deletes) + a delete flag: inserts fold into
+      // min/max monotonically, deletes force the group's rescan
+      minMaxCols.flatMap(c => Seq(
+        min(when(col("__change") === "insert", col(c))).as(s"__i_min_$c"),
+        max(when(col("__change") === "insert", col(c))).as(s"__i_max_$c"))) :+
+      max(when(col("__change") === "delete", lit(1)).otherwise(lit(0)))
+        .as("__has_del")
+    val delta = changes.groupBy(groupKeys.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*).persist()
     try {
-      val sign = when(col("__change") === lit("insert"), lit(1)).otherwise(lit(-1))
-      val dAggs = (sumCols.map(c =>
-        sum(sign * col(c).cast(dec)).cast(dec).as(s"__d_$c")) :+
-        sum(sign.cast("long")).as("__d_cnt")) ++
-        // per-group min/max over the tick's INSERTS (null when the
-        // group saw only deletes) + a delete flag: inserts fold into
-        // min/max monotonically, deletes force the group's rescan
-        minMaxCols.flatMap(c => Seq(
-          min(when(col("__change") === "insert", col(c))).as(s"__i_min_$c"),
-          max(when(col("__change") === "insert", col(c))).as(s"__i_max_$c"))) :+
-        max(when(col("__change") === "delete", lit(1)).otherwise(lit(0)))
-          .as("__has_del")
-      val delta = changes.groupBy(groupKeys.map(col): _*)
-        .agg(dAggs.head, dAggs.tail: _*)
-      val affKeys = delta.select(groupKeys.map(col): _*).persist()
+      val affKeys = delta.select(groupKeys.map(col): _*)
       def nullSafeOn(a: String, b: String) =
         groupKeys.map(k => col(s"$a.$k") <=> col(s"$b.$k")).reduce(_ && _)
 
@@ -454,9 +458,8 @@ object IncrementalViews {
       Snapshots.mergeStreamBatch(out, viewDir, v,
         keyCols = groupKeys, opCol = "__op", seqCol = "__seq",
         pruneCol = Some(groupKeys.head), clusterBy = Some(groupKeys.head))
-      affKeys.unpersist()
       ()
-    } finally changes.unpersist()
+    } finally delta.unpersist()
   }
 
   /** Incrementally-maintained per-key TOP-K view — the continuously-
