@@ -144,6 +144,13 @@ object IncrementalViews {
     val jt = JoinTypes.getOrElse(joinType.toLowerCase,
       throw new IllegalArgumentException(
         s"joinType must be one of ${JoinTypes.keys.mkString("/")}: $joinType"))
+    // single-maintainer lock: two racing ticks would pin the same tick
+    // number with possibly different source versions — the manifest
+    // fence drops one MERGE, but the loser's processed marker could
+    // still win the watermark race and mark versions done that never
+    // landed. The second maintainer must fail loudly instead.
+    graft.operators.IndexMaintenance.withWriterLock(spark, viewDir,
+      "refreshJoin") {
     val f = fs(spark, viewDir)
     val root = new Path(stateRoot(viewDir))
     val ms = markers(f, root)
@@ -232,6 +239,7 @@ object IncrementalViews {
         }
       version
     } finally affected.unpersist()
+    }
   }
 
   private val AggMarkerRe = raw"(intent|processed)-F(-?\d+)-T(-?\d+)".r
@@ -293,7 +301,10 @@ object IncrementalViews {
     * GC spent markers. Returns the versions the tick folded. */
   private def withSourceTick(spark: SparkSession, srcDir: String,
                              viewDir: String, stateName: String)
-                            (work: (DataFrame, AggTick) => Unit): Seq[Long] = {
+                            (work: (DataFrame, AggTick) => Unit): Seq[Long] =
+    // same single-maintainer lock (and rationale) as [[refreshJoin]]
+    graft.operators.IndexMaintenance.withWriterLock(spark, viewDir,
+      s"refresh($stateName)") {
     val root = new Path(s"${viewDir.stripSuffix("/")}/$stateName")
     val f = fs(spark, viewDir)
     val ms = aggMarkers(f, root)

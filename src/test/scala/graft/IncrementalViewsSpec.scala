@@ -625,6 +625,33 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, v) == vv)
   }
 
+  test("single-maintainer lock: a second concurrent refresh fails loudly, not by skipping versions") {
+    val s = spark; import s.implicits._
+    val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "x")).toDF("k", "a"), l, statsCol = Some("k"))
+    Snapshots.commit(Seq((1L, 1.0)).toDF("k", "b"), r, statsCol = Some("k"))
+    IncrementalViews.refreshJoin(spark, l, r, v, Seq("k"))
+    // a live maintainer holds the view's writer lock; a second tick
+    // must refuse (a silent race could mark versions done whose merge
+    // the fence dropped)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(v), spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(v, "_graft_maintenance.lock")
+    f.create(lock, false).close()
+    Snapshots.commit(Seq((2L, "y")).toDF("k", "a"), l, statsCol = Some("k"))
+    Snapshots.commit(Seq((2L, 2.0)).toDF("k", "b"), r, statsCol = Some("k"))
+    val e = intercept[IllegalStateException](
+      IncrementalViews.refreshJoin(spark, l, r, v, Seq("k")))
+    assert(e.getMessage.contains("maintenance writer"))
+    val e2 = intercept[IllegalStateException](
+      IncrementalViews.refreshAgg(spark, l, v, Seq("k"), Nil))
+    assert(e2.getMessage.contains("maintenance writer"))
+    // the failed attempts changed nothing; once released, work resumes
+    f.delete(lock, false)
+    assert(IncrementalViews.refreshJoin(spark, l, r, v, Seq("k")).isDefined)
+    assertViewCurrent(l, r, v, Seq("k"))
+  }
+
   test("a tick that deletes every joining row of a key leaves a correct, smaller view") {
     val s = spark; import s.implicits._
     val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
