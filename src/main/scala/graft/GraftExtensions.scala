@@ -418,6 +418,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.IncrementalViews.readDistinct(s, litStr(a(0), "dir"))
     }
 
+    tvf("graft_savepoint",
+      "graft_savepoint(dir, name, alias) - read one table of a named multi-table savepoint exactly as pinned (see Savepoints.read)") {
+      (s, a) =>
+        require(a.length == 3, "graft_savepoint takes (dir, name, alias)")
+        sources.Savepoints.read(s, litStr(a(0), "dir"),
+          litStr(a(1), "name"), litStr(a(2), "alias"))
+    }
+
+    tvf("graft_savepoint_describe",
+      "graft_savepoint_describe(dir, name) - the savepoint's pinned set, one row per table: (alias, table_dir, version)") {
+      (s, a) =>
+        require(a.length == 2, "graft_savepoint_describe takes (dir, name)")
+        val pins = sources.Savepoints.describe(s, litStr(a(0), "dir"),
+          litStr(a(1), "name"))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          pins.toSeq.sortBy(_._1).map { case (al, (d, v)) =>
+            org.apache.spark.sql.Row(al, d, v) }.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("alias",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("table_dir",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("version",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
     tvf("graft_snapshot_manifest",
       "graft_snapshot_manifest(dir[, version]) - a snapshot's manifest table (path, rows, stats, version, parent)") {
       (s, a) =>

@@ -625,6 +625,44 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, v) == vv)
   }
 
+  test("windowed rollup view: a ksqlDB-style hourly table maintained from the feed, late data touching only its window") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    // the windowed shape is pure composition: materialize the bucket
+    // at commit time (stats on it make window-pruning plain file
+    // pruning), then group the view by (window, key)
+    def bucketed(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("ts_s", "k", "x")
+        .withColumn("w", (col("ts_s") / 3600L).cast("long") * 3600L)
+    def tick(): Seq[Long] = IncrementalViews.refreshAgg(spark, src, v,
+      Seq("w", "k"), Seq("x"), minMaxCols = Seq("x"))
+    def expected(): DataFrame =
+      Snapshots.read(spark, src).groupBy("w", "k")
+        .agg(sum(col("x").cast("decimal(30,6)")).cast("decimal(30,6)").as("sum_x"),
+          count(lit(1)).as("__cnt"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+    Snapshots.commit(bucketed(Seq(
+      (100L, "a", 1.0), (200L, "a", 2.0), (3700L, "a", 5.0),
+      (3800L, "b", 7.0))), src, statsCol = Some("w"))
+    tick()
+    assert(canon(Snapshots.read(spark, v)
+      .select("w", "k", "sum_x", "__cnt", "min_x", "max_x")) ==
+      canon(expected()))
+    // LATE data lands in hour 0 while hour 1 keeps arriving — one
+    // catch-up tick; the late row revises only its own window group
+    Snapshots.commit(bucketed(Seq((300L, "a", 10.0))), src,
+      statsCol = Some("w"))
+    Snapshots.commit(bucketed(Seq((3900L, "b", 1.0))), src,
+      statsCol = Some("w"))
+    assert(tick() == Seq(1L, 2L))
+    assert(canon(Snapshots.read(spark, v)
+      .select("w", "k", "sum_x", "__cnt", "min_x", "max_x")) ==
+      canon(expected()))
+    assert(Snapshots.read(spark, v)
+      .filter(col("w") === 0L && col("k") === "a")
+      .select("__cnt").head().getLong(0) == 3L)
+  }
+
   test("single-maintainer lock: a second concurrent refresh fails loudly, not by skipping versions") {
     val s = spark; import s.implicits._
     val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
