@@ -582,6 +582,19 @@ object IncrementalViews {
     folded
   }
 
+  /** [[refreshDistinct]] driven by the source's change feed. */
+  def maintainDistinct(spark: SparkSession, srcDir: String,
+                       pairsDir: String, viewDir: String,
+                       groupKeys: Seq[String], valueCol: String,
+                       checkpointDir: String,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshDistinct(spark, srcDir, pairsDir, viewDir, groupKeys, valueCol)
+      ()
+    }
+
   /** The distinct-count view as a plain DataFrame: the group keys plus
     * the maintained `COUNT(DISTINCT ...)` as `countName`. */
   def readDistinct(spark: SparkSession, viewDir: String,

@@ -1166,8 +1166,13 @@ object Snapshots {
     * commit directories (crashed commits) are NOT touched — they are
     * garbage, not corruption, and an in-flight writer may still be
     * about to publish them ([[gcOrphans]] reaps them after a grace
-    * period). Returns the number of deleted files. */
-  def expire(spark: SparkSession, dir: String, keepLast: Int): Int = {
+    * period). `savepointDirs` makes retention savepoint-AWARE: any
+    * version of THIS table pinned by a savepoint in those directories
+    * survives regardless of age, so "keep 3 plus whatever runs still
+    * reference" is one call instead of an operational rule someone
+    * forgets. Returns the number of deleted files. */
+  def expire(spark: SparkSession, dir: String, keepLast: Int,
+             savepointDirs: Seq[String] = Nil): Int = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val f = fs(spark, dir)
     val root = new Path(manifestRoot(dir))
@@ -1175,7 +1180,17 @@ object Snapshots {
     val versions = f.listStatus(root).map(_.getPath.getName)
       .filter(_.matches("v\\d{12}")).map(_.drop(1).toLong).sorted
     if (versions.length <= keepLast) return 0
-    val (dead, live) = versions.splitAt(versions.length - keepLast)
+    val pinned: Set[Long] = savepointDirs.flatMap { spDir =>
+      Savepoints.list(spark, spDir).flatMap(name =>
+        Savepoints.describe(spark, spDir, name).values.collect {
+          // match on the canonical URI so /a/b and file:/a/b agree
+          case (tDir, v) if new Path(tDir).toUri.getPath ==
+            new Path(dir).toUri.getPath => v
+        })
+    }.toSet
+    val (dead0, live0) = versions.splitAt(versions.length - keepLast)
+    val (rescued, dead) = dead0.partition(pinned.contains)
+    val live = rescued ++ live0
     val liveFiles = live.map(v => filesOf(spark, dir, Some(v)).toSet)
       .foldLeft(Set.empty[String])(_ ++ _)
     val deadFiles = dead.map(v => filesOf(spark, dir, Some(v)).toSet)

@@ -49,6 +49,31 @@ class SavepointsSpec extends SparkSpec {
       .select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("savepoint-aware expire: a pinned version survives retention; unpinned history still expires") {
+    val s = spark; import s.implicits._
+    val (t1, sp) = (tmpDir(), tmpDir())
+    // v0 (pinned), v1 (unpinned, will die), v2..v3 (the keepLast=2 tail)
+    Snapshots.commit(Seq((1L, "v0")).toDF("k", "v"), t1, statsCol = Some("k"))
+    Savepoints.create(spark, sp, "run1", Map("docs" -> t1))
+    Snapshots.commit(Seq((2L, "v1")).toDF("k", "v"), t1, statsCol = Some("k"))
+    Snapshots.commit(Seq((3L, "v2")).toDF("k", "v"), t1, statsCol = Some("k"))
+    Snapshots.commit(Seq((4L, "v3")).toDF("k", "v"), t1, statsCol = Some("k"))
+
+    Snapshots.expire(spark, t1, keepLast = 2, savepointDirs = Seq(sp))
+    // the pinned v0 still reads in full through the savepoint…
+    assert(Savepoints.read(spark, sp, "run1", "docs")
+      .select("v").collect().map(_.getString(0)).toSeq == Seq("v0"))
+    // …the unpinned v1 manifest is gone…
+    intercept[Exception](Snapshots.read(spark, t1, Some(1L)).collect())
+    // …and the live tail is intact
+    assert(Snapshots.read(spark, t1).count() == 4L)
+
+    // once the savepoint is dropped, the same retention reaps v0 too
+    Savepoints.drop(spark, sp, "run1")
+    Snapshots.expire(spark, t1, keepLast = 2, savepointDirs = Seq(sp))
+    intercept[Exception](Snapshots.read(spark, t1, Some(0L)).collect())
+  }
+
   test("savepoints are immutable names; unknown reads fail loudly") {
     val s = spark; import s.implicits._
     val (t1, sp) = (tmpDir(), tmpDir())
