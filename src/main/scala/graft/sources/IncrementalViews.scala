@@ -198,18 +198,33 @@ object IncrementalViews {
       val version: Option[Long] =
         if (nAffected == 0L) None // pure-rewrite churn (compaction): no keys moved
         else {
-          val leftNow = nullSafeSemi(
+          // an input that IS a join view carries Z-set multiplicities
+          // in __n: rename it to a side-local weight so the two sides
+          // never collide, and MULTIPLY weights instead of counting —
+          // join views are thereby CLOSED under composition (a 3-way
+          // join is a view over a view; each tuple's __n is the
+          // product of its inputs' multiplicities). A plain table is
+          // the weight-1 case, where sum(1·1) ≡ count(*).
+          def weighted(df: DataFrame, as: String): (DataFrame, Column) =
+            if (df.columns.contains("__n"))
+              (df.withColumnRenamed("__n", as), col(as))
+            else (df, lit(1L))
+          val (leftNow, wl) = weighted(nullSafeSemi(
             readForKeys(spark, leftDir, Some(tick.tl), joinKeys.head, bounds),
-            affected, joinKeys)
-          val rightNow = nullSafeSemi(
+            affected, joinKeys), "__nl")
+          val (rightNow, wr) = weighted(nullSafeSemi(
             readForKeys(spark, rightDir, Some(tick.tr), joinKeys.head, bounds),
-            affected, joinKeys)
+            affected, joinKeys), "__nr")
           // USING-style join: key columns appear once (coalesced for
           // full outer), the unmatched side's value columns are null
           val recomputed = leftNow.join(rightNow, joinKeys, jt)
           val valueCols = recomputed.columns.toSeq
+            .filterNot(c => c == "__nl" || c == "__nr")
+          // outer joins null the absent side's weight: an unmatched
+          // row pads with multiplicity 1, weighted by its own side
           val fresh = recomputed.groupBy(valueCols.map(col): _*)
-            .agg(count(lit(1)).as("__n"))
+            .agg(sum(coalesce(wl, lit(1L)) * coalesce(wr, lit(1L)))
+              .as("__n"))
             .withColumn("__op", lit("u")).withColumn("__seq", lit(1L))
           val viewExists = Snapshots.latestVersion(spark, viewDir).isDefined
           val stale =

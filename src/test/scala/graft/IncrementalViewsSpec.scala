@@ -625,6 +625,54 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, v) == vv)
   }
 
+  test("views all the way down: a 3-way join maintained as a view over a view, multiplicities multiplying") {
+    val s = spark; import s.implicits._
+    val (a, b, c, ab, abc) = (tmpDir(), tmpDir(), tmpDir(), tmpDir(), tmpDir())
+    // duplicates in A (k=1 twice) and C (k=1 twice): the 3-way tuple
+    // for k=1 must carry __n = 2·1·2 = 4 through the chained views
+    Snapshots.commit(Seq((1L, "a1"), (1L, "a1"), (2L, "a2")).toDF("k", "va"),
+      a, statsCol = Some("k"))
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "vb"), b,
+      statsCol = Some("k"))
+    Snapshots.commit(Seq((1L, "c1"), (1L, "c1"), (2L, "c2")).toDF("k", "vc"),
+      c, statsCol = Some("k"))
+    def expected(): DataFrame =
+      Snapshots.read(spark, a)
+        .join(Snapshots.read(spark, b), Seq("k"))
+        .join(Snapshots.read(spark, c), Seq("k"))
+    def refreshChain(): Unit = {
+      IncrementalViews.refreshJoin(spark, a, b, ab, Seq("k"))
+      IncrementalViews.refreshJoin(spark, ab, c, abc, Seq("k"))
+    }
+    def current(): Unit =
+      assert(canon(IncrementalViews.readExpanded(spark, abc)
+        .select(expected().columns.map(col): _*)) == canon(expected()))
+    refreshChain()
+    current()
+    assert(Snapshots.read(spark, abc).filter(col("k") === 1)
+      .select("__n").head().getLong(0) == 4L)
+
+    // churn every level: third copy of A's k=1 (6 expected), C loses
+    // one k=1 copy (back to 3... no: 3·1·1 = 3), B's k=2 row updates
+    Snapshots.commit(Seq((1L, "a1")).toDF("k", "va"), a, statsCol = Some("k"))
+    Snapshots.mergeCommit(spark, b,
+      Seq((2L, 22.0, "u", 1L)).toDF("k", "vb", "op", "seq"),
+      keyCols = Seq("k"))
+    Snapshots.deleteWhere(spark, c, col("k") === 1L)
+    refreshChain()
+    current()
+    // k=1: 3 A-copies x 1 B x 0 C rows -> gone from the 3-way view
+    assert(Snapshots.read(spark, abc).filter(col("k") === 1).count() == 0L)
+    assert(IncrementalViews.readExpanded(spark, abc)
+      .filter(col("k") === 2).select("vb").head().getDouble(0) == 22.0)
+
+    // a change ONLY in C: AB has no tick to do, ABC still updates
+    Snapshots.commit(Seq((2L, "c9")).toDF("k", "vc"), c, statsCol = Some("k"))
+    assert(IncrementalViews.refreshJoin(spark, a, b, ab, Seq("k")).isEmpty)
+    assert(IncrementalViews.refreshJoin(spark, ab, c, abc, Seq("k")).isDefined)
+    current()
+  }
+
   test("windowed rollup view: a ksqlDB-style hourly table maintained from the feed, late data touching only its window") {
     val s = spark; import s.implicits._
     val (src, v) = (tmpDir(), tmpDir())
