@@ -360,15 +360,30 @@ object IncrementalViews {
     ((tick.from + 1) to tick.to)
   }
 
+  /** (See the object doc for the view model.) `transform` makes the
+    * view DERIVED — `SELECT ... FROM src LATERAL VIEW ... GROUP BY
+    * keys` kept current: a row-local expansion (explode a token
+    * array, project derived columns, drop rows) applied AFTER
+    * `where`, to the feed and to the min/max rescan alike. Contract:
+    * deterministic, each output row derived from exactly ONE input
+    * row, and the `__change` column passed through untouched
+    * (select/filter/withColumn/explode all qualify) — every derived
+    * row then inherits its source row's sign, so deletes retract
+    * exactly what their insert added. The canonical use is a
+    * VOCABULARY view: tokens exploded from a document feed, counts
+    * exact as documents arrive AND leave. Pruning on group keys that
+    * only exist post-transform degrades gracefully (no stats recorded
+    * for them → every file read, never a wrong answer). */
   def refreshAgg(spark: SparkSession, srcDir: String, viewDir: String,
                  groupKeys: Seq[String], sumCols: Seq[String],
                  sumScale: Int = 6,
                  minMaxCols: Seq[String] = Nil,
-                 where: Option[Column] = None): Seq[Long] = {
+                 where: Option[Column] = None,
+                 transform: Option[DataFrame => DataFrame] = None): Seq[Long] = {
     require(groupKeys.nonEmpty, "refreshAgg needs at least one group key")
     withSourceTick(spark, srcDir, viewDir, "_agg_state") { (changes, tick) =>
       applyAggDelta(spark, srcDir, viewDir, groupKeys, sumCols, sumScale,
-        minMaxCols, where, changes, tick.to)
+        minMaxCols, where, transform, changes, tick.to)
     }
   }
 
@@ -376,13 +391,20 @@ object IncrementalViews {
                             viewDir: String, groupKeys: Seq[String],
                             sumCols: Seq[String], sumScale: Int,
                             minMaxCols: Seq[String], where: Option[Column],
+                            transform: Option[DataFrame => DataFrame],
                             changes0: DataFrame, v: Long): Unit = {
     val dec = s"decimal(30,$sumScale)"
     // the feed is consumed in ONE streaming aggregation pass — never
     // cached (the initial tick's feed is the whole source; an O(table)
     // persist would be the scale bug). What IS reused three ways
     // (bounds, fold, delete-keys) is `delta`: O(churned groups).
-    val changes = where.foldLeft(changes0)(_.filter(_))
+    val changes = {
+      val filtered = where.foldLeft(changes0)(_.filter(_))
+      val derived = transform.foldLeft(filtered)((d, t) => t(d))
+      require(derived.columns.contains("__change"),
+        "refreshAgg transform must pass the __change column through")
+      derived
+    }
     val sign = when(col("__change") === lit("insert"), lit(1)).otherwise(lit(-1))
     val dAggs = (sumCols.map(c =>
       sum(sign * col(c).cast(dec)).cast(dec).as(s"__d_$c")) :+
@@ -458,9 +480,21 @@ object IncrementalViews {
                 lit(null).cast(changes.schema(c).dataType).as(s"max_$c")))
               delta.limit(0).select(groupKeys.map(col) ++ empty: _*)
             } else {
-              val srcAff = where.foldLeft(
+              // the rescan sees the source through the same lens as
+              // the feed: where, then transform (fed a synthetic
+              // "insert" __change to honor the transform contract)
+              val lensed = {
+                val filtered = where.foldLeft(
                   readForKeys(spark, srcDir, Some(v),
-                    groupKeys.head, delBounds))(_.filter(_)).as("s")
+                    groupKeys.head, delBounds))(_.filter(_))
+                transform match {
+                  case None => filtered
+                  case Some(t) =>
+                    t(filtered.withColumn("__change", lit("insert")))
+                      .drop("__change")
+                }
+              }
+              val srcAff = lensed.as("s")
                 .join(delKeys.as("ak2"), nullSafeOn("s", "ak2"), "left_semi")
               val mmAggs = minMaxCols.flatMap(c =>
                 Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -666,13 +700,15 @@ object IncrementalViews {
   def maintainAgg(spark: SparkSession, srcDir: String, viewDir: String,
                   groupKeys: Seq[String], sumCols: Seq[String],
                   sumScale: Int = 6, minMaxCols: Seq[String] = Nil,
-                  where: Option[Column] = None, checkpointDir: String,
+                  where: Option[Column] = None,
+                  transform: Option[DataFrame => DataFrame] = None,
+                  checkpointDir: String,
                   trigger: org.apache.spark.sql.streaming.Trigger =
                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
       refreshAgg(spark, srcDir, viewDir, groupKeys, sumCols, sumScale,
-        minMaxCols, where)
+        minMaxCols, where, transform)
       ()
     }
 

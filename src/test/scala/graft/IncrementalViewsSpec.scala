@@ -711,6 +711,57 @@ class IncrementalViewsSpec extends SparkSpec {
       .select("__cnt").head().getLong(0) == 3L)
   }
 
+  test("derived view: an incremental vocabulary — deleted documents retract their tokens exactly") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    // the transform explodes each document into its tokens; __change
+    // rides along, so a deleted doc's tokens arrive as deletions
+    val explodeTokens: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = df =>
+      df.withColumn("token", explode(split(col("text"), " "))).drop("text")
+    def tick(): Seq[Long] = IncrementalViews.refreshAgg(spark, src, v,
+      Seq("token"), Nil, minMaxCols = Seq("doc_id"),
+      transform = Some(explodeTokens))
+    def expected(): DataFrame =
+      explodeTokens(Snapshots.read(spark, src)
+          .withColumn("__change", lit("insert"))).drop("__change")
+        .groupBy("token")
+        .agg(count(lit(1)).as("__cnt"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+    Snapshots.commit(Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text"),
+      src, statsCol = Some("doc_id"))
+    assert(tick() == Seq(0L))
+    assert(canon(Snapshots.read(spark, v)
+      .select("token", "__cnt", "min_doc_id", "max_doc_id")) ==
+      canon(expected()))
+    assert(Snapshots.read(spark, v).filter(col("token") === "a")
+      .select("__cnt").head().getLong(0) == 2L)
+
+    // a new doc arrives and doc 1 leaves, in one catch-up tick:
+    // token a (only in doc 1) must vanish; b shrinks to 1 and its
+    // posting bounds re-derive through the TRANSFORMED rescan
+    Snapshots.commit(Seq((3L, "c d")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") === 1L)
+    assert(tick() == Seq(1L, 2L))
+    assert(canon(Snapshots.read(spark, v)
+      .select("token", "__cnt", "min_doc_id", "max_doc_id")) ==
+      canon(expected()))
+    assert(Snapshots.read(spark, v).filter(col("token") === "a").count() == 0L)
+    val b = Snapshots.read(spark, v).filter(col("token") === "b")
+      .select("__cnt", "min_doc_id", "max_doc_id").head()
+    assert((b.getLong(0), b.getLong(1), b.getLong(2)) == ((1L, 2L, 2L)))
+    // a transform that drops __change is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((4L, "e")).toDF("doc_id", "text"), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshAgg(spark, src, tmpDir(), Seq("token"), Nil,
+        transform = Some(df => explodeTokens(df).drop("__change")))
+    }
+    assert(e.getMessage.contains("__change"))
+  }
+
   test("single-maintainer lock: a second concurrent refresh fails loudly, not by skipping versions") {
     val s = spark; import s.implicits._
     val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
