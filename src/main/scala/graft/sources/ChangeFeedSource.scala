@@ -112,27 +112,33 @@ private[sources] class ChangeFeedStream(spark: SparkSession, dir: String,
     * correctness watermark; this file only needs to never lag it,
     * and it's rewritten in [[getBatch]] before the batch runs. */
   private var cursor: Long = {
-    val p = cursorPath
-    if (p.exists(f => fsys.exists(f))) {
-      // a cursor file that EXISTS but cannot be read/parsed must fail
-      // loudly: silently regressing to startAfter is exactly the
-      // stale-LOW state described above — with maxVersionsPerTrigger
-      // set, getOffset could then answer behind the engine's committed
-      // offset and re-emit already-delivered versions (duplicates to
-      // any non-fenced sink). The file is tiny and rewritten wholesale
-      // on every batch, so corruption means something is genuinely
-      // wrong with the checkpoint volume; surface it.
-      val in = fsys.open(p.get)
-      val raw = try new String(in.readAllBytes(), "UTF-8").trim
-                finally in.close()
-      try raw.toLong catch {
-        case e: NumberFormatException => throw new IllegalStateException(
-          s"corrupt graft-changes cursor at ${p.get}: '$raw' — refusing " +
-            "to regress the admission watermark; inspect the checkpoint " +
-            "or delete the file to rebuild it from the engine's offset log",
-          e)
-      }
-    } else startAfter
+    // the watermark rides in marker file NAMES (atomic create — a torn
+    // write cannot corrupt a name; same convention as the view and
+    // consumer markers). Older markers are GC'd only after the newer
+    // one exists, so some marker always names a valid watermark.
+    val markers = cursorMarkers
+    if (markers.nonEmpty) markers.max
+    else cursorPath match {
+      case Some(p) if fsys.exists(p) =>
+        // legacy content-file form (pre-marker checkpoints): parseable
+        // → upgrade in place on the next persist; unreadable → fail
+        // loudly. Silently regressing to startAfter is exactly the
+        // stale-LOW state described above — with maxVersionsPerTrigger
+        // set, getOffset could then answer behind the engine's
+        // committed offset and re-emit already-delivered versions
+        // (duplicates to any non-fenced sink).
+        val in = fsys.open(p)
+        val raw = try new String(in.readAllBytes(), "UTF-8").trim
+                  finally in.close()
+        try raw.toLong catch {
+          case e: NumberFormatException => throw new IllegalStateException(
+            s"corrupt graft-changes cursor at $p: '$raw' — refusing " +
+              "to regress the admission watermark; inspect the checkpoint " +
+              "or delete the file to rebuild it from the engine's offset log",
+            e)
+        }
+      case _ => startAfter
+    }
   }
 
   private def fsys =
@@ -143,9 +149,32 @@ private[sources] class ChangeFeedStream(spark: SparkSession, dir: String,
     if (metadataPath.isEmpty) None
     else Some(new org.apache.hadoop.fs.Path(metadataPath, "graft-cursor"))
 
+  // lazy: used while the `cursor` field (declared above) initializes
+  private lazy val CursorMarkerRe = "graft-cursor-v(\\d{12})".r
+
+  private def cursorMarkers: Seq[Long] = cursorPath match {
+    case Some(p) if fsys.exists(p.getParent) =>
+      fsys.listStatus(p.getParent).map(_.getPath.getName).toSeq.collect {
+        case CursorMarkerRe(v) => v.toLong
+      }
+    case _ => Nil
+  }
+
   private def persistCursor(v: Long): Unit = cursorPath.foreach { p =>
-    val out = fsys.create(p, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // marker-file write: create the NEW name first (atomic — the old
+    // in-place truncate left a crash window where a 0-byte cursor
+    // forced a manual restart), THEN retire older markers and any
+    // legacy content file
+    val marker = new org.apache.hadoop.fs.Path(p.getParent,
+      f"graft-cursor-v$v%012d")
+    fsys.create(marker, true).close()
+    fsys.listStatus(p.getParent).map(_.getPath)
+      .filter { q =>
+        q.getName match {
+          case CursorMarkerRe(o) => o.toLong < v
+          case _ => q.getName == p.getName // the legacy content file
+        }
+      }.foreach(fsys.delete(_, false))
   }
 
   /** Latest available offset = the table's latest published version,

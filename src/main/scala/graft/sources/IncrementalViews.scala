@@ -123,7 +123,9 @@ object IncrementalViews {
     * `SELECT *, count(*) AS __n FROM left <joinType> JOIN right
     * USING (joinKeys) GROUP BY ALL`, current as of both inputs'
     * latest versions. Non-key column names must be disjoint across
-    * the inputs (project or rename upstream).
+    * the inputs (project or rename upstream), and `__n` is RESERVED:
+    * an input carrying it is treated as a join view whose `__n` is
+    * its Z-set multiplicity (rename any unrelated `__n` upstream).
     *
     * `joinType`: inner (default), left, right, or full — outer
     * variants null-pad the unmatched side, exactly Spark/SQL OUTER
@@ -233,16 +235,20 @@ object IncrementalViews {
               readForKeys(spark, viewDir, None, joinKeys.head, bounds),
               affected, joinKeys)
               .withColumn("__op", lit("d")).withColumn("__seq", lit(0L))
-          val changes = stale.unionByName(fresh)
+          // O(churn) rows — persisted so the emptiness probe and the
+          // merge run the recompute ONCE, not twice
+          val changes = stale.unionByName(fresh).persist()
           // keys = the full value tuple (the Z-set identity); __n is the
           // value a same-tuple upsert replaces; file pruning AND file
           // clustering on the first join key — the merge range-partitions
           // its rewrite so view files keep tight, tiling key ranges, and
           // the next tick's CoW rewrites only the files its keys land in
-          if (changes.isEmpty) None // churned keys join nothing, before and after
-          else Snapshots.mergeStreamBatch(changes, viewDir, tick.t,
-            keyCols = valueCols, opCol = "__op", seqCol = "__seq",
-            pruneCol = Some(joinKeys.head), clusterBy = Some(joinKeys.head))
+          try {
+            if (changes.isEmpty) None // churned keys join nothing, before and after
+            else Snapshots.mergeStreamBatch(changes, viewDir, tick.t,
+              keyCols = valueCols, opCol = "__op", seqCol = "__seq",
+              pruneCol = Some(joinKeys.head), clusterBy = Some(joinKeys.head))
+          } finally changes.unpersist()
         }
 
       writeMarker(f, root, tick.copy(kind = "processed"))
@@ -571,13 +577,17 @@ object IncrementalViews {
               readForKeys(spark, viewDir, None, partitionKeys.head, bounds),
               affected, partitionKeys)
               .withColumn("__op", lit("d")).withColumn("__seq", lit(0L))
-          val out = stale.unionByName(fresh)
-          if (!out.isEmpty)
-            Snapshots.mergeStreamBatch(out, viewDir, tick.to,
-              keyCols = partitionKeys :+ "__rank",
-              opCol = "__op", seqCol = "__seq",
-              pruneCol = Some(partitionKeys.head),
-              clusterBy = Some(partitionKeys.head))
+          // O(churn) rows — persisted so the emptiness probe and the
+          // merge run the re-ranking ONCE, not twice
+          val out = stale.unionByName(fresh).persist()
+          try {
+            if (!out.isEmpty)
+              Snapshots.mergeStreamBatch(out, viewDir, tick.to,
+                keyCols = partitionKeys :+ "__rank",
+                opCol = "__op", seqCol = "__seq",
+                pruneCol = Some(partitionKeys.head),
+                clusterBy = Some(partitionKeys.head))
+          } finally out.unpersist()
         }
       } finally affected.unpersist()
       ()

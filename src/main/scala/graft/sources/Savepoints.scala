@@ -50,6 +50,17 @@ object Savepoints {
   def create(spark: SparkSession, dir: String, name: String,
              tables: Map[String, String]): Map[String, Long] = {
     require(tables.nonEmpty, "a savepoint needs at least one table")
+    // the file format is line/tab delimited: an alias or path carrying
+    // either would serialize a pin that every later describe/read
+    // rejects as corrupt — and squat on the immutable name
+    tables.foreach { case (alias, tableDir) =>
+      require(!alias.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+        alias.nonEmpty, s"savepoint alias must be non-empty with no " +
+        s"tab/newline: '$alias'")
+      require(!tableDir.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+        tableDir.nonEmpty, s"table dir must be non-empty with no " +
+        s"tab/newline: '$tableDir'")
+    }
     val pinned = tables.map { case (alias, tableDir) =>
       val v = Snapshots.latestVersion(spark, tableDir).getOrElse(
         throw new IllegalArgumentException(

@@ -925,21 +925,39 @@ object Snapshots {
     catch { case _: Exception => None }
   }
 
-  /** Field-by-field schema union with numeric widening: same-typed
-    * fields keep their type, integral/floating pairs widen
-    * (byte<short<int<long<float<double — parquet's legal promotion
-    * ladder), a field on one side only joins as nullable. Anything
-    * else (string vs int) throws — the caller falls back to the
-    * footer walk rather than guess. */
+  /** Field-by-field schema union with VALUE-EXACT numeric widening:
+    * same-typed fields keep their type; within a family types widen
+    * up (byte<short<int<long, float<double); across families only
+    * where exact (byte/short join float fine, int forces double,
+    * long vs any fp refuses — int64 fits no fp mantissa). A field on
+    * one side only joins as nullable. Anything unmergeable throws —
+    * the caller falls back to the footer walk rather than guess. */
   private def widenMerge(a: org.apache.spark.sql.types.StructType,
                          b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val ladder: Seq[DataType] =
-      Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    // widening must be value-EXACT or refused: the merged template
+    // CASTs both generations (diff, change feed), and a lossy merge
+    // (e.g. bigint→float, 24-bit mantissa) would make genuinely
+    // different ids cancel in exceptAll — silent feed corruption.
+    // Within a family, up is exact; across, only when every value of
+    // the integral side fits the fp side's mantissa.
+    val ints: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val fps: Seq[DataType] = Seq(FloatType, DoubleType)
     def merge(x: DataType, y: DataType): DataType =
       if (x == y) x
-      else (ladder.indexOf(x), ladder.indexOf(y)) match {
-        case (i, j) if i >= 0 && j >= 0 => ladder(math.max(i, j))
+      else ((ints.indexOf(x), ints.indexOf(y)), (fps.indexOf(x), fps.indexOf(y))) match {
+        case ((i, j), _) if i >= 0 && j >= 0 => ints(math.max(i, j))
+        case (_, (i, j)) if i >= 0 && j >= 0 => fps(math.max(i, j))
+        case ((i, j), _) if i >= 0 || j >= 0 =>
+          val (int, fp) = if (i >= 0) (x, y) else (y, x)
+          if (!fps.contains(fp)) throw new IllegalArgumentException(
+            s"cannot widen $x vs $y")
+          int match {
+            case ByteType | ShortType => fp // all 16-bit ints exact in float
+            case IntegerType => DoubleType  // int32 exact in double only
+            case _ => throw new IllegalArgumentException( // int64: in neither
+              s"cannot widen $x vs $y without losing 64-bit precision")
+          }
         case _ => throw new IllegalArgumentException(s"cannot widen $x vs $y")
       }
     val bByName = b.fields.map(f => f.name -> f).toMap
@@ -1180,12 +1198,17 @@ object Snapshots {
     val versions = f.listStatus(root).map(_.getPath.getName)
       .filter(_.matches("v\\d{12}")).map(_.drop(1).toLong).sorted
     if (versions.length <= keepLast) return 0
+    // match FULLY QUALIFIED paths: a pin recorded relative (or spelled
+    // file:/...) must still rescue the same table addressed absolute —
+    // a silent mismatch here deletes exactly what the savepoint
+    // promised to keep
+    def canon(p: String): String =
+      f.makeQualified(new Path(p)).toUri.toString
+    val me = canon(dir)
     val pinned: Set[Long] = savepointDirs.flatMap { spDir =>
       Savepoints.list(spark, spDir).flatMap(name =>
         Savepoints.describe(spark, spDir, name).values.collect {
-          // match on the canonical URI so /a/b and file:/a/b agree
-          case (tDir, v) if new Path(tDir).toUri.getPath ==
-            new Path(dir).toUri.getPath => v
+          case (tDir, v) if canon(tDir) == me => v
         })
     }.toSet
     val (dead0, live0) = versions.splitAt(versions.length - keepLast)

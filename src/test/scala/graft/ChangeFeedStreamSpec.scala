@@ -141,11 +141,18 @@ class ChangeFeedStreamSpec extends SparkSpec {
       .foreachBatch { (_: DataFrame, _: Long) => () }.start()
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop()
-    // trash the durable cursor: a silent fallback to startAfter would
-    // answer getOffset BEHIND the engine's committed offset and
-    // re-emit delivered versions to any non-fenced sink
-    val cursorFile = new java.io.File(s"$ckpt/sources/0/graft-cursor")
-    assert(cursorFile.exists, s"expected a durable cursor at $cursorFile")
+    // the durable cursor rides in marker NAMES now (atomic create, no
+    // torn-write window); the corrupt state a restart can still meet
+    // is a legacy-format checkpoint whose content file is garbage —
+    // emulate it: markers gone, legacy graft-cursor unparseable. A
+    // silent fallback to startAfter would answer getOffset BEHIND the
+    // engine's committed offset and re-emit delivered versions
+    val stateDir = new java.io.File(s"$ckpt/sources/0")
+    val markers = stateDir.listFiles()
+      .filter(_.getName.matches("(\\.)?graft-cursor-v\\d{12}(\\.crc)?"))
+    assert(markers.nonEmpty, s"expected durable cursor markers in $stateDir")
+    markers.foreach(m => java.nio.file.Files.delete(m.toPath))
+    val cursorFile = new java.io.File(stateDir, "graft-cursor")
     java.nio.file.Files.writeString(cursorFile.toPath, "not-a-number")
     // drop the checksum sidecar so the READ succeeds and the PARSE
     // fails — the case under test (a crc mismatch already fails loudly

@@ -1035,6 +1035,19 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(Seq((1, "a")).toDF("id", "payload"), dir2)
     Snapshots.commit(Seq(("one", "b")).toDF("id", "payload"), dir2)
     assert(Snapshots.tableSchema(spark, dir2).isEmpty)
+    // bigint vs float/double also refuses — no fp mantissa holds all
+    // 64-bit ids, and a lossy merge would CAST the change feed into
+    // cancelling genuinely different rows
+    val dir3 = tmpDir()
+    Snapshots.commit(Seq(Tuple1(1L)).toDF("id"), dir3)
+    Snapshots.commit(Seq(Tuple1(2.5)).toDF("id"), dir3)
+    assert(Snapshots.tableSchema(spark, dir3).isEmpty)
+    // int vs float widens to DOUBLE (exact for every int32), not float
+    val dir4 = tmpDir()
+    Snapshots.commit(Seq(Tuple1(1)).toDF("x"), dir4)
+    Snapshots.commit(Seq(Tuple1(2.5f)).toDF("x"), dir4)
+    assert(Snapshots.tableSchema(spark, dir4).get("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
   }
 
   test("statsSummary answers table min/max/rows from the manifest alone") {
