@@ -418,6 +418,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.IncrementalViews.readDistinct(s, litStr(a(0), "dir"))
     }
 
+    tvf("graft_savepoint_create",
+      "graft_savepoint_create(dir, name, alias1, tableDir1[, alias2, tableDir2, ...]) - pin every table's current version under one immutable savepoint name (see Savepoints.create); returns the pinned set, one row per table: (alias, version)") {
+      (s, a) =>
+        require(a.length >= 4 && a.length % 2 == 0,
+          "graft_savepoint_create takes (dir, name, alias1, tableDir1[, alias2, tableDir2, ...])")
+        val tables = a.drop(2).grouped(2).zipWithIndex.map {
+          case (Seq(al, td), i) =>
+            litStr(al, s"alias$i") -> litStr(td, s"tableDir$i")
+        }.toMap
+        val pinned = sources.Savepoints.create(s, litStr(a(0), "dir"),
+          litStr(a(1), "name"), tables)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          pinned.toSeq.sortBy(_._1).map { case (al, v) =>
+            org.apache.spark.sql.Row(al, v) }.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("alias",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("version",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
     tvf("graft_savepoint",
       "graft_savepoint(dir, name, alias) - read one table of a named multi-table savepoint exactly as pinned (see Savepoints.read)") {
       (s, a) =>

@@ -34,7 +34,13 @@ class SavepointsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t1)
       .select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
 
-    // SQL surface: read + describe
+    // SQL surface: create + read + describe — a pin made from pure
+    // SQL reads back the same as the Scala API's
+    val sqlPin = spark.sql(
+      s"""SELECT * FROM graft_savepoint_create(
+         |  '$sp', 'run1sql', 'docs', '$t1', 'scores', '$t2')""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sqlPin.map(_._1) == Seq("docs", "scores"))
     assert(spark.sql(s"SELECT k FROM graft_savepoint('$sp', 'run1', 'docs')")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     val desc = spark.sql(
@@ -44,7 +50,7 @@ class SavepointsSpec extends SparkSpec {
 
     // a second savepoint pins the NEW state; both coexist
     Savepoints.create(spark, sp, "run2", Map("docs" -> t1, "scores" -> t2))
-    assert(Savepoints.list(spark, sp) == Seq("run1", "run2"))
+    assert(Savepoints.list(spark, sp) == Seq("run1", "run1sql", "run2"))
     assert(Savepoints.read(spark, sp, "run2", "docs")
       .select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
