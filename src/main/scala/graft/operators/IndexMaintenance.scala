@@ -30,27 +30,73 @@ private[graft] object IndexMaintenance {
   private def lockPath(dir: String) = new Path(dir, "_graft_maintenance.lock")
   private val RetiredPrefix = "_graft_retired-"
 
-  /** Run `body` holding the index's single-writer lock — an atomic
-    * create-fails-if-exists file. A second writer fails LOUDLY instead
-    * of silently losing its batch into a doomed generation. A crashed
-    * writer leaves the lock behind; the error names the file so an
-    * operator can confirm no writer is alive and delete it (a full
-    * rebuild — [[MinHashIndex.build]] / `ivfWriteIndex` — also clears
-    * it, that being the recovery path anyway). */
+  /** Lease after which a lock file counts as ABANDONED and may be
+    * stolen (`spark.graft.maintenance.lockLeaseMs`, default 15 min).
+    * Size it comfortably above the longest maintenance tick: the lock
+    * is not renewed mid-operation, so a legitimate writer slower than
+    * the lease could be stolen from. */
+  private def leaseMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.maintenance.lockLeaseMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+
+  /** Run `body` holding the single-writer lock — an atomic
+    * create-fails-if-exists file stamped with owner + operation for
+    * diagnostics. A second LIVE writer fails LOUDLY instead of
+    * silently losing its batch into a doomed generation. A lock older
+    * than [[leaseMs]] is presumed left by a CRASHED writer (OOM,
+    * kill -9 — Spark drivers die like that) and is STOLEN, so an
+    * always-on view maintainer self-heals instead of crash-looping
+    * until an operator hand-deletes a file. The steal is race-safe:
+    * the stale lock is first RENAMED to a unique tombstone — rename
+    * is atomic, exactly one stealer wins — and the loser falls
+    * through to a plain create against the winner's fresh lock, which
+    * fails loudly as usual. [[clearLock]] / [[clearState]] remain the
+    * explicit recovery paths when waiting out the lease is not
+    * wanted. */
   def withWriterLock[T](spark: SparkSession, dir: String, op: String)
                        (body: => T): T = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir))
     val p = lockPath(dir)
+    def held(e: Throwable) = new IllegalStateException(
+      s"$op: another maintenance writer holds $p (append and compact are " +
+        "mutually exclusive); a dead writer's lock is stolen automatically " +
+        s"after the ${leaseMs(spark)}ms lease " +
+        "(spark.graft.maintenance.lockLeaseMs), or delete it explicitly " +
+        "via IndexMaintenance.clearLock", e)
+    def acquire() = f.create(p, false)
     val out =
-      try f.create(p, false)
-      catch { case e: java.io.IOException => throw new IllegalStateException(
-        s"$op: another maintenance writer holds $p (append and compact are " +
-          "mutually exclusive); if its process is dead, delete the lock file",
-        e) }
-    out.close()
+      try acquire()
+      catch {
+        case e: java.io.IOException =>
+          val stat =
+            try Some(f.getFileStatus(p))
+            catch { case _: java.io.FileNotFoundException => None }
+          val expired = stat.exists(s =>
+            System.currentTimeMillis() - s.getModificationTime > leaseMs(spark))
+          if (expired) {
+            val tomb = new Path(dir,
+              s"_graft_stale_lock-${java.util.UUID.randomUUID()}")
+            if (f.rename(p, tomb)) f.delete(tomb, false)
+            try acquire() catch {
+              case e2: java.io.IOException => throw held(e2) }
+          } else if (stat.isEmpty) {
+            // holder released between our create and the stat: retry once
+            try acquire() catch {
+              case e2: java.io.IOException => throw held(e2) }
+          } else throw held(e)
+      }
+    try out.write((s"op=$op\tpid=${ProcessHandle.current().pid()}\t" +
+      s"acquired_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+    finally out.close()
     try body finally f.delete(p, false)
   }
+
+  /** Explicitly remove a (presumed stale) maintenance lock — the
+    * manual recovery path when waiting out the lease is not wanted.
+    * Returns whether a lock existed. */
+  def clearLock(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).delete(lockPath(dir), false)
 
   /** Record paths retired by a compaction for a later [[vacuum]] —
     * the old generation's directories and the tombstone files it

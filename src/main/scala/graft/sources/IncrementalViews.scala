@@ -79,29 +79,84 @@ object IncrementalViews {
     f.create(new Path(root, name), true).close()
   }
 
-  /** Affected-key prune bounds: (n affected, Some(lo, hi)) when every
+  /** Grid resolution for [[keyRanges]] — bounded driver data: at most
+    * this many (bucket, min, max) rows ever reach the driver. */
+  private val PruneBuckets = 256
+  /** Cap on the disjoint ranges handed to the manifest prune — each
+    * range is one OR-term in the manifest filter, so keep it small. */
+  private val MaxPruneRanges = 8
+
+  /** Affected-key prune ranges: (n affected, Some(ranges)) when every
     * affected key is non-null, (n, None) when the key set is empty or
     * holds nulls — min/max file stats ignore nulls, so no range can
-    * locate a null key's rows and pruning must stand down. One tiny
-    * aggregation job; `affected` should be persisted by the caller. */
-  private def keyBounds(affected: DataFrame,
-                        key: String): (Long, Option[(Any, Any)]) = {
+    * locate a null key's rows and pruning must stand down.
+    *
+    * The ranges are up to [[MaxPruneRanges]] DISJOINT [lo, hi]
+    * intervals that together cover every churned key, so SCATTERED
+    * churn (key 1 and key 10⁹ in one tick) opens only the files near
+    * each cluster instead of every file in the global [min, max] —
+    * the straddling-tick case where a single range prunes nothing.
+    * One distributed aggregation: keys land on a fixed
+    * [[PruneBuckets]]-cell grid over [min, max] with typed per-bucket
+    * min/max; adjacent non-empty cells merge into runs driver-side
+    * (≤ [[PruneBuckets]] rows collected), and if more runs survive
+    * than [[MaxPruneRanges]], the narrowest inter-run gaps merge
+    * first — pruning only ever widens, never misses a key. Orderable
+    * but non-numeric keys (strings) fall back to the single global
+    * range (no grid arithmetic); so does a key domain too narrow for
+    * double-precision bucket math. `affected` should be persisted by
+    * the caller. */
+  private def keyRanges(affected: DataFrame,
+                        key: String): (Long, Option[Seq[(Any, Any)]]) = {
     val r = affected.agg(count(lit(1)), count(col(key)),
       min(col(key)), max(col(key))).head()
     val (n, nonNull) = (r.getLong(0), r.getLong(1))
-    if (n == 0L || nonNull < n || r.isNullAt(2)) (n, None)
-    else (n, Some((r.get(2), r.get(3))))
+    if (n == 0L || nonNull < n || r.isNullAt(2)) return (n, None)
+    val (lo, hi) = (r.get(2), r.get(3))
+    import org.apache.spark.sql.types._
+    val gridable = affected.schema(key).dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    if (!gridable || lo == hi) return (n, Some(Seq((lo, hi))))
+    // bucket index over [lo, hi]; width 0 (sub-double-precision span)
+    // degrades every key to bucket 0 — i.e. the single global range
+    val kd = col(key).cast("double")
+    val width = (lit(hi).cast("double") - lit(lo).cast("double")) /
+      lit(PruneBuckets.toDouble)
+    val bucket = when(width <= 0.0 || isnan(width), lit(0))
+      .otherwise(least(
+        floor((kd - lit(lo).cast("double")) / width), lit(PruneBuckets - 1L)))
+      .cast("int")
+    val cells = affected.groupBy(bucket.as("__b"))
+      .agg(min(col(key)).as("__lo"), max(col(key)).as("__hi"))
+      .orderBy("__b").collect()
+      .map(c => (c.getInt(0), c.get(1), c.get(2)))
+    // adjacent cells merge into runs; a missing cell index is a gap
+    val runs = cells.foldLeft(List.empty[(Int, Int, Any, Any)]) {
+      case ((b0, b1, rlo, _) :: rest, (b, clo, chi)) if b == b1 + 1 =>
+        (b0, b, rlo, chi) :: rest
+      case (acc, (b, clo, chi)) => (b, b, clo, chi) :: acc
+    }.reverse.toVector
+    // too many runs: merge across the NARROWEST cell gaps first —
+    // widening is always safe, it just prunes a little less
+    var rs = runs
+    while (rs.size > MaxPruneRanges) {
+      val i = (0 until rs.size - 1).minBy(j => rs(j + 1)._1 - rs(j)._2)
+      val (a, b) = (rs(i), rs(i + 1))
+      rs = (rs.take(i) :+ ((a._1, b._2, a._3, b._4))) ++ rs.drop(i + 2)
+    }
+    (n, Some(rs.map(t => (t._3, t._4))))
   }
 
   /** A snapshot read that opens only the files whose `key` stats range
-    * overlaps the affected bounds — the manifest-level half of the
+    * overlaps ANY affected range — the manifest-level half of the
     * affected-key restriction (the semi-join is the row-level half). */
   private def readForKeys(spark: SparkSession, dir: String,
                           version: Option[Long], key: String,
-                          bounds: Option[(Any, Any)]): DataFrame =
-    bounds match {
-      case Some((lo, hi)) =>
-        Snapshots.readPrunedBy(spark, dir, Map(key -> (lo, hi)), version)
+                          ranges: Option[Seq[(Any, Any)]]): DataFrame =
+    ranges match {
+      case Some(rs) => Snapshots.readPrunedRanges(spark, dir, key, rs, version)
       case None => Snapshots.read(spark, dir, version)
     }
 
@@ -196,7 +251,7 @@ object IncrementalViews {
     val affected = (if (jt == "inner") affectedAll.filter(notNullKeys)
                     else affectedAll).distinct().persist()
     try {
-      val (nAffected, bounds) = keyBounds(affected, joinKeys.head)
+      val (nAffected, bounds) = keyRanges(affected, joinKeys.head)
       val version: Option[Long] =
         if (nAffected == 0L) None // pure-rewrite churn (compaction): no keys moved
         else {
@@ -252,10 +307,16 @@ object IncrementalViews {
         }
 
       writeMarker(f, root, tick.copy(kind = "processed"))
-      // intents at or below the new watermark are spent
-      markers(f, root).filter(m => m.kind == "intent" && m.t <= tick.t)
+      // spent markers: intents at or below the new watermark, and
+      // older processed markers — only the NEWEST processed marker is
+      // the watermark, so without this GC an always-on maintainJoin
+      // (one tick per micro-batch) grows _view_state O(ticks) forever
+      // and re-lists it all on every refresh
+      markers(f, root).filter(m =>
+        (m.kind == "intent" && m.t <= tick.t) ||
+          (m.kind == "processed" && m.t < tick.t))
         .foreach { m =>
-          val name = f"intent-T${m.t}%06d-FL${m.fl}-FR${m.fr}-TL${m.tl}-TR${m.tr}"
+          val name = f"${m.kind}-T${m.t}%06d-FL${m.fl}-FR${m.fr}-TL${m.tl}-TR${m.tr}"
           f.delete(new Path(root, name), false)
         }
       version
@@ -433,7 +494,7 @@ object IncrementalViews {
       val viewExists = Snapshots.latestVersion(spark, viewDir).isDefined
       val viewCols = groupKeys ++ sumCols.map(c => s"sum_$c") ++ Seq("__cnt") ++
         minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
-      val (_, bounds) = keyBounds(affKeys, groupKeys.head)
+      val (_, bounds) = keyRanges(affKeys, groupKeys.head)
       val oldAff =
         if (!viewExists)
           // shape an empty frame with the view's schema (typed nulls)
@@ -476,7 +537,7 @@ object IncrementalViews {
           // an append-only tick does ZERO source re-reads.
           val delKeys = delta.filter(col("__has_del") === 1)
             .select(groupKeys.map(col): _*)
-          val (nDel, delBounds) = keyBounds(delKeys, groupKeys.head)
+          val (nDel, delBounds) = keyRanges(delKeys, groupKeys.head)
           val mm =
             if (nDel == 0L) {
               // build an empty, correctly-typed frame without
@@ -556,7 +617,7 @@ object IncrementalViews {
       val keyCols = partitionKeys.map(col)
       val affected = changes.select(keyCols: _*).distinct().persist()
       try {
-        val (nAffected, bounds) = keyBounds(affected, partitionKeys.head)
+        val (nAffected, bounds) = keyRanges(affected, partitionKeys.head)
         if (nAffected != 0L) {
           val srcAff = nullSafeSemi(
             readForKeys(spark, srcDir, Some(tick.to), partitionKeys.head,
@@ -675,7 +736,15 @@ object IncrementalViews {
     * source downgrades AvailableNow to single-batch execution — same
     * drain-everything-pending semantics here; and even a signal batch
     * racing a concurrent commit is harmless, because the NEXT tick
-    * folds whatever this one didn't see.) */
+    * folds whatever this one didn't see.)
+    *
+    * Crash recovery is hands-off: each tick holds the view's writer
+    * lock, and a maintainer killed mid-tick (OOM, kill -9) leaves it
+    * behind — the lock is LEASED, so the restarted maintainer steals
+    * it automatically once `spark.graft.maintenance.lockLeaseMs`
+    * (default 15 min) elapses and the intent-marker protocol replays
+    * the interrupted tick exactly once. `IndexMaintenance.clearLock
+    * (spark, viewDir)` is the immediate manual override. */
   def maintain(spark: SparkSession, inputDirs: Seq[String],
                checkpointDir: String,
                trigger: org.apache.spark.sql.streaming.Trigger =

@@ -792,6 +792,38 @@ object Snapshots {
     else spark.read.parquet(keep: _*)
   }
 
+  /** Read only the files whose `column` stats range can intersect ANY
+    * of `ranges` — the DISJUNCTIVE variant of [[readPrunedBy]], for
+    * callers whose key set clusters into several disjoint intervals
+    * (e.g. an incremental-view tick whose churned keys straddle the
+    * key domain: one global [min, max] would keep every file, a
+    * handful of tight ranges keeps only the genuinely overlapping
+    * ones). Files committed without stats for `column` are always
+    * read (no silent misses); the empty-string column addresses the
+    * legacy primary stats pair. The residual predicate still applies
+    * row-level; this only shrinks the file list. */
+  def readPrunedRanges(spark: SparkSession, dir: String, column: String,
+                       ranges: Seq[(Any, Any)],
+                       version: Option[Long] = None): DataFrame = {
+    require(ranges.nonEmpty, "readPrunedRanges needs at least one range")
+    val m = manifest(spark, dir, version)
+    val pair =
+      if (column.isEmpty) Some((col("stats_min"), col("stats_max")))
+      else if (m.columns.contains(s"smin_$column"))
+        Some((col(s"smin_$column"), col(s"smax_$column")))
+      // no recorded stats pair for this column: the legacy pair may
+      // describe a DIFFERENT column — keep every file instead
+      else None
+    val keep = (pair match {
+      case Some((mn, mx)) => m.filter(mn.isNull ||
+        ranges.map { case (lo, hi) => mn <= lit(hi) && mx >= lit(lo) }
+          .reduce(_ || _))
+      case None => m
+    }).select("path").collect().map(_.getString(0)).toSeq
+    if (keep.isEmpty) read(spark, dir, version).limit(0)
+    else spark.read.parquet(keep: _*)
+  }
+
   /** Point-lookup file pruning: read only the files that might
     * contain `value` in the named bloom column. Min/max stats can
     * only prune a point probe when the table is CLUSTERED by the key;

@@ -789,6 +789,105 @@ class IncrementalViewsSpec extends SparkSpec {
     assertViewCurrent(l, r, v, Seq("k"))
   }
 
+  test("join-view state GC: _view_state stays bounded across many ticks") {
+    val s = spark; import s.implicits._
+    val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
+    Snapshots.commit(Seq((0L, "a0")).toDF("k", "a"), l, statsCol = Some("k"))
+    Snapshots.commit(Seq((0L, 0.0)).toDF("k", "b"), r, statsCol = Some("k"))
+    IncrementalViews.refreshJoin(spark, l, r, v, Seq("k"))
+    (1 to 5).foreach { i =>
+      Snapshots.commit(Seq((i.toLong, s"a$i")).toDF("k", "a"), l,
+        statsCol = Some("k"))
+      Snapshots.commit(Seq((i.toLong, i.toDouble)).toDF("k", "b"), r,
+        statsCol = Some("k"))
+      assert(IncrementalViews.refreshJoin(spark, l, r, v, Seq("k")).isDefined)
+    }
+    assertViewCurrent(l, r, v, Seq("k"))
+    // 6 ticks ran; only the newest processed marker (the watermark)
+    // may remain — an always-on maintainer must not grow O(ticks)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(v), spark.sparkContext.hadoopConfiguration)
+    val names = f.listStatus(new org.apache.hadoop.fs.Path(s"$v/_view_state"))
+      .map(_.getPath.getName).toSeq
+    assert(names.count(_.startsWith("processed-")) == 1,
+      s"processed markers not GC'd: $names")
+    assert(names.count(_.startsWith("intent-")) == 0,
+      s"spent intents not GC'd: $names")
+  }
+
+  test("scattered churn: a tick touching both ends of the key domain still prunes the middle") {
+    val s = spark; import s.implicits._
+    val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val left = spark.range(0, 1000).select(col("id").as("k"),
+        concat(lit("L"), col("id")).as("a")).repartitionByRange(10, col("k"))
+      val right = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2.0).as("b")).repartitionByRange(10, col("k"))
+      Snapshots.commit(left, l, statsCol = Some("k"))
+      Snapshots.commit(right, r, statsCol = Some("k"))
+      IncrementalViews.refreshJoin(spark, l, r, v, Seq("k"))
+
+      // churn ONLY the extremes (k=3 and k=996): the old global
+      // [min, max] range spanned the whole domain and pruned NOTHING;
+      // multi-range pruning must keep the middle files closed — prove
+      // it by corrupting every left/view file whose range holds
+      // neither extreme, so opening one would crash the tick
+      def midFiles(dir: String): Seq[String] =
+        Snapshots.manifest(spark, dir)
+          .select("path", "smin_k", "smax_k").collect().toSeq
+          .filter { row =>
+            !row.isNullAt(1) &&
+              (row.getLong(1) > 3L || row.getLong(2) < 3L) &&
+              (row.getLong(1) > 996L || row.getLong(2) < 996L)
+          }.map(_.getString(0))
+      val (midL, midV) = (midFiles(l), midFiles(v))
+      assert(midL.size >= 6, s"need tiling left files, got ${midL.size}")
+      assert(midV.size >= 2, s"need tiling view files, got ${midV.size}")
+      (midL ++ midV).foreach(corruptDataBytes)
+
+      Snapshots.commit(Seq((3L, 333.3), (996L, 999.9)).toDF("k", "b"), r,
+        statsCol = Some("k"))
+      assert(IncrementalViews.refreshJoin(spark, l, r, v, Seq("k")).isDefined)
+      val probe = Snapshots.readPrunedRanges(spark, v, "k",
+        Seq((3L, 3L), (996L, 996L)))
+      assert(probe.filter(col("k") === 3L).agg(sum("__n")).head().getLong(0) == 2L)
+      assert(probe.filter(col("k") === 996L).agg(sum("__n")).head().getLong(0) == 2L)
+
+      // and the disjunctive read itself opens only the edge files
+      val opened = Snapshots.readPrunedRanges(spark, l, "k",
+        Seq((3L, 3L), (996L, 996L))).inputFiles.length
+      val total = Snapshots.manifest(spark, l).count()
+      assert(opened <= 2 && total == 10L,
+        s"expected <=2 of $total files opened, got $opened")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
+  test("lease-based lock: a crashed maintainer's stale lock is stolen, a live one is respected") {
+    val s = spark; import s.implicits._
+    val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "x")).toDF("k", "a"), l, statsCol = Some("k"))
+    Snapshots.commit(Seq((1L, 1.0)).toDF("k", "b"), r, statsCol = Some("k"))
+    // a lock whose age exceeds the lease (backdated past the default
+    // 15 min): the next tick must steal it and proceed — an always-on
+    // maintainer self-heals after a kill -9 instead of crash-looping
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(v), spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(v))
+    val lock = new org.apache.hadoop.fs.Path(v, "_graft_maintenance.lock")
+    f.create(lock, false).close()
+    f.setTimes(lock, System.currentTimeMillis() - 16L * 60 * 1000, -1)
+    assert(IncrementalViews.refreshJoin(spark, l, r, v, Seq("k")).isDefined)
+    assertViewCurrent(l, r, v, Seq("k"))
+    assert(!f.exists(lock), "the stolen lock must be released after the tick")
+    // clearLock is the immediate manual override for a fresh stale lock
+    f.create(lock, false).close()
+    assert(graft.operators.IndexMaintenance.clearLock(spark, v))
+    assert(!f.exists(lock))
+  }
+
   test("a tick that deletes every joining row of a key leaves a correct, smaller view") {
     val s = spark; import s.implicits._
     val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
