@@ -18,8 +18,12 @@ package graft
   *     driver-side signal; BENCH_FULL.json keeps millisecond
   *     precision for every rep).
   *  3. Drop the errors map (errors still land in BENCH_FULL.json).
-  *  4. Whole-second times — only reachable if the inventory grows
-  *     past ~100 queries.
+  *  4. GREEDY mixed precision: whole seconds for every query, then
+  *     upgrade queries to 1 decimal MOST-EXPENSIVE-FIRST while the
+  *     line still fits — the hot queries (the ones a reader of the
+  *     line acts on) keep a decimal instead of the whole map going
+  *     coarse at once. Round 9 hit the old all-or-nothing
+  *     whole-second rung and 70 of 95 queries printed "0".
   *  5. Keep only the MOST EXPENSIVE queries that fit, with a
   *     `"queries_omitted":K` marker — the per-query names dominate
   *     the byte budget (~16B each vs ≤4B of time), so past ~115
@@ -31,12 +35,13 @@ package graft
 object BenchLine {
   /** Bytes reserved for sbt's success trailer inside the 2000-char
     * driver tail. Round 6 measured it: a 1960B line missed the tail
-    * by ~40B, so the trailer ("[success] Total time: NNNN s (MM:SS),
-    * completed <date>" + newlines) is ~80B. Round 8's 1869B line +
-    * trailer left <60B of margin in the tail — too tight; reserve
-    * 200 so the line tops out at 1800B and any locale-long date or
-    * stray sbt info line still can't displace it. */
-  val TrailerAllowance = 200
+    * by ~40B, so the usable window is ≈1920B. Round 9's parsed tail
+    * pinned the trailer exactly: `\n[success] Total time: 455 s
+    * (07:35), completed Aug 14, 2026, 1:04:14 AM\n` = 74B. Reserve
+    * 120 — 46B of slack for a longer duration/locale date — instead
+    * of round 9's 200, which squeezed the 95-query map down to the
+    * whole-second rung for no measured reason. */
+  val TrailerAllowance = 120
   val LineBudget: Int = 2000 - TrailerAllowance
 
   private def r2(v: Double): Double = math.round(v * 100) / 100.0
@@ -60,13 +65,31 @@ object BenchLine {
       val e = if (withErrs) errs else ""
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate$e,"queries":$qs,"sf":"$sfName"}"""
     }
+    def fits(s: String): Boolean = s.getBytes("UTF-8").length <= LineBudget
+    // rung 4: per-query mixed precision — every query starts at whole
+    // seconds; the most expensive upgrade to 1 decimal while the line
+    // fits. Query names are ASCII, so char count == byte count and
+    // the upgrade deltas are exact.
+    def renderGreedy(): Option[String] = {
+      val base = render(fmt0, withErrs = false)
+      if (!fits(base)) return None
+      var budget = LineBudget - base.length
+      val oneDec = queries.sortBy { case (k, v) => (-v, k) }.iterator
+        .flatMap { case (k, v) =>
+          val delta = fmt1(v).length - fmt0(v).length
+          if (delta <= budget) { budget -= delta; Some(k) } else None
+        }.toSet
+      val qs = queries.map { case (k, v) =>
+        val f = if (oneDec(k)) fmt1(v) else fmt0(v)
+        "\"" + k.stripPrefix("q_") + "\":" + f }.mkString("{", ",", "}")
+      Some(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate,"queries":$qs,"sf":"$sfName"}""")
+    }
     val attempts = Iterator(
       render(fmt2, withErrs = true),
       render(fmt1, withErrs = true),
-      render(fmt1, withErrs = false),
-      render(fmt0, withErrs = false))
-    def fits(s: String): Boolean = s.getBytes("UTF-8").length <= LineBudget
-    attempts.find(fits).getOrElse {
+      render(fmt1, withErrs = false)).filter(fits) ++
+      renderGreedy().iterator
+    attempts.nextOption().getOrElse {
       // rung 5: the full map cannot fit in ANY numeric format — keep
       // the most expensive queries (the ones a reader of the line
       // acts on) and say how many were dropped

@@ -402,7 +402,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val folded = sources.IncrementalViews.refreshTopK(s,
           litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
           csv(a(2), "keysCsv"), litStr(a(3), "orderCol"),
-          litVal(a(4), "k").toString.toInt, tieBreak = tb)
+          litInt(a(4), "k"), tieBreak = tb)
         import scala.jdk.CollectionConverters._
         s.createDataFrame(
           folded.map(v => org.apache.spark.sql.Row(v)).asJava,
@@ -423,10 +423,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, a) =>
         require(a.length >= 4 && a.length % 2 == 0,
           "graft_savepoint_create takes (dir, name, alias1, tableDir1[, alias2, tableDir2, ...])")
-        val tables = a.drop(2).grouped(2).zipWithIndex.map {
+        val pairs = a.drop(2).grouped(2).zipWithIndex.map {
           case (Seq(al, td), i) =>
             litStr(al, s"alias$i") -> litStr(td, s"tableDir$i")
-        }.toMap
+        }.toSeq
+        // .toMap would silently keep only the LAST tableDir of a
+        // repeated alias — a savepoint that reports success while a
+        // table the caller named is absent from the pinned set
+        val dup = pairs.map(_._1).groupBy(identity).collect {
+          case (al, as) if as.size > 1 => al }
+        require(dup.isEmpty,
+          s"duplicate savepoint alias: ${dup.toSeq.sorted.mkString(", ")}")
+        val tables = pairs.toMap
         val pinned = sources.Savepoints.create(s, litStr(a(0), "dir"),
           litStr(a(1), "name"), tables)
         import scala.jdk.CollectionConverters._
@@ -465,6 +473,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               org.apache.spark.sql.types.StringType, nullable = false),
             org.apache.spark.sql.types.StructField("version",
               org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
+    tvf("graft_savepoint_list",
+      "graft_savepoint_list(dir) - every savepoint name under the directory, one row each (see Savepoints.list)") {
+      (s, a) =>
+        require(a.length == 1, "graft_savepoint_list takes (dir)")
+        val names = sources.Savepoints.list(s, litStr(a(0), "dir"))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          names.sorted.map(n => org.apache.spark.sql.Row(n)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("name",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+    }
+
+    tvf("graft_savepoint_drop",
+      "graft_savepoint_drop(dir, name) - unpin a savepoint; its versions become expirable again. Returns (name, dropped) - dropped=false when no such savepoint existed (see Savepoints.drop)") {
+      (s, a) =>
+        require(a.length == 2, "graft_savepoint_drop takes (dir, name)")
+        val name = litStr(a(1), "name")
+        val dropped = sources.Savepoints.drop(s, litStr(a(0), "dir"), name)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          Seq(org.apache.spark.sql.Row(name, dropped)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("name",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("dropped",
+              org.apache.spark.sql.types.BooleanType, nullable = false))))
     }
 
     tvf("graft_snapshot_manifest",

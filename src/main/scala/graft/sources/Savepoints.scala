@@ -78,6 +78,24 @@ object Savepoints {
     try out.write(pinned.map { case (a, d, v) => s"$a\t$d\t$v" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    // register this savepoint directory INSIDE each pinned table so
+    // [[Snapshots.expire]] rescues the pins even when the expiring
+    // caller never heard of this savepoint dir — without it, retention
+    // is savepoint-aware only for callers that remember to pass
+    // `savepointDirs`, and a forgotten call site silently deletes what
+    // the savepoint promised to keep. Registration is best-effort: a
+    // read-only pinned table (foreign data someone else retains) must
+    // not fail the pin itself.
+    pinned.foreach { case (alias, tableDir, _) =>
+      try Snapshots.registerSavepointDir(spark, tableDir, dir)
+      catch { case e: java.io.IOException =>
+        org.slf4j.LoggerFactory.getLogger("graft.Savepoints").warn(
+          s"savepoint $name: could not register savepoint dir $dir in " +
+            s"table $tableDir (alias $alias) - expire() on that table " +
+            s"will only honor this pin when passed savepointDirs " +
+            s"explicitly: ${e.getMessage}")
+      }
+    }
     pinned.map { case (a, _, v) => a -> v }.toMap
   }
 

@@ -1221,6 +1221,42 @@ object Snapshots {
     * survives regardless of age, so "keep 3 plus whatever runs still
     * reference" is one call instead of an operational rule someone
     * forgets. Returns the number of deleted files. */
+  private def savepointDirRoot(dir: String) =
+    s"${dir.stripSuffix("/")}/_graft_savepoint_dirs"
+
+  /** Record that savepoints under `spDir` may pin versions of this
+    * table — [[expire]] then consults `spDir` by DEFAULT, so pins are
+    * honored even by expire callers that never heard of the savepoint
+    * directory. One tiny marker file per distinct savepoint dir
+    * (name = hash of the canonical URI, so re-registration is an
+    * idempotent overwrite); [[Savepoints.create]] calls this for
+    * every table it pins. */
+  def registerSavepointDir(spark: SparkSession, dir: String,
+                           spDir: String): Unit = {
+    val f = fs(spark, dir)
+    val canonical = f.makeQualified(new Path(spDir)).toUri.toString
+    val root = new Path(savepointDirRoot(dir))
+    f.mkdirs(root)
+    val marker = new Path(root,
+      f"sp-${java.lang.Integer.toUnsignedLong(canonical.hashCode)}%010d")
+    val out = f.create(marker, true)
+    try out.write((canonical + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The savepoint directories registered in the table itself. A
+    * registration outliving its savepoints (all dropped) is harmless:
+    * listing it yields no pins. */
+  def registeredSavepointDirs(spark: SparkSession,
+                              dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val root = new Path(savepointDirRoot(dir))
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq.filter(_.isFile).map { s =>
+      val in = f.open(s.getPath)
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }.filter(_.nonEmpty).distinct
+  }
+
   def expire(spark: SparkSession, dir: String, keepLast: Int,
              savepointDirs: Seq[String] = Nil): Int = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
@@ -1237,7 +1273,12 @@ object Snapshots {
     def canon(p: String): String =
       f.makeQualified(new Path(p)).toUri.toString
     val me = canon(dir)
-    val pinned: Set[Long] = savepointDirs.flatMap { spDir =>
+    // explicit dirs PLUS the table's own registrations — retention is
+    // savepoint-aware by default, not only for careful callers
+    val allSpDirs =
+      (savepointDirs ++ registeredSavepointDirs(spark, dir))
+        .map(canon).distinct
+    val pinned: Set[Long] = allSpDirs.flatMap { spDir =>
       Savepoints.list(spark, spDir).flatMap(name =>
         Savepoints.describe(spark, spDir, name).values.collect {
           case (tDir, v) if canon(tDir) == me => v
@@ -1245,6 +1286,11 @@ object Snapshots {
     }.toSet
     val (dead0, live0) = versions.splitAt(versions.length - keepLast)
     val (rescued, dead) = dead0.partition(pinned.contains)
+    if (pinned.nonEmpty || rescued.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger("graft.Snapshots").info(
+        s"expire $dir: ${pinned.size} pinned version(s) from " +
+          s"${allSpDirs.size} savepoint dir(s); rescued " +
+          s"${rescued.length} of ${dead0.length} past-horizon version(s)")
     val live = rescued ++ live0
     val liveFiles = live.map(v => filesOf(spark, dir, Some(v)).toSet)
       .foldLeft(Set.empty[String])(_ ++ _)

@@ -114,6 +114,32 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("greedy rung keeps a decimal on the most expensive queries") {
+    // a 95-query inventory whose 1-decimal rendering overflows the
+    // budget (the round-9 regression shape): the composer must NOT
+    // collapse the whole map to integers — the hot queries keep 1
+    // decimal, only the cheapest tail goes coarse
+    val many = (1 to 95).map(i =>
+      (f"q_shape_name_$i%02d", 0.15 + (i % 50) * 0.27))
+    def render(fmt: Double => String): Int =
+      many.map { case (k, v) =>
+        "\"" + k.stripPrefix("q_") + "\":" + fmt(v) }.mkString(",").length + 113
+    assert(render(BenchLine.fmt1) > BenchLine.LineBudget,
+      "precondition: all-1-decimal must overflow for this case")
+    assert(render(BenchLine.fmt0) <= BenchLine.LineBudget,
+      "precondition: whole-second base must fit for this case")
+    val line = BenchLine.compose(93.4, 3, 44264.0, "", many, "sf0.1")
+    assert((line + sbtTrailer).getBytes("UTF-8").length <= 2000)
+    // every query still present
+    many.foreach { case (k, _) => assert(line.contains("\"" + k.stripPrefix("q_") + "\":")) }
+    // the most expensive queries carry a decimal point
+    val hottest = many.sortBy(-_._2).take(10)
+    hottest.foreach { case (k, v) =>
+      assert(line.contains("\"" + k.stripPrefix("q_") + "\":" + BenchLine.fmt1(v)),
+        s"hot query $k lost its decimal: wanted ${BenchLine.fmt1(v)}")
+    }
+  }
+
   test("fmt rounding behaves at the boundaries") {
     assert(BenchLine.fmt2(0.5) === "0.5")
     assert(BenchLine.fmt2(1.0) === "1")

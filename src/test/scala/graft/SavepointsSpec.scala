@@ -80,6 +80,51 @@ class SavepointsSpec extends SparkSpec {
     intercept[Exception](Snapshots.read(spark, t1, Some(0L)).collect())
   }
 
+  test("expire is savepoint-aware by DEFAULT: the pin survives a caller that never passes savepointDirs") {
+    val s = spark; import s.implicits._
+    val (t1, sp) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "v0")).toDF("k", "v"), t1, statsCol = Some("k"))
+    // create() registers sp inside t1 — the table itself remembers who
+    // pins it, so the forgotten-call-site failure mode is gone
+    Savepoints.create(spark, sp, "run1", Map("docs" -> t1))
+    assert(Snapshots.registeredSavepointDirs(spark, t1).nonEmpty)
+    (1 to 3).foreach(i => Snapshots.commit(
+      Seq((i.toLong + 1, s"v$i")).toDF("k", "v"), t1, statsCol = Some("k")))
+    // the old operator habit: no savepointDirs argument at all
+    Snapshots.expire(spark, t1, keepLast = 2)
+    assert(Savepoints.read(spark, sp, "run1", "docs")
+      .select("v").collect().map(_.getString(0)).toSeq == Seq("v0"))
+    intercept[Exception](Snapshots.read(spark, t1, Some(1L)).collect())
+    // dropped pin → the same default-aware expire reaps v0
+    Savepoints.drop(spark, sp, "run1")
+    Snapshots.expire(spark, t1, keepLast = 2)
+    intercept[Exception](Snapshots.read(spark, t1, Some(0L)).collect())
+  }
+
+  test("SQL list/drop complete the savepoint TVF surface; duplicate aliases refuse") {
+    val s = spark; import s.implicits._
+    val (t1, sp) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), t1, statsCol = Some("k"))
+    spark.sql(s"SELECT * FROM graft_savepoint_create('$sp', 'b_run', 'docs', '$t1')").collect()
+    spark.sql(s"SELECT * FROM graft_savepoint_create('$sp', 'a_run', 'docs', '$t1')").collect()
+    assert(spark.sql(s"SELECT name FROM graft_savepoint_list('$sp')")
+      .collect().map(_.getString(0)).toSeq == Seq("a_run", "b_run"))
+    val dropped = spark.sql(
+      s"SELECT * FROM graft_savepoint_drop('$sp', 'a_run')").collect()
+    assert(dropped.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq(("a_run", true)))
+    assert(spark.sql(s"SELECT * FROM graft_savepoint_drop('$sp', 'a_run')")
+      .collect().map(_.getBoolean(1)).toSeq == Seq(false))
+    assert(spark.sql(s"SELECT name FROM graft_savepoint_list('$sp')")
+      .collect().map(_.getString(0)).toSeq == Seq("b_run"))
+    // one alias, two table dirs: .toMap used to keep only the LAST and
+    // report success — now it refuses up front
+    val e = intercept[Exception](spark.sql(
+      s"""SELECT * FROM graft_savepoint_create(
+         |  '$sp', 'dup', 'docs', '$t1', 'docs', '$t1')""".stripMargin).collect())
+    assert(e.getMessage.contains("duplicate savepoint alias"))
+  }
+
   test("savepoints are immutable names; unknown reads fail loudly") {
     val s = spark; import s.implicits._
     val (t1, sp) = (tmpDir(), tmpDir())
