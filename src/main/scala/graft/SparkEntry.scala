@@ -350,6 +350,13 @@ object SparkEntry {
     "q_corr_matrix" -> ((s, dir) =>
       Relational.corrMatrix(Tables.lineitem(s, dir), corrMatrixCols)),
 
+    // The notebook's END-TO-END feature matrix (price_prediction.ipynb
+    // cells 6-14) as one verified composition: four per-source hourly
+    // series -> DK-area derivation -> outer datetime merge -> forward
+    // fill -> per-area Pearson correlation matrix.
+    "q_feature_matrix" -> ((s, dir) =>
+      graft.operators.FeatureMatrix.corrByArea(Tables.events(s, dir))),
+
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id")
@@ -553,10 +560,24 @@ object SparkEntry {
           concat_ws(",", transform(col("codes"), c => c.cast("string"))),
           lit("]")).as("codes_json"))),
 
+    // LSH is seeded-deterministic but not SQL-reproducible, so the
+    // oracled surface is the probabilistic CONTRACT: measured recall
+    // vs brute-force must clear the spec floor (recall_ok = true, the
+    // bound SimilaritySpec also asserts). A recall regression now
+    // hash-mismatches instead of hiding behind a rows-only check.
+    // Parameters are budgeted for THIS table's distribution: the
+    // synthetic embeddings are near-orthogonal (no cluster structure
+    // around the query points), the adversarial regime for
+    // sign-random-projection — 4 bits × 24 tables measures ≥0.97
+    // recall at the verified SFs. Clustered data needs far less
+    // (SimilaritySpec holds the same floor at 8 bits × 8 tables with
+    // ~2% candidate volume); structureless data at 100 TB is what the
+    // IVF index path is for.
     "q_knn_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 5, bitsPerTable = 6, tables = 8)
+      Similarity.lshRecallCheck(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, bitsPerTable = 4, tables = 24,
+        floor = 0.9)
     }),
 
     "q_knn_ivf" -> ((s, dir) => {
@@ -643,11 +664,11 @@ object SparkEntry {
       Dedup.incrementalClusters(s, assignDir, b0,
         Dedup.minHashLshEdges(b0, "doc_id", "text",
           numHashes = 128, bands = 16, threshold = 0.95), "doc_id")
-      val e1 = Dedup.minHashLshEdges(b1, "doc_id", "text",
-          numHashes = 128, bands = 16, threshold = 0.95)
-        .unionByName(Dedup.minHashLshAgainst(b1, b0, "doc_id", "text",
-          numHashes = 128, bands = 16, threshold = 0.95)
-          .select("id_a", "id_b"))
+      // batch-2 edges (in-batch + vs-batch-1) from ONE shared
+      // collapsed/banded lineage — the separate edges+against pair
+      // shingled b1 twice and never collapsed the corpus side
+      val e1 = Dedup.minHashLshEdgesWithCorpus(b1, b0, "doc_id", "text",
+        numHashes = 128, bands = 16, threshold = 0.95)
       Dedup.incrementalClusters(s, assignDir, b1, e1, "doc_id")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .withColumn("is_rep",
@@ -1531,6 +1552,69 @@ object SparkEntry {
          |${cells.mkString("\nUNION ALL\n")}""".stripMargin
     },
 
+    // The notebook's merged feature frame, rebuilt stage-for-stage in
+    // DuckDB: same spine + left joins, same IGNORE NULLS fill, same
+    // exact-decimal sums and moment formula as the Spark composition
+    // (FeatureMatrix.scala) — so all 32 matrix cells hash-match.
+    "q_feature_matrix" -> {
+      val cs = graft.operators.FeatureMatrix.SeriesCols
+      def seriesSql(t: String, name: String, sumAgg: Boolean) = {
+        val cell =
+          if (sumAgg) sqlRound2(sqlSum("value"))
+          else sqlRound2(s"${sqlSum("value")} / count(*)")
+        s"SELECT hour, area, $cell AS $name FROM src " +
+          s"WHERE event_type = '$t' GROUP BY hour, area"
+      }
+      val sums = cs.zipWithIndex.map { case (c, i) => s"${sqlSum(c)} AS s_$i" }
+      val prods = for { i <- cs.indices; j <- i until cs.length }
+        yield s"${sqlSum(s"${cs(i)} * ${cs(j)}", 4)} AS p_${i}_$j"
+      def p(i: Int, j: Int) = s"p_${math.min(i, j)}_${math.max(i, j)}"
+      def variance(i: Int) = s"(n * ${p(i, i)} - s_$i * s_$i)"
+      val cells = for { i <- cs.indices; j <- cs.indices } yield
+        s"""SELECT area, '${cs(i)}' AS col_x, '${cs(j)}' AS col_y,
+           |  (n * ${p(i, j)} - s_$i * s_$j) / sqrt(${variance(i)} * ${variance(j)}) AS corr_v
+           |FROM stats""".stripMargin
+      s"""WITH src AS (
+         |  SELECT date_trunc('hour', ts) AS hour,
+         |         CASE WHEN user_id % 2 = 0 THEN '1' ELSE '2' END AS area,
+         |         event_type, value
+         |  FROM events),
+         |price AS (${seriesSql("purchase", "price", sumAgg = false)}),
+         |consumption AS (${seriesSql("click", "consumption", sumAgg = true)}),
+         |sunlight AS (${seriesSql("view", "sunlight", sumAgg = false)}),
+         |wind AS (${seriesSql("signup", "wind", sumAgg = false)}),
+         |spine AS (
+         |  SELECT DISTINCT hour, area FROM (
+         |    SELECT hour, area FROM price UNION ALL
+         |    SELECT hour, area FROM consumption UNION ALL
+         |    SELECT hour, area FROM sunlight UNION ALL
+         |    SELECT hour, area FROM wind)),
+         |m AS (
+         |  SELECT s.hour, s.area, p.price, c.consumption, su.sunlight, w.wind
+         |  FROM spine s
+         |  LEFT JOIN price p ON s.hour = p.hour AND s.area = p.area
+         |  LEFT JOIN consumption c ON s.hour = c.hour AND s.area = c.area
+         |  LEFT JOIN sunlight su ON s.hour = su.hour AND s.area = su.area
+         |  LEFT JOIN wind w ON s.hour = w.hour AND s.area = w.area),
+         |f AS (
+         |  SELECT area, hour,
+         |         last_value(price IGNORE NULLS) OVER w AS price,
+         |         last_value(consumption IGNORE NULLS) OVER w AS consumption,
+         |         last_value(sunlight IGNORE NULLS) OVER w AS sunlight,
+         |         last_value(wind IGNORE NULLS) OVER w AS wind
+         |  FROM m
+         |  WINDOW w AS (PARTITION BY area ORDER BY hour
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |cc AS (
+         |  SELECT * FROM f WHERE price IS NOT NULL AND consumption IS NOT NULL
+         |    AND sunlight IS NOT NULL AND wind IS NOT NULL),
+         |stats AS MATERIALIZED (
+         |  SELECT area, CAST(count(*) AS DOUBLE) AS n,
+         |         ${(sums ++ prods).mkString(",\n         ")}
+         |  FROM cc GROUP BY area)
+         |${cells.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
     "q_corr" -> {
       val n = "CAST(count(*) AS DOUBLE)"
       val sx = sqlSum("l_quantity"); val sy = sqlSum("l_extendedprice")
@@ -1716,6 +1800,17 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, rnk, ${sqlRound4("cos")} AS cosine
          |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // The probabilistic contract, driver-checked: the Spark side
+    // MEASURES lsh-vs-brute recall and emits the verdict; the oracle
+    // states what the verdict must be. recall_ok=false (a recall
+    // regression) hash-mismatches this row.
+    "q_knn_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(5 AS BIGINT) AS k,
+        |       CAST(0.9 AS DOUBLE) AS recall_floor,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
     // The oracle computes each of the 64x64 Gram cells as a decimal
     // sum over a double-cross-unnest; Spark does all cells in ONE

@@ -171,6 +171,74 @@ object Dedup {
     repPairs.select("id_a", "id_b").unionByName(star)
   }
 
+  /** Within-batch + batch-vs-corpus near-dup CONNECTIVITY edges in
+    * ONE shared-lineage pass — the per-fold edge source of an
+    * incremental clustering step ([[incrementalClusters]]). Calling
+    * [[minHashLshEdges]](batch) and [[minHashLshAgainst]](batch,
+    * corpus) separately tokenizes/hashes/bands the batch TWICE and
+    * never collapses the corpus side; here both edge families hang
+    * off the SAME collapsed-reps banded subplan, so when the caller
+    * persists (or simply executes) the union, the batch is shingled
+    * and banded once and the band-hash exchange is reused across the
+    * self-join and the cross-join (ReusedExchange), not re-derived.
+    *
+    * Both sides are collapsed to exact-set representatives, which is
+    * CONNECTIVITY-safe where it would not be pair-list-safe: a batch
+    * member reaches its rep through the emitted star edges, and a
+    * corpus member reaches its rep through the assignment table's
+    * star edges (identical sets have Jaccard 1.0, so fold N−1
+    * clustered them together) — the connected components, and hence
+    * the cluster labels, are exactly those of the uncollapsed edge
+    * set. Output: (id_a, id_b) edges — within-batch verified rep
+    * pairs, within-batch member→rep stars, and batch-rep→corpus-rep
+    * verified cross pairs. */
+  def minHashLshEdgesWithCorpus(
+      dfNew: DataFrame,
+      dfCorpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val groups = collapseSets(shingleSets(dfNew, idCol, textCol))
+    val reps = groups.select(col("__gid").as("__id"), col("__sh"))
+    val banded = bandedSignatures(reps, numHashes, bands)
+    val withinCand = banded
+      .select(col("__band"), col("__bh"), col("__id").as("id_a"))
+      .join(banded.select(col("__band"), col("__bh"), col("__id").as("id_b")),
+        Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vsets = reps.select(col("__id"), col("__sh"),
+      size(col("__sh")).as("__sz"))
+    val withinPairs = withinCand
+      .join(vsets.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
+        col("__sz").as("sz_a")), "id_a")
+      .join(vsets.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
+        col("__sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        hashSetJaccard(col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val star = groups
+      .select(explode(col("__ids")).as("id_a"), col("__gid").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val gCorpus = collapseSets(shingleSets(dfCorpus, idCol, textCol))
+    val repsC = gCorpus.select(col("__gid").as("__id"), col("__sh"))
+    val crossCand = banded
+      .select(col("__band"), col("__bh"), col("__id").as("id_a"))
+      .join(bandedSignatures(repsC, numHashes, bands)
+        .select(col("__band"), col("__bh"), col("__id").as("id_b")),
+        Seq("__band", "__bh"))
+      .select("id_a", "id_b").distinct()
+    val vCorpus = repsC.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
+      size(col("__sh")).as("sz_b"))
+    val cross = verifyCrossPairs(crossCand, reps, vCorpus, threshold)
+      .select("id_a", "id_b")
+    withinPairs.unionByName(star).unionByName(cross)
+  }
+
   /** Exact Jaccard from two sorted token-hash sets: one codegen merge
     * walk per pair (SortedLongIntersectCount); same integer-derived
     * double as the string-set formula, so oracle-identical. */

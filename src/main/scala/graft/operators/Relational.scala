@@ -415,13 +415,22 @@ object Relational {
     * reuse the identical Σ terms (IEEE multiplication commutes), and
     * the long (col_x, col_y, corr_v) form keeps the output
     * engine-sortable. */
-  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame =
+    corrMatrixBy(df, Nil, cols, scale)
+
+  /** [[corrMatrix]] PER GROUP — one k×k matrix per key combination
+    * (e.g. the notebook frame's per-DK-area matrices), still one
+    * aggregation pass: the stats row is per group and the cells stay
+    * a pure projection, so groups add hash-aggregate state, never
+    * extra scans or shuffles. */
+  def corrMatrixBy(df: DataFrame, keys: Seq[String], cols: Seq[String],
+                   scale: Int = 2): DataFrame = {
     val n = count(lit(1L)).cast("double").as("n")
     val sums = cols.map(c => Exact.sumExact(col(c), scale).as(s"s_$c"))
     val prods = for { i <- cols.indices; j <- i until cols.length }
       yield Exact.sumExact(col(cols(i)) * col(cols(j)), 2 * scale)
         .as(s"p_${i}_$j")
-    val stats = df.agg(n, (sums ++ prods): _*)
+    val stats = df.groupBy(keys.map(col): _*).agg(n, (sums ++ prods): _*)
     def p(i: Int, j: Int) = col(s"p_${math.min(i, j)}_${math.max(i, j)}")
     def variance(i: Int) =
       col("n") * p(i, i) - col(s"s_${cols(i)}") * col(s"s_${cols(i)}")
@@ -431,7 +440,9 @@ object Relational {
         lit(cols(j)).as("col_y"),
         ((col("n") * p(i, j) - col(s"s_${cols(i)}") * col(s"s_${cols(j)}")) /
           sqrt(variance(i) * variance(j))).as("corr_v"))
-    stats.select(explode(array(cells: _*)).as("cell")).select(col("cell.*"))
+    stats.select((keys.map(col) :+ explode(array(cells: _*)).as("cell")): _*)
+      .select((keys.map(col) ++
+        Seq(col("cell.col_x"), col("cell.col_y"), col("cell.corr_v"))): _*)
   }
 
   /** Batch max-gap sessionization — the batch twin of the streaming

@@ -444,6 +444,50 @@ object Similarity {
         graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
   }
 
+  /** The LSH recall CONTRACT as a query: measure [[lshTopK]]'s recall
+    * against the exact [[bruteForceTopK]] answer and emit the
+    * spec-bound verdict — one row `(n_queries, k, recall_floor,
+    * recall_ok)`. LSH output is seeded-deterministic but not
+    * SQL-reproducible (an external engine can't re-derive the
+    * hyperplane buckets), so the ORACLE-CHECKABLE surface is the
+    * probabilistic contract itself: `recall_ok` must come back `true`,
+    * and the driver's hash compare turns any recall regression —
+    * parameter drift, a broken bucket kernel, a biased plane — into a
+    * red correctness row instead of a rows-only shrug. Overall recall
+    * (hits / |brute pairs|), not per-query: per-query recall at small
+    * k is itself a coin flip per the LSH guarantee; the mean over the
+    * query set is what the parameter budget (SURVEY §4) bounds.
+    *
+    * Scale: adds one broadcast-sized join over the two top-k frames —
+    * both O(|queries|·k) — on top of the two searches; the brute
+    * baseline limits the CHECK to broadcast-sized query sets, which
+    * is exactly the regime where measuring recall is affordable
+    * anyway (sampled queries at 100 TB). */
+  def lshRecallCheck(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bitsPerTable: Int = 10,
+      tables: Int = 6,
+      floor: Double = 0.9): DataFrame = {
+    val brute = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    val lsh = lshTopK(corpus, queries, idCol, vecCol, k, bitsPerTable, tables)
+      .select("query_id", "neighbor_id")
+    val hits = brute.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+    brute.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1L)).as("__denom"))
+      .crossJoin(hits.agg(count(lit(1L)).as("__num")))
+      .select(
+        col("n_queries"),
+        lit(k.toLong).as("k"),
+        lit(floor).as("recall_floor"),
+        (col("__num").cast("double") / col("__denom") >= floor).as("recall_ok"))
+  }
+
   private def gramAgg(vecCol: Column, dim: Int, scale: Int): Column =
     graft.functions.ColumnBridge.column(
       graft.functions.ExactGram(

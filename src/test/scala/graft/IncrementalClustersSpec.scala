@@ -127,4 +127,41 @@ class IncrementalClustersSpec extends SparkSpec {
     // the near-dup family {1,2,4} shares cluster 1
     assert(table(dir).filter(_._2 == 1L).map(_._1).toSet == Set(1L, 2L, 4L))
   }
+
+  test("shared-lineage edgesWithCorpus clusters exactly like the separate edges+against pair") {
+    val s = spark
+    import s.implicits._
+    def doc(seed: String): String =
+      (1 to 15).map(i => s"the $seed$i report and").mkString(" ")
+    // EXACT duplicates on both sides on purpose: the combined builder
+    // collapses both sides to reps, which is only CC-safe because
+    // star edges (batch) and fold-0 clustering (corpus) rewire the
+    // members — this case fails if that argument breaks
+    val b0 = Seq((1L, doc("a")), (2L, doc("a")), (3L, doc("b")),
+      (6L, doc("d"))).toDF("doc_id", "text")
+    val b1 = Seq((4L, doc("a") + " postscript"), (5L, doc("c")),
+      (7L, doc("c")), (8L, doc("b") + " appendix")).toDF("doc_id", "text")
+    def run(combined: Boolean): Seq[(Long, Long)] = {
+      val dir = tmpDir()
+      Dedup.incrementalClusters(spark, dir, b0.select("doc_id"),
+        Dedup.minHashLshEdges(b0, "doc_id", "text", threshold = 0.8), "doc_id")
+      val e1 =
+        if (combined)
+          Dedup.minHashLshEdgesWithCorpus(b1, b0, "doc_id", "text",
+            threshold = 0.8)
+        else
+          Dedup.minHashLshEdges(b1, "doc_id", "text", threshold = 0.8)
+            .unionByName(
+              Dedup.minHashLshAgainst(b1, b0, "doc_id", "text", threshold = 0.8)
+                .select("id_a", "id_b"))
+      Dedup.incrementalClusters(spark, dir, b1.select("doc_id"), e1, "doc_id")
+      graft.sources.Snapshots.read(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    val (comb, sep) = (run(combined = true), run(combined = false))
+    assert(comb == sep, s"combined $comb != separate $sep")
+    // duplicate family {1,2,4} merged; {5,7} (exact dups within b1) merged
+    assert(comb.filter(_._2 == 1L).map(_._1).toSet == Set(1L, 2L, 4L))
+    assert(comb.filter(_._2 == 5L).map(_._1).toSet == Set(5L, 7L))
+  }
 }

@@ -56,6 +56,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.9, s"recall $recall")
   }
 
+  test("lshRecallCheck emits the contract verdict row the oracle pins") {
+    val data = clustered
+    val queries = data.filter("vec_id % 100 = 0")
+    val row = Similarity.lshRecallCheck(data, queries, "vec_id", "embedding",
+      k = 5, bitsPerTable = 8, tables = 8, floor = 0.9).collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(0) == 10L) // n_queries
+    assert(row(0).getLong(1) == 5L) // k
+    assert(row(0).getDouble(2) == 0.9)
+    assert(row(0).getBoolean(3), "recall fell below the spec floor")
+    // an impossible floor flips the verdict — the check actually bites
+    val strict = Similarity.lshRecallCheck(data, queries, "vec_id",
+      "embedding", k = 5, bitsPerTable = 16, tables = 1, floor = 1.01)
+      .collect()(0)
+    assert(!strict.getBoolean(3))
+  }
+
   test("IVF top-k with full probe is exactly brute force; partial probe has high recall") {
     val data = clustered
     val queries = data.filter("vec_id % 100 = 0")
