@@ -373,6 +373,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               org.apache.spark.sql.types.LongType, nullable = false))))
     }
 
+    tvf("graft_view_refresh_corr",
+      "graft_view_refresh_corr(srcDir, viewDir, groupKeysCsv, colsCsv) - one maintenance tick of the correlation-matrix moment-stats view (see IncrementalViews.refreshCorrMatrix); returns the folded source versions, one row each") {
+      (s, a) =>
+        require(a.length == 4,
+          "graft_view_refresh_corr takes (srcDir, viewDir, groupKeysCsv, colsCsv)")
+        def csv(e: Expression, what: String): Seq[String] =
+          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val folded = sources.IncrementalViews.refreshCorrMatrix(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
+          csv(a(2), "groupKeysCsv"), csv(a(3), "colsCsv"))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          folded.map(v => org.apache.spark.sql.Row(v)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("folded_version",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
+    tvf("graft_corr_view",
+      "graft_corr_view(viewDir, groupKeysCsv, colsCsv) - the maintained correlation matrix served from the moment-stats view as (groupKeys..., col_x, col_y, corr_v) (see IncrementalViews.readCorrMatrix)") {
+      (s, a) =>
+        require(a.length == 3,
+          "graft_corr_view takes (viewDir, groupKeysCsv, colsCsv)")
+        def csv(e: Expression, what: String): Seq[String] =
+          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        sources.IncrementalViews.readCorrMatrix(s, litStr(a(0), "viewDir"),
+          csv(a(1), "groupKeysCsv"), csv(a(2), "colsCsv"))
+    }
+
     tvf("graft_view_refresh_distinct",
       "graft_view_refresh_distinct(srcDir, pairsDir, viewDir, groupKeysCsv, valueCol) - one maintenance tick of the cascaded exact COUNT(DISTINCT) view (see IncrementalViews.refreshDistinct); returns the folded source versions, one row each") {
       (s, a) =>

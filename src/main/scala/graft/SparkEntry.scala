@@ -957,6 +957,34 @@ object SparkEntry {
         col("min_value"), col("max_value"))
     }),
 
+    // The correlation matrix as an INCREMENTALLY-MAINTAINED view on
+    // the driver's clock: per-type moment stats (n, Σc, Σc·c') folded
+    // through the Z-set agg view across append + delete churn — pure
+    // sums, so retraction is exact with zero rescans — then served as
+    // matrix cells. Must equal DuckDB computing the matrix from
+    // scratch over the FINAL source state. Fresh state per invocation.
+    "q_corr_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_corrview").toString
+      val (src, v) = (s"$root/src", s"$root/v")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      Snapshots.commit(ev.filter(col("event_id") <= mid), src,
+        statsCol = Some("event_type"))
+      IncrementalViews.refreshCorrMatrix(s, src, v, Seq("event_type"),
+        Seq("value", "user_id"))
+      Snapshots.commit(ev.filter(col("event_id") > mid), src,
+        statsCol = Some("event_type"))
+      Snapshots.deleteWhere(s, src, col("user_id") % 10 === 3)
+      IncrementalViews.refreshCorrMatrix(s, src, v, Seq("event_type"),
+        Seq("value", "user_id"))
+      IncrementalViews.readCorrMatrix(s, v, Seq("event_type"),
+        Seq("value", "user_id"))
+    }),
+
     // The CASCADED incremental view on the driver's clock: exact
     // per-event-type COUNT(DISTINCT user_id) maintained as two
     // chained aggregate views — a Z-set of live (type, user) pairs,
@@ -2484,6 +2512,30 @@ object SparkEntry {
          |FROM events
          |WHERE user_id % 10 <> 3
          |GROUP BY event_type""".stripMargin,
+
+    // the maintained moment stats must serve the same matrix DuckDB
+    // computes from scratch over the final source state — same
+    // exact-decimal sums and moment formula as q_corr_matrix, grouped
+    "q_corr_view_incr" -> {
+      val cs = Seq("value", "user_id")
+      val sums = cs.zipWithIndex.map { case (c, i) => s"${sqlSum(c)} AS s_$i" }
+      val prods = for { i <- cs.indices; j <- i until cs.length }
+        yield s"${sqlSum(s"${cs(i)} * ${cs(j)}", 4)} AS p_${i}_$j"
+      def p(i: Int, j: Int) = s"p_${math.min(i, j)}_${math.max(i, j)}"
+      def variance(i: Int) = s"(n * ${p(i, i)} - s_$i * s_$i)"
+      val cells = for { i <- cs.indices; j <- cs.indices } yield
+        s"""SELECT event_type, '${cs(i)}' AS col_x, '${cs(j)}' AS col_y,
+           |  (n * ${p(i, j)} - s_$i * s_$j) / sqrt(${variance(i)} * ${variance(j)}) AS corr_v
+           |FROM stats""".stripMargin
+      s"""WITH fs AS (
+         |  SELECT event_type, value, user_id FROM events
+         |  WHERE user_id % 10 <> 3),
+         |stats AS MATERIALIZED (
+         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |         ${(sums ++ prods).mkString(",\n         ")}
+         |  FROM fs GROUP BY event_type)
+         |${cells.mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // the cascaded distinct view must equal a from-scratch
     // COUNT(DISTINCT) over the final source state (all events minus

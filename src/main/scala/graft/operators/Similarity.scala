@@ -476,11 +476,15 @@ object Similarity {
       .select("query_id", "neighbor_id")
     val lsh = lshTopK(corpus, queries, idCol, vecCol, k, bitsPerTable, tables)
       .select("query_id", "neighbor_id")
-    val hits = brute.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
-    brute.agg(
-      countDistinct(col("query_id")).as("n_queries"),
-      count(lit(1L)).as("__denom"))
-      .crossJoin(hits.agg(count(lit(1L)).as("__num")))
+    // flag each true neighbor found by LSH, then ONE aggregation —
+    // no cross join of scalar aggregates (that plans as a
+    // nested-loop join, which the plan guard rightly bans)
+    brute.join(lsh.withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1L)).as("__denom"),
+        sum(coalesce(col("__hit"), lit(0))).as("__num"))
       .select(
         col("n_queries"),
         lit(k.toLong).as("k"),

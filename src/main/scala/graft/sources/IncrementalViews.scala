@@ -724,6 +724,81 @@ object IncrementalViews {
       col("__cnt").as(countName): _*)
   }
 
+  /** A CORRELATION-MATRIX view: per group, the running moment stats
+    * (n, Σcᵢ, Σcᵢcⱼ) maintained incrementally — correlation is pure
+    * sums, the best case for the Z-set fold: inserts AND deletes are
+    * exact O(churned groups) deltas with NO rescans ever (unlike
+    * min/max, no aggregate here loses information under retraction).
+    * The notebook's `merged.corr()` kept current as data lands,
+    * instead of recomputed from scratch per run.
+    *
+    * Bit-parity with the batch operator
+    * ([[graft.operators.Relational.corrMatrixBy]]) is engineered
+    * per-term: each metric is pre-rounded to `scale` decimals in the
+    * transform lens (the same per-row `DECIMAL(30,scale)` cast the
+    * batch exact-sums apply), products are summed at `2·scale`, and
+    * [[readCorrMatrix]] replays the identical moment formula — so the
+    * served matrix equals the from-scratch one double-for-double
+    * (spec-asserted). */
+  def refreshCorrMatrix(spark: SparkSession, srcDir: String,
+                        viewDir: String, groupKeys: Seq[String],
+                        cols: Seq[String], scale: Int = 2,
+                        where: Option[Column] = None): Seq[Long] =
+    refreshAgg(spark, srcDir, viewDir, groupKeys, corrSumCols(cols),
+      sumScale = 2 * scale, where = where,
+      transform = Some(corrLens(cols, scale)))
+
+  private def corrSumCols(cols: Seq[String]): Seq[String] =
+    cols.map(c => s"__cs_$c") ++
+      (for { i <- cols.indices; j <- i until cols.length }
+        yield s"__cp_${i}_$j")
+
+  private def corrLens(cols: Seq[String], scale: Int)
+      : DataFrame => DataFrame = df => {
+    val withS = cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__cs_$c", col(c).cast(s"decimal(30,$scale)")))
+    (for { i <- cols.indices; j <- i until cols.length } yield (i, j))
+      .foldLeft(withS) { case (d, (i, j)) =>
+        d.withColumn(s"__cp_${i}_$j", col(cols(i)) * col(cols(j))) }
+  }
+
+  /** [[refreshCorrMatrix]] driven by the source's change feed. */
+  def maintainCorrMatrix(spark: SparkSession, srcDir: String,
+                         viewDir: String, groupKeys: Seq[String],
+                         cols: Seq[String], scale: Int = 2,
+                         where: Option[Column] = None,
+                         checkpointDir: String,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshCorrMatrix(spark, srcDir, viewDir, groupKeys, cols, scale, where)
+      ()
+    }
+
+  /** The maintained matrix, served from the stats view as
+    * `(groupKeys…, col_x, col_y, corr_v)` — the same cell projection
+    * (and the same double arithmetic, term for term) as the batch
+    * [[graft.operators.Relational.corrMatrixBy]]. */
+  def readCorrMatrix(spark: SparkSession, viewDir: String,
+                     groupKeys: Seq[String], cols: Seq[String]): DataFrame = {
+    val v = Snapshots.read(spark, viewDir).filter(col("__cnt") > 0)
+    val n = col("__cnt").cast("double")
+    def s(i: Int) = col(s"sum___cs_${cols(i)}").cast("double")
+    def p(i: Int, j: Int) =
+      col(s"sum___cp_${math.min(i, j)}_${math.max(i, j)}").cast("double")
+    def variance(i: Int) = n * p(i, i) - s(i) * s(i)
+    val cells = for { i <- cols.indices; j <- cols.indices } yield
+      struct(
+        lit(cols(i)).as("col_x"),
+        lit(cols(j)).as("col_y"),
+        ((n * p(i, j) - s(i) * s(j)) /
+          sqrt(variance(i) * variance(j))).as("corr_v"))
+    v.select((groupKeys.map(col) :+ explode(array(cells: _*)).as("cell")): _*)
+      .select((groupKeys.map(col) ++
+        Seq(col("cell.col_x"), col("cell.col_y"), col("cell.corr_v"))): _*)
+  }
+
   /** Keep a view CONTINUOUSLY current: a streaming query subscribed
     * to the inputs' change feeds that runs `tick` once per arriving
     * micro-batch. The feed rows are only the WAKE-UP signal — every

@@ -903,4 +903,40 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(IncrementalViews.refreshJoin(spark, l, r, v, Seq("k")).isDefined)
     assert(Snapshots.read(spark, v).count() == 0L)
   }
+
+  test("corr-matrix view: served matrix == batch corrMatrixBy double-for-double across churn and deletes") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    def batch(): DataFrame =
+      graft.operators.Relational.corrMatrixBy(
+        Snapshots.read(spark, src), Seq("g"), Seq("x", "y"))
+    def current(): Unit =
+      assert(canon(IncrementalViews.readCorrMatrix(spark, v,
+        Seq("g"), Seq("x", "y"))) == canon(batch()))
+    val rnd = new scala.util.Random(20260814L)
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+        rnd.nextDouble() * 100 - 50, rnd.nextDouble() * 10))
+    Snapshots.commit(rows(1 to 40).toDF("id", "g", "x", "y"), src,
+      statsCol = Some("g"))
+    IncrementalViews.refreshCorrMatrix(spark, src, v, Seq("g"), Seq("x", "y"))
+    current()
+    // append + a retraction band folded in ONE tick: pure-sum stats
+    // must stay exact under deletes with no rescan (nothing in the
+    // view is min/max-shaped)
+    Snapshots.commit(rows(41 to 60).toDF("id", "g", "x", "y"), src,
+      statsCol = Some("g"))
+    Snapshots.deleteWhere(spark, src, col("id") % 5 === 0)
+    IncrementalViews.refreshCorrMatrix(spark, src, v, Seq("g"), Seq("x", "y"))
+    current()
+    // matrix sanity on the served frame: 2 groups x 4 cells, unit diag
+    val m = IncrementalViews.readCorrMatrix(spark, v, Seq("g"), Seq("x", "y"))
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getDouble(3))).toMap
+    assert(m.size == 8)
+    Seq("a", "b").foreach { g =>
+      assert(math.abs(m((g, "x", "x")) - 1.0) < 1e-12)
+      assert(m((g, "x", "y")) == m((g, "y", "x")))
+    }
+  }
 }

@@ -106,8 +106,12 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row N/avgdl stats, q_doc_logprob's 1-row token total), and
     // q_sketch_overlap's cohort-pair join, whose BOTH sides are the
     // sketch table — one bounded O(k)-byte row per cohort, however
-    // large the fact table (the whole point of the sketch pattern)
-    val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_customer_above_avg",
+    // large the fact table (the whole point of the sketch pattern).
+    // q_knn_lsh measures recall AGAINST the brute-force baseline, so
+    // it inherits q_knn_cosine's by-design broadcast scan — the LSH
+    // candidate path itself stays a hash join (lshTopK has no BNLJ).
+    val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_knn_lsh",
+      "q_customer_above_avg",
       "q_tfidf", "q_bm25", "q_doc_logprob", "q_sketch_overlap")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)

@@ -196,6 +196,34 @@ class SqlSurfaceSpec extends SparkSpec {
       .filter(col("g") === "a").select("x").head().getDouble(0) == 7.0)
   }
 
+  test("corr-matrix view TVFs: refresh + serve from pure SQL == the Scala API") {
+    val s = spark; import s.implicits._
+    import graft.sources.{IncrementalViews, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlview3").toString
+    Snapshots.commit(
+      Seq(("a", 1.0, 2.0), ("a", 2.0, 1.0), ("a", 3.0, 4.0),
+        ("b", 1.0, 1.0), ("b", 2.0, 3.0))
+        .toDF("g", "x", "y"), s"$root/src", statsCol = Some("g"))
+    val folded = spark.sql(
+      s"SELECT * FROM graft_view_refresh_corr('$root/src', '$root/cv', 'g', 'x,y')")
+    assert(folded.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    val sqlCells = spark.sql(
+      s"SELECT * FROM graft_corr_view('$root/cv', 'g', 'x,y')")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val apiCells = IncrementalViews.readCorrMatrix(spark, s"$root/cv",
+        Seq("g"), Seq("x", "y"))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sqlCells == apiCells && sqlCells.size == 8)
+    // the served value is the real correlation: group b is perfectly
+    // correlated (two points); group a is 6/sqrt(84)
+    val m = IncrementalViews.readCorrMatrix(spark, s"$root/cv",
+        Seq("g"), Seq("x", "y"))
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getDouble(3))).toMap
+    assert(math.abs(m(("b", "x", "y")) - 1.0) < 1e-9)
+    assert(math.abs(m(("a", "x", "y")) - 6.0 / math.sqrt(84.0)) < 1e-9)
+  }
+
   test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
     Tables.events(spark, sf("sf0.001")).createOrReplaceTempView("ev_tvf2")
     val r = spark.sql(
