@@ -341,6 +341,18 @@ object SparkEntry {
       Relational.forwardFill(gapped, Seq("user_id"), "event_id", Seq("filled_value"))
     }),
 
+    // The SCALE-PATH fill: identical semantics through the two-level
+    // (key, time-bucket) plan whose parallelism is bounded by data
+    // volume, not key count — so the oracle is the plain fill's SQL.
+    "q_forward_fill_bucketed" -> ((s, dir) => {
+      val gapped = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")).as("filled_value"))
+      Relational.forwardFillBucketed(gapped, Seq("user_id"), "event_id",
+        Seq("filled_value"), bucket = floor(col("event_id") / 1000))
+    }),
+
     "q_corr" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
         graft.functions.Exact.corrExact(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
@@ -1553,6 +1565,15 @@ object SparkEntry {
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "q_forward_fill" ->
+      """SELECT event_id, user_id,
+        |       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM events""".stripMargin,
+
+    // same answer as q_forward_fill by design — the bucketed plan is
+    // an execution strategy, not a semantic variant
+    "q_forward_fill_bucketed" ->
       """SELECT event_id, user_id,
         |       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
         |         OVER (PARTITION BY user_id ORDER BY event_id

@@ -347,6 +347,57 @@ object Relational {
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
+  /** [[forwardFill]] for the FEW-GIANT-SERIES regime. The plain
+    * variant puts each key's whole history in one window partition —
+    * right when keys are many, single-threaded (and spill-bound) when
+    * one key's history alone outsizes an executor: one sensor, years
+    * of ticks; or no key at all. This variant adds a TIME-BUCKET
+    * level so parallelism scales with data, not key count:
+    *
+    *  1. rows group by (keys, bucket) — `bucket` is a caller-chosen
+    *     MONOTONE non-decreasing function of `ordCol` (day/month
+    *     truncation, id div N…);
+    *  2. one aggregation finds each bucket's LAST non-null value per
+    *     fill column (`max_by` over null-masked order);
+    *  3. the carry-IN of every bucket = last non-null carry over all
+    *     PRECEDING buckets — a window over the carry table, which has
+    *     one row per (key, bucket), orders of magnitude smaller than
+    *     the data (the only per-key serial step, and it is tiny);
+    *  4. the within-bucket fill windows over (keys, bucket) — bounded
+    *     partitions — seeded by `coalesce(within-bucket fill,
+    *     carry-in)`.
+    *
+    * Exactly equal to [[forwardFill]] (spec-asserted), including
+    * `keys = Nil` (one global series — the case the plain variant
+    * cannot distribute at all). `ordCol` must be unique per key, the
+    * same determinism contract the plain variant already needs. */
+  def forwardFillBucketed(
+      df: DataFrame,
+      keys: Seq[String],
+      ordCol: String,
+      valueCols: Seq[String],
+      bucket: Column): DataFrame = {
+    val b = "__ffb"
+    val grp = keys :+ b
+    val withB = df.withColumn(b, bucket)
+    val lastAggs = valueCols.map(c =>
+      max_by(col(c), when(col(c).isNotNull, col(ordCol))).as(s"__last_$c"))
+    val carries = withB.groupBy(grp.map(col): _*)
+      .agg(lastAggs.head, lastAggs.tail: _*)
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col(b))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = valueCols.foldLeft(carries)((d, c) =>
+        d.withColumn(s"__ci_$c",
+          last(col(s"__last_$c"), ignoreNulls = true).over(wCarry)))
+      .select(grp.map(col) ++ valueCols.map(c => col(s"__ci_$c")): _*)
+    val wIn = Window.partitionBy(grp.map(col): _*).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(withB.join(carryIn, grp))((d, c) =>
+      d.withColumn(c,
+        coalesce(last(col(c), ignoreNulls = true).over(wIn), col(s"__ci_$c"))))
+    filled.drop((b +: valueCols.map(c => s"__ci_$c")): _*)
+  }
+
   /** Winsorize: clip `valueCol` to its per-group [lo, hi] exact
     * percentiles — standard outlier scrubbing before training.
     *
