@@ -1633,11 +1633,8 @@ object SparkEntry {
          |sunlight AS (${seriesSql("view", "sunlight", sumAgg = false)}),
          |wind AS (${seriesSql("signup", "wind", sumAgg = false)}),
          |spine AS (
-         |  SELECT DISTINCT hour, area FROM (
-         |    SELECT hour, area FROM price UNION ALL
-         |    SELECT hour, area FROM consumption UNION ALL
-         |    SELECT hour, area FROM sunlight UNION ALL
-         |    SELECT hour, area FROM wind)),
+         |  SELECT DISTINCT hour, area FROM src
+         |  WHERE event_type IN ('purchase', 'click', 'view', 'signup')),
          |m AS (
          |  SELECT s.hour, s.area, p.price, c.consumption, su.sunlight, w.wind
          |  FROM spine s

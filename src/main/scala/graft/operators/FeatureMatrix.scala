@@ -70,8 +70,14 @@ object FeatureMatrix {
       series(src, "click", "consumption", sumAgg = true),
       series(src, "view", "sunlight", sumAgg = false),
       series(src, "signup", "wind", sumAgg = false))
-    val spine = all.map(_.select("hour", "area"))
-      .reduce(_ unionByName _).distinct()
+    // the outer-merge key spine — one scan, not a union of the four
+    // aggregated key sets: an (hour, area) is in some series iff it
+    // has at least one event of that series' type, so DISTINCT over
+    // the type-filtered source is the same set (plan audit: 8 events
+    // scans → 5)
+    val spine = src
+      .filter(col("event_type").isin("purchase", "click", "view", "signup"))
+      .select("hour", "area").distinct()
     val merged = all.foldLeft(spine)((acc, s) =>
       acc.join(s, Seq("hour", "area"), "left"))
     val filled = Relational.forwardFill(merged, Seq("area"), "hour", SeriesCols)
