@@ -724,6 +724,40 @@ object IncrementalViews {
       col("__cnt").as(countName): _*)
   }
 
+  /** Operational HOUSEKEEPING for an always-maintained view (or any
+    * snapshot table a continuous job churns): every CoW tick rewrites
+    * only the affected files, so over thousands of ticks a view
+    * accumulates small files (compaction debt) and manifest history
+    * (retention debt). One call settles both under the SAME
+    * maintenance lock a refresh tick takes — it can never race a
+    * concurrent maintainer:
+    *  1. [[Snapshots.compactCommit]] to ~`targetRows` rows per file,
+    *     clustered by `clusterBy` (pass the view's first group key so
+    *     affected-key pruning stays sharp after compaction). The
+    *     streaming batch fence rides the manifest watermark, so a
+    *     replayed batch stays fenced across the rewrite.
+    *  2. [[Snapshots.expire]] to `keepLast` versions — savepoint-aware
+    *     by default via the table's registered savepoint dirs.
+    *  3. [[Snapshots.gcOrphans]] for crashed-commit garbage older
+    *     than `graceMs`.
+    * Cost is one full rewrite of the CURRENT snapshot — schedule it
+    * every N ticks (e.g. from the `maintain` callback: `if (tick %
+    * 100 == 0) housekeep(...)`), not per tick. */
+  def housekeep(spark: SparkSession, viewDir: String,
+                targetRows: Long = 4L * 1000 * 1000,
+                keepLast: Int = 5,
+                clusterBy: Option[String] = None,
+                graceMs: Long = 24L * 3600 * 1000): Unit =
+    graft.operators.IndexMaintenance.withWriterLock(
+      spark, viewDir, "housekeep") {
+      if (Snapshots.latestVersion(spark, viewDir).isDefined) {
+        Snapshots.compactCommit(spark, viewDir, targetRows,
+          clusterBy = clusterBy)
+        Snapshots.expire(spark, viewDir, keepLast)
+        Snapshots.gcOrphans(spark, viewDir, graceMs)
+      }
+    }
+
   /** A CORRELATION-MATRIX view: per group, the running moment stats
     * (n, Σcᵢ, Σcᵢcⱼ) maintained incrementally — correlation is pure
     * sums, the best case for the Z-set fold: inserts AND deletes are

@@ -904,6 +904,49 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(Snapshots.read(spark, v).count() == 0L)
   }
 
+  test("housekeep settles compaction + retention debt under the lock; maintenance continues after") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    def tick(): Unit =
+      IncrementalViews.refreshAgg(spark, src, v, Seq("g"), Seq("x"))
+    def expected(): DataFrame = Snapshots.read(spark, src).groupBy("g")
+      .agg(sum(col("x").cast("decimal(30,6)")).as("sum_x"),
+        count(lit(1L)).as("__cnt"))
+    def current(): Unit =
+      assert(canon(Snapshots.read(spark, v).select("g", "sum_x", "__cnt")) ==
+        canon(expected().select("g", "sum_x", "__cnt")))
+    // 8 churn ticks: every one CoW-merges the view → small files +
+    // manifest history pile up
+    (1 to 8).foreach { i =>
+      Snapshots.commit(Seq((s"g${i % 3}", i.toDouble)).toDF("g", "x"), src,
+        statsCol = Some("g"))
+      tick()
+    }
+    current()
+    def dataFiles(): Int = {
+      val f = new java.io.File(s"$v/data")
+      if (!f.isDirectory) 0
+      else f.listFiles.filter(_.isDirectory)
+        .flatMap(_.listFiles).count(_.getName.endsWith(".parquet"))
+    }
+    def manifests(): Int =
+      new java.io.File(s"$v/_manifests").listFiles.count(_.isDirectory)
+    assert(manifests() >= 8, "precondition: history piled up")
+    val filesBefore = dataFiles()
+    IncrementalViews.housekeep(spark, v, targetRows = 1000L,
+      keepLast = 2, clusterBy = Some("g"), graceMs = 0L)
+    // compacted to one file, history trimmed, orphans reaped, content
+    // identical, lock released
+    assert(dataFiles() < filesBefore)
+    assert(manifests() <= 2)
+    current()
+    // and the maintainer keeps going: a post-housekeep tick still folds
+    Snapshots.commit(Seq(("g0", 100.0)).toDF("g", "x"), src,
+      statsCol = Some("g"))
+    tick()
+    current()
+  }
+
   test("corr-matrix view: served matrix == batch corrMatrixBy double-for-double across churn and deletes") {
     val s = spark; import s.implicits._
     val (src, v) = (tmpDir(), tmpDir())
