@@ -160,6 +160,46 @@ object IncrementalViews {
       case None => Snapshots.read(spark, dir, version)
     }
 
+  /** How many leading key columns participate in manifest pruning —
+    * each adds up to two bounded driver aggregations per tick and one
+    * stats pair per view file, so keep it small; keys beyond this
+    * still restrict rows via the semi-join, just not file opens. */
+  private val MaxPruneKeys = 3
+
+  /** Per-key prune specs over the affected-key TUPLE set: project
+    * onto each of the first [[MaxPruneKeys]] keys and take that
+    * column's disjoint ranges ([[keyRanges]]). A file must overlap
+    * EVERY projection to possibly hold an affected tuple, so the
+    * conjunctive prune is a strict sharpening of the head-key one —
+    * a multi-key view whose churn is narrow in the SECOND key no
+    * longer opens every file the first key's range spans. Keys whose
+    * projection is unprunable (nulls present) contribute no spec. */
+  private def keySpecs(affected: DataFrame, keys: Seq[String])
+      : (Long, Seq[(String, Seq[(Any, Any)])]) = {
+    val (n, first) = keyRanges(affected, keys.head)
+    if (n == 0L) return (0L, Nil)
+    val rest = keys.tail.take(MaxPruneKeys - 1)
+      .map(k => k -> keyRanges(affected, k)._2)
+    val specs = ((keys.head -> first) +: rest)
+      .collect { case (k, Some(rs)) => k -> rs }
+    (n, specs)
+  }
+
+  /** [[readForKeys]] over multi-key specs: files must overlap every
+    * prunable key's ranges; no specs (all keys unprunable) falls back
+    * to the full snapshot, never a wrong answer. */
+  private def readForSpecs(spark: SparkSession, dir: String,
+                           version: Option[Long],
+                           specs: Seq[(String, Seq[(Any, Any)])]): DataFrame =
+    if (specs.isEmpty) Snapshots.read(spark, dir, version)
+    else Snapshots.readPrunedSpecs(spark, dir, specs, version)
+
+  /** The stats columns a view commit records beyond the head key —
+    * what makes the NEXT tick's conjunctive prune effective on the
+    * view's own files. */
+  private def extraKeyStats(keys: Seq[String]): Seq[String] =
+    keys.tail.take(MaxPruneKeys - 1)
+
   private def nullSafeSemi(df: DataFrame, affected: DataFrame,
                            keys: Seq[String]): DataFrame =
     df.as("t").join(affected.as("af"),
@@ -251,7 +291,7 @@ object IncrementalViews {
     val affected = (if (jt == "inner") affectedAll.filter(notNullKeys)
                     else affectedAll).distinct().persist()
     try {
-      val (nAffected, bounds) = keyRanges(affected, joinKeys.head)
+      val (nAffected, specs) = keySpecs(affected, joinKeys)
       val version: Option[Long] =
         if (nAffected == 0L) None // pure-rewrite churn (compaction): no keys moved
         else {
@@ -267,10 +307,10 @@ object IncrementalViews {
               (df.withColumnRenamed("__n", as), col(as))
             else (df, lit(1L))
           val (leftNow, wl) = weighted(nullSafeSemi(
-            readForKeys(spark, leftDir, Some(tick.tl), joinKeys.head, bounds),
+            readForSpecs(spark, leftDir, Some(tick.tl), specs),
             affected, joinKeys), "__nl")
           val (rightNow, wr) = weighted(nullSafeSemi(
-            readForKeys(spark, rightDir, Some(tick.tr), joinKeys.head, bounds),
+            readForSpecs(spark, rightDir, Some(tick.tr), specs),
             affected, joinKeys), "__nr")
           // USING-style join: key columns appear once (coalesced for
           // full outer), the unmatched side's value columns are null
@@ -287,7 +327,7 @@ object IncrementalViews {
           val stale =
             if (!viewExists) fresh.limit(0)
             else nullSafeSemi(
-              readForKeys(spark, viewDir, None, joinKeys.head, bounds),
+              readForSpecs(spark, viewDir, None, specs),
               affected, joinKeys)
               .withColumn("__op", lit("d")).withColumn("__seq", lit(0L))
           // O(churn) rows — persisted so the emptiness probe and the
@@ -302,7 +342,8 @@ object IncrementalViews {
             if (changes.isEmpty) None // churned keys join nothing, before and after
             else Snapshots.mergeStreamBatch(changes, viewDir, tick.t,
               keyCols = valueCols, opCol = "__op", seqCol = "__seq",
-              pruneCol = Some(joinKeys.head), clusterBy = Some(joinKeys.head))
+              pruneCol = Some(joinKeys.head), clusterBy = Some(joinKeys.head),
+              extraStatsCols = extraKeyStats(joinKeys))
           } finally changes.unpersist()
         }
 
@@ -494,7 +535,7 @@ object IncrementalViews {
       val viewExists = Snapshots.latestVersion(spark, viewDir).isDefined
       val viewCols = groupKeys ++ sumCols.map(c => s"sum_$c") ++ Seq("__cnt") ++
         minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
-      val (_, bounds) = keyRanges(affKeys, groupKeys.head)
+      val (_, specs) = keySpecs(affKeys, groupKeys)
       val oldAff =
         if (!viewExists)
           // shape an empty frame with the view's schema (typed nulls)
@@ -505,7 +546,7 @@ object IncrementalViews {
               minMaxCols.flatMap(c => Seq(
                 lit(null).cast(changes.schema(c).dataType).as(s"min_$c"),
                 lit(null).cast(changes.schema(c).dataType).as(s"max_$c"))): _*)
-        else readForKeys(spark, viewDir, None, groupKeys.head, bounds).as("vw")
+        else readForSpecs(spark, viewDir, None, specs).as("vw")
           .join(affKeys.as("ak"), nullSafeOn("vw", "ak"), "left_semi")
 
       val folded = oldAff.as("o").join(delta.as("d"),
@@ -537,7 +578,7 @@ object IncrementalViews {
           // an append-only tick does ZERO source re-reads.
           val delKeys = delta.filter(col("__has_del") === 1)
             .select(groupKeys.map(col): _*)
-          val (nDel, delBounds) = keyRanges(delKeys, groupKeys.head)
+          val (nDel, delSpecs) = keySpecs(delKeys, groupKeys)
           val mm =
             if (nDel == 0L) {
               // build an empty, correctly-typed frame without
@@ -552,8 +593,7 @@ object IncrementalViews {
               // "insert" __change to honor the transform contract)
               val lensed = {
                 val filtered = where.foldLeft(
-                  readForKeys(spark, srcDir, Some(v),
-                    groupKeys.head, delBounds))(_.filter(_))
+                  readForSpecs(spark, srcDir, Some(v), delSpecs))(_.filter(_))
                 transform match {
                   case None => filtered
                   case Some(t) =>
@@ -617,11 +657,11 @@ object IncrementalViews {
       val keyCols = partitionKeys.map(col)
       val affected = changes.select(keyCols: _*).distinct().persist()
       try {
-        val (nAffected, bounds) = keyRanges(affected, partitionKeys.head)
+        val (nAffected, specs) = keySpecs(affected, partitionKeys)
         if (nAffected != 0L) {
           val srcAff = nullSafeSemi(
-            readForKeys(spark, srcDir, Some(tick.to), partitionKeys.head,
-              bounds), affected, partitionKeys)
+            readForSpecs(spark, srcDir, Some(tick.to), specs),
+            affected, partitionKeys)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(keyCols: _*)
             .orderBy((if (ascending) col(orderCol).asc
@@ -635,7 +675,7 @@ object IncrementalViews {
           val stale =
             if (!viewExists) fresh.limit(0)
             else nullSafeSemi(
-              readForKeys(spark, viewDir, None, partitionKeys.head, bounds),
+              readForSpecs(spark, viewDir, None, specs),
               affected, partitionKeys)
               .withColumn("__op", lit("d")).withColumn("__seq", lit(0L))
           // O(churn) rows — persisted so the emptiness probe and the
@@ -647,7 +687,8 @@ object IncrementalViews {
                 keyCols = partitionKeys :+ "__rank",
                 opCol = "__op", seqCol = "__seq",
                 pruneCol = Some(partitionKeys.head),
-                clusterBy = Some(partitionKeys.head))
+                clusterBy = Some(partitionKeys.head),
+                extraStatsCols = extraKeyStats(partitionKeys))
           } finally out.unpersist()
         }
       } finally affected.unpersist()

@@ -695,11 +695,13 @@ object Snapshots {
                        pruneCol: Option[String] = None,
                        bloomCols: Seq[String] = Nil,
                        bloomFpp: Double = 0.01,
-                       clusterBy: Option[String] = None): Option[Long] = {
+                       clusterBy: Option[String] = None,
+                       extraStatsCols: Seq[String] = Nil): Option[Long] = {
     val spark = changes.sparkSession
     if (lastCommittedBatch(spark, dir) >= batchId) return None
     mergeCommit(spark, dir, changes, keyCols, opCol, seqCol,
-      pruneCol, bloomCols, bloomFpp, batchId, Nil, clusterBy) match {
+      pruneCol, bloomCols, bloomFpp, batchId, extraStatsCols,
+      clusterBy) match {
       case -2L => None // fenced by a concurrent replica mid-merge
       case v => Some(v)
     }
@@ -820,6 +822,35 @@ object Snapshots {
           .reduce(_ || _))
       case None => m
     }).select("path").collect().map(_.getString(0)).toSeq
+    if (keep.isEmpty) read(spark, dir, version).limit(0)
+    else spark.read.parquet(keep: _*)
+  }
+
+  /** CONJUNCTIVE multi-column manifest pruning: keep a file iff for
+    * EVERY (column, ranges) spec whose typed stats pair the manifest
+    * records, the file's [min, max] overlaps at least one of that
+    * column's ranges. Columns without recorded stats prune nothing
+    * (and files with null stats for a column are kept) — never a
+    * false negative, each extra recorded column only prunes more.
+    * This is the multi-key sharpening of [[readPrunedRanges]]: an
+    * affected-key TUPLE set projects to per-column range sets, and a
+    * file must overlap every projection to possibly hold a tuple. */
+  def readPrunedSpecs(spark: SparkSession, dir: String,
+                      specs: Seq[(String, Seq[(Any, Any)])],
+                      version: Option[Long] = None): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty),
+      "readPrunedSpecs needs at least one range per spec")
+    val m = manifest(spark, dir, version)
+    val conds = specs.flatMap { case (column, ranges) =>
+      if (m.columns.contains(s"smin_$column")) {
+        val (mn, mx) = (col(s"smin_$column"), col(s"smax_$column"))
+        Some(mn.isNull ||
+          ranges.map { case (lo, hi) => mn <= lit(hi) && mx >= lit(lo) }
+            .reduce(_ || _))
+      } else None
+    }
+    val keep = (if (conds.isEmpty) m else m.filter(conds.reduce(_ && _)))
+      .select("path").collect().map(_.getString(0)).toSeq
     if (keep.isEmpty) read(spark, dir, version).limit(0)
     else spark.read.parquet(keep: _*)
   }

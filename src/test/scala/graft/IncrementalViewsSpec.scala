@@ -865,6 +865,44 @@ class IncrementalViewsSpec extends SparkSpec {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("multi-key pruning: churn narrow in the SECOND group key opens only that key's files") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      // every file holds the FULL g1 domain (head-key stats prune
+      // nothing) but a tight g2 slice (extraStatsCols make it
+      // prunable) — the shape where head-only pruning reads the table
+      val data = spark.range(0, 1000).select(
+        (col("id") % 100).as("g1"),
+        (col("id") / 100).cast("long").as("g2"),
+        (col("id") * 1.0).as("x"))
+        .repartitionByRange(10, col("g2"))
+      Snapshots.commit(data, src, statsCol = Some("g1"),
+        extraStatsCols = Seq("g2"))
+      IncrementalViews.refreshAgg(spark, src, v, Seq("g1", "g2"), Seq("x"),
+        minMaxCols = Seq("x"))
+      // delete one (g1, g2) cell: the next tick must rescan that
+      // group's min/max from the source as-of the consumed version
+      Snapshots.deleteWhere(spark, src, col("g1") === 7 && col("g2") === 0)
+      // corrupt every current source file that cannot hold g2 = 0 —
+      // a head-key-only prune would open one and crash the tick
+      val far = Snapshots.manifest(spark, src)
+        .select("path", "smin_g2", "smax_g2").collect().toSeq
+        .filter(r => !r.isNullAt(1) && (r.getLong(1) > 0L || r.getLong(2) < 0L))
+        .map(_.getString(0))
+      assert(far.size >= 8, s"need tiling g2 files, got ${far.size}")
+      far.foreach(corruptDataBytes)
+      assert(IncrementalViews.refreshAgg(spark, src, v, Seq("g1", "g2"),
+        Seq("x"), minMaxCols = Seq("x")).nonEmpty)
+      assert(Snapshots.read(spark, v)
+        .filter(col("g1") === 7 && col("g2") === 0).count() == 0L)
+      assert(Snapshots.read(spark, v).count() == 999L)
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
   test("lease-based lock: a crashed maintainer's stale lock is stolen, a live one is respected") {
     val s = spark; import s.implicits._
     val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
