@@ -79,17 +79,18 @@ object IncrementalViews {
     f.create(new Path(root, name), true).close()
   }
 
-  /** Grid resolution for [[keyRanges]] — bounded driver data: at most
+  /** Grid resolution for [[gridRanges]] — bounded driver data: at most
     * this many (bucket, min, max) rows ever reach the driver. */
   private val PruneBuckets = 256
   /** Cap on the disjoint ranges handed to the manifest prune — each
     * range is one OR-term in the manifest filter, so keep it small. */
   private val MaxPruneRanges = 8
 
-  /** Affected-key prune ranges: (n affected, Some(ranges)) when every
-    * affected key is non-null, (n, None) when the key set is empty or
-    * holds nulls — min/max file stats ignore nulls, so no range can
-    * locate a null key's rows and pruning must stand down.
+  /** Affected-key prune ranges (shared by [[keySpecs]]/[[gridRanges]]
+    * below): a key column contributes a spec only when every affected
+    * key is non-null — min/max file stats ignore nulls, so no range
+    * can locate a null key's rows and that column's pruning must
+    * stand down.
     *
     * The ranges are up to [[MaxPruneRanges]] DISJOINT [lo, hi]
     * intervals that together cover every churned key, so SCATTERED
@@ -106,19 +107,19 @@ object IncrementalViews {
     * range (no grid arithmetic); so does a key domain too narrow for
     * double-precision bucket math. `affected` should be persisted by
     * the caller. */
-  private def keyRanges(affected: DataFrame,
-                        key: String): (Long, Option[Seq[(Any, Any)]]) = {
-    val r = affected.agg(count(lit(1)), count(col(key)),
-      min(col(key)), max(col(key))).head()
-    val (n, nonNull) = (r.getLong(0), r.getLong(1))
-    if (n == 0L || nonNull < n || r.isNullAt(2)) return (n, None)
-    val (lo, hi) = (r.get(2), r.get(3))
+  private def gridable(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
-    val gridable = affected.schema(key).dataType match {
+    dt match {
       case _: NumericType | DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
-    if (!gridable || lo == hi) return (n, Some(Seq((lo, hi))))
+  }
+
+  /** Split one key's global [lo, hi] span into disjoint ranges via
+    * the bucket grid — the refinement half of the spec computation
+    * (bounds come from [[keySpecs]]'s single combined pass). */
+  private def gridRanges(affected: DataFrame, key: String,
+                         lo: Any, hi: Any): Seq[(Any, Any)] = {
     // bucket index over [lo, hi]; width 0 (sub-double-precision span)
     // degrades every key to bucket 0 — i.e. the single global range
     val kd = col(key).cast("double")
@@ -146,19 +147,8 @@ object IncrementalViews {
       val (a, b) = (rs(i), rs(i + 1))
       rs = (rs.take(i) :+ ((a._1, b._2, a._3, b._4))) ++ rs.drop(i + 2)
     }
-    (n, Some(rs.map(t => (t._3, t._4))))
+    rs.map(t => (t._3, t._4))
   }
-
-  /** A snapshot read that opens only the files whose `key` stats range
-    * overlaps ANY affected range — the manifest-level half of the
-    * affected-key restriction (the semi-join is the row-level half). */
-  private def readForKeys(spark: SparkSession, dir: String,
-                          version: Option[Long], key: String,
-                          ranges: Option[Seq[(Any, Any)]]): DataFrame =
-    ranges match {
-      case Some(rs) => Snapshots.readPrunedRanges(spark, dir, key, rs, version)
-      case None => Snapshots.read(spark, dir, version)
-    }
 
   /** How many leading key columns participate in manifest pruning —
     * each adds up to two bounded driver aggregations per tick and one
@@ -168,7 +158,7 @@ object IncrementalViews {
 
   /** Per-key prune specs over the affected-key TUPLE set: project
     * onto each of the first [[MaxPruneKeys]] keys and take that
-    * column's disjoint ranges ([[keyRanges]]). A file must overlap
+    * column's disjoint ranges ([[gridRanges]]). A file must overlap
     * EVERY projection to possibly hold an affected tuple, so the
     * conjunctive prune is a strict sharpening of the head-key one —
     * a multi-key view whose churn is narrow in the SECOND key no
@@ -176,16 +166,31 @@ object IncrementalViews {
     * projection is unprunable (nulls present) contribute no spec. */
   private def keySpecs(affected: DataFrame, keys: Seq[String])
       : (Long, Seq[(String, Seq[(Any, Any)])]) = {
-    val (n, first) = keyRanges(affected, keys.head)
+    val ks = keys.take(MaxPruneKeys)
+    // ONE combined aggregation for the total count plus every key's
+    // non-null count and global [min, max]; the grid refinement below
+    // costs one more bounded job ONLY for keys whose span needs
+    // splitting (a narrow-churn tick usually has lo == hi and pays
+    // just this single pass)
+    val aggs = count(lit(1)) +: ks.flatMap(k =>
+      Seq(count(col(k)), min(col(k)), max(col(k))))
+    val r = affected.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
     if (n == 0L) return (0L, Nil)
-    val rest = keys.tail.take(MaxPruneKeys - 1)
-      .map(k => k -> keyRanges(affected, k)._2)
-    val specs = ((keys.head -> first) +: rest)
-      .collect { case (k, Some(rs)) => k -> rs }
+    val specs = ks.zipWithIndex.flatMap { case (k, i) =>
+      val nonNull = r.getLong(1 + 3 * i)
+      val (lo, hi) = (r.get(2 + 3 * i), r.get(3 + 3 * i))
+      if (nonNull < n || lo == null) None // nulls: stats cannot locate them
+      else if (lo == hi || !gridable(affected.schema(k).dataType))
+        Some(k -> Seq((lo, hi)))
+      else Some(k -> gridRanges(affected, k, lo, hi))
+    }
     (n, specs)
   }
 
-  /** [[readForKeys]] over multi-key specs: files must overlap every
+  /** The affected-key snapshot read — the manifest-level half of the
+    * affected-key restriction (the semi-join is the row-level half):
+    * files must overlap every
     * prunable key's ranges; no specs (all keys unprunable) falls back
     * to the full snapshot, never a wrong answer. */
   private def readForSpecs(spark: SparkSession, dir: String,
