@@ -489,7 +489,10 @@ object Similarity {
         col("n_queries"),
         lit(k.toLong).as("k"),
         lit(floor).as("recall_floor"),
-        (col("__num").cast("double") / col("__denom") >= floor).as("recall_ok"))
+        // an empty query set satisfies any floor vacuously — without
+        // the coalesce, 0/0 makes the verdict NULL instead of true
+        coalesce(col("__num").cast("double") / col("__denom") >= floor,
+          lit(true)).as("recall_ok"))
   }
 
   private def gramAgg(vecCol: Column, dim: Int, scale: Int): Column =

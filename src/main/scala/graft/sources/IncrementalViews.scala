@@ -115,19 +115,37 @@ object IncrementalViews {
     }
   }
 
+  /** Numeric image of an orderable key for grid arithmetic — dates
+    * and timestamps have no direct double cast (Spark disallows it),
+    * so map them through epoch days/micros; applied uniformly to the
+    * column and the bound literals, so bucket assignment is
+    * order-consistent whatever the unit. */
+  private def gridDouble(c: Column,
+                         dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType => unix_date(c).cast("double")
+      case TimestampType => unix_micros(c).cast("double")
+      case TimestampNTZType =>
+        unix_micros(c.cast(TimestampType)).cast("double")
+      case _ => c.cast("double")
+    }
+  }
+
   /** Split one key's global [lo, hi] span into disjoint ranges via
     * the bucket grid — the refinement half of the spec computation
     * (bounds come from [[keySpecs]]'s single combined pass). */
   private def gridRanges(affected: DataFrame, key: String,
                          lo: Any, hi: Any): Seq[(Any, Any)] = {
+    val dt = affected.schema(key).dataType
     // bucket index over [lo, hi]; width 0 (sub-double-precision span)
     // degrades every key to bucket 0 — i.e. the single global range
-    val kd = col(key).cast("double")
-    val width = (lit(hi).cast("double") - lit(lo).cast("double")) /
+    val kd = gridDouble(col(key), dt)
+    val width = (gridDouble(lit(hi), dt) - gridDouble(lit(lo), dt)) /
       lit(PruneBuckets.toDouble)
     val bucket = when(width <= 0.0 || isnan(width), lit(0))
       .otherwise(least(
-        floor((kd - lit(lo).cast("double")) / width), lit(PruneBuckets - 1L)))
+        floor((kd - gridDouble(lit(lo), dt)) / width), lit(PruneBuckets - 1L)))
       .cast("int")
     val cells = affected.groupBy(bucket.as("__b"))
       .agg(min(col(key)).as("__lo"), max(col(key)).as("__hi"))
@@ -793,12 +811,16 @@ object IncrementalViews {
                 targetRows: Long = 4L * 1000 * 1000,
                 keepLast: Int = 5,
                 clusterBy: Option[String] = None,
-                graceMs: Long = 24L * 3600 * 1000): Unit =
+                graceMs: Long = 24L * 3600 * 1000,
+                extraStatsCols: Seq[String] = Nil): Unit =
     graft.operators.IndexMaintenance.withWriterLock(
       spark, viewDir, "housekeep") {
       if (Snapshots.latestVersion(spark, viewDir).isDefined) {
+        // pass the view's non-head prune keys so the compacted files
+        // keep the stats the conjunctive prune relies on — compaction
+        // must sharpen pruning, not quietly drop a stats column
         Snapshots.compactCommit(spark, viewDir, targetRows,
-          clusterBy = clusterBy)
+          clusterBy = clusterBy, extraStatsCols = extraStatsCols)
         Snapshots.expire(spark, viewDir, keepLast)
         Snapshots.gcOrphans(spark, viewDir, graceMs)
       }

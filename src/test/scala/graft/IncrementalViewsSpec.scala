@@ -903,6 +903,29 @@ class IncrementalViewsSpec extends SparkSpec {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("date-keyed view: scattered churn across a wide date span grids without a cast crash") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    def d(x: String) = java.sql.Date.valueOf(x)
+    val days = (0 until 400).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        i.toDouble))
+    Snapshots.commit(days.toDF("day", "x"), src, statsCol = Some("day"))
+    IncrementalViews.refreshAgg(spark, src, v, Seq("day"), Seq("x"))
+    // churn the two extremes of the date domain in one tick — the
+    // grid refinement must bucket DATE keys (no direct double cast)
+    Snapshots.commit(Seq((d("2024-01-01"), 100.0), (d("2025-02-04"), 200.0))
+      .toDF("day", "x"), src, statsCol = Some("day"))
+    assert(IncrementalViews.refreshAgg(spark, src, v, Seq("day"), Seq("x"))
+      .nonEmpty)
+    val got = Snapshots.read(spark, v)
+      .filter(col("day") === d("2024-01-01"))
+      .select(col("sum_x").cast("double")).head().getDouble(0)
+    assert(got == 100.0)
+    // 400 initial days + the churned brand-new day past the range
+    assert(Snapshots.read(spark, v).count() == 401L)
+  }
+
   test("lease-based lock: a crashed maintainer's stale lock is stolen, a live one is respected") {
     val s = spark; import s.implicits._
     val (l, r, v) = (tmpDir(), tmpDir(), tmpDir())
