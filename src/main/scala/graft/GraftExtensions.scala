@@ -402,6 +402,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           csv(a(1), "groupKeysCsv"), csv(a(2), "colsCsv"))
     }
 
+    tvf("graft_housekeep",
+      "graft_housekeep(dir[, targetRows, keepLast, clusterBy]) - settle a maintained view/table's compaction + retention debt under the maintenance lock (see IncrementalViews.housekeep); returns (dir, done)") {
+      (s, a) =>
+        require(a.length >= 1 && a.length <= 4,
+          "graft_housekeep takes (dir[, targetRows, keepLast, clusterBy])")
+        val dir = litStr(a(0), "dir")
+        sources.IncrementalViews.housekeep(s, dir,
+          targetRows = if (a.length > 1) litLong(a(1), "targetRows")
+                       else 4L * 1000 * 1000,
+          keepLast = if (a.length > 2) litInt(a(2), "keepLast") else 5,
+          clusterBy = if (a.length > 3) Some(litStr(a(3), "clusterBy"))
+                      else None)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          Seq(org.apache.spark.sql.Row(dir, true)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("dir",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("done",
+              org.apache.spark.sql.types.BooleanType, nullable = false))))
+    }
+
     tvf("graft_view_refresh_distinct",
       "graft_view_refresh_distinct(srcDir, pairsDir, viewDir, groupKeysCsv, valueCol) - one maintenance tick of the cascaded exact COUNT(DISTINCT) view (see IncrementalViews.refreshDistinct); returns the folded source versions, one row each") {
       (s, a) =>

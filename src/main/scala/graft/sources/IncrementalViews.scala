@@ -845,10 +845,20 @@ object IncrementalViews {
   def refreshCorrMatrix(spark: SparkSession, srcDir: String,
                         viewDir: String, groupKeys: Seq[String],
                         cols: Seq[String], scale: Int = 2,
-                        where: Option[Column] = None): Seq[Long] =
-    refreshAgg(spark, srcDir, viewDir, groupKeys, corrSumCols(cols),
-      sumScale = 2 * scale, where = where,
-      transform = Some(corrLens(cols, scale)))
+                        where: Option[Column] = None): Seq[Long] = {
+    // groupKeys = Nil is the notebook's exact shape (ONE global
+    // matrix): the agg-view machinery needs a key, so a constant one
+    // rides inside the lens and readCorrMatrix hides it again
+    val keys = if (groupKeys.nonEmpty) groupKeys else Seq(GlobalKey)
+    val lens: DataFrame => DataFrame =
+      if (groupKeys.nonEmpty) corrLens(cols, scale)
+      else df => corrLens(cols, scale)(df.withColumn(GlobalKey, lit(0L)))
+    refreshAgg(spark, srcDir, viewDir, keys, corrSumCols(cols),
+      sumScale = 2 * scale, where = where, transform = Some(lens))
+  }
+
+  /** Synthetic key backing a GLOBAL (ungrouped) stats view. */
+  private val GlobalKey = "__global"
 
   private def corrSumCols(cols: Seq[String]): Seq[String] =
     cols.map(c => s"__cs_$c") ++
@@ -885,6 +895,7 @@ object IncrementalViews {
   def readCorrMatrix(spark: SparkSession, viewDir: String,
                      groupKeys: Seq[String], cols: Seq[String]): DataFrame = {
     val v = Snapshots.read(spark, viewDir).filter(col("__cnt") > 0)
+      .drop(if (groupKeys.isEmpty) GlobalKey else "__none__")
     val n = col("__cnt").cast("double")
     def s(i: Int) = col(s"sum___cs_${cols(i)}").cast("double")
     def p(i: Int, j: Int) =

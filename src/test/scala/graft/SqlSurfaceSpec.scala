@@ -222,6 +222,26 @@ class SqlSurfaceSpec extends SparkSpec {
         r.getDouble(3))).toMap
     assert(math.abs(m(("b", "x", "y")) - 1.0) < 1e-9)
     assert(math.abs(m(("a", "x", "y")) - 6.0 / math.sqrt(84.0)) < 1e-9)
+    // the UNGROUPED (notebook-shaped) matrix: empty keys CSV maintains
+    // one global matrix; batch equivalence pins the values
+    spark.sql(
+      s"SELECT * FROM graft_view_refresh_corr('$root/src', '$root/gv', '', 'x,y')")
+      .collect()
+    val globalCells = spark.sql(
+      s"SELECT * FROM graft_corr_view('$root/gv', '', 'x,y')")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val batchCells = graft.operators.Relational.corrMatrixBy(
+        Snapshots.read(spark, s"$root/src"), Nil, Seq("x", "y"))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(globalCells == batchCells && globalCells.size == 4)
+    // housekeeping from pure SQL: the view compacts + trims in place
+    val hk = spark.sql(
+      s"SELECT * FROM graft_housekeep('$root/gv', 1000, 1)").collect()
+    assert(hk.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq((s"$root/gv", true)))
+    assert(spark.sql(s"SELECT * FROM graft_corr_view('$root/gv', '', 'x,y')")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      == globalCells)
   }
 
   test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
