@@ -67,4 +67,46 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bucketed forward fill == plain fill for ANY bucket width and null density") {
+    import graft.operators.Relational
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(df.columns.sorted.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    (1 to 6).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(3)
+      val nRows = 50 + rnd.nextInt(150)
+      val nullP = 0.3 + rnd.nextDouble() * 0.65 // up to ~95% nulls
+      val width = 1 + rnd.nextInt(40) // bucket width incl. width=1
+      val rows = for (k <- 1 to nKeys; t <- 1 to nRows) yield (
+        k.toLong, t.toLong,
+        if (rnd.nextDouble() < nullP) null
+        else java.lang.Double.valueOf(rnd.nextInt(1000)))
+      val df = rows.toDF("k", "ord", "x")
+      val plain = Relational.forwardFill(df, Seq("k"), "ord", Seq("x"))
+      val bucketed = Relational.forwardFillBucketed(df, Seq("k"), "ord",
+        Seq("x"), bucket = floor(col("ord") / width))
+      assert(canon(bucketed) == canon(plain),
+        s"trial $trial: keys=$nKeys rows=$nRows nullP=$nullP width=$width")
+    }
+  }
+
+  test("corr-matrix cells are permutation-invariant in the column list") {
+    import graft.operators.Relational
+    val data = (1L to 80L).map(i => (i, (i % 4).toString,
+      rnd.nextDouble() * 100, rnd.nextDouble() * 10, rnd.nextDouble() - 0.5))
+      .toDF("id", "g", "a", "b", "c")
+    def cells(cols: Seq[String]): Map[(String, String, String), Double] =
+      Relational.corrMatrixBy(data, Seq("g"), cols).collect()
+        .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+          r.getDouble(3))).toMap
+    val abc = cells(Seq("a", "b", "c"))
+    val cba = cells(Seq("c", "b", "a"))
+    assert(abc.keySet == cba.keySet)
+    // the same (group, x, y) cell must not depend on list order: the
+    // exact sums are identical terms, so this is equality, not ≈
+    abc.foreach { case (k, v) =>
+      assert(cba(k) == v || (v.isNaN && cba(k).isNaN), s"cell $k: $v != ${cba(k)}")
+    }
+  }
 }
