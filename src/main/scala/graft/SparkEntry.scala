@@ -369,6 +369,28 @@ object SparkEntry {
     "q_feature_matrix" -> ((s, dir) =>
       graft.operators.FeatureMatrix.corrByArea(Tables.events(s, dir))),
 
+    // The notebook's FINAL step (price_prediction.ipynb model
+    // training — sklearn LinearRegression) in-engine: per-group OLS
+    // solved IN THE PLAN via Cramer text shared with the oracle —
+    // one moments pass + a projection, no driver-side solve.
+    "q_ols_fit" -> ((s, dir) =>
+      graft.operators.Regression.olsFitBy(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("l_quantity", "l_discount"))),
+
+    // Fit + predict + score in one composed plan: moments -> betas
+    // broadcast back -> rounded-residual metrics (n, rmse, mae, r2).
+    "q_ols_eval" -> ((s, dir) =>
+      graft.operators.Regression.fitEval(Tables.lineitem(s, dir),
+        "l_extendedprice", Seq("l_quantity", "l_discount"))),
+
+    // The notebook's ACTUAL regression end-to-end: merge -> ffill ->
+    // per-DK-area price model over the hourly feature frame.
+    "q_price_model" -> ((s, dir) =>
+      graft.operators.Regression.olsFitBy(
+        graft.operators.FeatureMatrix.hourlyFrame(Tables.events(s, dir)),
+        Seq("area"), "price", Seq("consumption", "sunlight", "wind"))),
+
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id")
@@ -721,6 +743,13 @@ object SparkEntry {
       Corpus.stratifiedSample(Tables.documents(s, dir), "source", "doc_id", k = 20)
         .select("doc_id", "source", "sample_rank")),
 
+    // Per-domain token-budget mixing: the training-mixture recipe as
+    // one deterministic plan (hash-shuffled order + integer running
+    // sum; the boundary-crossing doc is the last one in).
+    "q_doc_mix" -> ((s, dir) =>
+      Corpus.mixByBudget(Tables.documents(s, dir), "source", "doc_id",
+        "text", docMixBudgets, defaultBudget = 300L)),
+
     "q_contamination" -> ((s, dir) =>
       Corpus.contamination(Tables.documents(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 97 === 0, n = 3)),
@@ -1064,6 +1093,11 @@ object SparkEntry {
   /** Retrieval query for q_bm25, shared with its generated oracle. */
   private val bm25Terms = Seq("spark", "window", "join", "stream")
 
+  /** Mixture recipe for q_doc_mix, shared with its generated oracle
+    * (sources beyond these fall to the 300-token default). */
+  private val docMixBudgets: Seq[(String, Long)] =
+    Seq("src0" -> 500L, "src1" -> 800L, "src2" -> 200L)
+
   /** Funnel stages for q_funnel, shared with its generated oracle. */
   private val funnelStages = Seq("view", "click", "purchase")
 
@@ -1091,6 +1125,51 @@ object SparkEntry {
   private def sqlSum(x: String, scale: Int = 2) =
     s"CAST(sum(CAST($x AS DECIMAL(30,$scale))) AS DOUBLE)"
   private val fmt = "'%Y-%m-%d %H:%M:%S'"
+
+  /** The notebook feature frame (price_prediction.ipynb merge + ffill)
+    * as a DuckDB CTE chain ending in `cc` (complete cases) — shared by
+    * the q_feature_matrix and q_price_model oracles so both verify the
+    * SAME frame the Spark composition builds (FeatureMatrix.scala). */
+  private def featureFrameCtes: String = {
+    def seriesSql(t: String, name: String, sumAgg: Boolean) = {
+      val cell =
+        if (sumAgg) sqlRound2(sqlSum("value"))
+        else sqlRound2(s"${sqlSum("value")} / count(*)")
+      s"SELECT hour, area, $cell AS $name FROM src " +
+        s"WHERE event_type = '$t' GROUP BY hour, area"
+    }
+    s"""src AS (
+       |  SELECT date_trunc('hour', ts) AS hour,
+       |         CASE WHEN user_id % 2 = 0 THEN '1' ELSE '2' END AS area,
+       |         event_type, value
+       |  FROM events),
+       |price AS (${seriesSql("purchase", "price", sumAgg = false)}),
+       |consumption AS (${seriesSql("click", "consumption", sumAgg = true)}),
+       |sunlight AS (${seriesSql("view", "sunlight", sumAgg = false)}),
+       |wind AS (${seriesSql("signup", "wind", sumAgg = false)}),
+       |spine AS (
+       |  SELECT DISTINCT hour, area FROM src
+       |  WHERE event_type IN ('purchase', 'click', 'view', 'signup')),
+       |m AS (
+       |  SELECT s.hour, s.area, p.price, c.consumption, su.sunlight, w.wind
+       |  FROM spine s
+       |  LEFT JOIN price p ON s.hour = p.hour AND s.area = p.area
+       |  LEFT JOIN consumption c ON s.hour = c.hour AND s.area = c.area
+       |  LEFT JOIN sunlight su ON s.hour = su.hour AND s.area = su.area
+       |  LEFT JOIN wind w ON s.hour = w.hour AND s.area = w.area),
+       |f AS (
+       |  SELECT area, hour,
+       |         last_value(price IGNORE NULLS) OVER w AS price,
+       |         last_value(consumption IGNORE NULLS) OVER w AS consumption,
+       |         last_value(sunlight IGNORE NULLS) OVER w AS sunlight,
+       |         last_value(wind IGNORE NULLS) OVER w AS wind
+       |  FROM m
+       |  WINDOW w AS (PARTITION BY area ORDER BY hour
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |cc AS (
+       |  SELECT * FROM f WHERE price IS NOT NULL AND consumption IS NOT NULL
+       |    AND sunlight IS NOT NULL AND wind IS NOT NULL)""".stripMargin
+  }
 
   /** The reference agg list (avg/min/max/count/min-offset) in DuckDB. */
   private def windowAggs = s"""
@@ -1607,13 +1686,6 @@ object SparkEntry {
     // (FeatureMatrix.scala) — so all 32 matrix cells hash-match.
     "q_feature_matrix" -> {
       val cs = graft.operators.FeatureMatrix.SeriesCols
-      def seriesSql(t: String, name: String, sumAgg: Boolean) = {
-        val cell =
-          if (sumAgg) sqlRound2(sqlSum("value"))
-          else sqlRound2(s"${sqlSum("value")} / count(*)")
-        s"SELECT hour, area, $cell AS $name FROM src " +
-          s"WHERE event_type = '$t' GROUP BY hour, area"
-      }
       val sums = cs.zipWithIndex.map { case (c, i) => s"${sqlSum(c)} AS s_$i" }
       val prods = for { i <- cs.indices; j <- i until cs.length }
         yield s"${sqlSum(s"${cs(i)} * ${cs(j)}", 4)} AS p_${i}_$j"
@@ -1623,40 +1695,59 @@ object SparkEntry {
         s"""SELECT area, '${cs(i)}' AS col_x, '${cs(j)}' AS col_y,
            |  (n * ${p(i, j)} - s_$i * s_$j) / sqrt(${variance(i)} * ${variance(j)}) AS corr_v
            |FROM stats""".stripMargin
-      s"""WITH src AS (
-         |  SELECT date_trunc('hour', ts) AS hour,
-         |         CASE WHEN user_id % 2 = 0 THEN '1' ELSE '2' END AS area,
-         |         event_type, value
-         |  FROM events),
-         |price AS (${seriesSql("purchase", "price", sumAgg = false)}),
-         |consumption AS (${seriesSql("click", "consumption", sumAgg = true)}),
-         |sunlight AS (${seriesSql("view", "sunlight", sumAgg = false)}),
-         |wind AS (${seriesSql("signup", "wind", sumAgg = false)}),
-         |spine AS (
-         |  SELECT DISTINCT hour, area FROM src
-         |  WHERE event_type IN ('purchase', 'click', 'view', 'signup')),
-         |m AS (
-         |  SELECT s.hour, s.area, p.price, c.consumption, su.sunlight, w.wind
-         |  FROM spine s
-         |  LEFT JOIN price p ON s.hour = p.hour AND s.area = p.area
-         |  LEFT JOIN consumption c ON s.hour = c.hour AND s.area = c.area
-         |  LEFT JOIN sunlight su ON s.hour = su.hour AND s.area = su.area
-         |  LEFT JOIN wind w ON s.hour = w.hour AND s.area = w.area),
-         |f AS (
-         |  SELECT area, hour,
-         |         last_value(price IGNORE NULLS) OVER w AS price,
-         |         last_value(consumption IGNORE NULLS) OVER w AS consumption,
-         |         last_value(sunlight IGNORE NULLS) OVER w AS sunlight,
-         |         last_value(wind IGNORE NULLS) OVER w AS wind
-         |  FROM m
-         |  WINDOW w AS (PARTITION BY area ORDER BY hour
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |cc AS (
-         |  SELECT * FROM f WHERE price IS NOT NULL AND consumption IS NOT NULL
-         |    AND sunlight IS NOT NULL AND wind IS NOT NULL),
+      s"""WITH $featureFrameCtes,
          |stats AS MATERIALIZED (
          |  SELECT area, CAST(count(*) AS DOUBLE) AS n,
          |         ${(sums ++ prods).mkString(",\n         ")}
+         |  FROM cc GROUP BY area)
+         |${cells.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // Per-returnflag OLS: the SAME generated Cramer/moment text the
+    // Spark plan evaluates (Regression.cramerBetaSqls), so every
+    // coefficient is bit-identical.
+    "q_ols_fit" -> {
+      import graft.operators.Regression
+      val xs = Seq("l_quantity", "l_discount")
+      val cells = Regression.termNames(xs).zip(Regression.cramerBetaSqls(2))
+        .map { case (t, b) =>
+          s"SELECT l_returnflag, '$t' AS term, ${Regression.roundSql(b, 6)} AS beta FROM stats" }
+      s"""WITH stats AS MATERIALIZED (
+         |  SELECT l_returnflag,
+         |       ${Regression.momentSqlSelect("l_extendedprice", xs)}
+         |  FROM lineitem GROUP BY l_returnflag)
+         |${cells.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    "q_ols_eval" -> {
+      import graft.operators.Regression
+      val xs = Seq("l_quantity", "l_discount")
+      val betaSel = Regression.cramerBetaSqls(2).zipWithIndex
+        .map { case (b, i) => s"$b AS __b$i" }.mkString(",\n         ")
+      val pred = Regression.predictionSql(xs, (0 to 2).map(i => s"__b$i"))
+      s"""WITH stats AS MATERIALIZED (
+         |  SELECT ${Regression.momentSqlSelect("l_extendedprice", xs)}
+         |  FROM lineitem),
+         |betas AS (
+         |  SELECT ${betaSel}
+         |  FROM stats),
+         |scored AS (
+         |  SELECT l_extendedprice, ${Regression.roundSql(pred, 4)} AS __yhat
+         |  FROM lineitem CROSS JOIN betas)
+         |${Regression.evalSql("l_extendedprice", 2, 4, 6)}""".stripMargin
+    },
+
+    // The notebook's regression over the rebuilt feature frame: the
+    // q_feature_matrix CTE chain + the shared 4x4 Cramer text.
+    "q_price_model" -> {
+      import graft.operators.Regression
+      val xs = Seq("consumption", "sunlight", "wind")
+      val cells = Regression.termNames(xs).zip(Regression.cramerBetaSqls(3))
+        .map { case (t, b) =>
+          s"SELECT area, '$t' AS term, ${Regression.roundSql(b, 6)} AS beta FROM stats" }
+      s"""WITH $featureFrameCtes,
+         |stats AS MATERIALIZED (
+         |  SELECT area, ${Regression.momentSqlSelect("price", xs)}
          |  FROM cc GROUP BY area)
          |${cells.mkString("\nUNION ALL\n")}""".stripMargin
     },
@@ -2152,6 +2243,24 @@ object SparkEntry {
          |               ORDER BY ${sqlPortableMix("CAST(doc_id AS VARCHAR)")}, doc_id) AS sample_rank
          |      FROM documents)
          |WHERE sample_rank <= 20""".stripMargin,
+
+    "q_doc_mix" -> {
+      val budgetCase = "CASE " + docMixBudgets.map { case (d, b) =>
+        s"WHEN source = '$d' THEN $b " }.mkString + "ELSE 300 END"
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         ${sqlPortableMix("CAST(doc_id AS VARCHAR)")} AS m
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY m, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_before
+         |FROM c WHERE cum_before < $budgetCase""".stripMargin
+    },
 
     // String 3-grams oracle-side vs xxhash64'd grams Spark-side:
     // counts equal barring a ~2^-64 collision (same argument as

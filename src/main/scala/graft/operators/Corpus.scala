@@ -272,6 +272,42 @@ object Corpus {
     df.withColumn("sample_u", u).filter(col("sample_u") < weight)
   }
 
+  /** Per-domain TOKEN-BUDGET mixing — the training-mixture recipe
+    * ("200B tokens of web, 50B of code, 20B of papers") executed as
+    * one deterministic plan: within each domain, docs are ordered by
+    * (portableMix(id), id) — a reproducible shuffle — and a doc is
+    * kept iff the token total BEFORE it is still under the domain's
+    * budget, so the doc that crosses the boundary is the last one in
+    * (every nonempty domain with a positive budget contributes ≥1
+    * doc; overshoot is bounded by one document). Domains absent from
+    * `budgets` get `defaultBudget` (0 = drop). Emits
+    * `(id, domain, n_tokens, cum_before)` for the kept docs —
+    * `cum_before` is the audit trail: Σ n_tokens of everything the
+    * mixture took ahead of this doc.
+    *
+    * Deterministic across engines, runs, and partitionings: the hash
+    * order ties to ids, the running sum is integer arithmetic.
+    *
+    * Scale: one hash-partition shuffle on the domain key. With FEW
+    * GIANT domains (the actual mixing regime) the per-domain prefix
+    * sum is the serial step — the same hazard
+    * [[Relational.forwardFillBucketed]] solves; apply the identical
+    * two-level trick by pre-bucketing on `portableMix(id)` ranges and
+    * prefix-summing bucket totals if a domain outgrows one task. */
+  def mixByBudget(df: DataFrame, domainCol: String, idCol: String,
+                  textCol: String, budgets: Seq[(String, Long)],
+                  defaultBudget: Long = 0L): DataFrame = {
+    val budget = budgets.foldRight(lit(defaultBudget): Column) {
+      case ((d, b), acc) => when(col(domainCol) === d, lit(b)).otherwise(acc) }
+    val w = Window.partitionBy(domainCol)
+      .orderBy(Text.portableMix(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", Text.tokenCountWs(col(textCol)).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_before"))
+  }
+
   /** Token-budget sequence packing: shard the corpus by hash of the
     * id, order each shard by id, and cut it into bins where each bin
     * starts at the first doc whose running token offset crosses a

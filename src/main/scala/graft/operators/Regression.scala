@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+
+/** Distributed ordinary-least-squares regression — the reference
+  * notebook's final step (price_prediction.ipynb "Model training":
+  * an sklearn LinearRegression over the merged feature matrix),
+  * re-expressed in-engine so the whole workflow — ingest → merge →
+  * ffill → fit → evaluate — runs as Spark plans with no
+  * driver-side learning library.
+  *
+  * Shape: OLS over k predictors + intercept needs only the
+  * normal-equation moments (n, Σy, Σxᵢ, Σxᵢxⱼ, Σxᵢy) — k(k+3)/2 + 3
+  * exact sums computed in ONE map-side-combined aggregation pass over
+  * the data (the same discipline as [[Relational.corrMatrixBy]]), after
+  * which the solve touches no data:
+  *
+  *  - `olsFitBy` solves IN THE PLAN via Cramer's rule for k ≤ 3:
+  *    the determinant expansions are generated ONCE as SQL strings
+  *    ([[detSql]]) and evaluated by Spark (`expr`) and by the DuckDB
+  *    oracle from the SAME text, so both engines walk an identical
+  *    IEEE expression tree over identical 128-bit-exact sums —
+  *    bit-identical coefficients, a fully driver-free fit. Grouped:
+  *    one model per key combination (the notebook's per-DK-area
+  *    models), a million models costing one aggregation + projection.
+  *  - `olsSolve` handles arbitrary k: the one moments row (bounded
+  *    driver metadata, like the IVF centroids) feeds Gaussian
+  *    elimination with partial pivoting on the driver; singular
+  *    systems fail loudly naming the collinear predictors.
+  *
+  * Scale: the data pass is one aggregation whose buffer is O(k²) —
+  * independent of row count; a 10⁹-row partition ships one buffer.
+  * Prediction ([[predictionSql]]) is a shuffle-free projection;
+  * evaluation ([[evalAggs]]) is one further aggregation pass.
+  *
+  * Reference: price_prediction.ipynb model-training cells (sklearn
+  * LinearRegression fit on the DK-area feature frame, R² scoring).
+  */
+object Regression {
+
+  /** Moment-column aliases shared by the Spark aggregation and the
+    * oracle CTE: `__n`, `__sy`, `__syy`, `__s{i}`, `__p{i}_{j}` (i≤j),
+    * `__q{i}`. */
+  def termNames(xCols: Seq[String]): Seq[String] = "intercept" +: xCols
+
+  /** The one-pass moment aggregation (Spark side). `yScale`/`xScale`
+    * are the input columns' decimal scales (exact-sum contract). */
+  def momentAggs(yCol: String, xCols: Seq[String],
+                 yScale: Int = 2, xScale: Int = 2): Seq[Column] = {
+    val y = col(yCol)
+    val base = Seq(
+      count(lit(1L)).cast("double").as("__n"),
+      Exact.sumExact(y, yScale).as("__sy"),
+      Exact.sumExact(y * y, 2 * yScale).as("__syy"))
+    val sums = xCols.zipWithIndex.map { case (c, i) =>
+      Exact.sumExact(col(c), xScale).as(s"__s$i") }
+    val prods = for { i <- xCols.indices; j <- i until xCols.length }
+      yield Exact.sumExact(col(xCols(i)) * col(xCols(j)), 2 * xScale)
+        .as(s"__p${i}_$j")
+    val xy = xCols.zipWithIndex.map { case (c, i) =>
+      Exact.sumExact(col(c) * y, xScale + yScale).as(s"__q$i") }
+    base ++ sums ++ prods ++ xy
+  }
+
+  /** The same moments as a DuckDB select list (decimal-sum formula —
+    * the proven bit-equal twin of [[Exact.sumExact]]). */
+  def momentSqlSelect(yCol: String, xCols: Seq[String],
+                      yScale: Int = 2, xScale: Int = 2): String = {
+    def s(x: String, sc: Int) =
+      s"CAST(sum(CAST($x AS DECIMAL(30,$sc))) AS DOUBLE)"
+    val base = Seq(
+      "CAST(count(*) AS DOUBLE) AS __n",
+      s"${s(yCol, yScale)} AS __sy",
+      s"${s(s"$yCol * $yCol", 2 * yScale)} AS __syy")
+    val sums = xCols.zipWithIndex.map { case (c, i) =>
+      s"${s(c, xScale)} AS __s$i" }
+    val prods = for { i <- xCols.indices; j <- i until xCols.length }
+      yield s"${s(s"${xCols(i)} * ${xCols(j)}", 2 * xScale)} AS __p${i}_$j"
+    val xy = xCols.zipWithIndex.map { case (c, i) =>
+      s"${s(s"$c * $yCol", xScale + yScale)} AS __q$i" }
+    (base ++ sums ++ prods ++ xy).mkString(",\n       ")
+  }
+
+  /** Cofactor expansion along the first row, fixed order and explicit
+    * parentheses — the ONE determinant text both engines evaluate.
+    * 4×4 (k=3) expands to 24 products; larger systems go through
+    * [[olsSolve]]. */
+  private[graft] def detSql(m: Vector[Vector[String]]): String = m.size match {
+    case 1 => m(0)(0)
+    case n =>
+      val terms = (0 until n).map { j =>
+        val minor = m.tail.map(row => row.patch(j, Nil, 1))
+        s"(${m(0)(j)} * ${detSql(minor)})"
+      }
+      terms.tail.zipWithIndex.foldLeft(s"(${terms.head}") {
+        case (acc, (t, idx)) =>
+          acc + (if (idx % 2 == 0) s" - $t" else s" + $t")
+      } + ")"
+  }
+
+  /** The normal-equation matrix / RHS in moment-alias text:
+    * A(0,0)=n, A(0,j)=Σxⱼ, A(i,j)=Σxᵢxⱼ; b(0)=Σy, b(i)=Σxᵢy. */
+  private def normalMatrix(k: Int): (Vector[Vector[String]], Vector[String]) = {
+    def p(i: Int, j: Int) = s"__p${math.min(i, j)}_${math.max(i, j)}"
+    val a = Vector.tabulate(k + 1, k + 1) { (i, j) =>
+      (i, j) match {
+        case (0, 0) => "__n"
+        case (0, c) => s"__s${c - 1}"
+        case (r, 0) => s"__s${r - 1}"
+        case (r, c) => p(r - 1, c - 1)
+      }
+    }
+    val b = Vector.tabulate(k + 1)(i => if (i == 0) "__sy" else s"__q${i - 1}")
+    (a, b)
+  }
+
+  /** Unrounded Cramer coefficient expressions β₀..βₖ over the moment
+    * aliases — identical text for Spark `expr` and the oracle. */
+  def cramerBetaSqls(k: Int): Seq[String] = {
+    require(k >= 1 && k <= 3,
+      s"cramer path supports 1..3 predictors (got $k); use olsSolve for larger systems")
+    val (a, b) = normalMatrix(k)
+    val den = detSql(a)
+    (0 to k).map { i =>
+      val ai = a.map(_.toVector).zipWithIndex.map { case (row, r) =>
+        row.updated(i, b(r)) }
+      s"(${detSql(ai)} / $den)"
+    }
+  }
+
+  /** Engine-portable round-half-up (the [[Exact.roundAt]] formula as
+    * text). */
+  def roundSql(x: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"floor(($x) * $f + 0.5) / $f"
+  }
+
+  /** Per-group OLS fit, solved in the plan (k ≤ 3 predictors):
+    * `(keys…, term, beta)` with `term` ∈ intercept +: xCols, beta
+    * rounded at `betaScale`. One aggregation pass + one projection —
+    * no driver participation, any number of groups. */
+  def olsFitBy(df: DataFrame, keys: Seq[String], yCol: String,
+               xCols: Seq[String], yScale: Int = 2, xScale: Int = 2,
+               betaScale: Int = 6): DataFrame = {
+    val stats = momentsBy(df, keys, yCol, xCols, yScale, xScale)
+    val betas = cramerBetaSqls(xCols.length)
+    val terms = termNames(xCols)
+    val cells = terms.zip(betas).map { case (t, b) =>
+      struct(lit(t).as("term"),
+        expr(roundSql(b, betaScale)).as("beta")) }
+    stats.select((keys.map(col) :+ explode(array(cells: _*)).as("cell")): _*)
+      .select((keys.map(col) ++ Seq(col("cell.term"), col("cell.beta"))): _*)
+  }
+
+  /** Ungrouped [[olsFitBy]]. */
+  def olsFit(df: DataFrame, yCol: String, xCols: Seq[String],
+             yScale: Int = 2, xScale: Int = 2, betaScale: Int = 6): DataFrame =
+    olsFitBy(df, Nil, yCol, xCols, yScale, xScale, betaScale)
+
+  /** The grouped moments frame (one row per group). */
+  def momentsBy(df: DataFrame, keys: Seq[String], yCol: String,
+                xCols: Seq[String], yScale: Int = 2,
+                xScale: Int = 2): DataFrame = {
+    val aggs = momentAggs(yCol, xCols, yScale, xScale)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** General-k fit: moments → driver-side Gaussian elimination with
+    * partial pivoting (the moments row is bounded metadata — k(k+3)/2+3
+    * doubles — the same driver budget as the IVF centroids). Returns
+    * (term, beta) unrounded. Singular/collinear systems fail loudly. */
+  def olsSolve(df: DataFrame, yCol: String, xCols: Seq[String],
+               yScale: Int = 2, xScale: Int = 2): Seq[(String, Double)] = {
+    val row = momentsBy(df, Nil, yCol, xCols, yScale, xScale).head()
+    def d(name: String) = row.getDouble(row.fieldIndex(name))
+    val k = xCols.length
+    val (aN, bN) = normalMatrix(k)
+    val a = Array.tabulate(k + 1, k + 1)((i, j) => d(aN(i)(j)))
+    val b = Array.tabulate(k + 1)(i => d(bN(i)))
+    // Gaussian elimination, partial pivoting
+    for (c <- 0 to k) {
+      val piv = (c to k).maxBy(r => math.abs(a(r)(c)))
+      require(math.abs(a(piv)(c)) > 1e-12 * (1.0 + math.abs(a(0)(0))),
+        s"singular normal equations: predictors ${xCols.mkString(", ")} " +
+          "are collinear (or a column is constant alongside the intercept)")
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t
+        val tb = b(piv); b(piv) = b(c); b(c) = tb }
+      for (r <- c + 1 to k) {
+        val f = a(r)(c) / a(c)(c)
+        for (j <- c to k) a(r)(j) -= f * a(c)(j)
+        b(r) -= f * b(c)
+      }
+    }
+    val beta = new Array[Double](k + 1)
+    for (c <- k to 0 by -1) {
+      var s = b(c)
+      for (j <- c + 1 to k) s -= a(c)(j) * beta(j)
+      beta(c) = s / a(c)(c)
+    }
+    termNames(xCols).zip(beta.toSeq)
+  }
+
+  /** The prediction expression `(β₀ + (x₁·β₁) + … )` as shared text;
+    * `betaRefs` are the beta column names/expressions in term order
+    * (intercept first). */
+  def predictionSql(xCols: Seq[String], betaRefs: Seq[String]): String =
+    xCols.zip(betaRefs.tail)
+      .foldLeft(s"(${betaRefs.head}")((acc, xb) =>
+        acc + s" + (${xb._1} * ${xb._2})") + ")"
+
+  /** Shuffle-free ŷ projection from literal (driver-solved or stored)
+    * coefficients. */
+  def predict(df: DataFrame, betas: Seq[(String, Double)], xCols: Seq[String],
+              yhatCol: String = "yhat", predScale: Int = 4): DataFrame = {
+    val m = betas.toMap
+    val refs = termNames(xCols).map(t => s"CAST(${m(t)} AS DOUBLE)")
+    df.withColumn(yhatCol,
+      expr(roundSql(predictionSql(xCols, refs), predScale)))
+  }
+
+  /** In-plan fit + predict + evaluate: one moments pass → betas
+    * broadcast-cross-joined back → ŷ projection (rounded at
+    * `predScale` so residuals are exact decimals) → one metrics pass:
+    * `(n, rmse, mae, r2)`. Everything mirrors [[evalSql]] text-for-text
+    * so the oracle reproduces each metric bit-for-bit. */
+  def fitEval(df: DataFrame, yCol: String, xCols: Seq[String],
+              yScale: Int = 2, xScale: Int = 2, predScale: Int = 4,
+              metricScale: Int = 6): DataFrame = {
+    val stats = momentsBy(df, Nil, yCol, xCols, yScale, xScale)
+    val betas = cramerBetaSqls(xCols.length)
+    val betaCols = betas.zipWithIndex.map { case (b, i) =>
+      expr(b).as(s"__b$i") }
+    val wide = stats.select(betaCols: _*)
+    val yhat = expr(roundSql(
+      predictionSql(xCols, (0 to xCols.length).map(i => s"__b$i")),
+      predScale))
+    val scored = df.crossJoin(broadcast(wide)).withColumn("__yhat", yhat)
+    val y = col(yCol); val e = y - col("__yhat")
+    val n = count(lit(1L)).cast("double")
+    val ssRes = Exact.sumExact(e * e, 8)
+    val ssTot = Exact.sumExact(y * y, 2 * yScale) -
+      Exact.sumExact(y, yScale) * Exact.sumExact(y, yScale) / n
+    scored.agg(
+      n.as("n"),
+      Exact.roundAt(sqrt(ssRes / n), metricScale).as("rmse"),
+      Exact.roundAt(Exact.sumExact(abs(e), predScale) / n, metricScale).as("mae"),
+      Exact.roundAt(lit(1.0) - ssRes / ssTot, metricScale).as("r2"))
+  }
+
+  /** The [[fitEval]] metrics as DuckDB text over a `scored` relation
+    * carrying `yCol` and `__yhat`. */
+  def evalSql(yCol: String, yScale: Int, predScale: Int,
+              metricScale: Int): String = {
+    def s(x: String, sc: Int) =
+      s"CAST(sum(CAST($x AS DECIMAL(30,$sc))) AS DOUBLE)"
+    val n = "CAST(count(*) AS DOUBLE)"
+    val ssRes = s(s"($yCol - __yhat) * ($yCol - __yhat)", 8)
+    val ssTot =
+      s"${s(s"$yCol * $yCol", 2 * yScale)} - ${s(yCol, yScale)} * ${s(yCol, yScale)} / $n"
+    s"""SELECT $n AS n,
+       |       ${roundSql(s"sqrt($ssRes / $n)", metricScale)} AS rmse,
+       |       ${roundSql(s"${s(s"abs($yCol - __yhat)", predScale)} / $n", metricScale)} AS mae,
+       |       ${roundSql(s"1.0 - ($ssRes) / ($ssTot)", metricScale)} AS r2
+       |FROM scored""".stripMargin
+  }
+}

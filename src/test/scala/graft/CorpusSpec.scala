@@ -246,4 +246,27 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) === "server at <ip> responded")
     assert(out(3L) === "clean text stays put")
   }
+
+  test("mixByBudget: boundary doc is the last one in, defaults drop, totals audit") {
+    // every doc is exactly 5 tokens, so the kept set is order-free to
+    // assert: budget 12 keeps the first 3 in hash order (0, 5, 10 < 12)
+    val df = (1L to 10L).map(i => (i, "a", "w w w w w")).toDF("id", "dom", "text")
+      .union(Seq((11L, "b", "w w w w w")).toDF("id", "dom", "text"))
+    val out = Corpus.mixByBudget(df, "dom", "id", "text",
+      budgets = Seq("a" -> 12L), defaultBudget = 0L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.forall(_._2 == "a")) // default 0 drops domain b entirely
+    assert(out.length == 3)
+    assert(out.map(_._4).sorted.toSeq == Seq(0L, 5L, 10L))
+    assert(out.forall(_._3 == 5L))
+    // a budget beyond the domain total keeps everything
+    val all = Corpus.mixByBudget(df, "dom", "id", "text",
+      budgets = Seq("a" -> 1000L, "b" -> 1000L))
+    assert(all.count() == 11)
+    // deterministic: same recipe, same kept ids
+    val again = Corpus.mixByBudget(df, "dom", "id", "text",
+      budgets = Seq("a" -> 12L), defaultBudget = 0L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == again.map(_._1).sorted.toSeq)
+  }
 }

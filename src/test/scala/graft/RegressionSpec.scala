@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Regression
+
+/** In-plan OLS (Cramer over one-pass exact moments) and the general
+  * driver-side solver: exact recovery of planted models, path
+  * agreement, grouped fits, loud singularity, and the fit+eval
+  * metrics contract. */
+class RegressionSpec extends SparkSpec {
+
+  // y = 2 + 3·x1 − 0.5·x2 exactly (all values ≤ 2 decimals), with a
+  // deterministic non-collinear x pattern
+  private def planted = {
+    val s = spark; import s.implicits._
+    (1 to 40).map { i =>
+      val x1 = i.toDouble
+      val x2 = ((i * 7) % 13).toDouble
+      (x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2)
+    }.toDF("x1", "x2", "y")
+  }
+
+  test("olsFit recovers a planted exact model bit-for-bit after rounding") {
+    val betas = Regression.olsFit(planted, "y", Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(betas == Map("intercept" -> 2.0, "x1" -> 3.0, "x2" -> -0.5))
+  }
+
+  test("driver solver agrees with the in-plan Cramer path (k=2, noisy data)") {
+    val s = spark; import s.implicits._
+    val noisy = (1 to 60).map { i =>
+      val x1 = i.toDouble
+      val x2 = ((i * 5) % 17).toDouble
+      val noise = ((i * 31) % 7 - 3) / 100.0 // deterministic, 2dp
+      (x1, x2, 1.25 + 0.75 * x1 + 2.0 * x2 + noise)
+    }.toDF("x1", "x2", "y")
+    val cramer = Regression.olsFit(noisy, "y", Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val solved = Regression.olsSolve(noisy, "y", Seq("x1", "x2")).toMap
+    for ((t, b) <- solved)
+      assert(math.abs(cramer(t) - b) < 1e-6, s"term $t: ${cramer(t)} vs $b")
+  }
+
+  test("k=3 Cramer (4x4 determinants) matches the driver solver") {
+    val s = spark; import s.implicits._
+    val df = (1 to 80).map { i =>
+      val x1 = i.toDouble
+      val x2 = ((i * 7) % 13).toDouble
+      val x3 = ((i * 11) % 19).toDouble
+      (x1, x2, x3, 5.0 - 1.5 * x1 + 0.25 * x2 + 2.0 * x3)
+    }.toDF("x1", "x2", "x3", "y")
+    val cramer = Regression.olsFit(df, "y", Seq("x1", "x2", "x3"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cramer == Map(
+      "intercept" -> 5.0, "x1" -> -1.5, "x2" -> 0.25, "x3" -> 2.0))
+    val solved = Regression.olsSolve(df, "y", Seq("x1", "x2", "x3")).toMap
+    for ((t, b) <- solved)
+      assert(math.abs(cramer(t) - b) < 1e-6, s"term $t")
+  }
+
+  test("grouped fit: one model per key, each recovered independently") {
+    val s = spark; import s.implicits._
+    val df = (1 to 40).flatMap { i =>
+      val x1 = i.toDouble; val x2 = ((i * 7) % 13).toDouble
+      Seq(("a", x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2),
+          ("b", x1, x2, -1.0 + 0.5 * x1 + 4.0 * x2))
+    }.toDF("g", "x1", "x2", "y")
+    val out = Regression.olsFitBy(df, Seq("g"), "y", Seq("x1", "x2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out == Map(
+      ("a", "intercept") -> 2.0, ("a", "x1") -> 3.0, ("a", "x2") -> -0.5,
+      ("b", "intercept") -> -1.0, ("b", "x1") -> 0.5, ("b", "x2") -> 4.0))
+  }
+
+  test("collinear predictors fail loudly, naming the columns") {
+    val s = spark; import s.implicits._
+    val df = (1 to 20).map { i =>
+      (i.toDouble, 2.0 * i, i * 3.0) }.toDF("x1", "x2", "y")
+    val e = intercept[IllegalArgumentException] {
+      Regression.olsSolve(df, "y", Seq("x1", "x2"))
+    }
+    assert(e.getMessage.contains("collinear"))
+    assert(e.getMessage.contains("x1") && e.getMessage.contains("x2"))
+  }
+
+  test("fitEval: a perfect fit scores rmse=0, mae=0, r2=1") {
+    val row = Regression.fitEval(planted, "y", Seq("x1", "x2")).head()
+    assert(row.getAs[Double]("rmse") == 0.0)
+    assert(row.getAs[Double]("mae") == 0.0)
+    assert(row.getAs[Double]("r2") == 1.0)
+    assert(row.getAs[Double]("n") == 40.0)
+  }
+
+  test("fitEval metrics are sane on real data and r2 matches the moment identity") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val row = Regression.fitEval(li, "l_extendedprice",
+      Seq("l_quantity", "l_discount")).head()
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 < 1.0) // quantity explains much of price, not all
+    assert(row.getAs[Double]("rmse") > 0.0)
+    assert(row.getAs[Double]("mae") <= row.getAs[Double]("rmse"))
+  }
+
+  test("predict: literal betas project shuffle-free and round at predScale") {
+    val s = spark; import s.implicits._
+    val df = Seq((2.0, 4.0), (3.0, 1.0)).toDF("x1", "x2")
+    val out = Regression.predict(df,
+      Seq("intercept" -> 1.0, "x1" -> 2.0, "x2" -> -0.25), Seq("x1", "x2"))
+      .select("yhat").as[Double].collect().toSeq.sorted
+    assert(out == Seq(4.0, 6.75)) // 1+4-1, 1+6-0.25
+    // no Exchange in the plan: pure projection
+    val plan = Regression.predict(df,
+      Seq("intercept" -> 1.0, "x1" -> 2.0, "x2" -> -0.25), Seq("x1", "x2"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("notebook closure: per-area price model fits on the feature frame") {
+    val frame = operators.FeatureMatrix.hourlyFrame(
+      Tables.events(spark, sf("sf0.001")))
+    val out = Regression.olsFitBy(frame, Seq("area"), "price",
+      Seq("consumption", "sunlight", "wind")).collect()
+    assert(out.length == 8) // 2 areas x (intercept + 3 terms)
+    assert(out.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN))
+  }
+}
