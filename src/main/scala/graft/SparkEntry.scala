@@ -1026,6 +1026,33 @@ object SparkEntry {
         Seq("value", "user_id"))
     }),
 
+    // A maintained REGRESSION MODEL on the driver's clock: the moment
+    // view folds an append + a keyed delete band incrementally (pure
+    // sums — deletes are exact, zero rescans), then readOlsModel
+    // serves per-event-type coefficients from the stats rows with the
+    // shared Cramer text. Must equal a from-scratch fit over the
+    // final source state. Fresh state per invocation.
+    "q_ols_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_olsview").toString
+      val (src, v) = (s"$root/src", s"$root/v")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      val cols = Seq("value", "user_id", "event_id")
+      Snapshots.commit(ev.filter(col("event_id") <= mid), src,
+        statsCol = Some("event_type"))
+      IncrementalViews.refreshCorrMatrix(s, src, v, Seq("event_type"), cols)
+      Snapshots.commit(ev.filter(col("event_id") > mid), src,
+        statsCol = Some("event_type"))
+      Snapshots.deleteWhere(s, src, col("user_id") % 10 === 3)
+      IncrementalViews.refreshCorrMatrix(s, src, v, Seq("event_type"), cols)
+      IncrementalViews.readOlsModel(s, v, Seq("event_type"), cols,
+        "value", Seq("user_id", "event_id"))
+    }),
+
     // The CASCADED incremental view on the driver's clock: exact
     // per-event-type COUNT(DISTINCT user_id) maintained as two
     // chained aggregate views — a Z-set of live (type, user) pairs,
@@ -2660,6 +2687,23 @@ object SparkEntry {
          |stats AS MATERIALIZED (
          |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
          |         ${(sums ++ prods).mkString(",\n         ")}
+         |  FROM fs GROUP BY event_type)
+         |${cells.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // the maintained model must equal a from-scratch OLS fit over the
+    // final source state — same moment + Cramer text as q_ols_fit
+    "q_ols_view_incr" -> {
+      import graft.operators.Regression
+      val xs = Seq("user_id", "event_id")
+      val cells = Regression.termNames(xs).zip(Regression.cramerBetaSqls(2))
+        .map { case (t, b) =>
+          s"SELECT event_type, '$t' AS term, ${Regression.roundSql(b, 6)} AS beta FROM stats" }
+      s"""WITH fs AS (
+         |  SELECT event_type, value, user_id, event_id FROM events
+         |  WHERE user_id % 10 <> 3),
+         |stats AS MATERIALIZED (
+         |  SELECT event_type, ${Regression.momentSqlSelect("value", xs)}
          |  FROM fs GROUP BY event_type)
          |${cells.mkString("\nUNION ALL\n")}""".stripMargin
     },

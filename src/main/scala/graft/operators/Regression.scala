@@ -101,14 +101,19 @@ object Regression {
   }
 
   /** The normal-equation matrix / RHS in moment-alias text:
-    * A(0,0)=n, A(0,j)=Σxⱼ, A(i,j)=Σxᵢxⱼ; b(0)=Σy, b(i)=Σxᵢy. */
-  private def normalMatrix(k: Int): (Vector[Vector[String]], Vector[String]) = {
+    * A(0,0)=n, A(0,j)=Σxⱼ, A(i,j)=Σxᵢxⱼ; b(0)=Σy, b(i)=Σxᵢy.
+    * `ridge` > 0 adds λ to the predictor diagonal (never the
+    * intercept cell) — Tikhonov regularization on the same moments. */
+  private def normalMatrix(k: Int, ridge: Double = 0.0)
+      : (Vector[Vector[String]], Vector[String]) = {
     def p(i: Int, j: Int) = s"__p${math.min(i, j)}_${math.max(i, j)}"
     val a = Vector.tabulate(k + 1, k + 1) { (i, j) =>
       (i, j) match {
         case (0, 0) => "__n"
         case (0, c) => s"__s${c - 1}"
         case (r, 0) => s"__s${r - 1}"
+        case (r, c) if r == c && ridge != 0.0 =>
+          s"(${p(r - 1, c - 1)} + CAST($ridge AS DOUBLE))"
         case (r, c) => p(r - 1, c - 1)
       }
     }
@@ -118,10 +123,11 @@ object Regression {
 
   /** Unrounded Cramer coefficient expressions β₀..βₖ over the moment
     * aliases — identical text for Spark `expr` and the oracle. */
-  def cramerBetaSqls(k: Int): Seq[String] = {
+  def cramerBetaSqls(k: Int, ridge: Double = 0.0): Seq[String] = {
     require(k >= 1 && k <= 3,
       s"cramer path supports 1..3 predictors (got $k); use olsSolve for larger systems")
-    val (a, b) = normalMatrix(k)
+    require(ridge >= 0.0, s"ridge must be >= 0 (got $ridge)")
+    val (a, b) = normalMatrix(k, ridge)
     val den = detSql(a)
     (0 to k).map { i =>
       val ai = a.map(_.toVector).zipWithIndex.map { case (row, r) =>
@@ -143,9 +149,9 @@ object Regression {
     * no driver participation, any number of groups. */
   def olsFitBy(df: DataFrame, keys: Seq[String], yCol: String,
                xCols: Seq[String], yScale: Int = 2, xScale: Int = 2,
-               betaScale: Int = 6): DataFrame = {
+               betaScale: Int = 6, ridge: Double = 0.0): DataFrame = {
     val stats = momentsBy(df, keys, yCol, xCols, yScale, xScale)
-    val betas = cramerBetaSqls(xCols.length)
+    val betas = cramerBetaSqls(xCols.length, ridge)
     val terms = termNames(xCols)
     val cells = terms.zip(betas).map { case (t, b) =>
       struct(lit(t).as("term"),

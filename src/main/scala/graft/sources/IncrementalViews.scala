@@ -912,6 +912,58 @@ object IncrementalViews {
         Seq(col("cell.col_x"), col("cell.col_y"), col("cell.corr_v"))): _*)
   }
 
+  /** A continuously-maintained REGRESSION MODEL, served from the same
+    * moment-stats view [[refreshCorrMatrix]] maintains: the normal
+    * equations need exactly (n, Σcᵢ, Σcᵢcⱼ), all of which the view
+    * already folds incrementally (pure sums — inserts AND deletes are
+    * exact O(churned groups) deltas, no rescans). Serving the model is
+    * a zero-data-read projection: the stored stats rows are renamed to
+    * the [[graft.operators.Regression]] moment aliases and the SAME
+    * generated Cramer text solves them in the plan, so the served
+    * coefficients equal a from-scratch [[graft.operators.Regression
+    * .olsFitBy]] over the current source state double-for-double
+    * (spec-asserted) — the notebook's price model kept current as data
+    * lands and leaves, at O(churn) maintenance and O(groups) serve.
+    *
+    * `yCol` and every `xCols` entry must be among the `cols` the view
+    * was built over, and the view's `scale` must equal the batch fit's
+    * y/x scales for bit-parity (both default 2). */
+  def readOlsModel(spark: SparkSession, viewDir: String,
+                   groupKeys: Seq[String], cols: Seq[String],
+                   yCol: String, xCols: Seq[String],
+                   betaScale: Int = 6, ridge: Double = 0.0): DataFrame = {
+    import graft.operators.Regression
+    require(cols.contains(yCol),
+      s"yCol $yCol is not among the view's stats columns ${cols.mkString(", ")}")
+    val missing = xCols.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"xCols ${missing.mkString(", ")} are not among the view's stats columns")
+    val v = Snapshots.read(spark, viewDir).filter(col("__cnt") > 0)
+      .drop(if (groupKeys.isEmpty) GlobalKey else "__none__")
+    val iy = cols.indexOf(yCol)
+    val ix = xCols.map(cols.indexOf)
+    def p(a: Int, b: Int) =
+      col(s"sum___cp_${math.min(a, b)}_${math.max(a, b)}").cast("double")
+    val aliased = v.select((groupKeys.map(col) ++ Seq(
+        col("__cnt").cast("double").as("__n"),
+        col(s"sum___cs_$yCol").cast("double").as("__sy"),
+        p(iy, iy).as("__syy")) ++
+      xCols.zipWithIndex.map { case (c, k) =>
+        col(s"sum___cs_$c").cast("double").as(s"__s$k") } ++
+      (for { a <- ix.indices; b <- a until ix.length }
+        yield p(ix(a), ix(b)).as(s"__p${a}_$b")) ++
+      ix.zipWithIndex.map { case (ci, k) => p(iy, ci).as(s"__q$k") }): _*)
+    val cells = Regression.termNames(xCols)
+      .zip(Regression.cramerBetaSqls(xCols.length, ridge))
+      .map { case (t, b) =>
+        struct(lit(t).as("term"),
+          expr(Regression.roundSql(b, betaScale)).as("beta")) }
+    aliased.select(
+        (groupKeys.map(col) :+ explode(array(cells: _*)).as("cell")): _*)
+      .select((groupKeys.map(col) ++
+        Seq(col("cell.term"), col("cell.beta"))): _*)
+  }
+
   /** Keep a view CONTINUOUSLY current: a streaming query subscribed
     * to the inputs' change feeds that runs `tick` once per arriving
     * micro-batch. The feed rows are only the WAKE-UP signal — every

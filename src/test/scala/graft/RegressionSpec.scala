@@ -115,6 +115,45 @@ class RegressionSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("ridge: lambda=0 equals OLS exactly; a large lambda shrinks the slopes") {
+    val ols = Regression.olsFit(planted, "y", Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ridge0 = Regression.olsFitBy(planted, Nil, "y", Seq("x1", "x2"),
+      ridge = 0.0).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ols == ridge0)
+    val heavy = Regression.olsFitBy(planted, Nil, "y", Seq("x1", "x2"),
+      ridge = 1e6).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(heavy("x1")) < math.abs(ols("x1")))
+    assert(math.abs(heavy("x2")) < math.abs(ols("x2")))
+  }
+
+  test("maintained model: readOlsModel == a from-scratch fit after incremental churn") {
+    import graft.sources.{IncrementalViews, Snapshots}
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_olsmodel").toString
+    val (src, v) = (s"$root/src", s"$root/v")
+    def batch(lo: Int, hi: Int) = (lo to hi).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val x1 = i.toDouble; val x2 = ((i * 7) % 13).toDouble
+      (i.toLong, g, x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2 + ((i * 31) % 5) / 10.0)
+    }.toDF("id", "g", "x1", "x2", "y")
+    val cols = Seq("y", "x1", "x2")
+    Snapshots.commit(batch(1, 40), src, statsCol = Some("g"))
+    IncrementalViews.refreshCorrMatrix(s, src, v, Seq("g"), cols)
+    Snapshots.commit(batch(41, 80), src, statsCol = Some("g"))
+    Snapshots.deleteWhere(s, src, col("id") % 10 === 3)
+    IncrementalViews.refreshCorrMatrix(s, src, v, Seq("g"), cols)
+    val served = IncrementalViews.readOlsModel(s, v, Seq("g"), cols,
+      "y", Seq("x1", "x2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val fresh = Regression.olsFitBy(Snapshots.read(s, src), Seq("g"),
+      "y", Seq("x1", "x2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(served == fresh) // double-for-double, not approximately
+    assert(served.size == 6)
+  }
+
   test("notebook closure: per-area price model fits on the feature frame") {
     val frame = operators.FeatureMatrix.hourlyFrame(
       Tables.events(spark, sf("sf0.001")))
