@@ -402,6 +402,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           csv(a(1), "groupKeysCsv"), csv(a(2), "colsCsv"))
     }
 
+    tvf("graft_ols_fit",
+      "graft_ols_fit(table, yCol, xColsCsv[, keysCsv[, ridge]]) - per-group OLS/ridge regression solved in the plan (<= 3 predictors + intercept) as (keys..., term, beta) (see operators.Regression.olsFitBy)") {
+      (s, a) =>
+        require(a.length >= 3 && a.length <= 5,
+          "graft_ols_fit takes (table, yCol, xColsCsv[, keysCsv[, ridge]])")
+        def csv(e: Expression, what: String): Seq[String] =
+          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val keys = if (a.length >= 4) csv(a(3), "keysCsv") else Nil
+        val ridge = if (a.length == 5) litDouble(a(4), "ridge") else 0.0
+        operators.Regression.olsFitBy(s.table(litStr(a(0), "table")), keys,
+          litStr(a(1), "yCol"), csv(a(2), "xColsCsv"), ridge = ridge)
+    }
+
+    tvf("graft_ols_model",
+      "graft_ols_model(viewDir, groupKeysCsv, colsCsv, yCol, xColsCsv) - the continuously-maintained regression model served from the moment-stats view as (groupKeys..., term, beta) (see IncrementalViews.readOlsModel)") {
+      (s, a) =>
+        require(a.length == 5,
+          "graft_ols_model takes (viewDir, groupKeysCsv, colsCsv, yCol, xColsCsv)")
+        def csv(e: Expression, what: String): Seq[String] =
+          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        sources.IncrementalViews.readOlsModel(s, litStr(a(0), "viewDir"),
+          csv(a(1), "groupKeysCsv"), csv(a(2), "colsCsv"),
+          litStr(a(3), "yCol"), csv(a(4), "xColsCsv"))
+    }
+
+    tvf("graft_semantic_dedup",
+      "graft_semantic_dedup(table, idCol, vecCol, nCells, threshold) - SemDeDup-style cluster-bounded semantic dedup over an embedding column as (id, cell_id, n_dups, kept) (see operators.Similarity.semanticDedup)") {
+      (s, a) =>
+        require(a.length == 5,
+          "graft_semantic_dedup takes (table, idCol, vecCol, nCells, threshold)")
+        operators.Similarity.semanticDedup(s.table(litStr(a(0), "table")),
+          litStr(a(1), "idCol"), litStr(a(2), "vecCol"),
+          litInt(a(3), "nCells"), litDouble(a(4), "threshold"))
+    }
+
+    tvf("graft_mix_by_budget",
+      "graft_mix_by_budget(table, domainCol, idCol, textCol, recipeCsv[, defaultBudget]) - per-domain token-budget mixing; recipeCsv is 'domain:budget,...' (see operators.Corpus.mixByBudget)") {
+      (s, a) =>
+        require(a.length == 5 || a.length == 6,
+          "graft_mix_by_budget takes (table, domainCol, idCol, textCol, recipeCsv[, defaultBudget])")
+        val recipe = litStr(a(4), "recipeCsv").split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+            kv.split(':') match {
+              case Array(d, b) => d.trim -> b.trim.toLong
+              case _ => throw new IllegalArgumentException(
+                s"recipeCsv entry '$kv' is not 'domain:budget'")
+            }
+          }
+        val dflt = if (a.length == 6) litLong(a(5), "defaultBudget") else 0L
+        operators.Corpus.mixByBudget(s.table(litStr(a(0), "table")),
+          litStr(a(1), "domainCol"), litStr(a(2), "idCol"),
+          litStr(a(3), "textCol"), recipe, dflt)
+    }
+
     tvf("graft_housekeep",
       "graft_housekeep(dir[, targetRows, keepLast, clusterBy]) - settle a maintained view/table's compaction + retention debt under the maintenance lock (see IncrementalViews.housekeep); returns (dir, done)") {
       (s, a) =>

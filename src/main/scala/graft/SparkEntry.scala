@@ -572,6 +572,12 @@ object SparkEntry {
       Dedup.embeddingNearDupExact(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.35)),
 
+    // SemDeDup: cluster-bounded semantic pruning — a doc survives iff
+    // no smaller-id doc in its cell is cosine-0.35-similar to it.
+    "q_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+        "embedding", nCells = 16, threshold = 0.35)),
+
     "q_knn_cosine" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
@@ -2081,6 +2087,31 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, rnk, ${sqlRound4("cos")} AS cosine
          |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // Mirrors Similarity.semanticDedup: the q_knn_ivf argmax cell
+    // assignment (sampled centroids, ties -> smallest cell), then
+    // within-cell smaller-id tau-neighbor counts.
+    "q_semantic_dedup" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell_id, embedding FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), casgn AS (
+         |  SELECT c.vec_id AS id, c.embedding, ct.cell_id,
+         |         row_number() OVER (PARTITION BY c.vec_id
+         |           ORDER BY ${sqlCos("c", "ct")} DESC, ct.cell_id) AS rk
+         |  FROM embeddings c CROSS JOIN cent ct
+         |), ca AS (
+         |  SELECT id, embedding, cell_id FROM casgn WHERE rk = 1
+         |), d AS (
+         |  SELECT x.id AS id, count(*) AS n_dups
+         |  FROM ca x JOIN ca y ON x.cell_id = y.cell_id AND x.id > y.id
+         |  WHERE ${sqlCos("x", "y")} >= 0.35
+         |  GROUP BY x.id
+         |)
+         |SELECT ca.id AS vec_id, ca.cell_id,
+         |       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+         |       coalesce(d.n_dups, 0) = 0 AS kept
+         |FROM ca LEFT JOIN d ON ca.id = d.id""".stripMargin,
 
     // Mirrors Similarity.ivfTopKRefined step-for-step: 2 unrolled
     // Lloyd iterations (argmax-cosine assignment, exact DECIMAL(30,6)

@@ -495,6 +495,48 @@ object Similarity {
           lit(true)).as("recall_ok"))
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space, then prune
+    * τ-similar pairs WITHIN each cluster only — the cluster bound is
+    * what makes web-scale semantic dedup tractable (candidates are
+    * Σ|cell|², never n²). A doc survives iff NO smaller-id doc in its
+    * cell is cosine-≥-τ similar to it — the deterministic
+    * keep-first-occurrence rule, reproducible across engines and
+    * partitionings. Emits every doc as `(id, cell_id, n_dups, kept)`;
+    * `n_dups` counts the smaller-id τ-neighbors that voted it out.
+    *
+    * Centroids are the deterministic id-ordered sample (the stored-
+    * index convention, SQL-reproducible); pass `iters > 0` to refine
+    * them with the spherical k-means whose exact-decimal means stay
+    * engine-portable. Scale: assignment is a zero-shuffle literal
+    * argmax projection; the pair join shuffles on the cell key and is
+    * deliberately quadratic per cell — size `nCells` with the corpus
+    * so cells stay bounded (the paper's k ≈ √n regime). */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      threshold: Double,
+      iters: Int = 0): DataFrame = {
+    val cents =
+      if (iters > 0) kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+      else sampleCentroids(emb, idCol, vecCol, nCells)
+    val a = emb
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__cell", bestCell(cents, col("__v")))
+    val dups = a.as("x").join(a.as("y"),
+        col("x.__cell") === col("y.__cell") && col("x.__id") > col("y.__id"))
+      .filter(Vectors.cosine(col("x.__v"), col("y.__v")) >= threshold)
+      .groupBy(col("x.__id"))
+      .agg(count(lit(1L)).as("n_dups"))
+    a.join(dups, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__cell").as("cell_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("kept"))
+  }
+
   private def gramAgg(vecCol: Column, dim: Int, scale: Int): Column =
     graft.functions.ColumnBridge.column(
       graft.functions.ExactGram(

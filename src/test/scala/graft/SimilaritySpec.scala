@@ -230,4 +230,33 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(Similarity.ivfCellsPath(idx, 1))
       .filter(col("neighbor_id") === 9000001L).count() == 1)
   }
+
+  test("semanticDedup: only the smallest id of a tau-similar in-cell group survives") {
+    // ids 1,2,3 ride direction A (near-identical), 4 rides B, 5 rides
+    // B (similar to 4). Sampled centroids are ids 1 and 2 — both
+    // direction A — so the cells split {1,3} / {2,4,5}: 3 is vetoed by
+    // 1, 5 by 4, and 2 SURVIVES because its in-cell smaller-id
+    // neighbors (none) can't veto — the cluster-bound approximation,
+    // visible by construction.
+    def v(a: Float, b: Float) = Array.tabulate(8)(i =>
+      if (i == 0) a else if (i == 1) b else 0f)
+    val emb = spark.createDataFrame(Seq(
+      (1L, v(1f, 0f)), (2L, v(0.99f, 0.01f)), (3L, v(1.01f, -0.01f)),
+      (4L, v(0f, 1f)), (5L, v(0.01f, 0.98f))
+    )).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (0L, true))
+    assert(out(2L) == (0L, true))
+    assert(out(4L) == (0L, true))
+    assert(out(3L) == (1L, false)) // vetoed by 1 only (2 sits in the other cell)
+    assert(out(5L) == (1L, false)) // vetoed by 4 only (2 is below tau)
+    // k-means refinement regroups {1,2,3} together, so 2 is then
+    // ALSO deduplicated — better clustering tightens the prune
+    val refined = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 2, threshold = 0.95, iters = 2)
+      .filter("kept").collect().map(_.getLong(0)).toSet
+    assert(refined == Set(1L, 4L))
+  }
 }

@@ -244,6 +244,52 @@ class SqlSurfaceSpec extends SparkSpec {
       == globalCells)
   }
 
+  test("regression + corpus TVFs: fit, maintained model, semantic dedup, and mixing from pure SQL") {
+    val s = spark; import s.implicits._
+    import graft.sources.{IncrementalViews, Snapshots}
+    // fit TVF == the Scala API, ridge arg accepted
+    val df = (1 to 40).map { i =>
+      val x1 = i.toDouble; val x2 = ((i * 7) % 13).toDouble
+      ("g" + (i % 2), x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2)
+    }.toDF("g", "x1", "x2", "y")
+    df.createOrReplaceTempView("reg_tvf")
+    val sqlFit = spark.sql(
+      "SELECT * FROM graft_ols_fit('reg_tvf', 'y', 'x1,x2', 'g')")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val apiFit = graft.operators.Regression.olsFitBy(df, Seq("g"), "y",
+        Seq("x1", "x2"))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sqlFit == apiFit && sqlFit.size == 6)
+    assert(spark.sql(
+      "SELECT * FROM graft_ols_fit('reg_tvf', 'y', 'x1,x2', '', 0.5)")
+      .collect().length == 3)
+    // maintained-model TVF over a refreshed moment view
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlols").toString
+    Snapshots.commit(df, s"$root/src", statsCol = Some("g"))
+    spark.sql(
+      s"SELECT * FROM graft_view_refresh_corr('$root/src', '$root/v', 'g', 'y,x1,x2')")
+      .collect()
+    val sqlModel = spark.sql(
+      s"SELECT * FROM graft_ols_model('$root/v', 'g', 'y,x1,x2', 'y', 'x1,x2')")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sqlModel == apiFit) // served model == from-scratch fit
+    // semantic-dedup TVF: same shape as the operator
+    Tables.embeddings(spark, sf("sf0.001")).createOrReplaceTempView("emb_sd")
+    val sd = spark.sql(
+      "SELECT * FROM graft_semantic_dedup('emb_sd', 'vec_id', 'embedding', 8, 0.35)")
+    assert(sd.columns.toSeq == Seq("vec_id", "cell_id", "n_dups", "kept"))
+    assert(sd.count() == Tables.embeddings(spark, sf("sf0.001")).count())
+    // mixing TVF: recipe string parses, budgets bite
+    Tables.documents(spark, sf("sf0.001")).createOrReplaceTempView("docs_mix")
+    val mix = spark.sql(
+      "SELECT * FROM graft_mix_by_budget('docs_mix', 'source', 'doc_id', 'text', 'src0:50,src1:80', 30)")
+    assert(mix.columns.toSeq == Seq("doc_id", "source", "n_tokens", "cum_before"))
+    assert(mix.count() > 0)
+    val bad = intercept[Exception] { spark.sql(
+      "SELECT * FROM graft_mix_by_budget('docs_mix', 'source', 'doc_id', 'text', 'src0=50')") }
+    assert(bad.getMessage.contains("domain:budget"))
+  }
+
   test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
     Tables.events(spark, sf("sf0.001")).createOrReplaceTempView("ev_tvf2")
     val r = spark.sql(
