@@ -391,6 +391,12 @@ object SparkEntry {
         graft.operators.FeatureMatrix.hourlyFrame(Tables.events(s, dir)),
         Seq("area"), "price", Seq("consumption", "sunlight", "wind"))),
 
+    // Honest generalization: fit on the deterministic 80% hash-train
+    // split, score on the held-out 20% — one oracled plan.
+    "q_ols_holdout" -> ((s, dir) =>
+      graft.operators.Regression.fitEvalHoldout(Tables.events(s, dir),
+        "event_id", "value", Seq("user_id", "event_id"))),
+
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id")
@@ -755,6 +761,13 @@ object SparkEntry {
     "q_doc_mix" -> ((s, dir) =>
       Corpus.mixByBudget(Tables.documents(s, dir), "source", "doc_id",
         "text", docMixBudgets, defaultBudget = 300L)),
+
+    // The SCALE-PATH mix: identical semantics through the two-level
+    // (domain, hash-bucket) prefix-sum plan, so the oracle is the
+    // plain mix's SQL (the forwardFillBucketed pattern).
+    "q_doc_mix_bucketed" -> ((s, dir) =>
+      Corpus.mixByBudgetBucketed(Tables.documents(s, dir), "source",
+        "doc_id", "text", docMixBudgets, defaultBudget = 300L)),
 
     "q_contamination" -> ((s, dir) =>
       Corpus.contamination(Tables.documents(s, dir), "doc_id", "text",
@@ -1130,6 +1143,26 @@ object SparkEntry {
     * (sources beyond these fall to the 300-token default). */
   private val docMixBudgets: Seq[(String, Long)] =
     Seq("src0" -> 500L, "src1" -> 800L, "src2" -> 200L)
+
+  /** One oracle text for both mix plans (plain + bucketed — same
+    * semantics by design). */
+  private def docMixOracleSql: String = {
+    val budgetCase = "CASE " + docMixBudgets.map { case (d, b) =>
+      s"WHEN source = '$d' THEN $b " }.mkString + "ELSE 300 END"
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         ${sqlPortableMix("CAST(doc_id AS VARCHAR)")} AS m
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+       |           ORDER BY m, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, cum_before
+       |FROM c WHERE cum_before < $budgetCase""".stripMargin
+  }
 
   /** Funnel stages for q_funnel, shared with its generated oracle. */
   private val funnelStages = Seq("view", "click", "purchase")
@@ -1770,6 +1803,33 @@ object SparkEntry {
          |${Regression.evalSql("l_extendedprice", 2, 4, 6)}""".stripMargin
     },
 
+    // Holdout metrics: fit moments on the hash-train split, score the
+    // held-out rows — the same split expression q_doc_split oracles.
+    "q_ols_holdout" -> {
+      import graft.operators.Regression
+      val xs = Seq("user_id", "event_id")
+      val mix = sqlPortableMix("CAST(event_id AS VARCHAR)")
+      val betaSel = Regression.cramerBetaSqls(2).zipWithIndex
+        .map { case (b, i) => s"$b AS __b$i" }.mkString(",\n         ")
+      val pred = Regression.predictionSql(xs, (0 to 2).map(i => s"__b$i"))
+      s"""WITH tr AS (
+         |  SELECT value, user_id, event_id FROM events
+         |  WHERE ($mix) % 100 < 80),
+         |te AS (
+         |  SELECT value, user_id, event_id FROM events
+         |  WHERE ($mix) % 100 >= 80),
+         |stats AS MATERIALIZED (
+         |  SELECT ${Regression.momentSqlSelect("value", xs)}
+         |  FROM tr),
+         |betas AS (
+         |  SELECT ${betaSel}
+         |  FROM stats),
+         |scored AS (
+         |  SELECT value, ${Regression.roundSql(pred, 4)} AS __yhat
+         |  FROM te CROSS JOIN betas)
+         |${Regression.evalSql("value", 2, 4, 6)}""".stripMargin
+    },
+
     // The notebook's regression over the rebuilt feature frame: the
     // q_feature_matrix CTE chain + the shared 4x4 Cramer text.
     "q_price_model" -> {
@@ -2302,23 +2362,11 @@ object SparkEntry {
          |      FROM documents)
          |WHERE sample_rank <= 20""".stripMargin,
 
-    "q_doc_mix" -> {
-      val budgetCase = "CASE " + docMixBudgets.map { case (d, b) =>
-        s"WHEN source = '$d' THEN $b " }.mkString + "ELSE 300 END"
-      s"""WITH t AS (
-         |  SELECT doc_id, source,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |         ${sqlPortableMix("CAST(doc_id AS VARCHAR)")} AS m
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, source, n_tokens,
-         |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
-         |           ORDER BY m, doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |  FROM t)
-         |SELECT doc_id, source, n_tokens, cum_before
-         |FROM c WHERE cum_before < $budgetCase""".stripMargin
-    },
+    "q_doc_mix" -> docMixOracleSql,
+
+    // same answer as q_doc_mix by design — the bucketed plan is an
+    // execution strategy, not a semantic variant
+    "q_doc_mix_bucketed" -> docMixOracleSql,
 
     // String 3-grams oracle-side vs xxhash64'd grams Spark-side:
     // counts equal barring a ~2^-64 collision (same argument as

@@ -297,13 +297,61 @@ object Corpus {
   def mixByBudget(df: DataFrame, domainCol: String, idCol: String,
                   textCol: String, budgets: Seq[(String, Long)],
                   defaultBudget: Long = 0L): DataFrame = {
-    val budget = budgets.foldRight(lit(defaultBudget): Column) {
-      case ((d, b), acc) => when(col(domainCol) === d, lit(b)).otherwise(acc) }
+    val budget = mixBudgetCol(domainCol, budgets, defaultBudget)
     val w = Window.partitionBy(domainCol)
       .orderBy(Text.portableMix(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("n_tokens", Text.tokenCountWs(col(textCol)).cast("long"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_before"))
+  }
+
+  private def mixBudgetCol(domainCol: String, budgets: Seq[(String, Long)],
+                           defaultBudget: Long): Column =
+    budgets.foldRight(lit(defaultBudget): Column) {
+      case ((d, b), acc) => when(col(domainCol) === d, lit(b)).otherwise(acc) }
+
+  /** [[mixByBudget]] for the FEW-GIANT-DOMAINS regime — the actual
+    * mixing shape ("web" is most of the corpus). The plain variant
+    * prefix-sums each domain in ONE window partition; this one adds a
+    * HASH-BUCKET level (the [[Relational.forwardFillBucketed]] trick,
+    * bucketed on the `portableMix` order value so buckets are
+    * contiguous runs of the domain's hash order):
+    *
+    *  1. per (domain, bucket) token totals — one aggregation;
+    *  2. each bucket's carry-in = Σ totals of preceding buckets — a
+    *     window over the carry table, one row per (domain, bucket),
+    *     orders of magnitude smaller than the data (the only
+    *     per-domain serial step, and it is tiny);
+    *  3. the within-bucket prefix sum windows over (domain, bucket) —
+    *     bounded partitions — offset by the carry-in.
+    *
+    * Exactly equal to [[mixByBudget]] (spec-asserted). `bucketWidth`
+    * partitions the mix range [0, 1e9+7); the default gives ~60
+    * buckets per domain. */
+  def mixByBudgetBucketed(df: DataFrame, domainCol: String, idCol: String,
+                          textCol: String, budgets: Seq[(String, Long)],
+                          defaultBudget: Long = 0L,
+                          bucketWidth: Long = 1L << 24): DataFrame = {
+    val budget = mixBudgetCol(domainCol, budgets, defaultBudget)
+    val base = df
+      .withColumn("__m", Text.portableMix(col(idCol)))
+      .withColumn("__bucket", floor(col("__m") / bucketWidth).cast("long"))
+      .withColumn("n_tokens", Text.tokenCountWs(col(textCol)).cast("long"))
+    val wCarry = Window.partitionBy(domainCol).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = base.groupBy(col(domainCol), col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btok"))
+      .withColumn("__carry",
+        coalesce(sum(col("__btok")).over(wCarry), lit(0L)))
+      .select(col(domainCol), col("__bucket"), col("__carry"))
+    val wIn = Window.partitionBy(col(domainCol), col("__bucket"))
+      .orderBy(col("__m"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(carryIn, Seq(domainCol, "__bucket"))
+      .withColumn("cum_before",
+        col("__carry") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .filter(col("cum_before") < budget)
       .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_before"))
   }

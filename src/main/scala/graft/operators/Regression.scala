@@ -233,8 +233,18 @@ object Regression {
     * so the oracle reproduces each metric bit-for-bit. */
   def fitEval(df: DataFrame, yCol: String, xCols: Seq[String],
               yScale: Int = 2, xScale: Int = 2, predScale: Int = 4,
-              metricScale: Int = 6): DataFrame = {
-    val stats = momentsBy(df, Nil, yCol, xCols, yScale, xScale)
+              metricScale: Int = 6): DataFrame =
+    fitEvalOn(df, df, yCol, xCols, yScale, xScale, predScale, metricScale)
+
+  /** [[fitEval]] with separate fit and scoring frames: coefficients
+    * from `train`, metrics over `test` — the honest generalization
+    * measure (R² on `test` uses `test`'s own total variance and can go
+    * negative when the model is worse than the test mean, as it
+    * should). */
+  def fitEvalOn(train: DataFrame, test: DataFrame, yCol: String,
+                xCols: Seq[String], yScale: Int = 2, xScale: Int = 2,
+                predScale: Int = 4, metricScale: Int = 6): DataFrame = {
+    val stats = momentsBy(train, Nil, yCol, xCols, yScale, xScale)
     val betas = cramerBetaSqls(xCols.length)
     val betaCols = betas.zipWithIndex.map { case (b, i) =>
       expr(b).as(s"__b$i") }
@@ -242,7 +252,7 @@ object Regression {
     val yhat = expr(roundSql(
       predictionSql(xCols, (0 to xCols.length).map(i => s"__b$i")),
       predScale))
-    val scored = df.crossJoin(broadcast(wide)).withColumn("__yhat", yhat)
+    val scored = test.crossJoin(broadcast(wide)).withColumn("__yhat", yhat)
     val y = col(yCol); val e = y - col("__yhat")
     val n = count(lit(1L)).cast("double")
     val ssRes = Exact.sumExact(e * e, 8)
@@ -253,6 +263,20 @@ object Regression {
       Exact.roundAt(sqrt(ssRes / n), metricScale).as("rmse"),
       Exact.roundAt(Exact.sumExact(abs(e), predScale) / n, metricScale).as("mae"),
       Exact.roundAt(lit(1.0) - ssRes / ssTot, metricScale).as("r2"))
+  }
+
+  /** Fit on a deterministic hash-train split, score on the held-out
+    * rest — [[fitEvalOn]] over the [[Corpus.hashSplit]] assignment
+    * (portableMix(id) % 100 < trainPct), so the split is reproducible
+    * across engines, runs, and partitionings and the whole
+    * train/evaluate loop stays one oracled plan. */
+  def fitEvalHoldout(df: DataFrame, idCol: String, yCol: String,
+                     xCols: Seq[String], trainPct: Int = 80,
+                     yScale: Int = 2, xScale: Int = 2, predScale: Int = 4,
+                     metricScale: Int = 6): DataFrame = {
+    val bucket = graft.functions.Text.portableMix(col(idCol)) % 100
+    fitEvalOn(df.filter(bucket < trainPct), df.filter(bucket >= trainPct),
+      yCol, xCols, yScale, xScale, predScale, metricScale)
   }
 
   /** The [[fitEval]] metrics as DuckDB text over a `scored` relation

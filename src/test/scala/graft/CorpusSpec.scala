@@ -269,4 +269,25 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect()
     assert(out.map(_._1).sorted.toSeq == again.map(_._1).sorted.toSeq)
   }
+
+  test("mixByBudgetBucketed == mixByBudget, including across bucket boundaries") {
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // real corpus, default width
+    val recipe = Seq("src0" -> 60L, "src1" -> 90L)
+    assert(
+      canon(Corpus.mixByBudgetBucketed(docs, "source", "doc_id", "text",
+        recipe, defaultBudget = 40L)) ==
+      canon(Corpus.mixByBudget(docs, "source", "doc_id", "text",
+        recipe, defaultBudget = 40L)))
+    // planted frame with a tiny bucket width -> many buckets per
+    // domain, so carry-in composition is actually exercised
+    val df = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", "w w w")).toDF("id", "dom", "text")
+    val plain = canon(Corpus.mixByBudget(df, "dom", "id", "text",
+      Seq("a" -> 50L, "b" -> 77L)))
+    val bucketed = canon(Corpus.mixByBudgetBucketed(df, "dom", "id", "text",
+      Seq("a" -> 50L, "b" -> 77L), bucketWidth = 1L << 20))
+    assert(plain == bucketed && plain.nonEmpty)
+  }
 }

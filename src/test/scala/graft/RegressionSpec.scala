@@ -154,6 +154,23 @@ class RegressionSpec extends SparkSpec {
     assert(served.size == 6)
   }
 
+  test("fitEvalHoldout: disjoint deterministic split; a perfect model stays perfect out of sample") {
+    val s = spark; import s.implicits._
+    // planted exact model over ids that land in BOTH split buckets
+    val df = (1 to 200).map { i =>
+      val x1 = i.toDouble; val x2 = ((i * 7) % 13).toDouble
+      (i.toLong, x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2)
+    }.toDF("id", "x1", "x2", "y")
+    val row = Regression.fitEvalHoldout(df, "id", "y", Seq("x1", "x2")).head()
+    assert(row.getAs[Double]("rmse") == 0.0)
+    assert(row.getAs[Double]("r2") == 1.0)
+    val nTest = row.getAs[Double]("n")
+    assert(nTest > 0 && nTest < 200) // a real held-out set, not all rows
+    // the test leg sees only the held-out rows: n(train) + n(test) = total
+    val inSample = Regression.fitEval(df, "y", Seq("x1", "x2")).head()
+    assert(inSample.getAs[Double]("n") == 200.0)
+  }
+
   test("notebook closure: per-area price model fits on the feature frame") {
     val frame = operators.FeatureMatrix.hourlyFrame(
       Tables.events(spark, sf("sf0.001")))
