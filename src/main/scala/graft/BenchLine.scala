@@ -92,14 +92,27 @@ object BenchLine {
     attempts.nextOption().getOrElse {
       // rung 5: the full map cannot fit in ANY numeric format — keep
       // the most expensive queries (the ones a reader of the line
-      // acts on) and say how many were dropped
-      val byCost = queries.sortBy(-_._2)
-      def renderTop(n: Int): String = {
+      // acts on) and say how many were dropped; then spend whatever
+      // budget remains upgrading the hottest kept queries to 1
+      // decimal (the rung-4 trick applied to the kept set — without
+      // it the one rung that actually fires at >~115 queries prints
+      // every time as a whole second)
+      val byCost = queries.sortBy { case (k, v) => (-v, k) }
+      def renderTop(n: Int, oneDec: Set[String] = Set.empty): String = {
         val qs = byCost.take(n).map { case (k, v) =>
-          "\"" + k.stripPrefix("q_") + "\":" + fmt0(v) }.mkString("{", ",", "}")
+          val f = if (oneDec(k)) fmt1(v) else fmt0(v)
+          "\"" + k.stripPrefix("q_") + "\":" + f }.mkString("{", ",", "}")
         s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate,"queries_omitted":${queries.size - n},"queries":$qs,"sf":"$sfName"}"""
       }
-      (queries.size to 0 by -1).iterator.map(renderTop).find(fits)
+      (queries.size to 0 by -1).iterator.find(n => fits(renderTop(n)))
+        .map { n =>
+          var budget = LineBudget - renderTop(n).getBytes("UTF-8").length
+          val oneDec = byCost.take(n).iterator.flatMap { case (k, v) =>
+            val delta = fmt1(v).length - fmt0(v).length
+            if (delta <= budget) { budget -= delta; Some(k) } else None
+          }.toSet
+          renderTop(n, oneDec)
+        }
         .getOrElse(renderTop(0))
     }
   }

@@ -467,4 +467,97 @@ object Corpus {
     scored.groupBy(idCol)
       .agg(graft.functions.Exact.roundAt(total, 4).as("bm25"))
   }
+
+  /** One greedy BPE merge applied to a symbol array — the classic
+    * left-to-right fold: when the running result ends in `a` and the
+    * next symbol is `b`, replace the tail with `a+b` (so "aaa" under
+    * (a,a) becomes [aa, a], the standard non-overlapping greedy). A
+    * pure higher-order-function expression — no UDF. */
+  private def applyMerge(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Byte-pair-encoding vocabulary TRAINER — the subword-tokenizer
+    * construction step of an LLM data pipeline (Sennrich et al. 2016),
+    * distributed Spark-first:
+    *
+    * The corpus is read ONCE, into the distinct-word frequency table;
+    * every merge iteration then runs on that table alone — one tiny
+    * adjacent-pair aggregation (rows = live vocabulary, never corpus
+    * rows) + one fold projection applying the chosen merge — so
+    * training cost is O(numMerges × vocab), independent of corpus
+    * size. The winning pair per round is the max total frequency with
+    * a deterministic (count desc, left, right) tie-break, making the
+    * learned merge list reproducible across runs and partitionings.
+    * Lineage is truncated per round (`localCheckpoint`) so iteration N
+    * does not re-evaluate N stacked folds.
+    *
+    * Returns the ordered merge list `(rank, left, right)` — bounded
+    * driver metadata like the IVF centroids. Stops early when no
+    * adjacent pair remains. */
+  def bpeTrain(df: DataFrame, textCol: String,
+               numMerges: Int): Seq[(Int, String, String)] = {
+    var words = df
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1L)).as("freq"))
+      .select(split(col("w"), "").as("sym"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.Buffer[(Int, String, String)]()
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val best = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect().headOption
+      best match {
+        case None => done = true
+        case Some(row) =>
+          val (l, rr) = (row.getString(0), row.getString(1))
+          merges += ((r, l, rr))
+          val next = words
+            .withColumn("sym", applyMerge(col("sym"), l, rr))
+            .localCheckpoint(true)
+          words.unpersist()
+          words = next
+          r += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** Apply a learned merge list to a corpus: one projection pass —
+    * each word occurrence exploded with its position, then the merges
+    * folded in rank order as chained HOF expressions. Emits
+    * `(id, word_pos, word, pieces)`; concatenating `pieces`
+    * reconstructs `word` exactly (spec-asserted).
+    *
+    * Scale: shuffle-free. The plan nests one fold per merge, which is
+    * fine for the hundreds-of-merges regime; a production encoder
+    * with a 50k-merge vocabulary would instead broadcast the merge
+    * ranks and apply them per partition imperatively (the documented
+    * `mapPartitions` last resort) — the TRAINING side above is the
+    * distributed piece that matters. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(Int, String, String)]): DataFrame = {
+    val tok = df
+      .select(col(idCol), posexplode(Text.tokens(col(textCol))))
+      .withColumnRenamed("pos", "word_pos")
+      .withColumnRenamed("col", "word")
+      .filter(length(col("word")) > 0)
+    val init = tok.withColumn("pieces", split(col("word"), ""))
+    merges.sortBy(_._1).foldLeft(init) { case (d, (_, a, b)) =>
+      d.withColumn("pieces", applyMerge(col("pieces"), a, b))
+    }
+  }
 }

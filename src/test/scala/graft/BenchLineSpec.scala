@@ -53,6 +53,19 @@ class BenchLineSpec extends AnyFunSuite {
       s"hot query $i was dropped while cheap ones might remain"))
   }
 
+  test("rung 5 still spends leftover budget on decimals for the hottest kept queries") {
+    // a 106-query realistic inventory (the round-10 shape): the full
+    // map overflows every uniform format, so rung 5 truncates — but
+    // the hot lifecycle queries must keep a decimal, not print "11"
+    val many = (1 to 106).map { i =>
+      (f"q_realistic_name_$i%03d", if (i <= 8) 10.0 + i * 0.13 else 0.04) }
+    val line = BenchLine.compose(116.2, 3, 50053.0, "", many, "sf0.1")
+    assert((line + sbtTrailer).getBytes("UTF-8").length <= 2000)
+    assert(line.contains("\"queries_omitted\":"))
+    // hottest query prints with its decimal (10.13 -> "10.1")
+    assert(line.contains("\"realistic_name_001\":10.1"), line.take(300))
+  }
+
   test("line degrades precision rather than overflow") {
     // 98 realistic-length queries: 2-decimal rendering overflows the
     // budget, so the composer must fall back to a coarser format —

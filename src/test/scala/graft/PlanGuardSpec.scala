@@ -81,7 +81,8 @@ class PlanGuardSpec extends SparkSpec {
     }
     // the one-pass moment aggregates stay ONE partial+final pair over
     // one scan — a second Exchange would mean a second pass appeared
-    Seq("q_corr_matrix", "q_embedding_gram", "q_frequent_tokens").foreach { q =>
+    Seq("q_corr_matrix", "q_embedding_gram", "q_frequent_tokens",
+        "q_ols_fit").foreach { q =>
       val p = plan(q)
       assert(p.split("Exchange").length <= 2, s"$q grew a second shuffle:\n$p")
       assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
@@ -110,9 +111,14 @@ class PlanGuardSpec extends SparkSpec {
     // q_knn_lsh measures recall AGAINST the brute-force baseline, so
     // it inherits q_knn_cosine's by-design broadcast scan — the LSH
     // candidate path itself stays a hash join (lshTopK has no BNLJ).
+    // q_ols_eval/q_ols_holdout cross-join the broadcast ONE-ROW betas
+    // frame back onto the data — the same scalar-subquery shape as
+    // q_customer_above_avg (build side is a 1-row aggregate, so the
+    // nested loop is a broadcast constant splice, not a pair scan).
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_knn_lsh",
       "q_customer_above_avg",
-      "q_tfidf", "q_bm25", "q_doc_logprob", "q_sketch_overlap")
+      "q_tfidf", "q_bm25", "q_doc_logprob", "q_sketch_overlap",
+      "q_ols_eval", "q_ols_holdout")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")

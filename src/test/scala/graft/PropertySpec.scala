@@ -109,4 +109,23 @@ class PropertySpec extends SparkSpec {
       assert(cba(k) == v || (v.isNaN && cba(k).isNaN), s"cell $k: $v != ${cba(k)}")
     }
   }
+
+  test("OLS coefficients are invariant under row order and partitioning") {
+    import graft.operators.Regression
+    val rows = (1 to 120).map { i =>
+      (i.toLong, (i % 5).toString,
+        (rnd.nextInt(10000) / 100.0), (rnd.nextInt(1300) / 100.0),
+        (rnd.nextInt(50000) / 100.0))
+    }
+    def betas(df: org.apache.spark.sql.DataFrame) =
+      Regression.olsFitBy(df, Seq("g"), "y", Seq("x1", "x2"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+    val base = betas(rows.toDF("id", "g", "x1", "x2", "y"))
+    val shuffled = betas(rnd.shuffle(rows).toDF("id", "g", "x1", "x2", "y")
+      .repartition(13))
+    // exact decimal moments + one shared Cramer tree: equality, not ≈
+    assert(base == shuffled)
+    assert(base.size == 15) // 5 groups x (intercept + 2 slopes)
+  }
 }
