@@ -427,6 +427,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(a(3), "yCol"), csv(a(4), "xColsCsv"))
     }
 
+    tvf("graft_ols_eval",
+      "graft_ols_eval(table, yCol, xColsCsv[, trainPct, idCol]) - fit + predict + score in one plan as (n, rmse, mae, r2); with trainPct/idCol the fit uses the deterministic hash-train split and scores the held-out rest (see operators.Regression.fitEval/fitEvalHoldout)") {
+      (s, a) =>
+        require(a.length == 3 || a.length == 5,
+          "graft_ols_eval takes (table, yCol, xColsCsv[, trainPct, idCol])")
+        def csv(e: Expression, what: String): Seq[String] =
+          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val df = s.table(litStr(a(0), "table"))
+        if (a.length == 3)
+          operators.Regression.fitEval(df, litStr(a(1), "yCol"),
+            csv(a(2), "xColsCsv"))
+        else
+          operators.Regression.fitEvalHoldout(df, litStr(a(4), "idCol"),
+            litStr(a(1), "yCol"), csv(a(2), "xColsCsv"),
+            trainPct = litInt(a(3), "trainPct"))
+    }
+
+    tvf("graft_bpe_pieces",
+      "graft_bpe_pieces(table, idCol, textCol, numMerges) - train a BPE merge list on the table's distinct-word frequencies, then encode it: (id, word_pos, word, pieces) (see operators.Corpus.bpeTrain/bpeEncode)") {
+      (s, a) =>
+        require(a.length == 4,
+          "graft_bpe_pieces takes (table, idCol, textCol, numMerges)")
+        val df = s.table(litStr(a(0), "table"))
+        val merges = operators.Corpus.bpeTrain(df, litStr(a(2), "textCol"),
+          litInt(a(3), "numMerges"))
+        operators.Corpus.bpeEncode(df, litStr(a(1), "idCol"),
+          litStr(a(2), "textCol"), merges)
+    }
+
     tvf("graft_semantic_dedup",
       "graft_semantic_dedup(table, idCol, vecCol, nCells, threshold) - SemDeDup-style cluster-bounded semantic dedup over an embedding column as (id, cell_id, n_dups, kept) (see operators.Similarity.semanticDedup)") {
       (s, a) =>

@@ -288,6 +288,22 @@ class SqlSurfaceSpec extends SparkSpec {
     val bad = intercept[Exception] { spark.sql(
       "SELECT * FROM graft_mix_by_budget('docs_mix', 'source', 'doc_id', 'text', 'src0=50')") }
     assert(bad.getMessage.contains("domain:budget"))
+    // eval TVF: in-sample on the planted exact model is perfect;
+    // holdout form scores only the held-out rows
+    val ev = spark.sql(
+      "SELECT * FROM graft_ols_eval('reg_tvf', 'y', 'x1,x2')").head()
+    assert(ev.getAs[Double]("r2") == 1.0 && ev.getAs[Double]("n") == 40.0)
+    val hv = spark.sql(
+      "SELECT * FROM graft_ols_eval('reg_tvf', 'y', 'x1,x2', 80, 'x1')").head()
+    assert(hv.getAs[Double]("n") < 40.0 && hv.getAs[Double]("r2") == 1.0)
+    // BPE TVF: pieces reconstruct the word
+    Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+      .createOrReplaceTempView("bpe_tvf")
+    val pieces = spark.sql(
+      "SELECT word, pieces FROM graft_bpe_pieces('bpe_tvf', 'doc_id', 'text', 4)")
+      .as[(String, Seq[String])].collect().toMap
+    assert(pieces("lowest") == Seq("lowe", "s", "t"))
+    assert(pieces("low") == Seq("low"))
   }
 
   test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
