@@ -512,7 +512,12 @@ object Similarity {
     * engine-portable. Scale: assignment is a zero-shuffle literal
     * argmax projection; the pair join shuffles on the cell key and is
     * deliberately quadratic per cell — size `nCells` with the corpus
-    * so cells stay bounded (the paper's k ≈ √n regime). */
+    * so cells stay bounded (the paper's k ≈ √n regime).
+    *
+    * A NULL embedding yields a NULL cell: such docs can neither veto
+    * nor be vetoed (null never equi-joins), so they come back
+    * `kept = true` with a null `cell_id` — visible, not silently
+    * dropped. */
   def semanticDedup(
       emb: DataFrame,
       idCol: String,

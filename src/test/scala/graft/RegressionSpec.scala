@@ -154,6 +154,37 @@ class RegressionSpec extends SparkSpec {
     assert(served.size == 6)
   }
 
+  test("streaming maintenance: the model rides its source's change feed") {
+    import graft.sources.{IncrementalViews, Snapshots}
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_olsstream").toString
+    val (src, v, ckpt) = (s"$root/src", s"$root/v", s"$root/ck")
+    val cols = Seq("y", "x1", "x2")
+    def batch(lo: Int, hi: Int) = (lo to hi).map { i =>
+      val x1 = i.toDouble; val x2 = ((i * 7) % 13).toDouble
+      (i.toLong, "g" + (i % 2), x1, x2, 1.0 + 2.0 * x1 + 0.25 * x2)
+    }.toDF("id", "g", "x1", "x2", "y")
+    Snapshots.commit(batch(1, 30), src, statsCol = Some("g"))
+    IncrementalViews.maintainCorrMatrix(spark, src, v, Seq("g"), cols,
+      checkpointDir = ckpt).awaitTermination()
+    def servedEqualsFresh(): Unit = {
+      val served = IncrementalViews.readOlsModel(spark, v, Seq("g"), cols,
+        "y", Seq("x1", "x2")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val fresh = Regression.olsFitBy(Snapshots.read(spark, src), Seq("g"),
+        "y", Seq("x1", "x2")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(served == fresh)
+    }
+    servedEqualsFresh()
+    Snapshots.commit(batch(31, 60), src, statsCol = Some("g"))
+    Snapshots.deleteWhere(spark, src, col("id") % 7 === 2)
+    IncrementalViews.maintainCorrMatrix(spark, src, v, Seq("g"), cols,
+      checkpointDir = ckpt).awaitTermination()
+    servedEqualsFresh()
+  }
+
   test("fitEvalHoldout: disjoint deterministic split; a perfect model stays perfect out of sample") {
     val s = spark; import s.implicits._
     // planted exact model over ids that land in BOTH split buckets
