@@ -769,6 +769,16 @@ object SparkEntry {
       Corpus.mixByBudgetBucketed(Tables.documents(s, dir), "source",
         "doc_id", "text", docMixBudgets, defaultBudget = 300L)),
 
+    // Sharded export + manifest: pack, commit through the snapshot
+    // protocol, then describe the DURABLE table — per-shard counts,
+    // token totals, and the portable content signature.
+    "q_export_manifest" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_export").toString + "/shards"
+      Corpus.exportShards(Tables.documents(s, dir), "doc_id", "text",
+        out, budget = 2048, shards = 8)
+    }),
+
     "q_contamination" -> ((s, dir) =>
       Corpus.contamination(Tables.documents(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 97 === 0, n = 3)),
@@ -2447,6 +2457,18 @@ object SparkEntry {
         |SELECT doc_id, shard, n_tokens, tok_offset,
         |       tok_offset // 2048 AS bin_id
         |FROM c""".stripMargin,
+
+    // per-shard counts, token totals, and the portable content
+    // signature — same hash text as the q_doc_split/portableMix family
+    "q_export_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, doc_id % 8 AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum((${sqlTokenHash("CAST(doc_id AS VARCHAR) || ':' || text")}) % 1000003) AS BIGINT) AS content_sig
+         |FROM t GROUP BY shard""".stripMargin,
 
     "q_doc_normalize" -> {
       import graft.functions.Text.{emailPattern, ipPattern, phonePattern}

@@ -468,6 +468,49 @@ object Corpus {
       .agg(graft.functions.Exact.roundAt(total, 4).as("bm25"))
   }
 
+  /** Sharded training-data EXPORT with a verifiable manifest — the
+    * pipeline's last mile: the corpus is packed ([[packSequences]]
+    * layout, text carried along), committed to a snapshot table with
+    * per-file `shard` stats (a trainer reading one shard opens only
+    * that shard's files via `Snapshots.readPrunedBy`), and described
+    * by a returned MANIFEST: per shard, the doc count, token total,
+    * and an order-independent content signature (sum of per-row
+    * portable hashes mod 1e6+3 — engine-portable, overflow-safe to
+    * ~10¹² rows, and any dropped/duplicated/altered row moves it).
+    * Re-exporting the same data yields a byte-identical manifest —
+    * the cheap integrity check between the data producer and the
+    * training job; the snapshot commit gives atomic publish +
+    * versioned history (yesterday's export stays readable).
+    *
+    * Scale: the pack window hash-partitions on the shard key and the
+    * write inherits that partitioning (files hold whole shards, so
+    * the shard stats prune tightly); the manifest is one further
+    * aggregation over the committed table. */
+  def exportShards(df: DataFrame, idCol: String, textCol: String,
+                   outDir: String, budget: Int, shards: Int): DataFrame = {
+    import graft.sources.Snapshots
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    val packed = df.select(col(idCol), col(textCol))
+      .withColumn("shard", col(idCol) % shards)
+      .withColumn("n_tokens", Text.tokenCountWs(col(textCol)).cast("long"))
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id", (col("tok_offset") / budget).cast("long"))
+    // each export is a self-contained VERSION (overwrite, not append):
+    // the new export replaces the readable head while every previous
+    // export stays time-travelable
+    Snapshots.commit(packed, outDir, overwrite = true,
+      statsCol = Some("shard"))
+    // manifest from the DURABLE table, so it describes what a trainer
+    // will actually read, not the pre-write plan
+    val stored = Snapshots.read(df.sparkSession, outDir)
+    stored.groupBy("shard").agg(
+      count(lit(1L)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(Text.portableHash(
+        concat_ws(":", col(idCol), col(textCol))) % 1000003)
+        .as("content_sig"))
+  }
+
   /** One greedy BPE merge applied to a symbol array — the classic
     * left-to-right fold: when the running result ends in `a` and the
     * next symbol is `b`, replace the tail with `a+b` (so "aaa" under

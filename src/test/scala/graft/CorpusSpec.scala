@@ -290,4 +290,34 @@ class CorpusSpec extends SparkSpec {
       Seq("a" -> 50L, "b" -> 77L), bucketWidth = 1L << 20))
     assert(plain == bucketed && plain.nonEmpty)
   }
+
+  test("exportShards: durable shard-pruned table, deterministic manifest, versioned re-export") {
+    import graft.sources.Snapshots
+    def canonM(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_exportspec").toString
+    val m1 = canonM(Corpus.exportShards(docs, "doc_id", "text",
+      s"$root/a", budget = 512, shards = 4))
+    // manifest totals match the source corpus exactly
+    assert(m1.map(_._2).sum == docs.count())
+    assert(m1.map(_._3).sum ==
+      docs.select(sum(graft.functions.Text.tokenCountWs(col("text")).cast("long")))
+        .head().getLong(0))
+    // a second export of the same data is byte-identical
+    val m2 = canonM(Corpus.exportShards(docs, "doc_id", "text",
+      s"$root/b", budget = 512, shards = 4))
+    assert(m1 == m2)
+    // a trainer reading one shard gets exactly that shard's docs,
+    // through the manifest's shard stats
+    val one = Snapshots.readPrunedBy(spark, s"$root/a", Map("shard" -> (2, 2)))
+      .filter(col("shard") === 2)
+    assert(one.count() == docs.filter(col("doc_id") % 4 === 2).count())
+    // re-export into the SAME dir publishes a new version; the old
+    // one stays readable (versioned history)
+    Corpus.exportShards(docs.limit(10), "doc_id", "text",
+      s"$root/a", budget = 512, shards = 4)
+    assert(Snapshots.read(spark, s"$root/a", version = Some(0L)).count() ==
+      docs.count())
+  }
 }
