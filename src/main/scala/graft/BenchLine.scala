@@ -66,19 +66,24 @@ object BenchLine {
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate$e,"queries":$qs,"sf":"$sfName"}"""
     }
     def fits(s: String): Boolean = s.getBytes("UTF-8").length <= LineBudget
-    // rung 4: per-query mixed precision — every query starts at whole
-    // seconds; the most expensive upgrade to 1 decimal while the line
-    // fits. Query names are ASCII, so char count == byte count and
-    // the upgrade deltas are exact.
-    def renderGreedy(): Option[String] = {
-      val base = render(fmt0, withErrs = false)
-      if (!fits(base)) return None
-      var budget = LineBudget - base.length
-      val oneDec = queries.sortBy { case (k, v) => (-v, k) }.iterator
+    // greedy mixed precision: from a whole-second base line, upgrade
+    // the most expensive queries to 1 decimal while the remaining
+    // byte budget allows. Query names are ASCII, so char count ==
+    // byte count and the upgrade deltas are exact. Shared by rungs 4
+    // and 5 so the two cannot drift.
+    def greedyOneDec(qset: Seq[(String, Double)], baseLen: Int): Set[String] = {
+      var budget = LineBudget - baseLen
+      qset.sortBy { case (k, v) => (-v, k) }.iterator
         .flatMap { case (k, v) =>
           val delta = fmt1(v).length - fmt0(v).length
           if (delta <= budget) { budget -= delta; Some(k) } else None
         }.toSet
+    }
+    // rung 4: the full map at mixed precision
+    def renderGreedy(): Option[String] = {
+      val base = render(fmt0, withErrs = false)
+      if (!fits(base)) return None
+      val oneDec = greedyOneDec(queries, base.getBytes("UTF-8").length)
       val qs = queries.map { case (k, v) =>
         val f = if (oneDec(k)) fmt1(v) else fmt0(v)
         "\"" + k.stripPrefix("q_") + "\":" + f }.mkString("{", ",", "}")
@@ -106,12 +111,8 @@ object BenchLine {
       }
       (queries.size to 0 by -1).iterator.find(n => fits(renderTop(n)))
         .map { n =>
-          var budget = LineBudget - renderTop(n).getBytes("UTF-8").length
-          val oneDec = byCost.take(n).iterator.flatMap { case (k, v) =>
-            val delta = fmt1(v).length - fmt0(v).length
-            if (delta <= budget) { budget -= delta; Some(k) } else None
-          }.toSet
-          renderTop(n, oneDec)
+          renderTop(n, greedyOneDec(byCost.take(n),
+            renderTop(n).getBytes("UTF-8").length))
         }
         .getOrElse(renderTop(0))
     }

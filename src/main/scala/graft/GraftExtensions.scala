@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(v != null, s"$what must not be null")
     v
   }
+  /** Comma-separated literal list argument (shared by every TVF that
+    * takes a column-list CSV — one parsing rule, not seven copies). */
+  private def csvArg(e: Expression, what: String): Seq[String] =
+    litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
   private def litStr(e: Expression, what: String): String =
     litVal(e, what).toString // UTF8String → String
   private def litLong(e: Expression, what: String): Long = litVal(e, what) match {
@@ -359,12 +364,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, a) =>
         require(a.length == 4 || a.length == 5,
           "graft_view_refresh_agg takes (srcDir, viewDir, groupKeysCsv, sumColsCsv[, minMaxColsCsv])")
-        def csv(e: Expression, what: String): Seq[String] =
-          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        val mm = if (a.length == 5) csv(a(4), "minMaxColsCsv") else Nil
+        val mm = if (a.length == 5) csvArg(a(4), "minMaxColsCsv") else Nil
         val folded = sources.IncrementalViews.refreshAgg(s,
           litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
-          csv(a(2), "groupKeysCsv"), csv(a(3), "sumColsCsv"), minMaxCols = mm)
+          csvArg(a(2), "groupKeysCsv"), csvArg(a(3), "sumColsCsv"), minMaxCols = mm)
         import scala.jdk.CollectionConverters._
         s.createDataFrame(
           folded.map(v => org.apache.spark.sql.Row(v)).asJava,
@@ -378,11 +381,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, a) =>
         require(a.length == 4,
           "graft_view_refresh_corr takes (srcDir, viewDir, groupKeysCsv, colsCsv)")
-        def csv(e: Expression, what: String): Seq[String] =
-          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val folded = sources.IncrementalViews.refreshCorrMatrix(s,
           litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
-          csv(a(2), "groupKeysCsv"), csv(a(3), "colsCsv"))
+          csvArg(a(2), "groupKeysCsv"), csvArg(a(3), "colsCsv"))
         import scala.jdk.CollectionConverters._
         s.createDataFrame(
           folded.map(v => org.apache.spark.sql.Row(v)).asJava,
@@ -396,10 +397,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, a) =>
         require(a.length == 3,
           "graft_corr_view takes (viewDir, groupKeysCsv, colsCsv)")
-        def csv(e: Expression, what: String): Seq[String] =
-          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         sources.IncrementalViews.readCorrMatrix(s, litStr(a(0), "viewDir"),
-          csv(a(1), "groupKeysCsv"), csv(a(2), "colsCsv"))
+          csvArg(a(1), "groupKeysCsv"), csvArg(a(2), "colsCsv"))
     }
 
     tvf("graft_ols_fit",
@@ -407,12 +406,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, a) =>
         require(a.length >= 3 && a.length <= 5,
           "graft_ols_fit takes (table, yCol, xColsCsv[, keysCsv[, ridge]])")
-        def csv(e: Expression, what: String): Seq[String] =
-          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        val keys = if (a.length >= 4) csv(a(3), "keysCsv") else Nil
+        val keys = if (a.length >= 4) csvArg(a(3), "keysCsv") else Nil
         val ridge = if (a.length == 5) litDouble(a(4), "ridge") else 0.0
         operators.Regression.olsFitBy(s.table(litStr(a(0), "table")), keys,
-          litStr(a(1), "yCol"), csv(a(2), "xColsCsv"), ridge = ridge)
+          litStr(a(1), "yCol"), csvArg(a(2), "xColsCsv"), ridge = ridge)
     }
 
     tvf("graft_ols_model",
@@ -420,11 +417,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, a) =>
         require(a.length == 5,
           "graft_ols_model takes (viewDir, groupKeysCsv, colsCsv, yCol, xColsCsv)")
-        def csv(e: Expression, what: String): Seq[String] =
-          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         sources.IncrementalViews.readOlsModel(s, litStr(a(0), "viewDir"),
-          csv(a(1), "groupKeysCsv"), csv(a(2), "colsCsv"),
-          litStr(a(3), "yCol"), csv(a(4), "xColsCsv"))
+          csvArg(a(1), "groupKeysCsv"), csvArg(a(2), "colsCsv"),
+          litStr(a(3), "yCol"), csvArg(a(4), "xColsCsv"))
     }
 
     tvf("graft_ols_eval",
@@ -432,15 +427,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, a) =>
         require(a.length == 3 || a.length == 5,
           "graft_ols_eval takes (table, yCol, xColsCsv[, trainPct, idCol])")
-        def csv(e: Expression, what: String): Seq[String] =
-          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val df = s.table(litStr(a(0), "table"))
         if (a.length == 3)
           operators.Regression.fitEval(df, litStr(a(1), "yCol"),
-            csv(a(2), "xColsCsv"))
+            csvArg(a(2), "xColsCsv"))
         else
           operators.Regression.fitEvalHoldout(df, litStr(a(4), "idCol"),
-            litStr(a(1), "yCol"), csv(a(2), "xColsCsv"),
+            litStr(a(1), "yCol"), csvArg(a(2), "xColsCsv"),
             trainPct = litInt(a(3), "trainPct"))
     }
 
@@ -530,12 +523,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, a) =>
         require(a.length == 5 || a.length == 6,
           "graft_view_refresh_topk takes (srcDir, viewDir, keysCsv, orderCol, k[, tieBreakCsv])")
-        def csv(e: Expression, what: String): Seq[String] =
-          litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        val tb = if (a.length == 6) csv(a(5), "tieBreakCsv") else Nil
+        val tb = if (a.length == 6) csvArg(a(5), "tieBreakCsv") else Nil
         val folded = sources.IncrementalViews.refreshTopK(s,
           litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
-          csv(a(2), "keysCsv"), litStr(a(3), "orderCol"),
+          csvArg(a(2), "keysCsv"), litStr(a(3), "orderCol"),
           litInt(a(4), "k"), tieBreak = tb)
         import scala.jdk.CollectionConverters._
         s.createDataFrame(

@@ -760,14 +760,14 @@ object SparkEntry {
     // sum; the boundary-crossing doc is the last one in).
     "q_doc_mix" -> ((s, dir) =>
       Corpus.mixByBudget(Tables.documents(s, dir), "source", "doc_id",
-        "text", docMixBudgets, defaultBudget = 300L)),
+        "text", docMixBudgets, defaultBudget = docMixDefault)),
 
     // The SCALE-PATH mix: identical semantics through the two-level
     // (domain, hash-bucket) prefix-sum plan, so the oracle is the
     // plain mix's SQL (the forwardFillBucketed pattern).
     "q_doc_mix_bucketed" -> ((s, dir) =>
       Corpus.mixByBudgetBucketed(Tables.documents(s, dir), "source",
-        "doc_id", "text", docMixBudgets, defaultBudget = 300L)),
+        "doc_id", "text", docMixBudgets, defaultBudget = docMixDefault)),
 
     // Sharded export + manifest: pack, commit through the snapshot
     // protocol, then describe the DURABLE table — per-shard counts,
@@ -1153,12 +1153,13 @@ object SparkEntry {
     * (sources beyond these fall to the 300-token default). */
   private val docMixBudgets: Seq[(String, Long)] =
     Seq("src0" -> 500L, "src1" -> 800L, "src2" -> 200L)
+  private val docMixDefault = 300L
 
   /** One oracle text for both mix plans (plain + bucketed — same
     * semantics by design). */
   private def docMixOracleSql: String = {
     val budgetCase = "CASE " + docMixBudgets.map { case (d, b) =>
-      s"WHEN source = '$d' THEN $b " }.mkString + "ELSE 300 END"
+      s"WHEN source = '$d' THEN $b " }.mkString + s"ELSE $docMixDefault END"
     s"""WITH t AS (
        |  SELECT doc_id, source,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1196,10 +1197,10 @@ object SparkEntry {
 
   /** Engine-portable formulas shared by many oracles (see
     * graft.functions.Exact for the Spark side + rationale). */
-  private def sqlRound2(x: String) = s"floor(($x) * 100 + 0.5) / 100"
-  private def sqlRound4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
+  private def sqlRound2(x: String) = graft.functions.Exact.roundAtSql(x, 2)
+  private def sqlRound4(x: String) = graft.functions.Exact.roundAtSql(x, 4)
   private def sqlSum(x: String, scale: Int = 2) =
-    s"CAST(sum(CAST($x AS DECIMAL(30,$scale))) AS DOUBLE)"
+    graft.functions.Exact.sumExactSql(x, scale)
   private val fmt = "'%Y-%m-%d %H:%M:%S'"
 
   /** The notebook feature frame (price_prediction.ipynb merge + ffill)

@@ -89,6 +89,20 @@ object Exact {
     (n * sxy - sxs * sys) / sqrt((n * sxx - sxs * sxs) * (n * syy - sys * sys))
   }
 
+  /** SQL-text twin of [[roundAt]] — the ONE source for every oracle's
+    * rounding string (SparkEntry's sqlRound helpers and the
+    * Regression text generators both delegate here, so the formula
+    * cannot desynchronize between modules). */
+  def roundAtSql(x: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"floor(($x) * $f + 0.5) / $f"
+  }
+
+  /** SQL-text twin of [[sumExact]] (the decimal-sum plan — proven
+    * bit-equal to the 128-bit path by ExactSum128Spec). */
+  def sumExactSql(x: String, scale: Int): String =
+    s"CAST(sum(CAST($x AS DECIMAL(30,$scale))) AS DOUBLE)"
+
   /** Sample covariance from exact decimal sums:
     * (Σxy − ΣxΣy/n) / (n−1). */
   def covarSampExact(x: Column, y: Column, sx: Int = 2, sy: Int = 2): Column = {

@@ -349,7 +349,15 @@ object Corpus {
     val wIn = Window.partitionBy(col(domainCol), col("__bucket"))
       .orderBy(col("__m"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(carryIn, Seq(domainCol, "__bucket"))
+    // null-safe join keys: a NULL domain (or NULL id → NULL bucket)
+    // groups with itself in the window plan, so the carry join must
+    // match it too — plain equality would silently drop those rows
+    // and break the documented equality with mixByBudget
+    val c = carryIn
+      .withColumnRenamed(domainCol, "__cd")
+      .withColumnRenamed("__bucket", "__cb")
+    base.join(c, col(domainCol) <=> col("__cd") &&
+        col("__bucket") <=> col("__cb"))
       .withColumn("cum_before",
         col("__carry") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .filter(col("cum_before") < budget)
@@ -506,8 +514,11 @@ object Corpus {
     stored.groupBy("shard").agg(
       count(lit(1L)).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens"),
+      // concat (NOT concat_ws): a NULL text must make the row's hash
+      // NULL on BOTH engines (the oracle's `||` propagates NULL;
+      // concat_ws would silently skip the NULL and diverge)
       sum(Text.portableHash(
-        concat_ws(":", col(idCol), col(textCol))) % 1000003)
+        concat(col(idCol).cast("string"), lit(":"), col(textCol))) % 1000003)
         .as("content_sig"))
   }
 

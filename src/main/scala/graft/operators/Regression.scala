@@ -41,7 +41,7 @@ import graft.functions.Exact
 object Regression {
 
   /** Moment-column aliases shared by the Spark aggregation and the
-    * oracle CTE: `__n`, `__sy`, `__syy`, `__s{i}`, `__p{i}_{j}` (i≤j),
+    * oracle CTE: `__n`, `__sy`, `__s{i}`, `__p{i}_{j}` (i≤j),
     * `__q{i}`. */
   def termNames(xCols: Seq[String]): Seq[String] = "intercept" +: xCols
 
@@ -52,8 +52,7 @@ object Regression {
     val y = col(yCol)
     val base = Seq(
       count(lit(1L)).cast("double").as("__n"),
-      Exact.sumExact(y, yScale).as("__sy"),
-      Exact.sumExact(y * y, 2 * yScale).as("__syy"))
+      Exact.sumExact(y, yScale).as("__sy"))
     val sums = xCols.zipWithIndex.map { case (c, i) =>
       Exact.sumExact(col(c), xScale).as(s"__s$i") }
     val prods = for { i <- xCols.indices; j <- i until xCols.length }
@@ -68,12 +67,10 @@ object Regression {
     * the proven bit-equal twin of [[Exact.sumExact]]). */
   def momentSqlSelect(yCol: String, xCols: Seq[String],
                       yScale: Int = 2, xScale: Int = 2): String = {
-    def s(x: String, sc: Int) =
-      s"CAST(sum(CAST($x AS DECIMAL(30,$sc))) AS DOUBLE)"
+    def s(x: String, sc: Int) = Exact.sumExactSql(x, sc)
     val base = Seq(
       "CAST(count(*) AS DOUBLE) AS __n",
-      s"${s(yCol, yScale)} AS __sy",
-      s"${s(s"$yCol * $yCol", 2 * yScale)} AS __syy")
+      s"${s(yCol, yScale)} AS __sy")
     val sums = xCols.zipWithIndex.map { case (c, i) =>
       s"${s(c, xScale)} AS __s$i" }
     val prods = for { i <- xCols.indices; j <- i until xCols.length }
@@ -136,12 +133,8 @@ object Regression {
     }
   }
 
-  /** Engine-portable round-half-up (the [[Exact.roundAt]] formula as
-    * text). */
-  def roundSql(x: String, scale: Int): String = {
-    val f = math.pow(10, scale).toLong
-    s"floor(($x) * $f + 0.5) / $f"
-  }
+  /** Engine-portable round-half-up ([[Exact.roundAtSql]]). */
+  def roundSql(x: String, scale: Int): String = Exact.roundAtSql(x, scale)
 
   /** Per-group OLS fit, solved in the plan (k ≤ 3 predictors):
     * `(keys…, term, beta)` with `term` ∈ intercept +: xCols, beta
@@ -283,8 +276,7 @@ object Regression {
     * carrying `yCol` and `__yhat`. */
   def evalSql(yCol: String, yScale: Int, predScale: Int,
               metricScale: Int): String = {
-    def s(x: String, sc: Int) =
-      s"CAST(sum(CAST($x AS DECIMAL(30,$sc))) AS DOUBLE)"
+    def s(x: String, sc: Int) = Exact.sumExactSql(x, sc)
     val n = "CAST(count(*) AS DOUBLE)"
     val ssRes = s(s"($yCol - __yhat) * ($yCol - __yhat)", 8)
     val ssTot =

@@ -530,7 +530,11 @@ object Similarity {
       else sampleCentroids(emb, idCol, vecCol, nCells)
     val a = emb
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
-      .withColumn("__cell", bestCell(cents, col("__v")))
+      // a NULL embedding gets a NULL cell (bestCell's struct-max
+      // would otherwise fall through the NULL cosines to the
+      // smallest centroid id), keeping null-vec docs auditable
+      .withColumn("__cell",
+        when(col("__v").isNotNull, bestCell(cents, col("__v"))))
     val dups = a.as("x").join(a.as("y"),
         col("x.__cell") === col("y.__cell") && col("x.__id") > col("y.__id"))
       .filter(Vectors.cosine(col("x.__v"), col("y.__v")) >= threshold)

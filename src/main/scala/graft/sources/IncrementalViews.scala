@@ -946,8 +946,7 @@ object IncrementalViews {
       col(s"sum___cp_${math.min(a, b)}_${math.max(a, b)}").cast("double")
     val aliased = v.select((groupKeys.map(col) ++ Seq(
         col("__cnt").cast("double").as("__n"),
-        col(s"sum___cs_$yCol").cast("double").as("__sy"),
-        p(iy, iy).as("__syy")) ++
+        col(s"sum___cs_$yCol").cast("double").as("__sy")) ++
       xCols.zipWithIndex.map { case (c, k) =>
         col(s"sum___cs_$c").cast("double").as(s"__s$k") } ++
       (for { a <- ix.indices; b <- a until ix.length }
