@@ -178,12 +178,22 @@ object Regression {
     val (aN, bN) = normalMatrix(k)
     val a = Array.tabulate(k + 1, k + 1)((i, j) => d(aN(i)(j)))
     val b = Array.tabulate(k + 1)(i => d(bN(i)))
-    // Gaussian elimination, partial pivoting
+    termNames(xCols).zip(gaussSolve(a, b,
+      s"singular normal equations: predictors ${xCols.mkString(", ")} " +
+        "are collinear (or a column is constant alongside the intercept)")
+      .toSeq)
+  }
+
+  /** Gaussian elimination with partial pivoting on a small dense
+    * system — shared by the linear and logistic driver solves.
+    * Mutates its arguments. */
+  private def gaussSolve(a: Array[Array[Double]], b: Array[Double],
+                         singularMsg: String): Array[Double] = {
+    val k = b.length - 1
     for (c <- 0 to k) {
       val piv = (c to k).maxBy(r => math.abs(a(r)(c)))
       require(math.abs(a(piv)(c)) > 1e-12 * (1.0 + math.abs(a(0)(0))),
-        s"singular normal equations: predictors ${xCols.mkString(", ")} " +
-          "are collinear (or a column is constant alongside the intercept)")
+        singularMsg)
       if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t
         val tb = b(piv); b(piv) = b(c); b(c) = tb }
       for (r <- c + 1 to k) {
@@ -198,7 +208,7 @@ object Regression {
       for (j <- c + 1 to k) s -= a(c)(j) * beta(j)
       beta(c) = s / a(c)(c)
     }
-    termNames(xCols).zip(beta.toSeq)
+    beta
   }
 
   /** The prediction expression `(β₀ + (x₁·β₁) + … )` as shared text;
@@ -286,5 +296,78 @@ object Regression {
        |       ${roundSql(s"${s(s"abs($yCol - __yhat)", predScale)} / $n", metricScale)} AS mae,
        |       ${roundSql(s"1.0 - ($ssRes) / ($ssTot)", metricScale)} AS r2
        |FROM scored""".stripMargin
+  }
+
+  /** LOGISTIC regression via iteratively-reweighted least squares —
+    * the in-engine trainer for binary labels (the quality-classifier
+    * step of a data pipeline: fit "keep / drop" on labeled docs, then
+    * score the corpus with a pure projection).
+    *
+    * Each Newton/IRLS iteration is ONE distributed aggregation: the
+    * current coefficients ride into the plan as literals, the row
+    * projection computes p = σ(xᵀβ) and w = p(1−p) in codegen, and
+    * the shuffle carries only the (k+1)(k+2)/2 + (k+1) weighted
+    * moment sums (Σ w·xᵢ·xⱼ and the score Σ xᵢ(y−p)) — an O(k²)
+    * buffer independent of rows, the [[momentAggs]] discipline with
+    * weights. The (k+1)-dim Newton step solves on the driver
+    * ([[gaussSolve]]); `ridge` adds λ to the predictor diagonal
+    * (needed when classes separate perfectly, where unregularized
+    * logistic diverges). Stops after `iters` or when the step's max
+    * component falls below `tol`. Returns (term, beta) with the final
+    * mean log-loss.
+    *
+    * Unlike the OLS path, sums are plain doubles (weights are
+    * transcendental, so decimal exactness is unavailable) — verified
+    * by spec (gradient ≈ 0 at the optimum, loss decreases, sign/value
+    * recovery on planted data), not by the DuckDB hash oracle. */
+  def logisticFit(df: DataFrame, yCol: String, xCols: Seq[String],
+                  iters: Int = 12, ridge: Double = 0.0,
+                  tol: Double = 1e-9): (Seq[(String, Double)], Double) = {
+    val k = xCols.length
+    var beta = new Array[Double](k + 1)
+    val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    var it = 0
+    var step = Double.MaxValue
+    while (it < iters && step > tol) {
+      val z = xs.zip(beta).map { case (x, b) => x * lit(b) }.reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val w = p * (lit(1.0) - p)
+      val resid = col(yCol).cast("double") - p
+      val hess = for { i <- 0 to k; j <- i to k }
+        yield sum(w * xs(i) * xs(j)).as(s"h_${i}_$j")
+      val score = (0 to k).map(i => sum(xs(i) * resid).as(s"g_$i"))
+      val row = df.agg((hess ++ score).head, (hess ++ score).tail: _*).head()
+      def d(name: String) = row.getDouble(row.fieldIndex(name))
+      val a = Array.tabulate(k + 1, k + 1) { (i, j) =>
+        val (lo, hi) = (math.min(i, j), math.max(i, j))
+        d(s"h_${lo}_$hi") + (if (i == j && i > 0) ridge else 0.0)
+      }
+      val g = Array.tabulate(k + 1)(i => d(s"g_$i") -
+        (if (i > 0) ridge * beta(i) else 0.0))
+      val delta = gaussSolve(a, g,
+        s"singular IRLS Hessian: predictors ${xCols.mkString(", ")} are " +
+          "collinear, or the classes separate perfectly (add ridge > 0)")
+      step = delta.map(math.abs).max
+      beta = beta.zip(delta).map { case (b, dd) => b + dd }
+      it += 1
+    }
+    val z = xs.zip(beta).map { case (x, b) => x * lit(b) }.reduce(_ + _)
+    val y = col(yCol).cast("double")
+    // log-loss via log1p(exp(·)) in its stable branch
+    val nll = when(z >= 0, (lit(1.0) - y) * z + log1p(exp(-z)))
+      .otherwise(-y * z + log1p(exp(z)))
+    val loss = df.agg((sum(nll) / count(lit(1L))).as("loss"))
+      .head().getDouble(0)
+    (termNames(xCols).zip(beta.toSeq), loss)
+  }
+
+  /** σ(xᵀβ) scoring projection from literal coefficients —
+    * shuffle-free, codegen. */
+  def predictProba(df: DataFrame, betas: Seq[(String, Double)],
+                   xCols: Seq[String], probCol: String = "p"): DataFrame = {
+    val m = betas.toMap
+    val z = (lit(1.0) * lit(m("intercept")) +:
+      xCols.map(c => col(c).cast("double") * lit(m(c)))).reduce(_ + _)
+    df.withColumn(probCol, lit(1.0) / (lit(1.0) + exp(-z)))
   }
 }

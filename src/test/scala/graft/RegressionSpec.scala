@@ -202,6 +202,44 @@ class RegressionSpec extends SparkSpec {
     assert(inSample.getAs[Double]("n") == 200.0)
   }
 
+  test("logisticFit: recovers a planted model, beats the null loss, scores monotonically") {
+    val s = spark; import s.implicits._
+    def sigma(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    // planted p = sigma(-1 + 2x); labels from a deterministic
+    // pseudo-uniform so the test is reproducible
+    val rows = (1 to 600).map { i =>
+      val x = ((i % 21) - 10) / 2.0
+      val u = ((i * 2654435761L) % 1000003).toDouble / 1000003.0
+      (x, if (u < sigma(-1.0 + 2.0 * x)) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x", "y").cache()
+    val (betas, loss) = Regression.logisticFit(df, "y", Seq("x"))
+    val m = betas.toMap
+    assert(math.abs(m("intercept") - (-1.0)) < 0.4, m.toString)
+    assert(math.abs(m("x") - 2.0) < 0.5, m.toString)
+    // fitted loss beats the intercept-only (null) model's entropy
+    val rate = rows.map(_._2).sum / rows.size
+    val nullLoss = -(rate * math.log(rate) + (1 - rate) * math.log(1 - rate))
+    assert(loss < nullLoss)
+    // scoring is a shuffle-free monotone projection
+    val scored = Regression.predictProba(df.select("x"), betas, Seq("x"))
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
+    val ps = scored.orderBy("x").select("p").as[Double].collect()
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    df.unpersist()
+  }
+
+  test("logisticFit: ridge keeps perfectly separable classes finite") {
+    val s = spark; import s.implicits._
+    val df = (1 to 100).map { i =>
+      val x = (i - 50.5) / 10.0
+      (x, if (x > 0) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val (betas, _) = Regression.logisticFit(df, "y", Seq("x"), ridge = 1.0)
+    val m = betas.toMap
+    assert(m("x") > 0.0 && m("x").isFinite && m("intercept").isFinite)
+  }
+
   test("notebook closure: per-area price model fits on the feature frame") {
     val frame = operators.FeatureMatrix.hourlyFrame(
       Tables.events(spark, sf("sf0.001")))
