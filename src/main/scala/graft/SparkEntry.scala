@@ -783,6 +783,12 @@ object SparkEntry {
       Corpus.contamination(Tables.documents(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 97 === 0, n = 3)),
 
+    // The LARGE-benchmark-set scale path: bloom-prefiltered exact
+    // join, output identical by design -> same oracle text.
+    "q_contamination_bloom" -> ((s, dir) =>
+      Corpus.contaminationAtScale(Tables.documents(s, dir), "doc_id",
+        "text", benchPred = col("doc_id") % 97 === 0, n = 3)),
+
     "q_span_dedup" -> ((s, dir) =>
       Corpus.spanDedup(Tables.documents(s, dir), "doc_id", "text", k = 10)),
 
@@ -1154,6 +1160,33 @@ object SparkEntry {
   private val docMixBudgets: Seq[(String, Long)] =
     Seq("src0" -> 500L, "src1" -> 800L, "src2" -> 200L)
   private val docMixDefault = 300L
+
+  /** One oracle text for both contamination plans (broadcast +
+    * bloom-prefiltered — identical answers by design). */
+  private def contaminationOracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, doc_id % 97 = 0 AS bench,
+        |         string_split(text, ' ') AS s
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, bench, unnest(list_distinct(
+        |           CASE WHEN len(s) < 3 THEN []::VARCHAR[]
+        |                ELSE list_transform(range(1, len(s) - 1),
+        |                       i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+        |           END)) AS gram
+        |  FROM toks
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM grams WHERE bench
+        |), hits AS (
+        |  SELECT g.doc_id, count(*) AS shared_ngrams
+        |  FROM grams g JOIN bg USING (gram)
+        |  WHERE NOT g.bench GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(h.shared_ngrams, 0) AS shared_ngrams,
+        |       coalesce(h.shared_ngrams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0""".stripMargin
 
   /** One oracle text for both mix plans (plain + bucketed — same
     * semantics by design). */
@@ -2382,30 +2415,11 @@ object SparkEntry {
     // String 3-grams oracle-side vs xxhash64'd grams Spark-side:
     // counts equal barring a ~2^-64 collision (same argument as
     // q_doc_repetition).
-    "q_contamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, doc_id % 97 = 0 AS bench,
-        |         string_split(text, ' ') AS s
-        |  FROM documents
-        |), grams AS (
-        |  SELECT doc_id, bench, unnest(list_distinct(
-        |           CASE WHEN len(s) < 3 THEN []::VARCHAR[]
-        |                ELSE list_transform(range(1, len(s) - 1),
-        |                       i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
-        |           END)) AS gram
-        |  FROM toks
-        |), bg AS (
-        |  SELECT DISTINCT gram FROM grams WHERE bench
-        |), hits AS (
-        |  SELECT g.doc_id, count(*) AS shared_ngrams
-        |  FROM grams g JOIN bg USING (gram)
-        |  WHERE NOT g.bench GROUP BY g.doc_id
-        |)
-        |SELECT d.doc_id,
-        |       coalesce(h.shared_ngrams, 0) AS shared_ngrams,
-        |       coalesce(h.shared_ngrams, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN hits h USING (doc_id)
-        |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    "q_contamination" -> contaminationOracleSql,
+
+    // identical answer by design - the bloom prefilter only prunes
+    // the shuffle; the exact join removes its false positives
+    "q_contamination_bloom" -> contaminationOracleSql,
 
     "q_frequent_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS est

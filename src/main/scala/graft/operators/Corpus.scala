@@ -109,6 +109,52 @@ object Corpus {
       .withColumn("contaminated", col("shared_ngrams") > 0)
   }
 
+  /** [[contamination]] for the LARGE-benchmark-set regime (every eval
+    * suite at once — too many grams to broadcast): the corpus gram
+    * stream is BLOOM-prefiltered before the exact shuffle join, so
+    * only grams that might be benchmark grams (true hits + ≤fpp false
+    * positives) pay the shuffle, and the exact join then removes the
+    * false positives — output IDENTICAL to the broadcast plan at any
+    * fpp (no false negatives; spec- and oracle-shared), cost
+    * O(corpus · fpp + true overlap) shuffle rows instead of
+    * O(corpus grams). The [[Relational.bloomSemiJoin]] pattern
+    * applied to decontamination. */
+  def contaminationAtScale(df: DataFrame, idCol: String, textCol: String,
+                           benchPred: Column, n: Int = 3,
+                           fpp: Double = 0.01): DataFrame = {
+    import graft.functions.{BloomBuildAgg, BloomMightContain, BloomUtil, ColumnBridge}
+    val grams = df
+      .withColumn("__bench", benchPred)
+      .withColumn("__s", Text.tokens(col(textCol)))
+      .select(col(idCol), col("__bench"),
+        explode(array_distinct(
+          Text.ngramsFromTokens(col("__s"), n))).as("gram"))
+      .select(col(idCol), col("__bench"), xxhash64(col("gram")).as("gram_h"))
+    val benchGrams = grams.filter(col("__bench"))
+      .select("gram_h").distinct()
+    val nGrams = benchGrams.count()
+    val (numBits, numHashes) = BloomUtil.sizing(math.max(1L, nGrams), fpp)
+    val filterWords = benchGrams.select(ColumnBridge.column(
+        BloomBuildAgg(ColumnBridge.expression(col("gram_h")),
+          numBits, numHashes).toAggregateExpression()).as("f"))
+      .head().getSeq[Long](0)
+    val pre = grams.filter(!col("__bench"))
+      .filter(ColumnBridge.column(BloomMightContain(
+        ColumnBridge.expression(typedLit(filterWords)),
+        ColumnBridge.expression(col("gram_h")))))
+    // exact join (NO broadcast hint — the scale path shuffles, but
+    // only the bloom survivors reach it); removes the fpp survivors
+    val hits = pre.join(benchGrams, "gram_h")
+      .groupBy(idCol)
+      .agg(count(lit(1L)).as("shared_ngrams"))
+    df.filter(!benchPred)
+      .select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("shared_ngrams"), lit(0L)).as("shared_ngrams"))
+      .withColumn("contaminated", col("shared_ngrams") > 0)
+  }
+
   /** Span-level duplication profile (ExactSubstr semantics, Lee et
     * al. 2021, at k-token granularity): a k-token window is
     * "duplicated" when the same token sequence occurs at more than

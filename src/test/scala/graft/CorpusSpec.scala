@@ -289,6 +289,34 @@ class CorpusSpec extends SparkSpec {
     val bucketed = canon(Corpus.mixByBudgetBucketed(df, "dom", "id", "text",
       Seq("a" -> 50L, "b" -> 77L), bucketWidth = 1L << 20))
     assert(plain == bucketed && plain.nonEmpty)
+    // NULL domain: both plans must keep it under the default budget
+    // (the bucketed carry join is null-safe — a plain equi-join
+    // silently dropped these rows)
+    val withNull = (1L to 20L).map(i => (i, "a", "w w"))
+      .toDF("id", "dom", "text")
+      .union(Seq((99L, null.asInstanceOf[String], "w w w"))
+        .toDF("id", "dom", "text"))
+    val p2 = canon(Corpus.mixByBudget(withNull, "dom", "id", "text",
+      Seq("a" -> 10L), defaultBudget = 100L))
+    val b2 = canon(Corpus.mixByBudgetBucketed(withNull, "dom", "id", "text",
+      Seq("a" -> 10L), defaultBudget = 100L, bucketWidth = 1L << 20))
+    assert(p2 == b2)
+    assert(p2.exists(_._1 == 99L), "the NULL-domain row must survive both plans")
+  }
+
+  test("contaminationAtScale == broadcast contamination; bloom probe is in the plan") {
+    val pred = col("doc_id") % 97 === 0
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val plain = canon(Corpus.contamination(docs, "doc_id", "text", pred))
+    // identical at a loose fpp too — the exact join removes every
+    // bloom false positive, so fpp never changes the answer
+    val scaled = Corpus.contaminationAtScale(docs, "doc_id", "text", pred,
+      fpp = 0.2)
+    assert(canon(scaled) == plain)
+    assert(scaled.queryExecution.executedPlan.toString
+      .contains("graft_bloom_might_contain"),
+      "the gram stream must be bloom-prefiltered")
   }
 
   test("exportShards: durable shard-pruned table, deterministic manifest, versioned re-export") {

@@ -258,5 +258,13 @@ class SimilaritySpec extends SparkSpec {
         nCells = 2, threshold = 0.95, iters = 2)
       .filter("kept").collect().map(_.getLong(0)).toSet
     assert(refined == Set(1L, 4L))
+    // NULL embedding: NULL cell, kept, never vetoes anyone — the
+    // documented auditable contract
+    val withNull = emb.union(spark.createDataFrame(
+      Seq((9L, null.asInstanceOf[Array[Float]]))).toDF("vec_id", "embedding"))
+    val r9 = Similarity.semanticDedup(withNull, "vec_id", "embedding",
+        nCells = 2, threshold = 0.95)
+      .filter("vec_id = 9").collect().head
+    assert(r9.isNullAt(1) && r9.getLong(2) == 0L && r9.getBoolean(3))
   }
 }
