@@ -397,6 +397,13 @@ object SparkEntry {
       graft.operators.Regression.fitEvalHoldout(Tables.events(s, dir),
         "event_id", "value", Seq("user_id", "event_id"))),
 
+    // One model AND one metric row per group — the notebook's
+    // per-area R² table in one plan.
+    "q_ols_group_eval" -> ((s, dir) =>
+      graft.operators.Regression.fitEvalBy(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("l_quantity", "l_discount"))),
+
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id")
@@ -1845,6 +1852,28 @@ object SparkEntry {
          |  SELECT l_extendedprice, ${Regression.roundSql(pred, 4)} AS __yhat
          |  FROM lineitem CROSS JOIN betas)
          |${Regression.evalSql("l_extendedprice", 2, 4, 6)}""".stripMargin
+    },
+
+    // Per-group fit + metrics: grouped moments, per-group Cramer
+    // betas joined back on the key, grouped eval text.
+    "q_ols_group_eval" -> {
+      import graft.operators.Regression
+      val xs = Seq("l_quantity", "l_discount")
+      val betaSel = Regression.cramerBetaSqls(2).zipWithIndex
+        .map { case (b, i) => s"$b AS __b$i" }.mkString(",\n         ")
+      val pred = Regression.predictionSql(xs, (0 to 2).map(i => s"__b$i"))
+      s"""WITH stats AS MATERIALIZED (
+         |  SELECT l_returnflag,
+         |       ${Regression.momentSqlSelect("l_extendedprice", xs)}
+         |  FROM lineitem GROUP BY l_returnflag),
+         |betas AS (
+         |  SELECT l_returnflag, ${betaSel}
+         |  FROM stats),
+         |scored AS (
+         |  SELECT l.l_returnflag, l_extendedprice,
+         |         ${Regression.roundSql(pred, 4)} AS __yhat
+         |  FROM lineitem l JOIN betas b ON l.l_returnflag = b.l_returnflag)
+         |${Regression.evalSqlBy(Seq("l_returnflag"), "l_extendedprice", 2, 4, 6)}""".stripMargin
     },
 
     // Holdout metrics: fit moments on the hash-train split, score the

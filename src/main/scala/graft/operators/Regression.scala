@@ -247,21 +247,54 @@ object Regression {
   def fitEvalOn(train: DataFrame, test: DataFrame, yCol: String,
                 xCols: Seq[String], yScale: Int = 2, xScale: Int = 2,
                 predScale: Int = 4, metricScale: Int = 6): DataFrame = {
-    val stats = momentsBy(train, Nil, yCol, xCols, yScale, xScale)
-    val betas = cramerBetaSqls(xCols.length)
-    val betaCols = betas.zipWithIndex.map { case (b, i) =>
-      expr(b).as(s"__b$i") }
-    val wide = stats.select(betaCols: _*)
-    val yhat = expr(roundSql(
+    val wide = betasWide(train, Nil, yCol, xCols, yScale, xScale)
+    val scored = test.crossJoin(broadcast(wide))
+      .withColumn("__yhat", yhatExpr(xCols, predScale))
+    scored.agg(metricAggs(yCol, yScale, predScale, metricScale).head,
+      metricAggs(yCol, yScale, predScale, metricScale).tail: _*)
+  }
+
+  /** PER-GROUP fit + evaluate: one model AND one metric row per key
+    * combination — the notebook's per-DK-area R² table in one plan
+    * (grouped moments → per-group betas broadcast back on the keys →
+    * grouped metrics pass; the join is a plain broadcast equi-join,
+    * one row per group on the build side). */
+  def fitEvalBy(df: DataFrame, keys: Seq[String], yCol: String,
+                xCols: Seq[String], yScale: Int = 2, xScale: Int = 2,
+                predScale: Int = 4, metricScale: Int = 6): DataFrame = {
+    require(keys.nonEmpty, "use fitEval for the ungrouped case")
+    val wide = betasWide(df, keys, yCol, xCols, yScale, xScale)
+    val scored = df.join(broadcast(wide), keys)
+      .withColumn("__yhat", yhatExpr(xCols, predScale))
+    val aggs = metricAggs(yCol, yScale, predScale, metricScale)
+    scored.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-group unrounded beta columns `__b0..__bk` (+ the keys). */
+  private def betasWide(df: DataFrame, keys: Seq[String], yCol: String,
+                        xCols: Seq[String], yScale: Int,
+                        xScale: Int): DataFrame = {
+    val stats = momentsBy(df, keys, yCol, xCols, yScale, xScale)
+    val betaCols = cramerBetaSqls(xCols.length).zipWithIndex.map {
+      case (b, i) => expr(b).as(s"__b$i") }
+    stats.select(keys.map(col) ++ betaCols: _*)
+  }
+
+  private def yhatExpr(xCols: Seq[String], predScale: Int): Column =
+    expr(roundSql(
       predictionSql(xCols, (0 to xCols.length).map(i => s"__b$i")),
       predScale))
-    val scored = test.crossJoin(broadcast(wide)).withColumn("__yhat", yhat)
+
+  /** The shared metrics aggregation list — mirrors [[evalSql]]
+    * term-for-term. */
+  private def metricAggs(yCol: String, yScale: Int, predScale: Int,
+                         metricScale: Int): Seq[Column] = {
     val y = col(yCol); val e = y - col("__yhat")
     val n = count(lit(1L)).cast("double")
     val ssRes = Exact.sumExact(e * e, 8)
     val ssTot = Exact.sumExact(y * y, 2 * yScale) -
       Exact.sumExact(y, yScale) * Exact.sumExact(y, yScale) / n
-    scored.agg(
+    Seq(
       n.as("n"),
       Exact.roundAt(sqrt(ssRes / n), metricScale).as("rmse"),
       Exact.roundAt(Exact.sumExact(abs(e), predScale) / n, metricScale).as("mae"),
@@ -285,17 +318,26 @@ object Regression {
   /** The [[fitEval]] metrics as DuckDB text over a `scored` relation
     * carrying `yCol` and `__yhat`. */
   def evalSql(yCol: String, yScale: Int, predScale: Int,
-              metricScale: Int): String = {
+              metricScale: Int): String =
+    evalSqlBy(Nil, yCol, yScale, predScale, metricScale)
+
+  /** Grouped [[evalSql]] — one metric row per key combination
+    * ([[fitEvalBy]]'s mirror; `scored` must also carry the keys). */
+  def evalSqlBy(keys: Seq[String], yCol: String, yScale: Int,
+                predScale: Int, metricScale: Int): String = {
     def s(x: String, sc: Int) = Exact.sumExactSql(x, sc)
     val n = "CAST(count(*) AS DOUBLE)"
     val ssRes = s(s"($yCol - __yhat) * ($yCol - __yhat)", 8)
     val ssTot =
       s"${s(s"$yCol * $yCol", 2 * yScale)} - ${s(yCol, yScale)} * ${s(yCol, yScale)} / $n"
-    s"""SELECT $n AS n,
+    val keySel = keys.map(k => s"$k,\n       ").mkString
+    val groupBy =
+      if (keys.isEmpty) "" else s"\nGROUP BY ${keys.mkString(", ")}"
+    s"""SELECT $keySel$n AS n,
        |       ${roundSql(s"sqrt($ssRes / $n)", metricScale)} AS rmse,
        |       ${roundSql(s"${s(s"abs($yCol - __yhat)", predScale)} / $n", metricScale)} AS mae,
        |       ${roundSql(s"1.0 - ($ssRes) / ($ssTot)", metricScale)} AS r2
-       |FROM scored""".stripMargin
+       |FROM scored$groupBy""".stripMargin
   }
 
   /** LOGISTIC regression via iteratively-reweighted least squares —

@@ -202,6 +202,23 @@ class RegressionSpec extends SparkSpec {
     assert(inSample.getAs[Double]("n") == 200.0)
   }
 
+  test("fitEvalBy: per-group metrics — perfect groups score 1, noisy groups don't") {
+    val s = spark; import s.implicits._
+    val df = (1 to 60).flatMap { i =>
+      val x1 = i.toDouble; val x2 = ((i * 7) % 13).toDouble
+      val noise = if (i % 2 == 0) 0.0 else ((i * 31) % 5 - 2) / 1.0
+      Seq(("exact", x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2),
+          ("noisy", x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2 + noise))
+    }.toDF("g", "x1", "x2", "y")
+    val out = Regression.fitEvalBy(df, Seq("g"), "y", Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("rmse"), r.getAs[Double]("r2"),
+          r.getAs[Double]("n"))).toMap
+    assert(out("exact") == ((0.0, 1.0, 60.0)))
+    assert(out("noisy")._1 > 0.0 && out("noisy")._2 < 1.0)
+    assert(out("noisy")._3 == 60.0)
+  }
+
   test("logisticFit: recovers a planted model, beats the null loss, scores monotonically") {
     val s = spark; import s.implicits._
     def sigma(z: Double) = 1.0 / (1.0 + math.exp(-z))
