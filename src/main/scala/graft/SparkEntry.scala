@@ -404,6 +404,14 @@ object SparkEntry {
         Seq("l_returnflag"), "l_extendedprice",
         Seq("l_quantity", "l_discount"))),
 
+    // Importance-WEIGHTED fit (WLS): the mixing stage's sample
+    // weights carried into the normal equations — same Cramer text,
+    // weighted exact moments.
+    "q_ols_weighted" -> ((s, dir) =>
+      graft.operators.Regression.olsFitBy(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("l_discount", "l_tax"), weight = Some(("l_quantity", 2)))),
+
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id")
@@ -1852,6 +1860,22 @@ object SparkEntry {
          |  SELECT l_extendedprice, ${Regression.roundSql(pred, 4)} AS __yhat
          |  FROM lineitem CROSS JOIN betas)
          |${Regression.evalSql("l_extendedprice", 2, 4, 6)}""".stripMargin
+    },
+
+    // Weighted moments feed the SAME Cramer text — only the moment
+    // select list changes (every sum carries the weight factor).
+    "q_ols_weighted" -> {
+      import graft.operators.Regression
+      val xs = Seq("l_discount", "l_tax")
+      val cells = Regression.termNames(xs).zip(Regression.cramerBetaSqls(2))
+        .map { case (t, b) =>
+          s"SELECT l_returnflag, '$t' AS term, ${Regression.roundSql(b, 6)} AS beta FROM stats" }
+      s"""WITH stats AS MATERIALIZED (
+         |  SELECT l_returnflag,
+         |       ${Regression.momentSqlSelect("l_extendedprice", xs,
+                   weight = Some(("l_quantity", 2)))}
+         |  FROM lineitem GROUP BY l_returnflag)
+         |${cells.mkString("\nUNION ALL\n")}""".stripMargin
     },
 
     // Per-group fit + metrics: grouped moments, per-group Cramer

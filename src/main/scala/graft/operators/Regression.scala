@@ -46,37 +46,58 @@ object Regression {
   def termNames(xCols: Seq[String]): Seq[String] = "intercept" +: xCols
 
   /** The one-pass moment aggregation (Spark side). `yScale`/`xScale`
-    * are the input columns' decimal scales (exact-sum contract). */
+    * are the input columns' decimal scales (exact-sum contract).
+    * With `weight = Some((wCol, wScale))` every sum is importance-
+    * weighted — the WLS normal equations X'WX β = X'Wy use exactly
+    * the same Cramer text, with `__n` = Σw and every moment carrying
+    * the per-row weight factor (still exact: w is a fixed-decimal
+    * column, so the products stay decimal-summable). */
   def momentAggs(yCol: String, xCols: Seq[String],
-                 yScale: Int = 2, xScale: Int = 2): Seq[Column] = {
+                 yScale: Int = 2, xScale: Int = 2,
+                 weight: Option[(String, Int)] = None): Seq[Column] = {
     val y = col(yCol)
+    val (w, ws) = weight match {
+      case Some((c, sc)) => (col(c), sc)
+      case None => (lit(1.0), 0)
+    }
     val base = Seq(
-      count(lit(1L)).cast("double").as("__n"),
-      Exact.sumExact(y, yScale).as("__sy"))
+      (weight match {
+        case Some((c, sc)) => Exact.sumExact(col(c), sc)
+        case None => count(lit(1L)).cast("double")
+      }).as("__n"),
+      Exact.sumExact(w * y, ws + yScale).as("__sy"))
     val sums = xCols.zipWithIndex.map { case (c, i) =>
-      Exact.sumExact(col(c), xScale).as(s"__s$i") }
+      Exact.sumExact(w * col(c), ws + xScale).as(s"__s$i") }
     val prods = for { i <- xCols.indices; j <- i until xCols.length }
-      yield Exact.sumExact(col(xCols(i)) * col(xCols(j)), 2 * xScale)
-        .as(s"__p${i}_$j")
+      yield Exact.sumExact(w * col(xCols(i)) * col(xCols(j)),
+        ws + 2 * xScale).as(s"__p${i}_$j")
     val xy = xCols.zipWithIndex.map { case (c, i) =>
-      Exact.sumExact(col(c) * y, xScale + yScale).as(s"__q$i") }
+      Exact.sumExact(w * col(c) * y, ws + xScale + yScale).as(s"__q$i") }
     base ++ sums ++ prods ++ xy
   }
 
   /** The same moments as a DuckDB select list (decimal-sum formula —
     * the proven bit-equal twin of [[Exact.sumExact]]). */
   def momentSqlSelect(yCol: String, xCols: Seq[String],
-                      yScale: Int = 2, xScale: Int = 2): String = {
+                      yScale: Int = 2, xScale: Int = 2,
+                      weight: Option[(String, Int)] = None): String = {
     def s(x: String, sc: Int) = Exact.sumExactSql(x, sc)
+    val (wp, ws) = weight match {
+      case Some((c, sc)) => (s"$c * ", sc)
+      case None => ("", 0)
+    }
     val base = Seq(
-      "CAST(count(*) AS DOUBLE) AS __n",
-      s"${s(yCol, yScale)} AS __sy")
+      (weight match {
+        case Some((c, sc)) => s"${s(c, sc)} AS __n"
+        case None => "CAST(count(*) AS DOUBLE) AS __n"
+      }),
+      s"${s(s"$wp$yCol", ws + yScale)} AS __sy")
     val sums = xCols.zipWithIndex.map { case (c, i) =>
-      s"${s(c, xScale)} AS __s$i" }
+      s"${s(s"$wp$c", ws + xScale)} AS __s$i" }
     val prods = for { i <- xCols.indices; j <- i until xCols.length }
-      yield s"${s(s"${xCols(i)} * ${xCols(j)}", 2 * xScale)} AS __p${i}_$j"
+      yield s"${s(s"$wp${xCols(i)} * ${xCols(j)}", ws + 2 * xScale)} AS __p${i}_$j"
     val xy = xCols.zipWithIndex.map { case (c, i) =>
-      s"${s(s"$c * $yCol", xScale + yScale)} AS __q$i" }
+      s"${s(s"$wp$c * $yCol", ws + xScale + yScale)} AS __q$i" }
     (base ++ sums ++ prods ++ xy).mkString(",\n       ")
   }
 
@@ -142,8 +163,9 @@ object Regression {
     * no driver participation, any number of groups. */
   def olsFitBy(df: DataFrame, keys: Seq[String], yCol: String,
                xCols: Seq[String], yScale: Int = 2, xScale: Int = 2,
-               betaScale: Int = 6, ridge: Double = 0.0): DataFrame = {
-    val stats = momentsBy(df, keys, yCol, xCols, yScale, xScale)
+               betaScale: Int = 6, ridge: Double = 0.0,
+               weight: Option[(String, Int)] = None): DataFrame = {
+    val stats = momentsBy(df, keys, yCol, xCols, yScale, xScale, weight)
     val betas = cramerBetaSqls(xCols.length, ridge)
     val terms = termNames(xCols)
     val cells = terms.zip(betas).map { case (t, b) =>
@@ -161,8 +183,9 @@ object Regression {
   /** The grouped moments frame (one row per group). */
   def momentsBy(df: DataFrame, keys: Seq[String], yCol: String,
                 xCols: Seq[String], yScale: Int = 2,
-                xScale: Int = 2): DataFrame = {
-    val aggs = momentAggs(yCol, xCols, yScale, xScale)
+                xScale: Int = 2,
+                weight: Option[(String, Int)] = None): DataFrame = {
+    val aggs = momentAggs(yCol, xCols, yScale, xScale, weight)
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 

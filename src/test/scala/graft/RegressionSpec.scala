@@ -202,6 +202,34 @@ class RegressionSpec extends SparkSpec {
     assert(inSample.getAs[Double]("n") == 200.0)
   }
 
+  test("weighted fit == unweighted fit over the weight-expanded frame") {
+    val s = spark; import s.implicits._
+    // integer weights 1..3: the weighted moments are EXACTLY the
+    // unweighted moments of the row-replicated frame, so the
+    // coefficients must be equal, not approximately
+    val rows = (1 to 50).map { i =>
+      val x1 = i.toDouble; val x2 = ((i * 7) % 13).toDouble
+      val noise = ((i * 31) % 7 - 3) / 100.0
+      (x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2 + noise, (i % 3 + 1).toDouble)
+    }
+    val compact = rows.toDF("x1", "x2", "y", "w")
+    val expanded = rows.flatMap { case (x1, x2, y, w) =>
+      Seq.fill(w.toInt)((x1, x2, y)) }.toDF("x1", "x2", "y")
+    val weighted = Regression.olsFitBy(compact, Nil, "y", Seq("x1", "x2"),
+        weight = Some(("w", 0)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plain = Regression.olsFit(expanded, "y", Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(weighted == plain)
+    // weight 1 everywhere == the unweighted fit
+    val ones = Regression.olsFitBy(compact.withColumn("w", lit(1.0)), Nil,
+        "y", Seq("x1", "x2"), weight = Some(("w", 0)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val unweighted = Regression.olsFit(compact, "y", Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ones == unweighted)
+  }
+
   test("fitEvalBy: per-group metrics — perfect groups score 1, noisy groups don't") {
     val s = spark; import s.implicits._
     val df = (1 to 60).flatMap { i =>
