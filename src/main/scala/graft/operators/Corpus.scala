@@ -121,7 +121,8 @@ object Corpus {
     * applied to decontamination. */
   def contaminationAtScale(df: DataFrame, idCol: String, textCol: String,
                            benchPred: Column, n: Int = 3,
-                           fpp: Double = 0.01): DataFrame = {
+                           fpp: Double = 0.01,
+                           expectedGrams: Long = 0L): DataFrame = {
     import graft.functions.{BloomBuildAgg, BloomMightContain, BloomUtil, ColumnBridge}
     val grams = df
       .withColumn("__bench", benchPred)
@@ -130,9 +131,14 @@ object Corpus {
         explode(array_distinct(
           Text.ngramsFromTokens(col("__s"), n))).as("gram"))
       .select(col(idCol), col("__bench"), xxhash64(col("gram")).as("gram_h"))
+    // materialize the benchmark gram set ONCE (it feeds the sizing
+    // count, the bloom build, and the final exact join — three full
+    // tokenize/distinct derivations without this); localCheckpoint
+    // keeps it executor-resident with the lineage truncated, and an
+    // expectedGrams estimate skips the sizing count entirely
     val benchGrams = grams.filter(col("__bench"))
-      .select("gram_h").distinct()
-    val nGrams = benchGrams.count()
+      .select("gram_h").distinct().localCheckpoint(true)
+    val nGrams = if (expectedGrams > 0) expectedGrams else benchGrams.count()
     val (numBits, numHashes) = BloomUtil.sizing(math.max(1L, nGrams), fpp)
     val filterWords = benchGrams.select(ColumnBridge.column(
         BloomBuildAgg(ColumnBridge.expression(col("gram_h")),

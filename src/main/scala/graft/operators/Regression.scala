@@ -273,8 +273,8 @@ object Regression {
     val wide = betasWide(train, Nil, yCol, xCols, yScale, xScale)
     val scored = test.crossJoin(broadcast(wide))
       .withColumn("__yhat", yhatExpr(xCols, predScale))
-    scored.agg(metricAggs(yCol, yScale, predScale, metricScale).head,
-      metricAggs(yCol, yScale, predScale, metricScale).tail: _*)
+    val aggs = metricAggs(yCol, yScale, predScale, metricScale)
+    scored.agg(aggs.head, aggs.tail: _*)
   }
 
   /** PER-GROUP fit + evaluate: one model AND one metric row per key
@@ -384,46 +384,62 @@ object Regression {
     * Unlike the OLS path, sums are plain doubles (weights are
     * transcendental, so decimal exactness is unavailable) — verified
     * by spec (gradient ≈ 0 at the optimum, loss decreases, sign/value
-    * recovery on planted data), not by the DuckDB hash oracle. */
+    * recovery on planted data), not by the DuckDB hash oracle.
+    *
+    * Fits COMPLETE CASES only (rows with a NULL label or feature are
+    * dropped up front), and persists the filtered frame internally —
+    * each iteration plus the loss pass rescans it, so an expensive
+    * upstream plan is paid once, not iters+1 times. */
   def logisticFit(df: DataFrame, yCol: String, xCols: Seq[String],
                   iters: Int = 12, ridge: Double = 0.0,
                   tol: Double = 1e-9): (Seq[(String, Double)], Double) = {
     val k = xCols.length
-    var beta = new Array[Double](k + 1)
-    val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
-    var it = 0
-    var step = Double.MaxValue
-    while (it < iters && step > tol) {
-      val z = xs.zip(beta).map { case (x, b) => x * lit(b) }.reduce(_ + _)
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
-      val w = p * (lit(1.0) - p)
-      val resid = col(yCol).cast("double") - p
-      val hess = for { i <- 0 to k; j <- i to k }
-        yield sum(w * xs(i) * xs(j)).as(s"h_${i}_$j")
-      val score = (0 to k).map(i => sum(xs(i) * resid).as(s"g_$i"))
-      val row = df.agg((hess ++ score).head, (hess ++ score).tail: _*).head()
-      def d(name: String) = row.getDouble(row.fieldIndex(name))
-      val a = Array.tabulate(k + 1, k + 1) { (i, j) =>
-        val (lo, hi) = (math.min(i, j), math.max(i, j))
-        d(s"h_${lo}_$hi") + (if (i == j && i > 0) ridge else 0.0)
+    // complete cases only — a NULL label or feature would otherwise
+    // enter the Hessian (whose terms never touch y) while dropping
+    // out of the NULL-propagating score sums, silently attenuating
+    // every Newton step; and the mean loss must divide by the rows
+    // it actually summed
+    val data = df
+      .filter((yCol +: xCols).map(col(_).isNotNull).reduce(_ && _))
+      .persist() // each IRLS iteration + the loss pass rescans it
+    try {
+      var beta = new Array[Double](k + 1)
+      val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+      var it = 0
+      var step = Double.MaxValue
+      while (it < iters && step > tol) {
+        val z = xs.zip(beta).map { case (x, b) => x * lit(b) }.reduce(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val w = p * (lit(1.0) - p)
+        val resid = col(yCol).cast("double") - p
+        val hess = for { i <- 0 to k; j <- i to k }
+          yield sum(w * xs(i) * xs(j)).as(s"h_${i}_$j")
+        val score = (0 to k).map(i => sum(xs(i) * resid).as(s"g_$i"))
+        val aggs = hess ++ score
+        val row = data.agg(aggs.head, aggs.tail: _*).head()
+        def d(name: String) = row.getDouble(row.fieldIndex(name))
+        val a = Array.tabulate(k + 1, k + 1) { (i, j) =>
+          val (lo, hi) = (math.min(i, j), math.max(i, j))
+          d(s"h_${lo}_$hi") + (if (i == j && i > 0) ridge else 0.0)
+        }
+        val g = Array.tabulate(k + 1)(i => d(s"g_$i") -
+          (if (i > 0) ridge * beta(i) else 0.0))
+        val delta = gaussSolve(a, g,
+          s"singular IRLS Hessian: predictors ${xCols.mkString(", ")} are " +
+            "collinear, or the classes separate perfectly (add ridge > 0)")
+        step = delta.map(math.abs).max
+        beta = beta.zip(delta).map { case (b, dd) => b + dd }
+        it += 1
       }
-      val g = Array.tabulate(k + 1)(i => d(s"g_$i") -
-        (if (i > 0) ridge * beta(i) else 0.0))
-      val delta = gaussSolve(a, g,
-        s"singular IRLS Hessian: predictors ${xCols.mkString(", ")} are " +
-          "collinear, or the classes separate perfectly (add ridge > 0)")
-      step = delta.map(math.abs).max
-      beta = beta.zip(delta).map { case (b, dd) => b + dd }
-      it += 1
-    }
-    val z = xs.zip(beta).map { case (x, b) => x * lit(b) }.reduce(_ + _)
-    val y = col(yCol).cast("double")
-    // log-loss via log1p(exp(·)) in its stable branch
-    val nll = when(z >= 0, (lit(1.0) - y) * z + log1p(exp(-z)))
-      .otherwise(-y * z + log1p(exp(z)))
-    val loss = df.agg((sum(nll) / count(lit(1L))).as("loss"))
-      .head().getDouble(0)
-    (termNames(xCols).zip(beta.toSeq), loss)
+      val z = xs.zip(beta).map { case (x, b) => x * lit(b) }.reduce(_ + _)
+      val y = col(yCol).cast("double")
+      // log-loss via log1p(exp(·)) in its stable branch
+      val nll = when(z >= 0, (lit(1.0) - y) * z + log1p(exp(-z)))
+        .otherwise(-y * z + log1p(exp(z)))
+      val loss = data.agg((sum(nll) / count(lit(1L))).as("loss"))
+        .head().getDouble(0)
+      (termNames(xCols).zip(beta.toSeq), loss)
+    } finally data.unpersist()
   }
 
   /** σ(xᵀβ) scoring projection from literal coefficients —

@@ -274,6 +274,24 @@ class RegressionSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("logisticFit fits complete cases only: NULL rows change nothing") {
+    val s = spark; import s.implicits._
+    def base = (1 to 200).map { i =>
+      val x = ((i % 21) - 10) / 2.0
+      val u = ((i * 2654435761L) % 1000003).toDouble / 1000003.0
+      (x, java.lang.Double.valueOf(
+        if (u < 1.0 / (1.0 + math.exp(1.0 - 2.0 * x))) 1.0 else 0.0))
+    }
+    val clean = base.toDF("x", "y")
+    val withNulls = base.toDF("x", "y")
+      .union(Seq((1.5, null.asInstanceOf[java.lang.Double]),
+        (-0.5, null.asInstanceOf[java.lang.Double])).toDF("x", "y"))
+    val (b1, l1) = Regression.logisticFit(clean, "y", Seq("x"))
+    val (b2, l2) = Regression.logisticFit(withNulls, "y", Seq("x"))
+    assert(b1 == b2 && l1 == l2) // NULL-label rows neither bias the
+    // Hessian nor deflate the mean loss
+  }
+
   test("logisticFit: ridge keeps perfectly separable classes finite") {
     val s = spark; import s.implicits._
     val df = (1 to 100).map { i =>
