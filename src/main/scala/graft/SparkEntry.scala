@@ -1840,7 +1840,9 @@ object SparkEntry {
       s"""WITH stats AS MATERIALIZED (
          |  SELECT l_returnflag,
          |       ${Regression.momentSqlSelect("l_extendedprice", xs)}
-         |  FROM lineitem GROUP BY l_returnflag)
+         |  FROM lineitem
+         |  WHERE ${Regression.completeCaseSql("l_extendedprice", xs)}
+         |  GROUP BY l_returnflag)
          |${cells.mkString("\nUNION ALL\n")}""".stripMargin
     },
 
@@ -1850,15 +1852,16 @@ object SparkEntry {
       val betaSel = Regression.cramerBetaSqls(2).zipWithIndex
         .map { case (b, i) => s"$b AS __b$i" }.mkString(",\n         ")
       val pred = Regression.predictionSql(xs, (0 to 2).map(i => s"__b$i"))
+      val cc = Regression.completeCaseSql("l_extendedprice", xs)
       s"""WITH stats AS MATERIALIZED (
          |  SELECT ${Regression.momentSqlSelect("l_extendedprice", xs)}
-         |  FROM lineitem),
+         |  FROM lineitem WHERE $cc),
          |betas AS (
          |  SELECT ${betaSel}
          |  FROM stats),
          |scored AS (
          |  SELECT l_extendedprice, ${Regression.roundSql(pred, 4)} AS __yhat
-         |  FROM lineitem CROSS JOIN betas)
+         |  FROM lineitem CROSS JOIN betas WHERE $cc)
          |${Regression.evalSql("l_extendedprice", 2, 4, 6)}""".stripMargin
     },
 
@@ -1874,7 +1877,10 @@ object SparkEntry {
          |  SELECT l_returnflag,
          |       ${Regression.momentSqlSelect("l_extendedprice", xs,
                    weight = Some(("l_quantity", 2)))}
-         |  FROM lineitem GROUP BY l_returnflag)
+         |  FROM lineitem
+         |  WHERE ${Regression.completeCaseSql("l_extendedprice", xs,
+                     weight = Some(("l_quantity", 2)))}
+         |  GROUP BY l_returnflag)
          |${cells.mkString("\nUNION ALL\n")}""".stripMargin
     },
 
@@ -1886,17 +1892,20 @@ object SparkEntry {
       val betaSel = Regression.cramerBetaSqls(2).zipWithIndex
         .map { case (b, i) => s"$b AS __b$i" }.mkString(",\n         ")
       val pred = Regression.predictionSql(xs, (0 to 2).map(i => s"__b$i"))
+      val cc = Regression.completeCaseSql("l_extendedprice", xs)
       s"""WITH stats AS MATERIALIZED (
          |  SELECT l_returnflag,
          |       ${Regression.momentSqlSelect("l_extendedprice", xs)}
-         |  FROM lineitem GROUP BY l_returnflag),
+         |  FROM lineitem WHERE $cc GROUP BY l_returnflag),
          |betas AS (
          |  SELECT l_returnflag, ${betaSel}
          |  FROM stats),
          |scored AS (
          |  SELECT l.l_returnflag, l_extendedprice,
          |         ${Regression.roundSql(pred, 4)} AS __yhat
-         |  FROM lineitem l JOIN betas b ON l.l_returnflag = b.l_returnflag)
+         |  FROM lineitem l JOIN betas b
+         |    ON l.l_returnflag IS NOT DISTINCT FROM b.l_returnflag
+         |  WHERE $cc)
          |${Regression.evalSqlBy(Seq("l_returnflag"), "l_extendedprice", 2, 4, 6)}""".stripMargin
     },
 
@@ -1917,13 +1926,14 @@ object SparkEntry {
          |  WHERE ($mix) % 100 >= 80),
          |stats AS MATERIALIZED (
          |  SELECT ${Regression.momentSqlSelect("value", xs)}
-         |  FROM tr),
+         |  FROM tr WHERE ${Regression.completeCaseSql("value", xs)}),
          |betas AS (
          |  SELECT ${betaSel}
          |  FROM stats),
          |scored AS (
          |  SELECT value, ${Regression.roundSql(pred, 4)} AS __yhat
-         |  FROM te CROSS JOIN betas)
+         |  FROM te CROSS JOIN betas
+         |  WHERE ${Regression.completeCaseSql("value", xs)})
          |${Regression.evalSql("value", 2, 4, 6)}""".stripMargin
     },
 
@@ -1938,7 +1948,8 @@ object SparkEntry {
       s"""WITH $featureFrameCtes,
          |stats AS MATERIALIZED (
          |  SELECT area, ${Regression.momentSqlSelect("price", xs)}
-         |  FROM cc GROUP BY area)
+         |  FROM cc WHERE ${Regression.completeCaseSql("price", xs)}
+         |  GROUP BY area)
          |${cells.mkString("\nUNION ALL\n")}""".stripMargin
     },
 

@@ -45,6 +45,23 @@ object Regression {
     * `__q{i}`. */
   def termNames(xCols: Seq[String]): Seq[String] = "intercept" +: xCols
 
+  /** Complete-case predicate shared by every fit/score path: a NULL
+    * label, feature, or weight would otherwise let `__n` count a row
+    * whose NULL-propagating sums skipped it, silently biasing every
+    * coefficient and metric (the exact hazard [[logisticFit]] already
+    * filters against). Spark column + oracle text twins. */
+  def completeCase(yCol: String, xCols: Seq[String],
+                   weight: Option[(String, Int)] = None): Column =
+    (yCol +: xCols) ++ weight.map(_._1) match {
+      case cs => cs.map(col(_).isNotNull).reduce(_ && _)
+    }
+
+  /** [[completeCase]] as ANSI SQL for the oracle CTEs. */
+  def completeCaseSql(yCol: String, xCols: Seq[String],
+                      weight: Option[(String, Int)] = None): String =
+    ((yCol +: xCols) ++ weight.map(_._1))
+      .map(c => s"$c IS NOT NULL").mkString(" AND ")
+
   /** The one-pass moment aggregation (Spark side). `yScale`/`xScale`
     * are the input columns' decimal scales (exact-sum contract).
     * With `weight = Some((wCol, wScale))` every sum is importance-
@@ -180,13 +197,16 @@ object Regression {
              yScale: Int = 2, xScale: Int = 2, betaScale: Int = 6): DataFrame =
     olsFitBy(df, Nil, yCol, xCols, yScale, xScale, betaScale)
 
-  /** The grouped moments frame (one row per group). */
+  /** The grouped moments frame (one row per group). Complete cases
+    * only ([[completeCase]]) — mirrored in every oracle CTE via
+    * [[completeCaseSql]]. */
   def momentsBy(df: DataFrame, keys: Seq[String], yCol: String,
                 xCols: Seq[String], yScale: Int = 2,
                 xScale: Int = 2,
                 weight: Option[(String, Int)] = None): DataFrame = {
     val aggs = momentAggs(yCol, xCols, yScale, xScale, weight)
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    df.filter(completeCase(yCol, xCols, weight))
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** General-k fit: moments → driver-side Gaussian elimination with
@@ -243,13 +263,16 @@ object Regression {
         acc + s" + (${xb._1} * ${xb._2})") + ")"
 
   /** Shuffle-free ŷ projection from literal (driver-solved or stored)
-    * coefficients. */
+    * coefficients. Built with Column arithmetic and `lit(beta)` (like
+    * [[predictProba]]) so non-finite coefficients stay representable —
+    * interpolating a NaN/Infinity double into SQL text would fail
+    * `expr()` parsing; [[predictionSql]] remains the oracle-text twin. */
   def predict(df: DataFrame, betas: Seq[(String, Double)], xCols: Seq[String],
               yhatCol: String = "yhat", predScale: Int = 4): DataFrame = {
     val m = betas.toMap
-    val refs = termNames(xCols).map(t => s"CAST(${m(t)} AS DOUBLE)")
-    df.withColumn(yhatCol,
-      expr(roundSql(predictionSql(xCols, refs), predScale)))
+    val yhat = (lit(m("intercept")) +:
+      xCols.map(c => col(c) * lit(m(c)))).reduce(_ + _)
+    df.withColumn(yhatCol, Exact.roundAt(yhat, predScale))
   }
 
   /** In-plan fit + predict + evaluate: one moments pass → betas
@@ -271,7 +294,8 @@ object Regression {
                 xCols: Seq[String], yScale: Int = 2, xScale: Int = 2,
                 predScale: Int = 4, metricScale: Int = 6): DataFrame = {
     val wide = betasWide(train, Nil, yCol, xCols, yScale, xScale)
-    val scored = test.crossJoin(broadcast(wide))
+    val scored = test.filter(completeCase(yCol, xCols))
+      .crossJoin(broadcast(wide))
       .withColumn("__yhat", yhatExpr(xCols, predScale))
     val aggs = metricAggs(yCol, yScale, predScale, metricScale)
     scored.agg(aggs.head, aggs.tail: _*)
@@ -280,14 +304,22 @@ object Regression {
   /** PER-GROUP fit + evaluate: one model AND one metric row per key
     * combination — the notebook's per-DK-area R² table in one plan
     * (grouped moments → per-group betas broadcast back on the keys →
-    * grouped metrics pass; the join is a plain broadcast equi-join,
-    * one row per group on the build side). */
+    * grouped metrics pass; the join is a broadcast NULL-SAFE
+    * equi-join (`<=>`), one row per group on the build side, so a
+    * NULL-key group gets the same metric row `momentsBy` fits a
+    * model for — consistent grouped output). */
   def fitEvalBy(df: DataFrame, keys: Seq[String], yCol: String,
                 xCols: Seq[String], yScale: Int = 2, xScale: Int = 2,
                 predScale: Int = 4, metricScale: Int = 6): DataFrame = {
     require(keys.nonEmpty, "use fitEval for the ungrouped case")
     val wide = betasWide(df, keys, yCol, xCols, yScale, xScale)
-    val scored = df.join(broadcast(wide), keys)
+    val l = df.filter(completeCase(yCol, xCols)).alias("__l")
+    val r = broadcast(wide).alias("__r")
+    val cond = keys.map(k => col(s"__l.$k") <=> col(s"__r.$k")).reduce(_ && _)
+    val scored = l.join(r, cond)
+      .select(keys.map(k => col(s"__l.$k").as(k)) ++
+        (yCol +: xCols).map(c => col(s"__l.$c")) ++
+        (0 to xCols.length).map(i => col(s"__r.__b$i")): _*)
       .withColumn("__yhat", yhatExpr(xCols, predScale))
     val aggs = metricAggs(yCol, yScale, predScale, metricScale)
     scored.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -309,18 +341,22 @@ object Regression {
       predScale))
 
   /** The shared metrics aggregation list — mirrors [[evalSql]]
-    * term-for-term. */
+    * term-for-term. The residual y − ŷ is exact at
+    * max(yScale, predScale), so the |e| sum carries that scale and
+    * the e² sum twice it — the exactness contract holds for any
+    * scale combination, not just the defaults. */
   private def metricAggs(yCol: String, yScale: Int, predScale: Int,
                          metricScale: Int): Seq[Column] = {
     val y = col(yCol); val e = y - col("__yhat")
+    val resScale = math.max(yScale, predScale)
     val n = count(lit(1L)).cast("double")
-    val ssRes = Exact.sumExact(e * e, 8)
+    val ssRes = Exact.sumExact(e * e, 2 * resScale)
     val ssTot = Exact.sumExact(y * y, 2 * yScale) -
       Exact.sumExact(y, yScale) * Exact.sumExact(y, yScale) / n
     Seq(
       n.as("n"),
       Exact.roundAt(sqrt(ssRes / n), metricScale).as("rmse"),
-      Exact.roundAt(Exact.sumExact(abs(e), predScale) / n, metricScale).as("mae"),
+      Exact.roundAt(Exact.sumExact(abs(e), resScale) / n, metricScale).as("mae"),
       Exact.roundAt(lit(1.0) - ssRes / ssTot, metricScale).as("r2"))
   }
 
@@ -349,8 +385,9 @@ object Regression {
   def evalSqlBy(keys: Seq[String], yCol: String, yScale: Int,
                 predScale: Int, metricScale: Int): String = {
     def s(x: String, sc: Int) = Exact.sumExactSql(x, sc)
+    val resScale = math.max(yScale, predScale)
     val n = "CAST(count(*) AS DOUBLE)"
-    val ssRes = s(s"($yCol - __yhat) * ($yCol - __yhat)", 8)
+    val ssRes = s(s"($yCol - __yhat) * ($yCol - __yhat)", 2 * resScale)
     val ssTot =
       s"${s(s"$yCol * $yCol", 2 * yScale)} - ${s(yCol, yScale)} * ${s(yCol, yScale)} / $n"
     val keySel = keys.map(k => s"$k,\n       ").mkString
@@ -358,7 +395,7 @@ object Regression {
       if (keys.isEmpty) "" else s"\nGROUP BY ${keys.mkString(", ")}"
     s"""SELECT $keySel$n AS n,
        |       ${roundSql(s"sqrt($ssRes / $n)", metricScale)} AS rmse,
-       |       ${roundSql(s"${s(s"abs($yCol - __yhat)", predScale)} / $n", metricScale)} AS mae,
+       |       ${roundSql(s"${s(s"abs($yCol - __yhat)", resScale)} / $n", metricScale)} AS mae,
        |       ${roundSql(s"1.0 - ($ssRes) / ($ssTot)", metricScale)} AS r2
        |FROM scored$groupBy""".stripMargin
   }

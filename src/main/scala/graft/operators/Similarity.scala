@@ -524,7 +524,8 @@ object Similarity {
       vecCol: String,
       nCells: Int,
       threshold: Double,
-      iters: Int = 0): DataFrame = {
+      iters: Int = 0,
+      maxCellSize: Long = 10000L): DataFrame = {
     val cents =
       if (iters > 0) kmeansCentroids(emb, idCol, vecCol, nCells, iters)
       else sampleCentroids(emb, idCol, vecCol, nCells)
@@ -535,6 +536,25 @@ object Similarity {
       // smallest centroid id), keeping null-vec docs auditable
       .withColumn("__cell",
         when(col("__v").isNotNull, bestCell(cents, col("__v"))))
+    // GIANT-CELL GUARD: the in-cell pair join below is deliberately
+    // quadratic per cell (Σ|cell|², the SemDeDup bound) — and real
+    // embedding distributions are heavily clustered, so ONE hot cell
+    // can silently go n². Measure the assignment first and fail fast
+    // with the offending cell, exactly like cohortOverlap's cap
+    // (Sketches.cohortOverlap). One cheap extra scan; the remedy is
+    // more cells (the paper's k ≈ √n regime) or `iters > 0` so
+    // k-means splits the dense region — or a deliberately raised cap.
+    val hot = a.filter(col("__cell").isNotNull)
+      .groupBy("__cell").agg(count(lit(1L)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__cell")).limit(1).collect()
+    hot.headOption.foreach { r =>
+      val (cell, cnt) = (r.getLong(0), r.getLong(1))
+      require(cnt <= maxCellSize,
+        s"semanticDedup pairs every two docs inside a cell — cell $cell holds " +
+          s"$cnt docs (> maxCellSize=$maxCellSize), ~${cnt * cnt / 2} pairs. " +
+          s"Raise nCells toward sqrt(n) (got $nCells), pass iters > 0 so " +
+          "k-means splits the dense region, or raise maxCellSize deliberately.")
+    }
     val dups = a.as("x").join(a.as("y"),
         col("x.__cell") === col("y.__cell") && col("x.__id") > col("y.__id"))
       .filter(Vectors.cosine(col("x.__v"), col("y.__v")) >= threshold)

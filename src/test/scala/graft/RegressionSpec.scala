@@ -303,6 +303,62 @@ class RegressionSpec extends SparkSpec {
     assert(m("x") > 0.0 && m("x").isFinite && m("intercept").isFinite)
   }
 
+  test("OLS fits complete cases only: NULL rows change nothing") {
+    val s = spark; import s.implicits._
+    def j(d: Double) = java.lang.Double.valueOf(d)
+    val nd = null.asInstanceOf[java.lang.Double]
+    val base = (1 to 40).map { i =>
+      val x1 = i.toDouble; val x2 = ((i * 7) % 13).toDouble
+      (j(x1), j(x2), j(2.0 + 3.0 * x1 - 0.5 * x2))
+    }
+    val clean = base.toDF("x1", "x2", "y")
+    // NULLs in every role: label, each feature
+    val withNulls = (base ++ Seq((j(5.0), j(1.0), nd),
+      (nd, j(2.0), j(9.0)), (j(3.0), nd, j(7.0)))).toDF("x1", "x2", "y")
+    val f1 = Regression.olsFit(clean, "y", Seq("x1", "x2")).collect().toSeq
+    val f2 = Regression.olsFit(withNulls, "y", Seq("x1", "x2")).collect().toSeq
+    assert(f1 == f2) // __n no longer counts rows whose sums skipped
+    val e1 = Regression.fitEval(clean, "y", Seq("x1", "x2")).head()
+    val e2 = Regression.fitEval(withNulls, "y", Seq("x1", "x2")).head()
+    assert(e1 == e2 && e1.getAs[Double]("n") == 40.0)
+  }
+
+  test("fitEvalBy keeps the NULL-key group (null-safe join), matching momentsBy") {
+    val s = spark; import s.implicits._
+    val df = (1 to 40).flatMap { i =>
+      val x1 = i.toDouble; val x2 = ((i * 7) % 13).toDouble
+      Seq((Option("a"), x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2),
+          (Option.empty[String], x1, x2, -1.0 + 0.5 * x1 + 4.0 * x2))
+    }.toDF("g", "x1", "x2", "y")
+    val out = Regression.fitEvalBy(df, Seq("g"), "y", Seq("x1", "x2"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getAs[Double]("n"), r.getAs[Double]("r2"))).toMap
+    assert(out.keySet == Set(Some("a"), None)) // NULL group present
+    assert(out(None) == ((40.0, 1.0)))         // and scored by ITS model
+    assert(out(Some("a")) == ((40.0, 1.0)))
+  }
+
+  test("predict survives non-finite stored coefficients (no SQL-text parse)") {
+    val s = spark; import s.implicits._
+    val df = Seq((2.0), (3.0)).toDF("x1")
+    // a NaN/Infinity beta interpolated into SQL text used to fail
+    // expr() with an unresolved identifier; lit(beta) represents it
+    val out = Regression.predict(df,
+      Seq("intercept" -> Double.NaN, "x1" -> Double.PositiveInfinity),
+      Seq("x1")).select("yhat").collect()
+    assert(out.length == 2) // plans + executes; no parse exception
+  }
+
+  test("metric residual scales derive from max(yScale, predScale): exactness holds off-default") {
+    // predScale=6 > the old hardcoded assumption; a perfect 6dp fit
+    // must still score exactly (0, 0, 1)
+    val row = Regression.fitEval(planted, "y", Seq("x1", "x2"),
+      yScale = 3, predScale = 6).head()
+    assert(row.getAs[Double]("rmse") == 0.0)
+    assert(row.getAs[Double]("mae") == 0.0)
+    assert(row.getAs[Double]("r2") == 1.0)
+  }
+
   test("notebook closure: per-area price model fits on the feature frame") {
     val frame = operators.FeatureMatrix.hourlyFrame(
       Tables.events(spark, sf("sf0.001")))

@@ -267,4 +267,25 @@ class SimilaritySpec extends SparkSpec {
       .filter("vec_id = 9").collect().head
     assert(r9.isNullAt(1) && r9.getLong(2) == 0L && r9.getBoolean(3))
   }
+
+  test("semanticDedup giant-cell guard: a planted hot cell fails fast, naming it") {
+    // 60 identical vectors: cosine ties to both centroids resolve to
+    // the smaller cell id, so ALL land in one cell — with maxCellSize
+    // below that, the in-cell pair join would go quadratic on the hot
+    // cell; the guard must trip BEFORE the join runs, with the
+    // measured count in the message
+    val emb = spark.createDataFrame((1 to 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == 0) 1f else 0f))
+    }).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 2, threshold = 0.99, maxCellSize = 50L)
+    }
+    assert(e.getMessage.contains("maxCellSize=50"), e.getMessage)
+    assert(e.getMessage.contains("60 docs"), e.getMessage)
+    // a deliberately raised cap runs the same input to completion
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nCells = 2, threshold = 0.999999, maxCellSize = 60L)
+    assert(out.count() == 60)
+  }
 }
