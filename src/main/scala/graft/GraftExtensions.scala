@@ -77,6 +77,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
   private def litInt(e: Expression, what: String): Int =
     litLong(e, what).toInt
+  private def litBool(e: Expression, what: String): Boolean =
+    litVal(e, what) match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$what must be a boolean literal, got '$other'")
+    }
   private def litDouble(e: Expression, what: String): Double = litVal(e, what) match {
     case d: Double => d
     case f: Float => f.toDouble
@@ -377,13 +383,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_view_refresh_corr",
-      "graft_view_refresh_corr(srcDir, viewDir, groupKeysCsv, colsCsv) - one maintenance tick of the correlation-matrix moment-stats view (see IncrementalViews.refreshCorrMatrix); returns the folded source versions, one row each") {
+      "graft_view_refresh_corr(srcDir, viewDir, groupKeysCsv, colsCsv[, wCol, wScale]) - one maintenance tick of the correlation-matrix moment-stats view; with wCol/wScale the view folds WEIGHTED moments servable as WLS models (see IncrementalViews.refreshCorrMatrix); returns the folded source versions, one row each") {
       (s, a) =>
-        require(a.length == 4,
-          "graft_view_refresh_corr takes (srcDir, viewDir, groupKeysCsv, colsCsv)")
+        require(a.length == 4 || a.length == 6,
+          "graft_view_refresh_corr takes (srcDir, viewDir, groupKeysCsv, colsCsv[, wCol, wScale])")
+        val weight = if (a.length == 6)
+          Some((litStr(a(4), "wCol"), litInt(a(5), "wScale"))) else None
         val folded = sources.IncrementalViews.refreshCorrMatrix(s,
           litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
-          csvArg(a(2), "groupKeysCsv"), csvArg(a(3), "colsCsv"))
+          csvArg(a(2), "groupKeysCsv"), csvArg(a(3), "colsCsv"),
+          weight = weight)
         import scala.jdk.CollectionConverters._
         s.createDataFrame(
           folded.map(v => org.apache.spark.sql.Row(v)).asJava,
@@ -401,6 +410,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           csvArg(a(1), "groupKeysCsv"), csvArg(a(2), "colsCsv"))
     }
 
+    tvf("graft_corr_pairwise",
+      "graft_corr_pairwise(table, colsCsv[, keysCsv]) - pandas-semantics PAIRWISE-complete Pearson matrix (each cell over the rows where both of its columns are non-null) as (keys..., col_x, col_y, corr_v) (see operators.Relational.corrMatrixPairwiseBy)") {
+      (s, a) =>
+        require(a.length == 2 || a.length == 3,
+          "graft_corr_pairwise takes (table, colsCsv[, keysCsv])")
+        val keys = if (a.length == 3) csvArg(a(2), "keysCsv") else Nil
+        operators.Relational.corrMatrixPairwiseBy(
+          s.table(litStr(a(0), "table")), keys, csvArg(a(1), "colsCsv"))
+    }
+
+    tvf("graft_logistic_fit",
+      "graft_logistic_fit(table, yCol, xColsCsv, keysCsv[, ridge]) - per-group logistic regression via batched IRLS (one aggregation per Newton step for all groups) as (keys..., term, beta, loss) (see operators.Regression.logisticFitBy)") {
+      (s, a) =>
+        require(a.length == 4 || a.length == 5,
+          "graft_logistic_fit takes (table, yCol, xColsCsv, keysCsv[, ridge])")
+        val ridge = if (a.length == 5) litDouble(a(4), "ridge") else 0.0
+        operators.Regression.logisticFitBy(s.table(litStr(a(0), "table")),
+          csvArg(a(3), "keysCsv"), litStr(a(1), "yCol"),
+          csvArg(a(2), "xColsCsv"), ridge = ridge)
+    }
+
     tvf("graft_ols_fit",
       "graft_ols_fit(table, yCol, xColsCsv[, keysCsv[, ridge]]) - per-group OLS/ridge regression solved in the plan (<= 3 predictors + intercept) as (keys..., term, beta) (see operators.Regression.olsFitBy)") {
       (s, a) =>
@@ -413,13 +443,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_ols_model",
-      "graft_ols_model(viewDir, groupKeysCsv, colsCsv, yCol, xColsCsv) - the continuously-maintained regression model served from the moment-stats view as (groupKeys..., term, beta) (see IncrementalViews.readOlsModel)") {
+      "graft_ols_model(viewDir, groupKeysCsv, colsCsv, yCol, xColsCsv[, weighted]) - the continuously-maintained regression model served from the moment-stats view as (groupKeys..., term, beta); weighted=true serves WLS from a weight-built view (see IncrementalViews.readOlsModel)") {
       (s, a) =>
-        require(a.length == 5,
-          "graft_ols_model takes (viewDir, groupKeysCsv, colsCsv, yCol, xColsCsv)")
+        require(a.length == 5 || a.length == 6,
+          "graft_ols_model takes (viewDir, groupKeysCsv, colsCsv, yCol, xColsCsv[, weighted])")
+        val weighted = a.length == 6 && litBool(a(5), "weighted")
         sources.IncrementalViews.readOlsModel(s, litStr(a(0), "viewDir"),
           csvArg(a(1), "groupKeysCsv"), csvArg(a(2), "colsCsv"),
-          litStr(a(3), "yCol"), csvArg(a(4), "xColsCsv"))
+          litStr(a(3), "yCol"), csvArg(a(4), "xColsCsv"),
+          weighted = weighted)
     }
 
     tvf("graft_ols_eval",

@@ -362,6 +362,18 @@ object SparkEntry {
     "q_corr_matrix" -> ((s, dir) =>
       Relational.corrMatrix(Tables.lineitem(s, dir), corrMatrixCols)),
 
+    // pandas `.corr()` semantics: each cell over the rows where BOTH
+    // of ITS columns are non-null (pairwise-complete), exercised on
+    // deterministically-injected NULL bands so listwise and pairwise
+    // genuinely differ — still one aggregation pass (O(k²) buffer).
+    "q_corr_pairwise" -> ((s, dir) =>
+      Relational.corrMatrixPairwise(
+        Tables.lineitem(s, dir).select(
+          when(col("l_orderkey") % 7 =!= 2, col("l_quantity")).as("qty"),
+          when(col("l_partkey") % 5 =!= 3, col("l_extendedprice")).as("price"),
+          col("l_discount").as("disc")),
+        Seq("qty", "price", "disc"))),
+
     // The notebook's END-TO-END feature matrix (price_prediction.ipynb
     // cells 6-14) as one verified composition: four per-source hourly
     // series -> DK-area derivation -> outer datetime merge -> forward
@@ -1802,6 +1814,44 @@ object SparkEntry {
          |  SELECT CAST(count(*) AS DOUBLE) AS n,
          |         ${(sums ++ prods).mkString(",\n         ")}
          |  FROM lineitem)
+         |${cells.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // Pairwise-complete matrix: per-pair conditional moments (the
+    // same CASE-guarded exact sums Spark's when()-guarded sums fold),
+    // same cell formula text as q_corr_matrix per pair.
+    "q_corr_pairwise" -> {
+      val cs = Seq("qty", "price", "disc")
+      def both(i: Int, j: Int) =
+        s"${cs(i)} IS NOT NULL AND ${cs(j)} IS NOT NULL"
+      val pairAggs = (for { i <- cs.indices; j <- i until cs.length } yield {
+        val b = both(i, j)
+        Seq(
+          s"CAST(count(CASE WHEN $b THEN 1 END) AS DOUBLE) AS n_${i}_$j",
+          s"${sqlSum(s"CASE WHEN $b THEN ${cs(i)} END")} AS a_${i}_$j",
+          s"${sqlSum(s"CASE WHEN $b THEN ${cs(j)} END")} AS b_${i}_$j",
+          s"${sqlSum(s"CASE WHEN $b THEN ${cs(i)} * ${cs(j)} END", 4)} AS p_${i}_$j",
+          s"${sqlSum(s"CASE WHEN $b THEN ${cs(i)} * ${cs(i)} END", 4)} AS u_${i}_$j",
+          s"${sqlSum(s"CASE WHEN $b THEN ${cs(j)} * ${cs(j)} END", 4)} AS v_${i}_$j")
+      }).flatten
+      val cells = for { i <- cs.indices; j <- cs.indices } yield {
+        val (lo, hi) = (math.min(i, j), math.max(i, j))
+        val (sx, sy, ux, vy) =
+          if (i <= j) (s"a_${lo}_$hi", s"b_${lo}_$hi", s"u_${lo}_$hi", s"v_${lo}_$hi")
+          else (s"b_${lo}_$hi", s"a_${lo}_$hi", s"v_${lo}_$hi", s"u_${lo}_$hi")
+        val (n, p) = (s"n_${lo}_$hi", s"p_${lo}_$hi")
+        s"""SELECT '${cs(i)}' AS col_x, '${cs(j)}' AS col_y,
+           |  ($n * $p - $sx * $sy) / sqrt(($n * $ux - $sx * $sx) * ($n * $vy - $sy * $sy)) AS corr_v
+           |FROM stats""".stripMargin
+      }
+      s"""WITH base AS (
+         |  SELECT CASE WHEN l_orderkey % 7 <> 2 THEN l_quantity END AS qty,
+         |         CASE WHEN l_partkey % 5 <> 3 THEN l_extendedprice END AS price,
+         |         l_discount AS disc
+         |  FROM lineitem),
+         |stats AS MATERIALIZED (
+         |  SELECT ${pairAggs.mkString(",\n         ")}
+         |  FROM base)
          |${cells.mkString("\nUNION ALL\n")}""".stripMargin
     },
 

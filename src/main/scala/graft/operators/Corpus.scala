@@ -408,7 +408,10 @@ object Corpus {
     val c = carryIn
       .withColumnRenamed(domainCol, "__cd")
       .withColumnRenamed("__bucket", "__cb")
-    base.join(c, col(domainCol) <=> col("__cd") &&
+    // the carry table is domains × buckets rows — tiny by
+    // construction; pin the broadcast rather than trusting AQE's
+    // runtime size estimate of a windowed aggregate
+    base.join(broadcast(c), col(domainCol) <=> col("__cd") &&
         col("__bucket") <=> col("__cb"))
       .withColumn("cum_before",
         col("__carry") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
@@ -665,5 +668,91 @@ object Corpus {
     merges.sortBy(_._1).foldLeft(init) { case (d, (_, a, b)) =>
       d.withColumn("pieces", applyMerge(col("pieces"), a, b))
     }
+  }
+
+  /** PRODUCTION-VOCABULARY encoder: same contract and output as
+    * [[bpeEncode]], but the merge table rides a broadcast and each
+    * word is encoded imperatively per partition — the sanctioned
+    * `mapPartitions` last resort, because a 50k-merge vocabulary
+    * cannot be built as 50k nested fold expressions (the plan itself
+    * becomes the bottleneck: analysis is quadratic in plan size and
+    * codegen hits the JVM method limit long before that).
+    *
+    * EXACT parity with the folded-HOF plan (spec-asserted): ranks are
+    * processed in strictly increasing order, each as one greedy
+    * left-to-right non-overlapping pass — and instead of walking all
+    * 50k ranks per word, each step finds the SMALLEST not-yet-visited
+    * rank actually present among the word's adjacent pairs (hash
+    * lookups against the broadcast map). A merge only ever creates
+    * pairs the sequential semantics would see later, so skipping
+    * absent ranks changes nothing; cost is O(len²) per word with tiny
+    * constants, independent of vocabulary size.
+    *
+    * Scale: shuffle-free narrow transform; the broadcast is one
+    * ~MB-scale map per executor, the per-row work is allocation-light
+    * imperative Scala — the shape a 100 TB tokenization pass needs. */
+  def bpeEncodeBroadcast(df: DataFrame, idCol: String, textCol: String,
+                         merges: Seq[(Int, String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val pairRank = merges.map { case (r, a, b) => ((a, b), r) }.toMap
+    val rankPair = merges.map { case (r, a, b) => (r, (a, b)) }.toMap
+    val bc = spark.sparkContext.broadcast((pairRank, rankPair))
+    val tok = df
+      .select(col(idCol), posexplode(Text.tokens(col(textCol))))
+      .withColumnRenamed("pos", "word_pos")
+      .withColumnRenamed("col", "word")
+      .filter(length(col("word")) > 0)
+    val wordIdx = tok.schema.fieldIndex("word")
+    val outSchema = tok.schema.add("pieces",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    tok.mapPartitions { it =>
+      val (ranks, pairs) = bc.value
+      it.map { row =>
+        val pieces = encodeWord(row.getString(wordIdx), ranks, pairs)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pieces)
+      }
+    }(enc)
+  }
+
+  /** One word through the rank-ordered greedy merges — the imperative
+    * twin of the [[applyMerge]] fold chain. Char split parity: Spark's
+    * `split(w, "")` yields one element per char with NO trailing empty
+    * (measured) — Java's limit-0 split, not limit −1. */
+  private def encodeWord(word: String,
+                         ranks: Map[(String, String), Int],
+                         pairs: Map[Int, (String, String)]): Seq[String] = {
+    var sym: Array[String] = word.split("")
+    var current = 0
+    var done = false
+    while (!done && sym.length > 1) {
+      // smallest not-yet-visited rank present among adjacent pairs
+      var best = Int.MaxValue
+      var i = 0
+      while (i < sym.length - 1) {
+        ranks.get((sym(i), sym(i + 1))) match {
+          case Some(r) if r >= current && r < best => best = r
+          case _ =>
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = pairs(best)
+        // one greedy left-to-right pass: acc.last==a && next==b → a+b
+        val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
+        var j = 0
+        while (j < sym.length) {
+          if (out.nonEmpty && out.last == a && sym(j) == b)
+            out(out.length - 1) = a + b
+          else out += sym(j)
+          j += 1
+        }
+        sym = out.toArray
+        current = best + 1
+      }
+    }
+    sym.toSeq
   }
 }

@@ -33,12 +33,16 @@ import graft.functions.Exact
   * driver-sized detail, not a skew hazard. The correlation is one
   * further aggregation pass (k + k(k+1)/2 exact sums per area).
   *
-  * Fidelity note: pandas `.corr()` uses pairwise-complete rows; this
-  * uses listwise-complete (rows where every filled series exists).
-  * After a forward fill the two differ only in each area's leading
-  * rows (before a series' first observation), and listwise keeps the
-  * matrix a single exact-sum pass that two engines reproduce
-  * bit-for-bit.
+  * Fidelity note: pandas `.corr()` uses pairwise-complete rows;
+  * [[corrByArea]] uses listwise-complete (rows where every filled
+  * series exists). After a forward fill the two differ only in each
+  * area's leading rows (before a series' first observation), and
+  * listwise keeps the matrix a single exact-sum pass that two engines
+  * reproduce bit-for-bit. [[corrByAreaPairwise]] is the exact
+  * `.corr()` replay — per-pair complete rows over the UNfiltered
+  * filled frame ([[Relational.corrMatrixPairwiseBy]], still one
+  * pass) — for users who need the leading-edge cells to match pandas
+  * bit-for-bit too.
   */
 object FeatureMatrix {
 
@@ -60,7 +64,15 @@ object FeatureMatrix {
     * keyed like its datetime index with the derived DK area.
     * Consumption aggregates as a SUM (the notebook sums kWh across
     * municipalities); the other series as exact means. */
-  def hourlyFrame(events: DataFrame): DataFrame = {
+  def hourlyFrame(events: DataFrame): DataFrame =
+    hourlyFrameAll(events)
+      .filter(SeriesCols.map(col(_).isNotNull).reduce(_ && _))
+
+  /** The filled frame WITHOUT the trailing complete-case filter:
+    * still carrying each area's leading-edge NULLs (hours before a
+    * series' first observation) — the exact frame pandas' `.corr()`
+    * sees. */
+  def hourlyFrameAll(events: DataFrame): DataFrame = {
     val src = events.select(
       date_trunc("hour", col("ts")).as("hour"),
       when(col("user_id") % 2 === 0, lit("1")).otherwise(lit("2")).as("area"),
@@ -80,12 +92,18 @@ object FeatureMatrix {
       .select("hour", "area").distinct()
     val merged = all.foldLeft(spine)((acc, s) =>
       acc.join(s, Seq("hour", "area"), "left"))
-    val filled = Relational.forwardFill(merged, Seq("area"), "hour", SeriesCols)
-    filled.filter(SeriesCols.map(col(_).isNotNull).reduce(_ && _))
+    Relational.forwardFill(merged, Seq("area"), "hour", SeriesCols)
   }
 
   /** The notebook's final artifact: the per-area correlation matrix of
     * the filled feature frame, as `(area, col_x, col_y, corr_v)`. */
   def corrByArea(events: DataFrame): DataFrame =
     Relational.corrMatrixBy(hourlyFrame(events), Seq("area"), SeriesCols)
+
+  /** pandas-semantics twin: per-pair complete rows over the unfiltered
+    * filled frame — matches `.corr()` on frames with late-starting
+    * series, leading-edge cells included. */
+  def corrByAreaPairwise(events: DataFrame): DataFrame =
+    Relational.corrMatrixPairwiseBy(hourlyFrameAll(events), Seq("area"),
+      SeriesCols)
 }

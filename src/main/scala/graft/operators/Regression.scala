@@ -479,6 +479,118 @@ object Regression {
     } finally data.unpersist()
   }
 
+  /** PER-GROUP logistic regression — the per-domain quality-classifier
+    * shape (one "keep/drop" model per source domain): IRLS for every
+    * key combination simultaneously, ONE distributed aggregation per
+    * Newton iteration for ALL groups.
+    *
+    * Each iteration: the current per-group coefficients (bounded
+    * driver metadata — `maxGroups` × (k+1) doubles) ride back in as a
+    * broadcast table, NULL-SAFE-joined on the keys (a NULL-key group
+    * trains like any other, the [[fitEvalBy]] convention); the row
+    * projection computes p and w in codegen; one `groupBy(keys)`
+    * aggregation ships every group's (k+1)(k+2)/2 + (k+1) weighted
+    * moments — O(groups × k²) state, independent of rows — and the
+    * driver takes one Newton step per group ([[gaussSolve]]; a
+    * singular group fails loudly NAMING the group). Iterates until
+    * every group's step falls below `tol` or `iters` is reached; a
+    * converged group's step is ~0, so late groups cost nothing extra.
+    *
+    * Returns `(keys…, term, beta, loss)` — per-group coefficients
+    * with the group's final mean log-loss on each term row. Complete
+    * cases only, like [[logisticFit]]; doubles, so spec-verified
+    * (planted per-group recovery), not hash-oracled. */
+  def logisticFitBy(df: DataFrame, keys: Seq[String], yCol: String,
+                    xCols: Seq[String], iters: Int = 12,
+                    ridge: Double = 0.0, tol: Double = 1e-9,
+                    maxGroups: Int = 10000): DataFrame = {
+    require(keys.nonEmpty, "use logisticFit for the ungrouped case")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val spark = df.sparkSession
+    val k = xCols.length
+    val data = df.filter(completeCase(yCol, xCols)).persist()
+    try {
+      val keySchema = StructType(keys.map(kc => data.schema(kc)))
+      val keyRows = data.select(keys.map(col): _*).distinct().collect()
+      require(keyRows.length <= maxGroups,
+        s"logisticFitBy solves one Newton system per group on the driver — " +
+          s"${keyRows.length} groups exceed maxGroups=$maxGroups; coarsen the " +
+          "keys or raise the cap deliberately")
+      val groups = keyRows.map(_.toSeq)
+      val betas = scala.collection.mutable.Map[Seq[Any], Array[Double]](
+        groups.map(g => g -> new Array[Double](k + 1)): _*)
+      val bSchema = StructType(keySchema.fields ++
+        (0 to k).map(i => StructField(s"__b$i", DoubleType, nullable = false)))
+      def joinedWithBetas(): DataFrame = {
+        val bRows: java.util.List[Row] = java.util.Arrays.asList(
+          groups.map(g => Row.fromSeq(g ++ betas(g).toSeq)): _*)
+        val l = data.alias("__l")
+        val r = broadcast(spark.createDataFrame(bRows, bSchema)).alias("__r")
+        val cond = keys.map(kc =>
+          col(s"__l.$kc") <=> col(s"__r.$kc")).reduce(_ && _)
+        l.join(r, cond).select(
+          keys.map(kc => col(s"__l.$kc").as(kc)) ++
+            (yCol +: xCols).map(c => col(s"__l.$c")) ++
+            (0 to k).map(i => col(s"__r.__b$i")): _*)
+      }
+      val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+      val zExpr: Column =
+        xs.zipWithIndex.map { case (x, i) => x * col(s"__b$i") }.reduce(_ + _)
+      var it = 0
+      var step = Double.MaxValue
+      while (it < iters && step > tol) {
+        val joined = joinedWithBetas()
+        val z = zExpr
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val w = p * (lit(1.0) - p)
+        val resid = col(yCol).cast("double") - p
+        val hess = for { i <- 0 to k; j <- i to k }
+          yield sum(w * xs(i) * xs(j)).as(s"h_${i}_$j")
+        val score = (0 to k).map(i => sum(xs(i) * resid).as(s"g_$i"))
+        val aggs = hess ++ score
+        val moments = joined.groupBy(keys.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*).collect()
+        step = 0.0
+        moments.foreach { row =>
+          val g = row.toSeq.take(keys.length)
+          def d(name: String) = row.getDouble(row.fieldIndex(name))
+          val beta = betas(g)
+          val a = Array.tabulate(k + 1, k + 1) { (i, j) =>
+            val (lo, hi) = (math.min(i, j), math.max(i, j))
+            d(s"h_${lo}_$hi") + (if (i == j && i > 0) ridge else 0.0)
+          }
+          val grad = Array.tabulate(k + 1)(i => d(s"g_$i") -
+            (if (i > 0) ridge * beta(i) else 0.0))
+          val delta = gaussSolve(a, grad,
+            s"singular IRLS Hessian in group (${g.mkString(", ")}): predictors " +
+              s"${xCols.mkString(", ")} are collinear there, or that group's " +
+              "classes separate perfectly (add ridge > 0)")
+          step = math.max(step, delta.map(math.abs).max)
+          betas(g) = beta.zip(delta).map { case (b, dd) => b + dd }
+        }
+        it += 1
+      }
+      // one grouped loss pass on the final coefficients
+      val joined = joinedWithBetas()
+      val z = zExpr
+      val y = col(yCol).cast("double")
+      val nll = when(z >= 0, (lit(1.0) - y) * z + log1p(exp(-z)))
+        .otherwise(-y * z + log1p(exp(z)))
+      val lossMap = joined.groupBy(keys.map(col): _*)
+        .agg((sum(nll) / count(lit(1L))).as("__loss")).collect()
+        .map(r => r.toSeq.take(keys.length) -> r.getDouble(keys.length)).toMap
+      val outSchema = StructType(keySchema.fields ++ Seq(
+        StructField("term", StringType, nullable = false),
+        StructField("beta", DoubleType, nullable = false),
+        StructField("loss", DoubleType, nullable = false)))
+      val outRows: java.util.List[Row] = java.util.Arrays.asList(
+        (for { g <- groups; (t, b) <- termNames(xCols).zip(betas(g).toSeq) }
+          yield Row.fromSeq(g ++ Seq(t, b, lossMap(g)))): _*)
+      spark.createDataFrame(outRows, outSchema)
+    } finally data.unpersist()
+  }
+
   /** σ(xᵀβ) scoring projection from literal coefficients —
     * shuffle-free, codegen. */
   def predictProba(df: DataFrame, betas: Seq[(String, Double)],

@@ -496,6 +496,67 @@ object Relational {
         Seq(col("cell.col_x"), col("cell.col_y"), col("cell.corr_v"))): _*)
   }
 
+  /** PAIRWISE-COMPLETE correlation matrix — pandas `.corr()`
+    * semantics: each (cᵢ, cⱼ) cell uses every row where BOTH columns
+    * are non-null, independently per pair, instead of
+    * [[corrMatrixBy]]'s listwise rows. On a frame with late-starting
+    * series (the notebook's hourly feature frame before a series'
+    * first observation) the two differ exactly on those leading-edge
+    * cells — this is the bit-for-bit `.corr()` replay.
+    *
+    * Still ONE aggregation pass over one scan: per unordered pair the
+    * agg carries (n, Σcᵢ, Σcⱼ, Σcᵢcⱼ, Σcᵢ², Σcⱼ²) as conditional
+    * exact sums (`when(both non-null)` — NULL rows drop out of count
+    * and sums alike), a 6·k(k+1)/2 ≈ O(k²) buffer independent of row
+    * count, and the k×k cells stay a pure projection. A pair with no
+    * complete rows (or zero variance) yields NULL, as pandas' NaN. */
+  def corrMatrixPairwise(df: DataFrame, cols: Seq[String],
+                         scale: Int = 2): DataFrame =
+    corrMatrixPairwiseBy(df, Nil, cols, scale)
+
+  /** [[corrMatrixPairwise]] per group — one matrix per key
+    * combination, same single-pass discipline as [[corrMatrixBy]]. */
+  def corrMatrixPairwiseBy(df: DataFrame, keys: Seq[String],
+                           cols: Seq[String], scale: Int = 2): DataFrame = {
+    val pairs = for { i <- cols.indices; j <- i until cols.length } yield (i, j)
+    def both(i: Int, j: Int) =
+      col(cols(i)).isNotNull && col(cols(j)).isNotNull
+    val aggs = pairs.flatMap { case (i, j) =>
+      val ci = when(both(i, j), col(cols(i)))
+      val cj = when(both(i, j), col(cols(j)))
+      Seq(
+        count(when(both(i, j), lit(1L))).cast("double").as(s"n_${i}_$j"),
+        Exact.sumExact(ci, scale).as(s"a_${i}_$j"),
+        Exact.sumExact(cj, scale).as(s"b_${i}_$j"),
+        Exact.sumExact(ci * cj, 2 * scale).as(s"p_${i}_$j"),
+        Exact.sumExact(ci * ci, 2 * scale).as(s"u_${i}_$j"),
+        Exact.sumExact(cj * cj, 2 * scale).as(s"v_${i}_$j"))
+    }
+    val stats = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // ordered cell (i, j) reads the unordered pair's stats; when the
+    // order is swapped, cᵢ plays the b/v role
+    val cells = for { i <- cols.indices; j <- cols.indices } yield {
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      val (sx, sy, ux, vy) =
+        if (i <= j)
+          (col(s"a_${lo}_$hi"), col(s"b_${lo}_$hi"),
+            col(s"u_${lo}_$hi"), col(s"v_${lo}_$hi"))
+        else
+          (col(s"b_${lo}_$hi"), col(s"a_${lo}_$hi"),
+            col(s"v_${lo}_$hi"), col(s"u_${lo}_$hi"))
+      val n = col(s"n_${lo}_$hi")
+      val p = col(s"p_${lo}_$hi")
+      struct(
+        lit(cols(i)).as("col_x"),
+        lit(cols(j)).as("col_y"),
+        ((n * p - sx * sy) /
+          sqrt((n * ux - sx * sx) * (n * vy - sy * sy))).as("corr_v"))
+    }
+    stats.select((keys.map(col) :+ explode(array(cells: _*)).as("cell")): _*)
+      .select((keys.map(col) ++
+        Seq(col("cell.col_x"), col("cell.col_y"), col("cell.corr_v"))): _*)
+  }
+
   /** Batch max-gap sessionization — the batch twin of the streaming
     * `session_window` agg (#4): an event starts a new session for its
     * user when the gap since the user's previous event exceeds

@@ -845,33 +845,61 @@ object IncrementalViews {
   def refreshCorrMatrix(spark: SparkSession, srcDir: String,
                         viewDir: String, groupKeys: Seq[String],
                         cols: Seq[String], scale: Int = 2,
-                        where: Option[Column] = None): Seq[Long] = {
+                        where: Option[Column] = None,
+                        weight: Option[(String, Int)] = None): Seq[Long] = {
     // groupKeys = Nil is the notebook's exact shape (ONE global
     // matrix): the agg-view machinery needs a key, so a constant one
     // rides inside the lens and readCorrMatrix hides it again
     val keys = if (groupKeys.nonEmpty) groupKeys else Seq(GlobalKey)
+    val ws = weight.map(_._2).getOrElse(0)
     val lens: DataFrame => DataFrame =
-      if (groupKeys.nonEmpty) corrLens(cols, scale)
-      else df => corrLens(cols, scale)(df.withColumn(GlobalKey, lit(0L)))
-    refreshAgg(spark, srcDir, viewDir, keys, corrSumCols(cols),
-      sumScale = 2 * scale, where = where, transform = Some(lens))
+      if (groupKeys.nonEmpty) corrLens(cols, scale, weight)
+      else df => corrLens(cols, scale, weight)(
+        df.withColumn(GlobalKey, lit(0L)))
+    refreshAgg(spark, srcDir, viewDir, keys,
+      corrSumCols(cols, weight.isDefined),
+      sumScale = ws + 2 * scale, where = where, transform = Some(lens))
   }
 
   /** Synthetic key backing a GLOBAL (ungrouped) stats view. */
   private val GlobalKey = "__global"
 
-  private def corrSumCols(cols: Seq[String]): Seq[String] =
-    cols.map(c => s"__cs_$c") ++
+  private def corrSumCols(cols: Seq[String],
+                          weighted: Boolean = false): Seq[String] =
+    (if (weighted) Seq("__cw") else Nil) ++
+      cols.map(c => s"__cs_$c") ++
       (for { i <- cols.indices; j <- i until cols.length }
         yield s"__cp_${i}_$j")
 
-  private def corrLens(cols: Seq[String], scale: Int)
+  /** The per-row moment columns the stats view folds. Weighted
+    * (`weight = Some((wCol, wScale))`): every sum/product carries the
+    * per-row weight factor and an extra `__cw` = w column makes Σw
+    * servable as the weighted `__n` — the WLS normal-equation moments
+    * (graft.operators.Regression.momentAggs with the same weight).
+    * Each single sum is PRE-CAST to its exact decimal scale here
+    * (ws+scale), because the view's one shared sum scale (ws+2·scale)
+    * would otherwise round the IEEE product at a different scale than
+    * the batch fit does — the widening from the pre-cast decimal to
+    * the sum decimal is exact, so bit-parity with the batch moments
+    * survives the shared scale. */
+  private def corrLens(cols: Seq[String], scale: Int,
+                       weight: Option[(String, Int)] = None)
       : DataFrame => DataFrame = df => {
-    val withS = cols.foldLeft(df)((d, c) =>
-      d.withColumn(s"__cs_$c", col(c).cast(s"decimal(30,$scale)")))
+    val ws = weight.map(_._2).getOrElse(0)
+    def weighted(c: Column): Column =
+      weight.map { case (wc, _) => col(wc) * c }.getOrElse(c)
+    val base = weight match {
+      case Some((wc, sc)) =>
+        df.withColumn("__cw", col(wc).cast(s"decimal(30,$sc)"))
+      case None => df
+    }
+    val withS = cols.foldLeft(base)((d, c) =>
+      d.withColumn(s"__cs_$c",
+        weighted(col(c)).cast(s"decimal(30,${ws + scale})")))
     (for { i <- cols.indices; j <- i until cols.length } yield (i, j))
       .foldLeft(withS) { case (d, (i, j)) =>
-        d.withColumn(s"__cp_${i}_$j", col(cols(i)) * col(cols(j))) }
+        d.withColumn(s"__cp_${i}_$j",
+          weighted(col(cols(i))) * col(cols(j))) }
   }
 
   /** [[refreshCorrMatrix]] driven by the source's change feed. */
@@ -879,12 +907,14 @@ object IncrementalViews {
                          viewDir: String, groupKeys: Seq[String],
                          cols: Seq[String], scale: Int = 2,
                          where: Option[Column] = None,
+                         weight: Option[(String, Int)] = None,
                          checkpointDir: String,
                          trigger: org.apache.spark.sql.streaming.Trigger =
                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
-      refreshCorrMatrix(spark, srcDir, viewDir, groupKeys, cols, scale, where)
+      refreshCorrMatrix(spark, srcDir, viewDir, groupKeys, cols, scale,
+        where, weight)
       ()
     }
 
@@ -893,10 +923,12 @@ object IncrementalViews {
     * (and the same double arithmetic, term for term) as the batch
     * [[graft.operators.Relational.corrMatrixBy]]. */
   def readCorrMatrix(spark: SparkSession, viewDir: String,
-                     groupKeys: Seq[String], cols: Seq[String]): DataFrame = {
+                     groupKeys: Seq[String], cols: Seq[String],
+                     weighted: Boolean = false): DataFrame = {
     val v = Snapshots.read(spark, viewDir).filter(col("__cnt") > 0)
       .drop(if (groupKeys.isEmpty) GlobalKey else "__none__")
-    val n = col("__cnt").cast("double")
+    // weighted view: n is the folded Σw, matching the WLS moments
+    val n = (if (weighted) col("sum___cw") else col("__cnt")).cast("double")
     def s(i: Int) = col(s"sum___cs_${cols(i)}").cast("double")
     def p(i: Int, j: Int) =
       col(s"sum___cp_${math.min(i, j)}_${math.max(i, j)}").cast("double")
@@ -927,11 +959,23 @@ object IncrementalViews {
     *
     * `yCol` and every `xCols` entry must be among the `cols` the view
     * was built over, and the view's `scale` must equal the batch fit's
-    * y/x scales for bit-parity (both default 2). */
+    * y/x scales for bit-parity (both default 2).
+    *
+    * WEIGHTED models: build the view with the same `weight` and pass
+    * `weighted = true` here — `__n` is then served from the folded Σw
+    * and every moment already carries the weight, so the served
+    * coefficients equal `olsFitBy(..., weight = Some(...))`. One
+    * order caveat: the view's pair products are computed in `cols`
+    * order (w·cᵢ·cⱼ) while the batch fit computes w·x·y — the decimal
+    * cast at ws+2·scale recovers the identical exact decimal for both
+    * groupings as long as |product| stays inside the exact-sum
+    * headroom the view already assumes, so parity holds
+    * (spec-asserted on planted and churned data). */
   def readOlsModel(spark: SparkSession, viewDir: String,
                    groupKeys: Seq[String], cols: Seq[String],
                    yCol: String, xCols: Seq[String],
-                   betaScale: Int = 6, ridge: Double = 0.0): DataFrame = {
+                   betaScale: Int = 6, ridge: Double = 0.0,
+                   weighted: Boolean = false): DataFrame = {
     import graft.operators.Regression
     require(cols.contains(yCol),
       s"yCol $yCol is not among the view's stats columns ${cols.mkString(", ")}")
@@ -945,7 +989,8 @@ object IncrementalViews {
     def p(a: Int, b: Int) =
       col(s"sum___cp_${math.min(a, b)}_${math.max(a, b)}").cast("double")
     val aliased = v.select((groupKeys.map(col) ++ Seq(
-        col("__cnt").cast("double").as("__n"),
+        (if (weighted) col("sum___cw") else col("__cnt"))
+          .cast("double").as("__n"),
         col(s"sum___cs_$yCol").cast("double").as("__sy")) ++
       xCols.zipWithIndex.map { case (c, k) =>
         col(s"sum___cs_$c").cast("double").as(s"__s$k") } ++

@@ -67,4 +67,56 @@ class ExactSpec extends SparkSpec {
       s"expected partial+final agg pair:\n$p")
     assert("Exchange".r.findAllIn(p).length <= 1, s"extra shuffle:\n$p")
   }
+
+  test("corrMatrixPairwise: pandas .corr() semantics on late-starting series") {
+    val s = spark; import s.implicits._
+    def j(d: Double) = Option(d)
+    // series b starts late (NULL for the first 3 rows), series c is
+    // complete — pairwise (a,c) uses ALL rows, (a,b) only rows 4..10
+    val rows = (1 to 10).map { i =>
+      (j(i.toDouble),
+        if (i <= 3) Option.empty[Double] else j(i * 2.0 + (i % 3)),
+        j(((i * 7) % 13).toDouble))
+    }
+    val df = rows.toDF("a", "b", "c")
+    val cells = graft.operators.Relational
+      .corrMatrixPairwise(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    def pearson(pts: Seq[(Double, Double)]): Double = {
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    // hand-computed pairwise-complete cells, the pandas definition
+    val ab = rows.collect { case (Some(x), Some(y), _) => (x, y) }
+    val ac = rows.collect { case (Some(x), _, Some(z)) => (x, z) }
+    assert(ab.size == 7 && ac.size == 10) // the pairs see different rows
+    assert(math.abs(cells(("a", "b")) - pearson(ab)) < 1e-12)
+    assert(math.abs(cells(("a", "c")) - pearson(ac)) < 1e-12)
+    assert(cells(("b", "a")) == cells(("a", "b"))) // symmetric
+    // listwise over the same frame differs on the (a,c) cell — the
+    // leading-edge divergence the pairwise variant exists to close
+    val listwise = graft.operators.Relational
+      .corrMatrix(df.filter("a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL"),
+        Seq("a", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(listwise(("a", "c")) != cells(("a", "c")))
+    // on a NULL-free frame pairwise == listwise cell-for-cell
+    val full = df.filter("b IS NOT NULL")
+    val pw = graft.operators.Relational
+      .corrMatrixPairwise(full, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val lw = graft.operators.Relational
+      .corrMatrix(full, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(pw == lw)
+    // per-area notebook twin runs end-to-end on real events
+    val pbya = graft.operators.FeatureMatrix.corrByAreaPairwise(
+      Tables.events(spark, sf("sf0.001"))).collect()
+    assert(pbya.length == 2 * 16) // 2 areas x 4x4 cells
+  }
 }

@@ -154,6 +154,41 @@ class RegressionSpec extends SparkSpec {
     assert(served.size == 6)
   }
 
+  test("maintained WEIGHTED model: readOlsModel(weighted) == olsFitBy(weight) after churn") {
+    import graft.sources.{IncrementalViews, Snapshots}
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wlsmodel").toString
+    val (src, v) = (s"$root/src", s"$root/v")
+    def batch(lo: Int, hi: Int) = (lo to hi).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val x1 = i.toDouble; val x2 = ((i * 7) % 13).toDouble
+      val w = 1.0 + (i % 4) * 0.25 // 2dp importance weights
+      (i.toLong, g, x1, x2, w,
+        2.0 + 3.0 * x1 - 0.5 * x2 + ((i * 31) % 5) / 10.0)
+    }.toDF("id", "g", "x1", "x2", "w", "y")
+    val cols = Seq("y", "x1", "x2")
+    val wt = Some(("w", 2))
+    Snapshots.commit(batch(1, 40), src, statsCol = Some("g"))
+    IncrementalViews.refreshCorrMatrix(s, src, v, Seq("g"), cols, weight = wt)
+    Snapshots.commit(batch(41, 80), src, statsCol = Some("g"))
+    Snapshots.deleteWhere(s, src, col("id") % 10 === 3)
+    IncrementalViews.refreshCorrMatrix(s, src, v, Seq("g"), cols, weight = wt)
+    val served = IncrementalViews.readOlsModel(s, v, Seq("g"), cols,
+      "y", Seq("x1", "x2"), weighted = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val fresh = Regression.olsFitBy(Snapshots.read(s, src), Seq("g"),
+      "y", Seq("x1", "x2"), weight = wt)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(served == fresh) // double-for-double, not approximately
+    assert(served.size == 6)
+    // the weights actually matter: the unweighted fit differs
+    val plain = Regression.olsFitBy(Snapshots.read(s, src), Seq("g"),
+      "y", Seq("x1", "x2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(plain != fresh)
+  }
+
   test("streaming maintenance: the model rides its source's change feed") {
     import graft.sources.{IncrementalViews, Snapshots}
     val s = spark; import s.implicits._
@@ -290,6 +325,47 @@ class RegressionSpec extends SparkSpec {
     val (b2, l2) = Regression.logisticFit(withNulls, "y", Seq("x"))
     assert(b1 == b2 && l1 == l2) // NULL-label rows neither bias the
     // Hessian nor deflate the mean loss
+  }
+
+  test("logisticFitBy: per-group IRLS recovers each planted model independently") {
+    val s = spark; import s.implicits._
+    def sigma(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    // group "a": p = sigma(-1 + 2x); group "b": p = sigma(1 - 1.5x)
+    val rows = (1 to 600).flatMap { i =>
+      val x = ((i % 21) - 10) / 2.0
+      val u = ((i * 2654435761L) % 1000003).toDouble / 1000003.0
+      Seq(("a", x, if (u < sigma(-1.0 + 2.0 * x)) 1.0 else 0.0),
+          ("b", x, if (u < sigma(1.0 - 1.5 * x)) 1.0 else 0.0))
+    }
+    val df = rows.toDF("g", "x", "y")
+    val out = Regression.logisticFitBy(df, Seq("g"), "y", Seq("x"))
+    val m = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m(("a", "intercept")) - (-1.0)) < 0.4, m.toString)
+    assert(math.abs(m(("a", "x")) - 2.0) < 0.5, m.toString)
+    assert(math.abs(m(("b", "intercept")) - 1.0) < 0.4, m.toString)
+    assert(math.abs(m(("b", "x")) - (-1.5)) < 0.5, m.toString)
+    // each group's fit equals the ungrouped fit over that group alone
+    // (same complete-case IRLS, just batched across groups)
+    val (soloA, lossA) = Regression.logisticFit(
+      df.filter("g = 'a'"), "y", Seq("x"))
+    val soloMap = soloA.toMap
+    assert(math.abs(m(("a", "intercept")) - soloMap("intercept")) < 1e-6)
+    assert(math.abs(m(("a", "x")) - soloMap("x")) < 1e-6)
+    val lossOut = out.filter("g = 'a'").select("loss").head().getDouble(0)
+    assert(math.abs(lossOut - lossA) < 1e-9)
+    // a singular group fails loudly NAMING the group
+    val degen = (1 to 50).map(i => ("bad", 1.0, (i % 2).toDouble)) ++
+      (1 to 200).map { i =>
+        val x = ((i % 21) - 10) / 2.0
+        val u = ((i * 2654435761L) % 1000003).toDouble / 1000003.0
+        ("ok", x, if (u < sigma(-1.0 + 2.0 * x)) 1.0 else 0.0)
+      }
+    val e = intercept[IllegalArgumentException] {
+      Regression.logisticFitBy(degen.toDF("g", "x", "y"), Seq("g"),
+        "y", Seq("x"))
+    }
+    assert(e.getMessage.contains("bad"), e.getMessage)
   }
 
   test("logisticFit: ridge keeps perfectly separable classes finite") {

@@ -304,6 +304,41 @@ class SqlSurfaceSpec extends SparkSpec {
       .as[(String, Seq[String])].collect().toMap
     assert(pieces("lowest") == Seq("lowe", "s", "t"))
     assert(pieces("low") == Seq("low"))
+    // pairwise-complete corr TVF == the Scala API (grouped form)
+    val sqlPw = spark.sql(
+      "SELECT * FROM graft_corr_pairwise('reg_tvf', 'x1,x2,y', 'g')")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val apiPw = graft.operators.Relational.corrMatrixPairwiseBy(df,
+        Seq("g"), Seq("x1", "x2", "y"))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sqlPw == apiPw && sqlPw.size == 18)
+    // grouped logistic TVF: output shape + a sane keep/drop fit
+    val logiDf = (1 to 200).map { i =>
+      val x = ((i % 21) - 10) / 2.0
+      ("g" + (i % 2), x, if (x > 0.5) 1.0 else 0.0)
+    }.toDF("g", "x", "y")
+    logiDf.createOrReplaceTempView("logi_tvf")
+    val lg = spark.sql(
+      "SELECT * FROM graft_logistic_fit('logi_tvf', 'y', 'x', 'g', 0.5)")
+    assert(lg.columns.toSeq == Seq("g", "term", "beta", "loss"))
+    val lgm = lg.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(lgm.size == 4 && lgm(("g0", "x")) > 0.0 && lgm(("g1", "x")) > 0.0)
+    // WEIGHTED maintained model from pure SQL: weight-built view +
+    // weighted=true serve == the Scala WLS fit
+    val wdf = df.withColumn("w", expr("1.0 + (x1 % 4) * 0.25"))
+    wdf.createOrReplaceTempView("reg_wtvf")
+    Snapshots.commit(wdf, s"$root/wsrc", statsCol = Some("g"))
+    spark.sql(
+      s"SELECT * FROM graft_view_refresh_corr('$root/wsrc', '$root/wv', 'g', 'y,x1,x2', 'w', 2)")
+      .collect()
+    val sqlWls = spark.sql(
+      s"SELECT * FROM graft_ols_model('$root/wv', 'g', 'y,x1,x2', 'y', 'x1,x2', true)")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val apiWls = graft.operators.Regression.olsFitBy(wdf, Seq("g"), "y",
+        Seq("x1", "x2"), weight = Some(("w", 2)))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sqlWls == apiWls)
   }
 
   test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
