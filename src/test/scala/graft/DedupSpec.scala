@@ -149,6 +149,36 @@ class DedupSpec extends SparkSpec {
     assert(cc == expected)
   }
 
+  test("adaptive CC: driver union-find == distributed loop, and the cap routes correctly") {
+    val s = spark
+    import s.implicits._
+    val edges = (0 until 400).map { i =>
+      val a = (i * 7919 % 300).toLong + 1
+      val b = ((i * 104729 + 31) % 300).toLong + 1
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2)
+    val df = edges.toDF("id_a", "id_b").repartition(13)
+    val expected = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver path (default cap far above 400 edges)
+    val driver = Dedup.connectedComponentsAdaptive(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == expected)
+    // forced DISTRIBUTED path (cap below the edge count) — same labels
+    val dist = Dedup.connectedComponentsAdaptive(df, maxDriverEdges = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
+    // a durable checkpointDir always takes the distributed path (round
+    // tables must exist to resume from)
+    val dir = java.nio.file.Files.createTempDirectory("cc_adaptive").toString
+    val durable = Dedup.connectedComponentsAdaptive(
+        Seq((10L, 20L), (20L, 30L)).toDF("id_a", "id_b"),
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable == Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
+    assert(new java.io.File(dir).listFiles.exists(_.getName.startsWith("labels_r")))
+  }
+
   test("durable CC: checkpointed run matches in-memory, and a crash-resume converges to identical labels") {
     val s = spark
     import s.implicits._
