@@ -81,8 +81,8 @@ class PlanGuardSpec extends SparkSpec {
     }
     // the one-pass moment aggregates stay ONE partial+final pair over
     // one scan — a second Exchange would mean a second pass appeared
-    Seq("q_corr_matrix", "q_embedding_gram", "q_frequent_tokens",
-        "q_ols_fit").foreach { q =>
+    Seq("q_corr_matrix", "q_corr_pairwise", "q_embedding_gram",
+        "q_frequent_tokens", "q_ols_fit").foreach { q =>
       val p = plan(q)
       assert(p.split("Exchange").length <= 2, s"$q grew a second shuffle:\n$p")
       assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
