@@ -491,6 +491,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(a(3), "nCells"), litDouble(a(4), "threshold"))
     }
 
+    tvf("graft_semantic_contamination",
+      "graft_semantic_contamination(corpusTable, benchTable, idCol, vecCol, nCells, threshold) - corpus docs embedding-close to a benchmark doc (paraphrase contamination) as (corpus_id, benchmark_id, cell_id, cosine) (see operators.Similarity.semanticContamination)") {
+      (s, a) =>
+        require(a.length == 6,
+          "graft_semantic_contamination takes (corpusTable, benchTable, idCol, vecCol, nCells, threshold)")
+        operators.Similarity.semanticContamination(
+          s.table(litStr(a(0), "corpusTable")), s.table(litStr(a(1), "benchTable")),
+          litStr(a(2), "idCol"), litStr(a(3), "vecCol"),
+          litInt(a(4), "nCells"), litDouble(a(5), "threshold"))
+    }
+
+    tvf("graft_image_near_dup",
+      "graft_image_near_dup(packedTable[, bands, maxHamming]) - perceptual dHash near-duplicate image pairs over (doc_id, blob, format) rows as (id_a, id_b, hamming) (see operators.Multimodal.imageNearDup)") {
+      (s, a) =>
+        require(a.length >= 1 && a.length <= 3,
+          "graft_image_near_dup takes (packedTable[, bands, maxHamming])")
+        val bands = if (a.length >= 2) litInt(a(1), "bands") else 4
+        val maxH = if (a.length == 3) litInt(a(2), "maxHamming") else 3
+        operators.Multimodal.imageNearDup(s,
+          s.table(litStr(a(0), "packedTable")), bands, maxH)
+    }
+
     tvf("graft_mix_by_budget",
       "graft_mix_by_budget(table, domainCol, idCol, textCol, recipeCsv[, defaultBudget]) - per-domain token-budget mixing; recipeCsv is 'domain:budget,...' (see operators.Corpus.mixByBudget)") {
       (s, a) =>

@@ -611,6 +611,18 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
         "embedding", nCells = 16, threshold = 0.35)),
 
+    // SEMANTIC benchmark contamination: corpus docs embedding-close to
+    // a benchmark doc (the paraphrase leak q_contamination's n-grams
+    // can't see) — benchmark-sampled centroids, both sides cell-
+    // assigned, in-cell cross pairs only.
+    "q_semantic_contamination" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 17 =!= 0),
+        emb.filter(col("vec_id") % 17 === 0),
+        "vec_id", "embedding", nCells = 8, threshold = 0.35)
+    }),
+
     "q_knn_cosine" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
@@ -2330,6 +2342,38 @@ object SparkEntry {
          |       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
          |       coalesce(d.n_dups, 0) = 0 AS kept
          |FROM ca LEFT JOIN d ON ca.id = d.id""".stripMargin,
+
+    // Mirrors Similarity.semanticContamination: benchmark-sampled
+    // centroids, the q_semantic_dedup argmax assignment on BOTH
+    // sides, then in-cell cross pairs at the cosine threshold.
+    "q_semantic_contamination" ->
+      s"""WITH bench AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
+         |), corp AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0
+         |), cent AS (
+         |  SELECT vec_id AS cell_id, embedding FROM bench
+         |  ORDER BY vec_id LIMIT 8
+         |), casgn AS (
+         |  SELECT c.vec_id AS id, c.embedding, ct.cell_id,
+         |         row_number() OVER (PARTITION BY c.vec_id
+         |           ORDER BY ${sqlCos("c", "ct")} DESC, ct.cell_id) AS rk
+         |  FROM corp c CROSS JOIN cent ct
+         |), ca AS (
+         |  SELECT id, embedding, cell_id FROM casgn WHERE rk = 1
+         |), basgn AS (
+         |  SELECT b.vec_id AS id, b.embedding, ct.cell_id,
+         |         row_number() OVER (PARTITION BY b.vec_id
+         |           ORDER BY ${sqlCos("b", "ct")} DESC, ct.cell_id) AS rk
+         |  FROM bench b CROSS JOIN cent ct
+         |), ba AS (
+         |  SELECT id, embedding, cell_id FROM basgn WHERE rk = 1
+         |)
+         |SELECT ca.id AS corpus_id, ba.id AS benchmark_id,
+         |       ca.cell_id AS cell_id,
+         |       ${sqlRound4(sqlCos("ca", "ba"))} AS cosine
+         |FROM ca JOIN ba ON ca.cell_id = ba.cell_id
+         |WHERE ${sqlCos("ca", "ba")} >= 0.35""".stripMargin,
 
     // Mirrors Similarity.ivfTopKRefined step-for-step: 2 unrolled
     // Lloyd iterations (argmax-cosine assignment, exact DECIMAL(30,6)

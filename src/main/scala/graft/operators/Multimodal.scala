@@ -262,4 +262,127 @@ object Multimodal {
       })
     }.toDF("doc_id", "frame_idx", "frame", "frame_len")
   }
+
+  /** 64-bit dHash (difference hash) of a decoded image: bilinear
+    * 9×8 grayscale reduction, bit k set iff pixel (x,y) is brighter
+    * than its right neighbor — the standard perceptual fingerprint
+    * that survives re-encoding, resizing, and mild edits (the
+    * transforms that defeat byte-level dedup of scraped images). */
+  private def dHash64(src: java.awt.image.BufferedImage): Long = {
+    val scaled = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    def lum(px: Int): Int =
+      ((px >> 16 & 0xff) * 299 + (px >> 8 & 0xff) * 587 + (px & 0xff) * 114)
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(scaled.getRGB(x, y)) > lum(scaled.getRGB(x + 1, y)))
+          h |= 1L << bit
+        bit += 1; x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-image perceptual hashes `(doc_id, phash, decoded)` — a
+    * shuffle-free batched projection, the image twin of
+    * [[graft.operators.Dedup.simHash64]]. Non-image / corrupt
+    * payloads degrade to the first 8 sha256 bytes with
+    * `decoded = false`: effectively-random hashes that still collide
+    * at hamming 0 for BYTE-identical blobs (exact dup detection keeps
+    * working on undecodable formats) while two different undecodable
+    * payloads land ~32 bits apart — far outside any near-dup
+    * threshold. */
+  def perceptualHashes(spark: SparkSession, packed: DataFrame,
+                       batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    packed.as[MediaRow].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val real = sniffImageFormat(r.blob).flatMap { _ =>
+          try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.blob))).map(dHash64)
+          catch { case _: Exception => None } // truncated/corrupt payload
+        }
+        real match {
+          case Some(h) => (r.doc_id, h, true)
+          case None =>
+            md.reset()
+            (r.doc_id, java.nio.ByteBuffer.wrap(md.digest(r.blob))
+              .getLong(0), false)
+        }
+      })
+    }.toDF("doc_id", "phash", "decoded")
+  }
+
+  /** Perceptual NEAR-DUPLICATE image pairs: dHash → banded hamming
+    * join → exact popcount verify — byte-identical machinery to
+    * [[graft.operators.Dedup.simHashNearDup]] (pigeonhole: hamming ≤
+    * maxHamming < bands ⇒ some band matches exactly, so banding is
+    * LOSSLESS, no risk budget needed), but over decoded pixels
+    * instead of token sets, which is what catches a re-encoded /
+    * resized / slightly-edited scrape of the same image. Emits
+    * `(id_a, id_b, hamming)` with id_a < id_b.
+    *
+    * Scale: hashing is a narrow batched projection; identical hashes
+    * collapse to one representative before banding (the
+    * [[graft.operators.Dedup]] collapse move), the band shuffle
+    * carries (band, slice, id) longs only, and verification is one
+    * codegen `bit_count` per distinct candidate pair. */
+  def imageNearDup(spark: SparkSession, packed: DataFrame,
+                   bands: Int = 4, maxHamming: Int = 3,
+                   batchSize: Int = 64): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      "pigeonhole guarantee needs maxHamming <= bands-1")
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val hashes = perceptualHashes(spark, packed, batchSize)
+    val groups = hashes
+      .groupBy("phash")
+      .agg(min(col("doc_id")).as("__gid"),
+        collect_list(col("doc_id")).as("__ids"))
+    val withH = groups.select(col("__gid").as("__id"), col("phash").as("__h"))
+    val bandDf = withH
+      .select(col("__id"), col("__h"),
+        explode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
+            s"'band', b, 'slice', shiftright(__h, b * $w) & ${mask}L))")).as("__b"))
+      .select(col("__id"), col("__h"),
+        col("__b.band").as("__band"), col("__b.slice").as("__slice"))
+    val a = bandDf.select(col("__band"), col("__slice"),
+      col("__id").as("id_a"), col("__h").as("h_a"))
+    val b2 = bandDf.select(col("__band"), col("__slice"),
+      col("__id").as("id_b"), col("__h").as("h_b"))
+    val repPairs = a.join(b2, Seq("__band", "__slice"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    val members = groups.select(explode(col("__ids")).as("__mid"),
+      col("__gid"))
+    val cross = repPairs
+      .join(members.select(col("__gid").as("id_a"), col("__mid").as("mid_a")), "id_a")
+      .join(members.select(col("__gid").as("id_b"), col("__mid").as("mid_b")), "id_b")
+      .select(least(col("mid_a"), col("mid_b")).as("id_a"),
+        greatest(col("mid_a"), col("mid_b")).as("id_b"), col("hamming"))
+    val within = members.as("m1")
+      .join(members.as("m2"), col("m1.__gid") === col("m2.__gid"))
+      .filter(col("m1.__mid") < col("m2.__mid"))
+      .select(col("m1.__mid").as("id_a"), col("m2.__mid").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
+  }
 }

@@ -566,6 +566,66 @@ object Similarity {
         (coalesce(col("n_dups"), lit(0L)) === 0L).as("kept"))
   }
 
+  /** SEMANTIC cross-corpus contamination: find corpus docs whose
+    * EMBEDDING is τ-cosine-close to a benchmark doc — the paraphrase
+    * variant of [[Corpus.contamination]]'s n-gram check (a reworded
+    * test answer shares no 8-gram but sits next to the original in
+    * embedding space). Same cluster bound as [[semanticDedup]]:
+    * centroids are the deterministic id-ordered sample of the
+    * BENCHMARK side (the bounded set), both sides assign by
+    * zero-shuffle literal argmax, and the pair join runs within cells
+    * only — candidates are Σ|corpus-cell|·|bench-cell|, never
+    * |corpus|·|bench|. Emits `(corpus_id, benchmark_id, cell_id,
+    * cosine)` with cosine rounded at `cosScale` (oracle-exact).
+    *
+    * Guarded like [[semanticDedup]]: the per-cell candidate product
+    * is measured BEFORE the join and a hot cell fails fast by name —
+    * real embedding distributions cluster, and benchmark suites
+    * cluster harder. NULL embeddings on either side get a NULL cell
+    * and never pair. */
+  def semanticContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      threshold: Double,
+      cosScale: Int = 4,
+      maxCellPairs: Long = 25000000L): DataFrame = {
+    val cents = sampleCentroids(benchmark, idCol, vecCol, nCells)
+    def assign(df: DataFrame, idAs: String) = df
+      .select(col(idCol).cast("long").as(idAs), col(vecCol).as(s"__v_$idAs"))
+      .withColumn(s"__cell_$idAs",
+        when(col(s"__v_$idAs").isNotNull,
+          bestCell(cents, col(s"__v_$idAs"))))
+    val c = assign(corpus, "corpus_id")
+    val b = assign(benchmark, "benchmark_id")
+    val hot = c.filter(col("__cell_corpus_id").isNotNull)
+      .groupBy(col("__cell_corpus_id").as("__cell"))
+      .agg(count(lit(1L)).as("__nc"))
+      .join(b.filter(col("__cell_benchmark_id").isNotNull)
+        .groupBy(col("__cell_benchmark_id").as("__cell"))
+        .agg(count(lit(1L)).as("__nb")), Seq("__cell"))
+      .withColumn("__pairs", col("__nc") * col("__nb"))
+      .orderBy(col("__pairs").desc, col("__cell")).limit(1).collect()
+    hot.headOption.foreach { r =>
+      val (cell, pairs) = (r.getLong(0), r.getAs[Long]("__pairs"))
+      require(pairs <= maxCellPairs,
+        s"semanticContamination pairs every corpus doc with every benchmark " +
+          s"doc inside a cell — cell $cell holds ${r.getAs[Long]("__nc")} " +
+          s"corpus x ${r.getAs[Long]("__nb")} benchmark docs = $pairs pairs " +
+          s"(> maxCellPairs=$maxCellPairs). Raise nCells toward sqrt(n), or " +
+          "raise maxCellPairs deliberately.")
+    }
+    c.join(b, col("__cell_corpus_id") === col("__cell_benchmark_id"))
+      .withColumn("__cos",
+        Vectors.cosine(col("__v_corpus_id"), col("__v_benchmark_id")))
+      .filter(col("__cos") >= threshold)
+      .select(col("corpus_id"), col("benchmark_id"),
+        col("__cell_corpus_id").as("cell_id"),
+        graft.functions.Exact.roundAt(col("__cos"), cosScale).as("cosine"))
+  }
+
   private def gramAgg(vecCol: Column, dim: Int, scale: Int): Column =
     graft.functions.ColumnBridge.column(
       graft.functions.ExactGram(

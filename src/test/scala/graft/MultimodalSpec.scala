@@ -200,4 +200,60 @@ class MultimodalSpec extends SparkSpec {
       case b: Array[Byte] => b.toSeq; case x => x
     }))
   }
+
+  test("perceptual dHash: re-encoded/resized images collide, different images don't") {
+    val s = spark
+    import s.implicits._
+    def gradient(w: Int, h: Int, fmt: String): Array[Byte] = {
+      // smooth horizontal gradient — dHash-stable under resizing
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = (x * 255) / math.max(1, w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def reverse(w: Int, h: Int): Array[Byte] = {
+      // the mirrored gradient — every dHash comparison flips
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = 255 - (x * 255) / math.max(1, w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val big = gradient(64, 48, "png")      // the "original"
+    val small = gradient(32, 24, "png")    // a resized re-scrape
+    val bmp = gradient(64, 48, "bmp")      // same pixels, other codec
+    val other = reverse(64, 48)            // genuinely different image
+    val text = "not an image at all".getBytes("UTF-8")
+    val packed = Seq(
+      (1L, big, "bin"), (2L, small, "bin"), (3L, bmp, "bin"),
+      (4L, other, "bin"), (5L, text, "raw"), (6L, text, "raw"))
+      .toDF("doc_id", "blob", "format")
+    val hashes = Multimodal.perceptualHashes(s, packed)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(hashes(1L)._2 && hashes(2L)._2 && hashes(3L)._2 && hashes(4L)._2)
+    assert(!hashes(5L)._2) // undecodable -> sha-derived stub hash
+    assert(hashes(5L)._1 == hashes(6L)._1) // byte-identical blobs collide
+    assert(java.lang.Long.bitCount(hashes(1L)._1 ^ hashes(4L)._1) > 16,
+      "different images must be far apart")
+    val pairs = Multimodal.imageNearDup(s, packed, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the three renditions of the same image pair up, transitively
+    assert(pairs.contains((1L, 2L)), pairs.toString)
+    assert(pairs.contains((1L, 3L)), pairs.toString)
+    assert(pairs.contains((2L, 3L)), pairs.toString)
+    assert(pairs((1L, 3L)) == 0L) // same pixels -> identical hash
+    // the different image pairs with none of them
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L), pairs.toString)
+    // byte-identical undecodable payloads surface as exact dups
+    assert(pairs((5L, 6L)) == 0L)
+  }
 }

@@ -288,4 +288,32 @@ class SimilaritySpec extends SparkSpec {
       nCells = 2, threshold = 0.999999, maxCellSize = 60L)
     assert(out.count() == 60)
   }
+
+  test("semanticContamination: paraphrase-close corpus docs pair with their benchmark twin") {
+    def v(a: Float, b: Float) = Array.tabulate(8)(i =>
+      if (i == 0) a else if (i == 1) b else 0f)
+    // benchmark: two orthogonal "questions"; corpus: 101 rides A
+    // (a paraphrase leak), 102 rides B, 103 is diagonal (clears no
+    // threshold at tau=0.95), 104 has a NULL embedding
+    val bench = spark.createDataFrame(Seq(
+      (1L, v(1f, 0f)), (2L, v(0f, 1f)))).toDF("vec_id", "embedding")
+    val corpus = spark.createDataFrame(Seq(
+      (101L, v(0.99f, 0.01f)), (102L, v(0.02f, 1.01f)),
+      (103L, v(1f, 1f)), (104L, null.asInstanceOf[Array[Float]])
+    )).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(corpus, bench,
+        "vec_id", "embedding", nCells = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out.keySet == Set((101L, 1L), (102L, 2L)), out.toString)
+    assert(out((101L, 1L)) > 0.99 && out((102L, 2L)) > 0.99)
+    // hot-cell guard: everything in one cell with a tiny cap trips
+    val fat = spark.createDataFrame((1 to 30).map(i =>
+      (i.toLong + 200L, v(1f, 0f)))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticContamination(fat, bench.limit(1),
+        "vec_id", "embedding", nCells = 1, threshold = 0.5,
+        maxCellPairs = 10L)
+    }
+    assert(e.getMessage.contains("maxCellPairs=10"), e.getMessage)
+  }
 }
