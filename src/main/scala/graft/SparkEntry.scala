@@ -861,6 +861,16 @@ object SparkEntry {
     "q_doc_logprob" -> ((s, dir) =>
       Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Interpolated bigram LM score (lambda*P(cur|prev) + (1-lambda)*
+    // P(cur)) — the perplexity-filter step up from q_doc_logprob.
+    "q_doc_bigram_lm" -> ((s, dir) =>
+      Corpus.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
+    // The "dataset card": corpus totals, vocabulary, dup count, mean
+    // length/quality, per-language doc counts as (metric, value).
+    "q_corpus_profile" -> ((s, dir) =>
+      Corpus.corpusProfile(Tables.documents(s, dir), "doc_id", "text")),
+
     "q_global_index" -> ((s, dir) =>
       Corpus.globalIndex(
         Tables.documents(s, dir).select("doc_id", "source"), "doc_id")),
@@ -2488,6 +2498,51 @@ object SparkEntry {
         |       (length(text) + 3) // 4 AS subword_est
         |FROM documents""".stripMargin,
 
+    // The dataset card: same langid CASE and quality formula text as
+    // q_doc_langid / q_doc_quality, folded to corpus-level rows.
+    "q_corpus_profile" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter(string_split(text, ' '), x -> list_contains(${markers.mkString("['", "','", "']")}, x)))"
+      val Seq(en, es, fr, de) = graft.functions.Text.langMarkers.map(m => score(m._2))
+      val langCase =
+        s"""CASE
+           |  WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+           |  WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+           |  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+           |  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+           |  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+           |  ELSE 'de' END""".stripMargin
+      val stop = graft.functions.Text.langMarkers.flatMap(_._2).distinct
+        .mkString("['", "','", "']")
+      val nTok = "len(string_split(text, ' '))"
+      val stopRatio = s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) AS DOUBLE) / $nTok"
+      val digitRatio = "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)"
+      val punctRatio = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)"
+      val quality = s"0.4 * least(1.0, CAST($nTok AS DOUBLE) / 100.0) + " +
+        s"0.3 * least(1.0, ($stopRatio) * 4.0) + " +
+        s"0.3 * (1.0 - least(1.0, (($digitRatio) + ($punctRatio)) * 4.0))"
+      s"""WITH per AS MATERIALIZED (
+         |  SELECT doc_id, text, $nTok AS ntok,
+         |         ${sqlRound4(quality)} AS q,
+         |         $langCase AS lang
+         |  FROM (SELECT doc_id, text, $en AS s_en, $es AS s_es,
+         |               $fr AS s_fr, $de AS s_de
+         |        FROM documents)
+         |), toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |)
+         |SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM per
+         |UNION ALL SELECT 'n_tokens', CAST(sum(ntok) AS DOUBLE) FROM per
+         |UNION ALL SELECT 'distinct_tokens', CAST(count(DISTINCT token) AS DOUBLE) FROM toks
+         |UNION ALL SELECT 'exact_dup_docs', CAST(count(*) - count(DISTINCT text) AS DOUBLE) FROM per
+         |UNION ALL SELECT 'mean_doc_tokens',
+         |  ${sqlRound4("CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} FROM per
+         |UNION ALL SELECT 'mean_quality',
+         |  ${sqlRound4(s"${sqlSum("q", 4)} / CAST(count(*) AS DOUBLE)")} FROM per
+         |UNION ALL SELECT 'lang_docs_' || lang, CAST(count(*) AS DOUBLE)
+         |FROM per GROUP BY lang""".stripMargin
+    },
+
     // Cluster membership = connectivity under exact Jaccard >= 0.95
     // (the minhash pair oracle is proven equal to this pair set);
     // transitive closure via recursive CTE, label = min reachable id.
@@ -2723,6 +2778,47 @@ object SparkEntry {
               " / CAST(sum(tf) AS DOUBLE)")} AS nll
          |FROM tf JOIN freq USING (token) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+
+    // Same interpolation formula text as Corpus.bigramLogProb, over
+    // adjacent-pair lists (DuckDB slicing is INCLUSIVE: s[1:n-1] /
+    // s[2:n]; list_zip structs index numerically).
+    "q_doc_bigram_lm" -> {
+      val lam = 0.9
+      val oneMinus = 1.0 - lam
+      s"""WITH pairs AS (
+         |  SELECT doc_id, x[1] AS prev, x[2] AS cur
+         |  FROM (SELECT doc_id,
+         |          unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS x
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS s
+         |              FROM documents))
+         |), bf AS (
+         |  SELECT doc_id, prev, cur, count(*) AS bf FROM pairs
+         |  GROUP BY doc_id, prev, cur
+         |), bg AS (
+         |  SELECT prev, cur, count(*) AS bcount FROM pairs GROUP BY prev, cur
+         |), ctx AS (
+         |  SELECT prev, sum(bcount) AS ctx FROM bg GROUP BY prev
+         |), toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |), uni AS (
+         |  SELECT token, count(*) AS freq FROM toks GROUP BY token
+         |), tot AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS DOUBLE) AS total FROM toks
+         |)
+         |SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+         |       ${sqlRound4(
+              s"-(${sqlSum(
+                s"CAST(bf AS DOUBLE) * ln(CAST($lam AS DOUBLE) * " +
+                  "(CAST(bcount AS DOUBLE) / CAST(ctx AS DOUBLE)) + " +
+                  s"CAST($oneMinus AS DOUBLE) * (CAST(freq AS DOUBLE) / total))",
+                9)}) / CAST(sum(bf) AS DOUBLE)")} AS nll
+         |FROM bf
+         |JOIN bg USING (prev, cur)
+         |JOIN ctx USING (prev)
+         |JOIN uni ON cur = token
+         |CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin
+    },
 
     "q_global_index" ->
       """SELECT doc_id, source,

@@ -670,6 +670,102 @@ object Corpus {
     }
   }
 
+  /** CORPUS PROFILE — the "dataset card" numbers every training-data
+    * release ships, as one tidy `(metric, value)` table: document and
+    * token totals, vocabulary size, exact-duplicate count, mean doc
+    * length, mean quality score, and per-language document counts
+    * (`lang_docs_<code>` rows). One pass computes the doc-level
+    * metrics (the per-doc projection reuses the oracled langid /
+    * quality / token-count formulas, so every value is
+    * engine-portable); the vocabulary count is the one extra
+    * token-level distinct aggregation. The two 1-row aggregates
+    * splice together as a broadcast constant (the scalar-subquery
+    * shape), never a data join. */
+  def corpusProfile(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val t = col(textCol)
+    val per = df.select(col(idCol), t.as("__text"),
+      Text.tokenCountWs(t).cast("long").as("__ntok"),
+      graft.functions.Exact.roundAt(Text.qualityScore(t), 4).as("__q"),
+      Text.langId(t).as("__lang"))
+    val docAgg = per.agg(
+      count(lit(1L)).as("__n"),
+      sum(col("__ntok")).as("__nt"),
+      countDistinct(col("__text")).as("__dtext"),
+      graft.functions.Exact.sumExact(col("__q"), 4).as("__sq"))
+    val vocabAgg = df
+      .select(explode(Text.tokens(t)).as("__token"))
+      .agg(countDistinct(col("__token")).as("__vocab"))
+    val scalars = docAgg.crossJoin(broadcast(vocabAgg)).select(
+      explode(array(
+        struct(lit("n_docs").as("metric"),
+          col("__n").cast("double").as("value")),
+        struct(lit("n_tokens").as("metric"),
+          col("__nt").cast("double").as("value")),
+        struct(lit("distinct_tokens").as("metric"),
+          col("__vocab").cast("double").as("value")),
+        struct(lit("exact_dup_docs").as("metric"),
+          (col("__n") - col("__dtext")).cast("double").as("value")),
+        struct(lit("mean_doc_tokens").as("metric"),
+          graft.functions.Exact.roundAt(
+            col("__nt").cast("double") / col("__n").cast("double"), 4)
+            .as("value")),
+        struct(lit("mean_quality").as("metric"),
+          graft.functions.Exact.roundAt(
+            col("__sq") / col("__n").cast("double"), 4).as("value")))))
+      .select(col("col.metric").as("metric"), col("col.value").as("value"))
+    val langs = per.groupBy(col("__lang"))
+      .agg(count(lit(1L)).as("__c"))
+      .select(concat(lit("lang_docs_"), col("__lang")).as("metric"),
+        col("__c").cast("double").as("value"))
+    scalars.unionByName(langs)
+  }
+
+  /** BIGRAM language-model quality score — the CCNet/Gopher-style
+    * perplexity filter one step up from [[unigramLogProb]]: per doc,
+    * the mean negative log of the INTERPOLATED bigram probability
+    * λ·c(prev,cur)/c(prev·) + (1−λ)·c(cur)/N over every adjacent
+    * token transition (c(prev·) is the bigram-context count, so the
+    * conditional is a true distribution; the unigram interpolation
+    * floors unseen transitions). Docs with fewer than two tokens have
+    * no transitions and are absent from the output.
+    *
+    * Scale: adjacent pairs come straight off the token array (one
+    * zip projection, no positional self-join); the three count
+    * tables are vocabulary-sized — broadcast back onto the per-doc
+    * transition rows — and the per-doc reduce is one exact-decimal
+    * sum, engine-portable like every score here (the DuckDB oracle
+    * replays the identical formula text). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.9): DataFrame = {
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__t"))
+    val pairs = toks.select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bf = pairs.groupBy(idCol, "prev", "cur").agg(count(lit(1L)).as("bf"))
+    val bg = pairs.groupBy("prev", "cur").agg(count(lit(1L)).as("bcount"))
+    val ctx = bg.groupBy("prev").agg(sum(col("bcount")).as("ctx"))
+    val flat = df.select(explode(Text.tokens(col(textCol))).as("token"))
+    val uni = flat.groupBy("token").agg(count(lit(1L)).as("freq"))
+    val total = flat.agg(count(lit(1L)).cast("double").as("total"))
+    val p = lit(lambda) *
+      (col("bcount").cast("double") / col("ctx").cast("double")) +
+      lit(1.0 - lambda) * (col("freq").cast("double") / col("total"))
+    val term = col("bf").cast("double") * log(p)
+    bf.join(broadcast(bg), Seq("prev", "cur"))
+      .join(broadcast(ctx), "prev")
+      .join(broadcast(uni), col("cur") === col("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(graft.functions.Exact.sumExact(term, 9).as("__s"),
+        sum(col("bf")).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        graft.functions.Exact.roundAt(
+          -col("__s") / col("n_bigrams").cast("double"), 4).as("nll"))
+  }
+
   /** PRODUCTION-VOCABULARY encoder: same contract and output as
     * [[bpeEncode]], but the merge table rides a broadcast and each
     * word is encoded imperatively per partition — the sanctioned

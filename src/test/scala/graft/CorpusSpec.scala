@@ -141,6 +141,37 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) === ((2L, nll(2L, 1.0 * lnA, 1.0 * ln1))))
   }
 
+  test("bigramLogProb matches a hand computation; short docs drop out") {
+    val df = Seq(
+      (1L, "a b a b"), // transitions: (a,b)x2, (b,a)x1
+      (2L, "a b"),     // transitions: (a,b)x1
+      (3L, "a"),       // no transition -> absent
+      (4L, "b c")      // transitions: (b,c)x1
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramLogProb(df, "doc_id", "text", lambda = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(3L)) // single-token doc has no transitions
+    // global: bigrams (a,b)=3, (b,a)=1, (b,c)=1; ctx a.=3, b.=2;
+    // unigrams a=4, b=4, c=1; total=9
+    def dec9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    def nll(n: Long, terms: Double*) = {
+      val s = terms.map(dec9).reduce(_ add _).doubleValue()
+      math.floor(-s / n * 10000 + 0.5) / 10000
+    }
+    def p(bc: Double, ctx: Double, freq: Double) =
+      0.9 * (bc / ctx) + (1.0 - 0.9) * (freq / 9.0)
+    val lnAB = math.log(p(3, 3, 4)) // P(b|a) interpolated
+    val lnBA = math.log(p(1, 2, 4))
+    val lnBC = math.log(p(1, 2, 1))
+    assert(out(1L) === ((3L, nll(3L, 2.0 * lnAB, 1.0 * lnBA))))
+    assert(out(2L) === ((1L, nll(1L, 1.0 * lnAB))))
+    assert(out(4L) === ((1L, nll(1L, 1.0 * lnBC))))
+    // a rarer-transition doc scores a higher NLL than the common one
+    assert(out(4L)._2 > out(2L)._2)
+  }
+
   test("bm25 matches a hand computation on a tiny corpus") {
     val df = Seq(
       (1L, "a a b"),

@@ -115,10 +115,13 @@ class PlanGuardSpec extends SparkSpec {
     // frame back onto the data — the same scalar-subquery shape as
     // q_customer_above_avg (build side is a 1-row aggregate, so the
     // nested loop is a broadcast constant splice, not a pair scan).
+    // q_doc_bigram_lm and q_corpus_profile splice 1-row aggregates
+    // (total-token count / corpus scalars) the same way as
+    // q_doc_logprob — a broadcast constant, not a pair scan.
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_knn_lsh",
       "q_customer_above_avg",
       "q_tfidf", "q_bm25", "q_doc_logprob", "q_sketch_overlap",
-      "q_ols_eval", "q_ols_holdout")
+      "q_ols_eval", "q_ols_holdout", "q_doc_bigram_lm", "q_corpus_profile")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")
