@@ -491,6 +491,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(a(3), "nCells"), litDouble(a(4), "threshold"))
     }
 
+    tvf("graft_view_refresh_profile",
+      "graft_view_refresh_profile(srcDir, viewRoot, textCol) - one maintenance tick of the incrementally-maintained corpus-profile views (see IncrementalViews.refreshCorpusProfile); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 3,
+          "graft_view_refresh_profile takes (srcDir, viewRoot, textCol)")
+        sources.IncrementalViews.refreshCorpusProfile(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewRoot"),
+          litStr(a(2), "textCol"))
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_corpus_profile_view",
+      "graft_corpus_profile_view(viewRoot) - the maintained dataset card served as (metric, value) rows (see IncrementalViews.readCorpusProfile)") {
+      (s, a) =>
+        require(a.length == 1,
+          "graft_corpus_profile_view takes (viewRoot)")
+        sources.IncrementalViews.readCorpusProfile(s, litStr(a(0), "viewRoot"))
+    }
+
+    tvf("graft_corpus_profile",
+      "graft_corpus_profile(table, idCol, textCol) - the batch dataset card as (metric, value) rows (see operators.Corpus.corpusProfile)") {
+      (s, a) =>
+        require(a.length == 3,
+          "graft_corpus_profile takes (table, idCol, textCol)")
+        operators.Corpus.corpusProfile(s.table(litStr(a(0), "table")),
+          litStr(a(1), "idCol"), litStr(a(2), "textCol"))
+    }
+
     tvf("graft_semantic_contamination",
       "graft_semantic_contamination(corpusTable, benchTable, idCol, vecCol, nCells, threshold) - corpus docs embedding-close to a benchmark doc (paraphrase contamination) as (corpus_id, benchmark_id, cell_id, cosine) (see operators.Similarity.semanticContamination)") {
       (s, a) =>

@@ -1008,6 +1008,104 @@ object IncrementalViews {
         Seq(col("cell.term"), col("cell.beta"))): _*)
   }
 
+  /** INCREMENTALLY-MAINTAINED CORPUS PROFILE — the dataset card
+    * ([[graft.operators.Corpus.corpusProfile]]) kept current as
+    * documents land and leave, without rescanning the corpus: three
+    * views under `viewRoot`, all fed by the source's change feed —
+    *
+    *  - `lang`: per-language (Σdocs, Σtokens, Σquality₄) via the agg
+    *    view with a langid/quality lens (pure Z-set sums — inserts
+    *    AND deletes fold exactly);
+    *  - `tokp`→`tokc`: the [[refreshDistinct]] cascade over an
+    *    EXPLODED token lens — the live vocabulary count (a doc's
+    *    delete retracts each of its token instances; the pair view
+    *    keeps one row per live distinct token);
+    *  - `txtp`→`txtc`: the same cascade keyed by the full text —
+    *    the live exact-duplicate count. (At 100 TB key the cascade
+    *    by a content fingerprint instead of the raw text; counts are
+    *    equal absent a hash collision.)
+    *
+    * [[readCorpusProfile]] then serves the identical `(metric,
+    * value)` rows as the batch operator from O(langs + 2) stored
+    * rows — maintained == from-scratch double-for-double
+    * (spec-asserted across append + delete churn). */
+  def refreshCorpusProfile(spark: SparkSession, srcDir: String,
+                           viewRoot: String, textCol: String): Unit = {
+    import graft.functions.{Exact, Text}
+    val t = col(textCol)
+    val lens: DataFrame => DataFrame = df => df
+      .withColumn("__lang", Text.langId(t))
+      .withColumn("__ntok", Text.tokenCountWs(t).cast("long"))
+      .withColumn("__q", Exact.roundAt(Text.qualityScore(t), 4))
+    refreshAgg(spark, srcDir, s"$viewRoot/lang", Seq("__lang"),
+      Seq("__ntok", "__q"), sumScale = 4, transform = Some(lens))
+    val tokLens: DataFrame => DataFrame = df => df
+      .select(col("__change"), explode(Text.tokens(t)).as("__token"))
+    refreshAgg(spark, srcDir, s"$viewRoot/tokp", Seq("__token"), Nil,
+      transform = Some(tokLens))
+    refreshAgg(spark, s"$viewRoot/tokp", s"$viewRoot/tokc", Seq(GlobalKey),
+      Nil, transform = Some(df => df.withColumn(GlobalKey, lit(0L))))
+    val txtLens: DataFrame => DataFrame = df =>
+      df.select(col("__change"), t.as("__text"))
+    refreshAgg(spark, srcDir, s"$viewRoot/txtp", Seq("__text"), Nil,
+      transform = Some(txtLens))
+    refreshAgg(spark, s"$viewRoot/txtp", s"$viewRoot/txtc", Seq(GlobalKey),
+      Nil, transform = Some(df => df.withColumn(GlobalKey, lit(0L))))
+  }
+
+  /** [[refreshCorpusProfile]] driven by the source's change feed. */
+  def maintainCorpusProfile(spark: SparkSession, srcDir: String,
+                            viewRoot: String, textCol: String,
+                            checkpointDir: String,
+                            trigger: org.apache.spark.sql.streaming.Trigger =
+                              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshCorpusProfile(spark, srcDir, viewRoot, textCol)
+      ()
+    }
+
+  /** The maintained dataset card, served from the profile views as the
+    * same `(metric, value)` rows [[graft.operators.Corpus
+    * .corpusProfile]] computes from scratch. */
+  def readCorpusProfile(spark: SparkSession, viewRoot: String): DataFrame = {
+    import graft.functions.Exact
+    val lang = Snapshots.read(spark, s"$viewRoot/lang")
+      .filter(col("__cnt") > 0)
+    val tokc = Snapshots.read(spark, s"$viewRoot/tokc")
+      .filter(col("__cnt") > 0)
+      .agg(sum(col("__cnt")).as("__vocab"))
+    val txtc = Snapshots.read(spark, s"$viewRoot/txtc")
+      .filter(col("__cnt") > 0)
+      .agg(sum(col("__cnt")).as("__dtext"))
+    val totals = lang.agg(
+      sum(col("__cnt")).as("__n"),
+      sum(col("sum___ntok")).as("__nt"),
+      sum(col("sum___q")).as("__sq"))
+    val scalars = totals.crossJoin(broadcast(tokc))
+      .crossJoin(broadcast(txtc)).select(
+        explode(array(
+          struct(lit("n_docs").as("metric"),
+            col("__n").cast("double").as("value")),
+          struct(lit("n_tokens").as("metric"),
+            col("__nt").cast("double").as("value")),
+          struct(lit("distinct_tokens").as("metric"),
+            col("__vocab").cast("double").as("value")),
+          struct(lit("exact_dup_docs").as("metric"),
+            (col("__n") - col("__dtext")).cast("double").as("value")),
+          struct(lit("mean_doc_tokens").as("metric"),
+            Exact.roundAt(col("__nt").cast("double") /
+              col("__n").cast("double"), 4).as("value")),
+          struct(lit("mean_quality").as("metric"),
+            Exact.roundAt(col("__sq").cast("double") /
+              col("__n").cast("double"), 4).as("value")))))
+      .select(col("col.metric").as("metric"), col("col.value").as("value"))
+    val langs = lang
+      .select(concat(lit("lang_docs_"), col("__lang")).as("metric"),
+        col("__cnt").cast("double").as("value"))
+    scalars.unionByName(langs)
+  }
+
   /** Keep a view CONTINUOUSLY current: a streaming query subscribed
     * to the inputs' change feeds that runs `tick` once per arriving
     * micro-batch. The feed rows are only the WAKE-UP signal — every

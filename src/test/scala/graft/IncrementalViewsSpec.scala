@@ -1043,4 +1043,38 @@ class IncrementalViewsSpec extends SparkSpec {
       assert(m((g, "x", "y")) == m((g, "y", "x")))
     }
   }
+
+  test("maintained corpus profile == batch corpusProfile across append + delete churn") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IncrementalViews, Snapshots}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_profview").toString
+    val (src, views) = (s"$root/src", s"$root/views")
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(200)
+      .localCheckpoint(true)
+    def served() = IncrementalViews.readCorpusProfile(spark, views)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def fresh() = graft.operators.Corpus
+      .corpusProfile(Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshCorpusProfile(spark, src, views, "text")
+    assert(served() == fresh()) // double-for-double, incl. means
+    // append the other half AND retract a band in one maintenance
+    // round: Z-set sums, the token Z-set, and the text Z-set must all
+    // fold the deletes exactly (vocabulary can SHRINK)
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.refreshCorpusProfile(spark, src, views, "text")
+    val sv = served()
+    assert(sv == fresh())
+    assert(sv("n_docs") > 0 && sv.contains("distinct_tokens"))
+    // a doc-removing delete really flowed through: fewer docs than
+    // the full 200
+    assert(sv("n_docs") < 200.0)
+  }
 }
