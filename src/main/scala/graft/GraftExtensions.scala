@@ -402,12 +402,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_corr_view",
-      "graft_corr_view(viewDir, groupKeysCsv, colsCsv) - the maintained correlation matrix served from the moment-stats view as (groupKeys..., col_x, col_y, corr_v) (see IncrementalViews.readCorrMatrix)") {
+      "graft_corr_view(viewDir, groupKeysCsv, colsCsv[, weighted]) - the maintained correlation matrix served from the moment-stats view as (groupKeys..., col_x, col_y, corr_v); weighted=true serves a weight-built view (Σw-scaled moments) and the flag must match how the view was built - a mismatch fails loudly (see IncrementalViews.readCorrMatrix)") {
       (s, a) =>
-        require(a.length == 3,
-          "graft_corr_view takes (viewDir, groupKeysCsv, colsCsv)")
+        require(a.length == 3 || a.length == 4,
+          "graft_corr_view takes (viewDir, groupKeysCsv, colsCsv[, weighted])")
+        val weighted = a.length == 4 && litBool(a(3), "weighted")
         sources.IncrementalViews.readCorrMatrix(s, litStr(a(0), "viewDir"),
-          csvArg(a(1), "groupKeysCsv"), csvArg(a(2), "colsCsv"))
+          csvArg(a(1), "groupKeysCsv"), csvArg(a(2), "colsCsv"),
+          weighted = weighted)
     }
 
     tvf("graft_corr_pairwise",
@@ -470,19 +472,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_bpe_pieces",
-      "graft_bpe_pieces(table, idCol, textCol, numMerges) - train a BPE merge list on the table's distinct-word frequencies, then encode it: (id, word_pos, word, pieces) (see operators.Corpus.bpeTrain/bpeEncode)") {
+      "graft_bpe_pieces(table, idCol, textCol, numMerges) - train a BPE merge list on the table's distinct-word frequencies, then encode it: (id, word_pos, word, pieces); numMerges > 512 encodes via the broadcast-ranks per-partition encoder instead of nested fold expressions (identical output, see operators.Corpus.bpeTrain/bpeEncode/bpeEncodeBroadcast)") {
       (s, a) =>
         require(a.length == 4,
           "graft_bpe_pieces takes (table, idCol, textCol, numMerges)")
         val df = s.table(litStr(a(0), "table"))
-        val merges = operators.Corpus.bpeTrain(df, litStr(a(2), "textCol"),
-          litInt(a(3), "numMerges"))
-        operators.Corpus.bpeEncode(df, litStr(a(1), "idCol"),
-          litStr(a(2), "textCol"), merges)
+        val n = litInt(a(3), "numMerges")
+        val merges = operators.Corpus.bpeTrain(df, litStr(a(2), "textCol"), n)
+        // past a few hundred merges the nested-fold plan is the
+        // bottleneck (analysis quadratic in plan size, codegen hits
+        // the JVM method limit): dispatch to the broadcast encoder,
+        // which is parity-proven against the folded plan
+        if (n > 512)
+          operators.Corpus.bpeEncodeBroadcast(df, litStr(a(1), "idCol"),
+            litStr(a(2), "textCol"), merges)
+        else
+          operators.Corpus.bpeEncode(df, litStr(a(1), "idCol"),
+            litStr(a(2), "textCol"), merges)
     }
 
     tvf("graft_semantic_dedup",
-      "graft_semantic_dedup(table, idCol, vecCol, nCells, threshold) - SemDeDup-style cluster-bounded semantic dedup over an embedding column as (id, cell_id, n_dups, kept) (see operators.Similarity.semanticDedup)") {
+      "graft_semantic_dedup(table, idCol, vecCol, nCells, threshold) - SemDeDup-style cluster-bounded semantic dedup over an embedding column as (id, cell_id, n_dups, kept); NOTE: runs an eager hot-cell-guard job when the call is ANALYZED, before execution (see operators.Similarity.semanticDedup)") {
       (s, a) =>
         require(a.length == 5,
           "graft_semantic_dedup takes (table, idCol, vecCol, nCells, threshold)")
@@ -520,7 +530,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_semantic_contamination",
-      "graft_semantic_contamination(corpusTable, benchTable, idCol, vecCol, nCells, threshold) - corpus docs embedding-close to a benchmark doc (paraphrase contamination) as (corpus_id, benchmark_id, cell_id, cosine) (see operators.Similarity.semanticContamination)") {
+      "graft_semantic_contamination(corpusTable, benchTable, idCol, vecCol, nCells, threshold) - corpus docs embedding-close to a benchmark doc (paraphrase contamination) as (corpus_id, benchmark_id, cell_id, cosine); NOTE: runs an eager hot-cell-guard job when the call is ANALYZED, before execution (see operators.Similarity.semanticContamination)") {
       (s, a) =>
         require(a.length == 6,
           "graft_semantic_contamination takes (corpusTable, benchTable, idCol, vecCol, nCells, threshold)")

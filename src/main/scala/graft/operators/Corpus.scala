@@ -680,11 +680,19 @@ object Corpus {
     * engine-portable); the vocabulary count is the one extra
     * token-level distinct aggregation. The two 1-row aggregates
     * splice together as a broadcast constant (the scalar-subquery
-    * shape), never a data join. */
-  def corpusProfile(df: DataFrame, idCol: String,
-                    textCol: String): DataFrame = {
+    * shape), never a data join.
+    *
+    * `dupKeyFingerprint = true` keys the exact-duplicate count by
+    * [[graft.functions.Text.fingerprint]] instead of the raw text —
+    * the 100 TB mode: the distinct-count shuffle then carries one
+    * int64 per doc instead of the full document body. Counts are
+    * equal absent a fingerprint collision (spec-asserted on the test
+    * corpus). */
+  def corpusProfile(df: DataFrame, idCol: String, textCol: String,
+                    dupKeyFingerprint: Boolean = false): DataFrame = {
     val t = col(textCol)
-    val per = df.select(col(idCol), t.as("__text"),
+    val dupKey = if (dupKeyFingerprint) Text.fingerprint(t) else t
+    val per = df.select(col(idCol), dupKey.as("__text"),
       Text.tokenCountWs(t).cast("long").as("__ntok"),
       graft.functions.Exact.roundAt(Text.qualityScore(t), 4).as("__q"),
       Text.langId(t).as("__lang"))
@@ -731,11 +739,17 @@ object Corpus {
     * no transitions and are absent from the output.
     *
     * Scale: adjacent pairs come straight off the token array (one
-    * zip projection, no positional self-join); the three count
-    * tables are vocabulary-sized — broadcast back onto the per-doc
-    * transition rows — and the per-doc reduce is one exact-decimal
-    * sum, engine-portable like every score here (the DuckDB oracle
-    * replays the identical formula text). */
+    * zip projection, no positional self-join). The context and
+    * unigram count tables (`ctx`, `uni`) are vocabulary-sized and
+    * ride broadcasts back onto the per-doc transition rows — but the
+    * DISTINCT-BIGRAM table grows roughly with the corpus (far beyond
+    * the vocabulary), so it is joined by shuffle on `(prev, cur)`
+    * with NO pinned broadcast hint: AQE may still broadcast it at
+    * runtime when its measured size is small, and a web-scale corpus
+    * degrades to a plain shuffle join instead of a driver OOM. The
+    * per-doc reduce is one exact-decimal sum, engine-portable like
+    * every score here (the DuckDB oracle replays the identical
+    * formula text). */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.9): DataFrame = {
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__t"))
@@ -754,7 +768,9 @@ object Corpus {
       (col("bcount").cast("double") / col("ctx").cast("double")) +
       lit(1.0 - lambda) * (col("freq").cast("double") / col("total"))
     val term = col("bf").cast("double") * log(p)
-    bf.join(broadcast(bg), Seq("prev", "cur"))
+    // bg is distinct-bigram-sized (corpus-scale): shuffle join, no
+    // pinned broadcast — AQE decides from the measured size
+    bf.join(bg, Seq("prev", "cur"))
       .join(broadcast(ctx), "prev")
       .join(broadcast(uni), col("cur") === col("token"))
       .crossJoin(broadcast(total))

@@ -69,6 +69,27 @@ object Dedup {
     hashed.groupBy("__sh")
       .agg(min(col("__id")).as("__gid"), collect_list(col("__id")).as("__ids"))
 
+  /** BOUNDED collapse: identical-set groups as (set, representative,
+    * count) — no membership array, so a content duplicated a billion
+    * times costs one counter instead of one giant collect_list row.
+    * Members are recovered by [[membersVia]]; use this wherever the
+    * group table feeds member→rep STAR edges rather than
+    * member×member pair expansion ([[collapseSets]] stays the
+    * one-shuffle default for the expansion paths, where the array is
+    * bounded by duplicate multiplicity the caller accepts). */
+  private[graft] def collapseReps(hashed: DataFrame): DataFrame =
+    hashed.groupBy("__sh")
+      .agg(min(col("__id")).as("__gid"), count(lit(1L)).as("__cnt"))
+
+  /** Join-based member recovery for [[collapseReps]] groups:
+    * `(member id, group rep)` rows. The groupBy exchange and this
+    * join's probe exchange hash the SAME frame on the SAME key, so
+    * the planner reuses one shuffle (ReusedExchange) — bounded state
+    * at the cost of re-reading shuffle blocks, never a recompute. */
+  private[graft] def membersVia(hashed: DataFrame, groups: DataFrame): DataFrame =
+    hashed.join(groups.select(col("__sh"), col("__gid")), "__sh")
+      .select(col("__id").as("__mid"), col("__gid"))
+
   /** Expand verified representative pairs (gid_a < gid_b, jaccard) to
     * all member pairs, plus the within-group pairs (identical sets,
     * jaccard exactly 1.0). Output size equals what the uncollapsed
@@ -98,7 +119,7 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
-    val (repPairs, groups) =
+    val (repPairs, groups, _) =
       minHashRepPairs(df, idCol, textCol, numHashes, bands, threshold)
     expandGroupPairs(repPairs, groups, threshold)
   }
@@ -112,7 +133,8 @@ object Dedup {
       textCol: String,
       numHashes: Int,
       bands: Int,
-      threshold: Double): (DataFrame, DataFrame) = {
+      threshold: Double,
+      bounded: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // hash token strings ONCE; everything downstream (exact-set
@@ -121,7 +143,7 @@ object Dedup {
     // gives the same signature the raw token order would.
     val hashed = df.select(col(idCol).as("__id"),
       array_sort(transform(toks(textCol), t => xxhash64(t))).as("__sh"))
-    val groups = collapseSets(hashed)
+    val groups = if (bounded) collapseReps(hashed) else collapseSets(hashed)
     val reps = groups.select(col("__gid").as("__id"), col("__sh"))
     val banded = reps
       // whole signature in one codegen loop (MinHashSignature)
@@ -146,7 +168,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.Exact.roundAt(col("jaccard"), 4).as("jaccard"))
-    (repPairs, groups)
+    (repPairs, groups, hashed)
   }
 
   /** Near-dup CONNECTIVITY edges, compact: rep-pair edges plus one
@@ -163,10 +185,13 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
-    val (repPairs, groups) =
-      minHashRepPairs(df, idCol, textCol, numHashes, bands, threshold)
-    val star = groups
-      .select(explode(col("__ids")).as("id_a"), col("__gid").as("id_b"))
+    // bounded groups: the star edges only need (member, rep), so no
+    // membership array is ever materialized on this path
+    val (repPairs, groups, hashed) =
+      minHashRepPairs(df, idCol, textCol, numHashes, bands, threshold,
+        bounded = true)
+    val star = membersVia(hashed, groups)
+      .select(col("__mid").as("id_a"), col("__gid").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
     repPairs.select("id_a", "id_b").unionByName(star)
   }
@@ -201,7 +226,10 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val groups = collapseSets(shingleSets(dfNew, idCol, textCol))
+    // bounded collapse on BOTH sides: this whole function emits star
+    // edges, never member×member expansions, so no membership array
+    val hashedNew = shingleSets(dfNew, idCol, textCol)
+    val groups = collapseReps(hashedNew)
     val reps = groups.select(col("__gid").as("__id"), col("__sh"))
     val banded = bandedSignatures(reps, numHashes, bands)
     val withinCand = banded
@@ -221,10 +249,10 @@ object Dedup {
         hashSetJaccard(col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b")
-    val star = groups
-      .select(explode(col("__ids")).as("id_a"), col("__gid").as("id_b"))
+    val star = membersVia(hashedNew, groups)
+      .select(col("__mid").as("id_a"), col("__gid").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-    val gCorpus = collapseSets(shingleSets(dfCorpus, idCol, textCol))
+    val gCorpus = collapseReps(shingleSets(dfCorpus, idCol, textCol))
     val repsC = gCorpus.select(col("__gid").as("__id"), col("__sh"))
     val crossCand = banded
       .select(col("__band"), col("__bh"), col("__id").as("id_a"))
@@ -279,10 +307,13 @@ object Dedup {
     val mask = if (w == 64) -1L else (1L << w) - 1
     // collapse identical fingerprints first (same move as
     // [[collapseSets]]): banding/verification run per distinct h;
-    // within-group pairs are hamming 0 by construction
-    val groups = df.select(col(idCol).as("__id"), simHash64(textCol).as("__h"))
-      .groupBy("__h")
-      .agg(min(col("__id")).as("__gid"), collect_list(col("__id")).as("__ids"))
+    // within-group pairs are hamming 0 by construction. The group key
+    // is one int64, so members come back through a cheap hash join on
+    // __h (BOUNDED group state — no collect_list array a pathological
+    // billion-fold duplicate could blow up; the groupBy and join
+    // exchanges hash the same frame on the same key → one shuffle)
+    val perDoc = df.select(col(idCol).as("__id"), simHash64(textCol).as("__h"))
+    val groups = perDoc.groupBy("__h").agg(min(col("__id")).as("__gid"))
     val withH = groups.select(col("__gid").as("__id"), col("__h"))
     val bandDf = withH
       .select(col("__id"), col("__h"),
@@ -301,7 +332,8 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-    val members = groups.select(explode(col("__ids")).as("__mid"), col("__gid"))
+    val members = perDoc.join(groups, "__h")
+      .select(col("__id").as("__mid"), col("__gid"))
     val cross = repPairs
       .join(members.select(col("__gid").as("id_a"), col("__mid").as("mid_a")), "id_a")
       .join(members.select(col("__gid").as("id_b"), col("__mid").as("mid_b")), "id_b")
@@ -532,6 +564,10 @@ object Dedup {
     val p = pairs
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
+      // a NULL endpoint drops out of the distributed path's joins;
+      // drop it here too so both paths agree (and getLong below
+      // can't NPE mid-iteration)
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
       .localCheckpoint(true)
     if (p.count() > maxDriverEdges) connectedComponents(p)
     else {

@@ -337,9 +337,11 @@ object Multimodal {
     *
     * Scale: hashing is a narrow batched projection; identical hashes
     * collapse to one representative before banding (the
-    * [[graft.operators.Dedup]] collapse move), the band shuffle
-    * carries (band, slice, id) longs only, and verification is one
-    * codegen `bit_count` per distinct candidate pair. */
+    * [[graft.operators.Dedup]] collapse move, in its BOUNDED
+    * count+exemplar form — membership is a join on the int64 hash,
+    * never a collect_list array), the band shuffle carries (band,
+    * slice, id) longs only, and verification is one codegen
+    * `bit_count` per distinct candidate pair. */
   def imageNearDup(spark: SparkSession, packed: DataFrame,
                    bands: Int = 4, maxHamming: Int = 3,
                    batchSize: Int = 64): DataFrame = {
@@ -349,10 +351,14 @@ object Multimodal {
     val w = 64 / bands
     val mask = if (w == 64) -1L else (1L << w) - 1
     val hashes = perceptualHashes(spark, packed, batchSize)
+    // BOUNDED identical-hash collapse: (phash, rep) only — members
+    // come back through a cheap int64 hash join instead of a
+    // collect_list array a billion-fold duplicate could blow up; the
+    // groupBy and join exchanges hash the same frame on the same key,
+    // so the planner reuses one shuffle
     val groups = hashes
       .groupBy("phash")
-      .agg(min(col("doc_id")).as("__gid"),
-        collect_list(col("doc_id")).as("__ids"))
+      .agg(min(col("doc_id")).as("__gid"))
     val withH = groups.select(col("__gid").as("__id"), col("phash").as("__h"))
     val bandDf = withH
       .select(col("__id"), col("__h"),
@@ -371,8 +377,8 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-    val members = groups.select(explode(col("__ids")).as("__mid"),
-      col("__gid"))
+    val members = hashes.join(groups, "phash")
+      .select(col("doc_id").as("__mid"), col("__gid"))
     val cross = repPairs
       .join(members.select(col("__gid").as("id_a"), col("__mid").as("mid_a")), "id_a")
       .join(members.select(col("__gid").as("id_b"), col("__mid").as("mid_b")), "id_b")

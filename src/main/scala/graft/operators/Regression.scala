@@ -425,8 +425,12 @@ object Regression {
     *
     * Fits COMPLETE CASES only (rows with a NULL label or feature are
     * dropped up front), and persists the filtered frame internally —
-    * each iteration plus the loss pass rescans it, so an expensive
-    * upstream plan is paid once, not iters+1 times. */
+    * each iteration rescans it, so an expensive upstream plan is paid
+    * once, not iters times. The mean log-loss rides each Newton
+    * aggregation, so a CONVERGED fit pays no separate loss scan: the
+    * final sub-`tol` step is not applied, keeping the reported loss
+    * exactly at the reported coefficients (only an iteration-capped,
+    * unconverged fit pays one extra nll-only pass). */
   def logisticFit(df: DataFrame, yCol: String, xCols: Seq[String],
                   iters: Int = 12, ridge: Double = 0.0,
                   tol: Double = 1e-9): (Seq[(String, Double)], Double) = {
@@ -442,19 +446,28 @@ object Regression {
     try {
       var beta = new Array[Double](k + 1)
       val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+      val y = col(yCol).cast("double")
       var it = 0
       var step = Double.MaxValue
+      var loss = Double.NaN
+      var lossAtBeta = false // does `loss` hold the mean nll at the CURRENT beta?
       while (it < iters && step > tol) {
         val z = xs.zip(beta).map { case (x, b) => x * lit(b) }.reduce(_ + _)
         val p = lit(1.0) / (lit(1.0) + exp(-z))
         val w = p * (lit(1.0) - p)
-        val resid = col(yCol).cast("double") - p
+        val resid = y - p
+        // log-loss via log1p(exp(·)) in its stable branch — the loss
+        // moments RIDE the Newton aggregation (same scan), so a
+        // converged fit never pays a separate full loss pass
+        val nll = when(z >= 0, (lit(1.0) - y) * z + log1p(exp(-z)))
+          .otherwise(-y * z + log1p(exp(z)))
         val hess = for { i <- 0 to k; j <- i to k }
           yield sum(w * xs(i) * xs(j)).as(s"h_${i}_$j")
         val score = (0 to k).map(i => sum(xs(i) * resid).as(s"g_$i"))
-        val aggs = hess ++ score
+        val aggs = (hess ++ score) :+ (sum(nll) / count(lit(1L))).as("__nll")
         val row = data.agg(aggs.head, aggs.tail: _*).head()
         def d(name: String) = row.getDouble(row.fieldIndex(name))
+        loss = d("__nll")
         val a = Array.tabulate(k + 1, k + 1) { (i, j) =>
           val (lo, hi) = (math.min(i, j), math.max(i, j))
           d(s"h_${lo}_$hi") + (if (i == j && i > 0) ridge else 0.0)
@@ -465,16 +478,23 @@ object Regression {
           s"singular IRLS Hessian: predictors ${xCols.mkString(", ")} are " +
             "collinear, or the classes separate perfectly (add ridge > 0)")
         step = delta.map(math.abs).max
-        beta = beta.zip(delta).map { case (b, dd) => b + dd }
+        if (step > tol) {
+          beta = beta.zip(delta).map { case (b, dd) => b + dd }
+          lossAtBeta = false
+        } else lossAtBeta = true // converged: the sub-tol step is noise;
+        // NOT applying it keeps the reported loss exactly at the
+        // reported coefficients with zero extra scans
         it += 1
       }
-      val z = xs.zip(beta).map { case (x, b) => x * lit(b) }.reduce(_ + _)
-      val y = col(yCol).cast("double")
-      // log-loss via log1p(exp(·)) in its stable branch
-      val nll = when(z >= 0, (lit(1.0) - y) * z + log1p(exp(-z)))
-        .otherwise(-y * z + log1p(exp(z)))
-      val loss = data.agg((sum(nll) / count(lit(1L))).as("loss"))
-        .head().getDouble(0)
+      if (!lossAtBeta) {
+        // ran out of iterations mid-step: one nll-only pass at the
+        // final coefficients (the only case that needs it)
+        val z = xs.zip(beta).map { case (x, b) => x * lit(b) }.reduce(_ + _)
+        val nll = when(z >= 0, (lit(1.0) - y) * z + log1p(exp(-z)))
+          .otherwise(-y * z + log1p(exp(z)))
+        loss = data.agg((sum(nll) / count(lit(1L))).as("loss"))
+          .head().getDouble(0)
+      }
       (termNames(xCols).zip(beta.toSeq), loss)
     } finally data.unpersist()
   }
@@ -512,6 +532,22 @@ object Regression {
     val data = df.filter(completeCase(yCol, xCols)).persist()
     try {
       val keySchema = StructType(keys.map(kc => data.schema(kc)))
+      // collected key values become Scala map keys below — array/
+      // binary/struct values compare by reference there, which would
+      // make every betas(g) lookup miss. Fail loudly up front.
+      keySchema.fields.foreach { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType |
+               org.apache.spark.sql.types.BinaryType =>
+            throw new IllegalArgumentException(
+              s"logisticFitBy group key '${f.name}' has type ${f.dataType.sql}: " +
+                "array/map/struct/binary keys compare by reference on the " +
+                "driver — project a scalar key (e.g. a hash or a string form) first")
+          case _ =>
+        }
+      }
       val keyRows = data.select(keys.map(col): _*).distinct().collect()
       require(keyRows.length <= maxGroups,
         s"logisticFitBy solves one Newton system per group on the driver — " +
@@ -537,22 +573,32 @@ object Regression {
       val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
       val zExpr: Column =
         xs.zipWithIndex.map { case (x, i) => x * col(s"__b$i") }.reduce(_ + _)
+      val yc = col(yCol).cast("double")
+      def nllExpr(z: Column): Column =
+        when(z >= 0, (lit(1.0) - yc) * z + log1p(exp(-z)))
+          .otherwise(-yc * z + log1p(exp(z)))
       var it = 0
       var step = Double.MaxValue
+      var lossMap = Map.empty[Seq[Any], Double]
+      var lossAtBetas = false // is lossMap evaluated at the CURRENT betas?
       while (it < iters && step > tol) {
         val joined = joinedWithBetas()
         val z = zExpr
         val p = lit(1.0) / (lit(1.0) + exp(-z))
         val w = p * (lit(1.0) - p)
-        val resid = col(yCol).cast("double") - p
+        val resid = yc - p
         val hess = for { i <- 0 to k; j <- i to k }
           yield sum(w * xs(i) * xs(j)).as(s"h_${i}_$j")
         val score = (0 to k).map(i => sum(xs(i) * resid).as(s"g_$i"))
-        val aggs = hess ++ score
+        // per-group loss moments ride the same grouped aggregation —
+        // a converged fit pays no separate loss scan
+        val aggs = (hess ++ score) :+
+          (sum(nllExpr(z)) / count(lit(1L))).as("__nll")
         val moments = joined.groupBy(keys.map(col): _*)
           .agg(aggs.head, aggs.tail: _*).collect()
-        step = 0.0
-        moments.foreach { row =>
+        lossMap = moments.map(r => r.toSeq.take(keys.length) ->
+          r.getDouble(r.fieldIndex("__nll"))).toMap
+        val deltas = moments.map { row =>
           val g = row.toSeq.take(keys.length)
           def d(name: String) = row.getDouble(row.fieldIndex(name))
           val beta = betas(g)
@@ -562,24 +608,28 @@ object Regression {
           }
           val grad = Array.tabulate(k + 1)(i => d(s"g_$i") -
             (if (i > 0) ridge * beta(i) else 0.0))
-          val delta = gaussSolve(a, grad,
+          g -> gaussSolve(a, grad,
             s"singular IRLS Hessian in group (${g.mkString(", ")}): predictors " +
               s"${xCols.mkString(", ")} are collinear there, or that group's " +
               "classes separate perfectly (add ridge > 0)")
-          step = math.max(step, delta.map(math.abs).max)
-          betas(g) = beta.zip(delta).map { case (b, dd) => b + dd }
         }
+        step = deltas.map(_._2.map(math.abs).max).max
+        if (step > tol) {
+          deltas.foreach { case (g, delta) =>
+            betas(g) = betas(g).zip(delta).map { case (b, dd) => b + dd }
+          }
+          lossAtBetas = false
+        } else lossAtBetas = true // converged: skip the sub-tol step so
+        // the riding loss is exact at the returned coefficients
         it += 1
       }
-      // one grouped loss pass on the final coefficients
-      val joined = joinedWithBetas()
-      val z = zExpr
-      val y = col(yCol).cast("double")
-      val nll = when(z >= 0, (lit(1.0) - y) * z + log1p(exp(-z)))
-        .otherwise(-y * z + log1p(exp(z)))
-      val lossMap = joined.groupBy(keys.map(col): _*)
-        .agg((sum(nll) / count(lit(1L))).as("__loss")).collect()
-        .map(r => r.toSeq.take(keys.length) -> r.getDouble(keys.length)).toMap
+      if (!lossAtBetas) {
+        // iteration-capped mid-step: one grouped nll pass at the
+        // final coefficients
+        lossMap = joinedWithBetas().groupBy(keys.map(col): _*)
+          .agg((sum(nllExpr(zExpr)) / count(lit(1L))).as("__loss")).collect()
+          .map(r => r.toSeq.take(keys.length) -> r.getDouble(keys.length)).toMap
+      }
       val outSchema = StructType(keySchema.fields ++ Seq(
         StructField("term", StringType, nullable = false),
         StructField("beta", DoubleType, nullable = false),

@@ -517,7 +517,15 @@ object Similarity {
     * A NULL embedding yields a NULL cell: such docs can neither veto
     * nor be vetoed (null never equi-joins), so they come back
     * `kept = true` with a null `cell_id` — visible, not silently
-    * dropped. */
+    * dropped.
+    *
+    * NOTE the hot-cell guard below runs an EAGER Spark job at
+    * operator-construction time (it measures the assignment before
+    * the quadratic join is planned) — callers that build plans ahead
+    * of execution, including SQL analysis resolving the
+    * `graft_semantic_dedup` TVF, pay that job up front. Pass
+    * `maxCellSize <= 0` to skip the guard and restore fully lazy
+    * construction (you then own the Σ|cell|² risk). */
   def semanticDedup(
       emb: DataFrame,
       idCol: String,
@@ -544,7 +552,8 @@ object Similarity {
     // (Sketches.cohortOverlap). One cheap extra scan; the remedy is
     // more cells (the paper's k ≈ √n regime) or `iters > 0` so
     // k-means splits the dense region — or a deliberately raised cap.
-    val hot = a.filter(col("__cell").isNotNull)
+    val hot = if (maxCellSize <= 0) Array.empty[org.apache.spark.sql.Row]
+    else a.filter(col("__cell").isNotNull)
       .groupBy("__cell").agg(count(lit(1L)).as("__cnt"))
       .orderBy(col("__cnt").desc, col("__cell")).limit(1).collect()
     hot.headOption.foreach { r =>
@@ -581,8 +590,10 @@ object Similarity {
     * Guarded like [[semanticDedup]]: the per-cell candidate product
     * is measured BEFORE the join and a hot cell fails fast by name —
     * real embedding distributions cluster, and benchmark suites
-    * cluster harder. NULL embeddings on either side get a NULL cell
-    * and never pair. */
+    * cluster harder. The guard is an EAGER job at construction time
+    * (SQL analysis of the TVF included); `maxCellPairs <= 0` skips it
+    * and restores lazy construction. NULL embeddings on either side
+    * get a NULL cell and never pair. */
   def semanticContamination(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -600,7 +611,8 @@ object Similarity {
           bestCell(cents, col(s"__v_$idAs"))))
     val c = assign(corpus, "corpus_id")
     val b = assign(benchmark, "benchmark_id")
-    val hot = c.filter(col("__cell_corpus_id").isNotNull)
+    val hot = if (maxCellPairs <= 0) Array.empty[org.apache.spark.sql.Row]
+    else c.filter(col("__cell_corpus_id").isNotNull)
       .groupBy(col("__cell_corpus_id").as("__cell"))
       .agg(count(lit(1L)).as("__nc"))
       .join(b.filter(col("__cell_benchmark_id").isNotNull)

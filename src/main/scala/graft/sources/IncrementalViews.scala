@@ -918,14 +918,36 @@ object IncrementalViews {
       ()
     }
 
+  /** The serve-side must KNOW how the moment view was built: a
+    * weight-built view stores Σw as `sum___cw` and every moment
+    * carries the weight, so serving it unweighted (or vice versa)
+    * silently combines mismatched scalings into wrong numbers. The
+    * stored schema records which build ran — fail loudly on any
+    * flag/schema mismatch. */
+  private def requireWeightParity(v: DataFrame, viewDir: String,
+                                  weighted: Boolean, who: String): Unit = {
+    val hasW = v.columns.contains("sum___cw")
+    require(hasW || !weighted,
+      s"$who(weighted = true) on $viewDir, but the view was built " +
+        "UNWEIGHTED (no sum___cw column) — rebuild it with a weight " +
+        "column or serve with weighted = false")
+    require(weighted || !hasW,
+      s"$who(weighted = false) on $viewDir, but the view folds WEIGHTED " +
+        "moments (sum___cw present) — serving them against the raw row " +
+        "count would mix Σw-scaled moments with __cnt; pass weighted = true")
+  }
+
   /** The maintained matrix, served from the stats view as
     * `(groupKeys…, col_x, col_y, corr_v)` — the same cell projection
     * (and the same double arithmetic, term for term) as the batch
-    * [[graft.operators.Relational.corrMatrixBy]]. */
+    * [[graft.operators.Relational.corrMatrixBy]]. Serving flag must
+    * match the build (see [[requireWeightParity]]). */
   def readCorrMatrix(spark: SparkSession, viewDir: String,
                      groupKeys: Seq[String], cols: Seq[String],
                      weighted: Boolean = false): DataFrame = {
-    val v = Snapshots.read(spark, viewDir).filter(col("__cnt") > 0)
+    val v0 = Snapshots.read(spark, viewDir)
+    requireWeightParity(v0, viewDir, weighted, "readCorrMatrix")
+    val v = v0.filter(col("__cnt") > 0)
       .drop(if (groupKeys.isEmpty) GlobalKey else "__none__")
     // weighted view: n is the folded Σw, matching the WLS moments
     val n = (if (weighted) col("sum___cw") else col("__cnt")).cast("double")
@@ -982,7 +1004,9 @@ object IncrementalViews {
     val missing = xCols.filterNot(cols.contains)
     require(missing.isEmpty,
       s"xCols ${missing.mkString(", ")} are not among the view's stats columns")
-    val v = Snapshots.read(spark, viewDir).filter(col("__cnt") > 0)
+    val v0 = Snapshots.read(spark, viewDir)
+    requireWeightParity(v0, viewDir, weighted, "readOlsModel")
+    val v = v0.filter(col("__cnt") > 0)
       .drop(if (groupKeys.isEmpty) GlobalKey else "__none__")
     val iy = cols.indexOf(yCol)
     val ix = xCols.map(cols.indexOf)
@@ -1021,16 +1045,21 @@ object IncrementalViews {
     *    delete retracts each of its token instances; the pair view
     *    keeps one row per live distinct token);
     *  - `txtp`→`txtc`: the same cascade keyed by the full text —
-    *    the live exact-duplicate count. (At 100 TB key the cascade
-    *    by a content fingerprint instead of the raw text; counts are
-    *    equal absent a hash collision.)
+    *    the live exact-duplicate count. `dupKeyFingerprint = true`
+    *    keys it by [[graft.functions.Text.fingerprint]] instead (the
+    *    100 TB mode — the pair view and its change feed then carry
+    *    one int64 per doc, not the document body); counts are equal
+    *    absent a hash collision (spec-asserted). Pick ONE keying per
+    *    view root — the flag changes what the `txtp` view stores, so
+    *    flipping it mid-life would fold mismatched keys.
     *
     * [[readCorpusProfile]] then serves the identical `(metric,
     * value)` rows as the batch operator from O(langs + 2) stored
     * rows — maintained == from-scratch double-for-double
     * (spec-asserted across append + delete churn). */
   def refreshCorpusProfile(spark: SparkSession, srcDir: String,
-                           viewRoot: String, textCol: String): Unit = {
+                           viewRoot: String, textCol: String,
+                           dupKeyFingerprint: Boolean = false): Unit = {
     import graft.functions.{Exact, Text}
     val t = col(textCol)
     val lens: DataFrame => DataFrame = df => df
@@ -1046,7 +1075,8 @@ object IncrementalViews {
     refreshAgg(spark, s"$viewRoot/tokp", s"$viewRoot/tokc", Seq(GlobalKey),
       Nil, transform = Some(df => df.withColumn(GlobalKey, lit(0L))))
     val txtLens: DataFrame => DataFrame = df =>
-      df.select(col("__change"), t.as("__text"))
+      df.select(col("__change"),
+        (if (dupKeyFingerprint) Text.fingerprint(t) else t).as("__text"))
     refreshAgg(spark, srcDir, s"$viewRoot/txtp", Seq("__text"), Nil,
       transform = Some(txtLens))
     refreshAgg(spark, s"$viewRoot/txtp", s"$viewRoot/txtc", Seq(GlobalKey),
@@ -1058,10 +1088,12 @@ object IncrementalViews {
                             viewRoot: String, textCol: String,
                             checkpointDir: String,
                             trigger: org.apache.spark.sql.streaming.Trigger =
-                              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                              org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                            dupKeyFingerprint: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
-      refreshCorpusProfile(spark, srcDir, viewRoot, textCol)
+      refreshCorpusProfile(spark, srcDir, viewRoot, textCol,
+        dupKeyFingerprint = dupKeyFingerprint)
       ()
     }
 

@@ -237,4 +237,46 @@ class DedupSpec extends SparkSpec {
     // recall of the banded path on moderately-similar pairs
     assert(lsh.size.toDouble / exact.size > 0.5)
   }
+
+  test("bounded collapse (count+exemplar, join-based members) == collect_list path") {
+    import org.apache.spark.sql.functions._
+    // real corpus slice with planted exact duplicates (two extra
+    // copies of every %10==0 doc) so group multiplicity goes past 1
+    val base = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(200)
+    val dups = base.filter(col("doc_id") % 10 === 0)
+    val corpus = base
+      .unionByName(dups.withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(dups.withColumn("doc_id", col("doc_id") + 2000000L))
+    val hashed = corpus.select(col("doc_id").as("__id"),
+      array_sort(transform(array_distinct(split(col("text"), " ")),
+        t => xxhash64(t))).as("__sh"))
+    // the unbounded idiom, inlined: collect_list then explode
+    val viaArray = hashed.groupBy("__sh")
+      .agg(min(col("__id")).as("__gid"), collect_list(col("__id")).as("__ids"))
+      .select(explode(col("__ids")).as("__mid"), col("__gid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val groups = Dedup.collapseReps(hashed)
+    val viaJoin = Dedup.membersVia(hashed, groups)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaJoin == viaArray && viaJoin.nonEmpty)
+    // the bounded group table carries the multiplicity the array held
+    val counts = groups.select("__gid", "__cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts.values.sum == viaJoin.size)
+    assert(counts.values.max >= 3L) // at least the planted triple
+  }
+
+  test("star edges from the bounded path connect every member to its rep") {
+    import org.apache.spark.sql.functions._
+    val base = docs // ids 1..5; 1,2 exact dups, 3 shuffled dup of 1
+    val edges = Dedup.minHashLshEdges(base, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // member→rep stars for the identical-set group {1,2,3}
+    assert(edges.contains((2L, 1L)) && edges.contains((3L, 1L)))
+    // verified rep pair to the near-dup
+    assert(edges.contains((1L, 5L)))
+    assert(!edges.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }

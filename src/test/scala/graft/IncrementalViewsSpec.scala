@@ -1077,4 +1077,43 @@ class IncrementalViewsSpec extends SparkSpec {
     // the full 200
     assert(sv("n_docs") < 200.0)
   }
+
+  test("fingerprint-keyed dup counting == text-keyed, batch and maintained") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IncrementalViews, Snapshots}
+    // planted exact duplicates so exact_dup_docs is nonzero: 10 docs
+    // re-appear under fresh ids with byte-identical text
+    val base = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(100)
+    val docs = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      .localCheckpoint(true)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val byText = toMap(graft.operators.Corpus
+      .corpusProfile(docs, "doc_id", "text"))
+    val byFp = toMap(graft.operators.Corpus
+      .corpusProfile(docs, "doc_id", "text", dupKeyFingerprint = true))
+    assert(byText("exact_dup_docs") >= 10.0)
+    assert(byFp == byText) // int64 keying changes nothing, only bytes shuffled
+    // maintained twin: the fingerprint-keyed view folds append +
+    // delete churn and still equals the text-keyed batch card
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fpprofview").toString
+    val (src, views) = (s"$root/src", s"$root/views")
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshCorpusProfile(spark, src, views, "text",
+      dupKeyFingerprint = true)
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.refreshCorpusProfile(spark, src, views, "text",
+      dupKeyFingerprint = true)
+    val served = toMap(IncrementalViews.readCorpusProfile(spark, views))
+    val freshText = toMap(graft.operators.Corpus.corpusProfile(
+      Snapshots.read(spark, src).select("doc_id", "text"), "doc_id", "text"))
+    assert(served == freshText)
+  }
 }

@@ -128,4 +128,28 @@ class PlanGuardSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a BroadcastNestedLoopJoin")
     }
   }
+
+  test("bigramLogProb never pins a broadcast on the corpus-scale bigram table") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    // disable stats-estimated broadcasts: whatever still broadcasts
+    // under threshold = -1 is carrying a PINNED hint — the shape that
+    // bypasses size measurement and OOMs the driver at web scale
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Corpus.bigramLogProb(
+        Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
+      val plan = df.queryExecution.sparkPlan
+      // ctx (on prev) and uni (on token) are vocabulary-sized one-key
+      // joins and keep their deliberate hints; the distinct-bigram
+      // join on (prev, cur) must shuffle (AQE may still broadcast it
+      // at runtime from MEASURED size — that's the desired behavior)
+      val hinted = plan.collect { case j: BroadcastHashJoinExec => j.leftKeys.length }
+      assert(hinted.nonEmpty && hinted.forall(_ == 1),
+        s"two-key broadcast join (the bigram table) is pinned by hint:\n$plan")
+      val shuffled = plan.collect { case j: SortMergeJoinExec => j.leftKeys.length }
+      assert(shuffled.contains(2),
+        s"expected the (prev, cur) bigram join to plan as a shuffle join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }

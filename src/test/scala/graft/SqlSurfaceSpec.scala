@@ -304,6 +304,19 @@ class SqlSurfaceSpec extends SparkSpec {
       .as[(String, Seq[String])].collect().toMap
     assert(pieces("lowest") == Seq("lowe", "s", "t"))
     assert(pieces("low") == Seq("low"))
+    // a production-sized merge request (>512) must dispatch to the
+    // broadcast-ranks encoder instead of building a 5000-deep fold
+    // plan — same rows as the folded path on the trained merges
+    // (training exhausts this vocabulary long before 5000, so the
+    // case stays cheap while exercising the large-n dispatch)
+    val bigSql = spark.sql(
+      "SELECT word, pieces FROM graft_bpe_pieces('bpe_tvf', 'doc_id', 'text', 5000)")
+    assert(bigSql.queryExecution.sparkPlan.toString.contains("MapPartitions"),
+      "numMerges=5000 did not dispatch to the broadcast encoder")
+    val bigPieces = bigSql.as[(String, Seq[String])].collect().toMap
+    // fully-merged fixpoint: every word collapses to one piece
+    assert(bigPieces.keySet == Set("low", "lower", "lowest"))
+    assert(bigPieces.forall { case (w, p) => p == Seq(w) })
     // pairwise-complete corr TVF == the Scala API (grouped form)
     val sqlPw = spark.sql(
       "SELECT * FROM graft_corr_pairwise('reg_tvf', 'x1,x2,y', 'g')")
