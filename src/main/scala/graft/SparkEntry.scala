@@ -782,6 +782,23 @@ object SparkEntry {
     "q_multimodal_fingerprint" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.pack(Tables.documents(s, dir))).toDF),
 
+    // Perceptual image near-dup over the packed-text blobs: every
+    // blob takes the deterministic stub path (first 8 sha256 bytes —
+    // engine-portable, DuckDB computes the same int64), so the whole
+    // dHash→banded-hamming→popcount JOIN machinery is hash-verified;
+    // the real JDK pixel-decode leg stays spec-covered
+    // (MultimodalSpec). The corpus has no byte-identical docs, so a
+    // deterministic re-upload band (every %10==0 doc again under a
+    // shifted id) plants the duplicate groups the collapse + member
+    // expansion must reproduce.
+    "q_image_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Multimodal.imageNearDup(s, Multimodal.pack(corpus))
+    }),
+
     // ---- corpus-preparation block (Corpus operators) ----
     "q_vocab" -> ((s, dir) =>
       Corpus.vocabulary(Tables.documents(s, dir), "doc_id", "text")),
@@ -870,6 +887,29 @@ object SparkEntry {
     // length/quality, per-language doc counts as (metric, value).
     "q_corpus_profile" -> ((s, dir) =>
       Corpus.corpusProfile(Tables.documents(s, dir), "doc_id", "text")),
+
+    // The MAINTAINED dataset card on the driver's clock: the profile
+    // views (per-language Z-set sums, token Z-set cascade for the
+    // live vocabulary, text Z-set cascade for the live dup count)
+    // fold an append + a predicate delete, then readCorpusProfile
+    // serves the card from O(langs + 2) stored rows — it must equal
+    // DuckDB computing the card from scratch over the final source
+    // state. Fresh state per invocation.
+    "q_corpus_profile_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_profview").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshCorpusProfile(s, src, views, "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshCorpusProfile(s, src, views, "text")
+      IncrementalViews.readCorpusProfile(s, views)
+    }),
 
     "q_global_index" -> ((s, dir) =>
       Corpus.globalIndex(
@@ -1280,6 +1320,53 @@ object SparkEntry {
   /** Engine-portable formulas shared by many oracles (see
     * graft.functions.Exact for the Spark side + rationale). */
   private def sqlRound2(x: String) = graft.functions.Exact.roundAtSql(x, 2)
+  /** The corpus-profile "dataset card" oracle over `documents`,
+    * optionally restricted by a WHERE clause (the maintained-view
+    * query churns the source and serves the card over the surviving
+    * rows — the oracle recomputes it from scratch over that state). */
+  private def corpusProfileOracleSql(where: String): String = {
+    def score(markers: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), x -> list_contains(${markers.mkString("['", "','", "']")}, x)))"
+    val Seq(en, es, fr, de) = graft.functions.Text.langMarkers.map(m => score(m._2))
+    val langCase =
+      s"""CASE
+         |  WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+         |  WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         |  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+         |  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         |  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         |  ELSE 'de' END""".stripMargin
+    val stop = graft.functions.Text.langMarkers.flatMap(_._2).distinct
+      .mkString("['", "','", "']")
+    val nTok = "len(string_split(text, ' '))"
+    val stopRatio = s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) AS DOUBLE) / $nTok"
+    val digitRatio = "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)"
+    val punctRatio = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)"
+    val quality = s"0.4 * least(1.0, CAST($nTok AS DOUBLE) / 100.0) + " +
+      s"0.3 * least(1.0, ($stopRatio) * 4.0) + " +
+      s"0.3 * (1.0 - least(1.0, (($digitRatio) + ($punctRatio)) * 4.0))"
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT doc_id, text, $nTok AS ntok,
+       |         ${sqlRound4(quality)} AS q,
+       |         $langCase AS lang
+       |  FROM (SELECT doc_id, text, $en AS s_en, $es AS s_es,
+       |               $fr AS s_fr, $de AS s_de
+       |        FROM documents $where)
+       |), toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents $where
+       |)
+       |SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM per
+       |UNION ALL SELECT 'n_tokens', CAST(sum(ntok) AS DOUBLE) FROM per
+       |UNION ALL SELECT 'distinct_tokens', CAST(count(DISTINCT token) AS DOUBLE) FROM toks
+       |UNION ALL SELECT 'exact_dup_docs', CAST(count(*) - count(DISTINCT text) AS DOUBLE) FROM per
+       |UNION ALL SELECT 'mean_doc_tokens',
+       |  ${sqlRound4("CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} FROM per
+       |UNION ALL SELECT 'mean_quality',
+       |  ${sqlRound4(s"${sqlSum("q", 4)} / CAST(count(*) AS DOUBLE)")} FROM per
+       |UNION ALL SELECT 'lang_docs_' || lang, CAST(count(*) AS DOUBLE)
+       |FROM per GROUP BY lang""".stripMargin
+  }
+
   private def sqlRound4(x: String) = graft.functions.Exact.roundAtSql(x, 4)
   private def sqlSum(x: String, scale: Int = 2) =
     graft.functions.Exact.sumExactSql(x, scale)
@@ -2500,48 +2587,13 @@ object SparkEntry {
 
     // The dataset card: same langid CASE and quality formula text as
     // q_doc_langid / q_doc_quality, folded to corpus-level rows.
-    "q_corpus_profile" -> {
-      def score(markers: Seq[String]) =
-        s"len(list_filter(string_split(text, ' '), x -> list_contains(${markers.mkString("['", "','", "']")}, x)))"
-      val Seq(en, es, fr, de) = graft.functions.Text.langMarkers.map(m => score(m._2))
-      val langCase =
-        s"""CASE
-           |  WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
-           |  WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
-           |  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-           |  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-           |  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-           |  ELSE 'de' END""".stripMargin
-      val stop = graft.functions.Text.langMarkers.flatMap(_._2).distinct
-        .mkString("['", "','", "']")
-      val nTok = "len(string_split(text, ' '))"
-      val stopRatio = s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) AS DOUBLE) / $nTok"
-      val digitRatio = "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)"
-      val punctRatio = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)"
-      val quality = s"0.4 * least(1.0, CAST($nTok AS DOUBLE) / 100.0) + " +
-        s"0.3 * least(1.0, ($stopRatio) * 4.0) + " +
-        s"0.3 * (1.0 - least(1.0, (($digitRatio) + ($punctRatio)) * 4.0))"
-      s"""WITH per AS MATERIALIZED (
-         |  SELECT doc_id, text, $nTok AS ntok,
-         |         ${sqlRound4(quality)} AS q,
-         |         $langCase AS lang
-         |  FROM (SELECT doc_id, text, $en AS s_en, $es AS s_es,
-         |               $fr AS s_fr, $de AS s_de
-         |        FROM documents)
-         |), toks AS (
-         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
-         |)
-         |SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM per
-         |UNION ALL SELECT 'n_tokens', CAST(sum(ntok) AS DOUBLE) FROM per
-         |UNION ALL SELECT 'distinct_tokens', CAST(count(DISTINCT token) AS DOUBLE) FROM toks
-         |UNION ALL SELECT 'exact_dup_docs', CAST(count(*) - count(DISTINCT text) AS DOUBLE) FROM per
-         |UNION ALL SELECT 'mean_doc_tokens',
-         |  ${sqlRound4("CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} FROM per
-         |UNION ALL SELECT 'mean_quality',
-         |  ${sqlRound4(s"${sqlSum("q", 4)} / CAST(count(*) AS DOUBLE)")} FROM per
-         |UNION ALL SELECT 'lang_docs_' || lang, CAST(count(*) AS DOUBLE)
-         |FROM per GROUP BY lang""".stripMargin
-    },
+    "q_corpus_profile" -> corpusProfileOracleSql(""),
+
+    // The INCREMENTALLY-MAINTAINED dataset card: same card, from
+    // scratch over the final source state after the append + delete
+    // churn the query folds through the profile views.
+    "q_corpus_profile_view_incr" ->
+      corpusProfileOracleSql("WHERE doc_id % 10 <> 3"),
 
     // Cluster membership = connectivity under exact Jaccard >= 0.95
     // (the minhash pair oracle is proven equal to this pair set);
@@ -2595,6 +2647,44 @@ object SparkEntry {
         |       octet_length(encode(text)) % 48 + 1 AS height,
         |       'raw' AS format
         |FROM documents""".stripMargin,
+
+    // Replays the banded-hamming machinery on the stub hash (first 8
+    // sha256 bytes as an int64 — unsigned here, but Spark's arithmetic
+    // shiftright is masked to the band width, so every slice and the
+    // xor popcount are sign-free): 4 bands x 16 bits, pigeonhole-
+    // lossless for hamming <= 3, identical-hash groups collapse to
+    // the min-id rep and expand back via the membership join.
+    "q_image_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS ph
+        |  FROM corpus
+        |), g AS (
+        |  SELECT ph, min(doc_id) AS gid FROM h GROUP BY ph
+        |), b AS (
+        |  SELECT gid, ph, band, (ph >> (band * 16)) & 65535 AS slice
+        |  FROM g, (SELECT unnest(range(0, 4)) AS band)
+        |), rp AS (
+        |  SELECT DISTINCT a.gid AS id_a, b2.gid AS id_b, a.ph AS ha, b2.ph AS hb
+        |  FROM b a JOIN b b2 ON a.band = b2.band AND a.slice = b2.slice
+        |                    AND a.gid < b2.gid
+        |), rph AS (
+        |  SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |  FROM rp WHERE bit_count(xor(ha, hb)) <= 3
+        |), m AS (
+        |  SELECT h.doc_id AS mid, g.gid FROM h JOIN g USING (ph)
+        |)
+        |SELECT least(ma.mid, mb.mid) AS id_a,
+        |       greatest(ma.mid, mb.mid) AS id_b, hamming
+        |FROM rph JOIN m ma ON rph.id_a = ma.gid
+        |         JOIN m mb ON rph.id_b = mb.gid
+        |UNION ALL
+        |SELECT m1.mid AS id_a, m2.mid AS id_b, 0::BIGINT AS hamming
+        |FROM m m1 JOIN m m2 ON m1.gid = m2.gid AND m1.mid < m2.mid""".stripMargin,
 
     // ---- corpus-preparation block ----
     "q_vocab" ->

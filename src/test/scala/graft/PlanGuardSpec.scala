@@ -117,11 +117,14 @@ class PlanGuardSpec extends SparkSpec {
     // nested loop is a broadcast constant splice, not a pair scan).
     // q_doc_bigram_lm and q_corpus_profile splice 1-row aggregates
     // (total-token count / corpus scalars) the same way as
-    // q_doc_logprob — a broadcast constant, not a pair scan.
+    // q_doc_logprob — a broadcast constant, not a pair scan;
+    // q_corpus_profile_view_incr serves the SAME card shape from the
+    // maintained views (1-row vocab/dup-count aggregates spliced in).
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_knn_lsh",
       "q_customer_above_avg",
       "q_tfidf", "q_bm25", "q_doc_logprob", "q_sketch_overlap",
-      "q_ols_eval", "q_ols_holdout", "q_doc_bigram_lm", "q_corpus_profile")
+      "q_ols_eval", "q_ols_holdout", "q_doc_bigram_lm", "q_corpus_profile",
+      "q_corpus_profile_view_incr")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")
