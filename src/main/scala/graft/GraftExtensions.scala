@@ -502,14 +502,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_view_refresh_profile",
-      "graft_view_refresh_profile(srcDir, viewRoot, textCol) - one maintenance tick of the incrementally-maintained corpus-profile views (see IncrementalViews.refreshCorpusProfile); returns 1 on completion") {
+      "graft_view_refresh_profile(srcDir, viewRoot, textCol[, dupKeyFingerprint]) - one maintenance tick of the incrementally-maintained corpus-profile views; dupKeyFingerprint=true keys the dup-count cascade by the int64 content fingerprint (the 100 TB mode; pick ONE keying per view root) (see IncrementalViews.refreshCorpusProfile); returns 1 on completion") {
       (s, a) =>
-        require(a.length == 3,
-          "graft_view_refresh_profile takes (srcDir, viewRoot, textCol)")
+        require(a.length == 3 || a.length == 4,
+          "graft_view_refresh_profile takes (srcDir, viewRoot, textCol[, dupKeyFingerprint])")
         sources.IncrementalViews.refreshCorpusProfile(s,
           litStr(a(0), "srcDir"), litStr(a(1), "viewRoot"),
-          litStr(a(2), "textCol"))
+          litStr(a(2), "textCol"),
+          dupKeyFingerprint = a.length == 4 && litBool(a(3), "dupKeyFingerprint"))
         s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_view_refresh_text_index",
+      "graft_view_refresh_text_index(srcDir, viewRoot, idCol, textCol) - one maintenance tick of the incrementally-maintained inverted text index (posting lists with Z-set term frequencies, doc lengths, cascaded global stats; see IncrementalViews.refreshTextIndex); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 4,
+          "graft_view_refresh_text_index takes (srcDir, viewRoot, idCol, textCol)")
+        sources.IncrementalViews.refreshTextIndex(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewRoot"),
+          litStr(a(2), "idCol"), litStr(a(3), "textCol"))
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_bm25_view",
+      "graft_bm25_view(viewRoot, termsCsv[, idCol[, k1, b]]) - Okapi BM25 served from the maintained inverted-index views (zero corpus re-reads) as (idCol, bm25) (see IncrementalViews.readBm25)") {
+      (s, a) =>
+        require(a.length >= 2 && a.length != 4 && a.length <= 5,
+          "graft_bm25_view takes (viewRoot, termsCsv[, idCol[, k1, b]])")
+        val idCol = if (a.length >= 3) litStr(a(2), "idCol") else "doc_id"
+        val (k1, b) =
+          if (a.length == 5) (litDouble(a(3), "k1"), litDouble(a(4), "b"))
+          else (1.2, 0.75)
+        sources.IncrementalViews.readBm25(s, litStr(a(0), "viewRoot"),
+          csvArg(a(1), "termsCsv"), idCol, k1, b)
     }
 
     tvf("graft_corpus_profile_view",
@@ -521,12 +546,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_corpus_profile",
-      "graft_corpus_profile(table, idCol, textCol) - the batch dataset card as (metric, value) rows (see operators.Corpus.corpusProfile)") {
+      "graft_corpus_profile(table, idCol, textCol[, dupKeyFingerprint]) - the batch dataset card as (metric, value) rows; dupKeyFingerprint=true keys the exact-dup count by the int64 content fingerprint (see operators.Corpus.corpusProfile)") {
       (s, a) =>
-        require(a.length == 3,
-          "graft_corpus_profile takes (table, idCol, textCol)")
+        require(a.length == 3 || a.length == 4,
+          "graft_corpus_profile takes (table, idCol, textCol[, dupKeyFingerprint])")
         operators.Corpus.corpusProfile(s.table(litStr(a(0), "table")),
-          litStr(a(1), "idCol"), litStr(a(2), "textCol"))
+          litStr(a(1), "idCol"), litStr(a(2), "textCol"),
+          dupKeyFingerprint = a.length == 4 && litBool(a(3), "dupKeyFingerprint"))
     }
 
     tvf("graft_semantic_contamination",

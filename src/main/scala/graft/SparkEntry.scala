@@ -875,6 +875,29 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Corpus.bm25(Tables.documents(s, dir), "doc_id", "text", bm25Terms)),
 
+    // The MAINTAINED inverted text index on the driver's clock:
+    // posting lists (Z-set multiplicity = term frequency), per-doc
+    // lengths, and the cascaded global (N, Σdl) row fold an append +
+    // a predicate delete; readBm25 then serves Okapi BM25 for the
+    // fixed query from the stored views alone — zero corpus re-reads
+    // — and must equal DuckDB's from-scratch BM25 over the final
+    // source state. Fresh state per invocation.
+    "q_bm25_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bm25view").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text")
+      IncrementalViews.readBm25(s, views, bm25Terms)
+    }),
+
     "q_doc_logprob" -> ((s, dir) =>
       Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -1320,6 +1343,41 @@ object SparkEntry {
   /** Engine-portable formulas shared by many oracles (see
     * graft.functions.Exact for the Spark side + rationale). */
   private def sqlRound2(x: String) = graft.functions.Exact.roundAtSql(x, 2)
+  /** Okapi BM25 oracle over `documents`, optionally restricted by a
+    * WHERE clause (the maintained-index query churns the source and
+    * serves scores over the surviving rows). Constants injected as
+    * exact double literals (toString → same IEEE double on both
+    * engines), term sum in the same FIXED order as the Spark fold. */
+  private def bm25OracleSql(where: String): String = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val ts = s"ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))" +
+      s" * ((tf.tf * ${k1 + 1}) / (tf.tf + $k1 * (${1 - b} + $b * dl.dl / stats.avgdl)))"
+    val total = bm25Terms
+      .map(t => s"coalesce(max(CASE WHEN token = '$t' THEN ts END), 0.0)")
+      .reduce((a, x) => s"($a + $x)")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl
+       |  FROM documents $where
+       |), stats AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |        FROM documents $where)
+       |  WHERE token IN ($terms)
+       |  GROUP BY doc_id, token
+       |), dfq AS (
+       |  SELECT token, count(*) AS df FROM tf GROUP BY token
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.token, $ts AS ts
+       |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats)
+       |SELECT doc_id, ${sqlRound4(total)} AS bm25
+       |FROM scored GROUP BY doc_id""".stripMargin
+  }
+
   /** The corpus-profile "dataset card" oracle over `documents`,
     * optionally restricted by a WHERE clause (the maintained-view
     * query churns the source and serves the card over the surviving
@@ -2818,37 +2876,11 @@ object SparkEntry {
          |       ${sqlRound4("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.doc_freq)")} AS tfidf
          |FROM tf JOIN dfq USING (token) CROSS JOIN n""".stripMargin,
 
-    "q_bm25" -> {
-      // constants injected as exact double literals (toString → same
-      // IEEE double on both engines), term sum in the same FIXED order
-      // as the Spark fold
-      val (k1, b) = (1.2, 0.75)
-      val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
-      val ts = s"ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))" +
-        s" * ((tf.tf * ${k1 + 1}) / (tf.tf + $k1 * (${1 - b} + $b * dl.dl / stats.avgdl)))"
-      val total = bm25Terms
-        .map(t => s"coalesce(max(CASE WHEN token = '$t' THEN ts END), 0.0)")
-        .reduce((a, x) => s"($a + $x)")
-      s"""WITH dl AS (
-         |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
-         |), stats AS MATERIALIZED (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n,
-         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
-         |), tf AS (
-         |  SELECT doc_id, token, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |        FROM documents)
-         |  WHERE token IN ($terms)
-         |  GROUP BY doc_id, token
-         |), dfq AS (
-         |  SELECT token, count(*) AS df FROM tf GROUP BY token
-         |), scored AS (
-         |  SELECT tf.doc_id, tf.token, $ts AS ts
-         |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
-         |  CROSS JOIN stats)
-         |SELECT doc_id, ${sqlRound4(total)} AS bm25
-         |FROM scored GROUP BY doc_id""".stripMargin
-    },
+    "q_bm25" -> bm25OracleSql(""),
+
+    // The maintained-index BM25: same formula text, from scratch over
+    // the post-churn source state.
+    "q_bm25_view_incr" -> bm25OracleSql("WHERE doc_id % 10 <> 3"),
 
     "q_doc_logprob" ->
       s"""WITH toks AS (

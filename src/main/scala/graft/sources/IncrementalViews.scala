@@ -1138,6 +1138,99 @@ object IncrementalViews {
     scalars.unionByName(langs)
   }
 
+  /** INCREMENTALLY-MAINTAINED INVERTED TEXT INDEX — the full-text
+    * retrieval layer kept current as documents land and leave,
+    * without rescanning the corpus: three views under `viewRoot`,
+    * all fed by the source's change feed —
+    *
+    *  - `post`: the POSTING LISTS as a Z-set agg view keyed
+    *    `(token, doc)` over an exploded token lens — the row
+    *    multiplicity `__cnt` IS the term frequency, so inserts AND
+    *    deletes fold exactly (a doc's delete retracts each of its
+    *    token occurrences; a tf that reaches 0 drops out of serves);
+    *  - `dlen`: per-doc token length, same lens keyed by doc;
+    *  - `gstat`: one cascaded global row (live doc count + Σdl) over
+    *    `dlen`'s OWN change feed — O(churn) per tick, so corpus-level
+    *    stats (N, avgdl) never rescan even the dlen view.
+    *
+    * [[readBm25]] then serves Okapi BM25 for a query from the stored
+    * views alone: postings for the query terms (leading-key stats on
+    * `__token` make that a pruned read), document frequency from
+    * those postings, lengths by one join, N/avgdl from the 1-row
+    * cascade — zero corpus re-reads, maintained == batch
+    * [[graft.operators.Corpus.bm25]] double-for-double
+    * (spec-asserted across append + delete churn; driver-oracled as
+    * `q_bm25_view_incr`). */
+  def refreshTextIndex(spark: SparkSession, srcDir: String,
+                       viewRoot: String, idCol: String,
+                       textCol: String): Unit = {
+    import graft.functions.Text
+    val lens: DataFrame => DataFrame = df => df
+      .select(col("__change"), col(idCol).as("__doc"),
+        explode(Text.tokens(col(textCol))).as("__token"))
+    refreshAgg(spark, srcDir, s"$viewRoot/post", Seq("__token", "__doc"),
+      Nil, transform = Some(lens))
+    refreshAgg(spark, srcDir, s"$viewRoot/dlen", Seq("__doc"), Nil,
+      transform = Some(lens))
+    refreshAgg(spark, s"$viewRoot/dlen", s"$viewRoot/gstat", Seq(GlobalKey),
+      Seq("__dl"), sumScale = 0, transform = Some(df =>
+        df.withColumn(GlobalKey, lit(0L))
+          .withColumn("__dl", col("__cnt"))))
+  }
+
+  /** [[refreshTextIndex]] driven by the source's change feed. */
+  def maintainTextIndex(spark: SparkSession, srcDir: String,
+                        viewRoot: String, idCol: String, textCol: String,
+                        checkpointDir: String,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshTextIndex(spark, srcDir, viewRoot, idCol, textCol)
+      ()
+    }
+
+  /** Okapi BM25 over the maintained index — the same arithmetic,
+    * term for term and in the same fold order, as the batch
+    * [[graft.operators.Corpus.bm25]], but every input comes from the
+    * stored views: O(postings-of-query-terms + matching docs) work
+    * however large the corpus. Emits `(idCol, bm25)` for every live
+    * doc containing at least one query term. */
+  def readBm25(spark: SparkSession, viewRoot: String,
+               queryTerms: Seq[String], idCol: String = "doc_id",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = Snapshots.read(spark, s"$viewRoot/post")
+      .filter(col("__cnt") > 0)
+      .filter(col("__token").isin(queryTerms: _*))
+      .select(col("__token").as("token"), col("__doc"),
+        col("__cnt").as("tf"))
+    val dfreq = post.groupBy("token").agg(count(lit(1L)).as("df"))
+    val dl = Snapshots.read(spark, s"$viewRoot/dlen")
+      .filter(col("__cnt") > 0)
+      .select(col("__doc"), col("__cnt").as("__dl"))
+    val gstat = Snapshots.read(spark, s"$viewRoot/gstat")
+      .filter(col("__cnt") > 0)
+      .agg(sum(col("__cnt")).cast("double").as("__n"),
+        (sum(col("sum___dl")).cast("double") /
+          sum(col("__cnt"))).as("__avgdl"))
+    val termScore =
+      log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+        ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+    val scored = post
+      .join(broadcast(dfreq), "token")
+      .join(dl, Seq("__doc"))
+      .crossJoin(broadcast(gstat))
+      .select(col("__doc"), col("token"), termScore.as("__ts"))
+    val total = queryTerms
+      .map(t => coalesce(max(when(col("token") === t, col("__ts"))), lit(0.0)))
+      .reduce(_ + _)
+    scored.groupBy(col("__doc"))
+      .agg(graft.functions.Exact.roundAt(total, 4).as("bm25"))
+      .select(col("__doc").as(idCol), col("bm25"))
+  }
+
   /** Keep a view CONTINUOUSLY current: a streaming query subscribed
     * to the inputs' change feeds that runs `tick` once per arriving
     * micro-batch. The feed rows are only the WAKE-UP signal — every

@@ -1116,4 +1116,38 @@ class IncrementalViewsSpec extends SparkSpec {
       Snapshots.read(spark, src).select("doc_id", "text"), "doc_id", "text"))
     assert(served == freshText)
   }
+
+  test("maintained inverted index serves BM25 == batch bm25 across append + delete churn") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IncrementalViews, Snapshots}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25view").toString
+    val (src, views) = (s"$root/src", s"$root/views")
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(200).localCheckpoint(true)
+    val terms = Seq("spark", "join", "data")
+    def served() = IncrementalViews.readBm25(spark, views, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def fresh() = graft.operators.Corpus
+      .bm25(Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    val s1 = served()
+    assert(s1 == fresh() && s1.nonEmpty) // double-for-double
+    // append the other half AND retract a band in one tick: postings
+    // (tf), doc frequency, N and avgdl must ALL move — every factor
+    // of the score — with zero corpus rescans
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    val s2 = served()
+    assert(s2 == fresh() && s2.nonEmpty)
+    assert(s2 != s1) // the churn actually moved scores
+    // a deleted doc no longer serves
+    assert(!s2.keys.exists(_ % 7 == 2))
+  }
 }

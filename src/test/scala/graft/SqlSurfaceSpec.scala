@@ -244,6 +244,48 @@ class SqlSurfaceSpec extends SparkSpec {
       == globalCells)
   }
 
+  test("weighted/unweighted corr-view flag must match the build: mismatch fails loudly") {
+    val s = spark; import s.implicits._
+    import graft.sources.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlvw").toString
+    Snapshots.commit(
+      Seq(("a", 1.0, 2.0, 1.0), ("a", 2.0, 1.0, 2.0), ("a", 3.0, 4.0, 1.0))
+        .toDF("g", "x", "y", "w"), s"$root/src", statsCol = Some("g"))
+    // weight-built view served unweighted → loud failure, not wrong numbers
+    spark.sql(s"SELECT * FROM graft_view_refresh_corr('$root/src', '$root/wv', 'g', 'x,y', 'w', 2)").collect()
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_corr_view('$root/wv', 'g', 'x,y')").collect())
+    assert(e1.getMessage.contains("WEIGHTED"))
+    assert(spark.sql(
+      s"SELECT * FROM graft_corr_view('$root/wv', 'g', 'x,y', true)")
+      .collect().length == 4)
+    // unweighted view served weighted → the symmetric loud failure
+    spark.sql(s"SELECT * FROM graft_view_refresh_corr('$root/src', '$root/uv', 'g', 'x,y')").collect()
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_corr_view('$root/uv', 'g', 'x,y', true)").collect())
+    assert(e2.getMessage.contains("UNWEIGHTED"))
+  }
+
+  test("text-index TVFs: refresh + BM25 serve from pure SQL == batch bm25") {
+    val s = spark; import s.implicits._
+    import graft.sources.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlbm25").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(120)
+    Snapshots.commit(docs, s"$root/src", statsCol = Some("doc_id"))
+    spark.sql(
+      s"SELECT * FROM graft_view_refresh_text_index('$root/src', '$root/ix', 'doc_id', 'text')")
+      .collect()
+    val sqlScores = spark.sql(
+      s"SELECT * FROM graft_bm25_view('$root/ix', 'spark,join')")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.operators.Corpus.bm25(
+        Snapshots.read(spark, s"$root/src").select("doc_id", "text"),
+        "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sqlScores == batch && sqlScores.nonEmpty)
+  }
+
   test("regression + corpus TVFs: fit, maintained model, semantic dedup, and mixing from pure SQL") {
     val s = spark; import s.implicits._
     import graft.sources.{IncrementalViews, Snapshots}
