@@ -514,14 +514,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_view_refresh_text_index",
-      "graft_view_refresh_text_index(srcDir, viewRoot, idCol, textCol) - one maintenance tick of the incrementally-maintained inverted text index (posting lists with Z-set term frequencies, doc lengths, cascaded global stats; see IncrementalViews.refreshTextIndex); returns 1 on completion") {
+      "graft_view_refresh_text_index(srcDir, viewRoot, idCol, textCol[, positional]) - one maintenance tick of the incrementally-maintained inverted text index (posting lists with Z-set term frequencies, doc lengths, cascaded global stats; positional=true also maintains (token, doc, pos) postings for exact phrase search - pick ONE setting per view root; see IncrementalViews.refreshTextIndex); returns 1 on completion") {
       (s, a) =>
-        require(a.length == 4,
-          "graft_view_refresh_text_index takes (srcDir, viewRoot, idCol, textCol)")
+        require(a.length == 4 || a.length == 5,
+          "graft_view_refresh_text_index takes (srcDir, viewRoot, idCol, textCol[, positional])")
         sources.IncrementalViews.refreshTextIndex(s,
           litStr(a(0), "srcDir"), litStr(a(1), "viewRoot"),
-          litStr(a(2), "idCol"), litStr(a(3), "textCol"))
+          litStr(a(2), "idCol"), litStr(a(3), "textCol"),
+          positional = a.length == 5 && litBool(a(4), "positional"))
         s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_tfidf_view",
+      "graft_tfidf_view(viewRoot[, idCol]) - TF-IDF served from the maintained inverted-index views (zero extra maintenance beyond the index itself) as (idCol, token, tf, doc_freq, tfidf) (see IncrementalViews.readTfIdf)") {
+      (s, a) =>
+        require(a.length == 1 || a.length == 2,
+          "graft_tfidf_view takes (viewRoot[, idCol])")
+        sources.IncrementalViews.readTfIdf(s, litStr(a(0), "viewRoot"),
+          if (a.length == 2) litStr(a(1), "idCol") else "doc_id")
+    }
+
+    tvf("graft_phrase_search",
+      "graft_phrase_search(viewRoot, phraseCsv[, idCol]) - exact phrase occurrences from the positional postings (refresh with positional=true) as (idCol, hits) (see IncrementalViews.phraseSearch)") {
+      (s, a) =>
+        require(a.length == 2 || a.length == 3,
+          "graft_phrase_search takes (viewRoot, phraseCsv[, idCol])")
+        sources.IncrementalViews.phraseSearch(s, litStr(a(0), "viewRoot"),
+          csvArg(a(1), "phraseCsv"),
+          if (a.length == 3) litStr(a(2), "idCol") else "doc_id")
     }
 
     tvf("graft_bm25_view",

@@ -898,6 +898,49 @@ object SparkEntry {
       IncrementalViews.readBm25(s, views, bm25Terms)
     }),
 
+    // TF-IDF from the SAME maintained index state (zero extra
+    // maintenance): posting multiplicities are the term frequencies,
+    // doc freq is a count over postings, N comes from the cascade.
+    // Must equal DuckDB's from-scratch TF-IDF over the final state.
+    "q_tfidf_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tfidfview").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text")
+      IncrementalViews.readTfIdf(s, views)
+    }),
+
+    // EXACT PHRASE SEARCH over the maintained positional postings:
+    // each term's postings shift to the phrase start and k lists
+    // equi-join on (doc, start) — only the phrase terms' postings are
+    // ever read. Folded through the same append + delete churn; must
+    // equal DuckDB's positional self-join over the final state.
+    "q_phrase_search" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_phraseview").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text",
+        positional = true)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text",
+        positional = true)
+      IncrementalViews.phraseSearch(s, views, phraseTerms)
+    }),
+
     "q_doc_logprob" -> ((s, dir) =>
       Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -1267,6 +1310,10 @@ object SparkEntry {
   /** Retrieval query for q_bm25, shared with its generated oracle. */
   private val bm25Terms = Seq("spark", "window", "join", "stream")
 
+  /** Fixed phrase for the positional-index query (a real adjacent
+    * pair in the synthetic corpus at every verify SF). */
+  private val phraseTerms = Seq("table", "hash")
+
   /** Mixture recipe for q_doc_mix, shared with its generated oracle
     * (sources beyond these fall to the 300-token default). */
   private val docMixBudgets: Seq[(String, Long)] =
@@ -1343,6 +1390,22 @@ object SparkEntry {
   /** Engine-portable formulas shared by many oracles (see
     * graft.functions.Exact for the Spark side + rationale). */
   private def sqlRound2(x: String) = graft.functions.Exact.roundAtSql(x, 2)
+  /** TF-IDF oracle over `documents`, optionally restricted by a
+    * WHERE clause (shared by the batch query and its maintained-index
+    * twin). */
+  private def tfIdfOracleSql(where: String): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |        FROM documents $where)
+       |  GROUP BY doc_id, token
+       |), dfq AS (
+       |  SELECT token, count(*) AS doc_freq FROM tf GROUP BY token
+       |), n AS (SELECT count(*) AS n_docs FROM documents $where)
+       |SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+       |       ${sqlRound4("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.doc_freq)")} AS tfidf
+       |FROM tf JOIN dfq USING (token) CROSS JOIN n""".stripMargin
+
   /** Okapi BM25 oracle over `documents`, optionally restricted by a
     * WHERE clause (the maintained-index query churns the source and
     * serves scores over the surviving rows). Constants injected as
@@ -2863,24 +2926,40 @@ object SparkEntry {
     // ln() agrees to <1 ulp across libm implementations; the 4-dp
     // floor-round absorbs that (same accepted risk class as sqrt in
     // the stddev oracles).
-    "q_tfidf" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, token, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |        FROM documents)
-         |  GROUP BY doc_id, token
-         |), dfq AS (
-         |  SELECT token, count(*) AS doc_freq FROM tf GROUP BY token
-         |), n AS (SELECT count(*) AS n_docs FROM documents)
-         |SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
-         |       ${sqlRound4("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.doc_freq)")} AS tfidf
-         |FROM tf JOIN dfq USING (token) CROSS JOIN n""".stripMargin,
+    "q_tfidf" -> tfIdfOracleSql(""),
+
+    // The maintained-index TF-IDF: same formula text, from scratch
+    // over the post-churn source state.
+    "q_tfidf_view_incr" -> tfIdfOracleSql("WHERE doc_id % 10 <> 3"),
 
     "q_bm25" -> bm25OracleSql(""),
 
     // The maintained-index BM25: same formula text, from scratch over
     // the post-churn source state.
     "q_bm25_view_incr" -> bm25OracleSql("WHERE doc_id % 10 <> 3"),
+
+    // Positional phrase search: 0-based token positions via
+    // list_zip + range (ordinality), each term's positions shifted to
+    // the phrase start, equi-joined on (doc, start) — the same
+    // alignment the maintained index serves.
+    "q_phrase_search" -> {
+      def leg(t: String, i: Int) =
+        s"(SELECT doc_id, pos - $i AS start FROM toks WHERE token = '$t') t$i"
+      val first = leg(phraseTerms.head, 0)
+      val rest = phraseTerms.zipWithIndex.drop(1)
+        .map { case (t, i) => s"JOIN ${leg(t, i)} USING (doc_id, start)" }
+        .mkString("\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, u.z[1] AS token, CAST(u.z[2] AS BIGINT) AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS s
+         |        FROM documents WHERE doc_id % 10 <> 3),
+         |       unnest(list_zip(s, range(0, len(s)))) AS u(z)
+         |)
+         |SELECT t0.doc_id, count(*) AS hits
+         |FROM $first
+         |$rest
+         |GROUP BY t0.doc_id""".stripMargin
+    },
 
     "q_doc_logprob" ->
       s"""WITH toks AS (

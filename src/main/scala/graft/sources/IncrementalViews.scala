@@ -1163,7 +1163,8 @@ object IncrementalViews {
     * `q_bm25_view_incr`). */
   def refreshTextIndex(spark: SparkSession, srcDir: String,
                        viewRoot: String, idCol: String,
-                       textCol: String): Unit = {
+                       textCol: String,
+                       positional: Boolean = false): Unit = {
     import graft.functions.Text
     val lens: DataFrame => DataFrame = df => df
       .select(col("__change"), col(idCol).as("__doc"),
@@ -1176,6 +1177,41 @@ object IncrementalViews {
       Seq("__dl"), sumScale = 0, transform = Some(df =>
         df.withColumn(GlobalKey, lit(0L))
           .withColumn("__dl", col("__cnt"))))
+    // POSITIONAL postings (opt-in — ~dl rows per doc instead of
+    // distinct tokens): (token, doc, pos) with Z-set multiplicity,
+    // the exact-phrase-search substrate. Pick ONE setting per view
+    // root, like the profile's dup keying.
+    if (positional)
+      refreshAgg(spark, srcDir, s"$viewRoot/pos",
+        Seq("__token", "__doc", "__pos"), Nil, transform = Some(df => df
+          .select(col("__change"), col(idCol).as("__doc"),
+            posexplode(Text.tokens(col(textCol))))
+          .withColumnRenamed("pos", "__pos")
+          .withColumnRenamed("col", "__token")))
+  }
+
+  /** EXACT PHRASE SEARCH over the positional postings
+    * ([[refreshTextIndex]] with `positional = true`): every term's
+    * postings are shifted to the phrase START (`pos - i`) and the k
+    * lists equi-join on `(doc, start)` — one narrow hash join per
+    * phrase term over ONLY those terms' postings (leading-key
+    * `__token` stats prune the read), never a per-doc position cross
+    * product. Emits `(idCol, hits)` for docs containing the phrase,
+    * `hits` = number of occurrences (overlapping included), exact
+    * under document inserts AND deletes. */
+  def phraseSearch(spark: SparkSession, viewRoot: String,
+                   phrase: Seq[String],
+                   idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val pos = Snapshots.read(spark, s"$viewRoot/pos")
+      .filter(col("__cnt") > 0)
+    def aligned(i: Int): DataFrame = pos
+      .filter(col("__token") === phrase(i))
+      .select(col("__doc"), (col("__pos") - i).as("__start"))
+    phrase.indices.map(aligned).reduce(_.join(_, Seq("__doc", "__start")))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1L)).as("hits"))
+      .select(col("__doc").as(idCol), col("hits"))
   }
 
   /** [[refreshTextIndex]] driven by the source's change feed. */
@@ -1183,10 +1219,12 @@ object IncrementalViews {
                         viewRoot: String, idCol: String, textCol: String,
                         checkpointDir: String,
                         trigger: org.apache.spark.sql.streaming.Trigger =
-                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                        positional: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
-      refreshTextIndex(spark, srcDir, viewRoot, idCol, textCol)
+      refreshTextIndex(spark, srcDir, viewRoot, idCol, textCol,
+        positional = positional)
       ()
     }
 
@@ -1229,6 +1267,32 @@ object IncrementalViews {
     scored.groupBy(col("__doc"))
       .agg(graft.functions.Exact.roundAt(total, 4).as("bm25"))
       .select(col("__doc").as(idCol), col("bm25"))
+  }
+
+  /** TF-IDF served from the SAME maintained index views
+    * [[refreshTextIndex]] keeps current — no extra maintenance work
+    * at all: term frequencies are the posting multiplicities,
+    * document frequency is a count over postings, the live doc count
+    * comes from the 1-row cascade. Same arithmetic as the batch
+    * [[graft.operators.Corpus.tfIdf]] (spec-asserted equal across
+    * churn; driver-oracled as `q_tfidf_view_incr`). */
+  def readTfIdf(spark: SparkSession, viewRoot: String,
+                idCol: String = "doc_id"): DataFrame = {
+    val post = Snapshots.read(spark, s"$viewRoot/post")
+      .filter(col("__cnt") > 0)
+      .select(col("__token").as("token"), col("__doc"),
+        col("__cnt").as("tf"))
+    val dfreq = post.groupBy("token").agg(count(lit(1L)).as("doc_freq"))
+    val n = Snapshots.read(spark, s"$viewRoot/gstat")
+      .filter(col("__cnt") > 0)
+      .agg(sum(col("__cnt")).as("n_docs"))
+    post.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("__doc").as(idCol), col("token"), col("tf"),
+        col("doc_freq"),
+        graft.functions.Exact.roundAt(
+          col("tf") * log(col("n_docs").cast("double") / col("doc_freq")),
+          4).as("tfidf"))
   }
 
   /** Keep a view CONTINUOUSLY current: a streaming query subscribed

@@ -1150,4 +1150,35 @@ class IncrementalViewsSpec extends SparkSpec {
     // a deleted doc no longer serves
     assert(!s2.keys.exists(_ % 7 == 2))
   }
+
+  test("positional index: exact phrase search, overlapping hits, 3-term chain, deletes") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IncrementalViews, Snapshots}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_phrase").toString
+    val (src, views) = (s"$root/src", s"$root/views")
+    Snapshots.commit(Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "beta alpha beta gamma"),
+      (3L, "gamma alpha gamma beta"),
+      (4L, "alpha alpha alpha")).toDF("doc_id", "text"),
+      src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
+      positional = true)
+    def hits(phrase: Seq[String]) =
+      IncrementalViews.phraseSearch(spark, views, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(Seq("alpha", "beta")) == Map(1L -> 2L, 2L -> 1L))
+    assert(hits(Seq("alpha", "beta", "gamma")) == Map(1L -> 1L, 2L -> 1L))
+    // overlapping occurrences both count
+    assert(hits(Seq("alpha", "alpha")) == Map(4L -> 2L))
+    // adjacency matters: doc 3 has both words, never adjacent in order
+    assert(!hits(Seq("alpha", "beta")).contains(3L))
+    // a delete retracts its positions exactly
+    Snapshots.deleteWhere(spark, src, col("doc_id") === 1L)
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
+      positional = true)
+    assert(hits(Seq("alpha", "beta")) == Map(2L -> 1L))
+  }
 }

@@ -284,6 +284,23 @@ class SqlSurfaceSpec extends SparkSpec {
         "doc_id", "text", Seq("spark", "join"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(sqlScores == batch && sqlScores.nonEmpty)
+    // TF-IDF from the same views == batch tfIdf
+    val sqlTfidf = spark.sql(
+      s"SELECT * FROM graft_tfidf_view('$root/ix')")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val batchTfidf = graft.operators.Corpus.tfIdf(
+        Snapshots.read(spark, s"$root/src").select("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sqlTfidf == batchTfidf && sqlTfidf.nonEmpty)
+    // positional refresh + phrase search from pure SQL
+    spark.sql(
+      s"SELECT * FROM graft_view_refresh_text_index('$root/src', '$root/px', 'doc_id', 'text', true)")
+      .collect()
+    val ph = spark.sql(
+      s"SELECT * FROM graft_phrase_search('$root/px', 'table,hash')")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ph.nonEmpty && ph.forall(_._2 >= 1L))
   }
 
   test("regression + corpus TVFs: fit, maintained model, semantic dedup, and mixing from pure SQL") {
