@@ -1203,7 +1203,9 @@ object IncrementalViews {
                    phrase: Seq[String],
                    idCol: String = "doc_id"): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch needs at least one term")
-    val pos = Snapshots.read(spark, s"$viewRoot/pos")
+    // same manifest prune as readBm25: only the phrase terms' files open
+    val pos = Snapshots.readPrunedRanges(spark, s"$viewRoot/pos", "",
+        phrase.distinct.map(t => (t, t)))
       .filter(col("__cnt") > 0)
     def aligned(i: Int): DataFrame = pos
       .filter(col("__token") === phrase(i))
@@ -1237,7 +1239,13 @@ object IncrementalViews {
   def readBm25(spark: SparkSession, viewRoot: String,
                queryTerms: Seq[String], idCol: String = "doc_id",
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val post = Snapshots.read(spark, s"$viewRoot/post")
+    // MANIFEST-pruned posting read: the view's files are clustered by
+    // __token with per-file stats, so only files whose token range
+    // admits a query term are OPENED (proof: ScalePathSpec corrupts
+    // every other posting file and this still serves) — at 100 TB the
+    // difference between a few-file read and a full posting-table scan
+    val post = Snapshots.readPrunedRanges(spark, s"$viewRoot/post", "",
+        queryTerms.map(t => (t, t)))
       .filter(col("__cnt") > 0)
       .filter(col("__token").isin(queryTerms: _*))
       .select(col("__token").as("token"), col("__doc"),

@@ -1181,4 +1181,46 @@ class IncrementalViewsSpec extends SparkSpec {
       positional = true)
     assert(hits(Seq("alpha", "beta")) == Map(2L -> 1L))
   }
+
+  test("BM25/phrase serves open ONLY the query terms' posting files (manifest prune)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IncrementalViews, Snapshots}
+    val (src, views) = (tmpDir(), tmpDir())
+    // two commits with DISJOINT vocabularies: tick-1 posting files are
+    // carried by reference through tick 2 and their token stats cannot
+    // reach the queried terms — corrupt their data bytes; if a serve
+    // opened them it would crash, so a correct answer proves the
+    // few-file read a 100 TB posting table needs
+    Snapshots.commit(Seq(
+      (1L, "apple apple banana"), (2L, "banana cherry apple")).toDF("doc_id", "text"),
+      src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
+      positional = true)
+    Snapshots.commit(Seq(
+      (10L, "zebra zulu zebra"), (11L, "zulu")).toDF("doc_id", "text"),
+      src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
+      positional = true)
+    def lowFiles(dir: String): Seq[String] =
+      Snapshots.manifest(spark, dir)
+        .select("path", "stats_max").collect().toSeq
+        .filter(r => !r.isNullAt(1) && r.getString(1) < "zebra")
+        .map(_.getString(0))
+    val lowPost = lowFiles(s"$views/post")
+    val lowPos = lowFiles(s"$views/pos")
+    assert(lowPost.nonEmpty && lowPos.nonEmpty,
+      "expected carried tick-1 posting files below the query range")
+    (lowPost ++ lowPos).foreach(corruptDataBytes)
+    val served = IncrementalViews.readBm25(spark, views, Seq("zebra", "zulu"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.operators.Corpus.bm25(
+        Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text", Seq("zebra", "zulu"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == batch && served.keySet == Set(10L, 11L))
+    val hits = IncrementalViews.phraseSearch(spark, views, Seq("zulu", "zebra"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(10L -> 1L))
+  }
 }
