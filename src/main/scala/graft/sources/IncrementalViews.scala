@@ -1066,21 +1066,59 @@ object IncrementalViews {
       .withColumn("__lang", Text.langId(t))
       .withColumn("__ntok", Text.tokenCountWs(t).cast("long"))
       .withColumn("__q", Exact.roundAt(Text.qualityScore(t), 4))
-    refreshAgg(spark, srcDir, s"$viewRoot/lang", Seq("__lang"),
-      Seq("__ntok", "__q"), sumScale = 4, transform = Some(lens))
     val tokLens: DataFrame => DataFrame = df => df
       .select(col("__change"), explode(Text.tokens(t)).as("__token"))
-    refreshAgg(spark, srcDir, s"$viewRoot/tokp", Seq("__token"), Nil,
-      transform = Some(tokLens))
-    refreshAgg(spark, s"$viewRoot/tokp", s"$viewRoot/tokc", Seq(GlobalKey),
-      Nil, transform = Some(df => df.withColumn(GlobalKey, lit(0L))))
     val txtLens: DataFrame => DataFrame = df =>
       df.select(col("__change"),
         (if (dupKeyFingerprint) Text.fingerprint(t) else t).as("__text"))
-    refreshAgg(spark, srcDir, s"$viewRoot/txtp", Seq("__text"), Nil,
-      transform = Some(txtLens))
-    refreshAgg(spark, s"$viewRoot/txtp", s"$viewRoot/txtc", Seq(GlobalKey),
-      Nil, transform = Some(df => df.withColumn(GlobalKey, lit(0L))))
+    // three INDEPENDENT view chains — run them concurrently (each
+    // tick takes its own view lock; the source feed is read-only);
+    // only the cascade orders within a chain
+    parallelChains(spark, Seq(
+      () => refreshAgg(spark, srcDir, s"$viewRoot/lang", Seq("__lang"),
+        Seq("__ntok", "__q"), sumScale = 4, transform = Some(lens)),
+      () => {
+        refreshAgg(spark, srcDir, s"$viewRoot/tokp", Seq("__token"), Nil,
+          transform = Some(tokLens))
+        refreshAgg(spark, s"$viewRoot/tokp", s"$viewRoot/tokc", Seq(GlobalKey),
+          Nil, transform = Some(df => df.withColumn(GlobalKey, lit(0L))))
+      },
+      () => {
+        refreshAgg(spark, srcDir, s"$viewRoot/txtp", Seq("__text"), Nil,
+          transform = Some(txtLens))
+        refreshAgg(spark, s"$viewRoot/txtp", s"$viewRoot/txtc", Seq(GlobalKey),
+          Nil, transform = Some(df => df.withColumn(GlobalKey, lit(0L))))
+      }))
+  }
+
+  /** Run independent view-maintenance chains CONCURRENTLY: each chain
+    * is its own sequence of Spark jobs against its own view dirs
+    * (own locks, own markers); a multi-view refresh is wall-clock
+    * bound by its longest chain, not the sum — the schedule a real
+    * deployment's maintenance runner uses. Ticks are idempotent and
+    * individually exactly-once, so one chain failing while another
+    * lands is the already-supported crash-between-levels state: the
+    * next call catches the lagging chain up. */
+  private def parallelChains(spark: SparkSession,
+                             chains: Seq[() => Any]): Unit = {
+    // DEADLOCK GUARD: a SQL TVF resolves while the analyzer holds the
+    // SessionCatalog monitor — worker threads would block on it for
+    // their own plan analysis while this thread waits for them. If
+    // the caller already holds that lock, run the chains inline.
+    if (chains.lengthCompare(1) <= 0 ||
+        Thread.holdsLock(spark.sessionState.catalog)) {
+      chains.foreach(_()); return
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.length)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: java.util.List[java.util.concurrent.Callable[Any]] =
+        chains.map(c => new java.util.concurrent.Callable[Any] {
+          override def call(): Any = c()
+        }).asJava
+      // invokeAll waits for every chain; surface the first failure
+      pool.invokeAll(tasks).asScala.foreach(_.get())
+    } finally pool.shutdown()
   }
 
   /** [[refreshCorpusProfile]] driven by the source's change feed. */
@@ -1169,25 +1207,30 @@ object IncrementalViews {
     val lens: DataFrame => DataFrame = df => df
       .select(col("__change"), col(idCol).as("__doc"),
         explode(Text.tokens(col(textCol))).as("__token"))
-    refreshAgg(spark, srcDir, s"$viewRoot/post", Seq("__token", "__doc"),
-      Nil, transform = Some(lens))
-    refreshAgg(spark, srcDir, s"$viewRoot/dlen", Seq("__doc"), Nil,
-      transform = Some(lens))
-    refreshAgg(spark, s"$viewRoot/dlen", s"$viewRoot/gstat", Seq(GlobalKey),
-      Seq("__dl"), sumScale = 0, transform = Some(df =>
-        df.withColumn(GlobalKey, lit(0L))
-          .withColumn("__dl", col("__cnt"))))
     // POSITIONAL postings (opt-in — ~dl rows per doc instead of
     // distinct tokens): (token, doc, pos) with Z-set multiplicity,
     // the exact-phrase-search substrate. Pick ONE setting per view
     // root, like the profile's dup keying.
-    if (positional)
-      refreshAgg(spark, srcDir, s"$viewRoot/pos",
+    val posChain: Seq[() => Any] = if (!positional) Nil else Seq(
+      () => refreshAgg(spark, srcDir, s"$viewRoot/pos",
         Seq("__token", "__doc", "__pos"), Nil, transform = Some(df => df
           .select(col("__change"), col(idCol).as("__doc"),
             posexplode(Text.tokens(col(textCol))))
           .withColumnRenamed("pos", "__pos")
-          .withColumnRenamed("col", "__token")))
+          .withColumnRenamed("col", "__token"))))
+    // independent chains concurrently (see [[parallelChains]]):
+    // postings | lengths→global stats | positional postings
+    parallelChains(spark, Seq(
+      () => refreshAgg(spark, srcDir, s"$viewRoot/post",
+        Seq("__token", "__doc"), Nil, transform = Some(lens)),
+      () => {
+        refreshAgg(spark, srcDir, s"$viewRoot/dlen", Seq("__doc"), Nil,
+          transform = Some(lens))
+        refreshAgg(spark, s"$viewRoot/dlen", s"$viewRoot/gstat", Seq(GlobalKey),
+          Seq("__dl"), sumScale = 0, transform = Some(df =>
+            df.withColumn(GlobalKey, lit(0L))
+              .withColumn("__dl", col("__cnt"))))
+      }) ++ posChain)
   }
 
   /** EXACT PHRASE SEARCH over the positional postings
