@@ -557,6 +557,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           csvArg(a(1), "termsCsv"), idCol, k1, b)
     }
 
+    tvf("graft_proximity_search",
+      "graft_proximity_search(viewRoot, termA, termB, window[, idCol]) - docs where the two terms co-occur within `window` token positions, from the positional postings (refresh with positional=true) as (idCol, n_pairs, min_dist) (see IncrementalViews.proximitySearch)") {
+      (s, a) =>
+        require(a.length == 4 || a.length == 5,
+          "graft_proximity_search takes (viewRoot, termA, termB, window[, idCol])")
+        sources.IncrementalViews.proximitySearch(s, litStr(a(0), "viewRoot"),
+          litStr(a(1), "termA"), litStr(a(2), "termB"),
+          litInt(a(3), "window"),
+          if (a.length == 5) litStr(a(4), "idCol") else "doc_id")
+    }
+
     tvf("graft_corpus_profile_view",
       "graft_corpus_profile_view(viewRoot) - the maintained dataset card served as (metric, value) rows (see IncrementalViews.readCorpusProfile)") {
       (s, a) =>

@@ -941,6 +941,29 @@ object SparkEntry {
       IncrementalViews.phraseSearch(s, views, phraseTerms)
     }),
 
+    // PROXIMITY search over the same positional postings: both terms
+    // within 4 positions — the relevance predicate between "same doc"
+    // and "exact phrase". One doc-keyed join of the two terms'
+    // manifest-pruned postings; equals DuckDB's positional join over
+    // the final churned state.
+    "q_proximity_search" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_proxview").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text",
+        positional = true)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text",
+        positional = true)
+      IncrementalViews.proximitySearch(s, views, "table", "merge", 4)
+    }),
+
     "q_doc_logprob" -> ((s, dir) =>
       Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -2960,6 +2983,21 @@ object SparkEntry {
          |$rest
          |GROUP BY t0.doc_id""".stripMargin
     },
+
+    // Proximity: |pos_a - pos_b| <= 4 pairs of the two terms, per doc.
+    "q_proximity_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.z[1] AS token, CAST(u.z[2] AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s
+        |        FROM documents WHERE doc_id % 10 <> 3),
+        |       unnest(list_zip(s, range(0, len(s)))) AS u(z)
+        |), a AS (SELECT doc_id, pos FROM toks WHERE token = 'table'),
+        |   b AS (SELECT doc_id, pos FROM toks WHERE token = 'merge')
+        |SELECT a.doc_id, count(*) AS n_pairs,
+        |       min(abs(a.pos - b.pos)) AS min_dist
+        |FROM a JOIN b USING (doc_id)
+        |WHERE abs(a.pos - b.pos) <= 4
+        |GROUP BY a.doc_id""".stripMargin,
 
     "q_doc_logprob" ->
       s"""WITH toks AS (

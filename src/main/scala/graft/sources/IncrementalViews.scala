@@ -1320,6 +1320,36 @@ object IncrementalViews {
       .select(col("__doc").as(idCol), col("bm25"))
   }
 
+  /** PROXIMITY search over the positional postings: docs where the
+    * two terms co-occur within `window` token positions — the "terms
+    * near each other" retrieval predicate phrase search is too strict
+    * for. One hash join of the two terms' postings on the doc key
+    * (manifest-pruned read, like [[phraseSearch]]); emits
+    * `(idCol, n_pairs, min_dist)` — the number of qualifying
+    * position pairs and the closest distance. Exact under inserts
+    * and deletes like every serve here. */
+  def proximitySearch(spark: SparkSession, viewRoot: String,
+                      termA: String, termB: String, window: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(termA != termB,
+      "proximitySearch needs two distinct terms (use phraseSearch or " +
+        "the postings view directly for repeated-term patterns)")
+    require(window >= 1, "window must be at least 1")
+    val pos = Snapshots.readPrunedRanges(spark, s"$viewRoot/pos", "",
+        Seq((termA, termA), (termB, termB)))
+      .filter(col("__cnt") > 0)
+    def postings(t: String, as: String) = pos
+      .filter(col("__token") === t)
+      .select(col("__doc"), col("__pos").as(as))
+    postings(termA, "__pa").join(postings(termB, "__pb"), Seq("__doc"))
+      .withColumn("__d", abs(col("__pa") - col("__pb")))
+      .filter(col("__d") <= window)
+      .groupBy(col("__doc"))
+      .agg(count(lit(1L)).as("n_pairs"),
+        min(col("__d")).cast("long").as("min_dist"))
+      .select(col("__doc").as(idCol), col("n_pairs"), col("min_dist"))
+  }
+
   /** TF-IDF served from the SAME maintained index views
     * [[refreshTextIndex]] keeps current — no extra maintenance work
     * at all: term frequencies are the posting multiplicities,

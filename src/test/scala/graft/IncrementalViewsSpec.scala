@@ -1175,11 +1175,22 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(hits(Seq("alpha", "alpha")) == Map(4L -> 2L))
     // adjacency matters: doc 3 has both words, never adjacent in order
     assert(!hits(Seq("alpha", "beta")).contains(3L))
+    // proximity: doc 1 "alpha beta gamma alpha beta" has alpha at
+    // {0,3}, gamma at {2} -> pairs at dist 2 and 1; doc 3 pairs at
+    // dist 1 ("gamma alpha") and 2; doc 2 at dist 2 only
+    val prox = IncrementalViews.proximitySearch(spark, views,
+        "alpha", "gamma", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prox(1L) == ((2L, 1L)) && prox(3L) == ((2L, 1L)))
+    assert(prox(2L)._2 == 2L)
+    assert(!prox.contains(4L)) // no gamma at all
     // a delete retracts its positions exactly
     Snapshots.deleteWhere(spark, src, col("doc_id") === 1L)
     IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
       positional = true)
     assert(hits(Seq("alpha", "beta")) == Map(2L -> 1L))
+    assert(!IncrementalViews.proximitySearch(spark, views, "alpha", "gamma", 2)
+      .collect().map(_.getLong(0)).contains(1L))
   }
 
   test("BM25/phrase serves open ONLY the query terms' posting files (manifest prune)") {
