@@ -1193,6 +1193,36 @@ class IncrementalViewsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).contains(1L))
   }
 
+  test("continuous maintenance: the text index rides its source's change feed") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IncrementalViews, Snapshots}
+    val (src, views, ckpt) = (tmpDir(), tmpDir(), tmpDir() + "/ck")
+    val terms = Seq("spark", "join")
+    def served() = IncrementalViews.readBm25(spark, views, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def fresh() = graft.operators.Corpus
+      .bm25(Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(120).localCheckpoint(true)
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    // catch-up-and-stop drains the feed, ticks all chains, exits
+    IncrementalViews.maintainTextIndex(spark, src, views, "doc_id", "text",
+      checkpointDir = ckpt).awaitTermination()
+    assert(served() == fresh() && served().nonEmpty)
+    // a second catch-up from the SAME checkpoint folds only the new
+    // versions (append + delete in one signal batch)
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.maintainTextIndex(spark, src, views, "doc_id", "text",
+      checkpointDir = ckpt).awaitTermination()
+    assert(served() == fresh())
+  }
+
   test("BM25/phrase serves open ONLY the query terms' posting files (manifest prune)") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
