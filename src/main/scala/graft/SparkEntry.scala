@@ -954,13 +954,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
         statsCol = Some("doc_id"))
-      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text",
-        positional = true)
+      IncrementalViews.refreshPositionalIndex(s, src, views, "doc_id", "text")
       Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
         statsCol = Some("doc_id"))
       Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
-      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text",
-        positional = true)
+      IncrementalViews.refreshPositionalIndex(s, src, views, "doc_id", "text")
       IncrementalViews.proximitySearch(s, views, "table", "merge", 4)
     }),
 

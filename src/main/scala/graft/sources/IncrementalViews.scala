@@ -1212,12 +1212,7 @@ object IncrementalViews {
     // the exact-phrase-search substrate. Pick ONE setting per view
     // root, like the profile's dup keying.
     val posChain: Seq[() => Any] = if (!positional) Nil else Seq(
-      () => refreshAgg(spark, srcDir, s"$viewRoot/pos",
-        Seq("__token", "__doc", "__pos"), Nil, transform = Some(df => df
-          .select(col("__change"), col(idCol).as("__doc"),
-            posexplode(Text.tokens(col(textCol))))
-          .withColumnRenamed("pos", "__pos")
-          .withColumnRenamed("col", "__token"))))
+      () => refreshPositionalIndex(spark, srcDir, viewRoot, idCol, textCol))
     // independent chains concurrently (see [[parallelChains]]):
     // postings | lengths→global stats | positional postings
     parallelChains(spark, Seq(
@@ -1231,6 +1226,22 @@ object IncrementalViews {
             df.withColumn(GlobalKey, lit(0L))
               .withColumn("__dl", col("__cnt"))))
       }) ++ posChain)
+  }
+
+  /** Just the POSITIONAL postings view — for callers that only need
+    * [[phraseSearch]]/[[proximitySearch]] and not the BM25/TF-IDF
+    * views ([[refreshTextIndex]] with `positional = true` maintains
+    * this as one of its chains). */
+  def refreshPositionalIndex(spark: SparkSession, srcDir: String,
+                             viewRoot: String, idCol: String,
+                             textCol: String): Unit = {
+    import graft.functions.Text
+    refreshAgg(spark, srcDir, s"$viewRoot/pos",
+      Seq("__token", "__doc", "__pos"), Nil, transform = Some(df => df
+        .select(col("__change"), col(idCol).as("__doc"),
+          posexplode(Text.tokens(col(textCol))))
+        .withColumnRenamed("pos", "__pos")
+        .withColumnRenamed("col", "__token")))
   }
 
   /** EXACT PHRASE SEARCH over the positional postings
