@@ -491,6 +491,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litStr(a(2), "textCol"), merges)
     }
 
+    tvf("graft_cooccurrence",
+      "graft_cooccurrence(table, idCol, textCol[, window, minCount]) - windowed ordered-pair co-occurrence counts + PMI over the corpus (the GloVe/word2vec prep statistic) as (a, b, cnt, pmi) (see operators.Corpus.cooccurrence)") {
+      (s, a) =>
+        require(a.length >= 3 && a.length <= 5,
+          "graft_cooccurrence takes (table, idCol, textCol[, window, minCount])")
+        operators.Corpus.cooccurrence(s.table(litStr(a(0), "table")),
+          litStr(a(1), "idCol"), litStr(a(2), "textCol"),
+          window = if (a.length >= 4) litInt(a(3), "window") else 2,
+          minCount = if (a.length == 5) litInt(a(4), "minCount").toLong else 1L)
+    }
+
     tvf("graft_semantic_dedup",
       "graft_semantic_dedup(table, idCol, vecCol, nCells, threshold) - SemDeDup-style cluster-bounded semantic dedup over an embedding column as (id, cell_id, n_dups, kept); NOTE: runs an eager hot-cell-guard job when the call is ANALYZED, before execution (see operators.Similarity.semanticDedup)") {
       (s, a) =>

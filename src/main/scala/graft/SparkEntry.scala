@@ -872,6 +872,14 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       Corpus.tfIdf(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Windowed co-occurrence + PMI (the GloVe/word2vec prep
+    // statistic): ordered pairs within 2 positions off the token
+    // array (no positional self-join), PMI from the same corpus
+    // totals the oracle replays.
+    "q_cooccurrence" -> ((s, dir) =>
+      Corpus.cooccurrence(Tables.documents(s, dir), "doc_id", "text",
+        window = 2)),
+
     "q_bm25" -> ((s, dir) =>
       Corpus.bm25(Tables.documents(s, dir), "doc_id", "text", bm25Terms)),
 
@@ -2948,6 +2956,27 @@ object SparkEntry {
     // floor-round absorbs that (same accepted risk class as sqrt in
     // the stddev oracles).
     "q_tfidf" -> tfIdfOracleSql(""),
+
+    // Ordered within-window pairs via the positional join; PMI
+    // formula text mirrored exactly (same nesting/casts).
+    "q_cooccurrence" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, u.z[1] AS token, CAST(u.z[2] AS BIGINT) AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         |       unnest(list_zip(s, range(0, len(s)))) AS u(z)
+         |), pairs AS MATERIALIZED (
+         |  SELECT x.token AS a, y.token AS b
+         |  FROM toks x JOIN toks y ON x.doc_id = y.doc_id
+         |   AND y.pos - x.pos BETWEEN 1 AND 2
+         |), cnt AS (SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b),
+         |   np AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM pairs),
+         |   uni AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+         |   nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM toks)
+         |SELECT cnt.a, cnt.b, cnt.cnt,
+         |  ${sqlRound4("ln((CAST(cnt.cnt AS DOUBLE) / np.np) / ((CAST(ua.freq AS DOUBLE) / nt.nt) * (CAST(ub.freq AS DOUBLE) / nt.nt)))")} AS pmi
+         |FROM cnt JOIN uni ua ON cnt.a = ua.token
+         |         JOIN uni ub ON cnt.b = ub.token
+         |CROSS JOIN np CROSS JOIN nt""".stripMargin,
 
     // The maintained-index TF-IDF: same formula text, from scratch
     // over the post-churn source state.

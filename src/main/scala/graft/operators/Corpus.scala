@@ -782,6 +782,53 @@ object Corpus {
           -col("__s") / col("n_bigrams").cast("double"), 4).as("nll"))
   }
 
+  /** WINDOWED CO-OCCURRENCE counts + PMI — the statistic embedding
+    * training prep (GloVe co-occurrence matrices, word2vec negative
+    * sampling tables, collocation mining) is built on: for every
+    * ordered token pair (t[i], t[i+d]) with 1 ≤ d ≤ `window`, the
+    * corpus-wide count and the pointwise mutual information
+    * ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) over the pair space and
+    * p(·) over the token space.
+    *
+    * Scale: pairs come straight off the token array (one
+    * flatten(transform(zip_with)) projection per distance — NO
+    * positional self-join), the pair aggregation is one map-side
+    * combined groupBy, and the vocabulary-sized unigram table rides
+    * broadcasts back onto the distinct-pair rows (the distinct-pair
+    * table itself is corpus-scale and stays the shuffle side, the
+    * [[bigramLogProb]] discipline). The two 1-row totals splice as
+    * broadcast constants. `minCount` prunes the long tail before the
+    * PMI join — the standard GloVe move that bounds output size. */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 2, minCount: Long = 1): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    val toks = df.select(Text.tokens(col(textCol)).as("__t"))
+    val pairs = toks.select(explode(flatten(
+        transform(sequence(lit(1), lit(window)), d =>
+          zip_with(
+            slice(col("__t"), lit(1), greatest(size(col("__t")) - d, lit(0))),
+            slice(col("__t"), d + lit(1),
+              greatest(size(col("__t")) - d, lit(0))),
+            (x, y) => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cnt = pairs.groupBy("a", "b").agg(count(lit(1L)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val npairs = pairs.agg(count(lit(1L)).cast("double").as("__np"))
+    val flat = df.select(explode(Text.tokens(col(textCol))).as("token"))
+    val uni = flat.groupBy("token").agg(count(lit(1L)).as("freq"))
+    val ntok = flat.agg(count(lit(1L)).cast("double").as("__nt"))
+    val pmi = log((col("cnt").cast("double") / col("__np")) /
+      ((col("fa").cast("double") / col("__nt")) *
+        (col("fb").cast("double") / col("__nt"))))
+    cnt
+      .join(broadcast(uni.select(col("token").as("a"), col("freq").as("fa"))), "a")
+      .join(broadcast(uni.select(col("token").as("b"), col("freq").as("fb"))), "b")
+      .crossJoin(broadcast(npairs))
+      .crossJoin(broadcast(ntok))
+      .select(col("a"), col("b"), col("cnt"),
+        graft.functions.Exact.roundAt(pmi, 4).as("pmi"))
+  }
+
   /** PRODUCTION-VOCABULARY encoder: same contract and output as
     * [[bpeEncode]], but the merge table rides a broadcast and each
     * word is encoded imperatively per partition — the sanctioned

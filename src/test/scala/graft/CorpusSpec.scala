@@ -172,6 +172,24 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L)._2 > out(2L)._2)
   }
 
+  test("cooccurrence + PMI match a hand computation; short docs yield no pairs") {
+    val df = Seq((1L, "a b a"), (2L, "x")).toDF("doc_id", "text")
+    val out = Corpus.cooccurrence(df, "doc_id", "text", window = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // pairs: d=1 (a,b),(b,a); d=2 (a,a); 1-token doc contributes none
+    // Ntok=4 (incl. x), Npairs=3; freq a=2, b=1
+    def pmi(cab: Double, fa: Double, fb: Double) =
+      math.floor(math.log((cab / 3.0) / ((fa / 4.0) * (fb / 4.0))) * 10000 + 0.5) / 10000
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("a", "a")))
+    assert(out(("a", "b")) == ((1L, pmi(1, 2, 1))))
+    assert(out(("b", "a")) == ((1L, pmi(1, 1, 2))))
+    assert(out(("a", "a")) == ((1L, pmi(1, 2, 2))))
+    // minCount prunes the tail before the PMI join
+    assert(Corpus.cooccurrence(df, "doc_id", "text", window = 2,
+      minCount = 2).count() == 0L)
+  }
+
   test("bm25 matches a hand computation on a tiny corpus") {
     val df = Seq(
       (1L, "a a b"),
