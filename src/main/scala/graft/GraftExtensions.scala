@@ -579,6 +579,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (a.length == 5) litStr(a(4), "idCol") else "doc_id")
     }
 
+    tvf("graft_kwic",
+      "graft_kwic(viewRoot, term[, k, idCol]) - keyword-in-context snippets (term occurrence + the k surrounding tokens on each side) reassembled from the positional postings alone (refresh with positional=true) as (idCol, center_pos, snippet) (see IncrementalViews.kwic)") {
+      (s, a) =>
+        require(a.length >= 2 && a.length <= 4,
+          "graft_kwic takes (viewRoot, term[, k, idCol])")
+        sources.IncrementalViews.kwic(s, litStr(a(0), "viewRoot"),
+          litStr(a(1), "term"),
+          k = if (a.length >= 3) litInt(a(2), "k") else 3,
+          idCol = if (a.length == 4) litStr(a(3), "idCol") else "doc_id")
+    }
+
     tvf("graft_corpus_profile_view",
       "graft_corpus_profile_view(viewRoot) - the maintained dataset card served as (metric, value) rows (see IncrementalViews.readCorpusProfile)") {
       (s, a) =>

@@ -970,6 +970,26 @@ object SparkEntry {
       IncrementalViews.proximitySearch(s, views, "table", "merge", 4)
     }),
 
+    // Keyword-in-context snippets REASSEMBLED from the positional
+    // postings (no document re-read) — the oracle slices the original
+    // text instead, so a hash match proves the view is a complete
+    // inverted representation of the post-churn corpus.
+    "q_kwic" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_kwicview").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshPositionalIndex(s, src, views, "doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshPositionalIndex(s, src, views, "doc_id", "text")
+      IncrementalViews.kwic(s, views, "vector", k = 3)
+    }),
+
     "q_doc_logprob" -> ((s, dir) =>
       Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -3010,6 +3030,23 @@ object SparkEntry {
          |$rest
          |GROUP BY t0.doc_id""".stripMargin
     },
+
+    // KWIC from the ORIGINAL text (array slice around each 0-based
+    // occurrence) — the engine side reassembles the same snippet from
+    // postings alone.
+    "q_kwic" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |), occ AS (
+        |  SELECT doc_id, s, CAST(u.z[2] AS BIGINT) AS center
+        |  FROM d, unnest(list_zip(s, range(0, len(s)))) AS u(z)
+        |  WHERE u.z[1] = 'vector'
+        |)
+        |SELECT doc_id, center AS center_pos,
+        |       array_to_string(s[greatest(1, center + 1 - 3) :
+        |                         least(len(s), center + 1 + 3)], ' ') AS snippet
+        |FROM occ""".stripMargin,
 
     // Proximity: |pos_a - pos_b| <= 4 pairs of the two terms, per doc.
     "q_proximity_search" ->

@@ -1361,6 +1361,33 @@ object IncrementalViews {
       .select(col("__doc").as(idCol), col("n_pairs"), col("min_dist"))
   }
 
+  /** KEYWORD-IN-CONTEXT snippets from the positional postings alone —
+    * proof the positional view is a complete inverted representation:
+    * every occurrence of `term` comes back with the ±`k` surrounding
+    * tokens REASSEMBLED from the view (no document re-read). The
+    * context join probes only the matching docs' postings; cost is
+    * Σ occurrences × doc-length over docs containing the term, the
+    * right bound for a retrieval-time serve (it is NOT a corpus
+    * scan). Emits `(idCol, center_pos, snippet)`. */
+  def kwic(spark: SparkSession, viewRoot: String, term: String,
+           k: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val pos = Snapshots.read(spark, s"$viewRoot/pos")
+      .filter(col("__cnt") > 0)
+    val occ = pos.filter(col("__token") === term)
+      .select(col("__doc"), col("__pos").as("__center"))
+    occ.join(pos.select(col("__doc"), col("__pos"), col("__token")),
+        Seq("__doc"))
+      .filter(col("__pos") >= col("__center") - k &&
+        col("__pos") <= col("__center") + k)
+      .groupBy(col("__doc"), col("__center"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__token")))),
+        x => x.getField("__token"))).as("snippet"))
+      .select(col("__doc").as(idCol),
+        col("__center").cast("long").as("center_pos"), col("snippet"))
+  }
+
   /** TF-IDF served from the SAME maintained index views
     * [[refreshTextIndex]] keeps current — no extra maintenance work
     * at all: term frequencies are the posting multiplicities,

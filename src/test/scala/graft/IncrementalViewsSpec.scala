@@ -1184,6 +1184,15 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(prox(1L) == ((2L, 1L)) && prox(3L) == ((2L, 1L)))
     assert(prox(2L)._2 == 2L)
     assert(!prox.contains(4L)) // no gamma at all
+    // KWIC: snippets reassembled from postings alone, clipped at doc
+    // edges, one row per occurrence
+    val kw = IncrementalViews.kwic(spark, views, "gamma", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(kw == Map(
+      (1L, 2L) -> "beta gamma alpha",
+      (2L, 3L) -> "beta gamma",
+      (3L, 0L) -> "gamma alpha",
+      (3L, 2L) -> "alpha gamma beta"))
     // a delete retracts its positions exactly
     Snapshots.deleteWhere(spark, src, col("doc_id") === 1L)
     IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
