@@ -492,14 +492,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_cooccurrence",
-      "graft_cooccurrence(table, idCol, textCol[, window, minCount]) - windowed ordered-pair co-occurrence counts + PMI over the corpus (the GloVe/word2vec prep statistic) as (a, b, cnt, pmi) (see operators.Corpus.cooccurrence)") {
+      "graft_cooccurrence(table, textCol[, window, minCount]) - windowed ordered-pair co-occurrence counts + PMI over the corpus (the GloVe/word2vec prep statistic) as (a, b, cnt, pmi) (see operators.Corpus.cooccurrence)") {
       (s, a) =>
-        require(a.length >= 3 && a.length <= 5,
-          "graft_cooccurrence takes (table, idCol, textCol[, window, minCount])")
+        require(a.length >= 2 && a.length <= 4,
+          "graft_cooccurrence takes (table, textCol[, window, minCount])")
         operators.Corpus.cooccurrence(s.table(litStr(a(0), "table")),
-          litStr(a(1), "idCol"), litStr(a(2), "textCol"),
-          window = if (a.length >= 4) litInt(a(3), "window") else 2,
-          minCount = if (a.length == 5) litInt(a(4), "minCount").toLong else 1L)
+          litStr(a(1), "textCol"),
+          window = if (a.length >= 3) litInt(a(2), "window") else 2,
+          minCount = if (a.length == 4) litInt(a(3), "minCount").toLong else 1L)
     }
 
     tvf("graft_semantic_dedup",

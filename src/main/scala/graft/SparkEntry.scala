@@ -877,8 +877,7 @@ object SparkEntry {
     // array (no positional self-join), PMI from the same corpus
     // totals the oracle replays.
     "q_cooccurrence" -> ((s, dir) =>
-      Corpus.cooccurrence(Tables.documents(s, dir), "doc_id", "text",
-        window = 2)),
+      Corpus.cooccurrence(Tables.documents(s, dir), "text", window = 2)),
 
     "q_bm25" -> ((s, dir) =>
       Corpus.bm25(Tables.documents(s, dir), "doc_id", "text", bm25Terms)),

@@ -799,7 +799,7 @@ object Corpus {
     * [[bigramLogProb]] discipline). The two 1-row totals splice as
     * broadcast constants. `minCount` prunes the long tail before the
     * PMI join — the standard GloVe move that bounds output size. */
-  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+  def cooccurrence(df: DataFrame, textCol: String,
                    window: Int = 2, minCount: Long = 1): DataFrame = {
     require(window >= 1, "window must be at least 1")
     val toks = df.select(Text.tokens(col(textCol)).as("__t"))

@@ -82,10 +82,14 @@ object Dedup {
       .agg(min(col("__id")).as("__gid"), count(lit(1L)).as("__cnt"))
 
   /** Join-based member recovery for [[collapseReps]] groups:
-    * `(member id, group rep)` rows. The groupBy exchange and this
-    * join's probe exchange hash the SAME frame on the SAME key, so
-    * the planner reuses one shuffle (ReusedExchange) — bounded state
-    * at the cost of re-reading shuffle blocks, never a recompute. */
+    * `(member id, group rep)` rows. The groupBy side carries a
+    * map-side partial aggregate the probe side doesn't, so the two
+    * exchanges do NOT canonicalize equal and the planner would
+    * recompute `hashed` for each use — callers therefore
+    * `localCheckpoint(eager = false)` the hashed frame first: the
+    * projection runs once, both uses read the stored blocks
+    * (bounded group state for the price of one cached pass, the
+    * same budget class the collect_list array occupied). */
   private[graft] def membersVia(hashed: DataFrame, groups: DataFrame): DataFrame =
     hashed.join(groups.select(col("__sh"), col("__gid")), "__sh")
       .select(col("__id").as("__mid"), col("__gid"))
@@ -141,8 +145,11 @@ object Dedup {
     // collapse, signature, banding, verification) runs on the sorted
     // 64-bit hash array. MinHash is order-invariant, so the sorted set
     // gives the same signature the raw token order would.
-    val hashed = df.select(col(idCol).as("__id"),
+    val hashed0 = df.select(col(idCol).as("__id"),
       array_sort(transform(toks(textCol), t => xxhash64(t))).as("__sh"))
+    // the bounded path reads `hashed` twice (collapse + member join):
+    // checkpoint lazily so tokenization runs once (see membersVia)
+    val hashed = if (bounded) hashed0.localCheckpoint(false) else hashed0
     val groups = if (bounded) collapseReps(hashed) else collapseSets(hashed)
     val reps = groups.select(col("__gid").as("__id"), col("__sh"))
     val banded = reps
@@ -227,8 +234,10 @@ object Dedup {
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // bounded collapse on BOTH sides: this whole function emits star
-    // edges, never member×member expansions, so no membership array
-    val hashedNew = shingleSets(dfNew, idCol, textCol)
+    // edges, never member×member expansions, so no membership array;
+    // the batch side is read twice (collapse + member join) — lazy
+    // checkpoint so it is shingled once (see membersVia)
+    val hashedNew = shingleSets(dfNew, idCol, textCol).localCheckpoint(false)
     val groups = collapseReps(hashedNew)
     val reps = groups.select(col("__gid").as("__id"), col("__sh"))
     val banded = bandedSignatures(reps, numHashes, bands)
@@ -310,9 +319,11 @@ object Dedup {
     // within-group pairs are hamming 0 by construction. The group key
     // is one int64, so members come back through a cheap hash join on
     // __h (BOUNDED group state — no collect_list array a pathological
-    // billion-fold duplicate could blow up; the groupBy and join
-    // exchanges hash the same frame on the same key → one shuffle)
+    // billion-fold duplicate could blow up); perDoc is read twice
+    // (collapse + member join), so checkpoint lazily — the
+    // tokenize+hash projection runs once (see [[membersVia]])
     val perDoc = df.select(col(idCol).as("__id"), simHash64(textCol).as("__h"))
+      .localCheckpoint(false)
     val groups = perDoc.groupBy("__h").agg(min(col("__id")).as("__gid"))
     val withH = groups.select(col("__gid").as("__id"), col("__h"))
     val bandDf = withH

@@ -350,12 +350,15 @@ object Multimodal {
       "pigeonhole guarantee needs maxHamming <= bands-1")
     val w = 64 / bands
     val mask = if (w == 64) -1L else (1L << w) - 1
-    val hashes = perceptualHashes(spark, packed, batchSize)
     // BOUNDED identical-hash collapse: (phash, rep) only — members
     // come back through a cheap int64 hash join instead of a
-    // collect_list array a billion-fold duplicate could blow up; the
-    // groupBy and join exchanges hash the same frame on the same key,
-    // so the planner reuses one shuffle
+    // collect_list array a billion-fold duplicate could blow up.
+    // `hashes` is read twice (collapse + member join) and its decode
+    // is the dominant cost, so checkpoint lazily: every image is
+    // decoded exactly once, both uses read the stored (id, phash)
+    // longs (see Dedup.membersVia)
+    val hashes = perceptualHashes(spark, packed, batchSize)
+      .localCheckpoint(false)
     val groups = hashes
       .groupBy("phash")
       .agg(min(col("doc_id")).as("__gid"))

@@ -613,7 +613,10 @@ object Regression {
               s"${xCols.mkString(", ")} are collinear there, or that group's " +
               "classes separate perfectly (add ridge > 0)")
         }
-        step = deltas.map(_._2.map(math.abs).max).max
+        // no groups (all rows dropped by completeCase / empty input):
+        // fall through to the empty result frame, like the pre-fold code
+        step = if (deltas.isEmpty) 0.0
+          else deltas.map(_._2.map(math.abs).max).max
         if (step > tol) {
           deltas.foreach { case (g, delta) =>
             betas(g) = betas(g).zip(delta).map { case (b, dd) => b + dd }

@@ -1071,6 +1071,19 @@ object IncrementalViews {
     val txtLens: DataFrame => DataFrame = df =>
       df.select(col("__change"),
         (if (dupKeyFingerprint) Text.fingerprint(t) else t).as("__text"))
+    // BUILD-FLAG PARITY (the requireWeightParity discipline): the
+    // stored txtp schema records which keying built it — a flipped
+    // flag would fold int64 retractions against string rows (or vice
+    // versa) and silently corrupt the dup count forever after
+    if (Snapshots.latestVersion(spark, s"$viewRoot/txtp").isDefined) {
+      val stored = Snapshots.read(spark, s"$viewRoot/txtp")
+        .schema("__text").dataType
+      val storedFp = stored == org.apache.spark.sql.types.LongType
+      require(storedFp == dupKeyFingerprint,
+        s"$viewRoot/txtp was built ${if (storedFp) "FINGERPRINT" else "TEXT"}-keyed " +
+          s"but this tick passes dupKeyFingerprint = $dupKeyFingerprint — " +
+          "pick ONE keying per view root (rebuild the views to switch)")
+    }
     // three INDEPENDENT view chains — run them concurrently (each
     // tick takes its own view lock; the source feed is read-only);
     // only the cascade orders within a chain
@@ -1198,7 +1211,15 @@ object IncrementalViews {
     * cascade — zero corpus re-reads, maintained == batch
     * [[graft.operators.Corpus.bm25]] double-for-double
     * (spec-asserted across append + delete churn; driver-oracled as
-    * `q_bm25_view_incr`). */
+    * `q_bm25_view_incr`).
+    *
+    * NULL-text docs are not indexable (they explode to zero token
+    * rows, so they are absent from every view INCLUDING the N /
+    * avgdl stats), while the batch operators count such rows in
+    * their corpus totals — exact batch parity therefore holds on
+    * corpora with no NULL texts (an empty STRING tokenizes to one
+    * empty token and is counted identically on both sides); run a
+    * quality gate upstream or filter nulls before committing. */
   def refreshTextIndex(spark: SparkSession, srcDir: String,
                        viewRoot: String, idCol: String,
                        textCol: String,
@@ -1211,6 +1232,14 @@ object IncrementalViews {
     // distinct tokens): (token, doc, pos) with Z-set multiplicity,
     // the exact-phrase-search substrate. Pick ONE setting per view
     // root, like the profile's dup keying.
+    // BUILD-FLAG PARITY: an index built positional must stay
+    // positional — a non-positional tick would leave the existing pos
+    // view silently stale while phraseSearch/kwic keep serving it
+    require(positional ||
+        Snapshots.latestVersion(spark, s"$viewRoot/pos").isEmpty,
+      s"$viewRoot/pos exists (this index maintains POSITIONAL postings) " +
+        "but this tick passes positional = false — the pos view would go " +
+        "silently stale; pass positional = true")
     val posChain: Seq[() => Any] = if (!positional) Nil else Seq(
       () => refreshPositionalIndex(spark, srcDir, viewRoot, idCol, textCol))
     // independent chains concurrently (see [[parallelChains]]):
@@ -1293,6 +1322,7 @@ object IncrementalViews {
   def readBm25(spark: SparkSession, viewRoot: String,
                queryTerms: Seq[String], idCol: String = "doc_id",
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "readBm25 needs at least one query term")
     // MANIFEST-pruned posting read: the view's files are clustered by
     // __token with per-file stats, so only files whose token range
     // admits a query term are OPENED (proof: ScalePathSpec corrupts
@@ -1365,16 +1395,22 @@ object IncrementalViews {
     * proof the positional view is a complete inverted representation:
     * every occurrence of `term` comes back with the ±`k` surrounding
     * tokens REASSEMBLED from the view (no document re-read). The
-    * context join probes only the matching docs' postings; cost is
-    * Σ occurrences × doc-length over docs containing the term, the
-    * right bound for a retrieval-time serve (it is NOT a corpus
-    * scan). Emits `(idCol, center_pos, snippet)`. */
+    * occurrence leg is MANIFEST-pruned to the term's posting files
+    * (like [[phraseSearch]]); the context leg genuinely needs every
+    * token of the matching docs, so it reads the view and joins on
+    * the doc key — cost is Σ occurrences × doc-length over docs
+    * containing the term, the right bound for a retrieval-time serve
+    * (the occurrence side is NOT a corpus scan). Emits
+    * `(idCol, center_pos, snippet)`. */
   def kwic(spark: SparkSession, viewRoot: String, term: String,
            k: Int = 3, idCol: String = "doc_id"): DataFrame = {
     require(k >= 0, "k must be non-negative")
     val pos = Snapshots.read(spark, s"$viewRoot/pos")
       .filter(col("__cnt") > 0)
-    val occ = pos.filter(col("__token") === term)
+    val occ = Snapshots.readPrunedRanges(spark, s"$viewRoot/pos", "",
+        Seq((term, term)))
+      .filter(col("__cnt") > 0)
+      .filter(col("__token") === term)
       .select(col("__doc"), col("__pos").as("__center"))
     occ.join(pos.select(col("__doc"), col("__pos"), col("__token")),
         Seq("__doc"))

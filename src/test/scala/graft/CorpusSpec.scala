@@ -174,7 +174,7 @@ class CorpusSpec extends SparkSpec {
 
   test("cooccurrence + PMI match a hand computation; short docs yield no pairs") {
     val df = Seq((1L, "a b a"), (2L, "x")).toDF("doc_id", "text")
-    val out = Corpus.cooccurrence(df, "doc_id", "text", window = 2)
+    val out = Corpus.cooccurrence(df, "text", window = 2)
       .as[(String, String, Long, Double)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
     // pairs: d=1 (a,b),(b,a); d=2 (a,a); 1-token doc contributes none
@@ -186,7 +186,7 @@ class CorpusSpec extends SparkSpec {
     assert(out(("b", "a")) == ((1L, pmi(1, 1, 2))))
     assert(out(("a", "a")) == ((1L, pmi(1, 2, 2))))
     // minCount prunes the tail before the PMI join
-    assert(Corpus.cooccurrence(df, "doc_id", "text", window = 2,
+    assert(Corpus.cooccurrence(df, "text", window = 2,
       minCount = 2).count() == 0L)
   }
 
