@@ -1149,6 +1149,13 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(s2 != s1) // the churn actually moved scores
     // a deleted doc no longer serves
     assert(!s2.keys.exists(_ % 7 == 2))
+    // serve-plan shape: the per-term df table rides a pinned
+    // broadcast back onto the postings — never a shuffle of the
+    // posting rows for a |terms|-row build side
+    val plan = IncrementalViews.readBm25(spark, views, terms)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"readBm25 lost its df broadcast:\n$plan")
   }
 
   test("positional index: exact phrase search, overlapping hits, 3-term chain, deletes") {
