@@ -301,6 +301,21 @@ class SqlSurfaceSpec extends SparkSpec {
       s"SELECT * FROM graft_phrase_search('$root/px', 'table,hash')")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ph.nonEmpty && ph.forall(_._2 >= 1L))
+    // proximity + KWIC from the same positional root == the Scala API
+    val sqlProx = spark.sql(
+      s"SELECT * FROM graft_proximity_search('$root/px', 'table', 'hash', 3)")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val apiProx = graft.sources.IncrementalViews
+      .proximitySearch(spark, s"$root/px", "table", "hash", 3)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sqlProx == apiProx && sqlProx.nonEmpty)
+    val sqlKwic = spark.sql(
+      s"SELECT * FROM graft_kwic('$root/px', 'table', 2)")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val apiKwic = graft.sources.IncrementalViews
+      .kwic(spark, s"$root/px", "table", k = 2)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sqlKwic == apiKwic && sqlKwic.nonEmpty)
   }
 
   test("regression + corpus TVFs: fit, maintained model, semantic dedup, and mixing from pure SQL") {
