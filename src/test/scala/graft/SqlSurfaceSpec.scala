@@ -391,6 +391,14 @@ class SqlSurfaceSpec extends SparkSpec {
     // fully-merged fixpoint: every word collapses to one piece
     assert(bigPieces.keySet == Set("low", "lower", "lowest"))
     assert(bigPieces.forall { case (w, p) => p == Seq(w) })
+    // co-occurrence TVF == the Scala API on the same tiny corpus
+    val sqlCo = spark.sql(
+      "SELECT * FROM graft_cooccurrence('bpe_tvf', 'text', 1)")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val apiCo = graft.operators.Corpus.cooccurrence(
+        spark.table("bpe_tvf"), "text", window = 1)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sqlCo == apiCo && sqlCo.size == 3) // (low,low)x2,(low,lower),(lower,lowest)
     // pairwise-complete corr TVF == the Scala API (grouped form)
     val sqlPw = spark.sql(
       "SELECT * FROM graft_corr_pairwise('reg_tvf', 'x1,x2,y', 'g')")
