@@ -556,16 +556,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_bm25_view",
-      "graft_bm25_view(viewRoot, termsCsv[, idCol[, k1, b]]) - Okapi BM25 served from the maintained inverted-index views (zero corpus re-reads) as (idCol, bm25) (see IncrementalViews.readBm25)") {
+      "graft_bm25_view(viewRoot, termsCsv[, idCol[, k1, b[, topK]]]) - Okapi BM25 served from the maintained inverted-index views (zero corpus re-reads) as (idCol, bm25); topK > 0 keeps only the k best scores via TakeOrdered - the retrieval shape (see IncrementalViews.readBm25)") {
       (s, a) =>
-        require(a.length >= 2 && a.length != 4 && a.length <= 5,
-          "graft_bm25_view takes (viewRoot, termsCsv[, idCol[, k1, b]])")
+        require(a.length >= 2 && a.length != 4 && a.length <= 6,
+          "graft_bm25_view takes (viewRoot, termsCsv[, idCol[, k1, b[, topK]]])")
         val idCol = if (a.length >= 3) litStr(a(2), "idCol") else "doc_id"
         val (k1, b) =
-          if (a.length == 5) (litDouble(a(3), "k1"), litDouble(a(4), "b"))
+          if (a.length >= 5) (litDouble(a(3), "k1"), litDouble(a(4), "b"))
           else (1.2, 0.75)
         sources.IncrementalViews.readBm25(s, litStr(a(0), "viewRoot"),
-          csvArg(a(1), "termsCsv"), idCol, k1, b)
+          csvArg(a(1), "termsCsv"), idCol, k1, b,
+          topK = if (a.length == 6) Some(litInt(a(5), "topK")) else None)
     }
 
     tvf("graft_proximity_search",
@@ -664,6 +665,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import scala.jdk.CollectionConverters._
         s.createDataFrame(
           Seq(org.apache.spark.sql.Row(dir, true)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("dir",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("done",
+              org.apache.spark.sql.types.BooleanType, nullable = false))))
+    }
+
+    tvf("graft_housekeep_text_index",
+      "graft_housekeep_text_index(viewRoot[, targetRows, keepLast]) - settle the WHOLE maintained text index's compaction + retention debt (post/dlen/gstat + pos/posd when positional), each view under its own maintenance lock, re-clustered by its head key with prune stats re-recorded (see IncrementalViews.housekeepTextIndex); returns (dir, done)") {
+      (s, a) =>
+        require(a.length >= 1 && a.length <= 3,
+          "graft_housekeep_text_index takes (viewRoot[, targetRows, keepLast])")
+        val root = litStr(a(0), "viewRoot")
+        sources.IncrementalViews.housekeepTextIndex(s, root,
+          targetRows = if (a.length > 1) litLong(a(1), "targetRows")
+                       else 4L * 1000 * 1000,
+          keepLast = if (a.length > 2) litInt(a(2), "keepLast") else 5)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          Seq(org.apache.spark.sql.Row(root, true)).asJava,
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("dir",
               org.apache.spark.sql.types.StringType, nullable = false),

@@ -739,14 +739,16 @@ object Corpus {
     * no transitions and are absent from the output.
     *
     * Scale: adjacent pairs come straight off the token array (one
-    * zip projection, no positional self-join). The context and
-    * unigram count tables (`ctx`, `uni`) are vocabulary-sized and
-    * ride broadcasts back onto the per-doc transition rows — but the
-    * DISTINCT-BIGRAM table grows roughly with the corpus (far beyond
-    * the vocabulary), so it is joined by shuffle on `(prev, cur)`
-    * with NO pinned broadcast hint: AQE may still broadcast it at
-    * runtime when its measured size is small, and a web-scale corpus
-    * degrades to a plain shuffle join instead of a driver OOM. The
+    * zip projection, no positional self-join). NO count table here
+    * carries a pinned broadcast hint: the DISTINCT-BIGRAM table grows
+    * roughly with the corpus, and even the "vocabulary-sized" context
+    * and unigram tables (`ctx`, `uni`) are heavy-tailed on raw web
+    * text (URLs, numbers, typos push a token vocabulary into the
+    * hundreds of millions) — every count join is declared as a plain
+    * equi-join and AQE broadcasts whichever side its MEASURED runtime
+    * size admits, so a curated corpus still gets the broadcast plan
+    * while a web-scale one degrades to shuffle joins instead of a
+    * driver OOM. Only the 1-row totals stay pinned broadcasts. The
     * per-doc reduce is one exact-decimal sum, engine-portable like
     * every score here (the DuckDB oracle replays the identical
     * formula text). */
@@ -768,11 +770,12 @@ object Corpus {
       (col("bcount").cast("double") / col("ctx").cast("double")) +
       lit(1.0 - lambda) * (col("freq").cast("double") / col("total"))
     val term = col("bf").cast("double") * log(p)
-    // bg is distinct-bigram-sized (corpus-scale): shuffle join, no
-    // pinned broadcast — AQE decides from the measured size
+    // bg is distinct-bigram-sized (corpus-scale) and ctx/uni are
+    // heavy-tailed on web text: no pinned broadcasts — AQE decides
+    // from each side's measured size
     bf.join(bg, Seq("prev", "cur"))
-      .join(broadcast(ctx), "prev")
-      .join(broadcast(uni), col("cur") === col("token"))
+      .join(ctx, "prev")
+      .join(uni, col("cur") === col("token"))
       .crossJoin(broadcast(total))
       .groupBy(idCol)
       .agg(graft.functions.Exact.sumExact(term, 9).as("__s"),
@@ -793,12 +796,13 @@ object Corpus {
     * Scale: pairs come straight off the token array (one
     * flatten(transform(zip_with)) projection per distance — NO
     * positional self-join), the pair aggregation is one map-side
-    * combined groupBy, and the vocabulary-sized unigram table rides
-    * broadcasts back onto the distinct-pair rows (the distinct-pair
-    * table itself is corpus-scale and stays the shuffle side, the
-    * [[bigramLogProb]] discipline). The two 1-row totals splice as
-    * broadcast constants. `minCount` prunes the long tail before the
-    * PMI join — the standard GloVe move that bounds output size. */
+    * combined groupBy, and the unigram joins carry NO pinned
+    * broadcast hint (a raw-web token vocabulary is heavy-tailed into
+    * the hundreds of millions; AQE broadcasts from the measured size
+    * when it is genuinely small — the [[bigramLogProb]] discipline).
+    * The two 1-row totals splice as broadcast constants. `minCount`
+    * prunes the long tail before the PMI join — the standard GloVe
+    * move that bounds output size. */
   def cooccurrence(df: DataFrame, textCol: String,
                    window: Int = 2, minCount: Long = 1): DataFrame = {
     require(window >= 1, "window must be at least 1")
@@ -821,8 +825,8 @@ object Corpus {
       ((col("fa").cast("double") / col("__nt")) *
         (col("fb").cast("double") / col("__nt"))))
     cnt
-      .join(broadcast(uni.select(col("token").as("a"), col("freq").as("fa"))), "a")
-      .join(broadcast(uni.select(col("token").as("b"), col("freq").as("fb"))), "b")
+      .join(uni.select(col("token").as("a"), col("freq").as("fa")), "a")
+      .join(uni.select(col("token").as("b"), col("freq").as("fb")), "b")
       .crossJoin(broadcast(npairs))
       .crossJoin(broadcast(ntok))
       .select(col("a"), col("b"), col("cnt"),

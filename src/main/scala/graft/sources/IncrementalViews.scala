@@ -1118,7 +1118,13 @@ object IncrementalViews {
     // SessionCatalog monitor — worker threads would block on it for
     // their own plan analysis while this thread waits for them. If
     // the caller already holds that lock, run the chains inline.
-    if (chains.lengthCompare(1) <= 0 ||
+    // (Lock assumption validated against Spark 4.1.2's analyzer; a
+    // catalog implementation that serializes resolution on a
+    // DIFFERENT monitor can force sequential execution with the
+    // `spark.graft.maintenance.sequentialChains=true` kill switch.)
+    val sequential = spark.conf
+      .get("spark.graft.maintenance.sequentialChains", "false").toBoolean
+    if (sequential || chains.lengthCompare(1) <= 0 ||
         Thread.holdsLock(spark.sessionState.catalog)) {
       chains.foreach(_()); return
     }
@@ -1130,7 +1136,13 @@ object IncrementalViews {
           override def call(): Any = c()
         }).asJava
       // invokeAll waits for every chain; surface the first failure
-      pool.invokeAll(tasks).asScala.foreach(_.get())
+      // UNWRAPPED, so a chain's own require(...) reaches the caller
+      // with the same type/message the sequential path raises
+      pool.invokeAll(tasks).asScala.foreach(f =>
+        try f.get() catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        })
     } finally pool.shutdown()
   }
 
@@ -1204,30 +1216,43 @@ object IncrementalViews {
     *    `dlen`'s OWN change feed — O(churn) per tick, so corpus-level
     *    stats (N, avgdl) never rescan even the dlen view.
     *
-    * [[readBm25]] then serves Okapi BM25 for a query from the stored
-    * views alone: postings for the query terms (leading-key stats on
-    * `__token` make that a pruned read), document frequency from
-    * those postings, lengths by one join, N/avgdl from the 1-row
-    * cascade — zero corpus re-reads, maintained == batch
-    * [[graft.operators.Corpus.bm25]] double-for-double
-    * (spec-asserted across append + delete churn; driver-oracled as
-    * `q_bm25_view_incr`).
+    * Each posting row also CARRIES its document's token length as
+    * the exact sum `sum___dl` (every exploded occurrence contributes
+    * dl, so `sum___dl = tf·dl` and `dl = sum___dl / __cnt` — a pure
+    * Z-set sum, exact under deletes and updates like `__cnt`
+    * itself). That denormalization is what makes [[readBm25]]
+    * zero-join on the doc side: the serve never opens the
+    * corpus-sized `dlen` view at all — postings for the query terms
+    * (leading-key stats on `__token` make that a pruned read),
+    * document frequency from those postings, per-doc length off the
+    * SAME posting rows, N/avgdl from the 1-row cascade.
+    * O(postings-of-query-terms) I/O however large the corpus;
+    * maintained == batch [[graft.operators.Corpus.bm25]]
+    * double-for-double (spec-asserted across append + delete churn;
+    * driver-oracled as `q_bm25_view_incr`).
     *
-    * NULL-text docs are not indexable (they explode to zero token
-    * rows, so they are absent from every view INCLUDING the N /
-    * avgdl stats), while the batch operators count such rows in
-    * their corpus totals — exact batch parity therefore holds on
-    * corpora with no NULL texts (an empty STRING tokenizes to one
-    * empty token and is counted identically on both sides); run a
-    * quality gate upstream or filter nulls before committing. */
+    * NULL-text docs are REJECTED LOUDLY at refresh time (the lens
+    * asserts `textCol IS NOT NULL` per row): silently skipping them
+    * would make the maintained N/avgdl diverge from the batch
+    * operators, which count such rows in their corpus totals — so
+    * instead of serving scores that quietly differ, the tick fails
+    * naming the column; run a quality gate upstream or filter nulls
+    * before committing. (An empty STRING tokenizes to one empty
+    * token and is counted identically on both sides.) */
   def refreshTextIndex(spark: SparkSession, srcDir: String,
                        viewRoot: String, idCol: String,
                        textCol: String,
                        positional: Boolean = false): Unit = {
     import graft.functions.Text
-    val lens: DataFrame => DataFrame = df => df
-      .select(col("__change"), col(idCol).as("__doc"),
-        explode(Text.tokens(col(textCol))).as("__token"))
+    // views written before the carried-length column cannot fold this
+    // tick's sum___dl delta — fail naming the fix, not inside the merge
+    requireNoLegacyPost(spark, viewRoot)
+    val lens: DataFrame => DataFrame = df => {
+      val toks = Text.tokens(assertText(df, textCol))
+      df.select(col("__change"), col(idCol).as("__doc"),
+        explode(toks).as("__token"),
+        size(toks).cast("long").as("__dl"))
+    }
     // POSITIONAL postings (opt-in — ~dl rows per doc instead of
     // distinct tokens): (token, doc, pos) with Z-set multiplicity,
     // the exact-phrase-search substrate. Pick ONE setting per view
@@ -1246,7 +1271,8 @@ object IncrementalViews {
     // postings | lengths→global stats | positional postings
     parallelChains(spark, Seq(
       () => refreshAgg(spark, srcDir, s"$viewRoot/post",
-        Seq("__token", "__doc"), Nil, transform = Some(lens)),
+        Seq("__token", "__doc"), Seq("__dl"), sumScale = 0,
+        transform = Some(lens)),
       () => {
         refreshAgg(spark, srcDir, s"$viewRoot/dlen", Seq("__doc"), Nil,
           transform = Some(lens))
@@ -1257,20 +1283,63 @@ object IncrementalViews {
       }) ++ posChain)
   }
 
-  /** Just the POSITIONAL postings view — for callers that only need
-    * [[phraseSearch]]/[[proximitySearch]] and not the BM25/TF-IDF
-    * views ([[refreshTextIndex]] with `positional = true` maintains
-    * this as one of its chains). */
+  /** Per-row fail-loud NULL-text guard, folded INTO the tokenized
+    * expression so it cannot be pruned away: returns `textCol` when
+    * non-null, raises naming the column otherwise. */
+  private def assertText(df: DataFrame, textCol: String): Column =
+    when(assert_true(col(textCol).isNotNull,
+      lit(s"NULL $textCol reached the text index — a NULL-text doc " +
+        "cannot be indexed and silently skipping it would make the " +
+        "maintained N/avgdl diverge from the batch operators; filter " +
+        "or gate NULL texts before committing")).isNull,
+      col(textCol))
+
+  /** An index whose posting view predates the carried doc-length
+    * column cannot serve [[readBm25]]'s zero-dlen-read plan or fold
+    * further ticks — reject with the rebuild instruction instead of
+    * an opaque analyzer error inside the merge. */
+  private def requireNoLegacyPost(spark: SparkSession,
+                                  viewRoot: String): Unit =
+    if (Snapshots.latestVersion(spark, s"$viewRoot/post").isDefined)
+      require(Snapshots.read(spark, s"$viewRoot/post").columns
+          .contains("sum___dl"),
+        s"$viewRoot/post predates the carried doc-length column " +
+          "(sum___dl) — delete the view root and rebuild the index " +
+          "(one refreshTextIndex call re-derives it from the source)")
+
+  /** The POSITIONAL postings — for callers that only need
+    * [[phraseSearch]]/[[proximitySearch]]/[[kwic]] and not the
+    * BM25/TF-IDF views ([[refreshTextIndex]] with `positional = true`
+    * maintains these as its own chains). TWO layouts of the same
+    * (token, doc, pos) Z-set, maintained as independent views over
+    * the same feed:
+    *
+    *  - `pos`, TOKEN-major (clustered/stats-led by `__token`): the
+    *    occurrence side — phrase/proximity/KWIC-occurrence reads
+    *    open only the query terms' posting files;
+    *  - `posd`, DOC-major (clustered/stats-led by `__doc`): the
+    *    context side — [[kwic]] reassembles the matching docs'
+    *    surroundings from files manifest-pruned to THOSE doc-id
+    *    ranges, instead of full-scanning a corpus-sized
+    *    token-clustered view for every keyword.
+    *
+    * An index built before the doc-major twin self-heals: `posd`'s
+    * first tick folds the whole source (its own agg state starts at
+    * version 0), so one maintenance call backfills it completely. */
   def refreshPositionalIndex(spark: SparkSession, srcDir: String,
                              viewRoot: String, idCol: String,
                              textCol: String): Unit = {
     import graft.functions.Text
-    refreshAgg(spark, srcDir, s"$viewRoot/pos",
-      Seq("__token", "__doc", "__pos"), Nil, transform = Some(df => df
-        .select(col("__change"), col(idCol).as("__doc"),
-          posexplode(Text.tokens(col(textCol))))
-        .withColumnRenamed("pos", "__pos")
-        .withColumnRenamed("col", "__token")))
+    def lens(df: DataFrame): DataFrame = df
+      .select(col("__change"), col(idCol).as("__doc"),
+        posexplode(Text.tokens(assertText(df, textCol))))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__token")
+    parallelChains(spark, Seq(
+      () => refreshAgg(spark, srcDir, s"$viewRoot/pos",
+        Seq("__token", "__doc", "__pos"), Nil, transform = Some(lens)),
+      () => refreshAgg(spark, srcDir, s"$viewRoot/posd",
+        Seq("__doc", "__pos", "__token"), Nil, transform = Some(lens))))
   }
 
   /** EXACT PHRASE SEARCH over the positional postings
@@ -1292,52 +1361,107 @@ object IncrementalViews {
       .filter(col("__cnt") > 0)
     def aligned(i: Int): DataFrame = pos
       .filter(col("__token") === phrase(i))
-      .select(col("__doc"), (col("__pos") - i).as("__start"))
+      .select(col("__doc"),
+        (assertUniqueDoc(viewRoot, col("__pos")) - i).as("__start"))
     phrase.indices.map(aligned).reduce(_.join(_, Seq("__doc", "__start")))
       .groupBy(col("__doc"))
       .agg(count(lit(1L)).as("hits"))
       .select(col("__doc").as(idCol), col("hits"))
   }
 
-  /** [[refreshTextIndex]] driven by the source's change feed. */
+  /** [[refreshTextIndex]] driven by the source's change feed.
+    * `housekeepEvery = n` settles the whole index's compaction +
+    * retention debt ([[housekeepTextIndex]]) after every n-th tick —
+    * an always-on index is 3-5 CoW views each accruing small files
+    * and history per tick, and without a schedule the caller must
+    * remember to housekeep each by hand. */
   def maintainTextIndex(spark: SparkSession, srcDir: String,
                         viewRoot: String, idCol: String, textCol: String,
                         checkpointDir: String,
                         trigger: org.apache.spark.sql.streaming.Trigger =
                           org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-                        positional: Boolean = false)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                        positional: Boolean = false,
+                        housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var ticks = 0L
     maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
       refreshTextIndex(spark, srcDir, viewRoot, idCol, textCol,
         positional = positional)
+      ticks += 1
+      if (housekeepEvery > 0 && ticks % housekeepEvery == 0)
+        housekeepTextIndex(spark, viewRoot)
       ()
     }
+  }
+
+  /** One-call housekeeping for every view the text index maintains
+    * (`post`, `dlen`, `gstat`, plus `pos`/`posd` when positional):
+    * each existing view gets [[housekeep]]'s compact + expire + GC
+    * under its own maintenance lock, re-clustered by its head key
+    * with the non-head prune stats re-recorded — compaction must
+    * SHARPEN the serve paths' manifest pruning, not drop it. Views
+    * run as parallel chains like the ticks that created the debt. */
+  def housekeepTextIndex(spark: SparkSession, viewRoot: String,
+                         targetRows: Long = 4L * 1000 * 1000,
+                         keepLast: Int = 5,
+                         graceMs: Long = 24L * 3600 * 1000): Unit = {
+    val layouts = Seq(
+      "post" -> Seq("__token", "__doc"),
+      "dlen" -> Seq("__doc"),
+      "gstat" -> Seq(GlobalKey),
+      "pos" -> Seq("__token", "__doc", "__pos"),
+      "posd" -> Seq("__doc", "__pos", "__token"))
+    parallelChains(spark, layouts.collect {
+      case (name, keys)
+          if Snapshots.latestVersion(spark, s"$viewRoot/$name").isDefined =>
+        () => housekeep(spark, s"$viewRoot/$name", targetRows, keepLast,
+          clusterBy = Some(keys.head), graceMs = graceMs,
+          extraStatsCols = extraKeyStats(keys))
+    })
+  }
 
   /** Okapi BM25 over the maintained index — the same arithmetic,
     * term for term and in the same fold order, as the batch
     * [[graft.operators.Corpus.bm25]], but every input comes from the
-    * stored views: O(postings-of-query-terms + matching docs) work
-    * however large the corpus. Emits `(idCol, bm25)` for every live
-    * doc containing at least one query term. */
+    * stored views: O(postings-of-query-terms + matching docs) I/O AND
+    * compute however large the corpus. The per-doc length rides ON
+    * the posting rows ([[refreshTextIndex]] carries `sum___dl =
+    * tf·dl`, so `dl = sum___dl / tf` exactly — integers whose product
+    * stays well under 2⁵³, so the double quotient is the batch
+    * operator's `dl` bit-for-bit), which means the serve never opens
+    * the corpus-sized `dlen` view at all: the only scans are the
+    * query terms' manifest-pruned posting files and the 1-row global
+    * cascade (proof: the spec corrupts EVERY dlen data file and this
+    * still serves). Emits `(idCol, bm25)` for every live doc
+    * containing at least one query term — or, with `topK = Some(k)`,
+    * only the k best scores (ties broken by ascending doc id),
+    * executed as a per-partition heap + driver merge of k
+    * (TakeOrdered), never a full sort: the retrieval shape. */
   def readBm25(spark: SparkSession, viewRoot: String,
                queryTerms: Seq[String], idCol: String = "doc_id",
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               topK: Option[Int] = None): DataFrame = {
     require(queryTerms.nonEmpty, "readBm25 needs at least one query term")
+    require(topK.forall(_ > 0), s"topK must be positive: ${topK.get}")
     // MANIFEST-pruned posting read: the view's files are clustered by
     // __token with per-file stats, so only files whose token range
     // admits a query term are OPENED (proof: ScalePathSpec corrupts
     // every other posting file and this still serves) — at 100 TB the
     // difference between a few-file read and a full posting-table scan
-    val post = Snapshots.readPrunedRanges(spark, s"$viewRoot/post", "",
-        queryTerms.map(t => (t, t)))
+    val postRaw = Snapshots.readPrunedRanges(spark, s"$viewRoot/post", "",
+      queryTerms.map(t => (t, t)))
+    require(postRaw.columns.contains("sum___dl"),
+      s"$viewRoot/post predates the carried doc-length column " +
+        "(sum___dl) — delete the view root and rebuild the index " +
+        "(one refreshTextIndex call re-derives it from the source)")
+    val post = postRaw
       .filter(col("__cnt") > 0)
       .filter(col("__token").isin(queryTerms: _*))
       .select(col("__token").as("token"), col("__doc"),
-        col("__cnt").as("tf"))
+        col("__cnt").as("tf"),
+        (col("sum___dl").cast("double") /
+          col("__cnt").cast("double")).as("__dl"))
     val dfreq = post.groupBy("token").agg(count(lit(1L)).as("df"))
-    val dl = Snapshots.read(spark, s"$viewRoot/dlen")
-      .filter(col("__cnt") > 0)
-      .select(col("__doc"), col("__cnt").as("__dl"))
     val gstat = Snapshots.read(spark, s"$viewRoot/gstat")
       .filter(col("__cnt") > 0)
       .agg(sum(col("__cnt")).cast("double").as("__n"),
@@ -1350,15 +1474,16 @@ object IncrementalViews {
             (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
     val scored = post
       .join(broadcast(dfreq), "token")
-      .join(dl, Seq("__doc"))
       .crossJoin(broadcast(gstat))
       .select(col("__doc"), col("token"), termScore.as("__ts"))
     val total = queryTerms
       .map(t => coalesce(max(when(col("token") === t, col("__ts"))), lit(0.0)))
       .reduce(_ + _)
-    scored.groupBy(col("__doc"))
+    val full = scored.groupBy(col("__doc"))
       .agg(graft.functions.Exact.roundAt(total, 4).as("bm25"))
       .select(col("__doc").as(idCol), col("bm25"))
+    topK.fold(full)(k =>
+      full.orderBy(col("bm25").desc, col(idCol).asc).limit(k))
   }
 
   /** PROXIMITY search over the positional postings: docs where the
@@ -1368,10 +1493,21 @@ object IncrementalViews {
     * (manifest-pruned read, like [[phraseSearch]]); emits
     * `(idCol, n_pairs, min_dist)` — the number of qualifying
     * position pairs and the closest distance. Exact under inserts
-    * and deletes like every serve here. */
+    * and deletes like every serve here.
+    *
+    * The position join expands tf_A × tf_B pairs PER DOC before the
+    * window filter — modest for natural text, quadratic for the
+    * degenerate repetitive docs this pipeline exists to filter out.
+    * `maxPairsPerDoc` is the hot-cell guard (the
+    * [[graft.operators.Similarity]] discipline): one cheap
+    * aggregation over the two terms' pruned postings measures the
+    * worst doc first and fails NAMING it past the cap, instead of
+    * letting one generated doc hot-spot a task; `<= 0` skips the
+    * measuring pass. */
   def proximitySearch(spark: SparkSession, viewRoot: String,
                       termA: String, termB: String, window: Int,
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id",
+                      maxPairsPerDoc: Long = 4L * 1000 * 1000): DataFrame = {
     require(termA != termB,
       "proximitySearch needs two distinct terms (use phraseSearch or " +
         "the postings view directly for repeated-term patterns)")
@@ -1379,9 +1515,22 @@ object IncrementalViews {
     val pos = Snapshots.readPrunedRanges(spark, s"$viewRoot/pos", "",
         Seq((termA, termA), (termB, termB)))
       .filter(col("__cnt") > 0)
+      .filter(col("__token").isin(termA, termB))
+    if (maxPairsPerDoc > 0) {
+      val worst = pos.groupBy(col("__doc"))
+        .agg((sum(when(col("__token") === termA, 1L)) *
+          sum(when(col("__token") === termB, 1L))).as("__pairs"))
+        .orderBy(col("__pairs").desc_nulls_last).limit(1).collect()
+      worst.headOption.filter(!_.isNullAt(1)).foreach(r =>
+        require(r.getLong(1) <= maxPairsPerDoc,
+          s"proximitySearch doc ${r.get(0)} expands ${r.getLong(1)} " +
+            s"position pairs for ('$termA','$termB') (cap $maxPairsPerDoc)" +
+            " — a degenerate repetitive doc; filter it upstream (e.g. " +
+            "Text.repetition gates) or raise/disable maxPairsPerDoc"))
+    }
     def postings(t: String, as: String) = pos
       .filter(col("__token") === t)
-      .select(col("__doc"), col("__pos").as(as))
+      .select(col("__doc"), assertUniqueDoc(viewRoot, col("__pos")).as(as))
     postings(termA, "__pa").join(postings(termB, "__pb"), Seq("__doc"))
       .withColumn("__d", abs(col("__pa") - col("__pb")))
       .filter(col("__d") <= window)
@@ -1392,28 +1541,54 @@ object IncrementalViews {
   }
 
   /** KEYWORD-IN-CONTEXT snippets from the positional postings alone —
-    * proof the positional view is a complete inverted representation:
-    * every occurrence of `term` comes back with the ±`k` surrounding
-    * tokens REASSEMBLED from the view (no document re-read). The
-    * occurrence leg is MANIFEST-pruned to the term's posting files
-    * (like [[phraseSearch]]); the context leg genuinely needs every
-    * token of the matching docs, so it reads the view and joins on
-    * the doc key — cost is Σ occurrences × doc-length over docs
-    * containing the term, the right bound for a retrieval-time serve
-    * (the occurrence side is NOT a corpus scan). Emits
-    * `(idCol, center_pos, snippet)`. */
+    * proof the positional views are a complete inverted
+    * representation: every occurrence of `term` comes back with the
+    * ±`k` surrounding tokens REASSEMBLED from the views (no document
+    * re-read). BOTH legs are manifest-pruned: the occurrence leg
+    * opens only the term's files in the token-major `pos` view (like
+    * [[phraseSearch]]), and the context leg opens only the files of
+    * the DOC-major twin `posd` whose doc-id ranges overlap the
+    * matching docs (the affected-key grid machinery computes ≤8
+    * tight ranges from the occurrence set, then a semi-equality join
+    * restricts rows inside those files) — never a full scan of a
+    * corpus-sized positional view for one keyword. Cost is
+    * Σ occurrences × doc-length over docs containing the term plus
+    * the context files' I/O, the right bound for a retrieval-time
+    * serve. Emits `(idCol, center_pos, snippet)`.
+    *
+    * Requires the `posd` twin ([[refreshPositionalIndex]] maintains
+    * it since the doc-major layout landed); an older index backfills
+    * it with one maintenance tick. */
   def kwic(spark: SparkSession, viewRoot: String, term: String,
            k: Int = 3, idCol: String = "doc_id"): DataFrame = {
     require(k >= 0, "k must be non-negative")
-    val pos = Snapshots.read(spark, s"$viewRoot/pos")
-      .filter(col("__cnt") > 0)
+    require(Snapshots.latestVersion(spark, s"$viewRoot/posd").isDefined,
+      s"$viewRoot/posd (the doc-major positional twin kwic's context " +
+        "leg prunes by doc id) is missing — one refreshPositionalIndex/" +
+        "refreshTextIndex(positional = true) tick backfills it from " +
+        "the source")
     val occ = Snapshots.readPrunedRanges(spark, s"$viewRoot/pos", "",
         Seq((term, term)))
       .filter(col("__cnt") > 0)
       .filter(col("__token") === term)
-      .select(col("__doc"), col("__pos").as("__center"))
-    occ.join(pos.select(col("__doc"), col("__pos"), col("__token")),
-        Seq("__doc"))
+      .select(col("__doc"),
+        assertUniqueDoc(viewRoot, col("__pos")).as("__center"))
+    // the occurrence set is re-scanned by the grid pass below and by
+    // the final plan — each scan is the term's few pruned files, the
+    // cheap trade against caching an unbounded occurrence list
+    val (nOcc, specs) = keySpecs(occ.select(col("__doc")), Seq("__doc"))
+    if (nOcc == 0L)
+      // no occurrences: an empty, correctly-shaped frame — without
+      // the spec fallback ever opening the full doc-major view
+      return occ.limit(0).select(col("__doc").as(idCol),
+        col("__center").cast("long").as("center_pos"),
+        concat_ws(" ").as("snippet"))
+    val ctx = readForSpecs(spark, s"$viewRoot/posd", None, specs)
+      .filter(col("__cnt") > 0)
+      .select(col("__doc"),
+        assertUniqueDoc(viewRoot, col("__pos")).as("__pos"),
+        col("__token"))
+    occ.join(ctx, Seq("__doc"))
       .filter(col("__pos") >= col("__center") - k &&
         col("__pos") <= col("__center") + k)
       .groupBy(col("__doc"), col("__center"))
@@ -1423,6 +1598,21 @@ object IncrementalViews {
       .select(col("__doc").as(idCol),
         col("__center").cast("long").as("center_pos"), col("snippet"))
   }
+
+  /** Per-row guard folded into the position expression (free in the
+    * scan, never prunable): positional serves require UNIQUE live doc
+    * ids — a (token, doc, pos) multiplicity above 1 means the same
+    * doc id was committed twice with identical text, and weighting
+    * hits by tf-products would silently mean something else, so fail
+    * naming the condition instead (BM25/TF-IDF, which honor `__cnt`
+    * as term frequency, are unaffected). */
+  private def assertUniqueDoc(viewRoot: String, c: Column): Column =
+    when(assert_true(col("__cnt") <= 1L,
+      lit(s"positional view under $viewRoot holds a (token, doc, pos) " +
+        "row with multiplicity > 1 — the same doc id is live twice " +
+        "with identical text; positional serves (phrase/proximity/" +
+        "KWIC) require unique live doc ids — dedup the corpus before " +
+        "indexing")).isNull, c)
 
   /** TF-IDF served from the SAME maintained index views
     * [[refreshTextIndex]] keeps current — no extra maintenance work

@@ -1280,4 +1280,223 @@ class IncrementalViewsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits == Map(10L -> 1L))
   }
+
+  /** The first message in the cause chain containing `needle`, for
+    * asserting fail-loud guards that surface through Spark task
+    * wrappers. */
+  private def causeChainContains(e: Throwable, needle: String): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.getMessage != null && t.getMessage.contains(needle)) return true
+      t = t.getCause
+    }
+    false
+  }
+
+  test("readBm25 never opens the corpus-sized dlen view (carried __dl) + topK serve") {
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(200).localCheckpoint(true)
+    val terms = Seq("spark", "join", "data")
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    // corrupt EVERY dlen data file: the per-doc length rides the
+    // posting rows (sum___dl), so the serve must not notice — the
+    // 100 TB version of this is "one query never shuffles a
+    // billion-row doc-length table"
+    Snapshots.manifest(spark, s"$views/dlen").select("path")
+      .collect().map(_.getString(0)).foreach(corruptDataBytes)
+    val served = IncrementalViews.readBm25(spark, views, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.operators.Corpus.bm25(
+        Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == batch && served.nonEmpty)
+    // topK = the k best of the full rank (ties by ascending doc id),
+    // planned as a TakeOrdered heap, not a global sort
+    val k = 5
+    val top = IncrementalViews.readBm25(spark, views, terms, topK = Some(k))
+    assert(top.collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq ==
+      served.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(k))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"readBm25 topK lost its TakeOrdered plan:\n$plan")
+  }
+
+  test("kwic context leg opens ONLY matching docs' files in the doc-major twin") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    // low-range docs hold the keyword; high-range docs don't — their
+    // posd files (doc-clustered, so their __doc stats sit above 2)
+    // must never be opened by the context read
+    Snapshots.commit(Seq(
+      (1L, "alpha gamma beta"), (2L, "beta gamma gamma"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshPositionalIndex(spark, src, views,
+      "doc_id", "text")
+    Snapshots.commit(Seq(
+      (100L, "delta epsilon"), (101L, "epsilon zeta"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshPositionalIndex(spark, src, views,
+      "doc_id", "text")
+    val highPosd = Snapshots.manifest(spark, s"$views/posd")
+      .filter(col("smin___doc") > 2).select("path")
+      .collect().map(_.getString(0)).toSeq
+    assert(highPosd.nonEmpty,
+      "expected doc-clustered posd files above the matching range")
+    highPosd.foreach(corruptDataBytes)
+    val kw = IncrementalViews.kwic(spark, views, "gamma", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(kw == Map(
+      (1L, 1L) -> "alpha gamma beta",
+      (2L, 1L) -> "beta gamma gamma",
+      (2L, 2L) -> "gamma gamma"))
+    // a term with zero occurrences returns empty WITHOUT falling back
+    // to a full doc-major scan (the corrupted files would crash it)
+    assert(IncrementalViews.kwic(spark, views, "nosuchtoken")
+      .collect().isEmpty)
+    // an index without the doc-major twin names the backfill fix
+    val legacy = tmpDir()
+    Snapshots.commit(Seq((1L, "alpha")).toDF("doc_id", "text"), legacy,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, legacy, s"$legacy/v",
+      "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.kwic(spark, s"$legacy/v", "alpha")
+    }
+    assert(e.getMessage.contains("posd"))
+  }
+
+  test("positional serves fail loudly on duplicate live doc ids (multiplicity > 1)") {
+    val s = spark; import s.implicits._
+    val (src, views) = (tmpDir(), tmpDir())
+    // the same doc id committed twice with identical text: BM25/TF-IDF
+    // honor the doubled multiplicity as tf, but positional hit counts
+    // would silently mean something else — they must refuse instead
+    Snapshots.commit(Seq((1L, "alpha beta")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    Snapshots.commit(Seq((1L, "alpha beta")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshPositionalIndex(spark, src, views,
+      "doc_id", "text")
+    val e = intercept[Exception] {
+      IncrementalViews.phraseSearch(spark, views, Seq("alpha", "beta"))
+        .collect()
+    }
+    assert(causeChainContains(e, "multiplicity > 1"), s"wrong error: $e")
+    val e2 = intercept[Exception] {
+      IncrementalViews.proximitySearch(spark, views, "alpha", "beta", 2)
+        .collect()
+    }
+    assert(causeChainContains(e2, "multiplicity > 1"), s"wrong error: $e2")
+  }
+
+  test("proximitySearch hot-doc guard names the degenerate doc past the pair cap") {
+    val s = spark; import s.implicits._
+    val (src, views) = (tmpDir(), tmpDir())
+    val repetitive = Seq.fill(30)("spam ham").mkString(" ") // tf 30 × 30
+    Snapshots.commit(Seq((7L, "spam ham normal"), (9L, repetitive))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshPositionalIndex(spark, src, views,
+      "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.proximitySearch(spark, views, "spam", "ham", 2,
+        maxPairsPerDoc = 100)
+    }
+    assert(e.getMessage.contains("doc 9") &&
+      e.getMessage.contains("900"), s"wrong error: ${e.getMessage}")
+    // above the cap (and with the measuring pass disabled) it serves
+    val ok = IncrementalViews.proximitySearch(spark, views, "spam", "ham", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val off = IncrementalViews.proximitySearch(spark, views, "spam", "ham", 1,
+        maxPairsPerDoc = -1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == off && ok(7L) == 1L && ok(9L) == 59L)
+  }
+
+  test("a NULL-text doc fails the index tick loudly (never silently skipped)") {
+    val s = spark; import s.implicits._
+    val (src, views) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "alpha"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    val e = intercept[Exception] {
+      IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    }
+    // silently skipping it would serve N/avgdl that diverge from the
+    // batch operators; and the concurrent maintenance chains must
+    // surface the worker's own exception, not an ExecutionException
+    assert(causeChainContains(e, "NULL text"), s"wrong error: $e")
+    assert(!e.isInstanceOf[java.util.concurrent.ExecutionException])
+  }
+
+  test("housekeepTextIndex settles every index view: fewer files, identical serves, next tick folds") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(60).localCheckpoint(true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 6 CoW ticks accrue small files + history across all 5 views
+    docs.grouped(10).foreach { batch =>
+      Snapshots.commit(batch.toDF("doc_id", "text"), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
+        positional = true)
+    }
+    val viewDirs = Seq("post", "dlen", "gstat", "pos", "posd")
+      .map(n => s"$views/$n")
+    def files() = viewDirs.map(d =>
+      Snapshots.manifest(spark, d).count()).sum
+    val terms = Seq("spark", "join")
+    def bm25() = IncrementalViews.readBm25(spark, views, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (filesBefore, bm25Before) = (files(), bm25())
+    IncrementalViews.housekeepTextIndex(spark, views, keepLast = 2)
+    assert(files() < filesBefore,
+      s"housekeep did not reduce file count: $filesBefore -> ${files()}")
+    viewDirs.foreach(d => assert(
+      Snapshots.history(spark, d).count() <= 2, s"history not trimmed: $d"))
+    assert(bm25() == bm25Before && bm25Before.nonEmpty)
+    // the NEXT tick still folds over the compacted views
+    val extra = docs.take(5).map { case (id, t) => (id + 100000L, t) }
+    Snapshots.commit(extra.toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
+      positional = true)
+    val fresh = graft.operators.Corpus.bm25(
+        Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bm25() == fresh)
+  }
+
+  test("a pre-carried-dl posting view is rejected with the rebuild instruction") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "alpha beta")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    // simulate the legacy layout: a posting view WITHOUT the carried
+    // doc-length sum
+    IncrementalViews.refreshAgg(spark, src, s"$views/post",
+      Seq("__token", "__doc"), Nil, transform = Some(df => df
+        .select(col("__change"), col("doc_id").as("__doc"),
+          explode(graft.functions.Text.tokens(col("text"))).as("__token"))))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("sum___dl"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalViews.readBm25(spark, views, Seq("alpha"))
+    }
+    assert(e2.getMessage.contains("sum___dl"))
+  }
 }

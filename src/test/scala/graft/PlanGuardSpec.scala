@@ -136,27 +136,35 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  test("bigramLogProb never pins a broadcast on the corpus-scale bigram table") {
+  test("bigramLogProb/cooccurrence pin NO count-table broadcasts (1-row totals only)") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     // disable stats-estimated broadcasts: whatever still broadcasts
     // under threshold = -1 is carrying a PINNED hint — the shape that
-    // bypasses size measurement and OOMs the driver at web scale
+    // bypasses size measurement and OOMs the driver at web scale.
+    // The distinct-bigram table is corpus-scale, and even the ctx/uni
+    // token tables are heavy-tailed on raw web text — so EVERY count
+    // join must plan as a shuffle join here (AQE may still broadcast
+    // any of them at runtime from MEASURED size — that's the desired
+    // behavior); the only pinned broadcasts left are the 1-row totals
+    // riding the BroadcastNestedLoopJoin constant splice.
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = graft.operators.Corpus.bigramLogProb(
-        Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
-      val plan = df.queryExecution.sparkPlan
-      // ctx (on prev) and uni (on token) are vocabulary-sized one-key
-      // joins and keep their deliberate hints; the distinct-bigram
-      // join on (prev, cur) must shuffle (AQE may still broadcast it
-      // at runtime from MEASURED size — that's the desired behavior)
-      val hinted = plan.collect { case j: BroadcastHashJoinExec => j.leftKeys.length }
-      assert(hinted.nonEmpty && hinted.forall(_ == 1),
-        s"two-key broadcast join (the bigram table) is pinned by hint:\n$plan")
-      val shuffled = plan.collect { case j: SortMergeJoinExec => j.leftKeys.length }
-      assert(shuffled.contains(2),
-        s"expected the (prev, cur) bigram join to plan as a shuffle join:\n$plan")
+      val bg = graft.operators.Corpus.bigramLogProb(
+          Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
+        .queryExecution.sparkPlan
+      assert(bg.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"a count-table broadcast is pinned by hint:\n$bg")
+      val shuffled = bg.collect { case j: SortMergeJoinExec => j.leftKeys.length }
+      assert(shuffled.contains(2) && shuffled.contains(1),
+        s"expected the bigram AND token-count joins to plan as shuffle joins:\n$bg")
+      val co = graft.operators.Corpus.cooccurrence(
+          Tables.documents(spark, sf("sf0.001")), "text", window = 2)
+        .queryExecution.sparkPlan
+      assert(co.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"a unigram broadcast is pinned by hint:\n$co")
+      assert(co.collect { case j: SortMergeJoinExec => j }.size >= 2,
+        s"expected both unigram joins to plan as shuffle joins:\n$co")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 }

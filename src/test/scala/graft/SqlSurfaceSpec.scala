@@ -316,6 +316,21 @@ class SqlSurfaceSpec extends SparkSpec {
       .kwic(spark, s"$root/px", "table", k = 2)
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(sqlKwic == apiKwic && sqlKwic.nonEmpty)
+    // retrieval-shaped serve: the 6-arg form keeps only the k best
+    val sqlTop = spark.sql(
+      s"SELECT * FROM graft_bm25_view('$root/ix', 'spark,join', 'doc_id', 1.2d, 0.75d, 3)")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(sqlTop ==
+      batch.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(3))
+    // whole-index housekeeping from SQL: history trimmed, serve intact
+    assert(spark.sql(
+      s"SELECT * FROM graft_housekeep_text_index('$root/ix', 1000000, 2)")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq((s"$root/ix", true)))
+    val after = spark.sql(
+      s"SELECT * FROM graft_bm25_view('$root/ix', 'spark,join')")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == batch)
   }
 
   test("regression + corpus TVFs: fit, maintained model, semantic dedup, and mixing from pure SQL") {
