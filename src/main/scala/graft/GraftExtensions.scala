@@ -536,6 +536,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s.range(1, 2).toDF("ok")
     }
 
+    tvf("graft_view_refresh_cooccurrence",
+      "graft_view_refresh_cooccurrence(srcDir, viewRoot, textCol[, window]) - one maintenance tick of the incrementally-maintained co-occurrence/PMI views (pair + unigram Z-set counts and cascaded 1-row totals, pure-sum folds under inserts AND deletes; window pinned per view root; see IncrementalViews.refreshCooccurrence); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 3 || a.length == 4,
+          "graft_view_refresh_cooccurrence takes (srcDir, viewRoot, textCol[, window])")
+        sources.IncrementalViews.refreshCooccurrence(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewRoot"),
+          litStr(a(2), "textCol"),
+          window = if (a.length == 4) litInt(a(3), "window") else 2)
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_cooccurrence_view",
+      "graft_cooccurrence_view(viewRoot[, minCount[, tokenA]]) - the maintained PMI table as (a, b, cnt, pmi), batch-equal to graft_cooccurrence over the current corpus; tokenA serves one head token's rows from its manifest-pruned pair files (see IncrementalViews.readCooccurrence)") {
+      (s, a) =>
+        require(a.length >= 1 && a.length <= 3,
+          "graft_cooccurrence_view takes (viewRoot[, minCount[, tokenA]])")
+        sources.IncrementalViews.readCooccurrence(s, litStr(a(0), "viewRoot"),
+          minCount = if (a.length >= 2) litLong(a(1), "minCount") else 1L,
+          tokenA = if (a.length == 3) Some(litStr(a(2), "tokenA")) else None)
+    }
+
     tvf("graft_tfidf_view",
       "graft_tfidf_view(viewRoot[, idCol]) - TF-IDF served from the maintained inverted-index views (zero extra maintenance beyond the index itself) as (idCol, token, tf, doc_freq, tfidf) (see IncrementalViews.readTfIdf)") {
       (s, a) =>

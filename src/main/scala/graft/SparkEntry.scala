@@ -879,6 +879,26 @@ object SparkEntry {
     "q_cooccurrence" -> ((s, dir) =>
       Corpus.cooccurrence(Tables.documents(s, dir), "text", window = 2)),
 
+    // The MAINTAINED co-occurrence/PMI table: pair + unigram counts
+    // and their 1-row totals fold an append + a predicate delete as
+    // pure Z-set sums (zero rescans ever); the served PMI table must
+    // equal DuckDB's from-scratch computation over the final state.
+    "q_cooccurrence_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_coocview").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshCooccurrence(s, src, views, "text", window = 2)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshCooccurrence(s, src, views, "text", window = 2)
+      IncrementalViews.readCooccurrence(s, views)
+    }),
+
     "q_bm25" -> ((s, dir) =>
       Corpus.bm25(Tables.documents(s, dir), "doc_id", "text", bm25Terms)),
 
@@ -1438,6 +1458,30 @@ object SparkEntry {
   /** Engine-portable formulas shared by many oracles (see
     * graft.functions.Exact for the Spark side + rationale). */
   private def sqlRound2(x: String) = graft.functions.Exact.roundAtSql(x, 2)
+  /** Windowed co-occurrence + PMI oracle over `documents`, optionally
+    * restricted by a WHERE clause (shared by the batch query and its
+    * maintained-view twin) — a positional self-join where the Spark
+    * side is a zip_with projection: different algorithm, same answer. */
+  private def cooccurrenceOracleSql(where: String): String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, u.z[1] AS token, CAST(u.z[2] AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS s
+       |        FROM documents $where),
+       |       unnest(list_zip(s, range(0, len(s)))) AS u(z)
+       |), pairs AS MATERIALIZED (
+       |  SELECT x.token AS a, y.token AS b
+       |  FROM toks x JOIN toks y ON x.doc_id = y.doc_id
+       |   AND y.pos - x.pos BETWEEN 1 AND 2
+       |), cnt AS (SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b),
+       |   np AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM pairs),
+       |   uni AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+       |   nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM toks)
+       |SELECT cnt.a, cnt.b, cnt.cnt,
+       |  ${sqlRound4("ln((CAST(cnt.cnt AS DOUBLE) / np.np) / ((CAST(ua.freq AS DOUBLE) / nt.nt) * (CAST(ub.freq AS DOUBLE) / nt.nt)))")} AS pmi
+       |FROM cnt JOIN uni ua ON cnt.a = ua.token
+       |         JOIN uni ub ON cnt.b = ub.token
+       |CROSS JOIN np CROSS JOIN nt""".stripMargin
+
   /** TF-IDF oracle over `documents`, optionally restricted by a
     * WHERE clause (shared by the batch query and its maintained-index
     * twin). */
@@ -2978,24 +3022,12 @@ object SparkEntry {
 
     // Ordered within-window pairs via the positional join; PMI
     // formula text mirrored exactly (same nesting/casts).
-    "q_cooccurrence" ->
-      s"""WITH toks AS MATERIALIZED (
-         |  SELECT doc_id, u.z[1] AS token, CAST(u.z[2] AS BIGINT) AS pos
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-         |       unnest(list_zip(s, range(0, len(s)))) AS u(z)
-         |), pairs AS MATERIALIZED (
-         |  SELECT x.token AS a, y.token AS b
-         |  FROM toks x JOIN toks y ON x.doc_id = y.doc_id
-         |   AND y.pos - x.pos BETWEEN 1 AND 2
-         |), cnt AS (SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b),
-         |   np AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM pairs),
-         |   uni AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
-         |   nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM toks)
-         |SELECT cnt.a, cnt.b, cnt.cnt,
-         |  ${sqlRound4("ln((CAST(cnt.cnt AS DOUBLE) / np.np) / ((CAST(ua.freq AS DOUBLE) / nt.nt) * (CAST(ub.freq AS DOUBLE) / nt.nt)))")} AS pmi
-         |FROM cnt JOIN uni ua ON cnt.a = ua.token
-         |         JOIN uni ub ON cnt.b = ub.token
-         |CROSS JOIN np CROSS JOIN nt""".stripMargin,
+    "q_cooccurrence" -> cooccurrenceOracleSql(""),
+
+    // The maintained co-occurrence/PMI table: same formula text, from
+    // scratch over the post-churn source state.
+    "q_cooccurrence_view_incr" ->
+      cooccurrenceOracleSql("WHERE doc_id % 10 <> 3"),
 
     // The maintained-index TF-IDF: same formula text, from scratch
     // over the post-churn source state.

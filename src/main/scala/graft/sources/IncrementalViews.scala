@@ -1640,6 +1640,143 @@ object IncrementalViews {
           4).as("tfidf"))
   }
 
+  /** INCREMENTALLY-MAINTAINED CO-OCCURRENCE + PMI — the GloVe
+    * co-occurrence matrix / word2vec statistics table kept current as
+    * the corpus churns, instead of recomputed from scratch per run
+    * (batch twin: [[graft.operators.Corpus.cooccurrence]]). Pure
+    * Z-set sums, the best maintenance case: pair and unigram counts
+    * fold exactly under inserts AND deletes with zero rescans ever.
+    * Four views under `viewRoot`, all O(churn) per tick:
+    *
+    *  - `pairs`: ordered token pairs (t[i], t[i+d]), 1 ≤ d ≤
+    *    `window`, as an agg view keyed (a, b) — multiplicity `__cnt`
+    *    IS the corpus-wide pair count; clustered by `a`, so
+    *    per-token serves are manifest-pruned file reads;
+    *  - `uni`: unigram counts keyed (token);
+    *  - `ptot` / `ttot`: cascaded 1-row totals (Σ pairs, Σ tokens)
+    *    over the pairs/uni views' OWN change feeds — the PMI
+    *    denominators never rescan even the views.
+    *
+    * The pair lens is the batch operator's exact projection (one
+    * flatten(transform(zip_with)) per distance, NO positional
+    * self-join), so maintained counts == batch counts by
+    * construction; NULL texts explode to zero rows on BOTH sides, so
+    * parity holds even with nulls. `window` is pinned per view root
+    * (a `_param_window` marker): a tick with a different window would
+    * silently mix pair distances, so it fails loudly instead. */
+  def refreshCooccurrence(spark: SparkSession, srcDir: String,
+                          viewRoot: String, textCol: String,
+                          window: Int = 2): Unit = {
+    import graft.functions.Text
+    require(window >= 1, "window must be at least 1")
+    requireSameParam(spark, viewRoot, "window", window.toString)
+    val pairLens: DataFrame => DataFrame = df => df
+      .withColumn("__t", Text.tokens(col(textCol)))
+      .select(col("__change"), explode(flatten(
+        transform(sequence(lit(1), lit(window)), d =>
+          zip_with(
+            slice(col("__t"), lit(1), greatest(size(col("__t")) - d, lit(0))),
+            slice(col("__t"), d + lit(1),
+              greatest(size(col("__t")) - d, lit(0))),
+            (x, y) => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("__change"), col("p.a").as("a"), col("p.b").as("b"))
+    val uniLens: DataFrame => DataFrame = df => df
+      .select(col("__change"),
+        explode(Text.tokens(col(textCol))).as("token"))
+    def totalCascade(src: String, dst: String): Unit =
+      refreshAgg(spark, src, dst, Seq(GlobalKey), Seq("__w"), sumScale = 0,
+        transform = Some(df => df.withColumn(GlobalKey, lit(0L))
+          .withColumn("__w", col("__cnt"))))
+    parallelChains(spark, Seq(
+      () => {
+        refreshAgg(spark, srcDir, s"$viewRoot/pairs", Seq("a", "b"), Nil,
+          transform = Some(pairLens))
+        totalCascade(s"$viewRoot/pairs", s"$viewRoot/ptot")
+      },
+      () => {
+        refreshAgg(spark, srcDir, s"$viewRoot/uni", Seq("token"), Nil,
+          transform = Some(uniLens))
+        totalCascade(s"$viewRoot/uni", s"$viewRoot/ttot")
+      }))
+  }
+
+  /** [[refreshCooccurrence]] driven by the source's change feed. */
+  def maintainCooccurrence(spark: SparkSession, srcDir: String,
+                           viewRoot: String, textCol: String,
+                           checkpointDir: String, window: Int = 2,
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger
+                               .AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshCooccurrence(spark, srcDir, viewRoot, textCol, window)
+      ()
+    }
+
+  /** The PMI table served from the maintained views — same output
+    * schema, arithmetic, and rounding as the batch
+    * [[graft.operators.Corpus.cooccurrence]] over the current corpus
+    * (spec-asserted double-for-double across churn). `minCount`
+    * applies at SERVE time (the maintained counts are exact, so any
+    * threshold can be asked after the fact — the batch operator bakes
+    * it in). `tokenA = Some(t)` serves just that head token's rows
+    * from its manifest-pruned pair files — the per-token lookup a
+    * collocation UI issues, O(one token's pairs) however large the
+    * corpus. */
+  def readCooccurrence(spark: SparkSession, viewRoot: String,
+                       minCount: Long = 1,
+                       tokenA: Option[String] = None): DataFrame = {
+    val pairsAll = tokenA match {
+      case Some(t) => Snapshots.readPrunedRanges(
+          spark, s"$viewRoot/pairs", "", Seq((t, t)))
+        .filter(col("a") === t)
+      case None => Snapshots.read(spark, s"$viewRoot/pairs")
+    }
+    val cnt = pairsAll.filter(col("__cnt") > 0)
+      .select(col("a"), col("b"), col("__cnt").as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val uni = Snapshots.read(spark, s"$viewRoot/uni")
+      .filter(col("__cnt") > 0)
+      .select(col("token"), col("__cnt").as("freq"))
+    def total(name: String, as: String) =
+      Snapshots.read(spark, s"$viewRoot/$name")
+        .filter(col("__cnt") > 0)
+        .agg(sum(col("sum___w")).cast("double").as(as))
+    val pmi = log((col("cnt").cast("double") / col("__np")) /
+      ((col("fa").cast("double") / col("__nt")) *
+        (col("fb").cast("double") / col("__nt"))))
+    cnt
+      .join(uni.select(col("token").as("a"), col("freq").as("fa")), "a")
+      .join(uni.select(col("token").as("b"), col("freq").as("fb")), "b")
+      .crossJoin(broadcast(total("ptot", "__np")))
+      .crossJoin(broadcast(total("ttot", "__nt")))
+      .select(col("a"), col("b"), col("cnt"),
+        graft.functions.Exact.roundAt(pmi, 4).as("pmi"))
+  }
+
+  /** Pin a per-view-root build parameter: first call records `value`
+    * in a `_param_<name>` marker, later calls must match — silently
+    * mixing e.g. co-occurrence windows in one view would corrupt the
+    * counts without any structural signal. */
+  private def requireSameParam(spark: SparkSession, viewRoot: String,
+                               name: String, value: String): Unit = {
+    val f = fs(spark, viewRoot)
+    val p = new Path(viewRoot, s"_param_$name")
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(prev == value,
+        s"$viewRoot was built with $name = $prev but this tick passes " +
+          s"$name = $value — the views would silently mix semantics; " +
+          "use the original value or rebuild under a new root")
+    } else {
+      f.mkdirs(new Path(viewRoot))
+      val out = f.create(p, false)
+      try out.write(value.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Keep a view CONTINUOUSLY current: a streaming query subscribed
     * to the inputs' change feeds that runs `tick` once per arriving
     * micro-batch. The feed rows are only the WAKE-UP signal — every

@@ -1478,6 +1478,71 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(bm25() == fresh)
   }
 
+  test("maintained co-occurrence/PMI == batch across churn; pruned per-token serve; pinned window") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(150).localCheckpoint(true)
+    def served(minCount: Long = 1) =
+      IncrementalViews.readCooccurrence(spark, views, minCount)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+    def fresh(minCount: Long = 1) = graft.operators.Corpus
+      .cooccurrence(Snapshots.read(spark, src).select("text"), "text",
+        window = 2, minCount = minCount)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshCooccurrence(spark, src, views, "text")
+    assert(served() == fresh() && served().nonEmpty)
+    // append + retract in one tick: pair counts, unigram counts, AND
+    // both 1-row totals must all move as pure Z-set sums
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.refreshCooccurrence(spark, src, views, "text")
+    assert(served() == fresh() && served().nonEmpty)
+    // serve-time minCount == the batch operator's baked-in threshold
+    assert(served(minCount = 5) == fresh(minCount = 5))
+    // a tick with a different window is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshCooccurrence(spark, src, views, "text",
+        window = 3)
+    }
+    assert(e.getMessage.contains("window = 2") &&
+      e.getMessage.contains("window = 3"))
+    // per-token serve opens only the head token's pair files: two
+    // commits with DISJOINT vocabularies — tick-1 pair files are
+    // carried by reference through tick 2 and their token range
+    // cannot reach the probed token, so corrupting them proves the
+    // pruned read (the BM25 prune-proof pattern)
+    val (src2, views2) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry banana"))
+      .toDF("doc_id", "text"), src2, statsCol = Some("doc_id"))
+    IncrementalViews.refreshCooccurrence(spark, src2, views2, "text")
+    Snapshots.commit(Seq(
+      (10L, "zebra zulu zebra"), (11L, "zulu zebra zulu"))
+      .toDF("doc_id", "text"), src2, statsCol = Some("doc_id"))
+    IncrementalViews.refreshCooccurrence(spark, src2, views2, "text")
+    val lowPairs = Snapshots.manifest(spark, s"$views2/pairs")
+      .filter(col("stats_max") < "zebra").select("path")
+      .collect().map(_.getString(0)).toSeq
+    assert(lowPairs.nonEmpty, "expected carried low-token pair files")
+    lowPairs.foreach(corruptDataBytes)
+    val one = IncrementalViews.readCooccurrence(spark, views2, 1,
+        tokenA = Some("zebra"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val full = graft.operators.Corpus.cooccurrence(
+        Snapshots.read(spark, src2).select("text"), "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(one == full.filter(_._1._1 == "zebra") && one.nonEmpty)
+  }
+
   test("a pre-carried-dl posting view is rejected with the rebuild instruction") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._

@@ -122,13 +122,14 @@ class PlanGuardSpec extends SparkSpec {
     // maintained views (1-row vocab/dup-count aggregates spliced in);
     // q_bm25_view_incr / q_tfidf_view_incr splice the index's 1-row
     // (N, avgdl) cascade the same way q_bm25/q_tfidf splice theirs;
-    // q_cooccurrence splices its 1-row pair/token totals likewise.
+    // q_cooccurrence splices its 1-row pair/token totals likewise, and
+    // q_cooccurrence_view_incr splices the maintained 1-row cascades.
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_knn_lsh",
       "q_customer_above_avg",
       "q_tfidf", "q_bm25", "q_doc_logprob", "q_sketch_overlap",
       "q_ols_eval", "q_ols_holdout", "q_doc_bigram_lm", "q_corpus_profile",
       "q_corpus_profile_view_incr", "q_bm25_view_incr", "q_tfidf_view_incr",
-      "q_cooccurrence")
+      "q_cooccurrence", "q_cooccurrence_view_incr")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")

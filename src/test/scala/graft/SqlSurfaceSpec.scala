@@ -316,6 +316,23 @@ class SqlSurfaceSpec extends SparkSpec {
       .kwic(spark, s"$root/px", "table", k = 2)
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(sqlKwic == apiKwic && sqlKwic.nonEmpty)
+    // maintained co-occurrence/PMI from pure SQL: refresh tick + serve
+    // == the batch graft_cooccurrence over the same corpus; the
+    // 3-arg serve prunes to one head token
+    spark.sql(
+      s"SELECT * FROM graft_view_refresh_cooccurrence('$root/src', '$root/co', 'text', 2)")
+      .collect()
+    def canonRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val sqlCo = canonRows(spark.sql(
+      s"SELECT * FROM graft_cooccurrence_view('$root/co')"))
+    val batchCo = canonRows(graft.operators.Corpus.cooccurrence(
+      Snapshots.read(spark, s"$root/src").select("text"), "text", window = 2))
+    assert(sqlCo == batchCo && sqlCo.nonEmpty)
+    val oneTok = canonRows(spark.sql(
+      s"SELECT * FROM graft_cooccurrence_view('$root/co', 1, 'spark')"))
+    assert(oneTok == batchCo.filter(_.startsWith("spark|")) && oneTok.nonEmpty)
+
     // retrieval-shaped serve: the 6-arg form keeps only the k best
     val sqlTop = spark.sql(
       s"SELECT * FROM graft_bm25_view('$root/ix', 'spark,join', 'doc_id', 1.2d, 0.75d, 3)")
