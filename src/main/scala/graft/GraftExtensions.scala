@@ -591,6 +591,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           topK = if (a.length == 6) Some(litInt(a(5), "topK")) else None)
     }
 
+    tvf("graft_search",
+      "graft_search(viewRoot, termsCsv, k[, snippetK[, idCol]]) - the search-result page from the maintained index: BM25 top-k (rank by score desc, id asc) + one first-occurrence KWIC snippet per hit, every leg pruned, as (idCol, rank, bm25, center_pos, snippet); needs a positional=true index (see IncrementalViews.search)") {
+      (s, a) =>
+        require(a.length >= 3 && a.length <= 5,
+          "graft_search takes (viewRoot, termsCsv, k[, snippetK[, idCol]])")
+        sources.IncrementalViews.search(s, litStr(a(0), "viewRoot"),
+          csvArg(a(1), "termsCsv"), litInt(a(2), "k"),
+          snippetK = if (a.length >= 4) litInt(a(3), "snippetK") else 3,
+          idCol = if (a.length == 5) litStr(a(4), "idCol") else "doc_id")
+    }
+
     tvf("graft_proximity_search",
       "graft_proximity_search(viewRoot, termA, termB, window[, idCol]) - docs where the two terms co-occur within `window` token positions, from the positional postings (refresh with positional=true) as (idCol, n_pairs, min_dist) (see IncrementalViews.proximitySearch)") {
       (s, a) =>

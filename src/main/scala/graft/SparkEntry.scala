@@ -1009,6 +1009,28 @@ object SparkEntry {
       IncrementalViews.kwic(s, views, "vector", k = 3)
     }),
 
+    // The search-result PAGE from the maintained index: BM25 top-10
+    // (rank by score desc, id asc) + one first-occurrence KWIC
+    // snippet per hit, every leg pruned — the oracle recomputes the
+    // same page from scratch over the post-churn corpus.
+    "q_search" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_searchview").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text",
+        positional = true)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text",
+        positional = true)
+      IncrementalViews.search(s, views, bm25Terms, k = 10, snippetK = 3)
+    }),
+
     "q_doc_logprob" -> ((s, dir) =>
       Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -1503,7 +1525,10 @@ object SparkEntry {
     * serves scores over the surviving rows). Constants injected as
     * exact double literals (toString → same IEEE double on both
     * engines), term sum in the same FIXED order as the Spark fold. */
-  private def bm25OracleSql(where: String): String = {
+  /** The shared BM25 CTE block (`... scored`) + the fixed-order
+    * per-doc total expression — used by the plain BM25 oracles and
+    * extended by the search-page oracle below. */
+  private def bm25CtesSql(where: String): (String, String) = {
     val (k1, b) = (1.2, 0.75)
     val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
     val ts = s"ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))" +
@@ -1511,7 +1536,7 @@ object SparkEntry {
     val total = bm25Terms
       .map(t => s"coalesce(max(CASE WHEN token = '$t' THEN ts END), 0.0)")
       .reduce((a, x) => s"($a + $x)")
-    s"""WITH dl AS (
+    (s"""WITH dl AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl
        |  FROM documents $where
        |), stats AS MATERIALIZED (
@@ -1528,9 +1553,43 @@ object SparkEntry {
        |), scored AS (
        |  SELECT tf.doc_id, tf.token, $ts AS ts
        |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
-       |  CROSS JOIN stats)
+       |  CROSS JOIN stats)""".stripMargin, total)
+  }
+
+  private def bm25OracleSql(where: String): String = {
+    val (ctes, total) = bm25CtesSql(where)
+    s"""$ctes
        |SELECT doc_id, ${sqlRound4(total)} AS bm25
        |FROM scored GROUP BY doc_id""".stripMargin
+  }
+
+  /** The search-page oracle: BM25 top-10 by (score desc, id asc) plus
+    * a snippet of ±3 tokens around each hit's FIRST occurrence of any
+    * query term — sliced from the original text where the engine
+    * reassembles it from the maintained positional postings. */
+  private def searchOracleSql(where: String): String = {
+    val (ctes, total) = bm25CtesSql(where)
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""$ctes,
+       |bm AS (SELECT doc_id, ${sqlRound4(total)} AS bm25
+       |       FROM scored GROUP BY doc_id),
+       |top AS (SELECT doc_id, bm25,
+       |          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+       |            AS BIGINT) AS rank
+       |        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS s
+       |         FROM documents $where),
+       |cent AS (
+       |  SELECT t.doc_id, min(CAST(u.z[2] AS BIGINT)) AS center_pos
+       |  FROM (SELECT doc_id, s FROM toks
+       |        WHERE doc_id IN (SELECT doc_id FROM top)) t,
+       |       unnest(list_zip(t.s, range(0, len(t.s)))) AS u(z)
+       |  WHERE u.z[1] IN ($terms)
+       |  GROUP BY t.doc_id)
+       |SELECT top.doc_id, top.rank, top.bm25, cent.center_pos,
+       |  array_to_string(toks.s[greatest(CAST(cent.center_pos AS INTEGER) - 2, 1)
+       |    : CAST(cent.center_pos AS INTEGER) + 4], ' ') AS snippet
+       |FROM top JOIN cent USING (doc_id) JOIN toks USING (doc_id)""".stripMargin
   }
 
   /** The corpus-profile "dataset card" oracle over `documents`,
@@ -3038,6 +3097,9 @@ object SparkEntry {
     // The maintained-index BM25: same formula text, from scratch over
     // the post-churn source state.
     "q_bm25_view_incr" -> bm25OracleSql("WHERE doc_id % 10 <> 3"),
+
+    // The search page over the post-churn corpus: top-10 + snippets.
+    "q_search" -> searchOracleSql("WHERE doc_id % 10 <> 3"),
 
     // Positional phrase search: 0-based token positions via
     // list_zip + range (ordinality), each term's positions shifted to

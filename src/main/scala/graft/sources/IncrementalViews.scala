@@ -1599,6 +1599,73 @@ object IncrementalViews {
         col("__center").cast("long").as("center_pos"), col("snippet"))
   }
 
+  /** The SEARCH-RESULT PAGE from the stored views alone — the
+    * end-to-end retrieval composition a user of the index actually
+    * issues: [[readBm25]]'s top-`k` ranking plus one keyword-in-
+    * context snippet per hit (centered on the doc's FIRST occurrence
+    * of any query term — deterministic), at O(query) cost however
+    * large the corpus. Every leg is pruned: scores from the query
+    * terms' posting files + the 1-row cascade, the k winning ids
+    * (bounded metadata) drive a manifest-pruned occurrence read of
+    * the token-major postings and a doc-range-pruned context read of
+    * the doc-major twin — the corpus is never scanned. Emits
+    * `(idCol, rank, bm25, center_pos, snippet)`, rank 1..k by
+    * (score desc, id asc). Requires a `positional = true` index
+    * (posting + positional views under one root). */
+  def search(spark: SparkSession, viewRoot: String,
+             queryTerms: Seq[String], k: Int, snippetK: Int = 3,
+             idCol: String = "doc_id",
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(snippetK >= 0, "snippetK must be non-negative")
+    require(Snapshots.latestVersion(spark, s"$viewRoot/posd").isDefined,
+      s"$viewRoot/posd is missing — search needs a positional = true " +
+        "index (snippets come from the doc-major positional twin)")
+    val top = readBm25(spark, viewRoot, queryTerms, idCol, k1, b,
+      topK = Some(k))
+    // the result page is bounded by k — collecting it is metadata,
+    // and the literal ids are what let BOTH snippet legs prune
+    val hits = top.collect()
+    val idType = top.schema(idCol).dataType
+    if (hits.isEmpty)
+      return top.limit(0).select(col(idCol), lit(0L).as("rank"),
+        col("bm25"), lit(0L).as("center_pos"), concat_ws(" ").as("snippet"))
+    val scores = spark.createDataFrame(
+      java.util.Arrays.asList(hits.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), (i + 1).toLong, r.getDouble(1))
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__doc", idType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bm25",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val ids = hits.map(_.get(0))
+    val occ = Snapshots.readPrunedRanges(spark, s"$viewRoot/pos", "",
+        queryTerms.map(t => (t, t)))
+      .filter(col("__cnt") > 0)
+      .filter(col("__token").isin(queryTerms: _*) &&
+        col("__doc").isin(ids: _*))
+      .groupBy(col("__doc"))
+      .agg(min(assertUniqueDoc(viewRoot, col("__pos"))).as("__center"))
+    val (_, specs) = keySpecs(scores.select(col("__doc")), Seq("__doc"))
+    val ctx = readForSpecs(spark, s"$viewRoot/posd", None, specs)
+      .filter(col("__cnt") > 0)
+      .filter(col("__doc").isin(ids: _*))
+      .select(col("__doc"),
+        assertUniqueDoc(viewRoot, col("__pos")).as("__pos"), col("__token"))
+    val snip = occ.join(ctx, Seq("__doc"))
+      .filter(col("__pos") >= col("__center") - snippetK &&
+        col("__pos") <= col("__center") + snippetK)
+      .groupBy(col("__doc"), col("__center"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__token")))),
+        x => x.getField("__token"))).as("snippet"))
+    broadcast(scores).join(snip, Seq("__doc"))
+      .select(col("__doc").as(idCol), col("rank"), col("bm25"),
+        col("__center").cast("long").as("center_pos"), col("snippet"))
+  }
+
   /** Per-row guard folded into the position expression (free in the
     * scan, never prunable): positional serves require UNIQUE live doc
     * ids — a (token, doc, pos) multiplicity above 1 means the same

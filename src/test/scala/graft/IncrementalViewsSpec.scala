@@ -1478,6 +1478,49 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(bm25() == fresh)
   }
 
+  test("search page == top-k BM25 + first-occurrence snippets, all legs pruned") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(150).localCheckpoint(true)
+    val terms = Seq("spark", "join")
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
+      positional = true)
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
+      positional = true)
+    val page = IncrementalViews.search(spark, views, terms, k = 5,
+        snippetK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getString(4))).sortBy(_._2)
+    // ranking == the full BM25 rank's top 5 (ties by ascending id)
+    val full = IncrementalViews.readBm25(spark, views, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .sortBy { case (id, sc) => (-sc, id) }.take(5)
+    assert(page.map(p => (p._1, p._3)).toSeq == full.toSeq && page.size == 5)
+    assert(page.map(_._2).toSeq == (1L to 5L))
+    // each snippet == slicing the live doc's text around the FIRST
+    // occurrence of any query term
+    val texts = Snapshots.read(spark, src)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    page.foreach { case (id, _, _, c, snip) =>
+      val toks = texts(id).split(" ")
+      val first = toks.indexWhere(terms.contains)
+      assert(c == first.toLong, s"doc $id center $c != first hit $first")
+      val lo = math.max(first - 2, 0)
+      assert(snip == toks.slice(lo, first + 3).mkString(" "),
+        s"doc $id snippet mismatch")
+    }
+    // zero-hit query: empty page, correct shape, no posd fallback scan
+    assert(IncrementalViews.search(spark, views, Seq("nosuchtoken"), 5)
+      .collect().isEmpty)
+  }
+
   test("maintained co-occurrence/PMI == batch across churn; pruned per-token serve; pinned window") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._

@@ -339,6 +339,12 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(sqlTop ==
       batch.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(3))
+    // the search page from pure SQL == the Scala API (positional root)
+    val sqlPage = canonRows(spark.sql(
+      s"SELECT * FROM graft_search('$root/px', 'table,hash', 5, 2)"))
+    val apiPage = canonRows(graft.sources.IncrementalViews
+      .search(spark, s"$root/px", Seq("table", "hash"), 5, 2))
+    assert(sqlPage == apiPage && sqlPage.nonEmpty)
     // whole-index housekeeping from SQL: history trimmed, serve intact
     assert(spark.sql(
       s"SELECT * FROM graft_housekeep_text_index('$root/ix', 1000000, 2)")
