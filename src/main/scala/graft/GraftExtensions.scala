@@ -536,6 +536,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s.range(1, 2).toDF("ok")
     }
 
+    tvf("graft_view_refresh_bigram_lm",
+      "graft_view_refresh_bigram_lm(srcDir, viewRoot, textCol) - one maintenance tick of the incrementally-maintained bigram LM (bigram/context/unigram Z-set counts + cascaded token total, pure-sum folds; see IncrementalViews.refreshBigramLm); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 3,
+          "graft_view_refresh_bigram_lm takes (srcDir, viewRoot, textCol)")
+        sources.IncrementalViews.refreshBigramLm(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewRoot"),
+          litStr(a(2), "textCol"))
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_bigram_lm_score",
+      "graft_bigram_lm_score(viewRoot, docsDir, idCol, textCol[, lambda]) - score the snapshot table at docsDir against the maintained bigram LM as (idCol, n_bigrams, nll); in-model transitions reproduce graft_bigram_lm exactly, out-of-model mass floors at half a unigram count (see IncrementalViews.scoreBigramLm)") {
+      (s, a) =>
+        require(a.length == 4 || a.length == 5,
+          "graft_bigram_lm_score takes (viewRoot, docsDir, idCol, textCol[, lambda])")
+        val idCol = litStr(a(2), "idCol")
+        sources.IncrementalViews.scoreBigramLm(s, litStr(a(0), "viewRoot"),
+          sources.Snapshots.read(s, litStr(a(1), "docsDir"))
+            .select(idCol, litStr(a(3), "textCol")),
+          idCol, litStr(a(3), "textCol"),
+          lambda = if (a.length == 5) litDouble(a(4), "lambda") else 0.9)
+    }
+
     tvf("graft_view_refresh_cooccurrence",
       "graft_view_refresh_cooccurrence(srcDir, viewRoot, textCol[, window]) - one maintenance tick of the incrementally-maintained co-occurrence/PMI views (pair + unigram Z-set counts and cascaded 1-row totals, pure-sum folds under inserts AND deletes; window pinned per view root; see IncrementalViews.refreshCooccurrence); returns 1 on completion") {
       (s, a) =>

@@ -1039,6 +1039,27 @@ object SparkEntry {
     "q_doc_bigram_lm" -> ((s, dir) =>
       Corpus.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
+    // The MAINTAINED bigram LM: bigram/context/unigram counts and the
+    // token total fold an append + a predicate delete as pure Z-set
+    // sums; scoring the surviving corpus against the maintained model
+    // must equal the batch operator (and DuckDB) from scratch.
+    "q_bigram_lm_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lmview").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshBigramLm(s, src, views, "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshBigramLm(s, src, views, "text")
+      IncrementalViews.scoreBigramLm(s, views,
+        Snapshots.read(s, src).select("doc_id", "text"), "doc_id", "text")
+    }),
+
     // The "dataset card": corpus totals, vocabulary, dup count, mean
     // length/quality, per-language doc counts as (metric, value).
     "q_corpus_profile" -> ((s, dir) =>
@@ -1525,6 +1546,49 @@ object SparkEntry {
     * serves scores over the surviving rows). Constants injected as
     * exact double literals (toString → same IEEE double on both
     * engines), term sum in the same FIXED order as the Spark fold. */
+  /** Interpolated bigram-LM oracle over `documents`, optionally
+    * restricted by a WHERE clause (shared by the batch query and its
+    * maintained-model twin — scoring a corpus against the model
+    * maintained over that same corpus is the batch computation). */
+  private def bigramLmOracleSql(where: String): String = {
+    val lam = 0.9
+    val oneMinus = 1.0 - lam
+    s"""WITH pairs AS (
+       |  SELECT doc_id, x[1] AS prev, x[2] AS cur
+       |  FROM (SELECT doc_id,
+       |          unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS x
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS s
+       |              FROM documents $where))
+       |), bf AS (
+       |  SELECT doc_id, prev, cur, count(*) AS bf FROM pairs
+       |  GROUP BY doc_id, prev, cur
+       |), bg AS (
+       |  SELECT prev, cur, count(*) AS bcount FROM pairs GROUP BY prev, cur
+       |), ctx AS (
+       |  SELECT prev, sum(bcount) AS ctx FROM bg GROUP BY prev
+       |), toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token
+       |  FROM documents $where
+       |), uni AS (
+       |  SELECT token, count(*) AS freq FROM toks GROUP BY token
+       |), tot AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS total FROM toks
+       |)
+       |SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+       |       ${sqlRound4(
+            s"-(${sqlSum(
+              s"CAST(bf AS DOUBLE) * ln(CAST($lam AS DOUBLE) * " +
+                "(CAST(bcount AS DOUBLE) / CAST(ctx AS DOUBLE)) + " +
+                s"CAST($oneMinus AS DOUBLE) * (CAST(freq AS DOUBLE) / total))",
+              9)}) / CAST(sum(bf) AS DOUBLE)")} AS nll
+       |FROM bf
+       |JOIN bg USING (prev, cur)
+       |JOIN ctx USING (prev)
+       |JOIN uni ON cur = token
+       |CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin
+  }
+
   /** The shared BM25 CTE block (`... scored`) + the fixed-order
     * per-doc total expression — used by the plain BM25 oracles and
     * extended by the search-page oracle below. */
@@ -3178,43 +3242,12 @@ object SparkEntry {
     // Same interpolation formula text as Corpus.bigramLogProb, over
     // adjacent-pair lists (DuckDB slicing is INCLUSIVE: s[1:n-1] /
     // s[2:n]; list_zip structs index numerically).
-    "q_doc_bigram_lm" -> {
-      val lam = 0.9
-      val oneMinus = 1.0 - lam
-      s"""WITH pairs AS (
-         |  SELECT doc_id, x[1] AS prev, x[2] AS cur
-         |  FROM (SELECT doc_id,
-         |          unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS x
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS s
-         |              FROM documents))
-         |), bf AS (
-         |  SELECT doc_id, prev, cur, count(*) AS bf FROM pairs
-         |  GROUP BY doc_id, prev, cur
-         |), bg AS (
-         |  SELECT prev, cur, count(*) AS bcount FROM pairs GROUP BY prev, cur
-         |), ctx AS (
-         |  SELECT prev, sum(bcount) AS ctx FROM bg GROUP BY prev
-         |), toks AS (
-         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
-         |), uni AS (
-         |  SELECT token, count(*) AS freq FROM toks GROUP BY token
-         |), tot AS MATERIALIZED (
-         |  SELECT CAST(count(*) AS DOUBLE) AS total FROM toks
-         |)
-         |SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
-         |       ${sqlRound4(
-              s"-(${sqlSum(
-                s"CAST(bf AS DOUBLE) * ln(CAST($lam AS DOUBLE) * " +
-                  "(CAST(bcount AS DOUBLE) / CAST(ctx AS DOUBLE)) + " +
-                  s"CAST($oneMinus AS DOUBLE) * (CAST(freq AS DOUBLE) / total))",
-                9)}) / CAST(sum(bf) AS DOUBLE)")} AS nll
-         |FROM bf
-         |JOIN bg USING (prev, cur)
-         |JOIN ctx USING (prev)
-         |JOIN uni ON cur = token
-         |CROSS JOIN tot
-         |GROUP BY doc_id""".stripMargin
-    },
+    "q_doc_bigram_lm" -> bigramLmOracleSql(""),
+
+    // The maintained bigram LM scoring the post-churn corpus against
+    // itself: every candidate transition is in-model, so the score is
+    // the batch formula from scratch over the final state.
+    "q_bigram_lm_view_incr" -> bigramLmOracleSql("WHERE doc_id % 10 <> 3"),
 
     "q_global_index" ->
       """SELECT doc_id, source,

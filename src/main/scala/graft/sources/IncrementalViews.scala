@@ -1821,6 +1821,137 @@ object IncrementalViews {
         graft.functions.Exact.roundAt(pmi, 4).as("pmi"))
   }
 
+  /** INCREMENTALLY-MAINTAINED BIGRAM LANGUAGE MODEL — the CCNet-style
+    * perplexity quality filter whose MODEL stays current as the
+    * reference corpus churns, instead of retrained from scratch:
+    * bigram counts keyed (prev, cur) as a Z-set agg view (the batch
+    * [[graft.operators.Corpus.bigramLogProb]] zip lens), context
+    * totals c(prev·) as a CASCADED view over the bigram view's own
+    * change feed, unigram counts, and a cascaded 1-row token total —
+    * all pure sums (exact under inserts AND deletes, zero rescans,
+    * O(churn) per tick). [[scoreBigramLm]] then scores ANY candidate
+    * batch against the stored model. */
+  def refreshBigramLm(spark: SparkSession, srcDir: String,
+                      viewRoot: String, textCol: String): Unit = {
+    import graft.functions.Text
+    val bgLens: DataFrame => DataFrame = df => df
+      .withColumn("__t", Text.tokens(col(textCol)))
+      .select(col("__change"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("p"))
+      .select(col("__change"), col("p.prev").as("prev"),
+        col("p.cur").as("cur"))
+    val uniLens: DataFrame => DataFrame = df => df
+      .select(col("__change"),
+        explode(Text.tokens(col(textCol))).as("token"))
+    parallelChains(spark, Seq(
+      () => {
+        refreshAgg(spark, srcDir, s"$viewRoot/bg", Seq("prev", "cur"), Nil,
+          transform = Some(bgLens))
+        refreshAgg(spark, s"$viewRoot/bg", s"$viewRoot/ctx", Seq("prev"),
+          Seq("__w"), sumScale = 0,
+          transform = Some(df => df.withColumn("__w", col("__cnt"))))
+      },
+      () => {
+        refreshAgg(spark, srcDir, s"$viewRoot/uni", Seq("token"), Nil,
+          transform = Some(uniLens))
+        refreshAgg(spark, s"$viewRoot/uni", s"$viewRoot/ttot", Seq(GlobalKey),
+          Seq("__w"), sumScale = 0, transform = Some(df =>
+            df.withColumn(GlobalKey, lit(0L))
+              .withColumn("__w", col("__cnt"))))
+      }))
+  }
+
+  /** [[refreshBigramLm]] driven by the source's change feed. */
+  def maintainBigramLm(spark: SparkSession, srcDir: String,
+                       viewRoot: String, textCol: String,
+                       checkpointDir: String,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger
+                           .AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshBigramLm(spark, srcDir, viewRoot, textCol)
+      ()
+    }
+
+  /** Score a CANDIDATE batch against the maintained LM — the filter
+    * step of the CCNet workflow (model on the clean reference corpus,
+    * incoming documents scored against it): per doc, the interpolated
+    * bigram mean NLL `(idCol, n_bigrams, nll)` with EXACTLY the batch
+    * operator's arithmetic — scoring the model corpus itself
+    * reproduces [[graft.operators.Corpus.bigramLogProb]]
+    * double-for-double (spec-asserted; every candidate bigram is then
+    * in-model, so no smoothing branch engages).
+    *
+    * Out-of-model mass (a NEW doc's unseen bigram/context/token)
+    * scores deterministically: an unseen context contributes 0 to the
+    * interpolation's bigram leg, an unseen token 0 to the unigram
+    * leg, and the mixture is floored at HALF an unigram count —
+    * `(1−λ)·0.5/total` — so a fully-OOV transition is "rarer than
+    * anything seen" but finite, never log(0).
+    *
+    * Scale: the bigram view is corpus-scale and joins by shuffle on
+    * (prev, cur) with NO pinned broadcast (AQE decides, the batch
+    * operator's discipline); bg/ctx reads are manifest-pruned to the
+    * candidate batch's [min, max] prev-token range (head-key stats) —
+    * a small batch over a narrow vocabulary opens a slice of the
+    * model, never all of it. The candidate frame is scanned twice
+    * (once for the prune bounds, once in the scoring plan) — persist
+    * it upstream if it is expensive to produce. Docs with fewer than
+    * two tokens have no transitions and are absent from the output,
+    * like the batch operator. */
+  def scoreBigramLm(spark: SparkSession, viewRoot: String,
+                    docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.9): DataFrame = {
+    import graft.functions.Text
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0, 1): $lambda")
+    val pairs = docs
+      .withColumn("__t", Text.tokens(col(textCol)))
+      .select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bf = pairs.groupBy(idCol, "prev", "cur").agg(count(lit(1L)).as("bf"))
+    val (_, specs) = keySpecs(pairs.select(col("prev")), Seq("prev"))
+    val bg = readForSpecs(spark, s"$viewRoot/bg", None,
+        specs.map { case (_, rs) => ("prev", rs) })
+      .filter(col("__cnt") > 0)
+      .select(col("prev"), col("cur"), col("__cnt").as("bcount"))
+    val ctx = readForSpecs(spark, s"$viewRoot/ctx", None,
+        specs.map { case (_, rs) => ("prev", rs) })
+      .filter(col("__cnt") > 0)
+      .select(col("prev"), col("sum___w").as("ctx"))
+    val uni = Snapshots.read(spark, s"$viewRoot/uni")
+      .filter(col("__cnt") > 0)
+      .select(col("token"), col("__cnt").as("freq"))
+    val total = Snapshots.read(spark, s"$viewRoot/ttot")
+      .filter(col("__cnt") > 0)
+      .agg(sum(col("sum___w")).cast("double").as("total"))
+    // the in-model value is the batch formula verbatim; the when/
+    // coalesce wrappers only route the out-of-model cases
+    val p = greatest(
+      lit(lambda) * when(col("ctx").isNotNull,
+        coalesce(col("bcount"), lit(0L)).cast("double") /
+          col("ctx").cast("double")).otherwise(lit(0.0)) +
+        lit(1.0 - lambda) *
+          (coalesce(col("freq"), lit(0L)).cast("double") / col("total")),
+      lit(0.5 * (1.0 - lambda)) / col("total"))
+    val term = col("bf").cast("double") * log(p)
+    bf.join(bg, Seq("prev", "cur"), "left_outer")
+      .join(ctx, Seq("prev"), "left_outer")
+      .join(uni, col("cur") === col("token"), "left_outer")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(graft.functions.Exact.sumExact(term, 9).as("__s"),
+        sum(col("bf")).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        graft.functions.Exact.roundAt(
+          -col("__s") / col("n_bigrams").cast("double"), 4).as("nll"))
+  }
+
   /** Pin a per-view-root build parameter: first call records `value`
     * in a `_param_<name>` marker, later calls must match — silently
     * mixing e.g. co-occurrence windows in one view would corrupt the

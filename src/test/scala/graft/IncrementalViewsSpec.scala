@@ -1586,6 +1586,70 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(one == full.filter(_._1._1 == "zebra") && one.nonEmpty)
   }
 
+  test("maintained bigram LM: in-model scoring == batch across churn; OOV floors finite; pruned model read") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(150).localCheckpoint(true)
+    def served() = IncrementalViews.scoreBigramLm(spark, views,
+        Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def fresh() = graft.operators.Corpus.bigramLogProb(
+        Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshBigramLm(spark, src, views, "text")
+    assert(served() == fresh() && served().nonEmpty)
+    // churn: bigram, context, unigram counts AND the token total all
+    // move as pure Z-set sums — the model needs no retraining
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.refreshBigramLm(spark, src, views, "text")
+    assert(served() == fresh() && served().nonEmpty)
+    // a NEW doc with out-of-model mass scores finite and deterministic
+    // (unseen bigram of seen tokens, unseen context, fully-OOV token)
+    val probe = Seq((900001L, "spark zzzunseen spark join zzzother"))
+      .toDF("doc_id", "text")
+    val oov = IncrementalViews.scoreBigramLm(spark, views, probe,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(oov.length == 1 && oov(0)._2 == 4L &&
+      !oov(0)._3.isNaN && !oov(0)._3.isInfinite && oov(0)._3 > 0)
+    // the same probe twice == deterministic
+    val oov2 = IncrementalViews.scoreBigramLm(spark, views, probe,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(oov.toSeq == oov2.toSeq)
+    // model reads prune to the candidate batch's prev-token range:
+    // disjoint-vocabulary commits leave carried low-token bg/ctx
+    // files a high-vocabulary candidate's scoring must never open
+    val (src2, lm2) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "apple banana apple banana"))
+      .toDF("doc_id", "text"), src2, statsCol = Some("doc_id"))
+    IncrementalViews.refreshBigramLm(spark, src2, lm2, "text")
+    Snapshots.commit(Seq((2L, "zebra zulu zebra zulu"))
+      .toDF("doc_id", "text"), src2, statsCol = Some("doc_id"))
+    IncrementalViews.refreshBigramLm(spark, src2, lm2, "text")
+    val lowFiles = Seq("bg", "ctx").flatMap(v =>
+      Snapshots.manifest(spark, s"$lm2/$v")
+        .filter(col("stats_max") < "zebra").select("path")
+        .collect().map(_.getString(0)))
+    assert(lowFiles.nonEmpty, "expected carried low-token model files")
+    lowFiles.foreach(corruptDataBytes)
+    val zs = IncrementalViews.scoreBigramLm(spark, lm2,
+        Seq((9L, "zebra zulu zebra")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(zs.length == 1 && zs(0)._2 == 2L && zs(0)._3 > 0)
+  }
+
   test("a pre-carried-dl posting view is rejected with the rebuild instruction") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._

@@ -129,7 +129,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_tfidf", "q_bm25", "q_doc_logprob", "q_sketch_overlap",
       "q_ols_eval", "q_ols_holdout", "q_doc_bigram_lm", "q_corpus_profile",
       "q_corpus_profile_view_incr", "q_bm25_view_incr", "q_tfidf_view_incr",
-      "q_cooccurrence", "q_cooccurrence_view_incr")
+      "q_cooccurrence", "q_cooccurrence_view_incr",
+      "q_bigram_lm_view_incr")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")

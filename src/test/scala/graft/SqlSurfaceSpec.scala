@@ -316,6 +316,20 @@ class SqlSurfaceSpec extends SparkSpec {
       .kwic(spark, s"$root/px", "table", k = 2)
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(sqlKwic == apiKwic && sqlKwic.nonEmpty)
+    // maintained bigram LM from pure SQL: refresh tick + scoring the
+    // model corpus against itself == the batch graft operator
+    spark.sql(
+      s"SELECT * FROM graft_view_refresh_bigram_lm('$root/src', '$root/lm', 'text')")
+      .collect()
+    val sqlLm = spark.sql(
+      s"SELECT * FROM graft_bigram_lm_score('$root/lm', '$root/src', 'doc_id', 'text')")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batchLm = graft.operators.Corpus.bigramLogProb(
+        Snapshots.read(spark, s"$root/src").select("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(sqlLm == batchLm && sqlLm.nonEmpty)
+
     // maintained co-occurrence/PMI from pure SQL: refresh tick + serve
     // == the batch graft_cooccurrence over the same corpus; the
     // 3-arg serve prunes to one head token
