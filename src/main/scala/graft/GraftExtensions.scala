@@ -536,6 +536,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s.range(1, 2).toDF("ok")
     }
 
+    tvf("graft_view_refresh_embedding_moments",
+      "graft_view_refresh_embedding_moments(srcDir, viewDir, vecCol, dim[, scale]) - one maintenance tick of the incrementally-maintained (n, sum v_i, sum v_i*v_j) embedding-moment view (exact-decimal Z-set sums, bit-equal to the one-pass ExactGram; see IncrementalViews.refreshEmbeddingMoments); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 4 || a.length == 5,
+          "graft_view_refresh_embedding_moments takes (srcDir, viewDir, vecCol, dim[, scale])")
+        sources.IncrementalViews.refreshEmbeddingMoments(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
+          litStr(a(2), "vecCol"), litInt(a(3), "dim"),
+          scale = if (a.length == 5) litInt(a(4), "scale") else 9)
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_pca_view",
+      "graft_pca_view(viewDir, docsDir, idCol, vecCol, dim, k) - PCA projection of the snapshot table at docsDir from the MAINTAINED moment view (exactly Similarity.pca's output, model never rescans the corpus) as (idCol, pc) (see IncrementalViews.pcaFromMoments)") {
+      (s, a) =>
+        require(a.length == 6,
+          "graft_pca_view takes (viewDir, docsDir, idCol, vecCol, dim, k)")
+        val (idCol, vecCol) = (litStr(a(2), "idCol"), litStr(a(3), "vecCol"))
+        sources.IncrementalViews.pcaFromMoments(s, litStr(a(0), "viewDir"),
+          sources.Snapshots.read(s, litStr(a(1), "docsDir"))
+            .select(idCol, vecCol),
+          idCol, vecCol, litInt(a(4), "dim"), litInt(a(5), "k"))
+    }
+
     tvf("graft_view_refresh_bigram_lm",
       "graft_view_refresh_bigram_lm(srcDir, viewRoot, textCol) - one maintenance tick of the incrementally-maintained bigram LM (bigram/context/unigram Z-set counts + cascaded token total, pure-sum folds; see IncrementalViews.refreshBigramLm); returns 1 on completion") {
       (s, a) =>

@@ -537,8 +537,17 @@ object IncrementalViews {
       derived
     }
     val sign = when(col("__change") === lit("insert"), lit(1)).otherwise(lit(-1))
-    val dAggs = (sumCols.map(c =>
-      sum(sign * col(c).cast(dec)).cast(dec).as(s"__d_$c")) :+
+    // sign the operand by NEGATION, never `sign * decimal`: an
+    // int × decimal(30,s) multiply promotes to precision 41 > 38 and
+    // Spark's precision-loss rule then TRUNCATES the scale to
+    // min(s, 6) — a sumScale above 6 would silently sum 6-decimal
+    // values (caught by the maintained-moments spec at scale 9);
+    // unary minus preserves the exact decimal type
+    val dAggs = (sumCols.map { c =>
+      val v = col(c).cast(dec)
+      sum(when(col("__change") === lit("insert"), v).otherwise(-v))
+        .cast(dec).as(s"__d_$c")
+    } :+
       sum(sign.cast("long")).as("__d_cnt")) ++
       // per-group min/max over the tick's INSERTS (null when the
       // group saw only deletes) + a delete flag: inserts fold into
@@ -1950,6 +1959,112 @@ object IncrementalViews {
       .select(col(idCol), col("n_bigrams"),
         graft.functions.Exact.roundAt(
           -col("__s") / col("n_bigrams").cast("double"), 4).as("nll"))
+  }
+
+  /** INCREMENTALLY-MAINTAINED EMBEDDING MOMENTS — the (n, Σvᵢ,
+    * Σvᵢ·vⱼ) second-moment state PCA/covariance/whitening is built
+    * from ([[graft.operators.Similarity.pca]]'s one-pass ExactGram,
+    * as a VIEW): kept current over an embedding table's change feed
+    * as an agg view keyed `(i, j)` — first moments at `j = -1`,
+    * products for i ≤ j — whose per-cell exact-decimal sums fold
+    * inserts AND deletes with zero rescans (pure sums, O(churn·d²)
+    * lens rows per tick, map-side combined so the shuffle is
+    * O(partitions·d²) whatever the churn). Row validity is EXACTLY
+    * the batch aggregate's contract (null / wrong-length /
+    * non-finite / |x| > 10⁴ rows skipped whole), and each element is
+    * `scale`-decimal rounded by the same CAST semantics — so the
+    * stored cells equal ExactGram's bit-for-bit and
+    * [[pcaFromMoments]] reproduces the batch PCA projection exactly
+    * (spec-asserted across churn). `dim`/`scale` are pinned per view
+    * dir. */
+  def refreshEmbeddingMoments(spark: SparkSession, srcDir: String,
+                              viewDir: String, vecCol: String, dim: Int,
+                              scale: Int = 9): Unit = {
+    require(dim >= 1 && dim <= 512, s"dim must be in [1, 512]: $dim")
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9]: $scale")
+    requireSameParam(spark, viewDir, "dim", dim.toString)
+    requireSameParam(spark, viewDir, "moment_scale", scale.toString)
+    val lens: DataFrame => DataFrame = df => {
+      val clean = df
+        .withColumn("__a", transform(col(vecCol), x => x.cast("double")))
+        .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+          !exists(col("__a"), x => isnan(x) || abs(x) > 1e4))
+      val firsts = transform(sequence(lit(0), lit(dim - 1)), i =>
+        struct(i.cast("int").as("__i"), lit(-1).as("__j"),
+          element_at(col("__a"), i + 1).as("__m")))
+      val prods = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(i, lit(dim - 1)), j =>
+          struct(i.cast("int").as("__i"), j.cast("int").as("__j"),
+            (element_at(col("__a"), i + 1) *
+              element_at(col("__a"), j + 1)).as("__m")))))
+      clean
+        .select(col("__change"), explode(concat(firsts, prods)).as("__e"))
+        .select(col("__change"), col("__e.__i").as("__i"),
+          col("__e.__j").as("__j"), col("__e.__m").as("__m"))
+    }
+    refreshAgg(spark, srcDir, viewDir, Seq("__i", "__j"), Seq("__m"),
+      sumScale = scale, transform = Some(lens))
+    ()
+  }
+
+  /** [[refreshEmbeddingMoments]] driven by the source's change feed. */
+  def maintainEmbeddingMoments(spark: SparkSession, srcDir: String,
+                               viewDir: String, vecCol: String, dim: Int,
+                               checkpointDir: String, scale: Int = 9,
+                               trigger: org.apache.spark.sql.streaming.Trigger =
+                                 org.apache.spark.sql.streaming.Trigger
+                                   .AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshEmbeddingMoments(spark, srcDir, viewDir, vecCol, dim, scale)
+      ()
+    }
+
+  /** PCA projection from the MAINTAINED moments — the continuously-
+    * current twin of [[graft.operators.Similarity.pca]]: the d×d
+    * moment cells are bounded driver metadata (one collect of
+    * d·(d+3)/2 rows however large the corpus), the eigenproblem runs
+    * the same deterministic Jacobi, and the top-`k` axes project
+    * `df` shuffle-free — output EXACTLY the batch operator's
+    * (`BigDecimal.doubleValue` is the same 128-bit → double rounding
+    * ExactGram's eval applies). The corpus is never rescanned: churn
+    * folds into the view, serves read d² rows. */
+  def pcaFromMoments(spark: SparkSession, viewDir: String, df: DataFrame,
+                     idCol: String, vecCol: String, dim: Int,
+                     k: Int): DataFrame = {
+    require(k >= 1 && k <= dim, "need 1 <= k <= dim")
+    val rows = Snapshots.read(spark, viewDir)
+      .filter(col("__cnt") > 0)
+      .select(col("__i"), col("__j"), col("sum___m"), col("__cnt"))
+      .collect()
+    require(rows.nonEmpty,
+      s"$viewDir holds no moments — run refreshEmbeddingMoments first")
+    val n = rows.head.getLong(3)
+    require(rows.forall(_.getLong(3) == n),
+      s"$viewDir moment cells disagree on the row count — the view is " +
+        "mid-maintenance or was built with a different dim")
+    require(n > 1, s"pca needs >= 2 valid rows, got $n")
+    val sums = new Array[Double](dim)
+    val gram = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = r.getDecimal(2).doubleValue()
+      if (j < 0) sums(i) = v
+      else { gram(i)(j) = v; gram(j)(i) = v }
+    }
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      (gram(i)(j) - sums(i) * sums(j) / n) / (n - 1)
+    }
+    val (_, axes) = graft.operators.Similarity.jacobiEigen(cov)
+    val mean = sums.map(_ / n)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val comps = (0 until k).map { a =>
+      val axis = axes(a)
+      val meanProj = axis.indices.map(r => mean(r) * axis(r)).sum
+      graft.functions.Vectors.dotD(vecD, array(axis.map(lit(_)): _*)) -
+        lit(meanProj)
+    }
+    df.select(col(idCol), array(comps: _*).as("pc"))
   }
 
   /** Pin a per-view-root build parameter: first call records `value`

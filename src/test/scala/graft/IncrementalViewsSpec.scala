@@ -1650,6 +1650,50 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(zs.length == 1 && zs(0)._2 == 2L && zs(0)._3 > 0)
   }
 
+  test("maintained embedding moments serve PCA == batch pca across churn, bad rows skipped alike") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, view) = (tmpDir(), tmpDir())
+    val dim = 8
+    def vec(seed: Long) = Array.tabulate(dim)(i =>
+      (((seed * 31 + i * 17) % 97) / 9.7).toFloat)
+    val rows = (1L to 60L).map(i => (i, vec(i)))
+    def current() = Snapshots.read(spark, src)
+      .select(col("vec_id"), col("emb"))
+    def served() = IncrementalViews.pcaFromMoments(spark, view,
+        current(), "vec_id", "emb", dim, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def fresh() = graft.operators.Similarity.pca(current(), "vec_id", "emb",
+        dim, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    Snapshots.commit(rows.take(30).toDF("vec_id", "emb"), src,
+      statsCol = Some("vec_id"))
+    IncrementalViews.refreshEmbeddingMoments(spark, src, view, "emb", dim)
+    assert(served() == fresh() && served().size == 30)
+    // churn: append + delete, plus rows the moment contract SKIPS
+    // (wrong length, NaN, out-of-range) — the lens must ignore them
+    // at insert AND at their later delete (a wrongly-included bad row
+    // would leave poisoned cells behind and break batch parity)
+    val bad = Seq(
+      (900L, Array(1f, 2f)), // wrong length
+      (901L, Array.tabulate(dim)(i => if (i == 3) Float.NaN else 1f)),
+      (902L, Array.tabulate(dim)(i => if (i == 0) 2e4f else 0f)))
+    Snapshots.commit((rows.drop(30) ++ bad).toDF("vec_id", "emb"), src,
+      statsCol = Some("vec_id"))
+    Snapshots.deleteWhere(spark, src, col("vec_id") % 5 === 2)
+    IncrementalViews.refreshEmbeddingMoments(spark, src, view, "emb", dim)
+    Snapshots.deleteWhere(spark, src, col("vec_id") >= 900L)
+    IncrementalViews.refreshEmbeddingMoments(spark, src, view, "emb", dim)
+    val (sv, fr) = (served(), fresh())
+    assert(sv == fr && sv.nonEmpty)
+    // a different dim against the same view dir is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshEmbeddingMoments(spark, src, view, "emb",
+        dim + 1)
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("a pre-carried-dl posting view is rejected with the rebuild instruction") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._

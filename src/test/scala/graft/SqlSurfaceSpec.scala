@@ -488,6 +488,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlWls == apiWls)
   }
 
+  test("embedding-moment TVFs: maintained PCA from pure SQL == Similarity.pca") {
+    import graft.sources.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlpca").toString
+    val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
+      .select("vec_id", "embedding").limit(40)
+    Snapshots.commit(embs, s"$root/src", statsCol = Some("vec_id"))
+    spark.sql(
+      s"SELECT * FROM graft_view_refresh_embedding_moments('$root/src', '$root/mom', 'embedding', 64)")
+      .collect()
+    def canonRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val sqlPc = canonRows(spark.sql(
+      s"SELECT * FROM graft_pca_view('$root/mom', '$root/src', 'vec_id', 'embedding', 64, 4)"))
+    val batchPc = canonRows(graft.operators.Similarity.pca(
+      Snapshots.read(spark, s"$root/src").select("vec_id", "embedding"),
+      "vec_id", "embedding", 64, 4))
+    assert(sqlPc == batchPc && sqlPc.nonEmpty)
+  }
+
   test("TVFs compose with ordinary SQL (filter + agg over graft_sessionize)") {
     Tables.events(spark, sf("sf0.001")).createOrReplaceTempView("ev_tvf2")
     val r = spark.sql(
