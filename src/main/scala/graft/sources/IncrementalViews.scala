@@ -1413,13 +1413,49 @@ object IncrementalViews {
   def housekeepTextIndex(spark: SparkSession, viewRoot: String,
                          targetRows: Long = 4L * 1000 * 1000,
                          keepLast: Int = 5,
-                         graceMs: Long = 24L * 3600 * 1000): Unit = {
-    val layouts = Seq(
+                         graceMs: Long = 24L * 3600 * 1000): Unit =
+    housekeepLayouts(spark, viewRoot, Seq(
       "post" -> Seq("__token", "__doc"),
       "dlen" -> Seq("__doc"),
       "gstat" -> Seq(GlobalKey),
       "pos" -> Seq("__token", "__doc", "__pos"),
-      "posd" -> Seq("__doc", "__pos", "__token"))
+      "posd" -> Seq("__doc", "__pos", "__token")),
+      targetRows, keepLast, graceMs)
+
+  /** [[housekeepTextIndex]] for the co-occurrence root
+    * ([[refreshCooccurrence]]'s pairs/uni + total cascades). */
+  def housekeepCooccurrence(spark: SparkSession, viewRoot: String,
+                            targetRows: Long = 4L * 1000 * 1000,
+                            keepLast: Int = 5,
+                            graceMs: Long = 24L * 3600 * 1000): Unit =
+    housekeepLayouts(spark, viewRoot, Seq(
+      "pairs" -> Seq("a", "b"),
+      "uni" -> Seq("token"),
+      "ptot" -> Seq(GlobalKey),
+      "ttot" -> Seq(GlobalKey)),
+      targetRows, keepLast, graceMs)
+
+  /** [[housekeepTextIndex]] for the bigram-LM root
+    * ([[refreshBigramLm]]'s bg/ctx/uni/ttot views). */
+  def housekeepBigramLm(spark: SparkSession, viewRoot: String,
+                        targetRows: Long = 4L * 1000 * 1000,
+                        keepLast: Int = 5,
+                        graceMs: Long = 24L * 3600 * 1000): Unit =
+    housekeepLayouts(spark, viewRoot, Seq(
+      "bg" -> Seq("prev", "cur"),
+      "ctx" -> Seq("prev"),
+      "uni" -> Seq("token"),
+      "ttot" -> Seq(GlobalKey)),
+      targetRows, keepLast, graceMs)
+
+  /** Housekeep every EXISTING view of a multi-view root as parallel
+    * chains, each re-clustered by its head key with the non-head
+    * prune stats re-recorded — compaction must SHARPEN the serve
+    * paths' manifest pruning, not drop it. */
+  private def housekeepLayouts(spark: SparkSession, viewRoot: String,
+                               layouts: Seq[(String, Seq[String])],
+                               targetRows: Long, keepLast: Int,
+                               graceMs: Long): Unit =
     parallelChains(spark, layouts.collect {
       case (name, keys)
           if Snapshots.latestVersion(spark, s"$viewRoot/$name").isDefined =>
@@ -1427,7 +1463,6 @@ object IncrementalViews {
           clusterBy = Some(keys.head), graceMs = graceMs,
           extraStatsCols = extraKeyStats(keys))
     })
-  }
 
   /** Okapi BM25 over the maintained index — the same arithmetic,
     * term for term and in the same fold order, as the batch

@@ -1549,6 +1549,9 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(served() == fresh() && served().nonEmpty)
     // serve-time minCount == the batch operator's baked-in threshold
     assert(served(minCount = 5) == fresh(minCount = 5))
+    // root-level housekeeping compacts all four views, serves intact
+    IncrementalViews.housekeepCooccurrence(spark, views, keepLast = 2)
+    assert(served() == fresh())
     // a tick with a different window is refused loudly
     val e = intercept[IllegalArgumentException] {
       IncrementalViews.refreshCooccurrence(spark, src, views, "text",
@@ -1613,6 +1616,9 @@ class IncrementalViewsSpec extends SparkSpec {
     Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
     IncrementalViews.refreshBigramLm(spark, src, views, "text")
     assert(served() == fresh() && served().nonEmpty)
+    // root-level housekeeping compacts all four views, scoring intact
+    IncrementalViews.housekeepBigramLm(spark, views, keepLast = 2)
+    assert(served() == fresh())
     // a NEW doc with out-of-model mass scores finite and deterministic
     // (unseen bigram of seen tokens, unseen context, fully-OOV token)
     val probe = Seq((900001L, "spark zzzunseen spark join zzzother"))
