@@ -1383,7 +1383,10 @@ object IncrementalViews {
     * retention debt ([[housekeepTextIndex]]) after every n-th tick —
     * an always-on index is 3-5 CoW views each accruing small files
     * and history per tick, and without a schedule the caller must
-    * remember to housekeep each by hand. */
+    * remember to housekeep each by hand. (The tick counter is
+    * process-local: a restarted maintainer starts its cadence over,
+    * which only shifts WHEN housekeeping runs — it is idempotent and
+    * never affects view contents.) */
   def maintainTextIndex(spark: SparkSession, srcDir: String,
                         viewRoot: String, idCol: String, textCol: String,
                         checkpointDir: String,
