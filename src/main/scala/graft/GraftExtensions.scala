@@ -672,6 +672,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           idCol = if (a.length == 4) litStr(a(3), "idCol") else "doc_id")
     }
 
+    tvf("graft_kwic_phrase",
+      "graft_kwic_phrase(viewRoot, phraseCsv[, k, idCol]) - keyword-in-context snippets around every EXACT occurrence of the phrase (refresh with positional=true), context pruned to the matching docs' doc-major files, as (idCol, start_pos, snippet) (see IncrementalViews.kwicPhrase)") {
+      (s, a) =>
+        require(a.length >= 2 && a.length <= 4,
+          "graft_kwic_phrase takes (viewRoot, phraseCsv[, k, idCol])")
+        sources.IncrementalViews.kwicPhrase(s, litStr(a(0), "viewRoot"),
+          csvArg(a(1), "phraseCsv"),
+          k = if (a.length >= 3) litInt(a(2), "k") else 3,
+          idCol = if (a.length == 4) litStr(a(3), "idCol") else "doc_id")
+    }
+
     tvf("graft_corpus_profile_view",
       "graft_corpus_profile_view(viewRoot) - the maintained dataset card served as (metric, value) rows (see IncrementalViews.readCorpusProfile)") {
       (s, a) =>

@@ -1031,6 +1031,25 @@ object SparkEntry {
       IncrementalViews.search(s, views, bm25Terms, k = 10, snippetK = 3)
     }),
 
+    // Phrase-KWIC: ±3 tokens around every EXACT occurrence of the
+    // two-term phrase, reassembled from the positional views (the
+    // oracle slices the original text at the aligned starts).
+    "q_kwic_phrase" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_kwicphrase").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshPositionalIndex(s, src, views, "doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshPositionalIndex(s, src, views, "doc_id", "text")
+      IncrementalViews.kwicPhrase(s, views, phraseTerms, k = 3)
+    }),
+
     "q_doc_logprob" -> ((s, dir) =>
       Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -3204,6 +3223,27 @@ object SparkEntry {
         |       array_to_string(s[greatest(1, center + 1 - 3) :
         |                         least(len(s), center + 1 + 3)], ' ') AS snippet
         |FROM occ""".stripMargin,
+
+    // Phrase-KWIC: slice ±3 tokens around each aligned 'table hash'
+    // start in the original text (the engine reassembles the same
+    // snippet from postings).
+    "q_kwic_phrase" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |), pos AS (
+        |  SELECT doc_id, s, u.z[1] AS token, CAST(u.z[2] AS BIGINT) AS p
+        |  FROM d, unnest(list_zip(s, range(0, len(s)))) AS u(z)
+        |), starts AS (
+        |  SELECT a.doc_id, a.s, a.p AS start_pos
+        |  FROM (SELECT doc_id, s, p FROM pos WHERE token = 'table') a
+        |  JOIN (SELECT doc_id, p FROM pos WHERE token = 'hash') b
+        |    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |)
+        |SELECT doc_id, start_pos,
+        |       array_to_string(s[greatest(1, CAST(start_pos AS INTEGER) + 1 - 3) :
+        |                         least(len(s), CAST(start_pos AS INTEGER) + 2 + 3)], ' ') AS snippet
+        |FROM starts""".stripMargin,
 
     // Proximity: |pos_a - pos_b| <= 4 pairs of the two terms, per doc.
     "q_proximity_search" ->

@@ -1646,6 +1646,54 @@ object IncrementalViews {
         col("__center").cast("long").as("center_pos"), col("snippet"))
   }
 
+  /** KEYWORD-IN-CONTEXT for an EXACT PHRASE — [[kwic]] for multi-token
+    * patterns: every phrase occurrence ([[phraseSearch]]'s
+    * shift-and-equi-join alignment, keeping each start position)
+    * comes back with the ±`k` tokens around the WHOLE phrase,
+    * reassembled from the positional views. Same pruning as kwic:
+    * occurrence legs open only the phrase terms' token-major files,
+    * the context leg only the matching docs' doc-major files. Emits
+    * `(idCol, start_pos, snippet)`, snippet spanning positions
+    * `[start − k, start + |phrase| − 1 + k]` clipped at doc edges. */
+  def kwicPhrase(spark: SparkSession, viewRoot: String,
+                 phrase: Seq[String], k: Int = 3,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "kwicPhrase needs at least one term")
+    require(k >= 0, "k must be non-negative")
+    require(Snapshots.latestVersion(spark, s"$viewRoot/posd").isDefined,
+      s"$viewRoot/posd (the doc-major positional twin the context leg " +
+        "prunes by doc id) is missing — one refreshPositionalIndex/" +
+        "refreshTextIndex(positional = true) tick backfills it")
+    val pos = Snapshots.readPrunedRanges(spark, s"$viewRoot/pos", "",
+        phrase.distinct.map(t => (t, t)))
+      .filter(col("__cnt") > 0)
+    def aligned(i: Int): DataFrame = pos
+      .filter(col("__token") === phrase(i))
+      .select(col("__doc"),
+        (assertUniqueDoc(viewRoot, col("__pos")) - i).as("__start"))
+    val occ = phrase.indices.map(aligned)
+      .reduce(_.join(_, Seq("__doc", "__start")))
+    val (nOcc, specs) = keySpecs(occ.select(col("__doc")), Seq("__doc"))
+    if (nOcc == 0L)
+      return occ.limit(0).select(col("__doc").as(idCol),
+        col("__start").cast("long").as("start_pos"),
+        concat_ws(" ").as("snippet"))
+    val ctx = readForSpecs(spark, s"$viewRoot/posd", None, specs)
+      .filter(col("__cnt") > 0)
+      .select(col("__doc"),
+        assertUniqueDoc(viewRoot, col("__pos")).as("__pos"),
+        col("__token"))
+    occ.join(ctx, Seq("__doc"))
+      .filter(col("__pos") >= col("__start") - k &&
+        col("__pos") <= col("__start") + (phrase.length - 1) + k)
+      .groupBy(col("__doc"), col("__start"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__token")))),
+        x => x.getField("__token"))).as("snippet"))
+      .select(col("__doc").as(idCol),
+        col("__start").cast("long").as("start_pos"), col("snippet"))
+  }
+
   /** The SEARCH-RESULT PAGE from the stored views alone — the
     * end-to-end retrieval composition a user of the index actually
     * issues: [[readBm25]]'s top-`k` ranking plus one keyword-in-

@@ -1200,11 +1200,26 @@ class IncrementalViewsSpec extends SparkSpec {
       (2L, 3L) -> "beta gamma",
       (3L, 0L) -> "gamma alpha",
       (3L, 2L) -> "alpha gamma beta"))
+    // phrase-KWIC: ±1 token around every EXACT "alpha beta" start
+    val pk = IncrementalViews.kwicPhrase(spark, views,
+        Seq("alpha", "beta"), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(pk == Map(
+      (1L, 0L) -> "alpha beta gamma",
+      (1L, 3L) -> "gamma alpha beta",
+      (2L, 1L) -> "beta alpha beta gamma"))
+    // zero-hit phrase: empty, no doc-major fallback scan
+    assert(IncrementalViews.kwicPhrase(spark, views,
+      Seq("beta", "nosuch"), k = 1).collect().isEmpty)
     // a delete retracts its positions exactly
     Snapshots.deleteWhere(spark, src, col("doc_id") === 1L)
     IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
       positional = true)
     assert(hits(Seq("alpha", "beta")) == Map(2L -> 1L))
+    assert(IncrementalViews.kwicPhrase(spark, views, Seq("alpha", "beta"),
+        k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap == Map((2L, 1L) -> "beta alpha beta gamma"))
     assert(!IncrementalViews.proximitySearch(spark, views, "alpha", "gamma", 2)
       .collect().map(_.getLong(0)).contains(1L))
   }

@@ -353,6 +353,12 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(sqlTop ==
       batch.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(3))
+    // phrase-KWIC from pure SQL == the Scala API
+    val sqlPk = canonRows(spark.sql(
+      s"SELECT * FROM graft_kwic_phrase('$root/px', 'table,hash', 2)"))
+    val apiPk = canonRows(graft.sources.IncrementalViews
+      .kwicPhrase(spark, s"$root/px", Seq("table", "hash"), k = 2))
+    assert(sqlPk == apiPk && sqlPk.nonEmpty)
     // the search page from pure SQL == the Scala API (positional root)
     val sqlPage = canonRows(spark.sql(
       s"SELECT * FROM graft_search('$root/px', 'table,hash', 5, 2)"))
