@@ -14,14 +14,22 @@ object BenchOne {
     val name = args(0)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    // JIT/plan-cache warm run at a small SF (arg 4) — falls back to
+    // the timed SF dir so a host without the default layout still
+    // warms instead of silently timing cold reps
+    val warmDir = args.lift(3).getOrElse {
+      val d = "/root/testdata/sf0.001"
+      if (new java.io.File(d).isDirectory) d else sfDir
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     val fn = SparkEntry.queries(name)
-    try fn(spark, "/root/testdata/sf0.001")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[benchone] warm run failed: ${e.getMessage}")
+    }
     val ts = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

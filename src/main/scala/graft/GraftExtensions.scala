@@ -40,6 +40,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def csvArg(e: Expression, what: String): Seq[String] =
     litStr(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** The (dir, done) acknowledgement frame housekeeping TVFs return. */
+  private def ackFrame(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      Seq(org.apache.spark.sql.Row(dir, true)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dir",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("done",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
   private def litStr(e: Expression, what: String): String =
     litVal(e, what).toString // UTF8String → String
   private def litLong(e: Expression, what: String): Long = litVal(e, what) match {
@@ -754,14 +767,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           keepLast = if (a.length > 2) litInt(a(2), "keepLast") else 5,
           clusterBy = if (a.length > 3) Some(litStr(a(3), "clusterBy"))
                       else None)
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(
-          Seq(org.apache.spark.sql.Row(dir, true)).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("dir",
-              org.apache.spark.sql.types.StringType, nullable = false),
-            org.apache.spark.sql.types.StructField("done",
-              org.apache.spark.sql.types.BooleanType, nullable = false))))
+        ackFrame(s, dir)
     }
 
     tvf("graft_housekeep_text_index",
@@ -774,14 +780,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           targetRows = if (a.length > 1) litLong(a(1), "targetRows")
                        else 4L * 1000 * 1000,
           keepLast = if (a.length > 2) litInt(a(2), "keepLast") else 5)
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(
-          Seq(org.apache.spark.sql.Row(root, true)).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("dir",
-              org.apache.spark.sql.types.StringType, nullable = false),
-            org.apache.spark.sql.types.StructField("done",
-              org.apache.spark.sql.types.BooleanType, nullable = false))))
+        ackFrame(s, root)
     }
 
     tvf("graft_view_refresh_distinct",

@@ -1560,11 +1560,6 @@ object SparkEntry {
        |       ${sqlRound4("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.doc_freq)")} AS tfidf
        |FROM tf JOIN dfq USING (token) CROSS JOIN n""".stripMargin
 
-  /** Okapi BM25 oracle over `documents`, optionally restricted by a
-    * WHERE clause (the maintained-index query churns the source and
-    * serves scores over the surviving rows). Constants injected as
-    * exact double literals (toString → same IEEE double on both
-    * engines), term sum in the same FIXED order as the Spark fold. */
   /** Interpolated bigram-LM oracle over `documents`, optionally
     * restricted by a WHERE clause (shared by the batch query and its
     * maintained-model twin — scoring a corpus against the model
@@ -1608,9 +1603,13 @@ object SparkEntry {
        |GROUP BY doc_id""".stripMargin
   }
 
-  /** The shared BM25 CTE block (`... scored`) + the fixed-order
-    * per-doc total expression — used by the plain BM25 oracles and
-    * extended by the search-page oracle below. */
+  /** The shared Okapi BM25 CTE block (`... scored`) + the fixed-order
+    * per-doc total expression — used by the plain BM25 oracles
+    * (optionally WHERE-restricted: the maintained-index query churns
+    * the source and serves scores over the surviving rows) and
+    * extended by the search-page oracle below. Constants injected as
+    * exact double literals (toString → same IEEE double on both
+    * engines), term sum in the same FIXED order as the Spark fold. */
   private def bm25CtesSql(where: String): (String, String) = {
     val (k1, b) = (1.2, 0.75)
     val terms = bm25Terms.map(t => s"'$t'").mkString(", ")

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * O(d²) independent of row count, and the map-side partial collapse
   * means a 10⁹-row partition ships ONE buffer, not 10⁹ rows.
   *
-  * Rows that are null, of the wrong length, or containing a
+  * Rows that are null, of the wrong length, or containing a NULL /
   * non-finite / |x| > 10⁴ element are skipped whole (count excluded)
   * so every cell is consistent over exactly the same row set.
   *
@@ -81,6 +81,10 @@ case class ExactGram(
     val xs = new Array[Double](dim)
     var i = 0
     while (i < dim) {
+      // a NULL element would read as 0.0 through the primitive getter
+      // — treat it like the other invalid elements (skip the whole
+      // row), matching the maintained-moments lens exactly
+      if (arr.isNullAt(i)) return buf
       val x = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       if (x.isNaN || x.isInfinite || math.abs(x) > 1e4) return buf
       xs(i) = x

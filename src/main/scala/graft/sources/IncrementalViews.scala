@@ -1240,14 +1240,19 @@ object IncrementalViews {
     * double-for-double (spec-asserted across append + delete churn;
     * driver-oracled as `q_bm25_view_incr`).
     *
-    * NULL-text docs are REJECTED LOUDLY at refresh time (the lens
-    * asserts `textCol IS NOT NULL` per row): silently skipping them
-    * would make the maintained N/avgdl diverge from the batch
-    * operators, which count such rows in their corpus totals — so
-    * instead of serving scores that quietly differ, the tick fails
-    * naming the column; run a quality gate upstream or filter nulls
-    * before committing. (An empty STRING tokenizes to one empty
-    * token and is counted identically on both sides.) */
+    * NULL-text docs are not indexable (they explode to zero token
+    * rows), and silently skipping them would make the maintained
+    * N/avgdl diverge from the batch operators, which count such rows
+    * in their corpus totals. The guard is a maintained NULL-DOC
+    * COUNTER (`nullc`, a where-filtered 1-row view — exact under
+    * inserts and deletes like every count here): ticks always
+    * SUCCEED, and [[readBm25]]/[[readTfIdf]] fail loudly while the
+    * counter is nonzero — then RECOVER as soon as the NULL docs are
+    * deleted and a tick folds the retraction. (Failing the tick
+    * itself would wedge the index: the pinned intent marker replays
+    * the same source range forever, so the very deletion that fixes
+    * the corpus could never unwedge it.) An empty STRING tokenizes
+    * to one empty token and is counted identically on both sides. */
   def refreshTextIndex(spark: SparkSession, srcDir: String,
                        viewRoot: String, idCol: String,
                        textCol: String,
@@ -1257,7 +1262,7 @@ object IncrementalViews {
     // tick's sum___dl delta — fail naming the fix, not inside the merge
     requireNoLegacyPost(spark, viewRoot)
     val lens: DataFrame => DataFrame = df => {
-      val toks = Text.tokens(assertText(df, textCol))
+      val toks = Text.tokens(col(textCol))
       df.select(col("__change"), col(idCol).as("__doc"),
         explode(toks).as("__token"),
         size(toks).cast("long").as("__dl"))
@@ -1277,7 +1282,7 @@ object IncrementalViews {
     val posChain: Seq[() => Any] = if (!positional) Nil else Seq(
       () => refreshPositionalIndex(spark, srcDir, viewRoot, idCol, textCol))
     // independent chains concurrently (see [[parallelChains]]):
-    // postings | lengths→global stats | positional postings
+    // postings | lengths→global stats | null-doc counter | positional
     parallelChains(spark, Seq(
       () => refreshAgg(spark, srcDir, s"$viewRoot/post",
         Seq("__token", "__doc"), Seq("__dl"), sumScale = 0,
@@ -1289,19 +1294,50 @@ object IncrementalViews {
           Seq("__dl"), sumScale = 0, transform = Some(df =>
             df.withColumn(GlobalKey, lit(0L))
               .withColumn("__dl", col("__cnt"))))
-      }) ++ posChain)
+      },
+      // indicator SUM over ALL docs, not a filtered count: the usual
+      // corpus has zero NULL texts, and a forever-empty view (no data
+      // files in any version) cannot be read back by later ticks
+      () => refreshAgg(spark, srcDir, s"$viewRoot/nullc", Seq(GlobalKey),
+        Seq("__nn"), sumScale = 0, transform = Some(df =>
+          df.select(col("__change"), lit(0L).as(GlobalKey),
+            when(col(textCol).isNull, 1L).otherwise(0L).as("__nn"))))
+      ) ++ posChain)
   }
 
-  /** Per-row fail-loud NULL-text guard, folded INTO the tokenized
-    * expression so it cannot be pruned away: returns `textCol` when
-    * non-null, raises naming the column otherwise. */
-  private def assertText(df: DataFrame, textCol: String): Column =
-    when(assert_true(col(textCol).isNotNull,
-      lit(s"NULL $textCol reached the text index — a NULL-text doc " +
-        "cannot be indexed and silently skipping it would make the " +
-        "maintained N/avgdl diverge from the batch operators; filter " +
-        "or gate NULL texts before committing")).isNull,
-      col(textCol))
+  /** The serve-side half of the NULL-text guard: live NULL-text docs
+    * make the maintained N/avgdl diverge from the batch operators, so
+    * score serves refuse while [[refreshTextIndex]]'s maintained
+    * null-doc counter is nonzero — and recover on the tick after the
+    * NULL docs are deleted. An index from before the counter existed
+    * backfills it with one maintenance tick. */
+  private def requireNoNullTexts(spark: SparkSession,
+                                 viewRoot: String): Unit = {
+    require(Snapshots.latestVersion(spark, s"$viewRoot/nullc").isDefined,
+      s"$viewRoot/nullc (the maintained NULL-text counter score serves " +
+        "check) is missing — one refreshTextIndex tick backfills it")
+    // an index over a corpus that never held a row has a versioned but
+    // file-less counter — nothing to guard
+    if (Snapshots.manifest(spark, s"$viewRoot/nullc").isEmpty) return
+    val n = Snapshots.read(spark, s"$viewRoot/nullc")
+      .agg(coalesce(sum(col("sum___nn")).cast("long"), lit(0L)))
+      .head().getLong(0)
+    require(n == 0L,
+      s"$n live doc(s) with NULL text are in the indexed corpus — they " +
+        "cannot be indexed, so the maintained N/avgdl would silently " +
+        "diverge from the batch operators; delete or gate the NULL-text " +
+        "docs and run one maintenance tick, and this serve recovers")
+  }
+
+  /** The rebuild-instruction guard for posting views written before
+    * the carried doc-length column — shared by the refresh and the
+    * serve so the fail-loud message stays single-sourced. */
+  private def requireCarriedDl(viewRoot: String,
+                               columns: Seq[String]): Unit =
+    require(columns.contains("sum___dl"),
+      s"$viewRoot/post predates the carried doc-length column " +
+        "(sum___dl) — delete the view root and rebuild the index " +
+        "(one refreshTextIndex call re-derives it from the source)")
 
   /** An index whose posting view predates the carried doc-length
     * column cannot serve [[readBm25]]'s zero-dlen-read plan or fold
@@ -1310,11 +1346,8 @@ object IncrementalViews {
   private def requireNoLegacyPost(spark: SparkSession,
                                   viewRoot: String): Unit =
     if (Snapshots.latestVersion(spark, s"$viewRoot/post").isDefined)
-      require(Snapshots.read(spark, s"$viewRoot/post").columns
-          .contains("sum___dl"),
-        s"$viewRoot/post predates the carried doc-length column " +
-          "(sum___dl) — delete the view root and rebuild the index " +
-          "(one refreshTextIndex call re-derives it from the source)")
+      requireCarriedDl(viewRoot,
+        Snapshots.read(spark, s"$viewRoot/post").columns.toSeq)
 
   /** The POSITIONAL postings — for callers that only need
     * [[phraseSearch]]/[[proximitySearch]]/[[kwic]] and not the
@@ -1339,9 +1372,12 @@ object IncrementalViews {
                              viewRoot: String, idCol: String,
                              textCol: String): Unit = {
     import graft.functions.Text
+    // NULL texts explode to zero position rows — harmless for the
+    // positional serves (no corpus-stat factor); the score serves'
+    // guard is refreshTextIndex's maintained null-doc counter
     def lens(df: DataFrame): DataFrame = df
       .select(col("__change"), col(idCol).as("__doc"),
-        posexplode(Text.tokens(assertText(df, textCol))))
+        posexplode(Text.tokens(col(textCol))))
       .withColumnRenamed("pos", "__pos")
       .withColumnRenamed("col", "__token")
     parallelChains(spark, Seq(
@@ -1421,6 +1457,7 @@ object IncrementalViews {
       "post" -> Seq("__token", "__doc"),
       "dlen" -> Seq("__doc"),
       "gstat" -> Seq(GlobalKey),
+      "nullc" -> Seq(GlobalKey),
       "pos" -> Seq("__token", "__doc", "__pos"),
       "posd" -> Seq("__doc", "__pos", "__token")),
       targetRows, keepLast, graceMs)
@@ -1495,12 +1532,10 @@ object IncrementalViews {
     // admits a query term are OPENED (proof: ScalePathSpec corrupts
     // every other posting file and this still serves) — at 100 TB the
     // difference between a few-file read and a full posting-table scan
+    requireNoNullTexts(spark, viewRoot)
     val postRaw = Snapshots.readPrunedRanges(spark, s"$viewRoot/post", "",
       queryTerms.map(t => (t, t)))
-    require(postRaw.columns.contains("sum___dl"),
-      s"$viewRoot/post predates the carried doc-length column " +
-        "(sum___dl) — delete the view root and rebuild the index " +
-        "(one refreshTextIndex call re-derives it from the source)")
+    requireCarriedDl(viewRoot, postRaw.columns.toSeq)
     val post = postRaw
       .filter(col("__cnt") > 0)
       .filter(col("__token").isin(queryTerms: _*))
@@ -1785,6 +1820,7 @@ object IncrementalViews {
     * churn; driver-oracled as `q_tfidf_view_incr`). */
   def readTfIdf(spark: SparkSession, viewRoot: String,
                 idCol: String = "doc_id"): DataFrame = {
+    requireNoNullTexts(spark, viewRoot)
     val post = Snapshots.read(spark, s"$viewRoot/post")
       .filter(col("__cnt") > 0)
       .select(col("__token").as("token"), col("__doc"),
@@ -2074,7 +2110,7 @@ object IncrementalViews {
       val clean = df
         .withColumn("__a", transform(col(vecCol), x => x.cast("double")))
         .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
-          !exists(col("__a"), x => isnan(x) || abs(x) > 1e4))
+          !exists(col("__a"), x => x.isNull || isnan(x) || abs(x) > 1e4))
       val firsts = transform(sequence(lit(0), lit(dim - 1)), i =>
         struct(i.cast("int").as("__i"), lit(-1).as("__j"),
           element_at(col("__a"), i + 1).as("__m")))
@@ -2119,6 +2155,12 @@ object IncrementalViews {
                      idCol: String, vecCol: String, dim: Int,
                      k: Int): DataFrame = {
     require(k >= 1 && k <= dim, "need 1 <= k <= dim")
+    // validate against the refresh-pinned dimension: a mismatch would
+    // index past the moment arrays (or silently zero-pad the
+    // covariance), never a useful error
+    readParam(spark, viewDir, "dim").foreach(p => require(p == dim.toString,
+      s"$viewDir was built with dim = $p but this serve passes " +
+        s"dim = $dim — use the pinned dimension"))
     val rows = Snapshots.read(spark, viewDir)
       .filter(col("__cnt") > 0)
       .select(col("__i"), col("__j"), col("sum___m"), col("__cnt"))
@@ -2158,21 +2200,29 @@ object IncrementalViews {
     * mixing e.g. co-occurrence windows in one view would corrupt the
     * counts without any structural signal. */
   private def requireSameParam(spark: SparkSession, viewRoot: String,
-                               name: String, value: String): Unit = {
+                               name: String, value: String): Unit =
+    readParam(spark, viewRoot, name) match {
+      case Some(prev) =>
+        require(prev == value,
+          s"$viewRoot was built with $name = $prev but this tick passes " +
+            s"$name = $value — the views would silently mix semantics; " +
+            "use the original value or rebuild under a new root")
+      case None =>
+        val f = fs(spark, viewRoot)
+        f.mkdirs(new Path(viewRoot))
+        val out = f.create(new Path(viewRoot, s"_param_$name"), false)
+        try out.write(value.getBytes("UTF-8")) finally out.close()
+    }
+
+  private def readParam(spark: SparkSession, viewRoot: String,
+                        name: String): Option[String] = {
     val f = fs(spark, viewRoot)
     val p = new Path(viewRoot, s"_param_$name")
-    if (f.exists(p)) {
+    if (!f.exists(p)) None
+    else {
       val in = f.open(p)
-      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      require(prev == value,
-        s"$viewRoot was built with $name = $prev but this tick passes " +
-          s"$name = $value — the views would silently mix semantics; " +
-          "use the original value or rebuild under a new root")
-    } else {
-      f.mkdirs(new Path(viewRoot))
-      val out = f.create(p, false)
-      try out.write(value.getBytes("UTF-8")) finally out.close()
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
     }
   }
 

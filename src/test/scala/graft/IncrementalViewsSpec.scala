@@ -1437,19 +1437,58 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(ok == off && ok(7L) == 1L && ok(9L) == 59L)
   }
 
-  test("a NULL-text doc fails the index tick loudly (never silently skipped)") {
+  test("NULL-text docs: ticks succeed, score serves refuse, deleting the docs recovers") {
     val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
     val (src, views) = (tmpDir(), tmpDir())
-    Snapshots.commit(Seq((1L, "alpha"), (2L, null.asInstanceOf[String]))
+    Snapshots.commit(Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
-    val e = intercept[Exception] {
+    // the TICK must succeed — failing it would wedge the index (the
+    // pinned intent marker replays the same range forever, so the
+    // deletion that fixes the corpus could never unwedge it)
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    // ...but serving a score while a NULL-text doc is live would
+    // silently diverge N/avgdl from the batch operators: refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.readBm25(spark, views, Seq("alpha"))
+    }
+    assert(e.getMessage.contains("NULL text"), s"wrong error: $e")
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalViews.readTfIdf(spark, views)
+    }
+    assert(e2.getMessage.contains("NULL text"))
+    // the prescribed remedy actually works: delete the NULL doc, one
+    // tick folds the retraction, serves recover and equal batch
+    Snapshots.deleteWhere(spark, src, col("text").isNull)
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    val served = IncrementalViews.readBm25(spark, views, Seq("alpha"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.operators.Corpus.bm25(
+        Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text", Seq("alpha"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == batch && served.keySet == Set(1L))
+  }
+
+  test("a chain failure surfaces the worker's own exception, not an ExecutionException") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "alpha beta")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    // corrupt every posting data file, then force a tick that must
+    // re-read them (same-key churn): the post chain fails INSIDE the
+    // worker pool and the caller must see the Spark exception itself
+    Snapshots.manifest(spark, s"$views/post").select("path")
+      .collect().map(_.getString(0)).foreach(corruptDataBytes)
+    Snapshots.commit(Seq((2L, "alpha beta")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    val e = intercept[Throwable] {
       IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
     }
-    // silently skipping it would serve N/avgdl that diverge from the
-    // batch operators; and the concurrent maintenance chains must
-    // surface the worker's own exception, not an ExecutionException
-    assert(causeChainContains(e, "NULL text"), s"wrong error: $e")
-    assert(!e.isInstanceOf[java.util.concurrent.ExecutionException])
+    assert(!e.isInstanceOf[java.util.concurrent.ExecutionException],
+      s"chain failure reached the caller wrapped: $e")
   }
 
   test("housekeepTextIndex settles every index view: fewer files, identical serves, next tick folds") {
@@ -1699,20 +1738,32 @@ class IncrementalViewsSpec extends SparkSpec {
       (900L, Array(1f, 2f)), // wrong length
       (901L, Array.tabulate(dim)(i => if (i == 3) Float.NaN else 1f)),
       (902L, Array.tabulate(dim)(i => if (i == 0) 2e4f else 0f)))
-    Snapshots.commit((rows.drop(30) ++ bad).toDF("vec_id", "emb"), src,
-      statsCol = Some("vec_id"))
+    // + a NULL ELEMENT row: the primitive getter would read it as
+    // 0.0 — both the batch aggregate and the lens must skip the row
+    val nullElem = spark.sql(
+      "SELECT CAST(903 AS BIGINT) AS vec_id, array(CAST(NULL AS FLOAT)" +
+        (", CAST(1.0 AS FLOAT)" * (dim - 1)) + ") AS emb")
+    Snapshots.commit((rows.drop(30) ++ bad).toDF("vec_id", "emb")
+      .unionByName(nullElem), src, statsCol = Some("vec_id"))
     Snapshots.deleteWhere(spark, src, col("vec_id") % 5 === 2)
     IncrementalViews.refreshEmbeddingMoments(spark, src, view, "emb", dim)
     Snapshots.deleteWhere(spark, src, col("vec_id") >= 900L)
     IncrementalViews.refreshEmbeddingMoments(spark, src, view, "emb", dim)
     val (sv, fr) = (served(), fresh())
     assert(sv == fr && sv.nonEmpty)
-    // a different dim against the same view dir is refused loudly
+    // a different dim against the same view dir is refused loudly —
+    // on the refresh AND on the serve (a mismatched serve would index
+    // past the moment arrays or silently zero-pad the covariance)
     val e = intercept[IllegalArgumentException] {
       IncrementalViews.refreshEmbeddingMoments(spark, src, view, "emb",
         dim + 1)
     }
     assert(e.getMessage.contains("dim"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalViews.pcaFromMoments(spark, view, current(), "vec_id",
+        "emb", dim - 2, k = 2)
+    }
+    assert(e2.getMessage.contains("dim"))
   }
 
   test("a pre-carried-dl posting view is rejected with the rebuild instruction") {
