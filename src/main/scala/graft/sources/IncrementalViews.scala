@@ -1532,10 +1532,12 @@ object IncrementalViews {
     // admits a query term are OPENED (proof: ScalePathSpec corrupts
     // every other posting file and this still serves) — at 100 TB the
     // difference between a few-file read and a full posting-table scan
-    requireNoNullTexts(spark, viewRoot)
     val postRaw = Snapshots.readPrunedRanges(spark, s"$viewRoot/post", "",
       queryTerms.map(t => (t, t)))
+    // legacy-layout guard first: "rebuild the index" is the actionable
+    // message for a pre-carried-dl view (which predates nullc too)
     requireCarriedDl(viewRoot, postRaw.columns.toSeq)
+    requireNoNullTexts(spark, viewRoot)
     val post = postRaw
       .filter(col("__cnt") > 0)
       .filter(col("__token").isin(queryTerms: _*))
