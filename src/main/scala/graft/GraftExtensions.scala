@@ -783,6 +783,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ackFrame(s, root)
     }
 
+    tvf("graft_housekeep_cooccurrence",
+      "graft_housekeep_cooccurrence(viewRoot[, targetRows, keepLast]) - settle the co-occurrence view family's compaction + retention debt (pairs/uni/ptot/ttot; see IncrementalViews.housekeepCooccurrence); returns (dir, done)") {
+      (s, a) =>
+        require(a.length >= 1 && a.length <= 3,
+          "graft_housekeep_cooccurrence takes (viewRoot[, targetRows, keepLast])")
+        val root = litStr(a(0), "viewRoot")
+        sources.IncrementalViews.housekeepCooccurrence(s, root,
+          targetRows = if (a.length > 1) litLong(a(1), "targetRows")
+                       else 4L * 1000 * 1000,
+          keepLast = if (a.length > 2) litInt(a(2), "keepLast") else 5)
+        ackFrame(s, root)
+    }
+
+    tvf("graft_housekeep_bigram_lm",
+      "graft_housekeep_bigram_lm(viewRoot[, targetRows, keepLast]) - settle the bigram-LM view family's compaction + retention debt (bg/ctx/uni/ttot; see IncrementalViews.housekeepBigramLm); returns (dir, done)") {
+      (s, a) =>
+        require(a.length >= 1 && a.length <= 3,
+          "graft_housekeep_bigram_lm takes (viewRoot[, targetRows, keepLast])")
+        val root = litStr(a(0), "viewRoot")
+        sources.IncrementalViews.housekeepBigramLm(s, root,
+          targetRows = if (a.length > 1) litLong(a(1), "targetRows")
+                       else 4L * 1000 * 1000,
+          keepLast = if (a.length > 2) litInt(a(2), "keepLast") else 5)
+        ackFrame(s, root)
+    }
+
     tvf("graft_view_refresh_distinct",
       "graft_view_refresh_distinct(srcDir, pairsDir, viewDir, groupKeysCsv, valueCol) - one maintenance tick of the cascaded exact COUNT(DISTINCT) view (see IncrementalViews.refreshDistinct); returns the folded source versions, one row each") {
       (s, a) =>

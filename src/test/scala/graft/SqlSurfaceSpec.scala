@@ -338,6 +338,13 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()
     def canonRows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(spark.sql(
+      s"SELECT * FROM graft_housekeep_cooccurrence('$root/co', 1000000, 2)")
+      .collect().map(_.getBoolean(1)).toSeq == Seq(true))
+    assert(spark.sql(
+      s"SELECT * FROM graft_housekeep_bigram_lm('$root/lm', 1000000, 2)")
+      .collect().map(_.getBoolean(1)).toSeq == Seq(true))
+    // serves unchanged after housekeeping (compared below vs batch)
     val sqlCo = canonRows(spark.sql(
       s"SELECT * FROM graft_cooccurrence_view('$root/co')"))
     val batchCo = canonRows(graft.operators.Corpus.cooccurrence(
