@@ -573,6 +573,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           idCol, vecCol, litInt(a(4), "dim"), litInt(a(5), "k"))
     }
 
+    tvf("graft_view_refresh_word_freq",
+      "graft_view_refresh_word_freq(srcDir, viewDir, textCol) - one maintenance tick of the incrementally-maintained distinct-word frequency table (pure Z-set sums, the BPE trainer's substrate kept current under churn; see IncrementalViews.refreshWordFreq); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 3,
+          "graft_view_refresh_word_freq takes (srcDir, viewDir, textCol)")
+        sources.IncrementalViews.refreshWordFreq(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
+          litStr(a(2), "textCol"))
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_bpe_view_merges",
+      "graft_bpe_view_merges(viewDir, numMerges) - train the BPE merge list from the maintained word-frequency view (zero corpus rescans; equals a from-scratch bpeTrain over the current corpus) as (rank, left, right) (see IncrementalViews.bpeTrainFromView)") {
+      (s, a) =>
+        require(a.length == 2,
+          "graft_bpe_view_merges takes (viewDir, numMerges)")
+        import s.implicits._
+        sources.IncrementalViews.bpeTrainFromView(s,
+            litStr(a(0), "viewDir"), litInt(a(1), "numMerges"))
+          .toDF("rank", "left", "right")
+    }
+
     tvf("graft_view_refresh_bigram_lm",
       "graft_view_refresh_bigram_lm(srcDir, viewRoot, textCol) - one maintenance tick of the incrementally-maintained bigram LM (bigram/context/unigram Z-set counts + cascaded token total, pure-sum folds; see IncrementalViews.refreshBigramLm); returns 1 on completion") {
       (s, a) =>
@@ -610,13 +632,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_cooccurrence_view",
-      "graft_cooccurrence_view(viewRoot[, minCount[, tokenA]]) - the maintained PMI table as (a, b, cnt, pmi), batch-equal to graft_cooccurrence over the current corpus; tokenA serves one head token's rows from its manifest-pruned pair files (see IncrementalViews.readCooccurrence)") {
+      "graft_cooccurrence_view(viewRoot[, minCount[, tokenA[, topK]]]) - the maintained PMI table as (a, b, cnt, pmi), batch-equal to graft_cooccurrence over the current corpus; tokenA serves one head token's rows from its manifest-pruned pair files; topK > 0 keeps the k strongest collocations by PMI via TakeOrdered - the collocation-UI shape (see IncrementalViews.readCooccurrence)") {
       (s, a) =>
-        require(a.length >= 1 && a.length <= 3,
-          "graft_cooccurrence_view takes (viewRoot[, minCount[, tokenA]])")
+        require(a.length >= 1 && a.length <= 4,
+          "graft_cooccurrence_view takes (viewRoot[, minCount[, tokenA[, topK]]])")
         sources.IncrementalViews.readCooccurrence(s, litStr(a(0), "viewRoot"),
           minCount = if (a.length >= 2) litLong(a(1), "minCount") else 1L,
-          tokenA = if (a.length == 3) Some(litStr(a(2), "tokenA")) else None)
+          tokenA = if (a.length >= 3) Some(litStr(a(2), "tokenA")) else None,
+          topK = if (a.length == 4) Some(litInt(a(3), "topK")) else None)
     }
 
     tvf("graft_tfidf_view",
@@ -672,6 +695,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(a(1), "termA"), litStr(a(2), "termB"),
           litInt(a(3), "window"),
           if (a.length == 5) litStr(a(4), "idCol") else "doc_id")
+    }
+
+    tvf("graft_proximity_search_all",
+      "graft_proximity_search_all(viewRoot, termsCsv, window[, idCol]) - docs holding one position per term with ALL terms inside a window-token span (max(p) - min(p) <= window), from the positional postings (refresh with positional=true) as (idCol, n_tuples, min_span) - the multi-keyword near-query two-term proximity can't compose (see IncrementalViews.proximitySearchAll)") {
+      (s, a) =>
+        require(a.length == 3 || a.length == 4,
+          "graft_proximity_search_all takes (viewRoot, termsCsv, window[, idCol])")
+        sources.IncrementalViews.proximitySearchAll(s, litStr(a(0), "viewRoot"),
+          csvArg(a(1), "termsCsv"), litInt(a(2), "window"),
+          if (a.length == 4) litStr(a(3), "idCol") else "doc_id")
     }
 
     tvf("graft_kwic",

@@ -989,6 +989,48 @@ object SparkEntry {
       IncrementalViews.proximitySearch(s, views, "table", "merge", 4)
     }),
 
+    // N-TERM proximity: one position per term, ALL three inside a
+    // 6-token span (max - min <= window) — the multi-keyword
+    // near-query the pairwise form can't compose. Same lifecycle;
+    // equals DuckDB's 3-way positional join over the final state.
+    "q_proximity_multi" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_proxmulti").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshPositionalIndex(s, src, views, "doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshPositionalIndex(s, src, views, "doc_id", "text")
+      IncrementalViews.proximitySearchAll(s, views,
+        Seq("table", "merge", "data"), 6)
+    }),
+
+    // The MAINTAINED word-frequency table (the BPE trainer's
+    // substrate): word counts fold an append + a predicate delete as
+    // pure Z-set sums; the served table must equal DuckDB's
+    // from-scratch word count over the final state.
+    "q_word_freq_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_wfreqview").toString
+      val (src, view) = (s"$root/src", s"$root/view")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      Snapshots.read(s, view).filter(col("__cnt") > 0)
+        .select(col("__word").as("word"), col("__cnt").as("freq"))
+    }),
+
     // Keyword-in-context snippets REASSEMBLED from the positional
     // postings (no document re-read) — the oracle slices the original
     // text instead, so a hash match proves the view is a complete
@@ -3258,6 +3300,34 @@ object SparkEntry {
         |FROM a JOIN b USING (doc_id)
         |WHERE abs(a.pos - b.pos) <= 4
         |GROUP BY a.doc_id""".stripMargin,
+
+    // N-term proximity: one position per term, all three within a
+    // 6-token span.
+    "q_proximity_multi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.z[1] AS token, CAST(u.z[2] AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s
+        |        FROM documents WHERE doc_id % 10 <> 3),
+        |       unnest(list_zip(s, range(0, len(s)))) AS u(z)
+        |), a AS (SELECT doc_id, pos FROM toks WHERE token = 'table'),
+        |   b AS (SELECT doc_id, pos FROM toks WHERE token = 'merge'),
+        |   c AS (SELECT doc_id, pos FROM toks WHERE token = 'data')
+        |SELECT a.doc_id, count(*) AS n_tuples,
+        |       min(greatest(a.pos, b.pos, c.pos) -
+        |           least(a.pos, b.pos, c.pos)) AS min_span
+        |FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)
+        |WHERE greatest(a.pos, b.pos, c.pos) -
+        |      least(a.pos, b.pos, c.pos) <= 6
+        |GROUP BY a.doc_id""".stripMargin,
+
+    // The maintained word-frequency table == from-scratch word counts
+    // over the final churned state.
+    "q_word_freq_view_incr" ->
+      """SELECT token AS word, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents WHERE doc_id % 10 <> 3)
+        |WHERE len(token) > 0
+        |GROUP BY 1""".stripMargin,
 
     "q_doc_logprob" ->
       s"""WITH toks AS (

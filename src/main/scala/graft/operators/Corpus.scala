@@ -609,11 +609,29 @@ object Corpus {
     * adjacent pair remains. */
   def bpeTrain(df: DataFrame, textCol: String,
                numMerges: Int): Seq[(Int, String, String)] = {
-    var words = df
+    val freqs = df
       .select(explode(Text.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1L)).as("freq"))
-      .select(split(col("w"), "").as("sym"), col("freq"))
+    bpeTrainFromFreq(freqs, "w", "freq", numMerges)
+  }
+
+  /** [[bpeTrain]]'s merge loop over an ALREADY-BUILT distinct-word
+    * frequency table — the training substrate factored out so a
+    * maintained word-frequency VIEW
+    * ([[graft.sources.IncrementalViews.refreshWordFreq]]) can retrain
+    * the tokenizer under corpus churn with ZERO corpus rescans: the
+    * view folds the churn, this loop costs O(numMerges × vocab) on
+    * the current table. Identical merges to [[bpeTrain]] by
+    * construction (same loop; spec-asserted across churn). Words of
+    * length 0 and non-positive frequencies (a Z-set view's dead keys)
+    * are ignored. */
+  def bpeTrainFromFreq(freqs: DataFrame, wordCol: String, freqCol: String,
+                       numMerges: Int): Seq[(Int, String, String)] = {
+    var words = freqs
+      .filter(length(col(wordCol)) > 0 && col(freqCol) > 0)
+      .select(split(col(wordCol), "").as("sym"),
+        col(freqCol).cast("long").as("freq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.Buffer[(Int, String, String)]()
     var r = 0

@@ -1520,7 +1520,15 @@ object IncrementalViews {
     * containing at least one query term — or, with `topK = Some(k)`,
     * only the k best scores (ties broken by ascending doc id),
     * executed as a per-partition heap + driver merge of k
-    * (TakeOrdered), never a full sort: the retrieval shape. */
+    * (TakeOrdered), never a full sort: the retrieval shape.
+    *
+    * Duplicate live doc ids: identical-text duplicates fold to one
+    * posting row with doubled tf and the right length — scored as
+    * defined; DIFFERENT-text duplicates would make the carried
+    * quotient a tf-weighted blend of the two lengths (batch bm25
+    * emits separate per-row scores there), so a per-row divisibility
+    * guard ([[assertCarriedDl]]) fails loudly instead — best-effort:
+    * keep one live text per doc id. */
   def readBm25(spark: SparkSession, viewRoot: String,
                queryTerms: Seq[String], idCol: String = "doc_id",
                k1: Double = 1.2, b: Double = 0.75,
@@ -1543,7 +1551,7 @@ object IncrementalViews {
       .filter(col("__token").isin(queryTerms: _*))
       .select(col("__token").as("token"), col("__doc"),
         col("__cnt").as("tf"),
-        (col("sum___dl").cast("double") /
+        assertCarriedDl(viewRoot, col("sum___dl").cast("double") /
           col("__cnt").cast("double")).as("__dl"))
     val dfreq = post.groupBy("token").agg(count(lit(1L)).as("df"))
     val gstat = Snapshots.read(spark, s"$viewRoot/gstat")
@@ -1624,6 +1632,116 @@ object IncrementalViews {
       .select(col("__doc").as(idCol), col("n_pairs"), col("min_dist"))
   }
 
+  /** N-TERM proximity over the positional postings: docs holding one
+    * position PER TERM with ALL of them inside a `window`-token span
+    * (`max(p) − min(p) ≤ window`) — the multi-keyword "near each
+    * other" retrieval predicate [[proximitySearch]]'s two-term form
+    * can't compose (three pairwise-close terms need not share one
+    * window). The phrase-alignment machinery with slack: each term's
+    * manifest-pruned postings hash-join on the doc key in sequence,
+    * the span filter applies per joined tuple. Emits
+    * `(idCol, n_tuples, min_span)` — qualifying position tuples and
+    * the tightest span. Exact under inserts and deletes.
+    *
+    * The k-way join expands ∏ tfᵢ tuples per doc before the filter —
+    * `maxTuplesPerDoc` is the same measuring-pass hot-doc guard as
+    * the two-term form (one cheap aggregation over the pruned
+    * postings fails NAMING the worst doc past the cap; `<= 0` skips
+    * it). Two distinct terms reproduce proximitySearch exactly
+    * (spec-asserted) modulo the column names. */
+  def proximitySearchAll(spark: SparkSession, viewRoot: String,
+                         terms: Seq[String], window: Int,
+                         idCol: String = "doc_id",
+                         maxTuplesPerDoc: Long = 4L * 1000 * 1000)
+      : DataFrame = {
+    require(terms.size >= 2,
+      "proximitySearchAll needs at least two terms (one term is just " +
+        "the postings view)")
+    require(terms.distinct.size == terms.size,
+      "proximitySearchAll needs distinct terms (use phraseSearch or " +
+        "the postings view directly for repeated-term patterns)")
+    require(window >= 1, "window must be at least 1")
+    val pos = Snapshots.readPrunedRanges(spark, s"$viewRoot/pos", "",
+        terms.map(t => (t, t)))
+      .filter(col("__cnt") > 0)
+      .filter(col("__token").isin(terms: _*))
+    if (maxTuplesPerDoc > 0) {
+      val worst = pos.groupBy(col("__doc"))
+        .agg(terms.map(t => sum(when(col("__token") === t, 1L)))
+          .reduce(_ * _).as("__tuples"))
+        .orderBy(col("__tuples").desc_nulls_last).limit(1).collect()
+      worst.headOption.filter(!_.isNullAt(1)).foreach(r =>
+        require(r.getLong(1) <= maxTuplesPerDoc,
+          s"proximitySearchAll doc ${r.get(0)} expands ${r.getLong(1)} " +
+            s"position tuples for ${terms.mkString("('", "','", "')")} " +
+            s"(cap $maxTuplesPerDoc) — a degenerate repetitive doc; " +
+            "filter it upstream (e.g. Text.repetition gates) or raise/" +
+            "disable maxTuplesPerDoc"))
+    }
+    val ps = terms.indices.map(i => col(s"__p$i"))
+    val joined = terms.zipWithIndex.map { case (t, i) => pos
+        .filter(col("__token") === t)
+        .select(col("__doc"),
+          assertUniqueDoc(viewRoot, col("__pos")).as(s"__p$i"))
+      }.reduce(_.join(_, Seq("__doc")))
+    joined
+      .withColumn("__span", greatest(ps: _*) - least(ps: _*))
+      .filter(col("__span") <= window)
+      .groupBy(col("__doc"))
+      .agg(count(lit(1L)).as("n_tuples"),
+        min(col("__span")).cast("long").as("min_span"))
+      .select(col("__doc").as(idCol), col("n_tuples"), col("min_span"))
+  }
+
+  /** How many distinct matching docs a retrieval-time context read
+    * pushes as a MEMBERSHIP predicate before falling back to the
+    * affected-key grid ranges. Doc ids carry no correlation with
+    * vocabulary, so a mid-frequency term's occurrence docs scatter
+    * uniformly across the id space and the grid's ≤[[MaxPruneRanges]]
+    * merged ranges span nearly the whole doc-major view — a literal
+    * id list instead prunes exactly the files that hold a matching
+    * doc, whatever the scatter. 1024 point ranges is still a bounded
+    * driver-side manifest filter and a pushed-down InSet scan
+    * predicate.
+    *
+    * Past the cap the grid fallback is also the right 100 TB shape,
+    * not just a safe one: once the matching-doc count approaches the
+    * table's FILE count, uniformly-scattered ids land in nearly every
+    * doc-clustered file (coupon-collector: with m ids over f files a
+    * file is matchless with probability (1−1/f)^m ≈ e^(−m/f)), so no
+    * manifest-level method can skip much and the read cost is
+    * amortized by the genuinely large context output; the wasteful
+    * regime — small useful output, full-table scan — is exactly the
+    * metadata-sized one the membership branch now covers. */
+  private val MembershipMaxDocs = 1024
+
+  /** The doc-major (`posd`) context read for the KWIC-family serves,
+    * pruned by doc MEMBERSHIP when the occurrence-doc set is
+    * metadata-sized: one bounded collect (capped at
+    * [[MembershipMaxDocs]] + 1 rows) of the distinct matching ids
+    * from the already-pruned occurrence leg; within the cap the read
+    * keeps only files whose `__doc` stats admit one of the LITERAL
+    * ids (point ranges — id-scattered matches open ~one file per id)
+    * and an `isin` residual pushes into the parquet scan; past the
+    * cap the grid-range spec machinery takes over (wider, never
+    * wrong). None = no matching docs at all (callers early-out
+    * without any posd read). */
+  private def readPosdForDocs(spark: SparkSession, viewRoot: String,
+                              occDocs: DataFrame): Option[DataFrame] = {
+    val ids = occDocs.select(col("__doc")).distinct()
+      .limit(MembershipMaxDocs + 1).collect().map(_.get(0)).toSeq
+    if (ids.isEmpty) return None
+    Some(
+      if (ids.size <= MembershipMaxDocs)
+        Snapshots.readPrunedSpecs(spark, s"$viewRoot/posd",
+            Seq("__doc" -> ids.map(id => (id, id))))
+          .filter(col("__doc").isin(ids: _*))
+      else {
+        val (_, specs) = keySpecs(occDocs.select(col("__doc")), Seq("__doc"))
+        readForSpecs(spark, s"$viewRoot/posd", None, specs)
+      })
+  }
+
   /** KEYWORD-IN-CONTEXT snippets from the positional postings alone —
     * proof the positional views are a complete inverted
     * representation: every occurrence of `term` comes back with the
@@ -1631,11 +1749,13 @@ object IncrementalViews {
     * re-read). BOTH legs are manifest-pruned: the occurrence leg
     * opens only the term's files in the token-major `pos` view (like
     * [[phraseSearch]]), and the context leg opens only the files of
-    * the DOC-major twin `posd` whose doc-id ranges overlap the
-    * matching docs (the affected-key grid machinery computes ≤8
-    * tight ranges from the occurrence set, then a semi-equality join
-    * restricts rows inside those files) — never a full scan of a
-    * corpus-sized positional view for one keyword. Cost is
+    * the DOC-major twin `posd` that hold a matching doc — by doc
+    * MEMBERSHIP (literal id point ranges + a pushed-down isin) while
+    * the occurrence-doc set is metadata-sized, by the affected-key
+    * grid ranges past [[MembershipMaxDocs]] ([[readPosdForDocs]]) —
+    * never a full scan of a corpus-sized positional view for one
+    * keyword, even when the matching ids are scattered uniformly
+    * across the id space (the case id ranges cannot prune). Cost is
     * Σ occurrences × doc-length over docs containing the term plus
     * the context files' I/O, the right bound for a retrieval-time
     * serve. Emits `(idCol, center_pos, snippet)`.
@@ -1657,17 +1777,18 @@ object IncrementalViews {
       .filter(col("__token") === term)
       .select(col("__doc"),
         assertUniqueDoc(viewRoot, col("__pos")).as("__center"))
-    // the occurrence set is re-scanned by the grid pass below and by
-    // the final plan — each scan is the term's few pruned files, the
-    // cheap trade against caching an unbounded occurrence list
-    val (nOcc, specs) = keySpecs(occ.select(col("__doc")), Seq("__doc"))
-    if (nOcc == 0L)
+    // the occurrence set is re-scanned by the membership pass below
+    // and by the final plan — each scan is the term's few pruned
+    // files, the cheap trade against caching an unbounded occurrence
+    // list
+    val ctxRead = readPosdForDocs(spark, viewRoot, occ)
+    if (ctxRead.isEmpty)
       // no occurrences: an empty, correctly-shaped frame — without
       // the spec fallback ever opening the full doc-major view
       return occ.limit(0).select(col("__doc").as(idCol),
         col("__center").cast("long").as("center_pos"),
         concat_ws(" ").as("snippet"))
-    val ctx = readForSpecs(spark, s"$viewRoot/posd", None, specs)
+    val ctx = ctxRead.get
       .filter(col("__cnt") > 0)
       .select(col("__doc"),
         assertUniqueDoc(viewRoot, col("__pos")).as("__pos"),
@@ -1710,12 +1831,12 @@ object IncrementalViews {
         (assertUniqueDoc(viewRoot, col("__pos")) - i).as("__start"))
     val occ = phrase.indices.map(aligned)
       .reduce(_.join(_, Seq("__doc", "__start")))
-    val (nOcc, specs) = keySpecs(occ.select(col("__doc")), Seq("__doc"))
-    if (nOcc == 0L)
+    val ctxRead = readPosdForDocs(spark, viewRoot, occ)
+    if (ctxRead.isEmpty)
       return occ.limit(0).select(col("__doc").as(idCol),
         col("__start").cast("long").as("start_pos"),
         concat_ws(" ").as("snippet"))
-    val ctx = readForSpecs(spark, s"$viewRoot/posd", None, specs)
+    val ctx = ctxRead.get
       .filter(col("__cnt") > 0)
       .select(col("__doc"),
         assertUniqueDoc(viewRoot, col("__pos")).as("__pos"),
@@ -1739,8 +1860,10 @@ object IncrementalViews {
     * large the corpus. Every leg is pruned: scores from the query
     * terms' posting files + the 1-row cascade, the k winning ids
     * (bounded metadata) drive a manifest-pruned occurrence read of
-    * the token-major postings and a doc-range-pruned context read of
-    * the doc-major twin — the corpus is never scanned. Emits
+    * the token-major postings and a doc-MEMBERSHIP-pruned context
+    * read of the doc-major twin (literal id point ranges + a
+    * pushed-down isin — scattered winners open ~one file each) — the
+    * corpus is never scanned. Emits
     * `(idCol, rank, bm25, center_pos, snippet)`, rank 1..k by
     * (score desc, id asc). Requires a `positional = true` index
     * (posting + positional views under one root). */
@@ -1780,8 +1903,11 @@ object IncrementalViews {
         col("__doc").isin(ids: _*))
       .groupBy(col("__doc"))
       .agg(min(assertUniqueDoc(viewRoot, col("__pos"))).as("__center"))
-    val (_, specs) = keySpecs(scores.select(col("__doc")), Seq("__doc"))
-    val ctx = readForSpecs(spark, s"$viewRoot/posd", None, specs)
+    // the k winner ids are already driver literals: point-range
+    // manifest prune + pushed-down isin, no grid pass needed — files
+    // between two scattered winners are never opened
+    val ctx = Snapshots.readPrunedSpecs(spark, s"$viewRoot/posd",
+        Seq("__doc" -> ids.map(id => (id, id)).toSeq))
       .filter(col("__cnt") > 0)
       .filter(col("__doc").isin(ids: _*))
       .select(col("__doc"),
@@ -1813,6 +1939,26 @@ object IncrementalViews {
         "KWIC) require unique live doc ids — dedup the corpus before " +
         "indexing")).isNull, c)
 
+  /** Per-row guard on the carried doc length (free in the scan): a
+    * unique live doc's posting row carries `sum___dl = tf·dl`, exactly
+    * divisible by `tf` — an indivisible row proves the same doc id is
+    * live twice with DIFFERENT texts, where the quotient would
+    * silently serve a tf-weighted BLEND of the two lengths (the batch
+    * operator emits separate per-row scores there, so parity breaks).
+    * Best-effort: duplicate texts whose blend happens to divide evenly
+    * pass undetected — the documented duplicate-id limitation
+    * ([[assertUniqueDoc]] is the exact guard, on positional serves);
+    * identical-text duplicates fold to a single row with doubled tf
+    * and the RIGHT length, which BM25 scores as defined. */
+  private def assertCarriedDl(viewRoot: String, dl: Column): Column =
+    when(assert_true(col("sum___dl") % col("__cnt") === 0L,
+      lit(s"posting view under $viewRoot holds a (token, doc) row " +
+        "whose carried length sum is not divisible by its term " +
+        "frequency — the same doc id is live twice with DIFFERENT " +
+        "texts, and the blended doc length would silently diverge " +
+        "from the batch operator; keep one live text per doc id " +
+        "(dedup or delete+recommit) before score serves")).isNull, dl)
+
   /** TF-IDF served from the SAME maintained index views
     * [[refreshTextIndex]] keeps current — no extra maintenance work
     * at all: term frequencies are the posting multiplicities,
@@ -1822,6 +1968,12 @@ object IncrementalViews {
     * churn; driver-oracled as `q_tfidf_view_incr`). */
   def readTfIdf(spark: SparkSession, viewRoot: String,
                 idCol: String = "doc_id"): DataFrame = {
+    // legacy-layout check FIRST (readBm25's guard ordering): a
+    // pre-carried-dl index predates the nullc counter too, and the
+    // counter guard's "one tick backfills it" remedy would itself be
+    // refused by requireNoLegacyPost — the rebuild instruction is the
+    // actionable message
+    requireNoLegacyPost(spark, viewRoot)
     requireNoNullTexts(spark, viewRoot)
     val post = Snapshots.read(spark, s"$viewRoot/post")
       .filter(col("__cnt") > 0)
@@ -1900,18 +2052,31 @@ object IncrementalViews {
       }))
   }
 
-  /** [[refreshCooccurrence]] driven by the source's change feed. */
+  /** [[refreshCooccurrence]] driven by the source's change feed.
+    * `housekeepEvery = n` settles the whole root's compaction +
+    * retention debt ([[housekeepCooccurrence]]) after every n-th
+    * tick — [[maintainTextIndex]]'s cadence discipline: an always-on
+    * collocation table is 4 CoW views each accruing small files and
+    * history per tick (same process-local counter caveat: a restarted
+    * maintainer starts its cadence over, shifting only WHEN the
+    * idempotent housekeeping runs). */
   def maintainCooccurrence(spark: SparkSession, srcDir: String,
                            viewRoot: String, textCol: String,
                            checkpointDir: String, window: Int = 2,
                            trigger: org.apache.spark.sql.streaming.Trigger =
                              org.apache.spark.sql.streaming.Trigger
-                               .AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                               .AvailableNow(),
+                           housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var ticks = 0L
     maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
       refreshCooccurrence(spark, srcDir, viewRoot, textCol, window)
+      ticks += 1
+      if (housekeepEvery > 0 && ticks % housekeepEvery == 0)
+        housekeepCooccurrence(spark, viewRoot)
       ()
     }
+  }
 
   /** The PMI table served from the maintained views — same output
     * schema, arithmetic, and rounding as the batch
@@ -1922,10 +2087,16 @@ object IncrementalViews {
     * it in). `tokenA = Some(t)` serves just that head token's rows
     * from its manifest-pruned pair files — the per-token lookup a
     * collocation UI issues, O(one token's pairs) however large the
-    * corpus. */
+    * corpus. `topK = Some(k)` keeps only the k STRONGEST collocations
+    * by PMI (ties by (a, b) ascending), executed as a per-partition
+    * heap + driver merge of k ([[readBm25]]'s TakeOrdered
+    * discipline), never a full sort — the collocation-UI shape
+    * composes with `tokenA` for "token t's k best neighbors". */
   def readCooccurrence(spark: SparkSession, viewRoot: String,
                        minCount: Long = 1,
-                       tokenA: Option[String] = None): DataFrame = {
+                       tokenA: Option[String] = None,
+                       topK: Option[Int] = None): DataFrame = {
+    require(topK.forall(_ > 0), s"topK must be positive: ${topK.get}")
     val pairsAll = tokenA match {
       case Some(t) => Snapshots.readPrunedRanges(
           spark, s"$viewRoot/pairs", "", Seq((t, t)))
@@ -1945,13 +2116,15 @@ object IncrementalViews {
     val pmi = log((col("cnt").cast("double") / col("__np")) /
       ((col("fa").cast("double") / col("__nt")) *
         (col("fb").cast("double") / col("__nt"))))
-    cnt
+    val full = cnt
       .join(uni.select(col("token").as("a"), col("freq").as("fa")), "a")
       .join(uni.select(col("token").as("b"), col("freq").as("fb")), "b")
       .crossJoin(broadcast(total("ptot", "__np")))
       .crossJoin(broadcast(total("ttot", "__nt")))
       .select(col("a"), col("b"), col("cnt"),
         graft.functions.Exact.roundAt(pmi, 4).as("pmi"))
+    topK.fold(full)(k =>
+      full.orderBy(col("pmi").desc, col("a").asc, col("b").asc).limit(k))
   }
 
   /** INCREMENTALLY-MAINTAINED BIGRAM LANGUAGE MODEL — the CCNet-style
@@ -1996,18 +2169,29 @@ object IncrementalViews {
       }))
   }
 
-  /** [[refreshBigramLm]] driven by the source's change feed. */
+  /** [[refreshBigramLm]] driven by the source's change feed.
+    * `housekeepEvery = n` settles the root's compaction + retention
+    * debt ([[housekeepBigramLm]]) after every n-th tick — an
+    * always-on LM otherwise accrues unbounded CoW debt until a manual
+    * `graft_housekeep_bigram_lm` call ([[maintainTextIndex]]'s
+    * cadence discipline, same process-local counter caveat). */
   def maintainBigramLm(spark: SparkSession, srcDir: String,
                        viewRoot: String, textCol: String,
                        checkpointDir: String,
                        trigger: org.apache.spark.sql.streaming.Trigger =
                          org.apache.spark.sql.streaming.Trigger
-                           .AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                           .AvailableNow(),
+                       housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var ticks = 0L
     maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
       refreshBigramLm(spark, srcDir, viewRoot, textCol)
+      ticks += 1
+      if (housekeepEvery > 0 && ticks % housekeepEvery == 0)
+        housekeepBigramLm(spark, viewRoot)
       ()
     }
+  }
 
   /** Score a CANDIDATE batch against the maintained LM — the filter
     * step of the CCNet workflow (model on the clean reference corpus,
@@ -2027,14 +2211,16 @@ object IncrementalViews {
     *
     * Scale: the bigram view is corpus-scale and joins by shuffle on
     * (prev, cur) with NO pinned broadcast (AQE decides, the batch
-    * operator's discipline); bg/ctx reads are manifest-pruned to the
-    * candidate batch's [min, max] prev-token range (head-key stats) —
-    * a small batch over a narrow vocabulary opens a slice of the
-    * model, never all of it. The candidate frame is scanned twice
-    * (once for the prune bounds, once in the scoring plan) — persist
-    * it upstream if it is expensive to produce. Docs with fewer than
-    * two tokens have no transitions and are absent from the output,
-    * like the batch operator. */
+    * operator's discipline); ALL THREE model reads are manifest-pruned
+    * to the candidate batch's token ranges — bg by (prev, cur)
+    * conjunctively, ctx by prev, uni by cur — so a small batch over a
+    * narrow vocabulary opens a slice of the model, never all of it,
+    * and a zero-bigram batch returns empty without opening any model
+    * file. The candidate frame is scanned twice (once for the prune
+    * bounds, once in the scoring plan) — persist it upstream if it is
+    * expensive to produce. Docs with fewer than two tokens have no
+    * transitions and are absent from the output, like the batch
+    * operator. */
   def scoreBigramLm(spark: SparkSession, viewRoot: String,
                     docs: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.9): DataFrame = {
@@ -2048,16 +2234,27 @@ object IncrementalViews {
         (a, b) => struct(a.as("prev"), b.as("cur")))).as("p"))
       .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
     val bf = pairs.groupBy(idCol, "prev", "cur").agg(count(lit(1L)).as("bf"))
-    val (_, specs) = keySpecs(pairs.select(col("prev")), Seq("prev"))
-    val bg = readForSpecs(spark, s"$viewRoot/bg", None,
-        specs.map { case (_, rs) => ("prev", rs) })
+    // ONE combined bounds pass over the candidate bigrams gives both
+    // key projections: prev prunes bg (head stats) and ctx, cur prunes
+    // bg conjunctively (its recorded second-key stats) and — renamed —
+    // the unigram view, so the model read is fully O(batch vocabulary)
+    val (nPairs, specs) = keySpecs(
+      pairs.select(col("prev"), col("cur")), Seq("prev", "cur"))
+    if (nPairs == 0L)
+      // zero candidate bigrams (empty batch, or every doc < 2 tokens):
+      // the correctly-shaped empty frame, WITHOUT the no-spec fallback
+      // full-scanning the corpus-scale model views (kwic's discipline)
+      return pairs.limit(0).select(col(idCol), lit(0L).as("n_bigrams"),
+        lit(0.0).as("nll"))
+    val bg = readForSpecs(spark, s"$viewRoot/bg", None, specs)
       .filter(col("__cnt") > 0)
       .select(col("prev"), col("cur"), col("__cnt").as("bcount"))
     val ctx = readForSpecs(spark, s"$viewRoot/ctx", None,
-        specs.map { case (_, rs) => ("prev", rs) })
+        specs.filter(_._1 == "prev"))
       .filter(col("__cnt") > 0)
       .select(col("prev"), col("sum___w").as("ctx"))
-    val uni = Snapshots.read(spark, s"$viewRoot/uni")
+    val uni = readForSpecs(spark, s"$viewRoot/uni", None,
+        specs.collect { case ("cur", rs) => ("token", rs) })
       .filter(col("__cnt") > 0)
       .select(col("token"), col("__cnt").as("freq"))
     val total = Snapshots.read(spark, s"$viewRoot/ttot")
@@ -2084,6 +2281,66 @@ object IncrementalViews {
         graft.functions.Exact.roundAt(
           -col("__s") / col("n_bigrams").cast("double"), 4).as("nll"))
   }
+
+  /** INCREMENTALLY-MAINTAINED WORD-FREQUENCY TABLE — the distinct-word
+    * frequency table the BPE trainer
+    * ([[graft.operators.Corpus.bpeTrain]]) reads its one corpus pass
+    * into, kept current as the corpus churns instead: word counts are
+    * pure Z-set sums (exact under inserts AND deletes, zero rescans,
+    * O(churn) per tick — the vocabulary views' proven case), so
+    * RETRAINING the tokenizer after churn
+    * ([[bpeTrainFromView]]) costs O(numMerges × vocab) on the CURRENT
+    * table with no corpus re-read at all — at 100 TB the difference
+    * between "retrain nightly" and "rescan the corpus nightly". One
+    * agg view keyed `__word` whose `__cnt` IS the frequency; the same
+    * tokenizer lens as the trainer, so view-trained merges equal
+    * from-scratch merges by construction. */
+  def refreshWordFreq(spark: SparkSession, srcDir: String,
+                      viewDir: String, textCol: String): Unit = {
+    import graft.functions.Text
+    refreshAgg(spark, srcDir, viewDir, Seq("__word"), Nil,
+      transform = Some(df => df
+        .select(col("__change"),
+          explode(Text.tokens(col(textCol))).as("__word"))
+        .filter(length(col("__word")) > 0)))
+    ()
+  }
+
+  /** [[refreshWordFreq]] driven by the source's change feed.
+    * `housekeepEvery = n` settles the view's compaction + retention
+    * debt after every n-th tick ([[maintainTextIndex]]'s cadence
+    * discipline, same process-local counter caveat). */
+  def maintainWordFreq(spark: SparkSession, srcDir: String,
+                       viewDir: String, textCol: String,
+                       checkpointDir: String,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger
+                           .AvailableNow(),
+                       housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var ticks = 0L
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshWordFreq(spark, srcDir, viewDir, textCol)
+      ticks += 1
+      if (housekeepEvery > 0 && ticks % housekeepEvery == 0)
+        housekeep(spark, viewDir, clusterBy = Some("__word"))
+      ()
+    }
+  }
+
+  /** Train the BPE merge list from the MAINTAINED word-frequency view
+    * — [[graft.operators.Corpus.bpeTrain]] minus its corpus pass: the
+    * live (`__cnt > 0`) words feed the same deterministic merge loop,
+    * so the learned merges equal a from-scratch train over the
+    * current corpus (spec-asserted across append + delete churn).
+    * Bounded driver metadata out (the merge list), O(numMerges ×
+    * vocab) distributed work, zero corpus I/O. */
+  def bpeTrainFromView(spark: SparkSession, viewDir: String,
+                       numMerges: Int): Seq[(Int, String, String)] =
+    graft.operators.Corpus.bpeTrainFromFreq(
+      Snapshots.read(spark, viewDir).filter(col("__cnt") > 0)
+        .select(col("__word"), col("__cnt").as("__freq")),
+      "__word", "__freq", numMerges)
 
   /** INCREMENTALLY-MAINTAINED EMBEDDING MOMENTS — the (n, Σvᵢ,
     * Σvᵢ·vⱼ) second-moment state PCA/covariance/whitening is built
@@ -2212,8 +2469,42 @@ object IncrementalViews {
       case None =>
         val f = fs(spark, viewRoot)
         f.mkdirs(new Path(viewRoot))
-        val out = f.create(new Path(viewRoot, s"_param_$name"), false)
+        // temp-write + rename INTO place: a crash can never leave a
+        // half-written marker (and an empty one reads as absent, so a
+        // pre-atomic crash artifact self-heals instead of wedging every
+        // later tick on a phantom "built with <name> = " mismatch); two
+        // racing first ticks resolve by the loser re-reading the
+        // winner's value — same value proceeds, different fails with
+        // the mismatch message, never a raw FileAlreadyExistsException
+        val tmp = new Path(viewRoot, s"._param_$name.tmp" +
+          java.util.UUID.randomUUID().toString.take(8))
+        val out = f.create(tmp, true)
         try out.write(value.getBytes("UTF-8")) finally out.close()
+        val dst = new Path(viewRoot, s"_param_$name")
+        var attempts = 3
+        var placed = f.rename(tmp, dst)
+        while (!placed) {
+          readParam(spark, viewRoot, name) match {
+            case Some(winner) =>
+              f.delete(tmp, false)
+              require(winner == value,
+                s"$viewRoot was built with $name = $winner but this tick " +
+                  s"passes $name = $value — the views would silently mix " +
+                  "semantics; use the original value or rebuild under a " +
+                  "new root")
+              placed = true // the winner recorded our value — done
+            case None =>
+              // the blocker is an EMPTY crash-artifact marker (readParam
+              // treats it as absent): replace it, then re-settle — a
+              // concurrent winner landing in between is read back above
+              attempts -= 1
+              require(attempts >= 0,
+                s"could not place $viewRoot/_param_$name (filesystem " +
+                  "keeps refusing the rename)")
+              f.delete(dst, false)
+              placed = f.rename(tmp, dst)
+          }
+        }
     }
 
   private def readParam(spark: SparkSession, viewRoot: String,
@@ -2223,8 +2514,11 @@ object IncrementalViews {
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+      // an empty marker is a crash artifact from the pre-atomic
+      // create-then-write layout, not a recorded parameter
+      if (s.isEmpty) None else Some(s)
     }
   }
 

@@ -1390,6 +1390,159 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(e.getMessage.contains("posd"))
   }
 
+  test("kwic/kwicPhrase context reads prune by doc MEMBERSHIP on id-scattered matches") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    // gap docs FIRST, in three range-tight commits: their posd files'
+    // doc ranges ([10,90], [110,190], [710,790]) hold no matching doc
+    // and are disjoint from every matching id, so the later matching
+    // commit carries them by reference untouched
+    def gap(ids: Seq[Long]): Unit = {
+      Snapshots.commit(ids.map(i => (i, s"filler$i words here"))
+        .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+      IncrementalViews.refreshPositionalIndex(spark, src, views,
+        "doc_id", "text")
+    }
+    gap(Seq(10L, 50L, 90L))
+    gap(Seq(110L, 150L, 190L))
+    gap(Seq(710L, 750L, 790L))
+    // 9 matching docs scattered UNIFORMLY across the id space: the
+    // ≤8-range affected-key grid MUST merge at least one inter-id gap
+    // (9 runs > MaxPruneRanges), so a grid-pruned context read would
+    // open a corrupted gap file — only doc membership (literal id
+    // point ranges) prunes the scattered case; this is exactly the
+    // mid-frequency-term shape that was round 13's residual caveat
+    val matchIds = (0 to 8).map(i => 100L * i + 5)
+    Snapshots.commit(matchIds.map(i => (i, s"pre$i needle tail post$i"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshPositionalIndex(spark, src, views,
+      "doc_id", "text")
+    // corrupt EVERY posd file whose doc range holds no matching id
+    val matchCond = matchIds.map(id =>
+      col("smin___doc") <= id && col("smax___doc") >= id).reduce(_ || _)
+    val gapFiles = Snapshots.manifest(spark, s"$views/posd")
+      .filter(col("smin___doc").isNotNull && !matchCond)
+      .select("path").collect().map(_.getString(0)).toSeq
+    assert(gapFiles.size >= 3,
+      s"expected >= 3 corruptible gap posd files, got ${gapFiles.size}")
+    gapFiles.foreach(corruptDataBytes)
+    val kw = IncrementalViews.kwic(spark, views, "needle", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(kw == matchIds.map(i => (i, 1L) -> s"pre$i needle tail").toMap)
+    val kp = IncrementalViews.kwicPhrase(spark, views,
+        Seq("needle", "tail"), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(kp ==
+      matchIds.map(i => (i, 1L) -> s"pre$i needle tail post$i").toMap)
+  }
+
+  test("scoreBigramLm prunes ALL model reads to the candidate's ranges; zero-candidate opens nothing") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, lm) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "apple banana apple banana"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshBigramLm(spark, src, lm, "text")
+    Snapshots.commit(Seq((2L, "zebra zulu zebra zulu"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshBigramLm(spark, src, lm, "text")
+    // the carried low-vocabulary files of ALL THREE model views —
+    // including the UNIGRAM view, round 13's unpruned residual — are
+    // outside a high-vocabulary candidate's (prev, cur) ranges
+    val lowFiles = Seq("bg", "ctx", "uni").flatMap(v =>
+      Snapshots.manifest(spark, s"$lm/$v")
+        .filter(col("stats_max") < "zebra").select("path")
+        .collect().map(_.getString(0)))
+    assert(lowFiles.size >= 3, s"expected low files in bg+ctx+uni")
+    lowFiles.foreach(corruptDataBytes)
+    // pruned serve == the batch operator's row for the same doc (the
+    // candidate is in-model, so the smoothing branch never engages)
+    val served = IncrementalViews.scoreBigramLm(spark, lm,
+        Seq((2L, "zebra zulu zebra zulu")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.operators.Corpus.bigramLogProb(
+        Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text")
+      .filter(col("doc_id") === 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(served.toSeq == batch.toSeq && served.length == 1)
+    // a batch with ZERO candidate bigrams (every doc < 2 tokens) must
+    // return the correctly-shaped empty frame WITHOUT the no-spec
+    // fallback scanning the model at all — corrupt EVERY model file
+    Seq("bg", "ctx", "uni", "ttot").foreach(v =>
+      Snapshots.manifest(spark, s"$lm/$v").select("path")
+        .collect().map(_.getString(0)).foreach(corruptDataBytes))
+    val empty = IncrementalViews.scoreBigramLm(spark, lm,
+      Seq((3L, "solo"), (4L, "")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(empty.columns.toSeq == Seq("doc_id", "n_bigrams", "nll"))
+    assert(empty.collect().isEmpty)
+  }
+
+  test("score serves fail loudly when a doc id is live twice with DIFFERENT texts") {
+    val s = spark; import s.implicits._
+    val (src, views) = (tmpDir(), tmpDir())
+    // doc 1 live twice: "aa bb" (tf_aa=1, dl=2) and "aa aa aa"
+    // (tf_aa=3, dl=3) — the carried sum 1·2+3·3 = 11 over tf 4 is
+    // indivisible, so the per-row guard names the condition instead
+    // of silently serving the tf-weighted blended length
+    Snapshots.commit(Seq((1L, "aa bb")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    Snapshots.commit(Seq((1L, "aa aa aa")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    val e = intercept[Exception] {
+      IncrementalViews.readBm25(spark, views, Seq("aa")).collect()
+    }
+    assert(causeChainContains(e, "not divisible"), s"wrong error: $e")
+  }
+
+  test("param markers: an empty crash-artifact marker reads as absent and self-heals") {
+    val s = spark; import s.implicits._
+    val (src, views) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "x y z")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    // simulate the pre-atomic create-then-crash artifact
+    val marker = new java.io.File(views, "_param_window")
+    assert(marker.createNewFile() && marker.length() == 0)
+    // the tick proceeds (no phantom "built with window = " mismatch)
+    // and records the real value atomically over the artifact
+    IncrementalViews.refreshCooccurrence(spark, src, views, "text",
+      window = 2)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshCooccurrence(spark, src, views, "text",
+        window = 3)
+    }
+    assert(e.getMessage.contains("window = 2") &&
+      e.getMessage.contains("window = 3"))
+  }
+
+  test("readTfIdf names the rebuild fix first for a legacy pre-carried-dl index") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, root) = (tmpDir(), tmpDir())
+    // fabricate the legacy layout: a posting view keyed (token, doc)
+    // with NO carried sum___dl column — and, as on any real legacy
+    // index, no nullc counter either; the nullc guard's "one tick
+    // backfills it" remedy would itself be refused by the legacy
+    // check, so the REBUILD instruction must come first
+    Snapshots.commit(Seq((1L, "aa bb")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshAgg(spark, src, s"$root/post",
+      Seq("__token", "__doc"), Nil, transform = Some(df =>
+        df.select(col("__change"), col("doc_id").as("__doc"),
+          explode(graft.functions.Text.tokens(col("text"))).as("__token"))))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.readTfIdf(spark, root)
+    }
+    assert(e.getMessage.contains("sum___dl") &&
+      e.getMessage.contains("rebuild"), s"wrong error: ${e.getMessage}")
+  }
+
   test("positional serves fail loudly on duplicate live doc ids (multiplicity > 1)") {
     val s = spark; import s.implicits._
     val (src, views) = (tmpDir(), tmpDir())
@@ -1708,6 +1861,163 @@ class IncrementalViewsSpec extends SparkSpec {
         "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(zs.length == 1 && zs(0)._2 == 2L && zs(0)._3 > 0)
+  }
+
+  test("readCooccurrence topK == the k strongest of the full rank; TakeOrdered plan; SQL arg") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq(
+      (1L, "aa bb aa cc dd aa"), (2L, "bb cc bb aa dd"),
+      (3L, "cc dd cc aa bb"), (4L, "dd aa dd bb cc"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshCooccurrence(spark, src, views, "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val full = rows(IncrementalViews.readCooccurrence(spark, views))
+    val k = 5
+    val top = IncrementalViews.readCooccurrence(spark, views,
+      topK = Some(k))
+    assert(rows(top) ==
+      full.sortBy(t => (-t._4, t._1, t._2)).take(k))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"readCooccurrence topK lost its TakeOrdered plan:\n$plan")
+    // composed with tokenA: "token aa's k strongest neighbors", via
+    // the SQL surface's 4-arg form
+    val aaTop = rows(spark.sql(
+      s"SELECT * FROM graft_cooccurrence_view('$views', 1, 'aa', 3)"))
+    assert(aaTop ==
+      full.filter(_._1 == "aa").sortBy(t => (-t._4, t._1, t._2)).take(3)
+      && aaTop.nonEmpty)
+  }
+
+  test("maintainCooccurrence/maintainBigramLm housekeepEvery settles debt on cadence") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, co, lm) = (tmpDir(), tmpDir(), tmpDir())
+    val (ck1, ck2) = (tmpDir(), tmpDir())
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(60).localCheckpoint(true)
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.maintainCooccurrence(spark, src, co, "text",
+      checkpointDir = ck1, housekeepEvery = 1).awaitTermination()
+    IncrementalViews.maintainBigramLm(spark, src, lm, "text",
+      checkpointDir = ck2, housekeepEvery = 1).awaitTermination()
+    // the tick committed v0 to each view; the SCHEDULED housekeep's
+    // compaction published at least one version on top — without the
+    // cadence an always-on maintainer accrues CoW debt until a manual
+    // housekeep call
+    assert(Snapshots.latestVersion(spark, s"$co/pairs").exists(_ >= 1))
+    assert(Snapshots.latestVersion(spark, s"$lm/bg").exists(_ >= 1))
+    // next ticks (same checkpoints) fold churn and the serves stay ==
+    // from-scratch
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.maintainCooccurrence(spark, src, co, "text",
+      checkpointDir = ck1, housekeepEvery = 1).awaitTermination()
+    IncrementalViews.maintainBigramLm(spark, src, lm, "text",
+      checkpointDir = ck2, housekeepEvery = 1).awaitTermination()
+    val served = IncrementalViews.readCooccurrence(spark, co)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val fresh = graft.operators.Corpus.cooccurrence(
+        Snapshots.read(spark, src).select("text"), "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(served == fresh && served.nonEmpty)
+    val servedLm = IncrementalViews.scoreBigramLm(spark, lm,
+        Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val freshLm = graft.operators.Corpus.bigramLogProb(
+        Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(servedLm == freshLm && servedLm.nonEmpty)
+  }
+
+  test("proximitySearchAll: all-terms-in-window semantics, 2-term parity, hot-doc guard, SQL") {
+    val s = spark; import s.implicits._
+    val (src, views) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq(
+      (1L, "aa bb cc dd"),                 // span(0,1,2) = 2
+      (2L, "aa xx xx xx bb xx cc"),        // span(0,4,6) = 6
+      (3L, "aa bb"),                       // no cc — never qualifies
+      (4L, "aa bb cc aa"))                 // two tuples, both span 2
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshPositionalIndex(spark, src, views,
+      "doc_id", "text")
+    def run(terms: Seq[String], w: Int) =
+      IncrementalViews.proximitySearchAll(spark, views, terms, w)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    assert(run(Seq("aa", "bb", "cc"), 4) ==
+      Map(1L -> (1L, 2L), 4L -> (2L, 2L)))
+    assert(run(Seq("aa", "bb", "cc"), 6) ==
+      Map(1L -> (1L, 2L), 2L -> (1L, 6L), 4L -> (2L, 2L)))
+    // two distinct terms reproduce proximitySearch (modulo col names)
+    val two = IncrementalViews.proximitySearch(spark, views, "aa", "bb", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(run(Seq("aa", "bb"), 3) == two && two.nonEmpty)
+    // SQL TVF
+    val viaSql = spark.sql(
+        s"SELECT * FROM graft_proximity_search_all('$views', 'aa,bb,cc', 6)")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(viaSql == run(Seq("aa", "bb", "cc"), 6))
+    // hot-doc guard: a degenerate repetitive doc is NAMED past the cap
+    val (src2, views2) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq((9L, Seq.fill(20)("aa bb cc").mkString(" ")))
+      .toDF("doc_id", "text"), src2, statsCol = Some("doc_id"))
+    IncrementalViews.refreshPositionalIndex(spark, src2, views2,
+      "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.proximitySearchAll(spark, views2,
+        Seq("aa", "bb", "cc"), 2, maxTuplesPerDoc = 100)
+    }
+    assert(e.getMessage.contains("doc 9") &&
+      e.getMessage.contains("8000"), s"wrong error: ${e.getMessage}")
+    // …and with the guard off it serves
+    assert(IncrementalViews.proximitySearchAll(spark, views2,
+      Seq("aa", "bb", "cc"), 2, maxTuplesPerDoc = -1).collect().nonEmpty)
+  }
+
+  test("maintained word-freq view: BPE retrain == from-scratch across churn, zero corpus reads") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, view) = (tmpDir(), tmpDir())
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(80).localCheckpoint(true)
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshWordFreq(spark, src, view, "text")
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.refreshWordFreq(spark, src, view, "text")
+    // from-scratch FIRST (it needs the corpus)…
+    val fresh = graft.operators.Corpus.bpeTrain(
+      Snapshots.read(spark, src).select("text"), "text", numMerges = 12)
+    // …then corrupt EVERY corpus data file: retraining from the
+    // maintained view must not notice — the zero-corpus-rescans claim
+    Snapshots.manifest(spark, src).select("path")
+      .collect().map(_.getString(0)).foreach(corruptDataBytes)
+    val fromView = IncrementalViews.bpeTrainFromView(spark, view,
+      numMerges = 12)
+    assert(fromView == fresh && fromView.size == 12)
+    // SQL surface returns the same ordered merge list
+    val viaSql = spark.sql(
+        s"SELECT * FROM graft_bpe_view_merges('$view', 12)")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(viaSql == fromView)
   }
 
   test("maintained embedding moments serve PCA == batch pca across churn, bad rows skipped alike") {
