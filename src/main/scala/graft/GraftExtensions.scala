@@ -676,14 +676,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_search",
-      "graft_search(viewRoot, termsCsv, k[, snippetK[, idCol]]) - the search-result page from the maintained index: BM25 top-k (rank by score desc, id asc) + one first-occurrence KWIC snippet per hit, every leg pruned, as (idCol, rank, bm25, center_pos, snippet); needs a positional=true index (see IncrementalViews.search)") {
+      "graft_search(viewRoot, termsCsv, k[, snippetK[, idCol[, phraseCsv]]]) - the search-result page from the maintained index: BM25 top-k (rank by score desc, id asc) + one first-occurrence KWIC snippet per hit, every leg pruned, as (idCol, rank, bm25, center_pos, snippet); phraseCsv restricts the page to docs containing that EXACT phrase (the quoted-query shape); needs a positional=true index (see IncrementalViews.search)") {
       (s, a) =>
-        require(a.length >= 3 && a.length <= 5,
-          "graft_search takes (viewRoot, termsCsv, k[, snippetK[, idCol]])")
+        require(a.length >= 3 && a.length <= 6,
+          "graft_search takes (viewRoot, termsCsv, k[, snippetK[, idCol[, phraseCsv]]])")
         sources.IncrementalViews.search(s, litStr(a(0), "viewRoot"),
           csvArg(a(1), "termsCsv"), litInt(a(2), "k"),
           snippetK = if (a.length >= 4) litInt(a(3), "snippetK") else 3,
-          idCol = if (a.length == 5) litStr(a(4), "idCol") else "doc_id")
+          idCol = if (a.length >= 5) litStr(a(4), "idCol") else "doc_id",
+          phrase = if (a.length == 6) Some(csvArg(a(5), "phraseCsv"))
+                   else None)
     }
 
     tvf("graft_proximity_search",

@@ -1073,6 +1073,29 @@ object SparkEntry {
       IncrementalViews.search(s, views, bm25Terms, k = 10, snippetK = 3)
     }),
 
+    // The QUOTED-PHRASE page: the same composition restricted to docs
+    // containing the exact phrase (phraseSearch's aligned doc set
+    // semi-joins the rank before the top-k heap) — the oracle filters
+    // its from-scratch BM25 rank by a positional phrase join.
+    "q_search_phrase" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_searchph").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text",
+        positional = true)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text",
+        positional = true)
+      IncrementalViews.search(s, views, bm25Terms, k = 10, snippetK = 3,
+        phrase = Some(phraseTerms))
+    }),
+
     // Phrase-KWIC: ±3 tokens around every EXACT occurrence of the
     // two-term phrase, reassembled from the positional views (the
     // oracle slices the original text at the aligned starts).
@@ -1691,16 +1714,36 @@ object SparkEntry {
     * a snippet of ±3 tokens around each hit's FIRST occurrence of any
     * query term — sliced from the original text where the engine
     * reassembles it from the maintained positional postings. */
-  private def searchOracleSql(where: String): String = {
+  private def searchOracleSql(where: String,
+                              phrase: Option[Seq[String]] = None): String = {
     val (ctes, total) = bm25CtesSql(where)
     val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""$ctes,
+    // quoted-phrase page: the rank restricts to docs containing the
+    // exact phrase (shift-aligned positional join, kwic_phrase's idiom)
+    val (phCtes, phFilter) = phrase match {
+      case None => ("", "")
+      case Some(p) =>
+        val joins = p.indices.tail.map(i =>
+          s"JOIN (SELECT doc_id, p FROM php WHERE token = '${p(i)}') a$i\n" +
+            s"         ON a$i.doc_id = a0.doc_id AND a$i.p = a0.p + $i")
+          .mkString("\n       ")
+        (s""",
+           |php AS (SELECT doc_id, u.z[1] AS token, CAST(u.z[2] AS BIGINT) AS p
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS s
+           |              FROM documents $where),
+           |             unnest(list_zip(s, range(0, len(s)))) AS u(z)),
+           |ph AS (SELECT DISTINCT a0.doc_id
+           |       FROM (SELECT doc_id, p FROM php WHERE token = '${p.head}') a0
+           |       $joins)""".stripMargin,
+          " WHERE doc_id IN (SELECT doc_id FROM ph)")
+    }
+    s"""$ctes$phCtes,
        |bm AS (SELECT doc_id, ${sqlRound4(total)} AS bm25
        |       FROM scored GROUP BY doc_id),
        |top AS (SELECT doc_id, bm25,
        |          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
        |            AS BIGINT) AS rank
-       |        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+       |        FROM bm$phFilter ORDER BY bm25 DESC, doc_id LIMIT 10),
        |toks AS (SELECT doc_id, string_split(text, ' ') AS s
        |         FROM documents $where),
        |cent AS (
@@ -3224,6 +3267,11 @@ object SparkEntry {
 
     // The search page over the post-churn corpus: top-10 + snippets.
     "q_search" -> searchOracleSql("WHERE doc_id % 10 <> 3"),
+
+    // The quoted-phrase page: the same from-scratch rank restricted
+    // to docs containing the exact phrase.
+    "q_search_phrase" ->
+      searchOracleSql("WHERE doc_id % 10 <> 3", Some(phraseTerms)),
 
     // Positional phrase search: 0-based token positions via
     // list_zip + range (ordinality), each term's positions shifted to

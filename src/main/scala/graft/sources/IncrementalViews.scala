@@ -1866,18 +1866,35 @@ object IncrementalViews {
     * corpus is never scanned. Emits
     * `(idCol, rank, bm25, center_pos, snippet)`, rank 1..k by
     * (score desc, id asc). Requires a `positional = true` index
-    * (posting + positional views under one root). */
+    * (posting + positional views under one root).
+    *
+    * `phrase = Some(p)` is the QUOTED-PHRASE query (the `"..."`
+    * query-box shape): the page ranks only docs containing the exact
+    * phrase — [[phraseSearch]]'s shift-aligned doc set (its own
+    * pruned read of just the phrase terms' postings) semi-joins the
+    * BM25 rank before the top-k heap, so the restriction is
+    * distributed and the result stays a TakeOrdered plan; ranking
+    * arithmetic, snippet choice, and output shape are unchanged. */
   def search(spark: SparkSession, viewRoot: String,
              queryTerms: Seq[String], k: Int, snippetK: Int = 3,
              idCol: String = "doc_id",
-             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             k1: Double = 1.2, b: Double = 0.75,
+             phrase: Option[Seq[String]] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(snippetK >= 0, "snippetK must be non-negative")
     require(Snapshots.latestVersion(spark, s"$viewRoot/posd").isDefined,
       s"$viewRoot/posd is missing — search needs a positional = true " +
         "index (snippets come from the doc-major positional twin)")
-    val top = readBm25(spark, viewRoot, queryTerms, idCol, k1, b,
-      topK = Some(k))
+    val top = phrase match {
+      case None => readBm25(spark, viewRoot, queryTerms, idCol, k1, b,
+        topK = Some(k))
+      case Some(p) =>
+        val containing = phraseSearch(spark, viewRoot, p, idCol)
+          .select(col(idCol))
+        readBm25(spark, viewRoot, queryTerms, idCol, k1, b)
+          .join(containing, Seq(idCol), "left_semi")
+          .orderBy(col("bm25").desc, col(idCol).asc).limit(k)
+    }
     // the result page is bounded by k — collecting it is metadata,
     // and the literal ids are what let BOTH snippet legs prune
     val hits = top.collect()

@@ -1437,6 +1437,12 @@ class IncrementalViewsSpec extends SparkSpec {
       .toMap
     assert(kp ==
       matchIds.map(i => (i, 1L) -> s"pre$i needle tail post$i").toMap)
+    // …and the membership residual actually PUSHES into the posd
+    // parquet scan (row-group skipping inside the kept files)
+    val plan = IncrementalViews.kwic(spark, views, "needle", k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(__doc"),
+      s"kwic context scan lost its pushed-down doc-membership filter:\n$plan")
   }
 
   test("scoreBigramLm prunes ALL model reads to the candidate's ranges; zero-candidate opens nothing") {
@@ -1861,6 +1867,36 @@ class IncrementalViewsSpec extends SparkSpec {
         "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(zs.length == 1 && zs(0)._2 == 2L && zs(0)._3 > 0)
+  }
+
+  test("quoted-phrase search page: rank restricted to exact-phrase docs; zero-match empty; SQL") {
+    val s = spark; import s.implicits._
+    val (src, views) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq(
+      (1L, "spark join table hash fast"), // phrase + query terms
+      (2L, "spark join quick"),           // query terms, no phrase
+      (3L, "table hash only here"),       // phrase, no query term
+      (4L, "hash table spark"))           // REVERSED phrase — no match
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
+      positional = true)
+    val page = IncrementalViews.search(spark, views, Seq("spark", "join"),
+        k = 5, phrase = Some(Seq("table", "hash")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // only doc 1 both contains the exact phrase AND scores on the
+    // query terms; 2 (no phrase), 3 (no query term), 4 (reversed
+    // phrase) are all off the page
+    assert(page == Seq((1L, 1L)))
+    // a zero-match phrase returns the empty, correctly-shaped page
+    val none = IncrementalViews.search(spark, views, Seq("spark"), k = 5,
+      phrase = Some(Seq("nosuch", "phrase")))
+    assert(none.collect().isEmpty && none.columns.toSeq ==
+      Seq("doc_id", "rank", "bm25", "center_pos", "snippet"))
+    // SQL 6-arg form
+    val viaSql = spark.sql("SELECT * FROM graft_search(" +
+        s"'$views', 'spark,join', 5, 3, 'doc_id', 'table,hash')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == page)
   }
 
   test("readCooccurrence topK == the k strongest of the full rank; TakeOrdered plan; SQL arg") {
