@@ -584,6 +584,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s.range(1, 2).toDF("ok")
     }
 
+    tvf("graft_view_refresh_spell_index",
+      "graft_view_refresh_spell_index(wordFreqDir, indexDir[, maxEdits]) - one maintenance tick of the SymSpell deletion-key spell index, cascaded over the word-frequency view's change feed (current word freq rides the index rows as a Z-set sum; maxEdits pinned per root; see IncrementalViews.refreshSpellIndex); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 2 || a.length == 3,
+          "graft_view_refresh_spell_index takes (wordFreqDir, indexDir[, maxEdits])")
+        sources.IncrementalViews.refreshSpellIndex(s,
+          litStr(a(0), "wordFreqDir"), litStr(a(1), "indexDir"),
+          if (a.length == 3) litInt(a(2), "maxEdits") else 1)
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_spell_suggest",
+      "graft_spell_suggest(indexDir, word[, topK[, maxEdits]]) - spelling suggestions from the maintained deletion-key index alone as (word, freq, dist): live vocabulary words within maxEdits (default: the index's pinned depth) Levenshtein edits, ranked by corpus frequency, top-k via TakeOrdered; O(query) - the query's deletion neighborhood prunes the key-clustered index files (see IncrementalViews.spellSuggest)") {
+      (s, a) =>
+        require(a.length >= 2 && a.length <= 4,
+          "graft_spell_suggest takes (indexDir, word[, topK[, maxEdits]])")
+        sources.IncrementalViews.spellSuggest(s, litStr(a(0), "indexDir"),
+          litStr(a(1), "word"),
+          topK = if (a.length >= 3) litInt(a(2), "topK") else 10,
+          maxEdits = if (a.length == 4) Some(litInt(a(3), "maxEdits"))
+                     else None)
+    }
+
     tvf("graft_bpe_view_merges",
       "graft_bpe_view_merges(viewDir, numMerges) - train the BPE merge list from the maintained word-frequency view (zero corpus rescans; equals a from-scratch bpeTrain over the current corpus) as (rank, left, right) (see IncrementalViews.bpeTrainFromView)") {
       (s, a) =>

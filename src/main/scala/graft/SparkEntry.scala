@@ -1031,6 +1031,29 @@ object SparkEntry {
         .select(col("__word").as("word"), col("__cnt").as("freq"))
     }),
 
+    // The MAINTAINED SPELL-CORRECTION INDEX: SymSpell deletion keys
+    // cascaded over the word-freq view's change feed, the current
+    // frequency riding the index rows; suggestions for the misspelled
+    // query 'sow' (<= 2 edits, ranked by corpus frequency) must equal
+    // DuckDB's brute-force levenshtein scan over the final state.
+    "q_spell_suggest" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_spellview").toString
+      val (src, wfreq, idx) = (s"$root/src", s"$root/wfreq", s"$root/idx")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshWordFreq(s, src, wfreq, "text")
+      IncrementalViews.refreshSpellIndex(s, wfreq, idx, maxEdits = 2)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshWordFreq(s, src, wfreq, "text")
+      IncrementalViews.refreshSpellIndex(s, wfreq, idx, maxEdits = 2)
+      IncrementalViews.spellSuggest(s, idx, "sow", topK = 10)
+    }),
+
     // Keyword-in-context snippets REASSEMBLED from the positional
     // postings (no document re-read) — the oracle slices the original
     // text instead, so a hash match proves the view is a complete
@@ -3376,6 +3399,18 @@ object SparkEntry {
         |      FROM documents WHERE doc_id % 10 <> 3)
         |WHERE len(token) > 0
         |GROUP BY 1""".stripMargin,
+
+    // Spell suggestions: the engine probes the deletion-key index;
+    // the oracle brute-forces levenshtein over the word counts —
+    // different algorithms, same answer.
+    "q_spell_suggest" ->
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+        |       CAST(levenshtein(w, 'sow') AS BIGINT) AS dist
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |      FROM documents WHERE doc_id % 10 <> 3)
+        |WHERE len(w) > 0
+        |GROUP BY w HAVING levenshtein(w, 'sow') <= 2
+        |ORDER BY freq DESC, w LIMIT 10""".stripMargin,
 
     "q_doc_logprob" ->
       s"""WITH toks AS (

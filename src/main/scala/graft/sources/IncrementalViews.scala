@@ -1831,7 +1831,14 @@ object IncrementalViews {
         (assertUniqueDoc(viewRoot, col("__pos")) - i).as("__start"))
     val occ = phrase.indices.map(aligned)
       .reduce(_.join(_, Seq("__doc", "__start")))
-    val ctxRead = readPosdForDocs(spark, viewRoot, occ)
+    // the membership probe uses the FIRST term's postings alone — a
+    // SUPERSET of the phrase-matching docs (pruning can only widen,
+    // never miss) that costs one cheap pruned single-term read
+    // instead of re-evaluating the full alignment join (the final
+    // plan is that join's only evaluation)
+    val probe = pos.filter(col("__token") === phrase.head)
+      .select(col("__doc"))
+    val ctxRead = readPosdForDocs(spark, viewRoot, probe)
     if (ctxRead.isEmpty)
       return occ.limit(0).select(col("__doc").as(idCol),
         col("__start").cast("long").as("start_pos"),
@@ -2343,6 +2350,134 @@ object IncrementalViews {
         housekeep(spark, viewDir, clusterBy = Some("__word"))
       ()
     }
+  }
+
+  /** The ≤1-character deletion neighborhood of a string column —
+    * SymSpell's key set, as a codegen HOF (no UDF): one key per
+    * dropped position. Empty strings get an empty array (Spark
+    * `sequence(0, -1)` counts BACKWARDS — the guard the guide
+    * warns about). */
+  private def delKeys(s: Column): Column =
+    when(length(s) >= 1,
+      transform(sequence(lit(0), length(s) - 1), i =>
+        concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The query-side deletion neighborhood, driver-side (bounded:
+    * 1 + len + len·(len−1)/2 keys for depth 2). */
+  private def delNeighborhood(word: String, depth: Int): Seq[String] = {
+    def dels(s: String): Seq[String] =
+      s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+    val d1 = Set(word) ++ (if (depth >= 1) dels(word) else Nil)
+    (if (depth >= 2) d1 ++ d1.flatMap(dels) else d1).toSeq
+  }
+
+  /** INCREMENTALLY-MAINTAINED SPELL-CORRECTION INDEX — query
+    * normalization for the search surface (misspelled query term →
+    * live vocabulary candidates), kept current as the corpus churns:
+    * a SymSpell deletion-key index (Garbe) CASCADED over the
+    * word-frequency view's own change feed — the gstat-over-dlen
+    * pattern: one agg view keyed `(__key, __word)` where `__key`
+    * ranges over the word's deletion neighborhood up to `maxEdits`
+    * (depth pinned per index root via `_param_max_edits`), and the
+    * word's CURRENT corpus frequency rides ON the index rows as the
+    * Z-set sum `sum___freq` ([[readBm25]]'s carried-length trick):
+    * a count change in the word-freq view diffs as delete(old) +
+    * insert(new), so the freq sum folds to the current value and the
+    * row multiplicity stays 1 while the word is live — serves read
+    * the index ALONE, no vocabulary join. O(churned words × len²)
+    * per tick, zero corpus or vocabulary rescans ever. */
+  def refreshSpellIndex(spark: SparkSession, wordFreqDir: String,
+                        indexDir: String, maxEdits: Int = 1): Unit = {
+    require(maxEdits >= 0 && maxEdits <= 2,
+      s"maxEdits must be 0, 1, or 2: $maxEdits (depth-2 deletion " +
+        "neighborhoods already cover the practical typo range; deeper " +
+        "explodes the key space)")
+    requireSameParam(spark, indexDir, "max_edits", maxEdits.toString)
+    val lens: DataFrame => DataFrame = df => {
+      val w = col("__word")
+      val k0 = array(w)
+      val k1 = if (maxEdits >= 1) concat(k0, delKeys(w)) else k0
+      val k2 =
+        if (maxEdits >= 2)
+          concat(k1, flatten(transform(delKeys(w), s1 => delKeys(s1))))
+        else k1
+      df.select(col("__change"), explode(array_distinct(k2)).as("__key"),
+        w, col("__cnt").cast("long").as("__freq"))
+    }
+    refreshAgg(spark, wordFreqDir, indexDir, Seq("__key", "__word"),
+      Seq("__freq"), sumScale = 0, transform = Some(lens))
+    ()
+  }
+
+  /** [[refreshSpellIndex]] driven by the word-freq view's change feed
+    * (run it alongside [[maintainWordFreq]]; each tick folds whatever
+    * wfreq published since). `housekeepEvery` as everywhere. */
+  def maintainSpellIndex(spark: SparkSession, wordFreqDir: String,
+                         indexDir: String, checkpointDir: String,
+                         maxEdits: Int = 1,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger
+                             .AvailableNow(),
+                         housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var ticks = 0L
+    maintain(spark, Seq(wordFreqDir), checkpointDir, trigger) { () =>
+      refreshSpellIndex(spark, wordFreqDir, indexDir, maxEdits)
+      ticks += 1
+      if (housekeepEvery > 0 && ticks % housekeepEvery == 0)
+        housekeep(spark, indexDir, clusterBy = Some("__key"),
+          extraStatsCols = Seq("__word"))
+      ()
+    }
+  }
+
+  /** Spelling suggestions from the maintained index ALONE: live
+    * vocabulary words within `maxEdits` Levenshtein edits of `word`,
+    * ranked by corpus frequency (ties by word), top-`k` as a
+    * TakeOrdered heap. O(query) at any corpus size: the query's own
+    * deletion neighborhood (driver metadata, ≤ ~2k keys) prunes the
+    * key-clustered index to the files that can hold a matching key
+    * (point ranges + pushed-down isin — the doc-membership
+    * discipline), candidate words carry their CURRENT frequency on
+    * the matched rows (no vocabulary join), and the exact
+    * `levenshtein` post-filter restores precision over SymSpell's
+    * complete-but-loose deletion-intersection candidates (the
+    * deletion join can only over-generate, never miss, for depth ≥
+    * the true distance — Garbe's completeness argument).
+    * `maxEdits` defaults to the index's pinned depth; a smaller
+    * value serves stricter suggestions from the same index (probing
+    * a DEEPER distance than the index stores would silently miss
+    * candidates, so that fails loudly instead). Emits
+    * `(word, freq, dist)`. */
+  def spellSuggest(spark: SparkSession, indexDir: String, word: String,
+                   topK: Int = 10,
+                   maxEdits: Option[Int] = None): DataFrame = {
+    require(word.nonEmpty && word.length <= 64,
+      s"word must be 1..64 chars: '$word'")
+    require(topK > 0, s"topK must be positive: $topK")
+    val pinned = readParam(spark, indexDir, "max_edits").getOrElse(
+      throw new IllegalArgumentException(
+        s"$indexDir has no _param_max_edits marker — build the index " +
+          "with refreshSpellIndex first")).toInt
+    val me = maxEdits.getOrElse(pinned)
+    require(me <= pinned,
+      s"$indexDir stores deletion keys to depth $pinned but this serve " +
+        s"asks maxEdits = $me — candidates beyond the stored depth " +
+        "would be silently missed; rebuild the index deeper or lower " +
+        "maxEdits")
+    val qKeys = delNeighborhood(word, me)
+    Snapshots.readPrunedRanges(spark, indexDir, "",
+        qKeys.sorted.map(k => (k, k)))
+      .filter(col("__cnt") > 0)
+      .filter(col("__key").isin(qKeys: _*))
+      .groupBy(col("__word"))
+      .agg(max(col("sum___freq")).cast("long").as("freq"))
+      .withColumn("dist",
+        levenshtein(lit(word), col("__word")).cast("long"))
+      .filter(col("dist") <= me)
+      .select(col("__word").as("word"), col("freq"), col("dist"))
+      .orderBy(col("freq").desc, col("word").asc).limit(topK)
   }
 
   /** Train the BPE merge list from the MAINTAINED word-frequency view

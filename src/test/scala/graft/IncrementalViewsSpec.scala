@@ -2056,6 +2056,76 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(viaSql == fromView)
   }
 
+  test("maintained spell index: suggestions == brute force across churn; pruned key read; depth guard") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, wfreq, idx) = (tmpDir(), tmpDir(), tmpDir())
+    def tick(): Unit = {
+      IncrementalViews.refreshWordFreq(spark, src, wfreq, "text")
+      IncrementalViews.refreshSpellIndex(spark, wfreq, idx, maxEdits = 2)
+    }
+    def served(word: String, k: Int = 10, me: Option[Int] = None) =
+      IncrementalViews.spellSuggest(spark, idx, word, k, me)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    // driver-side reference: brute-force levenshtein over the corpus
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def brute(word: String, me: Int, k: Int = 10) =
+      Snapshots.read(spark, src).select("text").collect()
+        .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).toSeq
+        .map { case (w, a) => (w, a.length.toLong, lev(word, w).toLong) }
+        .filter(_._3 <= me)
+        .sortBy { case (w, f, _) => (-f, w) }.take(k)
+    Snapshots.commit(Seq(
+      (1L, "apple maple apple grape"), (2L, "apply maple grape grape"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    tick()
+    assert(served("aple").nonEmpty && served("aple") == brute("aple", 2))
+    // churn: counts move, a doc leaves, new words land — the carried
+    // freq must be CURRENT (delete(old)+insert(new) folds to the new
+    // count on the index rows)
+    Snapshots.commit(Seq((3L, "apple apple banana"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") === 2L)
+    tick()
+    assert(served("aple") == brute("aple", 2))
+    assert(served("banan") == brute("banan", 2) && served("banan").nonEmpty)
+    // a stricter serve from the same index
+    assert(served("aple", 10, Some(1)) == brute("aple", 1))
+    // a deeper-than-pinned serve would silently miss — fails loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.spellSuggest(spark, idx, "aple",
+        maxEdits = Some(3)).collect()
+    }
+    assert(e.getMessage.contains("depth 2"), s"wrong error: ${e.getMessage}")
+    // SQL parity
+    val viaSql = spark.sql(s"SELECT * FROM graft_spell_suggest('$idx', 'aple')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(viaSql == served("aple"))
+    // pruned serve: a disjoint high-vocabulary tick leaves the carried
+    // low-key index files outside the query neighborhood's reach —
+    // corrupt them; the 'zz' probe (neighborhood {zz, z, ""}) must
+    // never open them ("" can only overlap a file whose min IS "")
+    Snapshots.commit(Seq((9L, "zzz zzy zzz")).toDF("doc_id", "text"),
+      src, statsCol = Some("doc_id"))
+    tick()
+    val lowIdx = Snapshots.manifest(spark, idx)
+      .filter(col("stats_max") < "z" && col("stats_min") > "")
+      .select("path").collect().map(_.getString(0)).toSeq
+    assert(lowIdx.nonEmpty, "expected carried low-key index files")
+    lowIdx.foreach(corruptDataBytes)
+    assert(served("zz") == brute("zz", 2) && served("zz").size == 2)
+  }
+
   test("maintained embedding moments serve PCA == batch pca across churn, bad rows skipped alike") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
