@@ -607,6 +607,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                      else None)
     }
 
+    tvf("graft_prefix_suggest",
+      "graft_prefix_suggest(wordFreqDir, prefix[, topK]) - autocomplete from the maintained word-frequency view as (word, freq): live words starting with prefix ranked by corpus frequency, top-k via TakeOrdered; the word-clustered view is manifest-pruned to the prefix's lexical range (see IncrementalViews.prefixSuggest)") {
+      (s, a) =>
+        require(a.length == 2 || a.length == 3,
+          "graft_prefix_suggest takes (wordFreqDir, prefix[, topK])")
+        sources.IncrementalViews.prefixSuggest(s, litStr(a(0), "wordFreqDir"),
+          litStr(a(1), "prefix"),
+          if (a.length == 3) litInt(a(2), "topK") else 10)
+    }
+
     tvf("graft_bpe_view_merges",
       "graft_bpe_view_merges(viewDir, numMerges) - train the BPE merge list from the maintained word-frequency view (zero corpus rescans; equals a from-scratch bpeTrain over the current corpus) as (rank, left, right) (see IncrementalViews.bpeTrainFromView)") {
       (s, a) =>

@@ -1054,6 +1054,26 @@ object SparkEntry {
       IncrementalViews.spellSuggest(s, idx, "sow", topK = 10)
     }),
 
+    // AUTOCOMPLETE from the maintained word-frequency view: top-5
+    // live 's…' words by corpus frequency — the view is range-pruned
+    // to the prefix's lexical span; equals DuckDB's LIKE scan over
+    // the final churned state.
+    "q_prefix_suggest" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_prefixview").toString
+      val (src, view) = (s"$root/src", s"$root/view")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      IncrementalViews.prefixSuggest(s, view, "s", topK = 5)
+    }),
+
     // Keyword-in-context snippets REASSEMBLED from the positional
     // postings (no document re-read) — the oracle slices the original
     // text instead, so a hash match proves the view is a complete
@@ -3411,6 +3431,14 @@ object SparkEntry {
         |WHERE len(w) > 0
         |GROUP BY w HAVING levenshtein(w, 'sow') <= 2
         |ORDER BY freq DESC, w LIMIT 10""".stripMargin,
+
+    // Autocomplete: top-5 's…' words by frequency.
+    "q_prefix_suggest" ->
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |      FROM documents WHERE doc_id % 10 <> 3)
+        |WHERE len(w) > 0 AND w LIKE 's%'
+        |GROUP BY w ORDER BY freq DESC, w LIMIT 5""".stripMargin,
 
     "q_doc_logprob" ->
       s"""WITH toks AS (

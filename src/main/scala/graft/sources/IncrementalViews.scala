@@ -2480,6 +2480,27 @@ object IncrementalViews {
       .orderBy(col("freq").desc, col("word").asc).limit(topK)
   }
 
+  /** AUTOCOMPLETE from the maintained word-frequency view: live
+    * vocabulary words starting with `prefix`, ranked by corpus
+    * frequency (ties by word), top-`k` as a TakeOrdered heap.
+    * O(query) at any corpus size: the word-clustered view is
+    * manifest-pruned to the prefix's lexical range
+    * `[prefix, prefix + U+FFFF]` before the startswith residual —
+    * the query-box completion the [[spellSuggest]] index doesn't
+    * cover (a prefix is 0..many trailing edits, not ≤2 anywhere). */
+  def prefixSuggest(spark: SparkSession, wordFreqDir: String,
+                    prefix: String, topK: Int = 10): DataFrame = {
+    require(prefix.nonEmpty && prefix.length <= 64,
+      s"prefix must be 1..64 chars: '$prefix'")
+    require(topK > 0, s"topK must be positive: $topK")
+    Snapshots.readPrunedRanges(spark, wordFreqDir, "",
+        Seq((prefix, prefix + "\uffff")))
+      .filter(col("__cnt") > 0)
+      .filter(col("__word").startsWith(prefix))
+      .select(col("__word").as("word"), col("__cnt").as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(topK)
+  }
+
   /** Train the BPE merge list from the MAINTAINED word-frequency view
     * — [[graft.operators.Corpus.bpeTrain]] minus its corpus pass: the
     * live (`__cnt > 0`) words feed the same deterministic merge loop,

@@ -2126,6 +2126,47 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(served("zz") == brute("zz", 2) && served("zz").size == 2)
   }
 
+  test("prefixSuggest: range-pruned autocomplete, TakeOrdered; maintained wrappers catch up") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, wfreq, idx) = (tmpDir(), tmpDir(), tmpDir())
+    val (ck1, ck2) = (tmpDir(), tmpDir())
+    // two commits with DISJOINT alphabet ranges: the a-range word
+    // files are carried by reference through tick 2 and cannot hold
+    // an s-prefix — corrupt them, the serve must not notice
+    Snapshots.commit(Seq((1L, "apple banana apple cherry"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.maintainWordFreq(spark, src, wfreq, "text",
+      checkpointDir = ck1).awaitTermination()
+    IncrementalViews.maintainSpellIndex(spark, wfreq, idx, ck2,
+      maxEdits = 1).awaitTermination()
+    Snapshots.commit(Seq((2L, "spark stream spark sort"), (3L, "spark"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") === 3L)
+    IncrementalViews.maintainWordFreq(spark, src, wfreq, "text",
+      checkpointDir = ck1).awaitTermination()
+    IncrementalViews.maintainSpellIndex(spark, wfreq, idx, ck2,
+      maxEdits = 1).awaitTermination()
+    val lowW = Snapshots.manifest(spark, wfreq)
+      .filter(col("stats_max") < "s").select("path")
+      .collect().map(_.getString(0)).toSeq
+    assert(lowW.nonEmpty, "expected carried low-word files")
+    lowW.foreach(corruptDataBytes)
+    val top = IncrementalViews.prefixSuggest(spark, wfreq, "s", topK = 2)
+    assert(top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("spark", 2L), ("sort", 1L)))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"prefixSuggest lost its TakeOrdered plan:\n$plan")
+    // the maintained spell index caught up through the wrapper too —
+    // and its serve is the TakeOrdered shape as well
+    val sp = IncrementalViews.spellSuggest(spark, idx, "sprk")
+    assert(sp.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("spark", 2L, 1L)))
+    assert(sp.queryExecution.executedPlan.toString.contains("TakeOrdered"))
+  }
+
   test("maintained embedding moments serve PCA == batch pca across churn, bad rows skipped alike") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
