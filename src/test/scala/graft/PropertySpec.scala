@@ -110,6 +110,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("proximitySearchAll == brute-force tuple scan on random corpora") {
+    import graft.sources.{IncrementalViews, Snapshots}
+    val alpha = Vector("aa", "bb", "cc", "dd", "ee")
+    for (round <- 1 to 3) {
+      val terms = rnd.shuffle(alpha).take(2 + rnd.nextInt(2)) // 2 or 3 terms
+      val window = 1 + rnd.nextInt(5)
+      val docs = (1L to 30L).map(i =>
+        (i, Seq.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.size)))
+          .mkString(" ")))
+      val (src, views) = (
+        java.nio.file.Files.createTempDirectory("graft_proxprop").toString,
+        java.nio.file.Files.createTempDirectory("graft_proxpropv").toString)
+      Snapshots.commit(docs.toDF("doc_id", "text"), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshPositionalIndex(s, src, views,
+        "doc_id", "text")
+      val served = IncrementalViews.proximitySearchAll(s, views, terms,
+          window, maxTuplesPerDoc = -1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // independent reference: enumerate every position tuple per doc
+      val brute = docs.flatMap { case (id, text) =>
+        val pos = text.split(" ").zipWithIndex
+          .groupBy(_._1).view.mapValues(_.map(_._2.toLong)).toMap
+        val lists = terms.map(t => pos.getOrElse(t, Array.empty[Long]))
+        if (lists.exists(_.isEmpty)) None
+        else {
+          val spans = lists.foldLeft(Seq(Seq.empty[Long]))((acc, l) =>
+            acc.flatMap(t => l.map(p => t :+ p)))
+            .map(t => t.max - t.min).filter(_ <= window)
+          if (spans.isEmpty) None else Some(id -> (spans.size.toLong, spans.min))
+        }
+      }.toMap
+      assert(served == brute,
+        s"round $round terms=$terms window=$window: $served != $brute")
+    }
+  }
+
   test("OLS coefficients are invariant under row order and partitioning") {
     import graft.operators.Regression
     val rows = (1 to 120).map { i =>
