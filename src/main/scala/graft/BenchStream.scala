@@ -23,7 +23,7 @@ object BenchStream {
     val spark = GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
     val nEvents = Tables.load(spark, sfDir, "events").count()
-    val ts = (1 to reps).map { _ =>
+    val ts = (1 to reps).flatMap { _ =>
       val t0 = System.nanoTime()
       val out = streaming.WeatherPipeline.windowed(
         Seq(Tables.eventsStream(spark, sfDir)),
@@ -31,9 +31,19 @@ object BenchStream {
       val q = out.writeStream.format("noop").outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
-      (System.nanoTime() - t0) / 1e9
+      // a drain slower than the cap must be EXCLUDED, not recorded as
+      // ~300s — a silently capped min would fabricate the throughput
+      // number this harness exists to settle (and the still-running
+      // query would overlap the next rep; stop it first)
+      if (q.awaitTermination(300000))
+        Some((System.nanoTime() - t0) / 1e9)
+      else {
+        q.stop()
+        System.err.println("[benchstream] rep exceeded 300s — excluded")
+        None
+      }
     }
+    require(ts.nonEmpty, "every rep timed out — no measurement to report")
     val min = ts.min
     println(f"BENCHSTREAM n_events=$nEvents " +
       f"reps=${ts.map(t => f"$t%.2f").mkString(",")} min=$min%.2f " +

@@ -665,13 +665,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_cooccurrence_view",
-      "graft_cooccurrence_view(viewRoot[, minCount[, tokenA[, topK]]]) - the maintained PMI table as (a, b, cnt, pmi), batch-equal to graft_cooccurrence over the current corpus; tokenA serves one head token's rows from its manifest-pruned pair files; topK > 0 keeps the k strongest collocations by PMI via TakeOrdered - the collocation-UI shape (see IncrementalViews.readCooccurrence)") {
+      "graft_cooccurrence_view(viewRoot[, minCount[, tokenA[, topK]]]) - the maintained PMI table as (a, b, cnt, pmi), batch-equal to graft_cooccurrence over the current corpus; tokenA serves one head token's rows from its manifest-pruned pair files (pass '' to rank across ALL pairs); topK > 0 keeps the k strongest collocations by PMI via TakeOrdered - the collocation-UI shape (see IncrementalViews.readCooccurrence)") {
       (s, a) =>
         require(a.length >= 1 && a.length <= 4,
           "graft_cooccurrence_view takes (viewRoot[, minCount[, tokenA[, topK]]])")
         sources.IncrementalViews.readCooccurrence(s, litStr(a(0), "viewRoot"),
           minCount = if (a.length >= 2) litLong(a(1), "minCount") else 1L,
-          tokenA = if (a.length >= 3) Some(litStr(a(2), "tokenA")) else None,
+          // '' = no head-token restriction, so the corpus-wide
+          // topK-without-tokenA composition is reachable from SQL
+          tokenA = if (a.length >= 3) Some(litStr(a(2), "tokenA"))
+                     .filter(_.nonEmpty)
+                   else None,
           topK = if (a.length == 4) Some(litInt(a(3), "topK")) else None)
     }
 

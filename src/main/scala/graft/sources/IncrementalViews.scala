@@ -1430,15 +1430,29 @@ object IncrementalViews {
                           org.apache.spark.sql.streaming.Trigger.AvailableNow(),
                         positional: Boolean = false,
                         housekeepEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    var ticks = 0L
-    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
       refreshTextIndex(spark, srcDir, viewRoot, idCol, textCol,
         positional = positional)
+    } { () => housekeepTextIndex(spark, viewRoot) }
+
+  /** [[maintain]] plus the housekeeping cadence every scheduled
+    * maintainer shares: `settle()` runs after every
+    * `housekeepEvery`-th tick (0 = never). The tick counter is
+    * process-local — a restarted maintainer starts its cadence over,
+    * which only shifts WHEN the idempotent housekeeping runs, never
+    * view contents. */
+  private def maintainWithCadence(spark: SparkSession,
+      inputDirs: Seq[String], checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      housekeepEvery: Int)(tick: () => Unit)(settle: () => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var ticks = 0L
+    maintain(spark, inputDirs, checkpointDir, trigger) { () =>
+      tick()
       ticks += 1
-      if (housekeepEvery > 0 && ticks % housekeepEvery == 0)
-        housekeepTextIndex(spark, viewRoot)
-      ()
+      if (housekeepEvery > 0 && ticks % housekeepEvery == 0) settle()
     }
   }
 
@@ -1831,18 +1845,35 @@ object IncrementalViews {
         (assertUniqueDoc(viewRoot, col("__pos")) - i).as("__start"))
     val occ = phrase.indices.map(aligned)
       .reduce(_.join(_, Seq("__doc", "__start")))
-    // the membership probe uses the FIRST term's postings alone — a
-    // SUPERSET of the phrase-matching docs (pruning can only widen,
-    // never miss) that costs one cheap pruned single-term read
-    // instead of re-evaluating the full alignment join (the final
-    // plan is that join's only evaluation)
-    val probe = pos.filter(col("__token") === phrase.head)
-      .select(col("__doc"))
-    val ctxRead = readPosdForDocs(spark, viewRoot, probe)
-    if (ctxRead.isEmpty)
-      return occ.limit(0).select(col("__doc").as(idCol),
-        col("__start").cast("long").as("start_pos"),
-        concat_ws(" ").as("snippet"))
+    // membership probe by the RAREST phrase term: one cheap counting
+    // pass over the already-pruned postings picks the term whose doc
+    // set — a SUPERSET of the phrase matches, so pruning can only
+    // widen — is smallest; a stopword-led phrase then probes by its
+    // selective term, not the stopword. Past the membership cap the
+    // fallback is the grid over the ALIGNED occurrence set (tight
+    // ranges over actual matches, worth the one extra join
+    // evaluation exactly when every phrase term is high-frequency).
+    val termDocs = pos.filter(col("__token").isin(phrase.distinct: _*))
+      .groupBy(col("__token"))
+      .agg(countDistinct(col("__doc")).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def emptyResult() = occ.limit(0).select(col("__doc").as(idCol),
+      col("__start").cast("long").as("start_pos"),
+      concat_ws(" ").as("snippet"))
+    // a phrase term absent from the live corpus: no match is possible
+    if (phrase.distinct.exists(t => termDocs.getOrElse(t, 0L) == 0L))
+      return emptyResult()
+    val rarest = phrase.distinct.minBy(t => termDocs(t))
+    val ctxRead =
+      if (termDocs(rarest) <= MembershipMaxDocs)
+        readPosdForDocs(spark, viewRoot,
+          pos.filter(col("__token") === rarest).select(col("__doc")))
+      else {
+        val (nOcc, specs) = keySpecs(occ.select(col("__doc")), Seq("__doc"))
+        if (nOcc == 0L) None
+        else Some(readForSpecs(spark, s"$viewRoot/posd", None, specs))
+      }
+    if (ctxRead.isEmpty) return emptyResult()
     val ctx = ctxRead.get
       .filter(col("__cnt") > 0)
       .select(col("__doc"),
@@ -2091,16 +2122,11 @@ object IncrementalViews {
                              org.apache.spark.sql.streaming.Trigger
                                .AvailableNow(),
                            housekeepEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    var ticks = 0L
-    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
       refreshCooccurrence(spark, srcDir, viewRoot, textCol, window)
-      ticks += 1
-      if (housekeepEvery > 0 && ticks % housekeepEvery == 0)
-        housekeepCooccurrence(spark, viewRoot)
-      ()
-    }
-  }
+    } { () => housekeepCooccurrence(spark, viewRoot) }
 
   /** The PMI table served from the maintained views — same output
     * schema, arithmetic, and rounding as the batch
@@ -2206,16 +2232,11 @@ object IncrementalViews {
                          org.apache.spark.sql.streaming.Trigger
                            .AvailableNow(),
                        housekeepEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    var ticks = 0L
-    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
       refreshBigramLm(spark, srcDir, viewRoot, textCol)
-      ticks += 1
-      if (housekeepEvery > 0 && ticks % housekeepEvery == 0)
-        housekeepBigramLm(spark, viewRoot)
-      ()
-    }
-  }
+    } { () => housekeepBigramLm(spark, viewRoot) }
 
   /** Score a CANDIDATE batch against the maintained LM — the filter
     * step of the CCNet workflow (model on the clean reference corpus,
@@ -2341,16 +2362,11 @@ object IncrementalViews {
                          org.apache.spark.sql.streaming.Trigger
                            .AvailableNow(),
                        housekeepEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    var ticks = 0L
-    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
       refreshWordFreq(spark, srcDir, viewDir, textCol)
-      ticks += 1
-      if (housekeepEvery > 0 && ticks % housekeepEvery == 0)
-        housekeep(spark, viewDir, clusterBy = Some("__word"))
-      ()
-    }
-  }
+    } { () => housekeep(spark, viewDir, clusterBy = Some("__word")) }
 
   /** The ≤1-character deletion neighborhood of a string column —
     * SymSpell's key set, as a codegen HOF (no UDF): one key per
@@ -2364,10 +2380,17 @@ object IncrementalViews {
       .otherwise(array().cast("array<string>"))
 
   /** The query-side deletion neighborhood, driver-side (bounded:
-    * 1 + len + len·(len−1)/2 keys for depth 2). */
+    * 1 + len + len·(len−1)/2 keys for depth 2). Deletes CODE POINTS,
+    * not UTF-16 units — Spark's `substr` (and therefore [[delKeys]]'s
+    * index-side keys) is code-point indexed, and a unit-indexed query
+    * neighborhood would produce lone-surrogate keys that match
+    * nothing for words containing supplementary characters. */
   private def delNeighborhood(word: String, depth: Int): Seq[String] = {
-    def dels(s: String): Seq[String] =
-      s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+    def dels(s: String): Seq[String] = {
+      val cps = s.codePoints().toArray
+      cps.indices.map(i =>
+        new String(cps.take(i) ++ cps.drop(i + 1), 0, cps.length - 1))
+    }
     val d1 = Set(word) ++ (if (depth >= 1) dels(word) else Nil)
     (if (depth >= 2) d1 ++ d1.flatMap(dels) else d1).toSeq
   }
@@ -2420,17 +2443,14 @@ object IncrementalViews {
                            org.apache.spark.sql.streaming.Trigger
                              .AvailableNow(),
                          housekeepEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    var ticks = 0L
-    maintain(spark, Seq(wordFreqDir), checkpointDir, trigger) { () =>
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(wordFreqDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
       refreshSpellIndex(spark, wordFreqDir, indexDir, maxEdits)
-      ticks += 1
-      if (housekeepEvery > 0 && ticks % housekeepEvery == 0)
-        housekeep(spark, indexDir, clusterBy = Some("__key"),
-          extraStatsCols = Seq("__word"))
-      ()
+    } { () =>
+      housekeep(spark, indexDir, clusterBy = Some("__key"),
+        extraStatsCols = Seq("__word"))
     }
-  }
 
   /** Spelling suggestions from the maintained index ALONE: live
     * vocabulary words within `maxEdits` Levenshtein edits of `word`,
@@ -2493,8 +2513,23 @@ object IncrementalViews {
     require(prefix.nonEmpty && prefix.length <= 64,
       s"prefix must be 1..64 chars: '$prefix'")
     require(topK > 0, s"topK must be positive: $topK")
-    Snapshots.readPrunedRanges(spark, wordFreqDir, "",
-        Seq((prefix, prefix + "\uffff")))
+    // upper prune bound: the prefix's SUCCESSOR string (last non-max,
+    // non-surrogate unit incremented), which every prefix-extension
+    // sorts strictly below in BOTH UTF-16 and UTF-8 binary order \u2014
+    // `prefix + U+FFFF` would silently prune files holding
+    // supplementary-plane extensions (their UTF-8 lead byte F0 sorts
+    // ABOVE U+FFFF's EF BF BF); a prefix with no safe successor
+    // (all U+FFFF / trailing surrogate) falls back to the full read
+    val succ: Option[String] = {
+      val cs = prefix.toCharArray
+      var i = cs.length - 1
+      while (i >= 0 && cs(i) == '\uffff') i -= 1
+      if (i < 0 || Character.isSurrogate(cs(i))) None
+      else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+    }
+    succ.fold(Snapshots.read(spark, wordFreqDir))(hi =>
+        Snapshots.readPrunedRanges(spark, wordFreqDir, "",
+          Seq((prefix, hi))))
       .filter(col("__cnt") > 0)
       .filter(col("__word").startsWith(prefix))
       .select(col("__word").as("word"), col("__cnt").as("freq"))
@@ -2674,7 +2709,15 @@ object IncrementalViews {
               require(attempts >= 0,
                 s"could not place $viewRoot/_param_$name (filesystem " +
                   "keeps refusing the rename)")
-              f.delete(dst, false)
+              // delete ONLY a still-empty artifact, never a real marker
+              // a concurrent winner may have placed between our rename
+              // and this check — a real marker survives and the next
+              // loop iteration reads it as a normal win/mismatch
+              try {
+                if (f.getFileStatus(dst).getLen == 0L) f.delete(dst, false)
+              } catch {
+                case _: java.io.FileNotFoundException => ()
+              }
               placed = f.rename(tmp, dst)
           }
         }

@@ -1443,6 +1443,47 @@ class IncrementalViewsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("In(__doc"),
       s"kwic context scan lost its pushed-down doc-membership filter:\n$plan")
+    // a phrase with an absent term early-outs WITHOUT any posd read
+    // (the corrupted gap files would crash it)
+    assert(IncrementalViews.kwicPhrase(spark, views,
+      Seq("needle", "nosuchtoken")).collect().isEmpty)
+  }
+
+  test("prefixSuggest keeps supplementary-plane completions (successor upper bound)") {
+    val s = spark; import s.implicits._
+    val (src, wfreq) = (tmpDir(), tmpDir())
+    // tick 1: ONLY an astral-extension word — its carried file's
+    // __word stats sort ABOVE "s￿" in UTF-8 binary order (the
+    // emoji's F0 lead byte > EF BF BF), so a prefix+U+FFFF upper
+    // bound would prune the file and silently lose the completion;
+    // the successor bound ("t") keeps it
+    Snapshots.commit(Seq((1L, "s😀x s😀x"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    IncrementalViews.refreshWordFreq(spark, src, wfreq, "text")
+    Snapshots.commit(Seq((2L, "sa sb sa")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshWordFreq(spark, src, wfreq, "text")
+    val got = IncrementalViews.prefixSuggest(spark, wfreq, "s", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got ==
+      Map("s😀x" -> 2L, "sa" -> 2L, "sb" -> 1L), s"got $got")
+  }
+
+  test("spellSuggest deletion keys are code-point indexed (astral-char typo reaches ASCII word)") {
+    val s = spark; import s.implicits._
+    val (src, wfreq, idx) = (tmpDir(), tmpDir(), tmpDir())
+    Snapshots.commit(Seq((5L, "cat cat dog")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshWordFreq(spark, src, wfreq, "text")
+    IncrementalViews.refreshSpellIndex(spark, wfreq, idx, maxEdits = 1)
+    // "cat<emoji>" is ONE code-point edit from "cat" — UTF-16-unit
+    // deletions would need depth 2 (and emit lone-surrogate keys that
+    // match nothing), so this pins the code-point contract on both
+    // the driver and index sides
+    val got = IncrementalViews.spellSuggest(spark, idx, "cat😀")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(("cat", 2L, 1L)), s"got $got")
   }
 
   test("scoreBigramLm prunes ALL model reads to the candidate's ranges; zero-candidate opens nothing") {
@@ -1927,6 +1968,11 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(aaTop ==
       full.filter(_._1 == "aa").sortBy(t => (-t._4, t._1, t._2)).take(3)
       && aaTop.nonEmpty)
+    // '' tokenA = the corpus-wide top-k (topK without a head token is
+    // reachable from SQL)
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_cooccurrence_view('$views', 1, '', $k)")) ==
+      rows(top))
   }
 
   test("maintainCooccurrence/maintainBigramLm housekeepEvery settles debt on cadence") {
