@@ -2204,6 +2204,10 @@ class IncrementalViewsSpec extends SparkSpec {
     val plan = top.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrdered"),
       s"prefixSuggest lost its TakeOrdered plan:\n$plan")
+    // SQL surface parity
+    assert(spark.sql(s"SELECT * FROM graft_prefix_suggest('$wfreq', 's', 2)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
     // the maintained spell index caught up through the wrapper too —
     // and its serve is the TakeOrdered shape as well
     val sp = IncrementalViews.spellSuggest(spark, idx, "sprk")
