@@ -1680,13 +1680,20 @@ object IncrementalViews {
       .filter(col("__cnt") > 0)
       .filter(col("__token").isin(terms: _*))
     if (maxTuplesPerDoc > 0) {
+      // the guard product is a BOUND, not an answer — compute it in
+      // DOUBLE: a degenerate doc (5 terms × tf≈7k each) overflows a
+      // LONG product past 2^63, which under ANSI mode throws a bare
+      // ARITHMETIC_OVERFLOW with no doc name and under ANSI-off would
+      // wrap negative and silently BYPASS the cap
       val worst = pos.groupBy(col("__doc"))
-        .agg(terms.map(t => sum(when(col("__token") === t, 1L)))
+        .agg(terms.map(t => sum(when(col("__token") === t, 1L))
+            .cast("double"))
           .reduce(_ * _).as("__tuples"))
         .orderBy(col("__tuples").desc_nulls_last).limit(1).collect()
       worst.headOption.filter(!_.isNullAt(1)).foreach(r =>
-        require(r.getLong(1) <= maxTuplesPerDoc,
-          s"proximitySearchAll doc ${r.get(0)} expands ${r.getLong(1)} " +
+        require(r.getDouble(1) <= maxTuplesPerDoc.toDouble,
+          s"proximitySearchAll doc ${r.get(0)} expands " +
+            f"${r.getDouble(1)}%.0f " +
             s"position tuples for ${terms.mkString("('", "','", "')")} " +
             s"(cap $maxTuplesPerDoc) — a degenerate repetitive doc; " +
             "filter it upstream (e.g. Text.repetition gates) or raise/" +
@@ -2452,14 +2459,43 @@ object IncrementalViews {
         extraStatsCols = Seq("__word"))
     }
 
+  /** Compact a key list into at most `maxRanges` sorted disjoint
+    * `[lo, hi]` ranges for manifest pruning: runs split at the
+    * `maxRanges − 1` boundaries where consecutive sorted keys share
+    * the SHORTEST common prefix — the widest lexical gaps a string
+    * proxy can see — so the merged ranges hug the keys that share
+    * structure and the admitted between-key slack stays small.
+    * Purely a pruning aid (a range can only ADMIT extra files);
+    * callers keep their exact `isin` residual on the scan. */
+  private[graft] def compactKeyRanges(keys: Seq[String],
+                                      maxRanges: Int)
+      : Seq[(String, String)] = {
+    require(maxRanges >= 1, s"maxRanges must be positive: $maxRanges")
+    val ks = keys.distinct.sorted
+    if (ks.size <= maxRanges) return ks.map(k => (k, k))
+    def cpl(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    val splits = (1 until ks.size)
+      .map(i => (cpl(ks(i - 1), ks(i)), i))
+      .sorted.take(maxRanges - 1).map(_._2).sorted
+    val cuts = (0 +: splits.toList) :+ ks.size
+    cuts.zip(cuts.tail).map { case (lo, hi) => (ks(lo), ks(hi - 1)) }
+  }
+
   /** Spelling suggestions from the maintained index ALONE: live
     * vocabulary words within `maxEdits` Levenshtein edits of `word`,
     * ranked by corpus frequency (ties by word), top-`k` as a
     * TakeOrdered heap. O(query) at any corpus size: the query's own
     * deletion neighborhood (driver metadata, ≤ ~2k keys) prunes the
     * key-clustered index to the files that can hold a matching key
-    * (point ranges + pushed-down isin — the doc-membership
-    * discipline), candidate words carry their CURRENT frequency on
+    * (≤64 prefix-compacted ranges via [[compactKeyRanges]] + a
+    * pushed-down isin — the doc-membership discipline with the
+    * manifest OR kept shallow), candidate words carry their CURRENT
+    * frequency on
     * the matched rows (no vocabulary join), and the exact
     * `levenshtein` post-filter restores precision over SymSpell's
     * complete-but-loose deletion-intersection candidates (the
@@ -2487,8 +2523,15 @@ object IncrementalViews {
         "would be silently missed; rebuild the index deeper or lower " +
         "maxEdits")
     val qKeys = delNeighborhood(word, me)
+    // a 64-char word at depth 2 has ~2k deletion keys — as point
+    // ranges that is a 2k-branch OR evaluated per manifest row; the
+    // sorted keys share long prefixes (they're all subsequences of
+    // one word), so merging runs at the shortest-common-prefix
+    // boundaries compacts them into ≤64 tight ranges with little
+    // admitted slack, and the exact isin residual below keeps the
+    // row-level answer identical
     Snapshots.readPrunedRanges(spark, indexDir, "",
-        qKeys.sorted.map(k => (k, k)))
+        compactKeyRanges(qKeys, 64))
       .filter(col("__cnt") > 0)
       .filter(col("__key").isin(qKeys: _*))
       .groupBy(col("__word"))
@@ -2504,10 +2547,14 @@ object IncrementalViews {
     * vocabulary words starting with `prefix`, ranked by corpus
     * frequency (ties by word), top-`k` as a TakeOrdered heap.
     * O(query) at any corpus size: the word-clustered view is
-    * manifest-pruned to the prefix's lexical range
-    * `[prefix, prefix + U+FFFF]` before the startswith residual —
-    * the query-box completion the [[spellSuggest]] index doesn't
-    * cover (a prefix is 0..many trailing edits, not ≤2 anywhere). */
+    * manifest-pruned to `[prefix, successor(prefix))` — the SUCCESSOR
+    * string (last non-max unit incremented, skipping the surrogate
+    * block) bounds every prefix-extension from above in both UTF-16
+    * and UTF-8 binary order, where a `prefix + U+FFFF` bound would
+    * silently prune supplementary-plane completions — before the
+    * startswith residual; the query-box completion the
+    * [[spellSuggest]] index doesn't cover (a prefix is 0..many
+    * trailing edits, not ≤2 anywhere). */
   def prefixSuggest(spark: SparkSession, wordFreqDir: String,
                     prefix: String, topK: Int = 10): DataFrame = {
     require(prefix.nonEmpty && prefix.length <= 64,
@@ -2525,7 +2572,17 @@ object IncrementalViews {
       var i = cs.length - 1
       while (i >= 0 && cs(i) == '\uffff') i -= 1
       if (i < 0 || Character.isSurrogate(cs(i))) None
-      else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+      else {
+        // incrementing U+D7FF lands on the LONE surrogate U+D800,
+        // which Java UTF-8-encodes as '?' (0x3F) — a bound sorting
+        // BELOW the prefix that would prune every file and return
+        // empty completions; skip to U+E000, the next real scalar
+        // (still > every extension: first differing byte ED vs EE)
+        val next = cs(i) + 1
+        val nc =
+          if (next >= 0xD800 && next <= 0xDFFF) '\ue000' else next.toChar
+        Some(new String(cs, 0, i) + nc)
+      }
     }
     succ.fold(Snapshots.read(spark, wordFreqDir))(hi =>
         Snapshots.readPrunedRanges(spark, wordFreqDir, "",
@@ -2666,8 +2723,8 @@ object IncrementalViews {
     * in a `_param_<name>` marker, later calls must match — silently
     * mixing e.g. co-occurrence windows in one view would corrupt the
     * counts without any structural signal. */
-  private def requireSameParam(spark: SparkSession, viewRoot: String,
-                               name: String, value: String): Unit =
+  private[graft] def requireSameParam(spark: SparkSession, viewRoot: String,
+                                      name: String, value: String): Unit =
     readParam(spark, viewRoot, name) match {
       case Some(prev) =>
         require(prev == value,
@@ -2677,7 +2734,7 @@ object IncrementalViews {
       case None =>
         val f = fs(spark, viewRoot)
         f.mkdirs(new Path(viewRoot))
-        // temp-write + rename INTO place: a crash can never leave a
+        // temp-write + EXCLUSIVE placement: a crash can never leave a
         // half-written marker (and an empty one reads as absent, so a
         // pre-atomic crash artifact self-heals instead of wedging every
         // later tick on a phantom "built with <name> = " mismatch); two
@@ -2689,8 +2746,29 @@ object IncrementalViews {
         val out = f.create(tmp, true)
         try out.write(value.getBytes("UTF-8")) finally out.close()
         val dst = new Path(viewRoot, s"_param_$name")
+        // HDFS rename refuses an existing destination, but POSIX
+        // rename(2) (RawLocalFileSystem) silently REPLACES it — two
+        // racing first ticks with DIFFERENT values would both see
+        // success and the mismatch guard would never fire. On file://
+        // placement is an atomic hard LINK (create-exclusive: exactly
+        // one racer's link lands, the loser reads the winner's value
+        // below); other schemes keep the refuse-if-exists rename.
+        def place(): Boolean = {
+          val scheme = f.getUri.getScheme
+          if (scheme == null || scheme == "file") {
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(dst.toUri.getPath),
+                java.nio.file.Paths.get(tmp.toUri.getPath))
+              f.delete(tmp, false)
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+          } else f.rename(tmp, dst)
+        }
         var attempts = 3
-        var placed = f.rename(tmp, dst)
+        var placed = place()
         while (!placed) {
           readParam(spark, viewRoot, name) match {
             case Some(winner) =>
@@ -2718,12 +2796,22 @@ object IncrementalViews {
               } catch {
                 case _: java.io.FileNotFoundException => ()
               }
-              placed = f.rename(tmp, dst)
+              placed = place()
           }
         }
+        // belt-and-suspenders for Hadoop connectors whose rename
+        // neither links nor refuses an existing destination: the
+        // marker must hold OUR value after placement, else this tick
+        // lost a race it could not see
+        val settled = readParam(spark, viewRoot, name)
+        require(settled.contains(value),
+          s"$viewRoot was built with $name = " +
+            s"${settled.getOrElse("<missing>")} but this tick passes " +
+            s"$name = $value — the views would silently mix semantics; " +
+            "use the original value or rebuild under a new root")
     }
 
-  private def readParam(spark: SparkSession, viewRoot: String,
+  private[graft] def readParam(spark: SparkSession, viewRoot: String,
                         name: String): Option[String] = {
     val f = fs(spark, viewRoot)
     val p = new Path(viewRoot, s"_param_$name")

@@ -1568,6 +1568,115 @@ class IncrementalViewsSpec extends SparkSpec {
       e.getMessage.contains("window = 3"))
   }
 
+  test("param markers: two racing first ticks with different values — exactly one wins") {
+    // POSIX rename silently replaces an existing file, so the old
+    // rename-based placement could let BOTH racers proceed with
+    // different pinned values; the hard-link placement is
+    // create-exclusive, so exactly one of each racing pair must
+    // succeed and the other must fail with the mismatch message
+    for (trial <- 1 to 6) {
+      val root = tmpDir()
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, String]]()
+      val threads = Seq("1", "2").map { v =>
+        new Thread(() => {
+          latch.await()
+          try {
+            IncrementalViews.requireSameParam(spark, root, "race", v)
+            results.add(Right(v))
+          } catch { case t: Throwable => results.add(Left(t)) }
+        })
+      }
+      threads.foreach(_.start())
+      latch.countDown()
+      threads.foreach(_.join(30000))
+      val (losers, winners) = {
+        import scala.jdk.CollectionConverters._
+        results.asScala.toSeq.partitionMap(identity)
+      }
+      assert(winners.size == 1,
+        s"trial $trial: expected exactly one winner, got winners=" +
+          s"$winners losers=${losers.map(_.getMessage)}")
+      assert(losers.size == 1 &&
+        losers.head.getMessage.contains("silently mix semantics"),
+        s"trial $trial: wrong loser error: ${losers.headOption}")
+      // the marker holds the winner's value and later same-value
+      // calls pass while the other value keeps failing
+      IncrementalViews.requireSameParam(spark, root, "race", winners.head)
+      intercept[IllegalArgumentException] {
+        IncrementalViews.requireSameParam(spark, root, "race",
+          if (winners.head == "1") "2" else "1")
+      }
+    }
+  }
+
+  test("proximitySearchAll guard computes its bound in double — a degenerate doc is NAMED, never ARITHMETIC_OVERFLOW") {
+    val s = spark; import s.implicits._
+    val (src, views) = (tmpDir(), tmpDir())
+    // 5 terms × tf 7000 each: the tuple bound 7000^5 ≈ 1.7e19 is past
+    // 2^63 — a LONG product overflows (ANSI throws a bare
+    // ARITHMETIC_OVERFLOW with no doc name; ANSI-off would wrap
+    // negative and silently BYPASS the cap); the double bound trips
+    // the named guard
+    val text = Seq.fill(7000)("t0 t1 t2 t3 t4").mkString(" ")
+    Snapshots.commit(Seq((9L, text)).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshPositionalIndex(spark, src, views,
+      "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.proximitySearchAll(spark, views,
+        Seq("t0", "t1", "t2", "t3", "t4"), 4)
+    }
+    assert(e.getMessage.contains("doc 9") &&
+      e.getMessage.contains("proximitySearchAll"),
+      s"wrong error: ${e.getMessage}")
+  }
+
+  test("prefixSuggest: a prefix ending in U+D7FF still finds its completions") {
+    val s = spark; import s.implicits._
+    val (src, wfreq) = (tmpDir(), tmpDir())
+    // incrementing U+D7FF lands on the lone surrogate U+D800, which
+    // UTF-8-encodes as '?' (0x3F) — an upper bound SORTING BELOW the
+    // prefix that pruned every file; the fixed successor skips to
+    // U+E000
+    val w = "a퟿x"
+    Snapshots.commit(Seq((1L, s"$w $w")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshWordFreq(spark, src, wfreq, "text")
+    val got = IncrementalViews.prefixSuggest(spark, wfreq, "a퟿")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq((w, 2L)), s"got $got")
+  }
+
+  test("compactKeyRanges: ≤ maxRanges sorted disjoint ranges covering every key") {
+    // a realistic worst case: the depth-2 deletion neighborhood of a
+    // 64-char word (~2k keys) compacts to exactly 64 ranges
+    val word = (('a' to 'z') ++ ('a' to 'z') ++ ('a' to 'l')).mkString
+    assert(word.length == 64)
+    def dels(ws: Seq[String]): Seq[String] =
+      ws.flatMap(w => w.indices.map(i =>
+        w.substring(0, i) + w.substring(i + 1)))
+    val keys = (Seq(word) ++ dels(Seq(word)) ++
+      dels(dels(Seq(word)))).distinct
+    assert(keys.size > 1000, s"expected >1000 keys, got ${keys.size}")
+    val ranges = IncrementalViews.compactKeyRanges(keys, 64)
+    assert(ranges.size == 64, s"got ${ranges.size} ranges")
+    // sorted, disjoint, non-empty
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"ranges overlap or unsorted: ($hi, $lo2)") }
+    // every key inside some range (a pruning bound must never drop
+    // a real key's file)
+    keys.foreach(k => assert(
+      ranges.exists { case (lo, hi) => lo <= k && k <= hi },
+      s"key $k not covered"))
+    // few keys stay point ranges
+    val few = Seq("b", "a", "c")
+    assert(IncrementalViews.compactKeyRanges(few, 64) ==
+      Seq(("a", "a"), ("b", "b"), ("c", "c")))
+  }
+
   test("readTfIdf names the rebuild fix first for a legacy pre-carried-dl index") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
