@@ -611,6 +611,28 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
         "embedding", nCells = 16, threshold = 0.35)),
 
+    // MAINTAINED SemDeDup: the same verdicts as q_semantic_dedup but
+    // folded through the stored index — init on the lower half (whose
+    // 16 smallest ids freeze the same sample centroids from-scratch
+    // derives over the full table), upsert the upper half, then
+    // delete two early docs so surviving neighbors are UN-VETOED in
+    // the same tick. Each tick is O(batch + affected cells).
+    "q_semantic_dedup_incr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_semdedup_incr").toString
+      val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      Similarity.semanticDedupInit(s, path, emb.filter(col("vec_id") <= mid),
+        "vec_id", "embedding", nCells = 16, threshold = 0.35)
+      Similarity.semanticDedupApply(s, path,
+        emb.filter(col("vec_id") > mid).withColumn("op", lit("u")),
+        "vec_id", "embedding")
+      Similarity.semanticDedupApply(s, path,
+        emb.filter(col("vec_id").isin(2L, 3L)).withColumn("op", lit("d")),
+        "vec_id", "embedding")
+      Similarity.semanticDedupRead(s, path, "vec_id")
+    }),
+
     // SEMANTIC benchmark contamination: corpus docs embedding-close to
     // a benchmark doc (the paraphrase leak q_contamination's n-grams
     // can't see) — benchmark-sampled centroids, both sides cell-
@@ -2909,6 +2931,35 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY c.vec_id
          |           ORDER BY ${sqlCos("c", "ct")} DESC, ct.cell_id) AS rk
          |  FROM embeddings c CROSS JOIN cent ct
+         |), ca AS (
+         |  SELECT id, embedding, cell_id FROM casgn WHERE rk = 1
+         |), d AS (
+         |  SELECT x.id AS id, count(*) AS n_dups
+         |  FROM ca x JOIN ca y ON x.cell_id = y.cell_id AND x.id > y.id
+         |  WHERE ${sqlCos("x", "y")} >= 0.35
+         |  GROUP BY x.id
+         |)
+         |SELECT ca.id AS vec_id, ca.cell_id,
+         |       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+         |       coalesce(d.n_dups, 0) = 0 AS kept
+         |FROM ca LEFT JOIN d ON ca.id = d.id""".stripMargin,
+
+    // The maintained twin: centroids stay the table's 16 smallest ids
+    // (the init batch held them, and they are FROZEN — deletions do
+    // not re-sample), the live set excludes the deleted ids, and the
+    // folded verdicts must equal keep-first over that live set.
+    "q_semantic_dedup_incr" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell_id, embedding FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), live AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id NOT IN (2, 3)
+         |), casgn AS (
+         |  SELECT c.vec_id AS id, c.embedding, ct.cell_id,
+         |         row_number() OVER (PARTITION BY c.vec_id
+         |           ORDER BY ${sqlCos("c", "ct")} DESC, ct.cell_id) AS rk
+         |  FROM live c CROSS JOIN cent ct
          |), ca AS (
          |  SELECT id, embedding, cell_id FROM casgn WHERE rk = 1
          |), d AS (

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
+import graft.sources.Snapshots
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2.3 #29-30).
@@ -564,15 +565,217 @@ object Similarity {
           s"Raise nCells toward sqrt(n) (got $nCells), pass iters > 0 so " +
           "k-means splits the dense region, or raise maxCellSize deliberately.")
     }
+    val withDups = cellDupCounts(a, threshold)
+    withDups.select(col("__id").as(idCol), col("__cell").as("cell_id"),
+      col("n_dups"), (col("n_dups") === 0L).as("kept"))
+  }
+
+  /** Smaller-id τ-neighbor counts WITHIN cells — the SemDeDup veto
+    * core shared by the batch operator and the maintained index.
+    * Input `(\_\_id, \_\_v, \_\_cell)` (null cell = unpairable);
+    * output adds `n_dups`. The pair join shuffles on the cell key
+    * and is quadratic PER CELL only — callers own the cell-size
+    * guard. */
+  private def cellDupCounts(a: DataFrame, threshold: Double): DataFrame = {
     val dups = a.as("x").join(a.as("y"),
         col("x.__cell") === col("y.__cell") && col("x.__id") > col("y.__id"))
       .filter(Vectors.cosine(col("x.__v"), col("y.__v")) >= threshold)
       .groupBy(col("x.__id"))
       .agg(count(lit(1L)).as("n_dups"))
     a.join(dups, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("__cell").as("cell_id"),
-        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-        (coalesce(col("n_dups"), lit(0L)) === 0L).as("kept"))
+      .withColumn("n_dups", coalesce(col("n_dups"), lit(0L)))
+  }
+
+  // ---- maintained SemDeDup index ------------------------------------
+
+  /** Stored cell id for docs with a NULL embedding: a real (non-null)
+    * sentinel so files holding them keep usable `__cell` stats —
+    * NULL-keyed merge pruning degrades to rewrite-everything. Mapped
+    * back to NULL on [[semanticDedupRead]]. */
+  private val NullCell = Long.MinValue
+
+  private def sdAssignDir(path: String) = s"$path/assign"
+
+  /** Initialize a MAINTAINED SemDeDup index at `path`: freeze the
+    * centroids (the [[ivfWriteIndex]] JSON convention), run the full
+    * in-cell keep-first dedup of [[semanticDedup]], and commit the
+    * assignment table `(\_\_id, \_\_cell, \_\_v, n_dups)` as a
+    * cell-clustered snapshot table. The centroids stay FROZEN across
+    * [[semanticDedupApply]] ticks — that is what makes each tick's
+    * cell assignment a zero-shuffle literal argmax and the fold
+    * order-independent (a doc's cell never depends on when it
+    * arrived); re-init when the embedding distribution drifts.
+    * `threshold` is pinned in a `_param` marker: a later tick passing
+    * a different τ would silently mix veto semantics, so it fails
+    * loudly instead ([[graft.sources.IncrementalViews]] discipline).
+    *
+    * Scale: one centroid pass (sample or k-means), one assignment
+    * projection, Σ|cell|² bounded pair work, one clustered commit.
+    * The table carries the vectors because later ticks veto new docs
+    * against STORED members without touching the corpus. */
+  def semanticDedupInit(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      threshold: Double,
+      iters: Int = 0,
+      maxCellSize: Long = 10000L): Long =
+    IndexMaintenance.withWriterLock(spark, path, "Similarity.semanticDedupInit") {
+      graft.sources.IncrementalViews.requireSameParam(spark, path,
+        "semdedup_threshold", threshold.toString)
+      val cents =
+        if (iters > 0) kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+        else sampleCentroids(emb, idCol, vecCol, nCells)
+      require(cents.forall(_._1 != NullCell),
+        s"centroid id $NullCell collides with the null-embedding sentinel")
+      import spark.implicits._
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+      val a = assignStored(emb, idCol, vecCol, cents)
+      // guard the ASSIGNMENT — guarding the scored frame would embed
+      // the quadratic pair join inside the measuring pass itself
+      guardCells(a, maxCellSize, nCells)
+      val scored = cellDupCounts(
+        a.withColumn("__cell", when(col("__cell") === NullCell, lit(null))
+          .otherwise(col("__cell"))), threshold)
+        .withColumn("__cell", coalesce(col("__cell"), lit(NullCell)))
+      Snapshots.commit(
+        scored.select(col("__id"), col("__cell"), col("__v"), col("n_dups"))
+          .repartitionByRange(col("__cell"))
+          .sortWithinPartitions(col("__cell"), col("__id")),
+        sdAssignDir(path), overwrite = true, statsCol = Some("__cell"))
+    }
+
+  /** Fold one change batch into a maintained SemDeDup index —
+    * O(batch + affected cells), never the corpus. Change rows carry
+    * `(idCol, vecCol, opCol)` with op `'u'` (insert/replace) or `'d'`
+    * (delete); delete rows must carry the doc's stored embedding (the
+    * CDC delete-image convention — assignment against the frozen
+    * centroids re-derives its cell with zero lookups), and an update
+    * that may MOVE a doc between cells ships the old image as a `'d'`
+    * row plus the new one as `'u'` so both cells recompute.
+    *
+    * Each tick: assign the batch against the frozen centroids
+    * (zero-shuffle literal argmax), collect the ≤ nCells affected
+    * cell ids (driver metadata, like IVF probe cells), read ONLY
+    * those cells' stored members (manifest point-range prune on the
+    * cell-clustered table), rebuild the affected cells' live
+    * membership, recompute their smaller-id τ-neighbor counts, and
+    * [[Snapshots.mergeCommit]] the relabeled rows + tombstones —
+    * file-granular copy-on-write pruned by the same cell key. Cells
+    * the batch never touches are carried by reference, so the result
+    * equals from-scratch [[semanticDedup]] over the final live corpus
+    * under the same frozen centroids (cells are independent: a doc's
+    * verdict depends only on its own cell's live members).
+    * A deletion that removes a veto flips the survivor back to
+    * `kept = true` in the same tick. */
+  def semanticDedupApply(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      changes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      opCol: String = "op",
+      maxCellSize: Long = 10000L): Long =
+    IndexMaintenance.withWriterLock(spark, path, "Similarity.semanticDedupApply") {
+      require(Snapshots.latestVersion(spark, sdAssignDir(path)).isDefined,
+        s"no SemDeDup index at $path — run semanticDedupInit first")
+      val threshold = graft.sources.IncrementalViews
+        .readParam(spark, path, "semdedup_threshold")
+        .getOrElse(sys.error(s"$path lacks the semdedup_threshold marker"))
+        .toDouble
+      val cents = ivfReadCentroids(spark, path)
+      val assigned = assignStored(
+          changes.select(col(idCol), col(vecCol), col(opCol).as("__op")),
+          idCol, vecCol, cents)
+        .persist()
+      try {
+        // one id must resolve to ONE final row: a duplicate 'u' id in
+        // the same batch would double the doc inside its cell and
+        // silently inflate every neighbor's n_dups
+        val dupU = assigned.filter(col("__op") === "u")
+          .groupBy(col("__id")).agg(count(lit(1L)).as("__c"))
+          .filter(col("__c") > 1L).limit(1).collect()
+        require(dupU.isEmpty,
+          s"semanticDedupApply batch carries id ${dupU.head.get(0)} in " +
+            "more than one 'u' row — collapse the batch to one final " +
+            "image per id (a cell move is one 'd' old image + one 'u')")
+        // affected cells are driver metadata: ≤ nCells + the null cell
+        val cells = assigned.select(col("__cell")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val stored = Snapshots.readPrunedRanges(spark, sdAssignDir(path),
+            "", cells.map(c => (c: Any, c: Any)))
+          .filter(col("__cell").isin(cells: _*))
+        val changedIds = assigned.select(col("__id")).distinct()
+        val live = stored.select(col("__id"), col("__cell"), col("__v"))
+          .join(changedIds, Seq("__id"), "left_anti")
+          .unionByName(assigned.filter(col("__op") === "u")
+            .select(col("__id"), col("__cell"), col("__v")))
+        guardCells(live, maxCellSize, cents.length)
+        val rescored = cellDupCounts(
+          live.withColumn("__cell",
+            when(col("__cell") === NullCell, lit(null)).otherwise(col("__cell"))),
+          threshold)
+          .withColumn("__cell", coalesce(col("__cell"), lit(NullCell)))
+        val merge = rescored
+          .select(col("__id"), col("__cell"), col("__v"), col("n_dups"),
+            lit("u").as("op"), lit(0L).as("seq"))
+          .unionByName(assigned.filter(col("__op") === "d")
+            .select(col("__id"), col("__cell"), col("__v"),
+              lit(0L).as("n_dups"), lit("d").as("op"), lit(-1L).as("seq")))
+        Snapshots.mergeCommit(spark, sdAssignDir(path), merge,
+          keyCols = Seq("__id"), pruneCol = Some("__cell"),
+          clusterBy = Some("__cell"))
+      } finally assigned.unpersist(blocking = false)
+    }
+
+  /** The maintained SemDeDup verdicts: same shape as
+    * [[semanticDedup]] — `(idCol, cell_id, n_dups, kept)`, null
+    * `cell_id` for null-embedding docs. */
+  def semanticDedupRead(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String = "id"): DataFrame =
+    Snapshots.read(spark, sdAssignDir(path))
+      .select(col("__id").as(idCol),
+        when(col("__cell") === NullCell, lit(null))
+          .otherwise(col("__cell")).as("cell_id"),
+        col("n_dups"), (col("n_dups") === 0L).as("kept"))
+
+  /** Frozen-centroid assignment in STORED form: null embeddings get
+    * the [[NullCell]] sentinel (never pair — sentinel is mapped back
+    * to null before the pair join). */
+  private def assignStored(df: DataFrame, idCol: String, vecCol: String,
+                           cents: Array[(Long, Array[Float])]): DataFrame =
+    df.withColumn("__id", col(idCol).cast("long"))
+      .withColumn("__v", col(vecCol))
+      .withColumn("__cell",
+        when(col("__v").isNotNull, bestCell(cents, col("__v")))
+          .otherwise(lit(NullCell)))
+      .drop(idCol, vecCol)
+
+  /** Hot-cell fail-fast over a stored-form assignment (sentinel rows
+    * are unpairable and exempt) — one cheap agg, the
+    * [[semanticDedup]] guard's wording. */
+  private def guardCells(a: DataFrame, maxCellSize: Long,
+                         nCells: Int): Unit = {
+    if (maxCellSize <= 0) return
+    val hot = a.filter(col("__cell").isNotNull &&
+        col("__cell") =!= NullCell)
+      .groupBy("__cell").agg(count(lit(1L)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__cell")).limit(1).collect()
+    hot.headOption.foreach { r =>
+      val (cell, cnt) = (r.getLong(0), r.getLong(1))
+      require(cnt <= maxCellSize,
+        s"semanticDedup pairs every two docs inside a cell — cell $cell holds " +
+          s"$cnt docs (> maxCellSize=$maxCellSize), ~${cnt * cnt / 2} pairs. " +
+          s"Raise nCells toward sqrt(n) (got $nCells), pass iters > 0 so " +
+          "k-means splits the dense region, or raise maxCellSize deliberately.")
+    }
   }
 
   /** SEMANTIC cross-corpus contamination: find corpus docs whose
