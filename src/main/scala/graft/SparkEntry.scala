@@ -870,6 +870,12 @@ object SparkEntry {
     "q_span_dedup" -> ((s, dir) =>
       Corpus.spanDedup(Tables.documents(s, dir), "doc_id", "text", k = 10)),
 
+    // The REMOVAL step spanDedup only profiles: keep the first
+    // (doc, pos) occurrence of every duplicated 10-token span, cut
+    // the rest, emit the cleaned corpus.
+    "q_span_excise" -> ((s, dir) =>
+      Corpus.spanExcise(Tables.documents(s, dir), "doc_id", "text", k = 10)),
+
     // k=64 ≥ the 31-word vocab → the Misra-Gries sketch provably
     // never evicts, so its counts are exact and oracle-able; the
     // k < distinct regime is spec-bounded instead
@@ -3292,6 +3298,54 @@ object SparkEntry {
                 "CAST(p.dup_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE)")}
          |       END AS dup_ratio
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
+
+    // Replays spanExcise's keep-first rule over gram STRINGS: the
+    // first (doc, pos) occurrence of each duplicated 10-token span
+    // survives, every other occurrence's token window is cut, cut
+    // windows union per doc, and only docs a cut touches reassemble.
+    "q_span_excise" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        |), spans AS (
+        |  SELECT doc_id, s, unnest(
+        |           CASE WHEN len(s) < 10 THEN []::BIGINT[]
+        |                ELSE range(1, len(s) - 8) END) AS p
+        |  FROM toks
+        |), occ AS (
+        |  SELECT doc_id, p, array_to_string(s[p:p+9], ' ') AS gram
+        |  FROM spans
+        |), r AS (
+        |  SELECT doc_id, p,
+        |         row_number() OVER (PARTITION BY gram
+        |                            ORDER BY doc_id, p) AS rn
+        |  FROM occ
+        |), removed AS (
+        |  SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS t
+        |  FROM r WHERE rn > 1
+        |), tok AS (
+        |  SELECT doc_id, unnest(range(1, len(s) + 1)) AS t, s
+        |  FROM toks
+        |), kept AS (
+        |  SELECT k.doc_id,
+        |         CAST(count(*) AS BIGINT) AS kept_n,
+        |         string_agg(k.s[k.t], ' ' ORDER BY k.t) AS ct
+        |  FROM tok k LEFT JOIN removed rm
+        |    ON k.doc_id = rm.doc_id AND k.t = rm.t
+        |  WHERE rm.doc_id IS NULL
+        |  GROUP BY k.doc_id
+        |), touched AS (
+        |  SELECT DISTINCT doc_id FROM removed
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(CASE WHEN tc.doc_id IS NULL THEN 0
+        |            ELSE len(string_split(d.text, ' ')) - coalesce(k.kept_n, 0)
+        |            END AS BIGINT) AS n_removed,
+        |       CASE WHEN tc.doc_id IS NULL THEN d.text
+        |            ELSE coalesce(k.ct, '') END AS clean_text
+        |FROM documents d
+        |LEFT JOIN touched tc USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     // Window sum over BIGINT is HUGEINT in DuckDB — cast back.
     "q_token_pack" ->

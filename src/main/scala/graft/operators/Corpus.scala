@@ -200,6 +200,77 @@ object Corpus {
           col("dup_spans").cast("double") / col("n_spans").cast("double"), 4)))
   }
 
+  /** Duplicated-span REMOVAL — the excision step [[spanDedup]] only
+    * profiles (Lee et al. 2021's deduplicate-train-data remedy, at
+    * k-token granularity): for every k-token span occurring at more
+    * than one (doc, position) corpus-wide, the FIRST occurrence —
+    * smallest (doc, position) — is kept and every other occurrence's
+    * k tokens are cut; the cleaned text is the surviving tokens in
+    * original order. Removal is token-granular: overlapping cut
+    * windows union, and a cut window overlapping a kept one still
+    * removes the shared tokens (deterministic either-engine
+    * semantics, same rule the oracle replays). Emits
+    * `(idCol, n_tokens, n_removed, clean_text)`; docs shorter than
+    * `k` tokens and docs with no duplicated span pass through
+    * untouched.
+    *
+    * Scale: spans travel as xxhash64 longs; the first occurrence is
+    * a map-side-combinable `min(struct(doc, pos))` per span — never a
+    * corpus-wide window; cut positions expand to at most k·|cuts|
+    * (doc, token) rows, linear in the duplicated volume; and only
+    * docs that actually lose a token take the re-tokenize + reassembly
+    * path — the untouched corpus is a semi-join passthrough that
+    * never shuffles its text. */
+  def spanExcise(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 10): DataFrame = {
+    val occ = df
+      .withColumn("__s", Text.tokens(col(textCol)))
+      .select(col(idCol), posexplode(Text.ngramsFromTokens(col("__s"), k)))
+      .select(col(idCol), col("pos").cast("long").as("__p"),
+        xxhash64(col("col")).as("span_h"))
+    val dupFirsts = occ.groupBy(col("span_h"))
+      .agg(count(lit(1L)).as("__n"),
+        min(struct(col(idCol), col("__p"))).as("__f"))
+      .filter(col("__n") > 1)
+      .select(col("span_h"), col("__f"))
+    val cuts = occ.join(dupFirsts, "span_h")
+      .filter(col(idCol) =!= col("__f").getField(idCol) ||
+        col("__p") =!= col("__f").getField("__p"))
+      .select(col(idCol), col("__p"))
+    val removed = cuts
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + lit(k - 1))).as("__t"))
+      .distinct()
+    val touchedIds = removed.select(col(idCol)).distinct()
+    val touched = df.join(touchedIds, Seq(idCol), "left_semi")
+      .withColumn("__s", Text.tokens(col(textCol)))
+      .select(col(idCol), posexplode(col("__s")))
+      .select(col(idCol), col("pos").cast("long").as("__t"),
+        col("col").as("__tok"))
+    val cleaned = touched.join(removed, Seq(idCol, "__t"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1L)).as("__kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__t"), col("__tok")))),
+          x => x.getField("__tok"))).as("clean_text"))
+    val nTok = df.withColumn("__s", Text.tokens(col(textCol)))
+      .select(col(idCol), size(col("__s")).cast("long").as("n_tokens"),
+        col(textCol))
+    // a doc whose EVERY token was cut aggregates to zero rows, same
+    // as a doc no cut touched — the explicit membership flag is what
+    // tells "fully excised" (empty text) from "untouched" (original)
+    nTok.join(touchedIds.withColumn("__touched", lit(true)),
+        Seq(idCol), "left")
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        when(col("__touched").isNotNull,
+          col("n_tokens") - coalesce(col("__kept"), lit(0L)))
+          .otherwise(lit(0L)).as("n_removed"),
+        when(col("__touched").isNotNull,
+          coalesce(col("clean_text"), lit("")))
+          .otherwise(col(textCol)).as("clean_text"))
+  }
+
   /** Fixed-token-window document chunking with overlap — context-
     * window preparation for training/embedding. Chunk starts are
     * multiples of `chunkTokens - overlap`, the last chunk may be

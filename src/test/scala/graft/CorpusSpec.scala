@@ -68,6 +68,26 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
 
+  test("spanExcise keeps the first (doc,pos) occurrence corpus-wide and cuts every other") {
+    val df = Seq(
+      (1L, "a b c d e f"),         // holds the FIRST "a b c" — untouched
+      (2L, "x y a b c q"),         // its "a b c" (pos 2) is cut
+      (3L, "a b c d e f"),         // exact copy: every span cut → empty
+      (4L, "a b"),                 // < k tokens: zero spans, untouched
+      (5L, "p q r s p q r s")      // intra-doc repeat: tail cut, head kept
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanExcise(df, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === ((6L, 0L, "a b c d e f")))
+    assert(out(2L) === ((6L, 3L, "x y q")))
+    assert(out(3L) === ((6L, 6L, ""))) // fully excised ≠ untouched
+    assert(out(4L) === ((2L, 0L, "a b")))
+    // doc 5: cuts at pos 4 (p q r) and pos 5 (q r s) union to tokens
+    // 4-7 — the kept head survives, overlap semantics are the union
+    assert(out(5L) === ((8L, 4L, "p q r s")))
+  }
+
   test("packSequences default shards = cluster parallelism, window stage partitioned by shard") {
     val packed = Corpus.packSequences(docs, "doc_id", "text", 500)
     val para = spark.sparkContext.defaultParallelism
