@@ -713,16 +713,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_search",
-      "graft_search(viewRoot, termsCsv, k[, snippetK[, idCol[, phraseCsv]]]) - the search-result page from the maintained index: BM25 top-k (rank by score desc, id asc) + one first-occurrence KWIC snippet per hit, every leg pruned, as (idCol, rank, bm25, center_pos, snippet); phraseCsv restricts the page to docs containing that EXACT phrase (the quoted-query shape); needs a positional=true index (see IncrementalViews.search)") {
+      "graft_search(viewRoot, termsCsv, k[, snippetK[, idCol[, phraseCsv[, spellIndexDir]]]]) - the search-result page from the maintained index: BM25 top-k (rank by score desc, id asc) + one first-occurrence KWIC snippet per hit, every leg pruned, as (idCol, rank, bm25, center_pos, snippet); phraseCsv restricts the page to docs containing that EXACT phrase (the quoted-query shape; '' = none); spellIndexDir turns on did-you-mean — zero-posting terms are replaced by their top spelling suggestion and the page adds a corrected_terms audit column; needs a positional=true index (see IncrementalViews.search)") {
       (s, a) =>
-        require(a.length >= 3 && a.length <= 6,
-          "graft_search takes (viewRoot, termsCsv, k[, snippetK[, idCol[, phraseCsv]]])")
+        require(a.length >= 3 && a.length <= 7,
+          "graft_search takes (viewRoot, termsCsv, k[, snippetK[, idCol[, phraseCsv[, spellIndexDir]]]])")
         sources.IncrementalViews.search(s, litStr(a(0), "viewRoot"),
           csvArg(a(1), "termsCsv"), litInt(a(2), "k"),
           snippetK = if (a.length >= 4) litInt(a(3), "snippetK") else 3,
           idCol = if (a.length >= 5) litStr(a(4), "idCol") else "doc_id",
-          phrase = if (a.length == 6) Some(csvArg(a(5), "phraseCsv"))
-                   else None)
+          // '' means "no phrase" so SQL callers can reach the later args
+          phrase = if (a.length >= 6 && litStr(a(5), "phraseCsv").nonEmpty)
+                     Some(csvArg(a(5), "phraseCsv"))
+                   else None,
+          spellIndex = if (a.length == 7) Some(litStr(a(6), "spellIndexDir"))
+                       else None)
     }
 
     tvf("graft_proximity_search",

@@ -1919,24 +1919,63 @@ object IncrementalViews {
     * pruned read of just the phrase terms' postings) semi-joins the
     * BM25 rank before the top-k heap, so the restriction is
     * distributed and the result stays a TakeOrdered plan; ranking
-    * arithmetic, snippet choice, and output shape are unchanged. */
+    * arithmetic, snippet choice, and output shape are unchanged.
+    *
+    * `spellIndex = Some(dir)` is "did you mean": each query term with
+    * ZERO live postings (one pruned probe of just those terms'
+    * posting files) is replaced by its top [[spellSuggest]]
+    * suggestion before ranking, and the page carries a constant
+    * `corrected_terms` audit column (`"orig->new"` per corrected
+    * term, empty when nothing changed). The quoted phrase is never
+    * corrected — quotes mean exactly this. Opt-in only: without it
+    * the serve keeps its exact terms and output shape. */
   def search(spark: SparkSession, viewRoot: String,
              queryTerms: Seq[String], k: Int, snippetK: Int = 3,
              idCol: String = "doc_id",
              k1: Double = 1.2, b: Double = 0.75,
-             phrase: Option[Seq[String]] = None): DataFrame = {
+             phrase: Option[Seq[String]] = None,
+             spellIndex: Option[String] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(snippetK >= 0, "snippetK must be non-negative")
     require(Snapshots.latestVersion(spark, s"$viewRoot/posd").isDefined,
       s"$viewRoot/posd is missing — search needs a positional = true " +
         "index (snippets come from the doc-major positional twin)")
+    // "did you mean": with a spell index attached, any query term
+    // with ZERO live postings (one pruned probe of just those terms'
+    // posting files — the term either opens its file or it doesn't)
+    // is replaced by its top suggestion before ranking, and the page
+    // carries the `corrected_terms` audit. Opt-in: the plain serve
+    // keeps its exact terms and its exact output shape. The quoted
+    // phrase, when present, is deliberately NOT corrected — quotes
+    // mean "exactly this".
+    val (terms, audit) = spellIndex match {
+      case None => (queryTerms, None)
+      case Some(sd) =>
+        val distinctQ = queryTerms.distinct
+        val present = Snapshots.readPrunedRanges(spark,
+            s"$viewRoot/post", "", distinctQ.map(t => (t, t)))
+          .filter(col("__cnt") > 0)
+          .filter(col("__token").isin(distinctQ: _*))
+          .select(col("__token")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val repl = distinctQ.filterNot(present).flatMap { t =>
+          spellSuggest(spark, sd, t, topK = 1).collect().headOption
+            .map(r => t -> r.getString(0)).filter { case (o, n) => o != n }
+        }.toMap
+        (queryTerms.map(t => repl.getOrElse(t, t)),
+          Some(distinctQ.collect {
+            case t if repl.contains(t) => s"$t->${repl(t)}"
+          }.mkString(" ")))
+    }
+    def withAudit(df: DataFrame): DataFrame =
+      audit.fold(df)(a => df.withColumn("corrected_terms", lit(a)))
     val top = phrase match {
-      case None => readBm25(spark, viewRoot, queryTerms, idCol, k1, b,
+      case None => readBm25(spark, viewRoot, terms, idCol, k1, b,
         topK = Some(k))
       case Some(p) =>
         val containing = phraseSearch(spark, viewRoot, p, idCol)
           .select(col(idCol))
-        readBm25(spark, viewRoot, queryTerms, idCol, k1, b)
+        readBm25(spark, viewRoot, terms, idCol, k1, b)
           .join(containing, Seq(idCol), "left_semi")
           .orderBy(col("bm25").desc, col(idCol).asc).limit(k)
     }
@@ -1945,8 +1984,8 @@ object IncrementalViews {
     val hits = top.collect()
     val idType = top.schema(idCol).dataType
     if (hits.isEmpty)
-      return top.limit(0).select(col(idCol), lit(0L).as("rank"),
-        col("bm25"), lit(0L).as("center_pos"), concat_ws(" ").as("snippet"))
+      return withAudit(top.limit(0).select(col(idCol), lit(0L).as("rank"),
+        col("bm25"), lit(0L).as("center_pos"), concat_ws(" ").as("snippet")))
     val scores = spark.createDataFrame(
       java.util.Arrays.asList(hits.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(r.get(0), (i + 1).toLong, r.getDouble(1))
@@ -1959,9 +1998,9 @@ object IncrementalViews {
           org.apache.spark.sql.types.DoubleType, nullable = false))))
     val ids = hits.map(_.get(0))
     val occ = Snapshots.readPrunedRanges(spark, s"$viewRoot/pos", "",
-        queryTerms.map(t => (t, t)))
+        terms.map(t => (t, t)))
       .filter(col("__cnt") > 0)
-      .filter(col("__token").isin(queryTerms: _*) &&
+      .filter(col("__token").isin(terms: _*) &&
         col("__doc").isin(ids: _*))
       .groupBy(col("__doc"))
       .agg(min(assertUniqueDoc(viewRoot, col("__pos"))).as("__center"))
@@ -1981,9 +2020,9 @@ object IncrementalViews {
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("__pos"), col("__token")))),
         x => x.getField("__token"))).as("snippet"))
-    broadcast(scores).join(snip, Seq("__doc"))
+    withAudit(broadcast(scores).join(snip, Seq("__doc"))
       .select(col("__doc").as(idCol), col("rank"), col("bm25"),
-        col("__center").cast("long").as("center_pos"), col("snippet"))
+        col("__center").cast("long").as("center_pos"), col("snippet")))
   }
 
   /** Per-row guard folded into the position expression (free in the

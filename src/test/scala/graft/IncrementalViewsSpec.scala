@@ -1884,6 +1884,57 @@ class IncrementalViewsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("did-you-mean: zero-posting terms are corrected from the spell index, with audit") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views, wfreq, spell) = (tmpDir(), tmpDir(), tmpDir(), tmpDir())
+    Snapshots.commit(Seq(
+      (1L, "spark joins data frames quickly"),
+      (2L, "spark streams process events"),
+      (3L, "pandas frames lag behind")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text",
+      positional = true)
+    IncrementalViews.refreshWordFreq(spark, src, wfreq, "text")
+    IncrementalViews.refreshSpellIndex(spark, wfreq, spell, maxEdits = 2)
+    // "spakr" has zero postings; its top suggestion is "spark"
+    val page = IncrementalViews.search(spark, views, Seq("spakr"), k = 5,
+      spellIndex = Some(spell))
+    assert(page.columns.contains("corrected_terms"))
+    val rows = page.collect().sortBy(_.getLong(1))
+    val plain = IncrementalViews.search(spark, views, Seq("spark"), k = 5)
+      .collect().sortBy(_.getLong(1))
+    assert(rows.map(_.toSeq.init).toSeq == plain.map(_.toSeq).toSeq,
+      "corrected page must equal the page for the corrected term")
+    assert(rows.nonEmpty && rows.forall(_.getString(5) == "spakr->spark"))
+    // a PRESENT term is never second-guessed, and its audit is empty
+    val kept = IncrementalViews.search(spark, views, Seq("pandas"), k = 5,
+      spellIndex = Some(spell)).collect()
+    assert(kept.nonEmpty && kept.forall(_.getString(5) == ""))
+    // a missing term with NO in-range suggestion stays missing: empty
+    // page, but still the audited shape
+    val hopeless = IncrementalViews.search(spark, views,
+      Seq("zzzzzzzzzzzz"), k = 5, spellIndex = Some(spell))
+    assert(hopeless.columns.contains("corrected_terms") &&
+      hopeless.collect().isEmpty)
+    // without a spell index the serve keeps its exact original shape
+    assert(!IncrementalViews.search(spark, views, Seq("spakr"), k = 5)
+      .columns.contains("corrected_terms"))
+    // the quoted phrase is NOT corrected — quotes mean exactly this —
+    // but the ranking terms still are
+    val quoted = IncrementalViews.search(spark, views, Seq("spakr"), k = 5,
+      phrase = Some(Seq("process", "events")), spellIndex = Some(spell))
+      .collect()
+    assert(quoted.map(_.getLong(0)).toSeq == Seq(2L) &&
+      quoted.head.getString(5) == "spakr->spark")
+    // SQL surface: the 7-arg TVF form ('' = no phrase) reaches the
+    // same corrected page
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_search('$views', 'spakr', 5, 3, 'doc_id', " +
+        s"'', '$spell')").collect().sortBy(_.getLong(1))
+    assert(viaSql.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("maintained co-occurrence/PMI == batch across churn; pruned per-token serve; pinned window") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
