@@ -269,6 +269,7 @@ object Similarity {
     if (f.exists(root))
       f.listStatus(root).map(_.getPath)
         .filter(p => p.getName.startsWith("cells-g") ||
+          p.getName.startsWith("centroids-g") ||
           p.getName == "tombstones" || p.getName == "_graft_ivf_meta.json")
         .foreach(f.delete(_, true))
     IndexMaintenance.clearState(spark, path) // ledgers + a stale lock
@@ -320,19 +321,176 @@ object Similarity {
     }
 
   /** Reclaim directories and tombstone files retired by past
-    * [[ivfCompact]] runs — call once queries that started before the
-    * generation flip have drained. Idempotent. */
+    * [[ivfCompact]] / [[ivfRecluster]] runs — call once queries that
+    * started before the generation flip have drained. Idempotent. */
   def ivfVacuum(spark: org.apache.spark.sql.SparkSession, path: String): Int =
     IndexMaintenance.vacuum(spark, path)
 
+  /** Re-learn the stored index's centroids from the LIVE corpus and
+    * rewrite as the next storage generation — the drift remedy
+    * [[ivfAppend]]'s scaladoc promises ("re-run kmeansCentroids +
+    * ivfWriteIndex when drift warrants it") without its
+    * rebuild-in-place downtime: new k-means centroids over `corpus`,
+    * full reassignment into `cells-g<gen+1>` PLUS `centroids-g<gen+1>`,
+    * then the meta flip — publish-then-point exactly like
+    * [[ivfCompact]], so in-flight readers keep their (old centroids,
+    * old cells) pair until [[ivfVacuum]] and every new reader resolves
+    * the generation ONCE for both. Tombstones are implicitly applied
+    * (the rewrite reads the live corpus, not the old cells) and
+    * retired with the old generation. Pair with [[ivfDrift]] to
+    * decide WHEN: recall decays as the frozen centroids drift from
+    * the live distribution, and reclustering restores it. */
+  def ivfRecluster(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCells: Int,
+      iters: Int = 3): Unit =
+    IndexMaintenance.withWriterLock(spark, path, "Similarity.ivfRecluster") {
+      val gen = ivfGen(spark, path)
+      val f = ivfFs(spark, path)
+      val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      val tombFiles =
+        if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath).toSeq
+        else Nil
+      val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+      corpus
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+        .withColumn("cell", bestCell(cents, col("vec")))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(ivfCellsPath(path, gen + 1))
+      import spark.implicits._
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .json(s"$path/centroids-g${gen + 1}")
+      writeIvfGen(spark, path, gen + 1) // the flip
+      val oldCents =
+        if (gen == 0) Nil else Seq(s"$path/centroids-g$gen")
+      IndexMaintenance.recordRetired(spark, path, s"recluster-g$gen",
+        (ivfCellsPath(path, gen) +: oldCents) ++ tombFiles.map(_.toString))
+    }
+
+  /** Record the maintained embedding moments' current (n, mean,
+    * variance trace) as the index's distribution BASELINE — call
+    * right after a build or [[ivfRecluster]]. One tiny JSON; the
+    * moments view itself stays the single source of truth for the
+    * live distribution. */
+  def ivfRecordBaseline(spark: org.apache.spark.sql.SparkSession,
+                        path: String, momentsDir: String): Unit = {
+    val (n, mean, varTrace) = momentsSummary(spark, momentsDir)
+    val out = ivfFs(spark, path).create(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_ivf_baseline.json"), true)
+    try out.write(
+      (s"""{"n":$n,"var_trace":$varTrace,""" +
+        s""""mean":[${mean.mkString(",")}]}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** DRIFT PROBE: how far the live embedding distribution (the
+    * maintained moments view — O(d²) driver metadata, zero corpus
+    * I/O) has moved from the distribution the index's centroids were
+    * learned on ([[ivfRecordBaseline]]). Emits one row
+    * `(n_baseline, n_live, mean_shift, var_ratio, drifted)`:
+    * `mean_shift` = ‖μ_live − μ₀‖ / max(‖μ₀‖, 1e-12) and `var_ratio`
+    * = trace(live)/trace(baseline); `drifted` when either leaves
+    * [1/(1+tol), 1+tol]-style bands (`mean_shift > tol` or
+    * `var_ratio` outside). A fresh cluster of embeddings moves BOTH
+    * — the spec plants one and watches recall decay then recover
+    * across [[ivfRecluster]]. */
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession,
+               path: String, momentsDir: String,
+               tol: Double = 0.10): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ivf_baseline.json")
+    val f = ivfFs(spark, path)
+    require(f.exists(p),
+      s"$path has no drift baseline — call ivfRecordBaseline after " +
+        "building or reclustering the index")
+    // parsed by hand like ivfGen's meta: Spark's json reader skips
+    // underscore-prefixed files as hidden
+    val in = f.open(p)
+    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def field(name: String) =
+      s""""$name":([^,}\\]]+)""".r.findFirstMatchIn(raw).map(_.group(1))
+        .getOrElse(sys.error(s"corrupt drift baseline at $p: $raw"))
+    val n0 = field("n").toLong
+    val t0 = field("var_trace").toDouble
+    val m0 = s""""mean":\\[([^\\]]*)\\]""".r.findFirstMatchIn(raw)
+      .map(_.group(1)).getOrElse(sys.error(s"corrupt drift baseline at $p"))
+      .split(",").map(_.trim.toDouble)
+    val (n, mean, varTrace) = momentsSummary(spark, momentsDir)
+    require(mean.length == m0.length,
+      s"baseline dim ${m0.length} != live moments dim ${mean.length}")
+    val shift = math.sqrt(
+      mean.zip(m0).map { case (a, b) => (a - b) * (a - b) }.sum) /
+      math.max(math.sqrt(m0.map(x => x * x).sum), 1e-12)
+    val ratio = varTrace / math.max(t0, 1e-12)
+    val drifted = shift > tol || ratio > 1 + tol || ratio < 1 / (1 + tol)
+    import spark.implicits._
+    Seq((n0, n, shift, ratio, drifted))
+      .toDF("n_baseline", "n_live", "mean_shift", "var_ratio", "drifted")
+  }
+
+  /** (n, mean, variance trace) from a maintained moments view
+    * ([[graft.sources.IncrementalViews.refreshEmbeddingMoments]]):
+    * first moments ride `j = -1` rows, the diagonal second moments
+    * give the trace — O(d²) rows collected, all driver metadata. */
+  private def momentsSummary(spark: org.apache.spark.sql.SparkSession,
+                             momentsDir: String)
+      : (Long, Array[Double], Double) = {
+    val rows = Snapshots.read(spark, momentsDir)
+      .filter(col("__cnt") > 0 && (col("__j") === -1 ||
+        col("__j") === col("__i")))
+      .select(col("__i"), col("__j"), col("sum___m"), col("__cnt"))
+      .collect()
+    require(rows.nonEmpty,
+      s"$momentsDir holds no moments — run refreshEmbeddingMoments first")
+    val n = rows.head.getLong(3)
+    require(rows.forall(_.getLong(3) == n),
+      s"$momentsDir moment cells disagree on the row count — the view " +
+        "is mid-maintenance or was built with a different dim")
+    require(n > 1, s"drift probe needs >= 2 valid rows, got $n")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val sums = new Array[Double](dim)
+    val diag = new Array[Double](dim)
+    rows.foreach { r =>
+      val v = r.getDecimal(2).doubleValue()
+      if (r.getInt(1) < 0) sums(r.getInt(0)) = v else diag(r.getInt(0)) = v
+    }
+    val mean = sums.map(_ / n)
+    val trace = (0 until dim).map(i =>
+      (diag(i) - sums(i) * sums(i) / n) / (n - 1)).sum
+    (n, mean, trace)
+  }
+
   def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): Array[(Long, Array[Float])] =
-    spark.read.json(s"$path/centroids")
+    ivfReadCentroidsAt(spark, path, ivfGen(spark, path))
+
+  /** Centroids as of storage generation `gen`: [[ivfRecluster]]
+    * writes `centroids-g<n>` next to its cells generation, while
+    * [[ivfCompact]] bumps the generation WITHOUT moving centroids —
+    * so the right file is the newest one at or below `gen` (walk
+    * down to the build-time `centroids`). Callers that touch both
+    * centroids and cells resolve `gen` ONCE and read both at it, so
+    * a concurrent recluster flip can never pair new centroids with
+    * old cells. */
+  private[graft] def ivfReadCentroidsAt(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, gen: Int): Array[(Long, Array[Float])] = {
+    val f = ivfFs(spark, path)
+    val at = (gen to 1 by -1).map(g => s"$path/centroids-g$g")
+      .find(p => f.exists(new org.apache.hadoop.fs.Path(p)))
+      .getOrElse(s"$path/centroids")
+    spark.read.json(at)
       .select(col("cell_id").cast("long"),
         col("centroid").cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+  }
 
   /** Incrementally add vectors to a stored IVF index: assign against
     * the STORED centroids and append into the hit cell partitions —
@@ -350,12 +508,15 @@ object Similarity {
     // single-writer lock: an append racing [[ivfCompact]] would land
     // in the generation the compaction is about to retire
     IndexMaintenance.withWriterLock(spark, path, "Similarity.ivfAppend") {
-      val centroids = ivfReadCentroids(spark, path)
+      // one gen resolution for BOTH reads: centroids and the cell
+      // directory must belong to the same generation
+      val gen = ivfGen(spark, path)
+      val centroids = ivfReadCentroidsAt(spark, path, gen)
       batch
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
         .withColumn("cell", bestCell(centroids, col("vec")))
         .write.partitionBy("cell").mode("append")
-        .parquet(ivfCellsPath(path, ivfGen(spark, path)))
+        .parquet(ivfCellsPath(path, gen))
     }
 
   /** Logically delete vectors from a stored IVF index (the
@@ -393,14 +554,18 @@ object Similarity {
       k: Int,
       path: String,
       nProbe: Int = 4): DataFrame = {
-    val centroids = ivfReadCentroids(spark, path)
+    // one gen resolution pairs this query's centroids with its cells
+    // even if a recluster flips the pointer mid-plan (the retired
+    // generation outlives in-flight readers until ivfVacuum)
+    val gen = ivfGen(spark, path)
+    val centroids = ivfReadCentroidsAt(spark, path, gen)
     val qProbes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("cell", explode(probeCells(centroids, col("__qv"), nProbe)))
     val probedCells = qProbes.select("cell").distinct()
       .collect().map(_.getLong(0))
     val cAssigned = ivfLive(spark, path,
-      spark.read.parquet(ivfCellsPath(path, ivfGen(spark, path)))
+      spark.read.parquet(ivfCellsPath(path, gen))
         .filter(col("cell").isin(probedCells: _*)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")

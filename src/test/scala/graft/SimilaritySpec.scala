@@ -316,4 +316,82 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxCellPairs=10"), e.getMessage)
   }
+
+  test("centroid drift: probe flags a planted cluster, recall decays, recluster restores it") {
+    import graft.sources.{IncrementalViews, Snapshots}
+    import org.apache.spark.sql.functions._
+    val dim = 8
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_ivf_src").toString
+    val mom = java.nio.file.Files.createTempDirectory("graft_ivf_mom").toString
+    val rnd = new java.util.Random(11)
+    def jit(base: Array[Float], amt: Float) =
+      base.map(x => x + amt * rnd.nextGaussian().toFloat)
+    def oneHot(d: Int) = Array.tabulate(dim)(i => if (i == d) 1f else 0f)
+    // corpus A: 4 tight orthogonal clusters; ids 1..4 are the pure
+    // directions (k-means init anchors), members ride 100+
+    val a = Seq.tabulate(4)(d => (d + 1).toLong -> oneHot(d)) ++
+      (for (d <- 0 until 4; j <- 0 until 10)
+        yield (100L + d * 20 + j) -> jit(oneHot(d), 0.02f))
+    val aDf = spark.createDataFrame(a).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(aDf, "vec_id", "embedding",
+      Similarity.kmeansCentroids(aDf, "vec_id", "embedding", 4, 2), idx)
+    Snapshots.commit(aDf, src, statsCol = Some("vec_id"))
+    IncrementalViews.refreshEmbeddingMoments(spark, src, mom, "embedding", dim)
+    Similarity.ivfRecordBaseline(spark, idx, mom)
+    val calm = Similarity.ivfDrift(spark, idx, mom).collect().head
+    assert(!calm.getBoolean(4), s"fresh baseline must not read as drift: $calm")
+
+    // planted drift: a NEW tight cluster on the e0/e1 diagonal —
+    // appended members tie ~0.707 to both old centroids, so jitter
+    // scatters near-identical vectors across TWO cells; id 5 makes it
+    // the fifth k-means anchor at recluster time
+    val g = Array.tabulate(dim)(i =>
+      if (i <= 1) (1.0 / math.sqrt(2)).toFloat else 0f)
+    val b = (5L -> g) +: Seq.tabulate(19)(j => (6L + j) -> jit(g, 0.03f))
+    val bDf = spark.createDataFrame(b).toDF("vec_id", "embedding")
+    Similarity.ivfAppend(spark, bDf, "vec_id", "embedding", idx)
+    Snapshots.commit(bDf, src, statsCol = Some("vec_id"))
+    IncrementalViews.refreshEmbeddingMoments(spark, src, mom, "embedding", dim)
+    val hot = Similarity.ivfDrift(spark, idx, mom).collect().head
+    assert(hot.getBoolean(4),
+      s"a fifth of the corpus in a new direction must read as drift: $hot")
+    // split across cells is the decay mechanism — prove it happened
+    val gen0 = Similarity.ivfGen(spark, idx)
+    val bCells = spark.read.parquet(Similarity.ivfCellsPath(idx, gen0))
+      .filter(col("neighbor_id") >= 5L && col("neighbor_id") <= 24L)
+      .select("cell").distinct().count()
+    assert(bCells >= 2, s"planted cluster should straddle cells, got $bCells")
+
+    def recall(): Double = {
+      val live = Snapshots.read(spark, src)
+      val truth = Similarity.bruteForceTopK(live, bDf, "vec_id",
+          "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Similarity.ivfTopKIndexed(spark, bDf, "vec_id",
+          "embedding", k = 3, path = idx, nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val before = recall()
+    assert(before < 0.9, s"straddled cluster should cost recall, got $before")
+
+    // recluster: new k-means generation over the live table,
+    // publish-then-point; readers of the old gen keep BOTH their
+    // centroids and cells until vacuum
+    Similarity.ivfRecluster(spark, Snapshots.read(spark, src), "vec_id",
+      "embedding", idx, nCells = 5, iters = 3)
+    assert(Similarity.ivfGen(spark, idx) == gen0 + 1)
+    val after = recall()
+    assert(after == 1.0, s"recluster must restore nProbe=1 recall, got $after")
+    // the old pair is still readable at the OLD generation (grace
+    // window for in-flight readers), then vacuum reclaims it
+    assert(Similarity.ivfReadCentroidsAt(spark, idx, gen0).length == 4)
+    assert(new java.io.File(Similarity.ivfCellsPath(idx, gen0)).exists)
+    assert(Similarity.ivfVacuum(spark, idx) > 0)
+    assert(!new java.io.File(Similarity.ivfCellsPath(idx, gen0)).exists)
+    // re-baseline after the remedy: the probe goes calm again
+    Similarity.ivfRecordBaseline(spark, idx, mom)
+    assert(!Similarity.ivfDrift(spark, idx, mom).collect().head.getBoolean(4))
+  }
 }
