@@ -729,6 +729,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                        else None)
     }
 
+    tvf("graft_hybrid_search",
+      "graft_hybrid_search(viewRoot, ivfPath, termsCsv, vecCsv, k[, kEach[, nProbe[, idCol]]]) - hybrid retrieval: the maintained BM25 index's top-kEach and the stored IVF index's top-kEach merged by reciprocal-rank fusion (exact-decimal fold), as (idCol, rrf, n_legs, bm25_rank, bm25, cos_rank, cosine) by rrf desc; one id space across both indexes (see IncrementalViews.hybridSearch)") {
+      (s, a) =>
+        require(a.length >= 5 && a.length <= 8,
+          "graft_hybrid_search takes (viewRoot, ivfPath, termsCsv, vecCsv, k[, kEach[, nProbe[, idCol]]])")
+        val vec = csvArg(a(3), "vecCsv").map(_.toFloat).toArray
+        sources.IncrementalViews.hybridSearch(s, litStr(a(0), "viewRoot"),
+          litStr(a(1), "ivfPath"), csvArg(a(2), "termsCsv"), vec,
+          litInt(a(4), "k"),
+          kEach = if (a.length >= 6) litInt(a(5), "kEach") else 20,
+          nProbe = if (a.length >= 7) litInt(a(6), "nProbe") else 4,
+          idCol = if (a.length == 8) litStr(a(7), "idCol") else "doc_id")
+    }
+
     tvf("graft_proximity_search",
       "graft_proximity_search(viewRoot, termA, termB, window[, idCol]) - docs where the two terms co-occur within `window` token positions, from the positional postings (refresh with positional=true) as (idCol, n_pairs, min_dist) (see IncrementalViews.proximitySearch)") {
       (s, a) =>

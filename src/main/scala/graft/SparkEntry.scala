@@ -1144,6 +1144,28 @@ object SparkEntry {
       IncrementalViews.search(s, views, bm25Terms, k = 10, snippetK = 3)
     }),
 
+    // HYBRID retrieval: the maintained BM25 index and the stored IVF
+    // vector index answer the same query, merged by reciprocal-rank
+    // fusion — the oracle replays both legs from scratch (the
+    // existing BM25 CTEs + the q_knn_ivf probe plan for the vec_id=0
+    // query vector) and the same exact-decimal RRF fold.
+    "q_hybrid_search" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hybrid").toString
+      val (src, views, ivf) = (s"$root/src", s"$root/views", s"$root/ivf")
+      Snapshots.commit(Tables.documents(s, dir).select("doc_id", "text"),
+        src, statsCol = Some("doc_id"))
+      IncrementalViews.refreshTextIndex(s, src, views, "doc_id", "text")
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfWriteIndex(emb, "vec_id", "embedding",
+        Similarity.sampleCentroids(emb, "vec_id", "embedding", 16), ivf)
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      IncrementalViews.hybridSearch(s, views, ivf, bm25Terms, qv,
+        k = 10, kEach = 20)
+    }),
+
     // The QUOTED-PHRASE page: the same composition restricted to docs
     // containing the exact phrase (phraseSearch's aligned doc set
     // semi-joins the rank before the top-k heap) — the oracle filters
@@ -3415,6 +3437,58 @@ object SparkEntry {
 
     // The search page over the post-churn corpus: top-10 + snippets.
     "q_search" -> searchOracleSql("WHERE doc_id % 10 <> 3"),
+
+    // Hybrid retrieval: the BM25 CTEs (full corpus) rank the text leg,
+    // the q_knn_ivf probe plan ranks the vector leg for the vec_id=0
+    // query vector, and both merge by the same exact-decimal
+    // reciprocal-rank fold (contributions rounded at 9, decimal sum).
+    "q_hybrid_search" -> {
+      val (ctes, total) = bm25CtesSql("")
+      val contrib = graft.functions.Exact.roundAtSql("1.0 / (60 + rank)", 9)
+      s"""$ctes,
+         |bm AS (SELECT doc_id, ${sqlRound4(total)} AS bm25
+         |       FROM scored GROUP BY doc_id),
+         |ttop AS (SELECT doc_id, bm25,
+         |           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |             AS BIGINT) AS trank
+         |         FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |cent AS (SELECT vec_id AS cell_id, embedding FROM embeddings
+         |         ORDER BY vec_id LIMIT 16),
+         |casgn AS (
+         |  SELECT c.vec_id AS neighbor_id, c.embedding, ct.cell_id,
+         |         row_number() OVER (PARTITION BY c.vec_id
+         |           ORDER BY ${sqlCos("c", "ct")} DESC, ct.cell_id) AS rk
+         |  FROM embeddings c CROSS JOIN cent ct),
+         |ca AS (SELECT neighbor_id, embedding, cell_id FROM casgn WHERE rk = 1),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |qasgn AS (
+         |  SELECT ct.cell_id,
+         |         row_number() OVER (ORDER BY ${sqlCos("q", "ct")} DESC,
+         |                            ct.cell_id) AS rk
+         |  FROM q CROSS JOIN cent ct),
+         |qa AS (SELECT cell_id FROM qasgn WHERE rk <= 4),
+         |sv AS (SELECT ca.neighbor_id, ${sqlCos("q", "ca")} AS cos
+         |       FROM ca JOIN qa USING (cell_id) CROSS JOIN q),
+         |vtop AS (SELECT neighbor_id AS doc_id,
+         |           CAST(row_number() OVER (ORDER BY cos DESC, neighbor_id)
+         |             AS BIGINT) AS crank,
+         |           ${sqlRound4("cos")} AS cosine
+         |         FROM sv ORDER BY cos DESC, neighbor_id LIMIT 20),
+         |u AS (SELECT doc_id, trank AS rank FROM ttop
+         |      UNION ALL SELECT doc_id, crank AS rank FROM vtop),
+         |f AS (SELECT doc_id,
+         |        ${graft.functions.Exact.sumExactSql(contrib, 9)} AS rrf,
+         |        CAST(count(*) AS BIGINT) AS n_legs
+         |      FROM u GROUP BY doc_id),
+         |topf AS (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 10)
+         |SELECT topf.doc_id, topf.rrf, topf.n_legs,
+         |       CAST(coalesce(t.trank, 0) AS BIGINT) AS bm25_rank,
+         |       coalesce(t.bm25, 0.0) AS bm25,
+         |       CAST(coalesce(v.crank, 0) AS BIGINT) AS cos_rank,
+         |       coalesce(v.cosine, 0.0) AS cosine
+         |FROM topf LEFT JOIN ttop t USING (doc_id)
+         |LEFT JOIN vtop v USING (doc_id)""".stripMargin
+    },
 
     // The quoted-phrase page: the same from-scratch rank restricted
     // to docs containing the exact phrase.

@@ -812,4 +812,36 @@ object Relational {
       .filter(col(pointCol).between(col(loCol), col(hiCol)))
       .drop("__bin")
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): merge any number
+    * of RANKED result lists into one, scoring each id by
+    * Σ_legs 1/(rrfK + rank) — the standard hybrid-retrieval combiner
+    * (rank-based, so a BM25 leg and a cosine leg fuse without score
+    * calibration). Each leg carries `(idCol, rank)` with rank
+    * 1-based; an id absent from a leg simply contributes nothing.
+    * Emits the top-`k` as `(idCol, rrf, n_legs)` by (rrf desc, id
+    * asc) — a TakeOrdered heap, never a global sort.
+    *
+    * Exactness: each contribution is rounded at 9 decimals and the
+    * sum is an exact decimal fold, so the fused score is independent
+    * of leg order and partitioning and bit-reproducible by a SQL
+    * oracle running the same formula text. Scale: legs are
+    * k-bounded by construction (they come out of top-k serves), so
+    * the union is metadata-sized however large the corpus. */
+  def rrfFuse(legs: Seq[DataFrame], idCol: String, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    require(k > 0, s"k must be positive: $k")
+    require(rrfK > 0, s"rrfK must be positive: $rrfK")
+    import graft.functions.Exact
+    val u = legs.map(_.select(col(idCol),
+      col("rank").cast("double").as("__r"))).reduce(_ unionByName _)
+    u.groupBy(col(idCol))
+      .agg(Exact.sumExact(
+          Exact.roundAt(lit(1.0) / (lit(rrfK.toDouble) + col("__r")), 9),
+          9).as("rrf"),
+        count(lit(1L)).as("n_legs"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

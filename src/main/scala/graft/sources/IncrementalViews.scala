@@ -2025,6 +2025,72 @@ object IncrementalViews {
         col("__center").cast("long").as("center_pos"), col("snippet")))
   }
 
+  /** HYBRID retrieval: one query, two maintained indexes, one fused
+    * page. The text leg is [[readBm25]]'s top-`kEach` over the
+    * maintained posting view (pruned to the query terms' files); the
+    * vector leg is [[graft.operators.Similarity.ivfTopKIndexed]]'s
+    * top-`kEach` over the stored IVF index (reads its nProbe cell
+    * directories only); the two rankings merge by reciprocal-rank
+    * fusion ([[graft.operators.Relational.rrfFuse]]) — rank-based, so
+    * BM25 scores and cosines need no calibration against each other.
+    * The caller's contract is one id space: the IVF index's vector
+    * ids ARE the text index's doc ids.
+    *
+    * Emits the top-`k` as `(idCol, rrf, n_legs, bm25_rank, bm25,
+    * cos_rank, cosine)` by (rrf desc, id asc); a doc missing from a
+    * leg carries rank 0 / score 0.0 there (never a NULL — n_legs
+    * tells one-leg hits apart). O(query) end to end: both legs are
+    * pruned index serves, both are k-bounded before the fusion union,
+    * and the fused heap is a TakeOrdered. */
+  def hybridSearch(spark: SparkSession, viewRoot: String,
+                   ivfPath: String, queryTerms: Seq[String],
+                   queryVec: Array[Float], k: Int, kEach: Int = 20,
+                   rrfK: Int = 60, nProbe: Int = 4,
+                   idCol: String = "doc_id",
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(kEach >= k,
+      s"kEach ($kEach) must be >= k ($k) — a leg shorter than the page " +
+        "would silently starve the fusion")
+    // both legs are k-bounded serve outputs: collecting them is
+    // metadata, and literal-frame ranks sidestep a partition-less
+    // row_number window (the `search` discipline)
+    val textHits = readBm25(spark, viewRoot, queryTerms, idCol, k1, b,
+      topK = Some(kEach)).collect()
+    val idType = Snapshots.read(spark, s"$viewRoot/dlen")
+      .schema("__doc").dataType
+    val textLeg = spark.createDataFrame(
+      java.util.Arrays.asList(textHits.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), (i + 1).toLong, r.getDouble(1))
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, idType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bm25",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    import spark.implicits._
+    val qdf = Seq((-1L, queryVec.toSeq)).toDF("__qid", "__qv")
+    val vecLeg = graft.operators.Similarity.ivfTopKIndexed(spark, qdf,
+        "__qid", "__qv", k = kEach, path = ivfPath, nProbe = nProbe)
+      .select(col("neighbor_id").as(idCol), col("rnk").as("rank"),
+        col("cosine"))
+    val fused = graft.operators.Relational.rrfFuse(
+      Seq(textLeg.select(col(idCol), col("rank")),
+        vecLeg.select(col(idCol), col("rank"))), idCol, k, rrfK)
+    fused
+      .join(textLeg.select(col(idCol), col("rank").as("__tr"),
+        col("bm25")), Seq(idCol), "left")
+      .join(vecLeg.select(col(idCol), col("rank").as("__cr"),
+        col("cosine")), Seq(idCol), "left")
+      .select(col(idCol), col("rrf"), col("n_legs"),
+        coalesce(col("__tr"), lit(0L)).as("bm25_rank"),
+        coalesce(col("bm25"), lit(0.0)).as("bm25"),
+        coalesce(col("__cr"), lit(0L)).as("cos_rank"),
+        coalesce(col("cosine"), lit(0.0)).as("cosine"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+  }
+
   /** Per-row guard folded into the position expression (free in the
     * scan, never prunable): positional serves require UNIQUE live doc
     * ids — a (token, doc, pos) multiplicity above 1 means the same

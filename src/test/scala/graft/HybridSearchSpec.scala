@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, Similarity}
+import graft.sources.{IncrementalViews, Snapshots}
+
+/** Reciprocal-rank fusion and the hybrid text+vector page it powers. */
+class HybridSearchSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_hybrid").toString
+
+  private def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+  private def rrfOf(ranks: Seq[Long], rrfK: Int = 60): Double =
+    ranks.map(r => BigDecimal(r9(1.0 / (rrfK + r))).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+
+  test("rrfFuse: exact decimal fold, both-legs beats single-leg, TakeOrdered shape") {
+    val s = spark; import s.implicits._
+    // leg A ranks 1..3 = docs 10,20,30; leg B ranks 1..2 = docs 30,40:
+    // doc 30 (rank 3 + rank 1) must beat doc 10 (a single rank-1 leg)
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((30L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val fused = Relational.rrfFuse(Seq(a, b), "doc_id", k = 3)
+    val rows = fused.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(30L, 10L, 20L),
+      s"both-legs mid rank must outrank single-leg rank 1: ${rows.toSeq}")
+    assert(rows(0)._2 == rrfOf(Seq(3L, 1L)) && rows(0)._3 == 2L)
+    assert(rows(1)._2 == rrfOf(Seq(1L)) && rows(1)._3 == 1L)
+    // the fused heap plans TakeOrdered, not a global Sort+Limit
+    assert(fused.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "fusion must stay a heap")
+  }
+
+  test("hybridSearch: fused page == hand-fusing the two index serves") {
+    val s = spark; import s.implicits._
+    val (src, views, ivf) = (tmp(), tmp(), tmp())
+    def vec(a: Float, b: Float) = Array.tabulate(8)(i =>
+      if (i == 0) a else if (i == 1) b else 0f)
+    // text: docs 1,2 match "spark"; vectors: 1,2 ride e0, 3 rides e1.
+    // A query (e0-ish vec + "spark") finds 1,2 on both legs and 3 on
+    // the vector leg only.
+    Snapshots.commit(Seq(
+      (1L, "spark streams arrive quickly and spark holds"),
+      (2L, "spark joins tables"),
+      (3L, "pandas frames lag")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    val emb = Seq((1L, vec(1f, 0.01f)), (2L, vec(0.99f, 0.02f)),
+      (3L, vec(0.01f, 1f))).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding",
+      Similarity.sampleCentroids(emb, "vec_id", "embedding", 2), ivf)
+    val qv = vec(1f, 0f)
+    val page = IncrementalViews.hybridSearch(spark, views, ivf,
+        Seq("spark"), qv, k = 3, kEach = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    // hand-fuse the two serves the page composes
+    val text = IncrementalViews.readBm25(spark, views, Seq("spark"),
+        topK = Some(3)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).zipWithIndex
+      .map { case ((id, sc), i) => id -> (i + 1L, sc) }.toMap
+    val vecs = Similarity.ivfTopKIndexed(spark,
+        Seq((-1L, qv.toSeq)).toDF("q", "v"), "q", "v", k = 3,
+        path = ivf, nProbe = 2).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    val expect = (text.keySet ++ vecs.keySet).toSeq.map { id =>
+      val ranks = text.get(id).map(_._1).toSeq ++ vecs.get(id).map(_._1)
+      (id, rrfOf(ranks), ranks.size.toLong,
+        text.get(id).map(_._1).getOrElse(0L),
+        text.get(id).map(_._2).getOrElse(0.0),
+        vecs.get(id).map(_._1).getOrElse(0L),
+        vecs.get(id).map(_._2).getOrElse(0.0))
+    }.sortBy(t => (-t._2, t._1)).take(3)
+    assert(page.toSeq == expect,
+      s"page ${page.toSeq} must equal hand fusion $expect")
+    // doc 3 is a vector-only hit: zero sentinels, n_legs tells it
+    val d3 = page.find(_._1 == 3L).get
+    assert(d3._3 == 1L && d3._4 == 0L && d3._5 == 0.0 && d3._6 > 0L)
+    // a leg shorter than the page fails loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.hybridSearch(spark, views, ivf, Seq("spark"),
+        qv, k = 5, kEach = 3)
+    }
+    assert(e.getMessage.contains("starve"), e.getMessage)
+    // SQL surface parity
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_hybrid_search('$views', '$ivf', 'spark', " +
+        s"'${qv.mkString(",")}', 3, 3, 2)").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(viaSql.toSeq == page.toSeq)
+  }
+}
