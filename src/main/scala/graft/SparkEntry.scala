@@ -876,6 +876,26 @@ object SparkEntry {
     "q_span_excise" -> ((s, dir) =>
       Corpus.spanExcise(Tables.documents(s, dir), "doc_id", "text", k = 10)),
 
+    // The MAINTAINED span-duplication profile: the same numbers as
+    // q_span_dedup, folded over an append + a predicate delete
+    // instead of re-hashing the corpus — the oracle recomputes the
+    // batch profile from scratch over the post-churn state.
+    "q_span_dedup_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_spanview").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshSpanProfile(s, src, views, "doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshSpanProfile(s, src, views, "doc_id", "text")
+      IncrementalViews.readSpanProfile(s, views)
+    }),
+
     // k=64 ≥ the 31-word vocab → the Misra-Gries sketch provably
     // never evicts, so its counts are exact and oracle-able; the
     // k < distinct regime is spec-bounded instead
@@ -1795,6 +1815,39 @@ object SparkEntry {
        |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
        |  CROSS JOIN stats)""".stripMargin, total)
   }
+
+  /** The span-duplication profile oracle: string 10-token spans
+    * oracle-side vs xxhash64 longs Spark-side (same collision
+    * argument as q_contamination); `where` restricts to the live
+    * corpus for the maintained-view twin. */
+  private def spanDedupOracleSql(where: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS s FROM documents $where
+       |), spans AS (
+       |  SELECT doc_id, unnest(
+       |           CASE WHEN len(s) < 10 THEN []::VARCHAR[]
+       |                ELSE list_transform(range(1, len(s) - 8),
+       |                       i -> array_to_string(s[i:i+9], ' '))
+       |           END) AS gram
+       |  FROM toks
+       |), occ AS (
+       |  SELECT gram, count(*) AS occ FROM spans GROUP BY gram
+       |), per_doc AS (
+       |  SELECT s.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_spans,
+       |         CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS dup_spans
+       |  FROM spans s JOIN occ o USING (gram) GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(p.n_spans, 0) AS n_spans,
+       |       coalesce(p.dup_spans, 0) AS dup_spans,
+       |       CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
+       |            ELSE ${sqlRound4(
+              "CAST(p.dup_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE)")}
+       |       END AS dup_ratio
+       |FROM (SELECT doc_id FROM documents $where) d
+       |LEFT JOIN per_doc p USING (doc_id)""".stripMargin
 
   private def bm25OracleSql(where: String): String = {
     val (ctes, total) = bm25CtesSql(where)
@@ -3291,35 +3344,13 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY token""".stripMargin,
 
+    // The maintained profile over the post-churn corpus: identical
+    // from-scratch recompute, restricted to the live docs.
+    "q_span_dedup_view_incr" -> spanDedupOracleSql("WHERE doc_id % 10 <> 3"),
+
     // String 10-token spans oracle-side vs xxhash64 longs Spark-side
     // (same collision argument as q_contamination).
-    "q_span_dedup" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
-         |), spans AS (
-         |  SELECT doc_id, unnest(
-         |           CASE WHEN len(s) < 10 THEN []::VARCHAR[]
-         |                ELSE list_transform(range(1, len(s) - 8),
-         |                       i -> array_to_string(s[i:i+9], ' '))
-         |           END) AS gram
-         |  FROM toks
-         |), occ AS (
-         |  SELECT gram, count(*) AS occ FROM spans GROUP BY gram
-         |), per_doc AS (
-         |  SELECT s.doc_id,
-         |         CAST(count(*) AS BIGINT) AS n_spans,
-         |         CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |           AS dup_spans
-         |  FROM spans s JOIN occ o USING (gram) GROUP BY s.doc_id
-         |)
-         |SELECT d.doc_id,
-         |       coalesce(p.n_spans, 0) AS n_spans,
-         |       coalesce(p.dup_spans, 0) AS dup_spans,
-         |       CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
-         |            ELSE ${sqlRound4(
-                "CAST(p.dup_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE)")}
-         |       END AS dup_ratio
-         |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
+    "q_span_dedup" -> spanDedupOracleSql(""),
 
     // Replays spanExcise's keep-first rule over gram STRINGS: the
     // first (doc, pos) occurrence of each duplicated 10-token span

@@ -2452,6 +2452,93 @@ object IncrementalViews {
     * agg view keyed `__word` whose `__cnt` IS the frequency; the same
     * tokenizer lens as the trainer, so view-trained merges equal
     * from-scratch merges by construction. */
+  /** INCREMENTALLY-MAINTAINED span-duplication profile — the
+    * ExactSubstr-at-k measurement ([[graft.operators.Corpus.spanDedup]])
+    * kept current over the corpus's change feed instead of re-hashed
+    * per ask. Three agg views under one root:
+    * `spand` (__doc, __span) — per-doc span-hash counts, doc-clustered;
+    * `spanc` (__span) — global occurrence counts;
+    * `docs`  (__doc) — liveness, so zero-span docs keep their profile
+    * row exactly like the batch operator's left join.
+    * Every view is a pure Z-set count, so inserts AND deletes fold at
+    * O(churned docs × their spans) per tick, zero corpus rescans —
+    * and the serve never touches text at all. `k` is pinned per root
+    * (mixing window sizes would corrupt the counts silently). */
+  def refreshSpanProfile(spark: SparkSession, srcDir: String,
+                         viewRoot: String, idCol: String, textCol: String,
+                         k: Int = 10): Unit = {
+    import graft.functions.Text
+    require(k >= 2 && k <= 256, s"k must be in [2, 256]: $k")
+    requireSameParam(spark, viewRoot, "span_k", k.toString)
+    // materialize the token array before the n-gram lambda: a
+    // non-attribute capture re-inlines the split per element (the
+    // spark-guide O(n²) trap spanDedup also dodges)
+    def spanLens(df: DataFrame): DataFrame = df
+      .withColumn("__s", Text.tokens(col(textCol)))
+      .select(col("__change"), col(idCol).as("__doc"),
+        explode(Text.ngramsFromTokens(col("__s"), k)).as("__g"))
+      .select(col("__change"), col("__doc"), xxhash64(col("__g")).as("__span"))
+    parallelChains(spark, Seq(
+      () => refreshAgg(spark, srcDir, s"$viewRoot/spand",
+        Seq("__doc", "__span"), Nil, transform = Some(spanLens)),
+      () => refreshAgg(spark, srcDir, s"$viewRoot/spanc",
+        Seq("__span"), Nil, transform = Some(spanLens)),
+      () => refreshAgg(spark, srcDir, s"$viewRoot/docs",
+        Seq("__doc"), Nil, transform = Some(df =>
+          df.select(col("__change"), col(idCol).as("__doc"))))))
+  }
+
+  /** [[refreshSpanProfile]] driven by the source's change feed. */
+  def maintainSpanProfile(spark: SparkSession, srcDir: String,
+                          viewRoot: String, idCol: String, textCol: String,
+                          checkpointDir: String, k: Int = 10,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger
+                              .AvailableNow(),
+                          housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
+      refreshSpanProfile(spark, srcDir, viewRoot, idCol, textCol, k)
+    } { () =>
+      housekeepLayouts(spark, viewRoot, Seq(
+        "spand" -> Seq("__doc", "__span"),
+        "spanc" -> Seq("__span"),
+        "docs" -> Seq("__doc")),
+        4L * 1000 * 1000, 5, 24L * 3600 * 1000)
+    }
+
+  /** The maintained profile, same shape and arithmetic as the batch
+    * [[graft.operators.Corpus.spanDedup]]: `(idCol, n_spans,
+    * dup_spans, dup_ratio)` for every LIVE doc (zero-span docs
+    * included via the liveness view). One hash join of the two span
+    * views — O(live spans), zero text I/O, however the corpus
+    * churned. */
+  def readSpanProfile(spark: SparkSession, viewRoot: String,
+                      idCol: String = "doc_id"): DataFrame = {
+    val sd = Snapshots.read(spark, s"$viewRoot/spand")
+      .filter(col("__cnt") > 0)
+      .select(col("__doc"), col("__span"), col("__cnt"))
+    val sc = Snapshots.read(spark, s"$viewRoot/spanc")
+      .filter(col("__cnt") > 0)
+      .select(col("__span"), col("__cnt").as("__occ"))
+    val perDoc = sd.join(sc, "__span")
+      .groupBy(col("__doc"))
+      .agg(sum(col("__cnt")).as("n_spans"),
+        sum(when(col("__occ") > 1, col("__cnt")).otherwise(0L))
+          .as("dup_spans"))
+    Snapshots.read(spark, s"$viewRoot/docs")
+      .filter(col("__cnt") > 0).select(col("__doc"))
+      .join(perDoc, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).cast("long").as("dup_spans"))
+      .withColumn("dup_ratio", when(col("n_spans") === 0, lit(0.0))
+        .otherwise(graft.functions.Exact.roundAt(
+          col("dup_spans").cast("double") / col("n_spans").cast("double"),
+          4)))
+  }
+
   def refreshWordFreq(spark: SparkSession, srcDir: String,
                       viewDir: String, textCol: String): Unit = {
     import graft.functions.Text

@@ -1935,6 +1935,54 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(viaSql.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("maintained span profile == batch spanDedup across churn; zero-span docs kept; pinned k") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(120).localCheckpoint(true)
+    def served() = IncrementalViews.readSpanProfile(spark, views)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def fresh() = graft.operators.Corpus.spanDedup(
+        Snapshots.read(spark, src).select("doc_id", "text"),
+        "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshSpanProfile(spark, src, views, "doc_id", "text")
+    assert(served() == fresh() && served().nonEmpty)
+    // churn: the other half arrives, a slice departs, and a SHORT doc
+    // (under k tokens — zero spans) lands; the profile must keep its
+    // row like the batch operator's left join does
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(Seq((999999L, "tiny doc")).toDF("doc_id", "text")), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.refreshSpanProfile(spark, src, views, "doc_id", "text")
+    val after = served()
+    assert(after == fresh())
+    assert(after(999999L) == ((0L, 0L, 0.0)),
+      "a zero-span doc must keep its profile row")
+    // k is pinned per root — silently mixing window sizes would
+    // corrupt every count
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshSpanProfile(spark, src, views,
+        "doc_id", "text", k = 5)
+    }
+    assert(e.getMessage.contains("span_k"), e.getMessage)
+    // maintained wrapper catches up from its checkpoint
+    val ck = tmpDir()
+    IncrementalViews.maintainSpanProfile(spark, src, views, "doc_id",
+      "text", ck).awaitTermination()
+    Snapshots.deleteWhere(spark, src, col("doc_id") === 999999L)
+    IncrementalViews.maintainSpanProfile(spark, src, views, "doc_id",
+      "text", ck).awaitTermination()
+    val end = served()
+    assert(end == fresh() && !end.contains(999999L))
+  }
+
   test("maintained co-occurrence/PMI == batch across churn; pruned per-token serve; pinned window") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
