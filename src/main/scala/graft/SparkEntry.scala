@@ -861,6 +861,31 @@ object SparkEntry {
       Corpus.contamination(Tables.documents(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 97 === 0, n = 3)),
 
+    // The MAINTAINED contamination ledger: bench docs frozen in their
+    // own table, the corpus churned through an append + a predicate
+    // delete, shared-distinct-gram counts folded per tick — the
+    // oracle recomputes the batch check over the post-churn state.
+    "q_contamination_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_contamview").toString
+      val (src, views, bench) = (s"$root/src", s"$root/views", s"$root/bench")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 97 === 0), bench,
+        statsCol = Some("doc_id"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      Snapshots.commit(corpus.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshContamination(s, src, views, "doc_id",
+        "text", bench)
+      Snapshots.commit(corpus.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshContamination(s, src, views, "doc_id",
+        "text", bench)
+      IncrementalViews.readContamination(s, views)
+    }),
+
     // The LARGE-benchmark-set scale path: bloom-prefiltered exact
     // join, output identical by design -> same oracle text.
     "q_contamination_bloom" -> ((s, dir) =>
@@ -1630,8 +1655,11 @@ object SparkEntry {
 
   /** One oracle text for both contamination plans (broadcast +
     * bloom-prefiltered — identical answers by design). */
-  private def contaminationOracleSql: String =
-    """WITH toks AS (
+  /** `corpusExtra` restricts the CORPUS side only (the benchmark set
+    * is frozen at full strength) — the maintained-ledger twin uses it
+    * for its post-churn live filter. */
+  private def contaminationOracleSql(corpusExtra: String = ""): String =
+    s"""WITH toks AS (
         |  SELECT doc_id, doc_id % 97 = 0 AS bench,
         |         string_split(text, ' ') AS s
         |  FROM documents
@@ -1653,7 +1681,7 @@ object SparkEntry {
         |       coalesce(h.shared_ngrams, 0) AS shared_ngrams,
         |       coalesce(h.shared_ngrams, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
-        |WHERE d.doc_id % 97 <> 0""".stripMargin
+        |WHERE d.doc_id % 97 <> 0$corpusExtra""".stripMargin
 
   /** One oracle text for both mix plans (plain + bucketed — same
     * semantics by design). */
@@ -3332,11 +3360,16 @@ object SparkEntry {
     // String 3-grams oracle-side vs xxhash64'd grams Spark-side:
     // counts equal barring a ~2^-64 collision (same argument as
     // q_doc_repetition).
-    "q_contamination" -> contaminationOracleSql,
+    "q_contamination" -> contaminationOracleSql(),
+
+    // The maintained ledger over the post-churn live corpus; the
+    // benchmark side stays frozen at full strength.
+    "q_contamination_view_incr" ->
+      contaminationOracleSql(" AND d.doc_id % 10 <> 3"),
 
     // identical answer by design - the bloom prefilter only prunes
     // the shuffle; the exact join removes its false positives
-    "q_contamination_bloom" -> contaminationOracleSql,
+    "q_contamination_bloom" -> contaminationOracleSql(),
 
     "q_frequent_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS est

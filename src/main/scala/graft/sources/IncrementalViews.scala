@@ -2539,6 +2539,91 @@ object IncrementalViews {
           4)))
   }
 
+  /** INCREMENTALLY-MAINTAINED benchmark-contamination ledger — the
+    * decontamination check ([[graft.operators.Corpus.contamination]])
+    * kept current over the corpus change feed: per live doc, the
+    * count of DISTINCT n-grams it shares with a FROZEN benchmark
+    * table. Two agg views under one root: `hits` (__doc) — shared
+    * distinct-gram counts (the lens explodes the doc's distinct gram
+    * hashes and broadcast-joins the benchmark gram set, so only
+    * matching grams ever reach the view), and `docs` (__doc) —
+    * liveness, so clean docs keep their `shared_ngrams = 0` row like
+    * the batch operator's left join. O(churned docs × their grams)
+    * per tick, zero corpus rescans.
+    *
+    * The benchmark is pinned three ways (`contam_n`, `contam_bench`,
+    * `contam_bench_version`): a benchmark table that moved under the
+    * view would silently mix gram sets, so a later commit to
+    * `benchDir` makes every subsequent tick fail loudly — rebuild
+    * under a new root (or re-commit the bench under a new dir) when
+    * the eval suite changes. */
+  def refreshContamination(spark: SparkSession, srcDir: String,
+                           viewRoot: String, idCol: String,
+                           textCol: String, benchDir: String,
+                           n: Int = 3): Unit = {
+    import graft.functions.Text
+    require(n >= 1 && n <= 64, s"n must be in [1, 64]: $n")
+    requireSameParam(spark, viewRoot, "contam_n", n.toString)
+    requireSameParam(spark, viewRoot, "contam_bench", benchDir)
+    val bv = Snapshots.latestVersion(spark, benchDir).getOrElse(
+      sys.error(s"$benchDir holds no benchmark table — commit it first"))
+    requireSameParam(spark, viewRoot, "contam_bench_version", bv.toString)
+    val benchGrams = Snapshots.read(spark, benchDir)
+      .withColumn("__s", Text.tokens(col(textCol)))
+      .select(explode(array_distinct(
+        Text.ngramsFromTokens(col("__s"), n))).as("__g"))
+      .select(xxhash64(col("__g")).as("__gh")).distinct()
+    def lens(df: DataFrame): DataFrame = df
+      .withColumn("__s", Text.tokens(col(textCol)))
+      .select(col("__change"), col(idCol).as("__doc"),
+        explode(array_distinct(
+          Text.ngramsFromTokens(col("__s"), n))).as("__g"))
+      .select(col("__change"), col("__doc"), xxhash64(col("__g")).as("__gh"))
+      .join(broadcast(benchGrams), "__gh")
+      .select(col("__change"), col("__doc"))
+    parallelChains(spark, Seq(
+      () => refreshAgg(spark, srcDir, s"$viewRoot/hits",
+        Seq("__doc"), Nil, transform = Some(lens)),
+      () => refreshAgg(spark, srcDir, s"$viewRoot/docs",
+        Seq("__doc"), Nil, transform = Some(df =>
+          df.select(col("__change"), col(idCol).as("__doc"))))))
+  }
+
+  /** [[refreshContamination]] driven by the source's change feed. */
+  def maintainContamination(spark: SparkSession, srcDir: String,
+                            viewRoot: String, idCol: String,
+                            textCol: String, benchDir: String,
+                            checkpointDir: String, n: Int = 3,
+                            trigger: org.apache.spark.sql.streaming.Trigger =
+                              org.apache.spark.sql.streaming.Trigger
+                                .AvailableNow(),
+                            housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
+      refreshContamination(spark, srcDir, viewRoot, idCol, textCol,
+        benchDir, n)
+    } { () =>
+      housekeepLayouts(spark, viewRoot, Seq(
+        "hits" -> Seq("__doc"), "docs" -> Seq("__doc")),
+        4L * 1000 * 1000, 5, 24L * 3600 * 1000)
+    }
+
+  /** The maintained ledger, same shape and arithmetic as the batch
+    * [[graft.operators.Corpus.contamination]]: `(idCol,
+    * shared_ngrams, contaminated)` for every LIVE corpus doc, clean
+    * docs included. Zero text I/O at serve time. */
+  def readContamination(spark: SparkSession, viewRoot: String,
+                        idCol: String = "doc_id"): DataFrame =
+    Snapshots.read(spark, s"$viewRoot/docs")
+      .filter(col("__cnt") > 0).select(col("__doc"))
+      .join(Snapshots.read(spark, s"$viewRoot/hits")
+        .filter(col("__cnt") > 0)
+        .select(col("__doc"), col("__cnt").as("__sh")), Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        coalesce(col("__sh"), lit(0L)).cast("long").as("shared_ngrams"))
+      .withColumn("contaminated", col("shared_ngrams") > 0)
+
   def refreshWordFreq(spark: SparkSession, srcDir: String,
                       viewDir: String, textCol: String): Unit = {
     import graft.functions.Text

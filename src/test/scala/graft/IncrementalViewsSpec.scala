@@ -1983,6 +1983,57 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(end == fresh() && !end.contains(999999L))
   }
 
+  test("maintained contamination ledger == batch check across churn; frozen bench pin") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views, bench) = (tmpDir(), tmpDir(), tmpDir())
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").limit(150).localCheckpoint(true)
+    val benchDf = docs.filter(col("doc_id") % 11 === 0).localCheckpoint(true)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+    Snapshots.commit(benchDf, bench, statsCol = Some("doc_id"))
+    def served() = IncrementalViews.readContamination(spark, views)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    def fresh() = graft.operators.Corpus.contamination(
+        Snapshots.read(spark, src).select("doc_id", "text")
+          .unionByName(benchDf),
+        "doc_id", "text", benchPred = col("doc_id") % 11 === 0, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    Snapshots.commit(corpus.filter(col("doc_id") % 2 === 0), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshContamination(spark, src, views, "doc_id",
+      "text", bench)
+    assert(served() == fresh() && served().nonEmpty)
+    assert(served().values.exists(_._2) && served().values.exists(!_._2),
+      "fixture needs both contaminated and clean docs to prove anything")
+    // churn: append + delete; clean docs keep their zero rows
+    Snapshots.commit(corpus.filter(col("doc_id") % 2 === 1), src,
+      statsCol = Some("doc_id"))
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 7 === 2)
+    IncrementalViews.refreshContamination(spark, src, views, "doc_id",
+      "text", bench)
+    assert(served() == fresh())
+    // n is pinned
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshContamination(spark, src, views, "doc_id",
+        "text", bench, n = 4)
+    }
+    assert(e1.getMessage.contains("contam_n"), e1.getMessage)
+    // the benchmark is FROZEN: a later bench commit makes the next
+    // tick fail loudly instead of silently mixing gram sets
+    Snapshots.commit(Seq((777777L, "late benchmark arrival text here"))
+      .toDF("doc_id", "text"), bench, statsCol = Some("doc_id"))
+    Snapshots.commit(Seq((888888L, "one more corpus doc"))
+      .toDF("doc_id", "text"), src, statsCol = Some("doc_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshContamination(spark, src, views, "doc_id",
+        "text", bench)
+    }
+    assert(e2.getMessage.contains("contam_bench_version"), e2.getMessage)
+  }
+
   test("maintained co-occurrence/PMI == batch across churn; pruned per-token serve; pinned window") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
