@@ -573,6 +573,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           idCol, vecCol, litInt(a(4), "dim"), litInt(a(5), "k"))
     }
 
+    tvf("graft_view_refresh_span_profile",
+      "graft_view_refresh_span_profile(srcDir, viewRoot, idCol, textCol[, k]) - one maintenance tick of the incrementally-maintained span-duplication profile (per-doc + global k-token span-hash counts, doc liveness; k pinned per root, default 10; see IncrementalViews.refreshSpanProfile); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 4 || a.length == 5,
+          "graft_view_refresh_span_profile takes (srcDir, viewRoot, idCol, textCol[, k])")
+        sources.IncrementalViews.refreshSpanProfile(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewRoot"),
+          litStr(a(2), "idCol"), litStr(a(3), "textCol"),
+          k = if (a.length == 5) litInt(a(4), "k") else 10)
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_span_profile",
+      "graft_span_profile(viewRoot[, idCol]) - the maintained span-duplication profile: (idCol, n_spans, dup_spans, dup_ratio) per live doc, zero text I/O (see IncrementalViews.readSpanProfile)") {
+      (s, a) =>
+        require(a.length == 1 || a.length == 2,
+          "graft_span_profile takes (viewRoot[, idCol])")
+        sources.IncrementalViews.readSpanProfile(s, litStr(a(0), "viewRoot"),
+          if (a.length == 2) litStr(a(1), "idCol") else "doc_id")
+    }
+
+    tvf("graft_view_refresh_contamination",
+      "graft_view_refresh_contamination(srcDir, viewRoot, idCol, textCol, benchDir[, n]) - one maintenance tick of the incrementally-maintained benchmark-contamination ledger (distinct shared n-grams vs a FROZEN benchmark table; n + bench dir/version pinned per root, default n=3; see IncrementalViews.refreshContamination); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 5 || a.length == 6,
+          "graft_view_refresh_contamination takes (srcDir, viewRoot, idCol, textCol, benchDir[, n])")
+        sources.IncrementalViews.refreshContamination(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewRoot"),
+          litStr(a(2), "idCol"), litStr(a(3), "textCol"),
+          litStr(a(4), "benchDir"),
+          n = if (a.length == 6) litInt(a(5), "n") else 3)
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_contamination_ledger",
+      "graft_contamination_ledger(viewRoot[, idCol]) - the maintained contamination ledger: (idCol, shared_ngrams, contaminated) per live corpus doc, clean docs included (see IncrementalViews.readContamination)") {
+      (s, a) =>
+        require(a.length == 1 || a.length == 2,
+          "graft_contamination_ledger takes (viewRoot[, idCol])")
+        sources.IncrementalViews.readContamination(s, litStr(a(0), "viewRoot"),
+          if (a.length == 2) litStr(a(1), "idCol") else "doc_id")
+    }
+
     tvf("graft_view_refresh_word_freq",
       "graft_view_refresh_word_freq(srcDir, viewDir, textCol) - one maintenance tick of the incrementally-maintained distinct-word frequency table (pure Z-set sums, the BPE trainer's substrate kept current under churn; see IncrementalViews.refreshWordFreq); returns 1 on completion") {
       (s, a) =>

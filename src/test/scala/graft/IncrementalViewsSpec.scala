@@ -1981,6 +1981,13 @@ class IncrementalViewsSpec extends SparkSpec {
       "text", ck).awaitTermination()
     val end = served()
     assert(end == fresh() && !end.contains(999999L))
+    // SQL surface: a no-op refresh tick + the serve, both TVFs
+    spark.sql(s"SELECT * FROM graft_view_refresh_span_profile(" +
+      s"'$src', '$views', 'doc_id', 'text')").collect()
+    val viaSql = spark.sql(s"SELECT * FROM graft_span_profile('$views')")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(viaSql == end)
   }
 
   test("maintained contamination ledger == batch check across churn; frozen bench pin") {
@@ -2015,6 +2022,14 @@ class IncrementalViewsSpec extends SparkSpec {
     IncrementalViews.refreshContamination(spark, src, views, "doc_id",
       "text", bench)
     assert(served() == fresh())
+    // SQL surface: a no-op refresh tick + the serve, both TVFs
+    spark.sql(s"SELECT * FROM graft_view_refresh_contamination(" +
+      s"'$src', '$views', 'doc_id', 'text', '$bench')").collect()
+    val viaSql = spark.sql(
+        s"SELECT * FROM graft_contamination_ledger('$views')")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(viaSql == served())
     // n is pinned
     val e1 = intercept[IllegalArgumentException] {
       IncrementalViews.refreshContamination(spark, src, views, "doc_id",
