@@ -616,6 +616,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (a.length == 2) litStr(a(1), "idCol") else "doc_id")
     }
 
+    tvf("graft_view_refresh_value_histogram",
+      "graft_view_refresh_value_histogram(srcDir, viewDir, valueCol[, scale]) - one maintenance tick of the incrementally-maintained value histogram (counts keyed by the value rounded at `scale` decimals as a scaled long; scale pinned per dir, default 2; see IncrementalViews.refreshValueHistogram); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 3 || a.length == 4,
+          "graft_view_refresh_value_histogram takes (srcDir, viewDir, valueCol[, scale])")
+        sources.IncrementalViews.refreshValueHistogram(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
+          litStr(a(2), "valueCol"),
+          scale = if (a.length == 4) litInt(a(3), "scale") else 2)
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_quantiles",
+      "graft_quantiles(viewDir, psCsv) - exact percentiles from the maintained value histogram: the lower order statistic at ceil(p*n) per requested p, as (p, value, n) (see IncrementalViews.readQuantiles)") {
+      (s, a) =>
+        require(a.length == 2,
+          "graft_quantiles takes (viewDir, psCsv)")
+        sources.IncrementalViews.readQuantiles(s, litStr(a(0), "viewDir"),
+          csvArg(a(1), "psCsv").map(_.toDouble))
+    }
+
     tvf("graft_view_refresh_word_freq",
       "graft_view_refresh_word_freq(srcDir, viewDir, textCol) - one maintenance tick of the incrementally-maintained distinct-word frequency table (pure Z-set sums, the BPE trainer's substrate kept current under churn; see IncrementalViews.refreshWordFreq); returns 1 on completion") {
       (s, a) =>

@@ -861,6 +861,27 @@ object SparkEntry {
       Corpus.contamination(Tables.documents(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 97 === 0, n = 3)),
 
+    // The MAINTAINED value histogram -> exact percentiles without
+    // rescans: event values fold as scaled-long counts across an
+    // append + a predicate delete; the serve walks the cumulative
+    // counts for the LOWER order statistic at ceil(p*n). The oracle
+    // recomputes the same ranks over the live rows.
+    "q_quantiles_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_quantview").toString
+      val (src, view) = (s"$root/src", s"$root/view")
+      val ev = Tables.events(s, dir).select("event_id", "value")
+      Snapshots.commit(ev.filter(col("event_id") % 2 === 0), src,
+        statsCol = Some("event_id"))
+      IncrementalViews.refreshValueHistogram(s, src, view, "value")
+      Snapshots.commit(ev.filter(col("event_id") % 2 === 1), src,
+        statsCol = Some("event_id"))
+      Snapshots.deleteWhere(s, src, col("event_id") % 10 === 3)
+      IncrementalViews.refreshValueHistogram(s, src, view, "value")
+      IncrementalViews.readQuantiles(s, view, Seq(0.5, 0.9, 0.95, 0.99))
+    }),
+
     // The MAINTAINED contamination ledger: bench docs frozen in their
     // own table, the corpus churned through an append + a predicate
     // delete, shared-distinct-gram counts folded per tick — the
@@ -3361,6 +3382,27 @@ object SparkEntry {
     // counts equal barring a ~2^-64 collision (same argument as
     // q_doc_repetition).
     "q_contamination" -> contaminationOracleSql(),
+
+    // Exact order statistics over the post-churn live values at the
+    // same scaled-long rounding and ceil(p*n) rank rule.
+    "q_quantiles_view_incr" ->
+      """WITH live AS (
+        |  SELECT floor(value * 100 + 0.5) AS sv FROM events
+        |  WHERE event_id % 10 <> 3 AND value IS NOT NULL
+        |), c AS (
+        |  SELECT sv, count(*) AS cnt FROM live GROUP BY sv
+        |), cum AS (
+        |  SELECT sv, sum(cnt) OVER (ORDER BY sv) AS cum FROM c
+        |), tot AS (
+        |  SELECT count(*) AS n FROM live
+        |), ps AS (
+        |  SELECT CAST(unnest([0.5, 0.9, 0.95, 0.99]) AS DOUBLE) AS p
+        |)
+        |SELECT p, CAST(min(sv) / 100.0 AS DOUBLE) AS value,
+        |       CAST(tot.n AS BIGINT) AS n
+        |FROM cum CROSS JOIN tot CROSS JOIN ps
+        |WHERE cum >= greatest(1, CAST(ceil(p * tot.n) AS BIGINT))
+        |GROUP BY p, tot.n""".stripMargin,
 
     // The maintained ledger over the post-churn live corpus; the
     // benchmark side stays frozen at full strength.

@@ -2624,6 +2624,91 @@ object IncrementalViews {
         coalesce(col("__sh"), lit(0L)).cast("long").as("shared_ngrams"))
       .withColumn("contaminated", col("shared_ngrams") > 0)
 
+  /** INCREMENTALLY-MAINTAINED VALUE HISTOGRAM → exact percentiles
+    * without rescans — the metrics-dashboard view (the reference's
+    * latency monitor regime): one agg view keyed by the value
+    * rounded at `scale` decimals and carried as a SCALED LONG, so
+    * counts fold exactly under inserts AND deletes and the stored
+    * state is O(distinct rounded values) — domain-bounded however
+    * many rows ever flowed. NULL values are skipped (the SQL
+    * percentile convention). `scale` is pinned per view dir: mixing
+    * roundings would silently merge adjacent buckets. Pair with
+    * [[readQuantiles]] for exact order statistics at any p. */
+  def refreshValueHistogram(spark: SparkSession, srcDir: String,
+                            viewDir: String, valueCol: String,
+                            scale: Int = 2): Unit = {
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6]: $scale")
+    requireSameParam(spark, viewDir, "hist_scale", scale.toString)
+    val f = math.pow(10, scale)
+    refreshAgg(spark, srcDir, viewDir, Seq("__v"), Nil,
+      transform = Some(df => df
+        .filter(col(valueCol).isNotNull)
+        .select(col("__change"),
+          floor(col(valueCol).cast("double") * f + 0.5).cast("long")
+            .as("__v"))))
+    ()
+  }
+
+  /** [[refreshValueHistogram]] driven by the source's change feed. */
+  def maintainValueHistogram(spark: SparkSession, srcDir: String,
+                             viewDir: String, valueCol: String,
+                             checkpointDir: String, scale: Int = 2,
+                             trigger: org.apache.spark.sql.streaming.Trigger =
+                               org.apache.spark.sql.streaming.Trigger
+                                 .AvailableNow(),
+                             housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
+      refreshValueHistogram(spark, srcDir, viewDir, valueCol, scale)
+    } { () => housekeep(spark, viewDir, clusterBy = Some("__v")) }
+
+  /** EXACT percentiles from the maintained histogram: for each p the
+    * LOWER order statistic at rank max(1, ceil(p·n)) over the live
+    * rounded values — the same convention the sketch-quantile oracles
+    * pin, reproducible by any engine. One cumulative walk over the
+    * view's distinct values; the single-partition window is
+    * deliberate and GUARDED (`maxDistinct`, default 1M) — the view is
+    * domain-bounded by construction, and a domain that outgrows the
+    * cap fails loudly naming the remedy rather than hot-spotting one
+    * task. Emits `(p, value, n)` per requested percentile. */
+  def readQuantiles(spark: SparkSession, viewDir: String,
+                    ps: Seq[Double],
+                    maxDistinct: Long = 1000000L): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles must sit in (0, 1]: $ps")
+    val scale = readParam(spark, viewDir, "hist_scale").getOrElse(
+      throw new IllegalArgumentException(
+        s"$viewDir has no _param_hist_scale marker — build it with " +
+          "refreshValueHistogram first")).toInt
+    val rows = Snapshots.read(spark, viewDir)
+      .filter(col("__cnt") > 0)
+      .select(col("__v"), col("__cnt"))
+    if (maxDistinct > 0) {
+      val distinct = rows.agg(count(lit(1L))).head().getLong(0)
+      require(distinct <= maxDistinct,
+        s"$viewDir holds $distinct distinct rounded values (> " +
+          s"maxDistinct=$maxDistinct) — the cumulative walk would " +
+          "single-task that many rows; coarsen the histogram scale " +
+          "or raise the cap deliberately")
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = rows.withColumn("__cum", sum(col("__cnt")).over(w))
+    val total = rows.agg(sum(col("__cnt")).as("__n"))
+    import spark.implicits._
+    val psDf = ps.toDF("p")
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(psDf))
+      .filter(col("__cum") >=
+        greatest(lit(1L), ceil(col("p") * col("__n")).cast("long")))
+      .groupBy(col("p"), col("__n"))
+      .agg(min(col("__v")).as("__qv"))
+      .select(col("p"),
+        (col("__qv").cast("double") / math.pow(10, scale)).as("value"),
+        col("__n").cast("long").as("n"))
+  }
+
   def refreshWordFreq(spark: SparkSession, srcDir: String,
                       viewDir: String, textCol: String): Unit = {
     import graft.functions.Text

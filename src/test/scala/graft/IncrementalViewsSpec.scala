@@ -1990,6 +1990,62 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(viaSql == end)
   }
 
+  test("maintained value histogram: exact quantiles across churn; nulls skipped; pinned scale; walk guard") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, view, ck) = (tmpDir(), tmpDir(), tmpDir())
+    def expected(ps: Seq[Double]): Map[Double, (Double, Long)] = {
+      val vals = Snapshots.read(spark, src).select("v")
+        .collect().flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        .map(v => math.floor(v * 100 + 0.5).toLong).sorted
+      ps.map(p => p -> (
+        vals((math.max(1L, math.ceil(p * vals.length).toLong) - 1).toInt) / 100.0,
+        vals.length.toLong)).toMap
+    }
+    def served(ps: Seq[Double]) = IncrementalViews.readQuantiles(spark,
+        view, ps)
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // a NULL value row rides in via a typed DF union
+    Snapshots.commit((1 to 97).map(i => (i.toLong, i / 7.0)).toDF("id", "v")
+      .unionByName(Seq(200L).toDF("id")
+        .withColumn("v", lit(null).cast("double"))), src,
+      statsCol = Some("id"))
+    IncrementalViews.refreshValueHistogram(spark, src, view, "v")
+    val ps = Seq(0.5, 0.9, 0.99)
+    assert(served(ps) == expected(ps))
+    // churn: second half + a predicate delete; the fold must track
+    Snapshots.commit((101 to 180).map(i => (i.toLong, i / 3.0))
+      .toDF("id", "v"), src, statsCol = Some("id"))
+    Snapshots.deleteWhere(spark, src, col("id") % 3 === 0)
+    IncrementalViews.refreshValueHistogram(spark, src, view, "v")
+    assert(served(ps) == expected(ps))
+    // rounding scale is pinned per dir
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshValueHistogram(spark, src, view, "v",
+        scale = 3)
+    }
+    assert(e1.getMessage.contains("hist_scale"), e1.getMessage)
+    // the cumulative walk is guarded, naming the remedy
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalViews.readQuantiles(spark, view, Seq(0.5),
+        maxDistinct = 5)
+    }
+    assert(e2.getMessage.contains("coarsen"), e2.getMessage)
+    // maintained wrapper catch-up + SQL TVF parity
+    IncrementalViews.maintainValueHistogram(spark, src, view, "v", ck)
+      .awaitTermination()
+    Snapshots.deleteWhere(spark, src, col("id") > 150L)
+    IncrementalViews.maintainValueHistogram(spark, src, view, "v", ck)
+      .awaitTermination()
+    assert(served(ps) == expected(ps))
+    val viaSql = spark.sql(
+        s"SELECT * FROM graft_quantiles('$view', '0.5,0.9,0.99')")
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(viaSql == expected(ps))
+  }
+
   test("maintained contamination ledger == batch check across churn; frozen bench pin") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
