@@ -617,14 +617,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_view_refresh_value_histogram",
-      "graft_view_refresh_value_histogram(srcDir, viewDir, valueCol[, scale]) - one maintenance tick of the incrementally-maintained value histogram (counts keyed by the value rounded at `scale` decimals as a scaled long; scale pinned per dir, default 2; see IncrementalViews.refreshValueHistogram); returns 1 on completion") {
+      "graft_view_refresh_value_histogram(srcDir, viewDir, valueCol[, scale[, groupsCsv]]) - one maintenance tick of the incrementally-maintained value histogram (counts keyed by the value rounded at `scale` decimals as a scaled long, optionally PER GROUP; scale and groups pinned per dir, default 2 / global; see IncrementalViews.refreshValueHistogram); returns 1 on completion") {
       (s, a) =>
-        require(a.length == 3 || a.length == 4,
-          "graft_view_refresh_value_histogram takes (srcDir, viewDir, valueCol[, scale])")
+        require(a.length >= 3 && a.length <= 5,
+          "graft_view_refresh_value_histogram takes (srcDir, viewDir, valueCol[, scale[, groupsCsv]])")
         sources.IncrementalViews.refreshValueHistogram(s,
           litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
           litStr(a(2), "valueCol"),
-          scale = if (a.length == 4) litInt(a(3), "scale") else 2)
+          scale = if (a.length >= 4) litInt(a(3), "scale") else 2,
+          groupCols = if (a.length == 5) csvArg(a(4), "groupsCsv") else Nil)
         s.range(1, 2).toDF("ok")
     }
 
@@ -635,6 +636,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_quantiles takes (viewDir, psCsv)")
         sources.IncrementalViews.readQuantiles(s, litStr(a(0), "viewDir"),
           csvArg(a(1), "psCsv").map(_.toDouble))
+    }
+
+    tvf("graft_quantiles_by",
+      "graft_quantiles_by(viewDir, groupsCsv, psCsv) - PER-GROUP exact percentiles from a grouped maintained value histogram, as (groupCols..., p, value, n); the cumulative walk is partitioned by the group keys (see IncrementalViews.readQuantilesBy)") {
+      (s, a) =>
+        require(a.length == 3,
+          "graft_quantiles_by takes (viewDir, groupsCsv, psCsv)")
+        sources.IncrementalViews.readQuantilesBy(s, litStr(a(0), "viewDir"),
+          csvArg(a(1), "groupsCsv"),
+          csvArg(a(2), "psCsv").map(_.toDouble))
     }
 
     tvf("graft_view_refresh_word_freq",
@@ -794,17 +805,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_hybrid_search",
-      "graft_hybrid_search(viewRoot, ivfPath, termsCsv, vecCsv, k[, kEach[, nProbe[, idCol]]]) - hybrid retrieval: the maintained BM25 index's top-kEach and the stored IVF index's top-kEach merged by reciprocal-rank fusion (exact-decimal fold), as (idCol, rrf, n_legs, bm25_rank, bm25, cos_rank, cosine) by rrf desc; one id space across both indexes (see IncrementalViews.hybridSearch)") {
+      "graft_hybrid_search(viewRoot, ivfPath, termsCsv, vecCsv, k[, kEach[, nProbe[, idCol[, spellIndexDir]]]]) - hybrid retrieval: the maintained BM25 index's top-kEach and the stored IVF index's top-kEach merged by reciprocal-rank fusion (exact-decimal fold), as (idCol, rrf, n_legs, bm25_rank, bm25, cos_rank, cosine) by rrf desc; one id space across both indexes; with a spell index attached, zero-posting text terms are corrected before ranking and the page carries corrected_terms (see IncrementalViews.hybridSearch)") {
       (s, a) =>
-        require(a.length >= 5 && a.length <= 8,
-          "graft_hybrid_search takes (viewRoot, ivfPath, termsCsv, vecCsv, k[, kEach[, nProbe[, idCol]]])")
+        require(a.length >= 5 && a.length <= 9,
+          "graft_hybrid_search takes (viewRoot, ivfPath, termsCsv, vecCsv, k[, kEach[, nProbe[, idCol[, spellIndexDir]]]])")
         val vec = csvArg(a(3), "vecCsv").map(_.toFloat).toArray
         sources.IncrementalViews.hybridSearch(s, litStr(a(0), "viewRoot"),
           litStr(a(1), "ivfPath"), csvArg(a(2), "termsCsv"), vec,
           litInt(a(4), "k"),
           kEach = if (a.length >= 6) litInt(a(5), "kEach") else 20,
           nProbe = if (a.length >= 7) litInt(a(6), "nProbe") else 4,
-          idCol = if (a.length == 8) litStr(a(7), "idCol") else "doc_id")
+          idCol = if (a.length >= 8) litStr(a(7), "idCol") else "doc_id",
+          spellIndex =
+            if (a.length == 9) Some(litStr(a(8), "spellIndexDir")) else None)
     }
 
     tvf("graft_proximity_search",

@@ -882,6 +882,29 @@ object SparkEntry {
       IncrementalViews.readQuantiles(s, view, Seq(0.5, 0.9, 0.95, 0.99))
     }),
 
+    // GROUPED maintained histogram: per-event_type percentiles (the
+    // reference latency monitor's per-(metric,station) regime) across
+    // the same append + predicate-delete churn; the serve's cumulative
+    // walk is PARTITIONED by the group key — no single-task hotspot.
+    "q_quantiles_by_key_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_quantbyview").toString
+      val (src, view) = (s"$root/src", s"$root/view")
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      Snapshots.commit(ev.filter(col("event_id") % 2 === 0), src,
+        statsCol = Some("event_id"))
+      IncrementalViews.refreshValueHistogram(s, src, view, "value",
+        groupCols = Seq("event_type"))
+      Snapshots.commit(ev.filter(col("event_id") % 2 === 1), src,
+        statsCol = Some("event_id"))
+      Snapshots.deleteWhere(s, src, col("event_id") % 10 === 3)
+      IncrementalViews.refreshValueHistogram(s, src, view, "value",
+        groupCols = Seq("event_type"))
+      IncrementalViews.readQuantilesBy(s, view, Seq("event_type"),
+        Seq(0.5, 0.95, 0.99))
+    }),
+
     // The MAINTAINED contamination ledger: bench docs frozen in their
     // own table, the corpus churned through an append + a predicate
     // delete, shared-distinct-gram counts folded per tick — the
@@ -921,6 +944,33 @@ object SparkEntry {
     // the rest, emit the cleaned corpus.
     "q_span_excise" -> ((s, dir) =>
       Corpus.spanExcise(Tables.documents(s, dir), "doc_id", "text", k = 10)),
+
+    // FEED-DRIVEN excision: three doc_id-ordered batches, each cleaned
+    // against the maintained span profile BEFORE being folded into it
+    // — the union must equal one batch spanExcise over the final
+    // corpus (keep-first authority = the corpus-so-far). Each batch's
+    // plan pins the profile version at call time, so collecting the
+    // union after all refreshes stays correct.
+    "q_span_excise_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_spanexcise").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val bounds = Seq(
+        (Long.MinValue, mx / 3), (mx / 3, 2 * mx / 3),
+        (2 * mx / 3, Long.MaxValue))
+      bounds.map { case (lo, hi) =>
+        val b = docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        val cleaned = IncrementalViews.spanExciseIngest(
+          s, b, views, "doc_id", "text", k = 10)
+        Snapshots.commit(b, src, statsCol = Some("doc_id"))
+        IncrementalViews.refreshSpanProfile(s, src, views,
+          "doc_id", "text", k = 10)
+        cleaned
+      }.reduce(_ unionByName _)
+    }),
 
     // The MAINTAINED span-duplication profile: the same numbers as
     // q_span_dedup, folded over an append + a predicate delete
@@ -1679,6 +1729,53 @@ object SparkEntry {
   /** `corpusExtra` restricts the CORPUS side only (the benchmark set
     * is frozen at full strength) — the maintained-ledger twin uses it
     * for its post-churn live filter. */
+  // the ExactSubstr keep-first replay (Lee et al. removal rule at
+  // k=10): shared verbatim by q_span_excise and q_span_excise_incr —
+  // folding (doc,pos)-ordered batch excisions equals the batch run
+  private val spanExciseOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      |), spans AS (
+      |  SELECT doc_id, s, unnest(
+      |           CASE WHEN len(s) < 10 THEN []::BIGINT[]
+      |                ELSE range(1, len(s) - 8) END) AS p
+      |  FROM toks
+      |), occ AS (
+      |  SELECT doc_id, p, array_to_string(s[p:p+9], ' ') AS gram
+      |  FROM spans
+      |), r AS (
+      |  SELECT doc_id, p,
+      |         row_number() OVER (PARTITION BY gram
+      |                            ORDER BY doc_id, p) AS rn
+      |  FROM occ
+      |), removed AS (
+      |  SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS t
+      |  FROM r WHERE rn > 1
+      |), tok AS (
+      |  SELECT doc_id, unnest(range(1, len(s) + 1)) AS t, s
+      |  FROM toks
+      |), kept AS (
+      |  SELECT k.doc_id,
+      |         CAST(count(*) AS BIGINT) AS kept_n,
+      |         string_agg(k.s[k.t], ' ' ORDER BY k.t) AS ct
+      |  FROM tok k LEFT JOIN removed rm
+      |    ON k.doc_id = rm.doc_id AND k.t = rm.t
+      |  WHERE rm.doc_id IS NULL
+      |  GROUP BY k.doc_id
+      |), touched AS (
+      |  SELECT DISTINCT doc_id FROM removed
+      |)
+      |SELECT d.doc_id,
+      |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(CASE WHEN tc.doc_id IS NULL THEN 0
+      |            ELSE len(string_split(d.text, ' ')) - coalesce(k.kept_n, 0)
+      |            END AS BIGINT) AS n_removed,
+      |       CASE WHEN tc.doc_id IS NULL THEN d.text
+      |            ELSE coalesce(k.ct, '') END AS clean_text
+      |FROM documents d
+      |LEFT JOIN touched tc USING (doc_id)
+      |LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   private def contaminationOracleSql(corpusExtra: String = ""): String =
     s"""WITH toks AS (
         |  SELECT doc_id, doc_id % 97 = 0 AS bench,
@@ -3404,6 +3501,29 @@ object SparkEntry {
         |WHERE cum >= greatest(1, CAST(ceil(p * tot.n) AS BIGINT))
         |GROUP BY p, tot.n""".stripMargin,
 
+    // the grouped twin: per-event_type cumulative walk, same lower
+    // order-statistic convention at max(1, ceil(p*n_g))
+    "q_quantiles_by_key_view_incr" ->
+      """WITH live AS (
+        |  SELECT event_type, floor(value * 100 + 0.5) AS sv FROM events
+        |  WHERE event_id % 10 <> 3 AND value IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, sv, count(*) AS cnt FROM live
+        |  GROUP BY event_type, sv
+        |), cum AS (
+        |  SELECT event_type, sv,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY sv) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c
+        |), ps AS (
+        |  SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS p
+        |)
+        |SELECT event_type, p, CAST(min(sv) / 100.0 AS DOUBLE) AS value,
+        |       CAST(n AS BIGINT) AS n
+        |FROM cum CROSS JOIN ps
+        |WHERE cum >= greatest(1, CAST(ceil(p * n) AS BIGINT))
+        |GROUP BY event_type, p, n""".stripMargin,
+
     // The maintained ledger over the post-churn live corpus; the
     // benchmark side stays frozen at full strength.
     "q_contamination_view_incr" ->
@@ -3431,49 +3551,12 @@ object SparkEntry {
     // first (doc, pos) occurrence of each duplicated 10-token span
     // survives, every other occurrence's token window is cut, cut
     // windows union per doc, and only docs a cut touches reassemble.
-    "q_span_excise" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
-        |), spans AS (
-        |  SELECT doc_id, s, unnest(
-        |           CASE WHEN len(s) < 10 THEN []::BIGINT[]
-        |                ELSE range(1, len(s) - 8) END) AS p
-        |  FROM toks
-        |), occ AS (
-        |  SELECT doc_id, p, array_to_string(s[p:p+9], ' ') AS gram
-        |  FROM spans
-        |), r AS (
-        |  SELECT doc_id, p,
-        |         row_number() OVER (PARTITION BY gram
-        |                            ORDER BY doc_id, p) AS rn
-        |  FROM occ
-        |), removed AS (
-        |  SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS t
-        |  FROM r WHERE rn > 1
-        |), tok AS (
-        |  SELECT doc_id, unnest(range(1, len(s) + 1)) AS t, s
-        |  FROM toks
-        |), kept AS (
-        |  SELECT k.doc_id,
-        |         CAST(count(*) AS BIGINT) AS kept_n,
-        |         string_agg(k.s[k.t], ' ' ORDER BY k.t) AS ct
-        |  FROM tok k LEFT JOIN removed rm
-        |    ON k.doc_id = rm.doc_id AND k.t = rm.t
-        |  WHERE rm.doc_id IS NULL
-        |  GROUP BY k.doc_id
-        |), touched AS (
-        |  SELECT DISTINCT doc_id FROM removed
-        |)
-        |SELECT d.doc_id,
-        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-        |       CAST(CASE WHEN tc.doc_id IS NULL THEN 0
-        |            ELSE len(string_split(d.text, ' ')) - coalesce(k.kept_n, 0)
-        |            END AS BIGINT) AS n_removed,
-        |       CASE WHEN tc.doc_id IS NULL THEN d.text
-        |            ELSE coalesce(k.ct, '') END AS clean_text
-        |FROM documents d
-        |LEFT JOIN touched tc USING (doc_id)
-        |LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "q_span_excise" -> spanExciseOracleSql,
+
+    // identical oracle BY DESIGN: folding the per-batch excisions
+    // (doc_id-ordered arrival) equals one batch excision over the
+    // final corpus — the keep-first authority composes
+    "q_span_excise_incr" -> spanExciseOracleSql,
 
     // Window sum over BIGINT is HUGEINT in DuckDB — cast back.
     "q_token_pack" ->

@@ -223,11 +223,7 @@ object Corpus {
     * never shuffles its text. */
   def spanExcise(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 10): DataFrame = {
-    val occ = df
-      .withColumn("__s", Text.tokens(col(textCol)))
-      .select(col(idCol), posexplode(Text.ngramsFromTokens(col("__s"), k)))
-      .select(col(idCol), col("pos").cast("long").as("__p"),
-        xxhash64(col("col")).as("span_h"))
+    val occ = spanOccurrences(df, idCol, textCol, k)
     val dupFirsts = occ.groupBy(col("span_h"))
       .agg(count(lit(1L)).as("__n"),
         min(struct(col(idCol), col("__p"))).as("__f"))
@@ -237,6 +233,59 @@ object Corpus {
       .filter(col(idCol) =!= col("__f").getField(idCol) ||
         col("__p") =!= col("__f").getField("__p"))
       .select(col(idCol), col("__p"))
+    applySpanCuts(df, idCol, textCol, cuts, k)
+  }
+
+  /** FEED-DRIVEN span excision: [[spanExcise]]'s keep-first rule
+    * applied to a NEW batch with the corpus-so-far as the standing
+    * authority — `existingSpans` (one `span_h` column, the maintained
+    * span-count view's live hashes) wins every tie, so a batch
+    * occurrence of a span the corpus already holds is always cut,
+    * and only spans NEW to the corpus resolve keep-first within the
+    * batch by (doc, pos) exactly as the batch operator does. When
+    * batches arrive in (doc, pos) order, folding each batch's output
+    * equals one [[spanExcise]] over the final corpus (the oracle's
+    * claim) — out-of-order ids would make "first" mean arrival order,
+    * not (doc, pos) order.
+    *
+    * Scale: the ingest pays O(batch spans) hashing plus one hash join
+    * against the span authority — the same cost class as the
+    * maintained profile's own tick (uniform span hashes touch every
+    * authority file; nothing rescans text), never O(corpus text). */
+  def spanExciseAgainst(batch: DataFrame, idCol: String, textCol: String,
+                        existingSpans: DataFrame, k: Int = 10): DataFrame = {
+    val occ = spanOccurrences(batch, idCol, textCol, k)
+    val existing = existingSpans.select(col("span_h")).distinct()
+    // every batch occurrence of a corpus-held span is cut
+    val cutsExisting = occ.join(existing, "span_h")
+      .select(col(idCol), col("__p"))
+    // spans new to the corpus: keep-first WITHIN the batch
+    val occNew = occ.join(existing, Seq("span_h"), "left_anti")
+    val dupFirsts = occNew.groupBy(col("span_h"))
+      .agg(count(lit(1L)).as("__n"),
+        min(struct(col(idCol), col("__p"))).as("__f"))
+      .filter(col("__n") > 1)
+      .select(col("span_h"), col("__f"))
+    val cutsNew = occNew.join(dupFirsts, "span_h")
+      .filter(col(idCol) =!= col("__f").getField(idCol) ||
+        col("__p") =!= col("__f").getField("__p"))
+      .select(col(idCol), col("__p"))
+    applySpanCuts(batch, idCol, textCol, cutsExisting.union(cutsNew), k)
+  }
+
+  /** `(idCol, __p, span_h)` for every k-token window of `df`. */
+  private def spanOccurrences(df: DataFrame, idCol: String,
+                              textCol: String, k: Int): DataFrame = df
+    .withColumn("__s", Text.tokens(col(textCol)))
+    .select(col(idCol), posexplode(Text.ngramsFromTokens(col("__s"), k)))
+    .select(col(idCol), col("pos").cast("long").as("__p"),
+      xxhash64(col("col")).as("span_h"))
+
+  /** Token-granular cut application shared by [[spanExcise]] and
+    * [[spanExciseAgainst]]: union the cut windows, reassemble only
+    * the docs that actually lose a token. */
+  private def applySpanCuts(df: DataFrame, idCol: String, textCol: String,
+                            cuts: DataFrame, k: Int): DataFrame = {
     val removed = cuts
       .select(col(idCol),
         explode(sequence(col("__p"), col("__p") + lit(k - 1))).as("__t"))

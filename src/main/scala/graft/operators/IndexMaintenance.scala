@@ -108,6 +108,24 @@ private[graft] object IndexMaintenance {
     try out.write(paths.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
+  /** Every path the retirement ledgers currently name — retired but
+    * not yet vacuumed. Readers use this to SKIP retired tombstone
+    * files: a compaction/recluster already applied them physically,
+    * so anti-joining them again would hide a vector legitimately
+    * re-introduced after its delete. */
+  def retiredPaths(spark: SparkSession, dir: String): Set[String] = {
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) return Set.empty
+    f.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(RetiredPrefix)).flatMap { ledger =>
+        val in = f.open(ledger)
+        val lines = try new String(in.readAllBytes(), "UTF-8").split('\n')
+                    finally in.close()
+        lines.map(_.trim).filter(_.nonEmpty)
+      }.toSet
+  }
+
   /** Delete everything the retirement ledgers name — run once readers
     * that started before the generation flip have drained (the grace
     * window is operational policy: a query's lifetime, not ours to

@@ -141,12 +141,20 @@ object MinHashIndex {
                              candidates: DataFrame): DataFrame = {
     val t = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val f = fs(spark, dir)
-    // a dir emptied by compact (or never written) holds no schema
-    if (!f.exists(t) ||
-      !f.listStatus(t).exists(_.getPath.getName.endsWith(".parquet")))
-      candidates
+    // skip tombstone files a past compact already APPLIED (recorded
+    // retired, awaiting vacuum): anti-joining them again would hide a
+    // doc legitimately re-appended after its delete
+    val retired = IndexMaintenance.retiredPaths(spark, dir)
+    val live =
+      if (!f.exists(t)) Array.empty[String]
+      else f.listStatus(t).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !retired.contains(p.toString))
+        .map(_.toString)
+    if (live.isEmpty) candidates
     else candidates.join(
-      spark.read.parquet(s"$dir/tombstones").select(col("__id").as("id_b")),
+      spark.read.parquet(live.toIndexedSeq: _*)
+        .select(col("__id").as("id_b")),
       Seq("id_b"), "left_anti")
   }
 
@@ -219,12 +227,17 @@ object MinHashIndex {
       val next = meta.copy(gen = meta.gen + 1)
       val f = fs(spark, dir)
       val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      // apply (and retire) only tombstone files NOT already retired:
+      // re-applying one would hide a doc re-appended after its delete
+      val alreadyRetired = IndexMaintenance.retiredPaths(spark, dir)
       val tombFiles =
-        if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath).toSeq
+        if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath)
+          .filter(p => !alreadyRetired.contains(p.toString)).toSeq
         else Nil
       val tomb =
         if (tombFiles.isEmpty) None
-        else Some(spark.read.parquet(s"$dir/tombstones").select("__id").distinct())
+        else Some(spark.read.parquet(tombFiles.map(_.toString): _*)
+          .select("__id").distinct())
       val bandsIn = spark.read.parquet(bandsPath(dir, meta))
       val setsIn = spark.read.parquet(setsPath(dir, meta))
       val liveBands = tomb.fold(bandsIn)(t => bandsIn.join(t, Seq("__id"), "left_anti"))

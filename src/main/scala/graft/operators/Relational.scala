@@ -834,8 +834,16 @@ object Relational {
     require(k > 0, s"k must be positive: $k")
     require(rrfK > 0, s"rrfK must be positive: $rrfK")
     import graft.functions.Exact
+    // ranks are 1-based by contract; a 0/negative/null rank would
+    // silently inflate the fused score (and rank = -rrfK divides by
+    // zero), so the violation fails loudly inside the scan instead
     val u = legs.map(_.select(col(idCol),
-      col("rank").cast("double").as("__r"))).reduce(_ unionByName _)
+      when(col("rank").isNull || col("rank") < 1,
+        raise_error(concat(lit("rrfFuse: leg carries rank "),
+          coalesce(col("rank").cast("string"), lit("NULL")),
+          lit(" — ranks are 1-based; fix the leg's ranking"))))
+        .otherwise(col("rank").cast("double")).as("__r")))
+      .reduce(_ unionByName _)
     u.groupBy(col(idCol))
       .agg(Exact.sumExact(
           Exact.roundAt(lit(1.0) / (lit(rrfK.toDouble) + col("__r")), 9),

@@ -302,14 +302,20 @@ object Similarity {
       val gen = ivfGen(spark, path)
       val f = ivfFs(spark, path)
       val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      // apply (and retire) only tombstone files NOT already retired by
+      // a past compaction/recluster: re-applying a retired file would
+      // permanently hide a vector re-introduced after its delete
+      val alreadyRetired = IndexMaintenance.retiredPaths(spark, path)
       val tombFiles =
-        if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath).toSeq
+        if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath)
+          .filter(p => !alreadyRetired.contains(p.toString)).toSeq
         else Nil
       val cellsIn = spark.read.parquet(ivfCellsPath(path, gen))
       val live =
         if (tombFiles.isEmpty) cellsIn
         else cellsIn.join(
-          spark.read.parquet(s"$path/tombstones").select("neighbor_id"),
+          spark.read.parquet(tombFiles.map(_.toString): _*)
+            .select("neighbor_id"),
           Seq("neighbor_id"), "left_anti")
       val nCells = ivfReadCentroids(spark, path).length
       live.repartition(nCells, col("cell"))
@@ -352,8 +358,14 @@ object Similarity {
       val gen = ivfGen(spark, path)
       val f = ivfFs(spark, path)
       val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      // the rewrite reads the LIVE corpus, so every not-yet-retired
+      // tombstone file is implicitly applied here; already-retired
+      // ones stay in their own ledger (double-recording is harmless
+      // but muddies vacuum accounting)
+      val alreadyRetired = IndexMaintenance.retiredPaths(spark, path)
       val tombFiles =
-        if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath).toSeq
+        if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath)
+          .filter(p => !alreadyRetired.contains(p.toString)).toSeq
         else Nil
       val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
       corpus
@@ -367,10 +379,15 @@ object Similarity {
         .coalesce(1).write.mode("overwrite")
         .json(s"$path/centroids-g${gen + 1}")
       writeIvfGen(spark, path, gen + 1) // the flip
-      val oldCents =
-        if (gen == 0) Nil else Seq(s"$path/centroids-g$gen")
+      // retire the centroids file the OLD generation actually
+      // resolved (ivfCompact bumps gens without moving centroids, so
+      // centroids-g<gen> may not exist — walk down like readers do)
+      val oldCents = (gen to 1 by -1).map(g => s"$path/centroids-g$g")
+        .find(p => f.exists(new org.apache.hadoop.fs.Path(p)))
+        .getOrElse(s"$path/centroids")
       IndexMaintenance.recordRetired(spark, path, s"recluster-g$gen",
-        (ivfCellsPath(path, gen) +: oldCents) ++ tombFiles.map(_.toString))
+        (ivfCellsPath(path, gen) +: Seq(oldCents)) ++
+          tombFiles.map(_.toString))
     }
 
   /** Record the maintained embedding moments' current (n, mean,
@@ -533,11 +550,19 @@ object Similarity {
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (!f.exists(t) ||
-      !f.listStatus(t).exists(_.getPath.getName.endsWith(".parquet")))
-      candidates
+    // skip tombstone files a compaction/recluster already APPLIED
+    // (recorded retired, awaiting vacuum): anti-joining them again
+    // would hide a vector legitimately re-introduced after its delete
+    val retired = IndexMaintenance.retiredPaths(spark, path)
+    val live =
+      if (!f.exists(t)) Array.empty[String]
+      else f.listStatus(t).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !retired.contains(p.toString))
+        .map(_.toString)
+    if (live.isEmpty) candidates
     else candidates.join(
-      spark.read.parquet(s"$path/tombstones").select("neighbor_id"),
+      spark.read.parquet(live.toIndexedSeq: _*).select("neighbor_id"),
       Seq("neighbor_id"), "left_anti")
   }
 
@@ -553,7 +578,8 @@ object Similarity {
       vecCol: String,
       k: Int,
       path: String,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
     // one gen resolution pairs this query's centroids with its cells
     // even if a recluster flips the pointer mid-plan (the retired
     // generation outlives in-flight readers until ivfVacuum)
@@ -570,8 +596,13 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cAssigned.join(broadcast(qProbes), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val joined = cAssigned.join(broadcast(qProbes), "cell")
+    // excludeSelf=false is for EXTERNAL queries (e.g. hybridSearch's
+    // internal probe): an id-collision between a query and a corpus
+    // vector is then a coincidence, not a self-match to suppress
+    (if (excludeSelf)
+       joined.filter(col("neighbor_id") =!= col("query_id"))
+     else joined)
       .withColumn("cosine", Vectors.cosine(col("__qv"), col("vec")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -1929,6 +1929,35 @@ object IncrementalViews {
     * term, empty when nothing changed). The quoted phrase is never
     * corrected — quotes mean exactly this. Opt-in only: without it
     * the serve keeps its exact terms and output shape. */
+  /** The "did you mean" term rewrite shared by [[search]] and
+    * [[hybridSearch]]: each query term with ZERO live postings (one
+    * pruned probe of just those terms' posting files) is replaced by
+    * its top [[spellSuggest]] suggestion; returns the rewritten terms
+    * plus the `"orig->new"` audit string (None when no spell index is
+    * attached — the exact-terms serve keeps its exact output shape). */
+  private def correctTerms(spark: SparkSession, viewRoot: String,
+                           queryTerms: Seq[String],
+                           spellIndex: Option[String])
+      : (Seq[String], Option[String]) = spellIndex match {
+    case None => (queryTerms, None)
+    case Some(sd) =>
+      val distinctQ = queryTerms.distinct
+      val present = Snapshots.readPrunedRanges(spark,
+          s"$viewRoot/post", "", distinctQ.map(t => (t, t)))
+        .filter(col("__cnt") > 0)
+        .filter(col("__token").isin(distinctQ: _*))
+        .select(col("__token")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val repl = distinctQ.filterNot(present).flatMap { t =>
+        spellSuggest(spark, sd, t, topK = 1).collect().headOption
+          .map(r => t -> r.getString(0)).filter { case (o, n) => o != n }
+      }.toMap
+      (queryTerms.map(t => repl.getOrElse(t, t)),
+        Some(distinctQ.collect {
+          case t if repl.contains(t) => s"$t->${repl(t)}"
+        }.mkString(" ")))
+  }
+
   def search(spark: SparkSession, viewRoot: String,
              queryTerms: Seq[String], k: Int, snippetK: Int = 3,
              idCol: String = "doc_id",
@@ -1948,25 +1977,8 @@ object IncrementalViews {
     // keeps its exact terms and its exact output shape. The quoted
     // phrase, when present, is deliberately NOT corrected — quotes
     // mean "exactly this".
-    val (terms, audit) = spellIndex match {
-      case None => (queryTerms, None)
-      case Some(sd) =>
-        val distinctQ = queryTerms.distinct
-        val present = Snapshots.readPrunedRanges(spark,
-            s"$viewRoot/post", "", distinctQ.map(t => (t, t)))
-          .filter(col("__cnt") > 0)
-          .filter(col("__token").isin(distinctQ: _*))
-          .select(col("__token")).distinct()
-          .collect().map(_.getString(0)).toSet
-        val repl = distinctQ.filterNot(present).flatMap { t =>
-          spellSuggest(spark, sd, t, topK = 1).collect().headOption
-            .map(r => t -> r.getString(0)).filter { case (o, n) => o != n }
-        }.toMap
-        (queryTerms.map(t => repl.getOrElse(t, t)),
-          Some(distinctQ.collect {
-            case t if repl.contains(t) => s"$t->${repl(t)}"
-          }.mkString(" ")))
-    }
+    val (terms, audit) = correctTerms(spark, viewRoot, queryTerms,
+      spellIndex)
     def withAudit(df: DataFrame): DataFrame =
       audit.fold(df)(a => df.withColumn("corrected_terms", lit(a)))
     val top = phrase match {
@@ -2041,21 +2053,31 @@ object IncrementalViews {
     * leg carries rank 0 / score 0.0 there (never a NULL — n_legs
     * tells one-leg hits apart). O(query) end to end: both legs are
     * pruned index serves, both are k-bounded before the fusion union,
-    * and the fused heap is a TakeOrdered. */
+    * and the fused heap is a TakeOrdered.
+    *
+    * `spellIndex = Some(dir)` is "did you mean" for the TEXT leg
+    * (same rewrite as [[search]]): a misspelled term would otherwise
+    * silently starve the text leg and degrade the fused page to
+    * vector-only — corrected terms rank instead and the page carries
+    * the same constant `corrected_terms` audit column. The vector
+    * leg is untouched (embeddings don't misspell). Opt-in only. */
   def hybridSearch(spark: SparkSession, viewRoot: String,
                    ivfPath: String, queryTerms: Seq[String],
                    queryVec: Array[Float], k: Int, kEach: Int = 20,
                    rrfK: Int = 60, nProbe: Int = 4,
                    idCol: String = "doc_id",
-                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                   k1: Double = 1.2, b: Double = 0.75,
+                   spellIndex: Option[String] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(kEach >= k,
       s"kEach ($kEach) must be >= k ($k) — a leg shorter than the page " +
         "would silently starve the fusion")
+    val (terms, audit) = correctTerms(spark, viewRoot, queryTerms,
+      spellIndex)
     // both legs are k-bounded serve outputs: collecting them is
     // metadata, and literal-frame ranks sidestep a partition-less
     // row_number window (the `search` discipline)
-    val textHits = readBm25(spark, viewRoot, queryTerms, idCol, k1, b,
+    val textHits = readBm25(spark, viewRoot, terms, idCol, k1, b,
       topK = Some(kEach)).collect()
     val idType = Snapshots.read(spark, s"$viewRoot/dlen")
       .schema("__doc").dataType
@@ -2070,15 +2092,18 @@ object IncrementalViews {
         org.apache.spark.sql.types.StructField("bm25",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
     import spark.implicits._
+    // excludeSelf=false: the internal query id is synthetic, so a
+    // corpus vector that happens to share it must NOT be suppressed
     val qdf = Seq((-1L, queryVec.toSeq)).toDF("__qid", "__qv")
     val vecLeg = graft.operators.Similarity.ivfTopKIndexed(spark, qdf,
-        "__qid", "__qv", k = kEach, path = ivfPath, nProbe = nProbe)
+        "__qid", "__qv", k = kEach, path = ivfPath, nProbe = nProbe,
+        excludeSelf = false)
       .select(col("neighbor_id").as(idCol), col("rnk").as("rank"),
         col("cosine"))
     val fused = graft.operators.Relational.rrfFuse(
       Seq(textLeg.select(col(idCol), col("rank")),
         vecLeg.select(col(idCol), col("rank"))), idCol, k, rrfK)
-    fused
+    val page = fused
       .join(textLeg.select(col(idCol), col("rank").as("__tr"),
         col("bm25")), Seq(idCol), "left")
       .join(vecLeg.select(col(idCol), col("rank").as("__cr"),
@@ -2089,6 +2114,7 @@ object IncrementalViews {
         coalesce(col("__cr"), lit(0L)).as("cos_rank"),
         coalesce(col("cosine"), lit(0.0)).as("cosine"))
       .orderBy(col("rrf").desc, col(idCol).asc)
+    audit.fold(page)(a => page.withColumn("corrected_terms", lit(a)))
   }
 
   /** Per-row guard folded into the position expression (free in the
@@ -2508,6 +2534,40 @@ object IncrementalViews {
         4L * 1000 * 1000, 5, 24L * 3600 * 1000)
     }
 
+  /** FEED-DRIVEN SPAN EXCISION at ingest: clean a NEW batch against
+    * the maintained span profile as the keep-first authority
+    * ([[graft.operators.Corpus.spanExciseAgainst]] over the `spanc`
+    * view's live span hashes) — a span the corpus already holds wins
+    * every tie, spans new to the corpus resolve keep-first within the
+    * batch by (doc, pos). The ingest loop is: excise the batch, then
+    * commit its RAW rows and [[refreshSpanProfile]] so the next batch
+    * sees them (the profile must stay the RAW corpus's — excised text
+    * would stop vetoing its own duplicates). When batches arrive in
+    * (doc, pos) order, folding each batch's output equals one batch
+    * [[graft.operators.Corpus.spanExcise]] over the final corpus —
+    * the oracle's claim. O(batch + one spanc join) per tick, zero
+    * corpus-text rescans. The returned frame is PINNED to the
+    * profile's current version (snapshot file lists resolve now), so
+    * executing it after the post-commit refresh stays correct. */
+  def spanExciseIngest(spark: SparkSession, batch: DataFrame,
+                       viewRoot: String, idCol: String, textCol: String,
+                       k: Int = 10): DataFrame = {
+    val existing = readParam(spark, viewRoot, "span_k") match {
+      case Some(pinned) =>
+        require(pinned == k.toString,
+          s"$viewRoot was built with span_k = $pinned but this ingest " +
+            s"passes k = $k — excision and profile must share the window")
+        Snapshots.read(spark, s"$viewRoot/spanc")
+          .filter(col("__cnt") > 0)
+          .select(col("__span").as("span_h"))
+      case None =>
+        // first batch: no profile yet, the corpus holds no spans
+        spark.range(0).select(col("id").as("span_h"))
+    }
+    graft.operators.Corpus.spanExciseAgainst(batch, idCol, textCol,
+      existing, k)
+  }
+
   /** The maintained profile, same shape and arithmetic as the batch
     * [[graft.operators.Corpus.spanDedup]]: `(idCol, n_spans,
     * dup_spans, dup_ratio)` for every LIVE doc (zero-span docs
@@ -2632,20 +2692,31 @@ object IncrementalViews {
     * state is O(distinct rounded values) — domain-bounded however
     * many rows ever flowed. NULL values are skipped (the SQL
     * percentile convention). `scale` is pinned per view dir: mixing
-    * roundings would silently merge adjacent buckets. Pair with
-    * [[readQuantiles]] for exact order statistics at any p. */
+    * roundings would silently merge adjacent buckets. `groupCols`
+    * (also pinned) makes the histogram PER-GROUP — the latency-monitor
+    * regime of percentiles per (metric, station) — at
+    * O(Σ_g distinct rounded values) state. Pair with [[readQuantiles]]
+    * (global) / [[readQuantilesBy]] (grouped) for exact order
+    * statistics at any p. */
   def refreshValueHistogram(spark: SparkSession, srcDir: String,
                             viewDir: String, valueCol: String,
-                            scale: Int = 2): Unit = {
+                            scale: Int = 2,
+                            groupCols: Seq[String] = Nil): Unit = {
     require(scale >= 0 && scale <= 6, s"scale must be in [0, 6]: $scale")
+    require(!groupCols.contains("__v"),
+      "__v is the histogram's own bucket column — rename the group key")
     requireSameParam(spark, viewDir, "hist_scale", scale.toString)
+    // bracketed so the no-groups case pins a NON-empty marker (an
+    // empty marker reads as a crash artifact, not a recorded value)
+    requireSameParam(spark, viewDir, "hist_groups",
+      s"[${groupCols.mkString(",")}]")
     val f = math.pow(10, scale)
-    refreshAgg(spark, srcDir, viewDir, Seq("__v"), Nil,
+    refreshAgg(spark, srcDir, viewDir, groupCols :+ "__v", Nil,
       transform = Some(df => df
         .filter(col(valueCol).isNotNull)
-        .select(col("__change"),
+        .select(col("__change") +: groupCols.map(col) :+
           floor(col(valueCol).cast("double") * f + 0.5).cast("long")
-            .as("__v"))))
+            .as("__v"): _*)))
     ()
   }
 
@@ -2653,6 +2724,7 @@ object IncrementalViews {
   def maintainValueHistogram(spark: SparkSession, srcDir: String,
                              viewDir: String, valueCol: String,
                              checkpointDir: String, scale: Int = 2,
+                             groupCols: Seq[String] = Nil,
                              trigger: org.apache.spark.sql.streaming.Trigger =
                                org.apache.spark.sql.streaming.Trigger
                                  .AvailableNow(),
@@ -2660,8 +2732,10 @@ object IncrementalViews {
       : org.apache.spark.sql.streaming.StreamingQuery =
     maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
       housekeepEvery) { () =>
-      refreshValueHistogram(spark, srcDir, viewDir, valueCol, scale)
-    } { () => housekeep(spark, viewDir, clusterBy = Some("__v")) }
+      refreshValueHistogram(spark, srcDir, viewDir, valueCol, scale,
+        groupCols)
+    } { () => housekeep(spark, viewDir,
+        clusterBy = Some(groupCols.headOption.getOrElse("__v"))) }
 
   /** EXACT percentiles from the maintained histogram: for each p the
     * LOWER order statistic at rank max(1, ceil(p·n)) over the live
@@ -2692,21 +2766,82 @@ object IncrementalViews {
           "single-task that many rows; coarsen the histogram scale " +
           "or raise the cap deliberately")
     }
+    // n is a one-row aggregate — bounded driver metadata, same class
+    // as the distinct-count guard above. Collecting it lets every
+    // rank threshold become a LITERAL, so the serve is one window +
+    // one aggregate over the domain-bounded frame: no join of any
+    // kind (the crossJoin-of-broadcast-constants shape plans as
+    // BroadcastNestedLoopJoin and is banned by PlanGuardSpec).
+    val nRow = rows.agg(sum(col("__cnt"))).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    import spark.implicits._
+    if (n == 0L) return Seq.empty[(Double, Double, Long)]
+      .toDF("p", "value", "n")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val cum = rows.withColumn("__cum", sum(col("__cnt")).over(w))
-    val total = rows.agg(sum(col("__cnt")).as("__n"))
-    import spark.implicits._
-    val psDf = ps.toDF("p")
-    cum.crossJoin(broadcast(total)).crossJoin(broadcast(psDf))
+    val thresholds = ps.map(p => math.max(1L, math.ceil(p * n).toLong))
+    val aggs = thresholds.zipWithIndex.map { case (t, i) =>
+      min(when(col("__cum") >= t, col("__v"))).as(s"__q_$i") }
+    cum.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ps.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("p"), col(s"__q_$i").as("__qv")) }: _*)).as("__e"))
+      .select(col("__e.p").as("p"),
+        (col("__e.__qv").cast("double") / math.pow(10, scale)).as("value"),
+        lit(n).as("n"))
+  }
+
+  /** PER-GROUP exact percentiles from a GROUPED maintained histogram
+    * ([[refreshValueHistogram]] with `groupCols`) — the reference's
+    * latency-monitor regime (percentiles per (metric, station))
+    * without rescans. Same rank convention as [[readQuantiles]]
+    * (lower order statistic at max(1, ceil(p·n_g)) within each
+    * group), but the cumulative walk is PARTITIONED by the group
+    * keys — no single-partition hotspot however many groups, and the
+    * per-group total rides the same window pass so no driver collect
+    * and no join of any kind. Each histogram row fans out to the
+    * |ps| requested percentiles (a literal-array explode), then one
+    * partial-aggregated groupBy picks each group's thresholds. Emits
+    * `(groupCols*, p, value, n)`. */
+  def readQuantilesBy(spark: SparkSession, viewDir: String,
+                      groupCols: Seq[String], ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles must sit in (0, 1]: $ps")
+    require(groupCols.nonEmpty,
+      "readQuantilesBy needs group keys — use readQuantiles for the " +
+        "global percentiles")
+    val scale = readParam(spark, viewDir, "hist_scale").getOrElse(
+      throw new IllegalArgumentException(
+        s"$viewDir has no _param_hist_scale marker — build it with " +
+          "refreshValueHistogram first")).toInt
+    val pinned = readParam(spark, viewDir, "hist_groups")
+    require(pinned.contains(s"[${groupCols.mkString(",")}]"),
+      s"$viewDir was built with hist_groups = " +
+        s"${pinned.getOrElse("<missing>")} but this read asks for " +
+        s"[${groupCols.mkString(",")}] — grouped quantiles must walk " +
+        "the exact keys the histogram folds on")
+    val rows = Snapshots.read(spark, viewDir)
+      .filter(col("__cnt") > 0)
+      .select((groupCols.map(col) :+ col("__v")) :+ col("__cnt"): _*)
+    val gCols = groupCols.map(col)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*)
+    rows
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .withColumn("p", explode(array(ps.map(lit(_)): _*)))
       .filter(col("__cum") >=
         greatest(lit(1L), ceil(col("p") * col("__n")).cast("long")))
-      .groupBy(col("p"), col("__n"))
+      .groupBy(gCols :+ col("p") :+ col("__n"): _*)
       .agg(min(col("__v")).as("__qv"))
-      .select(col("p"),
-        (col("__qv").cast("double") / math.pow(10, scale)).as("value"),
-        col("__n").cast("long").as("n"))
+      .select(gCols :+ col("p") :+
+        (col("__qv").cast("double") / math.pow(10, scale)).as("value") :+
+        col("__n").cast("long").as("n"): _*)
   }
 
   def refreshWordFreq(spark: SparkSession, srcDir: String,
@@ -3118,14 +3253,22 @@ object IncrementalViews {
         def place(): Boolean = {
           val scheme = f.getUri.getScheme
           if (scheme == null || scheme == "file") {
+            // makeQualified: a relative viewRoot must resolve against
+            // the Hadoop FS working directory, not the JVM CWD
             try {
               java.nio.file.Files.createLink(
-                java.nio.file.Paths.get(dst.toUri.getPath),
-                java.nio.file.Paths.get(tmp.toUri.getPath))
+                java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
+                java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
               f.delete(tmp, false)
               true
             } catch {
               case _: java.nio.file.FileAlreadyExistsException => false
+              // overlay/network mounts may refuse hard links outright —
+              // fall back to the refuse-if-exists rename; the read-back
+              // verification below still closes the replace-rename hole
+              case _: UnsupportedOperationException => f.rename(tmp, dst)
+              case _: java.nio.file.FileSystemException
+                  if !f.exists(dst) => f.rename(tmp, dst)
             }
           } else f.rename(tmp, dst)
         }

@@ -92,4 +92,50 @@ class HybridSearchSpec extends SparkSpec {
         r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
     assert(viaSql.toSeq == page.toSeq)
   }
+
+  test("hybridSearch did-you-mean: misspelled text leg corrects instead of starving the fusion") {
+    val s = spark; import s.implicits._
+    val (src, views, ivf, wfreq, idx) = (tmp(), tmp(), tmp(), tmp(), tmp())
+    def vec(a: Float, b: Float) = Array.tabulate(8)(i =>
+      if (i == 0) a else if (i == 1) b else 0f)
+    Snapshots.commit(Seq(
+      (1L, "spark streams arrive quickly and spark holds"),
+      (2L, "spark joins tables"),
+      (3L, "pandas frames lag")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    IncrementalViews.refreshWordFreq(spark, src, wfreq, "text")
+    IncrementalViews.refreshSpellIndex(spark, wfreq, idx, maxEdits = 1)
+    val emb = Seq((1L, vec(1f, 0.01f)), (2L, vec(0.99f, 0.02f)),
+      (3L, vec(0.01f, 1f))).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding",
+      Similarity.sampleCentroids(emb, "vec_id", "embedding", 2), ivf)
+    val qv = vec(1f, 0f)
+    // without the spell index the misspelling starves the text leg:
+    // the page degrades to vector-only (n_legs = 1 everywhere)
+    val starved = IncrementalViews.hybridSearch(spark, views, ivf,
+      Seq("sparkk"), qv, k = 3, kEach = 3, nProbe = 2).collect()
+    assert(starved.forall(_.getLong(2) == 1L),
+      "a zero-posting term must leave only the vector leg")
+    // with it, the fused page equals the corrected-query page + audit
+    val corrected = IncrementalViews.hybridSearch(spark, views, ivf,
+      Seq("spark"), qv, k = 3, kEach = 3, nProbe = 2).collect()
+    val spelled = IncrementalViews.hybridSearch(spark, views, ivf,
+      Seq("sparkk"), qv, k = 3, kEach = 3, nProbe = 2,
+      spellIndex = Some(idx)).collect()
+    assert(spelled.map(_.toSeq.dropRight(1)).toSeq ==
+      corrected.map(_.toSeq).toSeq,
+      "corrected hybrid page must equal the right-spelling page")
+    assert(spelled.forall(_.getString(7) == "sparkk->spark"))
+    // a correctly-spelled query with the index attached: empty audit
+    val clean = IncrementalViews.hybridSearch(spark, views, ivf,
+      Seq("spark"), qv, k = 3, kEach = 3, nProbe = 2,
+      spellIndex = Some(idx)).collect()
+    assert(clean.forall(_.getString(7) == ""))
+    // SQL surface grows the optional arg
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_hybrid_search('$views', '$ivf', 'sparkk', " +
+        s"'${qv.mkString(",")}', 3, 3, 2, 'doc_id', '$idx')").collect()
+    assert(viaSql.map(_.toSeq).toSeq == spelled.map(_.toSeq).toSeq)
+  }
 }

@@ -2046,6 +2046,123 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(viaSql == expected(ps))
   }
 
+  test("GROUPED value histogram: per-group quantiles across churn; pinned groups; TVF parity") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, view) = (tmpDir(), tmpDir())
+    def expected(ps: Seq[Double]): Map[(String, Double), (Double, Long)] =
+      Snapshots.read(spark, src).select("g", "v")
+        .collect().filterNot(_.isNullAt(1))
+        .groupBy(_.getString(0)).flatMap { case (g, rs) =>
+          val vals = rs.map(r =>
+            math.floor(r.getDouble(1) * 100 + 0.5).toLong).sorted
+          ps.map(p => (g, p) -> (
+            vals((math.max(1L,
+              math.ceil(p * vals.length).toLong) - 1).toInt) / 100.0,
+            vals.length.toLong))
+        }.toMap
+    def served(ps: Seq[Double]): Map[(String, Double), (Double, Long)] =
+      IncrementalViews.readQuantilesBy(spark, view, Seq("g"), ps)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          (r.getDouble(2), r.getLong(3))).toMap
+    Snapshots.commit((1 to 90).map(i =>
+        (i.toLong, s"g${i % 3}", i / 7.0)).toDF("id", "g", "v")
+      .unionByName(Seq((200L, "g0")).toDF("id", "g")
+        .withColumn("v", lit(null).cast("double"))), src,
+      statsCol = Some("id"))
+    IncrementalViews.refreshValueHistogram(spark, src, view, "v",
+      groupCols = Seq("g"))
+    val ps = Seq(0.5, 0.95)
+    assert(served(ps) == expected(ps))
+    // churn: skewed second wave + predicate delete; per-group folds track
+    Snapshots.commit((101 to 160).map(i =>
+      (i.toLong, s"g${i % 2}", i / 3.0)).toDF("id", "g", "v"), src,
+      statsCol = Some("id"))
+    Snapshots.deleteWhere(spark, src, col("id") % 3 === 0)
+    IncrementalViews.refreshValueHistogram(spark, src, view, "v",
+      groupCols = Seq("g"))
+    assert(served(ps) == expected(ps))
+    // the global read still answers over a grouped view (counts sum)
+    val glob = IncrementalViews.readQuantiles(spark, view, Seq(0.5))
+      .collect().head
+    val allVals = Snapshots.read(spark, src).select("v")
+      .collect().filterNot(_.isNullAt(0))
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong).sorted
+    assert(glob.getDouble(1) ==
+      allVals((math.max(1L,
+        math.ceil(0.5 * allVals.length).toLong) - 1).toInt) / 100.0)
+    // group keys are pinned per dir, and reads must name them exactly
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshValueHistogram(spark, src, view, "v")
+    }
+    assert(e1.getMessage.contains("hist_groups"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalViews.readQuantilesBy(spark, view, Seq("wrong"), Seq(0.5))
+    }
+    assert(e2.getMessage.contains("hist_groups"), e2.getMessage)
+    // SQL TVF parity, grouped refresh + grouped read
+    val viaSql = spark.sql(
+        s"SELECT * FROM graft_quantiles_by('$view', 'g', '0.5,0.95')")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(viaSql == expected(ps))
+    val (src2, view2) = (tmpDir(), tmpDir())
+    Snapshots.commit(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 9.0))
+      .toDF("id", "g", "v"), src2, statsCol = Some("id"))
+    spark.sql(s"SELECT * FROM graft_view_refresh_value_histogram(" +
+      s"'$src2', '$view2', 'v', 2, 'g')").collect()
+    val viaSql2 = spark.sql(
+        s"SELECT * FROM graft_quantiles_by('$view2', 'g', '1.0')")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(viaSql2 == Map("a" -> 2.0, "b" -> 9.0))
+  }
+
+  test("feed-driven span excision: folded ordered batches == batch spanExcise over the final corpus") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views) = (tmpDir(), tmpDir())
+    // spans engineered to hit every cross-batch case at k=3:
+    // "a b c" first occurs in batch1 (doc 1) and again in batch2
+    // (doc 10) — the corpus authority must cut batch2's copy;
+    // "x y z" occurs twice WITHIN batch2 only — in-batch keep-first;
+    // doc 11 is untouched and must pass through verbatim
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "p q r s t"),
+      (10L, "m a b c n"),
+      (11L, "u v w"),
+      (12L, "x y z h x y z"),
+      (20L, "p q r k l")).toDF("doc_id", "text")
+    val batches = Seq(
+      docs.filter(col("doc_id") <= 2),
+      docs.filter(col("doc_id") > 2 && col("doc_id") <= 12),
+      docs.filter(col("doc_id") > 12))
+    val folded = batches.map { b =>
+      val cleaned = IncrementalViews.spanExciseIngest(
+        spark, b, views, "doc_id", "text", k = 3)
+      Snapshots.commit(b, src, statsCol = Some("doc_id"))
+      IncrementalViews.refreshSpanProfile(spark, src, views,
+        "doc_id", "text", k = 3)
+      cleaned
+    }.reduce(_ unionByName _)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val batch = graft.operators.Corpus.spanExcise(docs, "doc_id", "text",
+        k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(folded == batch)
+    // the cross-batch duplicate was cut by the AUTHORITY, not in-batch
+    assert(folded(10L)._3 == "m n")
+    assert(folded(11L)._3 == "u v w")
+    // the window size is pinned: a mismatched ingest fails loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.spanExciseIngest(spark, docs, views,
+        "doc_id", "text", k = 5)
+    }
+    assert(e.getMessage.contains("span_k"), e.getMessage)
+  }
+
   test("maintained contamination ledger == batch check across churn; frozen bench pin") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._

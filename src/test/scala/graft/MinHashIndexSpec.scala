@@ -109,6 +109,38 @@ class MinHashIndexSpec extends SparkSpec {
     } finally rmrf(new java.io.File(dir).getParentFile)
   }
 
+  test("a doc re-appended after its tombstone was compacted away vetoes again pre-vacuum") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mh_reapp").toString + "/idx"
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val others = Seq((2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet pink brown black"))
+    MinHashIndex.build(spark,
+      dir, (Seq((1L, text)) ++ others).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val probe = Seq((99L, text)).toDF("doc_id", "text")
+    def vetoed(): Boolean = MinHashIndex.query(spark, dir, probe,
+      "doc_id", "text", threshold = 0.9).collect().nonEmpty
+    assert(vetoed())
+    // erase doc 1, compact (tombstone applied physically + RETIRED)
+    MinHashIndex.tombstone(spark, dir, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(!vetoed())
+    MinHashIndex.compact(spark, dir)
+    assert(!vetoed())
+    // re-append the same id (content legitimately returns): the
+    // retired-but-unvacuumed tombstone file must NOT hide it...
+    MinHashIndex.append(spark, dir, Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(vetoed(),
+      "a retired tombstone re-hid the re-appended doc before vacuum")
+    // ...nor may a second compact re-apply it
+    MinHashIndex.compact(spark, dir)
+    assert(vetoed(), "compact re-applied an already-retired tombstone")
+    assert(MinHashIndex.vacuum(spark, dir) > 0)
+    assert(vetoed())
+  }
+
   test("compact merges band files, applies tombstones physically, preserves queries") {
     val s = spark
     import s.implicits._

@@ -394,4 +394,41 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfRecordBaseline(spark, idx, mom)
     assert(!Similarity.ivfDrift(spark, idx, mom).collect().head.getBoolean(4))
   }
+
+  test("retired tombstones never re-hide a vector the recluster re-introduced") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val dim = 4
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_tomb").toString
+    def v(d: Int) = Array.tabulate(dim)(i => if (i == d) 1f else 0.01f * i)
+    val corpus = Seq(
+      (100L, v(0)), (101L, v(0)), (102L, v(1)), (103L, v(1)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(corpus, "vec_id", "embedding",
+      Similarity.sampleCentroids(corpus, "vec_id", "embedding", 2), idx)
+    val q = Seq((-1L, v(0).toSeq)).toDF("q", "v")
+    def hits(): Set[Long] = Similarity.ivfTopKIndexed(spark, q, "q", "v",
+      k = 4, path = idx, nProbe = 2).collect().map(_.getLong(1)).toSet
+    assert(hits().contains(100L))
+    // logical delete hides 100 from queries
+    Similarity.ivfTombstone(spark, idx, Seq(100L).toDF("vec_id"), "vec_id")
+    assert(!hits().contains(100L))
+    // recluster from a corpus that RE-INTRODUCES 100: the old
+    // tombstone is applied-and-retired with the old generation, so
+    // the re-introduced vector must be visible BEFORE vacuum
+    Similarity.ivfRecluster(spark, corpus, "vec_id", "embedding", idx,
+      nCells = 2)
+    assert(hits().contains(100L),
+      "a retired tombstone must not hide the re-introduced vector")
+    // a later compact must not re-apply the retired tombstone either
+    Similarity.ivfCompact(spark, idx)
+    assert(hits().contains(100L),
+      "compact re-applied a tombstone the recluster already retired")
+    // fresh tombstones (post-recluster) still apply...
+    Similarity.ivfTombstone(spark, idx, Seq(102L).toDF("vec_id"), "vec_id")
+    assert(!hits().contains(102L) && hits().contains(100L))
+    // ...and vacuum reclaims the retired files with semantics intact
+    assert(Similarity.ivfVacuum(spark, idx) > 0)
+    assert(!hits().contains(102L) && hits().contains(100L))
+  }
 }
