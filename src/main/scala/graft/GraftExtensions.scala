@@ -616,6 +616,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (a.length == 2) litStr(a(1), "idCol") else "doc_id")
     }
 
+    tvf("graft_view_refresh_semantic_contamination",
+      "graft_view_refresh_semantic_contamination(srcDir, viewRoot, idCol, vecCol, benchDir, nCells, threshold[, cosScale]) - one maintenance tick of the SEMANTIC contamination ledger: each churned doc assigns against centroids sampled from the frozen benchmark and its tau-close in-cell benchmark pairs fold as a Z-set (benchmark pinned by dir+version; see IncrementalViews.refreshSemanticContamination); returns 1 on completion") {
+      (s, a) =>
+        require(a.length == 7 || a.length == 8,
+          "graft_view_refresh_semantic_contamination takes (srcDir, viewRoot, idCol, vecCol, benchDir, nCells, threshold[, cosScale])")
+        sources.IncrementalViews.refreshSemanticContamination(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewRoot"),
+          litStr(a(2), "idCol"), litStr(a(3), "vecCol"),
+          litStr(a(4), "benchDir"), litInt(a(5), "nCells"),
+          litDouble(a(6), "threshold"),
+          cosScale = if (a.length == 8) litInt(a(7), "cosScale") else 4)
+        s.range(1, 2).toDF("ok")
+    }
+
+    tvf("graft_semantic_contamination_ledger",
+      "graft_semantic_contamination_ledger(viewRoot) - the maintained semantic-contamination ledger: (corpus_id, benchmark_id, cell_id, cosine) per tau-close pair over the live corpus (see IncrementalViews.readSemanticContamination)") {
+      (s, a) =>
+        require(a.length == 1,
+          "graft_semantic_contamination_ledger takes (viewRoot)")
+        sources.IncrementalViews.readSemanticContamination(s,
+          litStr(a(0), "viewRoot"))
+    }
+
     tvf("graft_view_refresh_value_histogram",
       "graft_view_refresh_value_histogram(srcDir, viewDir, valueCol[, scale[, groupsCsv]]) - one maintenance tick of the incrementally-maintained value histogram (counts keyed by the value rounded at `scale` decimals as a scaled long, optionally PER GROUP; scale and groups pinned per dir, default 2 / global; see IncrementalViews.refreshValueHistogram); returns 1 on completion") {
       (s, a) =>

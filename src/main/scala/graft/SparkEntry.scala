@@ -645,6 +645,32 @@ object SparkEntry {
         "vec_id", "embedding", nCells = 8, threshold = 0.35)
     }),
 
+    // The MAINTAINED semantic-contamination ledger: benchmark frozen
+    // in its own table (its id-ordered sample IS the centroid set),
+    // corpus churned through an append + a predicate delete, τ-close
+    // pairs folded per tick — the oracle recomputes the batch check
+    // over the post-churn live corpus.
+    "q_semantic_contamination_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_semcontamview").toString
+      val (src, views, bench) = (s"$root/src", s"$root/views", s"$root/bench")
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Snapshots.commit(emb.filter(col("vec_id") % 17 === 0), bench,
+        statsCol = Some("vec_id"))
+      val corpus = emb.filter(col("vec_id") % 17 =!= 0)
+      Snapshots.commit(corpus.filter(col("vec_id") % 2 === 0), src,
+        statsCol = Some("vec_id"))
+      IncrementalViews.refreshSemanticContamination(s, src, views,
+        "vec_id", "embedding", bench, nCells = 8, threshold = 0.35)
+      Snapshots.commit(corpus.filter(col("vec_id") % 2 === 1), src,
+        statsCol = Some("vec_id"))
+      Snapshots.deleteWhere(s, src, col("vec_id") % 10 === 3)
+      IncrementalViews.refreshSemanticContamination(s, src, views,
+        "vec_id", "embedding", bench, nCells = 8, threshold = 0.35)
+      IncrementalViews.readSemanticContamination(s, views)
+    }),
+
     "q_knn_cosine" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
@@ -3203,34 +3229,12 @@ object SparkEntry {
     // Mirrors Similarity.semanticContamination: benchmark-sampled
     // centroids, the q_semantic_dedup argmax assignment on BOTH
     // sides, then in-cell cross pairs at the cosine threshold.
-    "q_semantic_contamination" ->
-      s"""WITH bench AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
-         |), corp AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0
-         |), cent AS (
-         |  SELECT vec_id AS cell_id, embedding FROM bench
-         |  ORDER BY vec_id LIMIT 8
-         |), casgn AS (
-         |  SELECT c.vec_id AS id, c.embedding, ct.cell_id,
-         |         row_number() OVER (PARTITION BY c.vec_id
-         |           ORDER BY ${sqlCos("c", "ct")} DESC, ct.cell_id) AS rk
-         |  FROM corp c CROSS JOIN cent ct
-         |), ca AS (
-         |  SELECT id, embedding, cell_id FROM casgn WHERE rk = 1
-         |), basgn AS (
-         |  SELECT b.vec_id AS id, b.embedding, ct.cell_id,
-         |         row_number() OVER (PARTITION BY b.vec_id
-         |           ORDER BY ${sqlCos("b", "ct")} DESC, ct.cell_id) AS rk
-         |  FROM bench b CROSS JOIN cent ct
-         |), ba AS (
-         |  SELECT id, embedding, cell_id FROM basgn WHERE rk = 1
-         |)
-         |SELECT ca.id AS corpus_id, ba.id AS benchmark_id,
-         |       ca.cell_id AS cell_id,
-         |       ${sqlRound4(sqlCos("ca", "ba"))} AS cosine
-         |FROM ca JOIN ba ON ca.cell_id = ba.cell_id
-         |WHERE ${sqlCos("ca", "ba")} >= 0.35""".stripMargin,
+    "q_semantic_contamination" -> semanticContaminationOracleSql(),
+
+    // the maintained ledger over the post-churn live corpus; the
+    // benchmark (and therefore the sampled centroids) stays frozen
+    "q_semantic_contamination_incr" ->
+      semanticContaminationOracleSql(" AND vec_id % 10 <> 3"),
 
     // Mirrors Similarity.ivfTopKRefined step-for-step: 2 unrolled
     // Lloyd iterations (argmax-cosine assignment, exact DECIMAL(30,6)
@@ -4171,6 +4175,41 @@ object SparkEntry {
 
   /** Sequential-fold cosine between embedding columns of relations
     * `$a`/`$b` — mirrors graft.functions.Vectors.cosine op-for-op. */
+  /** The semanticContamination replay (benchmark-sampled centroids,
+    * argmax assignment both sides, in-cell pairs at the threshold),
+    * shared by the batch check and its maintained ledger —
+    * `corpusExtra` narrows the corpus to the post-churn live set. */
+  private def semanticContaminationOracleSql(corpusExtra: String = "")
+      : String =
+    s"""WITH bench AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
+       |), corp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 17 <> 0$corpusExtra
+       |), cent AS (
+       |  SELECT vec_id AS cell_id, embedding FROM bench
+       |  ORDER BY vec_id LIMIT 8
+       |), casgn AS (
+       |  SELECT c.vec_id AS id, c.embedding, ct.cell_id,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY ${sqlCos("c", "ct")} DESC, ct.cell_id) AS rk
+       |  FROM corp c CROSS JOIN cent ct
+       |), ca AS (
+       |  SELECT id, embedding, cell_id FROM casgn WHERE rk = 1
+       |), basgn AS (
+       |  SELECT b.vec_id AS id, b.embedding, ct.cell_id,
+       |         row_number() OVER (PARTITION BY b.vec_id
+       |           ORDER BY ${sqlCos("b", "ct")} DESC, ct.cell_id) AS rk
+       |  FROM bench b CROSS JOIN cent ct
+       |), ba AS (
+       |  SELECT id, embedding, cell_id FROM basgn WHERE rk = 1
+       |)
+       |SELECT ca.id AS corpus_id, ba.id AS benchmark_id,
+       |       ca.cell_id AS cell_id,
+       |       ${sqlRound4(sqlCos("ca", "ba"))} AS cosine
+       |FROM ca JOIN ba ON ca.cell_id = ba.cell_id
+       |WHERE ${sqlCos("ca", "ba")} >= 0.35""".stripMargin
+
   private def sqlCos(a: String, b: String): String = {
     def normSq(x: String) =
       s"list_reduce(list_transform($x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, v) -> acc + v)"

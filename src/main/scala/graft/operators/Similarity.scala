@@ -177,7 +177,7 @@ object Similarity {
 
   /** argmax-cosine cell, ties to the smallest cell id: max of
     * (cosine, -cell_id) structs over the literal centroid set. */
-  private def bestCell(centroids: Array[(Long, Array[Float])], vec: Column): Column =
+  private[graft] def bestCell(centroids: Array[(Long, Array[Float])], vec: Column): Column =
     -array_max(array(centroids.map { case (id, v) =>
       struct(Vectors.cosine(vec, litVec(v)).as("c"), lit(-id).as("nid"))
     }: _*)).getField("nid")

@@ -2684,6 +2684,120 @@ object IncrementalViews {
         coalesce(col("__sh"), lit(0L)).cast("long").as("shared_ngrams"))
       .withColumn("contaminated", col("shared_ngrams") > 0)
 
+  /** INCREMENTALLY-MAINTAINED SEMANTIC-CONTAMINATION ledger — the
+    * paraphrase-variant decontamination check
+    * ([[graft.operators.Similarity.semanticContamination]]) kept
+    * current over the corpus change feed instead of re-scanned per
+    * ask: one Z-set agg view of the τ-close `(corpus_id,
+    * benchmark_id, cell_id, cosine)` PAIRS. The lens assigns each
+    * churned doc against centroids sampled DETERMINISTICALLY from the
+    * frozen benchmark (the batch operator's id-ordered sample — the
+    * benchmark is pinned by dir + VERSION exactly like
+    * [[refreshContamination]], so the centroids never move under the
+    * view) and broadcast-joins the benchmark's in-cell embeddings;
+    * each pair row derives from exactly ONE corpus row, so inserts
+    * and deletes fold exactly and the view equals the batch check
+    * over the final live corpus under the same frozen benchmark.
+    * O(churned docs × their cells' benchmark members) per tick, zero
+    * corpus rescans, zero embedding I/O at serve.
+    *
+    * Scale: the benchmark is the BOUNDED side by definition — its
+    * assignment broadcasts (never shuffles the feed) and a benchmark
+    * cell above `maxBenchCell` fails fast by name before the tick
+    * (real benchmark suites cluster hard; the remedy is more cells,
+    * exactly the batch guard's wording). */
+  def refreshSemanticContamination(spark: SparkSession, srcDir: String,
+                                   viewRoot: String, idCol: String,
+                                   vecCol: String, benchDir: String,
+                                   nCells: Int, threshold: Double,
+                                   cosScale: Int = 4,
+                                   maxBenchCell: Long = 100000L): Unit = {
+    import graft.operators.Similarity
+    import graft.functions.Vectors
+    require(nCells >= 1, s"nCells must be positive: $nCells")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must sit in (0, 1]: $threshold")
+    require(cosScale >= 0 && cosScale <= 9,
+      s"cosScale must be in [0, 9]: $cosScale")
+    requireSameParam(spark, viewRoot, "semcontam_ncells", nCells.toString)
+    requireSameParam(spark, viewRoot, "semcontam_threshold",
+      threshold.toString)
+    requireSameParam(spark, viewRoot, "semcontam_cos_scale",
+      cosScale.toString)
+    requireSameParam(spark, viewRoot, "semcontam_bench", benchDir)
+    val bv = Snapshots.latestVersion(spark, benchDir).getOrElse(
+      sys.error(s"$benchDir holds no benchmark table — commit it first"))
+    requireSameParam(spark, viewRoot, "semcontam_bench_version", bv.toString)
+    val bench = Snapshots.read(spark, benchDir)
+    val cents = Similarity.sampleCentroids(bench, idCol, vecCol, nCells)
+    val ba = bench
+      .select(col(idCol).cast("long").as("benchmark_id"),
+        col(vecCol).as("__bv"))
+      .filter(col("__bv").isNotNull)
+      .withColumn("__cell", Similarity.bestCell(cents, col("__bv")))
+    if (maxBenchCell > 0) {
+      val hot = ba.groupBy(col("__cell")).agg(count(lit(1L)).as("__c"))
+        .orderBy(col("__c").desc, col("__cell")).limit(1).collect()
+      hot.headOption.foreach { r =>
+        require(r.getLong(1) <= maxBenchCell,
+          s"semantic contamination pairs every churned doc with every " +
+            s"benchmark doc in its cell — benchmark cell ${r.getLong(0)} " +
+            s"holds ${r.getLong(1)} docs (> maxBenchCell=$maxBenchCell). " +
+            s"Raise nCells toward sqrt(|benchmark|) (got $nCells), or " +
+            "raise maxBenchCell deliberately.")
+      }
+    }
+    def lens(df: DataFrame): DataFrame = df
+      .select(col("__change"), col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).as("__cv"))
+      .filter(col("__cv").isNotNull)
+      .withColumn("__cell", Similarity.bestCell(cents, col("__cv")))
+      .join(broadcast(ba), Seq("__cell"))
+      .withColumn("__cos", Vectors.cosine(col("__cv"), col("__bv")))
+      .filter(col("__cos") >= threshold)
+      .select(col("__change"), col("corpus_id"), col("benchmark_id"),
+        col("__cell").as("cell_id"),
+        graft.functions.Exact.roundAt(col("__cos"), cosScale).as("cosine"))
+    refreshAgg(spark, srcDir, s"$viewRoot/pairs",
+      Seq("corpus_id", "benchmark_id", "cell_id", "cosine"), Nil,
+      transform = Some(lens))
+    ()
+  }
+
+  /** [[refreshSemanticContamination]] driven by the source's change
+    * feed. */
+  def maintainSemanticContamination(spark: SparkSession, srcDir: String,
+                                    viewRoot: String, idCol: String,
+                                    vecCol: String, benchDir: String,
+                                    checkpointDir: String, nCells: Int,
+                                    threshold: Double, cosScale: Int = 4,
+                                    trigger: org.apache.spark.sql.streaming
+                                      .Trigger =
+                                      org.apache.spark.sql.streaming.Trigger
+                                        .AvailableNow(),
+                                    housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
+      refreshSemanticContamination(spark, srcDir, viewRoot, idCol, vecCol,
+        benchDir, nCells, threshold, cosScale)
+    } { () =>
+      housekeepLayouts(spark, viewRoot, Seq(
+        "pairs" -> Seq("corpus_id")),
+        4L * 1000 * 1000, 5, 24L * 3600 * 1000)
+    }
+
+  /** The maintained ledger, same rows and arithmetic as the batch
+    * [[graft.operators.Similarity.semanticContamination]] over the
+    * live corpus: `(corpus_id, benchmark_id, cell_id, cosine)` per
+    * τ-close pair. Zero embedding I/O at serve time. */
+  def readSemanticContamination(spark: SparkSession,
+                                viewRoot: String): DataFrame =
+    Snapshots.read(spark, s"$viewRoot/pairs")
+      .filter(col("__cnt") > 0)
+      .select(col("corpus_id"), col("benchmark_id"), col("cell_id"),
+        col("cosine"))
+
   /** INCREMENTALLY-MAINTAINED VALUE HISTOGRAM → exact percentiles
     * without rescans — the metrics-dashboard view (the reference's
     * latency monitor regime): one agg view keyed by the value

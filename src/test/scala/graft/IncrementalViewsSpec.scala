@@ -2222,6 +2222,74 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(e2.getMessage.contains("contam_bench_version"), e2.getMessage)
   }
 
+  test("maintained SEMANTIC contamination == batch check across churn; frozen bench + tau pins; bench cell guard") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, views, bench) = (tmpDir(), tmpDir(), tmpDir())
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val benchDf = emb.filter(col("vec_id") % 17 === 0).localCheckpoint(true)
+    val corpus = emb.filter(col("vec_id") % 17 =!= 0)
+    Snapshots.commit(benchDf, bench, statsCol = Some("vec_id"))
+    def served() = IncrementalViews
+      .readSemanticContamination(spark, views)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def fresh() = graft.operators.Similarity.semanticContamination(
+        Snapshots.read(spark, src), benchDf,
+        "vec_id", "embedding", nCells = 8, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    Snapshots.commit(corpus.filter(col("vec_id") % 2 === 0), src,
+      statsCol = Some("vec_id"))
+    IncrementalViews.refreshSemanticContamination(spark, src, views,
+      "vec_id", "embedding", bench, nCells = 8, threshold = 0.35)
+    assert(served() == fresh() && served().nonEmpty,
+      "fixture needs tau-close pairs to prove anything")
+    // churn: append + predicate delete; deleted docs' pairs retract
+    Snapshots.commit(corpus.filter(col("vec_id") % 2 === 1), src,
+      statsCol = Some("vec_id"))
+    Snapshots.deleteWhere(spark, src, col("vec_id") % 10 === 3)
+    IncrementalViews.refreshSemanticContamination(spark, src, views,
+      "vec_id", "embedding", bench, nCells = 8, threshold = 0.35)
+    assert(served() == fresh())
+    // SQL surface: a no-op refresh tick + the serve, both TVFs
+    spark.sql(s"SELECT * FROM graft_view_refresh_semantic_contamination(" +
+      s"'$src', '$views', 'vec_id', 'embedding', '$bench', 8, 0.35)")
+      .collect()
+    val viaSql = spark.sql(
+        s"SELECT * FROM graft_semantic_contamination_ledger('$views')")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(viaSql == served())
+    // tau is pinned
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshSemanticContamination(spark, src, views,
+        "vec_id", "embedding", bench, nCells = 8, threshold = 0.5)
+    }
+    assert(e1.getMessage.contains("semcontam_threshold"), e1.getMessage)
+    // a hot benchmark cell fails fast naming the remedy
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshSemanticContamination(spark, src, views,
+        "vec_id", "embedding", bench, nCells = 8, threshold = 0.35,
+        maxBenchCell = 1)
+    }
+    assert(e2.getMessage.contains("maxBenchCell"), e2.getMessage)
+    // the benchmark is FROZEN: a later bench commit makes the next
+    // tick fail loudly instead of silently moving the centroids
+    Snapshots.commit(benchDf.limit(1)
+      .withColumn("vec_id", col("vec_id") + 777777L), bench,
+      statsCol = Some("vec_id"))
+    Snapshots.commit(corpus.limit(1)
+      .withColumn("vec_id", col("vec_id") + 888888L), src,
+      statsCol = Some("vec_id"))
+    val e3 = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshSemanticContamination(spark, src, views,
+        "vec_id", "embedding", bench, nCells = 8, threshold = 0.35)
+    }
+    assert(e3.getMessage.contains("semcontam_bench_version"), e3.getMessage)
+  }
+
   test("maintained co-occurrence/PMI == batch across churn; pruned per-token serve; pinned window") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
