@@ -450,6 +450,84 @@ object Similarity {
       .toDF("n_baseline", "n_live", "mean_shift", "var_ratio", "drifted")
   }
 
+  /** CONTINUOUS IVF maintenance with UNATTENDED drift repair — the
+    * full freshness loop as one feed-subscribed query, so a drifting
+    * index heals itself with no manual [[ivfRecluster]] call. Per
+    * micro-batch of the source table's change feed: inserts assign to
+    * the current centroids ([[ivfAppend]]; the first batch BUILDS the
+    * index from its own rows and records the drift baseline), deletes
+    * tombstone, the maintained moments view ticks (the drift probe's
+    * zero-corpus-I/O substrate), and every `driftEvery`-th batch the
+    * probe runs: a drifted index reclusters from the live table AS OF
+    * THE BATCH'S LAST FED VERSION (reading `latest` would pull rows a
+    * later batch will append again — double insertion) and re-records
+    * its baseline exactly once, all under the index writer lock the
+    * individual operations already take.
+    *
+    * Cadence caveats: the moments view may run ahead of the index by
+    * versions committed after this batch's watermark — the probe sees
+    * the distribution slightly early, never stale. `driftEvery = 0`
+    * disables the probe (appends/tombstones only). The process-local
+    * tick counter resets on restart (the cadence is operational, not
+    * transactional — same discipline as the view maintainers'
+    * housekeepEvery). */
+  def maintainIvf(spark: org.apache.spark.sql.SparkSession,
+                  srcDir: String, path: String, momentsDir: String,
+                  checkpointDir: String, idCol: String, vecCol: String,
+                  nCells: Int, dim: Int,
+                  driftEvery: Int = 1, driftTol: Double = 0.10,
+                  reclusterIters: Int = 3,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nCells >= 1, s"nCells must be positive: $nCells")
+    require(driftEvery >= 0, s"driftEvery must be >= 0: $driftEvery")
+    import graft.sources.{IncrementalViews, Snapshots}
+    val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+    Snapshots.changesStream(spark, srcDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.persist()
+        try {
+          if (df.head(1).nonEmpty) {
+            val maxV = df.agg(max(col("__version"))).head().getLong(0)
+            val ins = df.filter(col("__change") === "insert")
+              .select(col(idCol), col(vecCol))
+            val del = df.filter(col("__change") === "delete")
+              .select(col(idCol))
+            val f = ivfFs(spark, path)
+            val fresh = !f.exists(
+              new org.apache.hadoop.fs.Path(s"$path/centroids"))
+            if (ins.head(1).nonEmpty) {
+              if (fresh)
+                ivfWriteIndex(ins, idCol, vecCol,
+                  sampleCentroids(ins, idCol, vecCol, nCells), path)
+              else ivfAppend(spark, ins, idCol, vecCol, path)
+            }
+            if (del.head(1).nonEmpty) ivfTombstone(spark, path, del, idCol)
+            IncrementalViews.refreshEmbeddingMoments(spark, srcDir,
+              momentsDir, vecCol, dim)
+            if (fresh && ins.head(1).nonEmpty)
+              ivfRecordBaseline(spark, path, momentsDir)
+            else if (driftEvery > 0 &&
+              ticks.incrementAndGet() % driftEvery == 0 &&
+              f.exists(new org.apache.hadoop.fs.Path(
+                s"$path/_graft_ivf_baseline.json"))) {
+              val drifted = ivfDrift(spark, path, momentsDir, driftTol)
+                .collect().head.getBoolean(4)
+              if (drifted) {
+                ivfRecluster(spark,
+                  Snapshots.read(spark, srcDir, version = Some(maxV)),
+                  idCol, vecCol, path, nCells, reclusterIters)
+                ivfRecordBaseline(spark, path, momentsDir)
+              }
+            }
+          }
+        } finally { df.unpersist(); () }
+      }.start()
+  }
+
   /** (n, mean, variance trace) from a maintained moments view
     * ([[graft.sources.IncrementalViews.refreshEmbeddingMoments]]):
     * first moments ride `j = -1` rows, the diagonal second moments

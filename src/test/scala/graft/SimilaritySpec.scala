@@ -395,6 +395,62 @@ class SimilaritySpec extends SparkSpec {
     assert(!Similarity.ivfDrift(spark, idx, mom).collect().head.getBoolean(4))
   }
 
+  test("maintainIvf heals a planted drift unattended: auto-recluster + one baseline update") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions._
+    val dim = 8
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_auto").toString
+    val (src, idx, mom, ck) =
+      (s"$root/src", s"$root/idx", s"$root/mom", s"$root/ck")
+    val rnd = new java.util.Random(13)
+    def jit(base: Array[Float], amt: Float) =
+      base.map(x => x + amt * rnd.nextGaussian().toFloat)
+    def oneHot(d: Int) = Array.tabulate(dim)(i => if (i == d) 1f else 0f)
+    val a = Seq.tabulate(4)(d => (d + 1).toLong -> oneHot(d)) ++
+      (for (d <- 0 until 4; j <- 0 until 10)
+        yield (100L + d * 20 + j) -> jit(oneHot(d), 0.02f))
+    val aDf = spark.createDataFrame(a).toDF("vec_id", "embedding")
+    def tick(): Unit = Similarity.maintainIvf(spark, src, idx, mom, ck,
+      "vec_id", "embedding", nCells = 5, dim = dim).awaitTermination()
+    def baseline(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idx/_graft_ivf_baseline.json")), "UTF-8")
+    // tick 1: first batch BUILDS the index and records the baseline
+    Snapshots.commit(aDf, src, statsCol = Some("vec_id"))
+    tick()
+    assert(Similarity.ivfGen(spark, idx) == 0)
+    val b0 = baseline()
+    // tick 2: the planted diagonal cluster arrives — the probe must
+    // flag it and the maintainer recluster + re-baseline UNATTENDED
+    val g = Array.tabulate(dim)(i =>
+      if (i <= 1) (1.0 / math.sqrt(2)).toFloat else 0f)
+    val b = (5L -> g) +: Seq.tabulate(19)(j => (6L + j) -> jit(g, 0.03f))
+    val bDf = spark.createDataFrame(b).toDF("vec_id", "embedding")
+    Snapshots.commit(bDf, src, statsCol = Some("vec_id"))
+    tick()
+    assert(Similarity.ivfGen(spark, idx) == 1,
+      "drift must trigger an automatic recluster")
+    val b1 = baseline()
+    assert(b1 != b0, "the recluster must re-record the drift baseline")
+    val live = Snapshots.read(spark, src)
+    val truth = Similarity.bruteForceTopK(live, bDf, "vec_id",
+        "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfTopKIndexed(spark, bDf, "vec_id",
+        "embedding", k = 3, path = idx, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      "the automatic recluster must restore nProbe=1 recall")
+    // tick 3: a calm in-distribution batch — NO recluster, baseline
+    // untouched (exactly one update per recluster)
+    val c = Seq.tabulate(4)(j => (300L + j) -> jit(oneHot(j % 4), 0.02f))
+    Snapshots.commit(spark.createDataFrame(c).toDF("vec_id", "embedding"),
+      src, statsCol = Some("vec_id"))
+    tick()
+    assert(Similarity.ivfGen(spark, idx) == 1,
+      "a calm batch must not recluster")
+    assert(baseline() == b1, "a calm batch must not touch the baseline")
+  }
+
   test("retired tombstones never re-hide a vector the recluster re-introduced") {
     import org.apache.spark.sql.functions._
     val s = spark; import s.implicits._
