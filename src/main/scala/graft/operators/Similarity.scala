@@ -467,21 +467,26 @@ object Similarity {
     * Cadence caveats: the moments view may run ahead of the index by
     * versions committed after this batch's watermark — the probe sees
     * the distribution slightly early, never stale. `driftEvery = 0`
-    * disables the probe (appends/tombstones only). The process-local
-    * tick counter resets on restart (the cadence is operational, not
-    * transactional — same discipline as the view maintainers'
-    * housekeepEvery). */
+    * disables the probe (appends/tombstones only). `vacuumEvery = n`
+    * reclaims retired generations + applied tombstones every n-th
+    * batch — the grace window for external in-flight readers is n
+    * ticks' worth of feed time; keep it 0 (manual) when long analytic
+    * queries share the index. The process-local tick counter resets
+    * on restart (the cadence is operational, not transactional — same
+    * discipline as the view maintainers' housekeepEvery). */
   def maintainIvf(spark: org.apache.spark.sql.SparkSession,
                   srcDir: String, path: String, momentsDir: String,
                   checkpointDir: String, idCol: String, vecCol: String,
                   nCells: Int, dim: Int,
                   driftEvery: Int = 1, driftTol: Double = 0.10,
                   reclusterIters: Int = 3,
+                  vacuumEvery: Int = 0,
                   trigger: org.apache.spark.sql.streaming.Trigger =
                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(nCells >= 1, s"nCells must be positive: $nCells")
     require(driftEvery >= 0, s"driftEvery must be >= 0: $driftEvery")
+    require(vacuumEvery >= 0, s"vacuumEvery must be >= 0: $vacuumEvery")
     import graft.sources.{IncrementalViews, Snapshots}
     val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
     Snapshots.changesStream(spark, srcDir)
@@ -508,10 +513,10 @@ object Similarity {
             if (del.head(1).nonEmpty) ivfTombstone(spark, path, del, idCol)
             IncrementalViews.refreshEmbeddingMoments(spark, srcDir,
               momentsDir, vecCol, dim)
+            val tick = ticks.incrementAndGet()
             if (fresh && ins.head(1).nonEmpty)
               ivfRecordBaseline(spark, path, momentsDir)
-            else if (driftEvery > 0 &&
-              ticks.incrementAndGet() % driftEvery == 0 &&
+            else if (driftEvery > 0 && tick % driftEvery == 0 &&
               f.exists(new org.apache.hadoop.fs.Path(
                 s"$path/_graft_ivf_baseline.json"))) {
               val drifted = ivfDrift(spark, path, momentsDir, driftTol)
@@ -522,6 +527,9 @@ object Similarity {
                   idCol, vecCol, path, nCells, reclusterIters)
                 ivfRecordBaseline(spark, path, momentsDir)
               }
+            }
+            if (vacuumEvery > 0 && tick % vacuumEvery == 0) {
+              ivfVacuum(spark, path); ()
             }
           }
         } finally { df.unpersist(); () }

@@ -809,21 +809,99 @@ object Snapshots {
                        version: Option[Long] = None): DataFrame = {
     require(ranges.nonEmpty, "readPrunedRanges needs at least one range")
     val m = manifest(spark, dir, version)
-    val pair =
-      if (column.isEmpty) Some((col("stats_min"), col("stats_max")))
+    val specs =
+      if (column.isEmpty) Seq(("stats_min", "stats_max", ranges))
       else if (m.columns.contains(s"smin_$column"))
-        Some((col(s"smin_$column"), col(s"smax_$column")))
+        Seq((s"smin_$column", s"smax_$column", ranges))
       // no recorded stats pair for this column: the legacy pair may
       // describe a DIFFERENT column — keep every file instead
-      else None
-    val keep = (pair match {
-      case Some((mn, mx)) => m.filter(mn.isNull ||
-        ranges.map { case (lo, hi) => mn <= lit(hi) && mx >= lit(lo) }
-          .reduce(_ || _))
-      case None => m
-    }).select("path").collect().map(_.getString(0)).toSeq
+      else Nil
+    val keep = prunedPaths(m, specs)
     if (keep.isEmpty) read(spark, dir, version).limit(0)
     else spark.read.parquet(keep: _*)
+  }
+
+  /** Above this many ranges for one column, an all-POINT range set is
+    * evaluated on the DRIVER (sorted array + binary search per file)
+    * instead of as a reduce-Or predicate tree: a 1000-deep Or chain
+    * blows janino's method-size limit (the whole manifest job falls
+    * back to interpreted, logging a spurious compile ERROR) and costs
+    * O(files × ranges) where the search costs O(files × log ranges).
+    * The paths are collected to the driver either way — this only
+    * moves WHERE the bounded metadata comparison happens. */
+  private val DriverPointEvalAbove = 64
+
+  /** Canonical comparable form for driver-side stats comparison:
+    * integrals widen to Long, floats to Double, everything else keeps
+    * its natural Comparable. None = not driver-comparable (that spec
+    * stays on the Spark filter path). */
+  private def canonPoint(v: Any): Option[AnyRef] = v match {
+    case null => None
+    case b: Byte => Some(java.lang.Long.valueOf(b.toLong))
+    case s: Short => Some(java.lang.Long.valueOf(s.toLong))
+    case i: Int => Some(java.lang.Long.valueOf(i.toLong))
+    case l: Long => Some(java.lang.Long.valueOf(l))
+    case f: Float => Some(java.lang.Double.valueOf(f.toDouble))
+    case d: Double => Some(java.lang.Double.valueOf(d))
+    case s: String => Some(s)
+    case t: java.sql.Timestamp => Some(t)
+    case d: java.sql.Date => Some(d)
+    case d: java.math.BigDecimal => Some(d)
+    case _ => None
+  }
+
+  private def cmpCanon(a: AnyRef, b: AnyRef): Int =
+    a.asInstanceOf[Comparable[AnyRef]].compareTo(b)
+
+  /** Resolve the kept file paths for conjunctive (sminCol, smaxCol,
+    * ranges) specs: small/interval specs filter as a Spark predicate
+    * (native-type coercion for free), large all-point specs binary-
+    * search driver-side ([[DriverPointEvalAbove]]). Null or
+    * type-mismatched stats keep the file — never a false negative. */
+  private def prunedPaths(m: DataFrame,
+                          specs: Seq[(String, String, Seq[(Any, Any)])])
+      : Seq[String] = {
+    val (driverSide, sparkSide) = specs.partition { case (_, _, rs) =>
+      rs.size > DriverPointEvalAbove &&
+        rs.forall { case (lo, hi) => lo == hi } && {
+          val cs = rs.map(r => canonPoint(r._1))
+          cs.forall(_.isDefined) &&
+            cs.flatten.map(_.getClass).distinct.size == 1
+        }
+    }
+    val conds = sparkSide.map { case (mnName, mxName, ranges) =>
+      val (mn, mx) = (col(mnName), col(mxName))
+      mn.isNull ||
+        ranges.map { case (lo, hi) => mn <= lit(hi) && mx >= lit(lo) }
+          .reduce(_ || _)
+    }
+    val filtered = if (conds.isEmpty) m else m.filter(conds.reduce(_ && _))
+    if (driverSide.isEmpty)
+      return filtered.select("path").collect().map(_.getString(0)).toSeq
+    val statCols = col("path") +: driverSide.flatMap { case (mnN, mxN, _) =>
+      Seq(col(mnN), col(mxN)) }
+    val sortedPoints = driverSide.map { case (_, _, rs) =>
+      rs.map(r => canonPoint(r._1).get).distinct
+        .sortWith((a, b) => cmpCanon(a, b) < 0).toArray
+    }
+    filtered.select(statCols.toIndexedSeq: _*).collect().filter { row =>
+      driverSide.indices.forall { i =>
+        val arr = sortedPoints(i)
+        (canonPoint(row.get(1 + 2 * i)), canonPoint(row.get(2 + 2 * i))) match {
+          case (Some(mn), Some(mx))
+              if mn.getClass == arr.head.getClass &&
+                mx.getClass == arr.head.getClass =>
+            // first point >= min, kept iff it also sits <= max
+            var lo = 0; var hi = arr.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (cmpCanon(arr(mid), mn) < 0) lo = mid + 1 else hi = mid
+            }
+            lo < arr.length && cmpCanon(arr(lo), mx) <= 0
+          case _ => true // null/unknown/mismatched stats: keep the file
+        }
+      }
+    }.map(_.getString(0)).toSeq
   }
 
   /** CONJUNCTIVE multi-column manifest pruning: keep a file iff for
@@ -841,16 +919,10 @@ object Snapshots {
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty),
       "readPrunedSpecs needs at least one range per spec")
     val m = manifest(spark, dir, version)
-    val conds = specs.flatMap { case (column, ranges) =>
-      if (m.columns.contains(s"smin_$column")) {
-        val (mn, mx) = (col(s"smin_$column"), col(s"smax_$column"))
-        Some(mn.isNull ||
-          ranges.map { case (lo, hi) => mn <= lit(hi) && mx >= lit(lo) }
-            .reduce(_ || _))
-      } else None
-    }
-    val keep = (if (conds.isEmpty) m else m.filter(conds.reduce(_ && _)))
-      .select("path").collect().map(_.getString(0)).toSeq
+    val keep = prunedPaths(m, specs.collect {
+      case (column, ranges) if m.columns.contains(s"smin_$column") =>
+        (s"smin_$column", s"smax_$column", ranges)
+    })
     if (keep.isEmpty) read(spark, dir, version).limit(0)
     else spark.read.parquet(keep: _*)
   }

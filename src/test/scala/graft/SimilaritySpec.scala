@@ -449,6 +449,16 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfGen(spark, idx) == 1,
       "a calm batch must not recluster")
     assert(baseline() == b1, "a calm batch must not touch the baseline")
+    // tick 4 with the vacuum cadence on: the recluster's retired
+    // generation is reclaimed by the maintainer itself
+    assert(new java.io.File(Similarity.ivfCellsPath(idx, 0)).exists)
+    Snapshots.commit(spark.createDataFrame(
+        Seq(400L -> jit(oneHot(0), 0.02f))).toDF("vec_id", "embedding"),
+      src, statsCol = Some("vec_id"))
+    Similarity.maintainIvf(spark, src, idx, mom, ck, "vec_id", "embedding",
+      nCells = 5, dim = dim, vacuumEvery = 1).awaitTermination()
+    assert(!new java.io.File(Similarity.ivfCellsPath(idx, 0)).exists,
+      "the vacuum cadence must reclaim the retired generation")
   }
 
   test("retired tombstones never re-hide a vector the recluster re-introduced") {

@@ -96,6 +96,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.sameElements(pruned.columns))
   }
 
+  test("large point-set pruning: driver-side search equals the predicate path, still skips files") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    // 16 id-clustered files so scattered point probes can still skip
+    Snapshots.commit((0L until 4000L).map(i => (i, i % 7))
+      .toDF("id", "v").repartitionByRange(16, col("id"))
+      .sortWithinPartitions("id"),
+      dir, statsCol = Some("id"))
+    val total = Snapshots.fileCount(spark, dir)
+    assert(total >= 16)
+    // 100 points (> the 64-range driver-eval threshold) confined to
+    // two narrow id bands: the binary-search path must keep only the
+    // band files and return exactly the probed rows
+    val ids: Seq[Long] = (0L until 50L) ++ (3000L until 3050L)
+    val specs = Seq("id" -> ids.map(i => (i: Any, i: Any)))
+    val got = Snapshots.readPrunedSpecs(spark, dir, specs)
+      .filter(col("id").isin(ids: _*))
+    val opened = got.select(input_file_name()).distinct().count()
+    assert(opened < total / 2,
+      s"driver-side point pruning opened $opened of $total files")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      ids.map(i => (i, i % 7)).toSet)
+    // same answer as a small (predicate-path) spec per band — the two
+    // evaluation paths must agree file-for-file on coverage
+    val viaRanges = Snapshots.readPrunedSpecs(spark, dir,
+        Seq("id" -> Seq((0L, 49L), (3000L, 3049L))))
+      .filter(col("id").isin(ids: _*))
+    assert(viaRanges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      ids.map(i => (i, i % 7)).toSet)
+    // Int points against bigint stats widen instead of being dropped
+    val intIds: Seq[Any] = (0 until 70).map(i => i: Any)
+    val viaInt = Snapshots.readPrunedSpecs(spark, dir,
+        Seq("id" -> intIds.map(i => (i, i))))
+      .filter(col("id") < 70)
+    assert(viaInt.count() == 70)
+  }
+
   test("manifest pruning on a timestamp statsCol skips files") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf("sf0.001"))
