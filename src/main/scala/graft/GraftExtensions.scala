@@ -90,6 +90,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
   private def litInt(e: Expression, what: String): Int =
     litLong(e, what).toInt
+
+  /** The refresh-TVF return convention: one `folded_version` BIGINT
+    * row per source version the tick consumed. */
+  private def foldedDf(s: org.apache.spark.sql.SparkSession,
+                       folded: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      folded.map(v => org.apache.spark.sql.Row(v)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("folded_version",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
   private def litBool(e: Expression, what: String): Boolean =
     litVal(e, what) match {
       case b: Boolean => b
@@ -513,6 +525,65 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(a(1), "textCol"),
           window = if (a.length >= 3) litInt(a(2), "window") else 2,
           minCount = if (a.length == 4) litInt(a(3), "minCount").toLong else 1L)
+    }
+
+    tvf("graft_textrank",
+      "graft_textrank(table, textCol[, window, iters, topK]) - TextRank keyword scores as (token, rank): weighted PageRank over the window-w word co-occurrence graph, `iters` fixed Jacobi iterations (see operators.Corpus.textRank)") {
+      (s, a) =>
+        require(a.length >= 2 && a.length <= 5,
+          "graft_textrank takes (table, textCol[, window, iters, topK])")
+        operators.Corpus.textRank(
+          operators.Corpus.cooccurrencePairCounts(
+            s.table(litStr(a(0), "table")), litStr(a(1), "textCol"),
+            window = if (a.length >= 3) litInt(a(2), "window") else 2),
+          "a", "b", "cnt",
+          iters = if (a.length >= 4) litInt(a(3), "iters") else 10,
+          topK = if (a.length == 5) litInt(a(4), "topK") else 0)
+    }
+
+    tvf("graft_textrank_view",
+      "graft_textrank_view(viewRoot[, iters, topK]) - TextRank keywords served from the MAINTAINED co-occurrence pair view: the live graph ranks with zero corpus rescans, batch-equal to graft_textrank over the current corpus (see operators.Corpus.textRank + IncrementalViews.readCooccurrence)") {
+      (s, a) =>
+        require(a.length >= 1 && a.length <= 3,
+          "graft_textrank_view takes (viewRoot[, iters, topK])")
+        operators.Corpus.textRank(
+          sources.IncrementalViews.readCooccurrencePairs(s,
+            litStr(a(0), "viewRoot")),
+          "a", "b", "cnt",
+          iters = if (a.length >= 2) litInt(a(1), "iters") else 10,
+          topK = if (a.length == 3) litInt(a(2), "topK") else 0)
+    }
+
+    tvf("graft_knn_pq",
+      "graft_knn_pq(corpusTable, queriesTable, idCol, vecCol, dim, m, kCodes, k[, iters]) - product-quantization ANN as (query_id, neighbor_id, rnk, adist): train m-subspace codebooks (sample-init, optional k-means iters), encode the corpus to m codes, asymmetric-distance top-k; NOTE: trains codebooks eagerly when the call is ANALYZED (see operators.Similarity.pqTrain/pqEncode/pqTopK)") {
+      (s, a) =>
+        require(a.length == 8 || a.length == 9,
+          "graft_knn_pq takes (corpusTable, queriesTable, idCol, vecCol, dim, m, kCodes, k[, iters])")
+        val corpus = s.table(litStr(a(0), "corpusTable"))
+        val (idCol, vecCol) = (litStr(a(2), "idCol"), litStr(a(3), "vecCol"))
+        val books = operators.Similarity.pqTrain(corpus, idCol, vecCol,
+          litInt(a(4), "dim"), litInt(a(5), "m"), litInt(a(6), "kCodes"),
+          iters = if (a.length == 9) litInt(a(8), "iters") else 0)
+        operators.Similarity.pqTopK(
+          operators.Similarity.pqEncode(corpus, idCol, vecCol, books),
+          s.table(litStr(a(1), "queriesTable")), idCol, vecCol, books,
+          litInt(a(7), "k"))
+    }
+
+    tvf("graft_knn_ivfpq",
+      "graft_knn_ivfpq(corpusTable, queriesTable, idCol, vecCol, dim, k[, nCells, nProbe, m, kCodes]) - IVF-PQ ANN as (query_id, neighbor_id, rnk, adist): coarse cells bound which rows a query touches, PQ codes bound what each costs; NOTE: trains centroids+codebooks eagerly when the call is ANALYZED (see operators.Similarity.ivfPqTopK)") {
+      (s, a) =>
+        require(a.length >= 6 && a.length <= 10,
+          "graft_knn_ivfpq takes (corpusTable, queriesTable, idCol, vecCol, dim, k[, nCells, nProbe, m, kCodes])")
+        operators.Similarity.ivfPqTopK(
+          s.table(litStr(a(0), "corpusTable")),
+          s.table(litStr(a(1), "queriesTable")),
+          litStr(a(2), "idCol"), litStr(a(3), "vecCol"),
+          litInt(a(4), "dim"), litInt(a(5), "k"),
+          nCells = if (a.length >= 7) litInt(a(6), "nCells") else 16,
+          nProbe = if (a.length >= 8) litInt(a(7), "nProbe") else 4,
+          m = if (a.length >= 9) litInt(a(8), "m") else 8,
+          kCodes = if (a.length == 10) litInt(a(9), "kCodes") else 16)
     }
 
     tvf("graft_semantic_dedup",
@@ -1040,6 +1111,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, a) =>
         require(a.length == 1, "graft_distinct_view takes (dir)")
         sources.IncrementalViews.readDistinct(s, litStr(a(0), "dir"))
+    }
+
+    tvf("graft_sessions_view",
+      "graft_sessions_view(dir) - the incrementally-maintained session table: batch sessionStats' exact (user, session_idx, n_events, start_us, end_us, dur_us) rows, zero event I/O (see IncrementalViews.readSessionStats)") {
+      (s, a) =>
+        require(a.length == 1, "graft_sessions_view takes (dir)")
+        sources.IncrementalViews.readSessionStats(s, litStr(a(0), "dir"))
+    }
+
+    tvf("graft_view_refresh_sessionize",
+      "graft_view_refresh_sessionize(srcDir, viewDir, userCol, tsCol, idCol, maxGapSec) - one affected-user recompute tick of the maintained session table; returns the folded versions (see IncrementalViews.refreshSessionStats)") {
+      (s, a) =>
+        require(a.length == 6,
+          "graft_view_refresh_sessionize takes (srcDir, viewDir, userCol, tsCol, idCol, maxGapSec)")
+        foldedDf(s, sources.IncrementalViews.refreshSessionStats(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
+          litStr(a(2), "userCol"), litStr(a(3), "tsCol"),
+          litStr(a(4), "idCol"), litInt(a(5), "maxGapSec").toLong))
+    }
+
+    tvf("graft_funnel_view",
+      "graft_funnel_view(dir) - the incrementally-maintained ordered funnel: batch funnel's exact per-user stage times + stages_completed (see IncrementalViews.readFunnel)") {
+      (s, a) =>
+        require(a.length == 1, "graft_funnel_view takes (dir)")
+        sources.IncrementalViews.readFunnel(s, litStr(a(0), "dir"))
+    }
+
+    tvf("graft_view_refresh_funnel",
+      "graft_view_refresh_funnel(srcDir, viewDir, userCol, tsCol, typeCol, stagesCsv) - one affected-user recompute tick of the maintained funnel; returns the folded versions (see IncrementalViews.refreshFunnel)") {
+      (s, a) =>
+        require(a.length == 6,
+          "graft_view_refresh_funnel takes (srcDir, viewDir, userCol, tsCol, typeCol, stagesCsv)")
+        foldedDf(s, sources.IncrementalViews.refreshFunnel(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
+          litStr(a(2), "userCol"), litStr(a(3), "tsCol"),
+          litStr(a(4), "typeCol"), csvArg(a(5), "stagesCsv")))
+    }
+
+    tvf("graft_retention_view",
+      "graft_retention_view(dir) - the weekly retention report (cohort_wk, offset_wk, n_active) from the incrementally-maintained (user, week) pair view, zero event I/O (see IncrementalViews.readRetention)") {
+      (s, a) =>
+        require(a.length == 1, "graft_retention_view takes (dir)")
+        sources.IncrementalViews.readRetention(s, litStr(a(0), "dir"))
+    }
+
+    tvf("graft_view_refresh_retention",
+      "graft_view_refresh_retention(srcDir, viewDir, userCol, tsCol) - fold the source's unconsumed change-feed versions into the maintained retention pair view; returns the folded versions (see IncrementalViews.refreshRetention)") {
+      (s, a) =>
+        require(a.length == 4,
+          "graft_view_refresh_retention takes (srcDir, viewDir, userCol, tsCol)")
+        foldedDf(s, sources.IncrementalViews.refreshRetention(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
+          litStr(a(2), "userCol"), litStr(a(3), "tsCol")))
     }
 
     tvf("graft_savepoint_create",

@@ -677,6 +677,31 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // Product-quantization ANN: 64-dim floats compress to 8 codes
+    // (m=8 subspaces × 16 codes, sample-init books so the oracle can
+    // replay training), then an asymmetric-distance scan over CODES
+    // ONLY ranks the same 8 queries — the memory-compression tier
+    // between int8 SQ and the stored IVF index.
+    "q_knn_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        dim = 64, m = 8, kCodes = 16)
+      Similarity.pqTopK(
+        Similarity.pqEncode(e, "vec_id", "embedding", books),
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", books, k = 5)
+    }),
+
+    // IVF-PQ composed: coarse cells bound WHICH rows a query touches
+    // (4 of 16 probed), PQ codes bound what each costs (8 ints ADC,
+    // no float vectors past the scan) — the full 100 TB ANN shape,
+    // candidates joined by HASH on the cell key.
+    "q_knn_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", dim = 64, k = 5,
+        nCells = 16, nProbe = 4, m = 8, kCodes = 16)
+    }),
+
     "q_embedding_gram" -> ((s, dir) =>
       Similarity.gramMatrix(Tables.embeddings(s, dir), "embedding", dim = 64)),
 
@@ -1067,6 +1092,36 @@ object SparkEntry {
       Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
       IncrementalViews.refreshCooccurrence(s, src, views, "text", window = 2)
       IncrementalViews.readCooccurrence(s, views)
+    }),
+
+    // TextRank keywords over the window-2 co-occurrence graph: 10
+    // Jacobi iterations of weighted PageRank, top-100 by score — the
+    // oracle unrolls the identical iterations as chained CTEs.
+    "q_textrank" -> ((s, dir) =>
+      Corpus.textRank(
+        Corpus.cooccurrencePairCounts(
+          Tables.documents(s, dir), "text", window = 2),
+        "a", "b", "cnt", iters = 10, topK = 100)),
+
+    // The same keyword report served from the MAINTAINED co-occurrence
+    // pair view after churn — zero corpus rescans: the graph comes
+    // from the view's live pair counts, so the ranking must equal the
+    // batch TextRank over the final source state.
+    "q_textrank_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_trview").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshCooccurrence(s, src, views, "text", window = 2)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 3)
+      IncrementalViews.refreshCooccurrence(s, src, views, "text", window = 2)
+      Corpus.textRank(IncrementalViews.readCooccurrencePairs(s, views),
+        "a", "b", "cnt", iters = 10, topK = 100)
     }),
 
     "q_bm25" -> ((s, dir) =>
@@ -1701,6 +1756,77 @@ object SparkEntry {
       IncrementalViews.readDistinct(s, v, countName = "n_users")
     }),
 
+    // The maintained session table: affected-user recompute across an
+    // append (which can MERGE a user's existing sessions or renumber
+    // them) and a predicate delete — must equal batch sessionStats
+    // over the final live events. Fresh state per invocation.
+    "q_sessionize_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sview").toString
+      val (src, v) = (s"$root/src", s"$root/v")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      Snapshots.commit(ev.filter(col("event_id") <= mid), src,
+        statsCol = Some("user_id"))
+      IncrementalViews.refreshSessionStats(s, src, v,
+        "user_id", "ts", "event_id", maxGapSec = 1800)
+      Snapshots.commit(ev.filter(col("event_id") > mid), src,
+        statsCol = Some("user_id"))
+      Snapshots.deleteWhere(s, src, col("user_id") % 10 === 3)
+      IncrementalViews.refreshSessionStats(s, src, v,
+        "user_id", "ts", "event_id", maxGapSec = 1800)
+      IncrementalViews.readSessionStats(s, v)
+    }),
+
+    // The maintained funnel: per-user stage times + stages_completed
+    // recomputed for churned users only — must equal the batch funnel
+    // over the final live events. Fresh state per invocation.
+    "q_funnel_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_fview").toString
+      val (src, v) = (s"$root/src", s"$root/v")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      Snapshots.commit(ev.filter(col("event_id") <= mid), src,
+        statsCol = Some("user_id"))
+      IncrementalViews.refreshFunnel(s, src, v,
+        "user_id", "ts", "event_type", funnelStages)
+      Snapshots.commit(ev.filter(col("event_id") > mid), src,
+        statsCol = Some("user_id"))
+      Snapshots.deleteWhere(s, src, col("user_id") % 10 === 3)
+      IncrementalViews.refreshFunnel(s, src, v,
+        "user_id", "ts", "event_type", funnelStages)
+      IncrementalViews.readFunnel(s, v)
+    }),
+
+    // The maintained weekly retention report: the (user, week) pair
+    // view folded across an append + a predicate delete, then served
+    // with zero event I/O — must equal the batch retention operator
+    // over the final live events (the q_retention oracle, post-churn).
+    // Fresh state per invocation.
+    "q_retention_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_rview").toString
+      val (src, v) = (s"$root/src", s"$root/v")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      Snapshots.commit(ev.filter(col("event_id") <= mid), src,
+        statsCol = Some("user_id"))
+      IncrementalViews.refreshRetention(s, src, v, "user_id", "ts")
+      Snapshots.commit(ev.filter(col("event_id") > mid), src,
+        statsCol = Some("user_id"))
+      Snapshots.deleteWhere(s, src, col("user_id") % 10 === 3)
+      IncrementalViews.refreshRetention(s, src, v, "user_id", "ts")
+      IncrementalViews.readRetention(s, v)
+    }),
+
     // The maintained TOP-K leaderboard on the driver's clock: per
     // event-type top-5 events by value, kept current across an
     // append and a delete that removes leaders — the displaced ranks
@@ -1893,6 +2019,110 @@ object SparkEntry {
        |FROM cnt JOIN uni ua ON cnt.a = ua.token
        |         JOIN uni ub ON cnt.b = ub.token
        |CROSS JOIN np CROSS JOIN nt""".stripMargin
+
+  /** Max-gap sessionization rollup oracle over `events`, optionally
+    * restricted by a WHERE clause (shared by the batch query and its
+    * maintained-view twin). */
+  private def sessionizeOracleSql(where: String): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS us
+       |  FROM events $where
+       |), m AS (
+       |  SELECT user_id, event_id, us,
+       |         CASE WHEN lag(us) OVER w IS NULL
+       |                   OR us - lag(us) OVER w > 1800000000
+       |              THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), s AS (
+       |  SELECT user_id, us,
+       |         CAST(sum(is_new) OVER (PARTITION BY user_id
+       |           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |           AS session_idx
+       |  FROM m
+       |)
+       |SELECT user_id, session_idx,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       min(us) AS start_us, max(us) AS end_us,
+       |       max(us) - min(us) AS dur_us
+       |FROM s GROUP BY user_id, session_idx""".stripMargin
+
+  /** Ordered-funnel oracle over `events` (one CTE per stage, chained
+    * exactly like Relational.funnel), optionally restricted by a
+    * WHERE clause (shared by the batch query and its maintained-view
+    * twin). */
+  private def funnelOracleSql(where: String): String = {
+    val k = funnelStages.length
+    val stageCtes = (2 to k).map { i =>
+      s"""f$i AS (
+         |  SELECT e.user_id, min(us) AS t_$i
+         |  FROM e JOIN f${i - 1} USING (user_id)
+         |  WHERE event_type = '${funnelStages(i - 1)}' AND us > t_${i - 1}
+         |  GROUP BY e.user_id
+         |)""".stripMargin
+    }
+    val reached = (2 to k)
+      .map(i => s"CAST(t_$i IS NOT NULL AS BIGINT)")
+      .foldLeft("1")((a, x) => s"$a + $x")
+    val joins = (2 to k).map(i => s"LEFT JOIN f$i USING (user_id)").mkString("\n")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS us
+       |  FROM events $where
+       |), f1 AS (
+       |  SELECT user_id, min(us) AS t_1 FROM e
+       |  WHERE event_type = '${funnelStages.head}' GROUP BY user_id
+       |), ${stageCtes.mkString(", ")}
+       |SELECT f1.user_id,
+       |       ${(1 to k).map(i => s"coalesce(t_$i, 0) AS t_$i").mkString(", ")},
+       |       CAST($reached AS BIGINT) AS stages_completed
+       |FROM f1
+       |$joins""".stripMargin
+  }
+
+  /** TextRank oracle over `documents`: the co-occurrence pair counts
+    * (the [[cooccurrenceOracleSql]] lens), symmetrized minus
+    * self-loops, then the SAME fixed Jacobi iterations the Spark
+    * operator runs, unrolled as chained CTEs — per-edge contributions
+    * are one double multiply-then-divide summed as DECIMAL(30,9), so
+    * every iteration's scores are bit-identical across engines. */
+  private def textRankOracleSql(where: String, iters: Int,
+                                damping: Double, topK: Int): String = {
+    val base = (1.0 - damping).toString
+    val contrib =
+      "CAST((CAST(g.w AS DOUBLE) * p.score) / CAST(g.outw AS DOUBLE) " +
+        "AS DECIMAL(30,9))"
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS MATERIALIZED (
+         |  SELECT g.dst AS token,
+         |         CAST($base AS DOUBLE) + CAST($damping AS DOUBLE)
+         |           * CAST(sum($contrib) AS DOUBLE) AS score
+         |  FROM g JOIN it${i - 1} p ON g.src = p.token
+         |  GROUP BY g.dst)""".stripMargin
+    }
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, u.z[1] AS token, CAST(u.z[2] AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS s
+       |        FROM documents $where),
+       |       unnest(list_zip(s, range(0, len(s)))) AS u(z)
+       |), prs AS MATERIALIZED (
+       |  SELECT x.token AS a, y.token AS b
+       |  FROM toks x JOIN toks y ON x.doc_id = y.doc_id
+       |   AND y.pos - x.pos BETWEEN 1 AND 2
+       |), cnt AS (SELECT a, b, count(*) AS cnt FROM prs GROUP BY a, b),
+       |sym AS (
+       |  SELECT a AS src, b AS dst, cnt AS w FROM cnt WHERE a <> b
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst, cnt AS w FROM cnt WHERE a <> b
+       |), e AS (SELECT src, dst, sum(w) AS w FROM sym GROUP BY src, dst),
+       |o AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+       |g AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.w, o.outw FROM e JOIN o USING (src)
+       |), it0 AS (
+       |  SELECT DISTINCT src AS token, CAST(1.0 AS DOUBLE) AS score FROM g),
+       |${steps.mkString(",\n")}
+       |SELECT token, ${graft.functions.Exact.roundAtSql("score", 6)} AS "rank"
+       |FROM it$iters
+       |ORDER BY 2 DESC, token LIMIT $topK""".stripMargin
+  }
 
   /** TF-IDF oracle over `documents`, optionally restricted by a
     * WHERE clause (shared by the batch query and its maintained-index
@@ -2453,55 +2683,18 @@ object SparkEntry {
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
 
-    "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS us FROM events
-        |), m AS (
-        |  SELECT user_id, event_id, us,
-        |         CASE WHEN lag(us) OVER w IS NULL
-        |                   OR us - lag(us) OVER w > 1800000000
-        |              THEN 1 ELSE 0 END AS is_new
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |), s AS (
-        |  SELECT user_id, us,
-        |         CAST(sum(is_new) OVER (PARTITION BY user_id
-        |           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |           AS session_idx
-        |  FROM m
-        |)
-        |SELECT user_id, session_idx,
-        |       CAST(count(*) AS BIGINT) AS n_events,
-        |       min(us) AS start_us, max(us) AS end_us,
-        |       max(us) - min(us) AS dur_us
-        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "q_sessionize" -> sessionizeOracleSql(""),
 
-    "q_funnel" -> {
-      // one CTE per stage, chained exactly like Relational.funnel
-      val k = funnelStages.length
-      val stageCtes = (2 to k).map { i =>
-        s"""f$i AS (
-           |  SELECT e.user_id, min(us) AS t_$i
-           |  FROM e JOIN f${i - 1} USING (user_id)
-           |  WHERE event_type = '${funnelStages(i - 1)}' AND us > t_${i - 1}
-           |  GROUP BY e.user_id
-           |)""".stripMargin
-      }
-      val reached = (2 to k)
-        .map(i => s"CAST(t_$i IS NOT NULL AS BIGINT)")
-        .foldLeft("1")((a, x) => s"$a + $x")
-      val joins = (2 to k).map(i => s"LEFT JOIN f$i USING (user_id)").mkString("\n")
-      s"""WITH e AS (
-         |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events
-         |), f1 AS (
-         |  SELECT user_id, min(us) AS t_1 FROM e
-         |  WHERE event_type = '${funnelStages.head}' GROUP BY user_id
-         |), ${stageCtes.mkString(", ")}
-         |SELECT f1.user_id,
-         |       ${(1 to k).map(i => s"coalesce(t_$i, 0) AS t_$i").mkString(", ")},
-         |       CAST($reached AS BIGINT) AS stages_completed
-         |FROM f1
-         |$joins""".stripMargin
-    },
+    // the maintained session table must equal the batch rollup over
+    // the final source state (all events minus the deleted band)
+    "q_sessionize_view_incr" ->
+      sessionizeOracleSql("WHERE user_id % 10 <> 3"),
+
+    "q_funnel" -> funnelOracleSql(""),
+
+    // the maintained funnel must equal the batch funnel over the
+    // final source state
+    "q_funnel_view_incr" -> funnelOracleSql("WHERE user_id % 10 <> 3"),
 
     "q_quantile_bin" -> {
       val ps = (1 until 8).map(i => i / 8.0)
@@ -3054,6 +3247,12 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, rnk, ${sqlRound4("cos")} AS cosine
          |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_knn_pq" -> pqOracleSql(dim = 64, m = 8, kCodes = 16,
+      k = 5, nQueries = 8),
+
+    "q_knn_ivfpq" -> ivfPqOracleSql(dim = 64, m = 8, kCodes = 16,
+      k = 5, nQueries = 8, nCells = 16, nProbe = 4),
 
     // The probabilistic contract, driver-checked: the Spark side
     // MEASURES lsh-vs-brute recall and emits the verdict; the oracle
@@ -3613,6 +3812,14 @@ object SparkEntry {
     // formula text mirrored exactly (same nesting/casts).
     "q_cooccurrence" -> cooccurrenceOracleSql(""),
 
+    "q_textrank" -> textRankOracleSql("", iters = 10,
+      damping = 0.85, topK = 100),
+
+    // the maintained-graph serve must equal the batch TextRank over
+    // the final live documents
+    "q_textrank_view_incr" -> textRankOracleSql(
+      "WHERE doc_id % 10 <> 3", iters = 10, damping = 0.85, topK = 100),
+
     // The maintained co-occurrence/PMI table: same formula text, from
     // scratch over the post-churn source state.
     "q_cooccurrence_view_incr" ->
@@ -4108,6 +4315,22 @@ object SparkEntry {
          |WHERE user_id % 10 <> 3
          |GROUP BY event_type""".stripMargin,
 
+    // the maintained retention view must equal the batch retention
+    // report over the final source state (all events minus the
+    // deleted user_id band) — the q_retention replay, post-churn
+    "q_retention_view_incr" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id,
+        |         (epoch_ns(ts)//1000) // 604800000000 AS wk
+        |  FROM events WHERE user_id % 10 <> 3
+        |), f AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM b GROUP BY user_id
+        |)
+        |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM b JOIN f USING (user_id)
+        |GROUP BY cohort_wk, wk - cohort_wk""".stripMargin,
+
     // the maintained leaderboard must equal a from-scratch top-5 per
     // event type over the final source state (value desc, event_id
     // breaking ties)
@@ -4156,6 +4379,116 @@ object SparkEntry {
        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming""".stripMargin
+  }
+
+  /** Product-quantization oracle: replays [[Similarity.pqTrain]]'s
+    * sample-init books (the kCodes smallest-id rows), the per-subspace
+    * argmin encode, and the ADC scan. Per-subspace squared-L2 sums are
+    * unrolled left-assoc (the exact FP op order pqCodeCol folds in);
+    * the cross-subspace ADC sum goes through DECIMAL(30,9) on both
+    * sides, so adist values are bit-identical. */
+  private def pqOracleSql(dim: Int, m: Int, kCodes: Int, k: Int,
+                          nQueries: Int): String = {
+    val subd = dim / m
+    // left-assoc Σ_j (x[s·subd+1+j] − y[s·subd+1+j])² with s a SQL ref
+    def dist(x: String, y: String, s: String) = (0 until subd).map { j =>
+      val a = s"CAST($x.embedding[$s*$subd+${j + 1}] AS DOUBLE)"
+      val b = s"CAST($y.embedding[$s*$subd+${j + 1}] AS DOUBLE)"
+      s"(($a - $b) * ($a - $b))"
+    }.mkString(" + ")
+    s"""WITH cb AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kCodes)
+       |), subs AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, $m)),
+       |encd AS MATERIALIZED (
+       |  SELECT e.vec_id, subs.s AS sub, cb.c AS code,
+       |         ${dist("e", "cb", "subs.s")} AS d
+       |  FROM embeddings e CROSS JOIN subs CROSS JOIN cb
+       |), enc AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY d, code) AS rn
+       |    FROM encd) WHERE rn = 1
+       |), ad AS (
+       |  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+       |         CAST(sum(CAST(${dist("q", "cb", "enc.sub")}
+       |                       AS DECIMAL(30,9))) AS DOUBLE) AS adist
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $nQueries) q
+       |  CROSS JOIN enc JOIN cb ON cb.c = enc.code
+       |  WHERE enc.vec_id <> q.vec_id
+       |  GROUP BY q.vec_id, enc.vec_id
+       |)
+       |SELECT query_id, neighbor_id, rnk,
+       |       ${graft.functions.Exact.roundAtSql("adist", 6)} AS adist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY adist, neighbor_id) AS rnk
+       |      FROM ad)
+       |WHERE rnk <= $k""".stripMargin
+  }
+
+  /** IVF-PQ oracle: the q_knn_ivf cell CTEs (sample centroids, argmax
+    * cosine assignment, top-nProbe query probes) gate WHICH
+    * (query, corpus) pairs reach the [[pqOracleSql]] ADC replay. */
+  private def ivfPqOracleSql(dim: Int, m: Int, kCodes: Int, k: Int,
+                             nQueries: Int, nCells: Int,
+                             nProbe: Int): String = {
+    val subd = dim / m
+    def dist(x: String, y: String, s: String) = (0 until subd).map { j =>
+      val a = s"CAST($x.embedding[$s*$subd+${j + 1}] AS DOUBLE)"
+      val b = s"CAST($y.embedding[$s*$subd+${j + 1}] AS DOUBLE)"
+      s"(($a - $b) * ($a - $b))"
+    }.mkString(" + ")
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cell_id, embedding FROM embeddings
+       |  ORDER BY vec_id LIMIT $nCells
+       |), casgn AS (
+       |  SELECT c.vec_id AS neighbor_id, ct.cell_id,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY ${sqlCos("c", "ct")} DESC, ct.cell_id) AS rk
+       |  FROM embeddings c CROSS JOIN cent ct
+       |), ca AS (
+       |  SELECT neighbor_id, cell_id FROM casgn WHERE rk = 1
+       |), qasgn AS (
+       |  SELECT q.vec_id AS query_id, ct.cell_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${sqlCos("q", "ct")} DESC, ct.cell_id) AS rk
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $nQueries) q
+       |  CROSS JOIN cent ct
+       |), qa AS (
+       |  SELECT query_id, cell_id FROM qasgn WHERE rk <= $nProbe
+       |), cb AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kCodes)
+       |), subs AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, $m)),
+       |encd AS MATERIALIZED (
+       |  SELECT e.vec_id, subs.s AS sub, cb.c AS code,
+       |         ${dist("e", "cb", "subs.s")} AS d
+       |  FROM embeddings e CROSS JOIN subs CROSS JOIN cb
+       |), enc AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY d, code) AS rn
+       |    FROM encd) WHERE rn = 1
+       |), ad AS (
+       |  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+       |         CAST(sum(CAST(${dist("q", "cb", "enc.sub")}
+       |                       AS DECIMAL(30,9))) AS DOUBLE) AS adist
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $nQueries) q
+       |  JOIN qa ON qa.query_id = q.vec_id
+       |  JOIN ca ON ca.cell_id = qa.cell_id
+       |  JOIN enc ON enc.vec_id = ca.neighbor_id
+       |  JOIN cb ON cb.c = enc.code
+       |  WHERE enc.vec_id <> q.vec_id
+       |  GROUP BY q.vec_id, enc.vec_id
+       |)
+       |SELECT query_id, neighbor_id, rnk,
+       |       ${graft.functions.Exact.roundAtSql("adist", 6)} AS adist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY adist, neighbor_id) AS rnk
+       |      FROM ad)
+       |WHERE rnk <= $k""".stripMargin
   }
 
   /** Shared DuckDB fragments for the LLM-pipeline oracles. Each is the

@@ -941,11 +941,13 @@ object Corpus {
     * The two 1-row totals splice as broadcast constants. `minCount`
     * prunes the long tail before the PMI join — the standard GloVe
     * move that bounds output size. */
-  def cooccurrence(df: DataFrame, textCol: String,
-                   window: Int = 2, minCount: Long = 1): DataFrame = {
+  /** The windowed ordered-pair rows (a, b) — shared by the count-only
+    * and PMI paths. */
+  private def cooccurrencePairs(df: DataFrame, textCol: String,
+                                window: Int): DataFrame = {
     require(window >= 1, "window must be at least 1")
     val toks = df.select(Text.tokens(col(textCol)).as("__t"))
-    val pairs = toks.select(explode(flatten(
+    toks.select(explode(flatten(
         transform(sequence(lit(1), lit(window)), d =>
           zip_with(
             slice(col("__t"), lit(1), greatest(size(col("__t")) - d, lit(0))),
@@ -953,8 +955,24 @@ object Corpus {
               greatest(size(col("__t")) - d, lit(0))),
             (x, y) => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val cnt = pairs.groupBy("a", "b").agg(count(lit(1L)).as("cnt"))
+  }
+
+  /** The windowed ordered-pair counts alone — [[cooccurrence]] without
+    * the PMI normalization joins, for consumers that need only the
+    * raw graph weights (e.g. [[textRank]]: feeding it this instead of
+    * the full PMI table keeps its plan free of the 1-row total
+    * splices it would never use). */
+  def cooccurrencePairCounts(df: DataFrame, textCol: String,
+                             window: Int = 2,
+                             minCount: Long = 1): DataFrame =
+    cooccurrencePairs(df, textCol, window)
+      .groupBy("a", "b").agg(count(lit(1L)).as("cnt"))
       .filter(col("cnt") >= minCount)
+
+  def cooccurrence(df: DataFrame, textCol: String,
+                   window: Int = 2, minCount: Long = 1): DataFrame = {
+    val pairs = cooccurrencePairs(df, textCol, window)
+    val cnt = cooccurrencePairCounts(df, textCol, window, minCount)
     val npairs = pairs.agg(count(lit(1L)).cast("double").as("__np"))
     val flat = df.select(explode(Text.tokens(col(textCol))).as("token"))
     val uni = flat.groupBy("token").agg(count(lit(1L)).as("freq"))
@@ -969,6 +987,69 @@ object Corpus {
       .crossJoin(broadcast(ntok))
       .select(col("a"), col("b"), col("cnt"),
         graft.functions.Exact.roundAt(pmi, 4).as("pmi"))
+  }
+
+  /** TextRank keyword scores (Mihalcea & Tarau 2004): weighted
+    * PageRank over the undirected word co-occurrence graph, the
+    * corpus-level "which tokens matter" signal that needs no labels
+    * or IDF reference. Input is any `(aCol, bCol, wCol)` pair-count
+    * frame — [[cooccurrence]]'s output, or the maintained pair view
+    * served by `IncrementalViews.readCooccurrence`, which makes the
+    * keyword report O(graph × iters) with ZERO corpus rescans.
+    *
+    * Semantics: each directed pair count contributes its weight BOTH
+    * ways (undirected voting), self-loops are dropped (a token cannot
+    * vote for itself), and `iters` fixed Jacobi iterations run
+    *   score'(v) = (1−d) + d · Σ_{u→v} w(u,v) · score(u) / out(u)
+    * from score₀ = 1. A fixed iteration count (not an ε-test) keeps
+    * the result deterministic and SQL-replayable.
+    *
+    * Exactness: edge weights and out-degrees are exact longs; each
+    * contribution is one double multiply-then-divide (bit-identical
+    * across engines) summed as DECIMAL(30,9) — the gram-matrix
+    * contract — so the served scores hash-match an oracle that
+    * unrolls the same iterations. Scale: the graph is vocab-bounded
+    * (≪ corpus); each iteration is one hash join + one partial-agg
+    * shuffle over edges, the standard distributed PageRank shape, and
+    * per-iteration frames persist/unpersist so lineage stays flat. */
+  def textRank(pairs: DataFrame, aCol: String, bCol: String,
+               wCol: String, iters: Int = 10, damping: Double = 0.85,
+               topK: Int = 0): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"iters must be in [1, 50]: $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1): $damping")
+    require(topK >= 0, s"topK must be non-negative: $topK")
+    val fwd = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"),
+      col(wCol).cast("long").as("__w"))
+    val rev = pairs.select(col(bCol).as("__src"), col(aCol).as("__dst"),
+      col(wCol).cast("long").as("__w"))
+    val edges = fwd.union(rev).filter(col("__src") =!= col("__dst"))
+      .groupBy("__src", "__dst").agg(sum(col("__w")).as("__w"))
+    val outW = edges.groupBy("__src").agg(sum(col("__w")).as("__out"))
+    val g = edges.join(outW, "__src").persist()
+    var scores = g.select(col("__src").as("token")).distinct()
+      .withColumn("__score", lit(1.0)).persist()
+    scores.count() // materialize before the loop reuses it
+    for (_ <- 1 to iters) {
+      val prev = scores
+      val contrib = (col("__w").cast("double") * col("__score") /
+        col("__out").cast("double")).cast("decimal(30,9)")
+      scores = g.join(prev.withColumnRenamed("token", "__src"), "__src")
+        .groupBy(col("__dst"))
+        .agg(sum(contrib).as("__s"))
+        .select(col("__dst").as("token"),
+          (lit(1.0 - damping) +
+            lit(damping) * col("__s").cast("double")).as("__score"))
+        .persist()
+      scores.count()
+      prev.unpersist()
+    }
+    val ranked = scores.select(col("token"),
+      graft.functions.Exact.roundAt(col("__score"), 6).as("rank"))
+    g.unpersist()
+    if (topK == 0) ranked
+    else ranked.orderBy(col("rank").desc, col("token")).limit(topK)
   }
 
   /** PRODUCTION-VOCABULARY encoder: same contract and output as

@@ -1227,6 +1227,339 @@ object Similarity {
       (c, r) => r("mn") + (c.cast("double") + 127) / 254 * (r("mx") - r("mn")))
   }
 
+  // ---- product quantization (Jégou et al. 2011) ----
+
+  /** Train PQ codebooks: the `dim`-dim space split into `m`
+    * contiguous subspaces of dim/m each, `kCodes` centroids per
+    * subspace → a vector compresses to m small ints (e.g. 768-dim
+    * float32 ≈ 3 KB → 16 bytes at m=16), the memory lever that makes
+    * a billion-vector in-memory ADC scan feasible where raw
+    * embeddings would not fit a cluster.
+    *
+    * Deterministic init — the [[sampleCentroids]] discipline: subspace
+    * s's code c is the c-th smallest-id corpus row's s-th subvector,
+    * SQL-expressible so the whole encode+search pipeline has a
+    * hash-exact DuckDB oracle. `iters` rounds of per-subspace L2
+    * k-means tighten the cells (means as exact decimal sums →
+    * partition-order-deterministic); refinement replaces only the
+    * centroid values, never the plan shape, and monotonically lowers
+    * encode distortion (spec-asserted). Returns books(s)(c) =
+    * centroid of code c in subspace s — m·kCodes·dim/m doubles of
+    * driver metadata, baked into encode/search plans as literals. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, kCodes: Int,
+              iters: Int = 0): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(kCodes >= 2 && kCodes <= 256,
+      s"kCodes must be in [2, 256]: $kCodes")
+    require(iters >= 0, s"iters must be non-negative: $iters")
+    val subd = dim / m
+    val seed = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(kCodes).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seed.length == kCodes,
+      s"corpus holds ${seed.length} rows < kCodes=$kCodes")
+    var books = Array.tabulate(m, kCodes, subd)((s, c, j) =>
+      seed(c)(s * subd + j).toDouble)
+    for (_ <- 1 to iters) {
+      // one pass: every vector's m (sub, code, subvector) assignments
+      // explode to (sub, code, dim-in-sub) cells; means are exact
+      // decimal sums so refined books are partition-order-stable
+      val assigned = corpus.select(posexplode(array((0 until m).map { s =>
+        struct(pqCodeCol(col(vecCol), books(s), s, subd).as("code"),
+          slice(col(vecCol), s * subd + 1, subd).as("sv"))
+      }: _*)).as(Seq("sub", "a")))
+      val cells = assigned
+        .select(col("sub"), col("a.code").as("code"),
+          posexplode(col("a.sv")).as(Seq("j", "v")))
+        .groupBy("sub", "code", "j")
+        .agg(graft.functions.Exact.sumExact(col("v"), 12).as("s"),
+          count(lit(1L)).as("n"))
+        .collect()
+      val next = Array.tabulate(m, kCodes, subd)((s, c, j) => books(s)(c)(j))
+      cells.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3) / r.getLong(4) // empty cells keep their centroid
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Left-fold Σ (xᵢ − yᵢ)² over a float slice vs a double-literal
+    * centroid — `aggregate(zip_with(...))` keeps generated code small
+    * (an unrolled per-dim sum blows Janino's 64 KB method limit at
+    * dim 64) while folding in the exact FP op order any SQL mirror
+    * unrolls: the 0.0 seed is absorbed bit-exactly because every term
+    * is a non-negative square. */
+  private def pqSubDist(slice: Column, cent: Column): Column =
+    aggregate(
+      zip_with(slice, cent, (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Squared-L2 distance of `vecCol`'s subspace-s slice to each of
+    * `book`'s codes, argmin with ties to the smallest code — pure
+    * codegen expressions, zero UDFs. */
+  private def pqCodeCol(vecCol: Column, book: Array[Array[Double]],
+                        s: Int, subd: Int): Column = {
+    val sl = slice(vecCol, s * subd + 1, subd)
+    val cands = book.indices.map { c =>
+      struct(pqSubDist(sl, typedLit(book(c).toSeq)).as("d"),
+        lit(c).as("c"))
+    }
+    array_min(array(cands: _*)).getField("c")
+  }
+
+  /** Encode a corpus against trained books: `(idCol, codes)` with
+    * codes(s) = nearest code of subspace s — the stored form an ADC
+    * scan reads INSTEAD of embeddings (m ints vs dim floats per row;
+    * at 100 TB the codes table is the only thing that scans). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val subd = books(0)(0).length
+    corpus.select(col(idCol),
+      array((0 until m).map(s =>
+        pqCodeCol(col(vecCol), books(s), s, subd)): _*).as("codes"))
+  }
+
+  /** Mean squared reconstruction error of a PQ codebook over a corpus
+    * — Σ_s ‖v_s − books(s)(code_s)‖² averaged over rows, the exact
+    * objective [[pqTrain]]'s k-means iterations minimize (so it
+    * decreases monotonically in `iters`; spec-asserted). The
+    * compression-quality gauge to watch before trusting an ADC scan:
+    * one pass, exact decimal mean, one row out. */
+  def pqDistortion(corpus: DataFrame, idCol: String, vecCol: String,
+                   books: Array[Array[Array[Double]]]): Double = {
+    val m = books.length
+    val subd = books(0)(0).length
+    val selfDist = (0 until m).map { s =>
+      val sl = slice(col(vecCol), s * subd + 1, subd)
+      val cands = books(s).indices.map(c =>
+        struct(pqSubDist(sl, typedLit(books(s)(c).toSeq)).as("d"),
+          lit(c).as("c")))
+      array_min(array(cands: _*)).getField("d").cast("decimal(30,9)")
+    }.reduce(_ + _).cast("double")
+    corpus.select(selfDist.as("__d"))
+      .agg((graft.functions.Exact.sumExact(col("__d"), 9) /
+        count(lit(1L))).as("mse"))
+      .head().getDouble(0)
+  }
+
+  /** The ADC distance expression: Σ_s ‖__qv_s − books(s)(codes_s)‖²,
+    * the centroid looked up from the literal book by the row's stored
+    * code (the query slice stays data — asymmetric by construction);
+    * per-subspace doubles fold across subspaces as DECIMAL(30,9)
+    * (order-independent → hash-exact vs the SQL replay). */
+  private def pqAdcDist(books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val subd = books(0)(0).length
+    (0 until m).map { s =>
+      val cent = element_at(
+        typedLit(books(s).map(c => c.toSeq).toSeq),
+        element_at(col("codes"), s + 1) + 1)
+      pqSubDist(slice(col("__qv"), s * subd + 1, subd), cent)
+        .cast("decimal(30,9)")
+    }.reduce(_ + _).cast("double")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each corpus row's
+    * approximate distance to a query is Σ_s ‖q_s − books(s)(codes_s)‖²
+    * — the query stays UNquantized (the asymmetric half of the
+    * accuracy), the corpus never rehydrates its vectors. Queries
+    * broadcast like [[bruteForceTopK]]; the scan reads codes only.
+    * Output `(query_id, neighbor_id, rnk, adist)`, rank by
+    * (adist asc, id). */
+  def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, books: Array[Array[Array[Double]]],
+             k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val adist = pqAdcDist(books)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    codes.withColumnRenamed(idCol, "neighbor_id")
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        graft.functions.Exact.roundAt(col("adist"), 6).as("adist"))
+  }
+
+  /** IVF-PQ: the two ANN levers composed the way a 100 TB index runs
+    * them — coarse cells bound WHICH rows a query touches
+    * (candidates ≈ |corpus|·nProbe/nCells, the [[ivfTopK]] plan) and
+    * PQ codes bound what each touched row COSTS (m ints ADC-scanned,
+    * never a float vector — the [[pqTopK]] memory story). The
+    * candidate join is a broadcast HASH join on the cell key (no
+    * nested loop anywhere: the probe set is |queries|·nProbe rows),
+    * and the corpus-side projection emits (id, cell, codes) in ONE
+    * scan pass — embeddings never leave the scan. Stored form: write
+    * that projection `partitionBy("__cell")` and a probe reads only
+    * its nProbe directories. Centroids and books are both
+    * deterministic sample-inits, so the whole pipeline has a
+    * hash-exact DuckDB oracle; refined variants swap centroid/book
+    * values without changing the plan. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      kCodes: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, $nCells]: $nProbe")
+    val cents = sampleCentroids(corpus, idCol, vecCol, nCells)
+    val books = pqTrain(corpus, idCol, vecCol, dim, m, kCodes)
+    val subd = dim / m
+    val codes = corpus.select(
+      col(idCol).as("neighbor_id"),
+      bestCell(cents, col(vecCol)).as("__cell"),
+      array((0 until m).map(s =>
+        pqCodeCol(col(vecCol), books(s), s, subd)): _*).as("codes"))
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell",
+        explode(probeCells(cents, col("__qv"), nProbe)))
+    val adist = pqAdcDist(books)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    codes.join(broadcast(qProbes), "__cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        graft.functions.Exact.roundAt(col("adist"), 6).as("adist"))
+  }
+
+  // ---- stored IVF-PQ index ----
+
+  /** Persist an IVF-PQ index: the corpus's `(id, codes)` rows written
+    * PARTITIONED BY COARSE CELL (m small ints per row — the 100 TB
+    * form: a probe reads its nProbe directories of CODES, never a
+    * float vector), plus centroids, per-subspace codebooks, and the
+    * (dim, m, kCodes) contract as JSON driver metadata. Rebuild
+    * semantics like [[ivfWriteIndex]] (prior artifacts cleared).
+    * `iters` k-means-refines the books before encoding. */
+  def pqWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   path: String, dim: Int, nCells: Int = 16,
+                   m: Int = 8, kCodes: Int = 16, iters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val f = ivfFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(root))
+      f.listStatus(root).map(_.getPath)
+        .filter(p => p.getName == "codes" || p.getName == "centroids" ||
+          p.getName == "books" || p.getName == "tombstones" ||
+          p.getName == "_graft_pq_meta.json")
+        .foreach(f.delete(_, true))
+    IndexMaintenance.clearState(spark, path)
+    val cents = sampleCentroids(corpus, idCol, vecCol, nCells)
+    val books = pqTrain(corpus, idCol, vecCol, dim, m, kCodes, iters)
+    val subd = dim / m
+    corpus.select(
+        col(idCol).as("neighbor_id"),
+        bestCell(cents, col(vecCol)).as("cell"),
+        array((0 until m).map(s =>
+          pqCodeCol(col(vecCol), books(s), s, subd)): _*).as("codes"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    import spark.implicits._
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+    books.indices.flatMap(s => books(s).indices.map(c =>
+        (s, c, books(s)(c).toSeq)))
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").json(s"$path/books")
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_pq_meta.json"), true)
+    try out.write(s"""{"dim":$dim,"m":$m,"kCodes":$kCodes}"""
+      .getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The stored codebooks back as [[pqTrain]]'s shape — bounded
+    * driver metadata (m·kCodes·dim/m doubles). */
+  def pqReadBooks(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.json(s"$path/books")
+      .select(col("sub").cast("int"), col("code").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, k)
+    rows.foreach(r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    books
+  }
+
+  /** Incrementally add vectors to a stored IVF-PQ index: assign +
+    * encode the batch against the STORED centroids/books and append
+    * into the hit cell partitions — O(batch), no file rewritten, no
+    * re-training (code quality degrades only as far as the frozen
+    * books do; re-run [[pqWriteIndex]] with `iters` when
+    * [[pqDistortion]] over a sample says drift warrants it). Ids must
+    * be unique across appends. Erasure = [[ivfTombstone]] at the same
+    * path (the serve anti-joins the shared tombstones dir). */
+  def pqAppend(spark: org.apache.spark.sql.SparkSession,
+               batch: DataFrame, idCol: String, vecCol: String,
+               path: String): Unit =
+    IndexMaintenance.withWriterLock(spark, path, "Similarity.pqAppend") {
+      val cents = ivfReadCentroidsAt(spark, path, 0)
+      val books = pqReadBooks(spark, path)
+      val subd = books(0)(0).length
+      batch.select(
+          col(idCol).as("neighbor_id"),
+          bestCell(cents, col(vecCol)).as("cell"),
+          array(books.indices.map(s =>
+            pqCodeCol(col(vecCol), books(s), s, subd)): _*).as("codes"))
+        .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    }
+
+  /** Query a stored IVF-PQ index: probe cells become a literal
+    * partition filter over the CODES directories (the scan opens
+    * nProbe of nCells dirs and reads m ints per row — compare
+    * [[ivfTopKIndexed]], which still reads float vectors), tombstones
+    * anti-joined, ADC exactly as [[pqTopK]]. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, path: String, nProbe: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val cents = ivfReadCentroidsAt(spark, path, 0)
+    val books = pqReadBooks(spark, path)
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("cell", explode(probeCells(cents, col("__qv"), nProbe)))
+    val probedCells = qProbes.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    val candidates = ivfLive(spark, path,
+      spark.read.parquet(s"$path/codes")
+        .filter(col("cell").isin(probedCells: _*)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    candidates.join(broadcast(qProbes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", pqAdcDist(books))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        graft.functions.Exact.roundAt(col("adist"), 6).as("adist"))
+  }
+
   /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric
     * matrix (driver-side; d×d is bounded metadata, same budget as the
     * IVF centroid collects). Returns (eigenvalues desc, eigenvectors

@@ -728,6 +728,162 @@ object IncrementalViews {
     }
   }
 
+  /** Generic INCREMENTALLY-MAINTAINED PER-KEY DERIVED VIEW — the
+    * affected-key-recompute machinery [[refreshTopK]] uses, opened to
+    * ANY key-local derivation: per tick, the change feed names the
+    * churned keys, `derive` re-runs over ONLY those keys' current
+    * source rows (manifest-pruned + semi-joined), and the view's rows
+    * for exactly those keys are replaced — the plan that stays
+    * correct under arbitrary insert/update/delete mixes for
+    * derivations no delta fold can express (windowed session
+    * assignment, ordered funnels, anything whose per-key output is a
+    * global function of the key's rows).
+    *
+    * Contract: `derive` must be DETERMINISTIC and KEY-LOCAL — every
+    * output row for key k derives only from input rows with key k
+    * (so recomputing a key from its own rows alone is exact) — and
+    * must carry `keyCols` through. `rowOrder` names columns that
+    * totally order each key's output rows (they become the stored
+    * `__rank` the keyed merge replaces in place; a shrunken key's
+    * trailing ranks are deleted). An EMPTY `rowOrder` asserts the
+    * derivation emits AT MOST ONE row per key — violated, the tick
+    * fails loudly instead of storing nondeterministic ranks. */
+  def refreshPerKey(spark: SparkSession, srcDir: String, viewDir: String,
+                    keyCols: Seq[String], rowOrder: Seq[String],
+                    derive: DataFrame => DataFrame): Seq[Long] = {
+    require(keyCols.nonEmpty, "refreshPerKey needs at least one key")
+    withSourceTick(spark, srcDir, viewDir, "_derived_state") { (changes, tick) =>
+      val kCols = keyCols.map(col)
+      val affected = changes.select(kCols: _*).distinct().persist()
+      try {
+        val (nAffected, specs) = keySpecs(affected, keyCols)
+        if (nAffected != 0L) {
+          val srcAff = nullSafeSemi(
+            readForSpecs(spark, srcDir, Some(tick.to), specs),
+            affected, keyCols)
+          val derived = derive(srcAff)
+          require(keyCols.forall(derived.columns.contains),
+            s"derive must carry the key columns ${keyCols.mkString(", ")}")
+          val orderCols: Seq[Column] =
+            if (rowOrder.isEmpty) Seq(lit(1L).asc)
+            else rowOrder.map(col(_).asc)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(kCols: _*)
+            .orderBy(orderCols: _*)
+          val fresh = derived
+            .withColumn("__rank", row_number().over(w).cast("long"))
+            .withColumn("__op", lit("u")).withColumn("__seq", lit(1L))
+          val viewExists = Snapshots.latestVersion(spark, viewDir).isDefined
+          val stale =
+            if (!viewExists) fresh.limit(0)
+            else nullSafeSemi(
+              readForSpecs(spark, viewDir, None, specs),
+              affected, keyCols)
+              .withColumn("__op", lit("d")).withColumn("__seq", lit(0L))
+          val out = stale.unionByName(fresh).persist()
+          try {
+            if (rowOrder.isEmpty)
+              require(out.filter(col("__op") === "u" && col("__rank") > 1L)
+                  .limit(1).isEmpty,
+                "derive emitted more than one row for a key but rowOrder " +
+                  "is empty — name columns that order each key's rows")
+            if (!out.isEmpty)
+              Snapshots.mergeStreamBatch(out, viewDir, tick.to,
+                keyCols = keyCols :+ "__rank",
+                opCol = "__op", seqCol = "__seq",
+                pruneCol = Some(keyCols.head),
+                clusterBy = Some(keyCols.head),
+                extraStatsCols = extraKeyStats(keyCols))
+          } finally out.unpersist()
+        }
+      } finally affected.unpersist()
+      ()
+    }
+  }
+
+  /** [[refreshPerKey]] driven by the source's change feed. */
+  def maintainPerKey(spark: SparkSession, srcDir: String, viewDir: String,
+                     keyCols: Seq[String], rowOrder: Seq[String],
+                     checkpointDir: String,
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                    (derive: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshPerKey(spark, srcDir, viewDir, keyCols, rowOrder, derive)
+      ()
+    }
+
+  /** INCREMENTALLY-MAINTAINED SESSION STATS — the max-gap
+    * sessionization rollup ([[graft.operators.Relational.sessionStats]])
+    * as a standing per-(user, session) table: a churned user's whole
+    * session structure is recomputed from their current events (the
+    * only delete-correct plan — removing one event can merge two
+    * sessions or renumber every later one), untouched users' rows are
+    * never read or written. State O(live sessions); tick O(churned
+    * users' events). Params pinned per root. */
+  def refreshSessionStats(spark: SparkSession, srcDir: String,
+                          viewDir: String, userCol: String, tsCol: String,
+                          idCol: String, maxGapSec: Long): Seq[Long] = {
+    requireSameParam(spark, viewDir, "session_params",
+      s"$userCol,$tsCol,$idCol,$maxGapSec")
+    refreshPerKey(spark, srcDir, viewDir, Seq(userCol), Seq("session_idx"),
+      df => graft.operators.Relational.sessionStats(
+        df, userCol, tsCol, idCol, maxGapSec))
+  }
+
+  /** [[refreshSessionStats]] driven by the source's change feed. */
+  def maintainSessionStats(spark: SparkSession, srcDir: String,
+                           viewDir: String, userCol: String, tsCol: String,
+                           idCol: String, maxGapSec: Long,
+                           checkpointDir: String,
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshSessionStats(spark, srcDir, viewDir, userCol, tsCol, idCol,
+        maxGapSec)
+      ()
+    }
+
+  /** The maintained session table — batch `sessionStats`'s exact
+    * columns, zero event I/O at serve. */
+  def readSessionStats(spark: SparkSession, viewDir: String): DataFrame =
+    Snapshots.read(spark, viewDir).drop("__rank")
+
+  /** INCREMENTALLY-MAINTAINED ORDERED FUNNEL — per-user stage
+    * timestamps + stages_completed
+    * ([[graft.operators.Relational.funnel]]) kept current by
+    * affected-user recompute: one row per user, so `rowOrder` is the
+    * empty single-row contract; a user who no longer reaches stage 1
+    * leaves the view (their fresh derivation is empty and the stale
+    * row deletes). State O(users who reached stage 1). */
+  def refreshFunnel(spark: SparkSession, srcDir: String, viewDir: String,
+                    userCol: String, tsCol: String, typeCol: String,
+                    stages: Seq[String]): Seq[Long] = {
+    requireSameParam(spark, viewDir, "funnel_params",
+      s"$userCol,$tsCol,$typeCol,${stages.mkString("|")}")
+    refreshPerKey(spark, srcDir, viewDir, Seq(userCol), Nil,
+      df => graft.operators.Relational.funnel(
+        df, userCol, tsCol, typeCol, stages))
+  }
+
+  /** [[refreshFunnel]] driven by the source's change feed. */
+  def maintainFunnel(spark: SparkSession, srcDir: String, viewDir: String,
+                     userCol: String, tsCol: String, typeCol: String,
+                     stages: Seq[String], checkpointDir: String,
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+      refreshFunnel(spark, srcDir, viewDir, userCol, tsCol, typeCol, stages)
+      ()
+    }
+
+  /** The maintained funnel table — batch `funnel`'s exact columns. */
+  def readFunnel(spark: SparkSession, viewDir: String): DataFrame =
+    Snapshots.read(spark, viewDir).drop("__rank")
+
   /** [[refreshTopK]] driven by the source's change feed. */
   def maintainTopK(spark: SparkSession, srcDir: String, viewDir: String,
                    partitionKeys: Seq[String], orderCol: String, k: Int,
@@ -795,6 +951,75 @@ object IncrementalViews {
     val v = Snapshots.read(spark, viewDir)
     v.select(v.columns.filterNot(_ == "__cnt").map(col) :+
       col("__cnt").as(countName): _*)
+  }
+
+  /** INCREMENTALLY-MAINTAINED weekly retention cohorts — the
+    * event-analytics report ([[graft.operators.Relational.retention]])
+    * as a standing view instead of a per-dashboard-load event scan.
+    *
+    * The maintained state is ONE Z-set agg view of the distinct
+    * `(user, epoch-week)` activity pairs: the transform lens derives
+    * `__wk = floor(unix_micros(ts) / week)` per event, so every pair
+    * row's multiplicity comes from exactly one event row and inserts
+    * AND deletes fold exactly (a user's last event of a week leaving
+    * retracts the pair; an earlier event of the SAME week keeps it
+    * alive through the multiplicity — the semantics a distinct-pair
+    * snapshot could not maintain). State is O(users × active weeks) —
+    * domain-bounded however many events ever flowed.
+    *
+    * The serve ([[readRetention]]) never touches events: cohort week
+    * = min(__wk) per user OVER THE LIVE PAIRS (a per-user min is safe
+    * here precisely because the serve recomputes it from the pair set
+    * every read — no stale min to invalidate under deletes), then one
+    * groupBy (cohort, offset). Cost O(live pairs), and the result
+    * equals the batch operator over the live source row-for-row.
+    *
+    * `userCol`/`tsCol` are pinned per root: re-pointing the lens at
+    * different columns mid-life would silently mix two reports. */
+  def refreshRetention(spark: SparkSession, srcDir: String,
+                       viewDir: String, userCol: String,
+                       tsCol: String): Seq[Long] = {
+    requireSameParam(spark, viewDir, "retention_cols", s"$userCol,$tsCol")
+    refreshAgg(spark, srcDir, viewDir, Seq(userCol, "__wk"), Nil,
+      where = Some(col(userCol).isNotNull && col(tsCol).isNotNull),
+      transform = Some(df => df.select(
+        col("__change"), col(userCol),
+        floor(unix_micros(col(tsCol)) / lit(604800000000L))
+          .cast("long").as("__wk"))))
+  }
+
+  /** [[refreshRetention]] driven by the source's change feed;
+    * `housekeepEvery = n` settles the pair view's compaction +
+    * retention debt every n-th tick (clustered by the user column so
+    * affected-key pruning stays sharp). */
+  def maintainRetention(spark: SparkSession, srcDir: String,
+                        viewDir: String, userCol: String, tsCol: String,
+                        checkpointDir: String,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                        housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
+      refreshRetention(spark, srcDir, viewDir, userCol, tsCol); ()
+    } { () => housekeep(spark, viewDir, clusterBy = Some(userCol)) }
+
+  /** The retention report from the maintained pair view —
+    * `(cohort_wk, offset_wk, n_active)` exactly as the batch operator
+    * emits it, O(live pairs), zero event I/O. */
+  def readRetention(spark: SparkSession, viewDir: String): DataFrame = {
+    val cols = readParam(spark, viewDir, "retention_cols").getOrElse(
+      sys.error(s"$viewDir holds no retention view — run " +
+        "refreshRetention against it first")).split(",")
+    val userCol = cols(0)
+    val pairs = Snapshots.read(spark, viewDir)
+      .select(col(userCol), col("__wk"))
+    val first = pairs.groupBy(userCol)
+      .agg(min(col("__wk")).as("cohort_wk"))
+    pairs.join(first, userCol)
+      .groupBy(col("cohort_wk"),
+        (col("__wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(count(lit(1L)).as("n_active"))
   }
 
   /** Operational HOUSEKEEPING for an always-maintained view (or any
@@ -2280,20 +2505,31 @@ object IncrementalViews {
     * heap + driver merge of k ([[readBm25]]'s TakeOrdered
     * discipline), never a full sort — the collocation-UI shape
     * composes with `tokenA` for "token t's k best neighbors". */
-  def readCooccurrence(spark: SparkSession, viewRoot: String,
-                       minCount: Long = 1,
-                       tokenA: Option[String] = None,
-                       topK: Option[Int] = None): DataFrame = {
-    require(topK.forall(_ > 0), s"topK must be positive: ${topK.get}")
+  /** The maintained pair view's live `(a, b, cnt)` rows alone —
+    * [[readCooccurrence]] without the PMI normalization splices, for
+    * consumers that need only the raw graph weights (e.g. serving
+    * `Corpus.textRank` from the live graph with zero corpus rescans
+    * AND zero 1-row total broadcasts in the plan). */
+  def readCooccurrencePairs(spark: SparkSession, viewRoot: String,
+                            minCount: Long = 1,
+                            tokenA: Option[String] = None): DataFrame = {
     val pairsAll = tokenA match {
       case Some(t) => Snapshots.readPrunedRanges(
           spark, s"$viewRoot/pairs", "", Seq((t, t)))
         .filter(col("a") === t)
       case None => Snapshots.read(spark, s"$viewRoot/pairs")
     }
-    val cnt = pairsAll.filter(col("__cnt") > 0)
+    pairsAll.filter(col("__cnt") > 0)
       .select(col("a"), col("b"), col("__cnt").as("cnt"))
       .filter(col("cnt") >= minCount)
+  }
+
+  def readCooccurrence(spark: SparkSession, viewRoot: String,
+                       minCount: Long = 1,
+                       tokenA: Option[String] = None,
+                       topK: Option[Int] = None): DataFrame = {
+    require(topK.forall(_ > 0), s"topK must be positive: ${topK.get}")
+    val cnt = readCooccurrencePairs(spark, viewRoot, minCount, tokenA)
     val uni = Snapshots.read(spark, s"$viewRoot/uni")
       .filter(col("__cnt") > 0)
       .select(col("token"), col("__cnt").as("freq"))

@@ -210,6 +210,41 @@ class CorpusSpec extends SparkSpec {
       minCount = 2).count() == 0L)
   }
 
+  test("textRank matches a hand computation; drops self-loops; conserves total score") {
+    // path graph a—b—c from directed pair counts; a self-loop and a
+    // reverse duplicate exercise symmetrization
+    val pairs = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "a", 5L))
+      .toDF("a", "b", "cnt")
+    val r2 = Corpus.textRank(pairs, "a", "b", "cnt", iters = 2)
+      .as[(String, Double)].collect().toMap
+    // iter1: a=c=0.15+0.85·(1/2)=0.575, b=0.15+0.85·2=1.85
+    // iter2: a=c=0.15+0.85·(1.85/2)=0.93625, b=0.15+0.85·1.15=1.1275
+    assert(r2("a") == 0.93625 && r2("c") == 0.93625 && r2("b") == 1.1275)
+    // forward+reverse counts merge into one undirected weight
+    val sym = Corpus.textRank(
+      Seq(("a", "b", 1L), ("b", "a", 2L)).toDF("a", "b", "cnt"),
+      "a", "b", "cnt", iters = 3).as[(String, Double)].collect().toMap
+    assert(sym("a") == 1.0 && sym("b") == 1.0) // two-node graph stays uniform
+    // each node redistributes its whole score → the total is conserved
+    // at n every iteration (up to the 1e-9 decimal fold)
+    assert(math.abs(r2.values.sum - 3.0) < 1e-6)
+    // a star hub out-ranks its leaves, and topK truncates after the
+    // deterministic (rank desc, token) order
+    val star = Corpus.textRank(
+      Seq(("hub", "x", 1L), ("hub", "y", 1L), ("hub", "z", 1L))
+        .toDF("a", "b", "cnt"), "a", "b", "cnt", iters = 10, topK = 2)
+      .as[(String, Double)].collect()
+    assert(star.length == 2 && star.head._1 == "hub")
+    assert(star.head._2 > star(1)._2)
+    // guard rails
+    intercept[IllegalArgumentException] {
+      Corpus.textRank(pairs, "a", "b", "cnt", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.textRank(pairs, "a", "b", "cnt", damping = 1.0)
+    }
+  }
+
   test("bm25 matches a hand computation on a tiny corpus") {
     val df = Seq(
       (1L, "a a b"),

@@ -508,6 +508,150 @@ class IncrementalViewsSpec extends SparkSpec {
       .filter(col("g") === "b").count() == 0L)
   }
 
+  test("per-key derived views: maintained sessions and funnel equal batch through churn") {
+    val s = spark; import s.implicits._
+    import graft.operators.Relational
+    val (src, sv, fv) = (tmpDir(), tmpDir(), tmpDir())
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val stages = Seq("view", "click", "buy")
+    def sessionsCurrent(): Unit =
+      assert(canon(IncrementalViews.readSessionStats(spark, sv)) ==
+        canon(Relational.sessionStats(Snapshots.read(spark, src),
+          "user_id", "ts", "event_id", 1800)))
+    def funnelCurrent(): Unit =
+      assert(canon(IncrementalViews.readFunnel(spark, fv)) ==
+        canon(Relational.funnel(Snapshots.read(spark, src),
+          "user_id", "ts", "event_type", stages)))
+    // user 1: two sessions (gap > 30 min) and a full funnel;
+    // user 2: one session, stalls after stage 1
+    Snapshots.commit(Seq(
+      (1L, 1L, ts(1000), "view"), (2L, 1L, ts(1100), "click"),
+      (3L, 1L, ts(9000), "buy"),
+      (4L, 2L, ts(1000), "view")).toDF("event_id", "user_id", "ts", "event_type"),
+      src, statsCol = Some("user_id"))
+    IncrementalViews.refreshSessionStats(spark, src, sv,
+      "user_id", "ts", "event_id", 1800)
+    IncrementalViews.refreshFunnel(spark, src, fv,
+      "user_id", "ts", "event_type", stages)
+    sessionsCurrent(); funnelCurrent()
+    assert(IncrementalViews.readSessionStats(spark, sv)
+      .filter(col("user_id") === 1L).count() == 2L)
+    // an append BETWEEN user 1's sessions merges them into one — the
+    // renumbering no delta fold could produce; user 2 completes the
+    // funnel across two ticks
+    Snapshots.commit(Seq(
+      (5L, 1L, ts(2500), "view"), (6L, 1L, ts(4000), "view"),
+      (7L, 1L, ts(5500), "view"), (8L, 1L, ts(7200), "view"),
+      (9L, 2L, ts(1200), "click"), (10L, 2L, ts(1300), "buy"))
+      .toDF("event_id", "user_id", "ts", "event_type"),
+      src, statsCol = Some("user_id"))
+    IncrementalViews.refreshSessionStats(spark, src, sv,
+      "user_id", "ts", "event_id", 1800)
+    IncrementalViews.refreshFunnel(spark, src, fv,
+      "user_id", "ts", "event_type", stages)
+    sessionsCurrent(); funnelCurrent()
+    assert(IncrementalViews.readSessionStats(spark, sv)
+      .filter(col("user_id") === 1L).count() == 1L)
+    assert(IncrementalViews.readFunnel(spark, fv)
+      .filter(col("user_id") === 2L).head().getAs[Long]("stages_completed")
+      == 3L)
+    // deleting the bridge events SPLITS user 1's session again, and
+    // deleting user 2's stage-1 event evicts them from the funnel
+    // entirely (fresh derivation empty → stale row deleted)
+    Snapshots.deleteWhere(spark, src,
+      col("event_id").isin(5L, 6L, 7L, 8L))
+    Snapshots.deleteWhere(spark, src, col("event_id") === 4L)
+    IncrementalViews.refreshSessionStats(spark, src, sv,
+      "user_id", "ts", "event_id", 1800)
+    IncrementalViews.refreshFunnel(spark, src, fv,
+      "user_id", "ts", "event_type", stages)
+    sessionsCurrent(); funnelCurrent()
+    assert(IncrementalViews.readFunnel(spark, fv)
+      .filter(col("user_id") === 2L).count() == 0L)
+    // no-op ticks fold nothing; pinned params refuse re-pointing
+    assert(IncrementalViews.refreshSessionStats(spark, src, sv,
+      "user_id", "ts", "event_id", 1800).isEmpty)
+    intercept[IllegalArgumentException] {
+      IncrementalViews.refreshSessionStats(spark, src, sv,
+        "user_id", "ts", "event_id", 900)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalViews.refreshFunnel(spark, src, fv,
+        "user_id", "ts", "event_type", Seq("view", "buy"))
+    }
+    // the empty-rowOrder single-row contract fails loudly when a
+    // derivation emits two rows for one key
+    val bad = tmpDir()
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshPerKey(spark, src, bad,
+        Seq("user_id"), Nil, df => df.select(col("user_id"), col("event_id")))
+    }
+    assert(e.getMessage.contains("rowOrder"))
+    // SQL surface serves both tables
+    assert(canon(spark.sql(s"SELECT * FROM graft_sessions_view('$sv')")) ==
+      canon(IncrementalViews.readSessionStats(spark, sv)))
+    assert(canon(spark.sql(s"SELECT * FROM graft_funnel_view('$fv')")) ==
+      canon(IncrementalViews.readFunnel(spark, fv)))
+  }
+
+  test("retention view: maintained cohorts equal the batch report through appends and deletes") {
+    val s = spark; import s.implicits._
+    val (src, v) = (tmpDir(), tmpDir())
+    val wk = 604800L // seconds per epoch week
+    def ts(week: Long, off: Long) =
+      new java.sql.Timestamp((week * wk + off) * 1000L)
+    def expected(): DataFrame = graft.operators.Relational.retention(
+      Snapshots.read(spark, src), "user_id", "ts")
+    def current(): Unit =
+      assert(canon(IncrementalViews.readRetention(spark, v)
+          .select("cohort_wk", "offset_wk", "n_active")) ==
+        canon(expected().select("cohort_wk", "offset_wk", "n_active")))
+    // user 1: weeks 100,101; user 2: week 100 twice (multiplicity
+    // must keep the pair alive when one copy leaves); user 3: week 102
+    Snapshots.commit(Seq(
+      (1L, 1L, ts(100, 10)), (2L, 1L, ts(101, 20)),
+      (3L, 2L, ts(100, 30)), (4L, 2L, ts(100, 40)),
+      (5L, 3L, ts(102, 50))).toDF("event_id", "user_id", "ts"),
+      src, statsCol = Some("user_id"))
+    assert(IncrementalViews.refreshRetention(spark, src, v, "user_id", "ts")
+      == Seq(0L))
+    current()
+    // one copy of user 2's week-100 pair leaves → pair survives;
+    // BOTH of user 1's events leave → user 1 leaves the report
+    // entirely; a new user 4 lands in a later cohort
+    Snapshots.deleteWhere(spark, src, col("event_id") === 3L)
+    Snapshots.deleteWhere(spark, src, col("user_id") === 1L)
+    Snapshots.commit(Seq((6L, 4L, ts(103, 60)))
+      .toDF("event_id", "user_id", "ts"), src, statsCol = Some("user_id"))
+    assert(IncrementalViews.refreshRetention(spark, src, v, "user_id", "ts")
+      == Seq(1L, 2L, 3L))
+    current()
+    assert(IncrementalViews.readRetention(spark, v)
+      .filter(col("cohort_wk") === 100L && col("offset_wk") === 0L)
+      .head().getLong(2) == 1L) // only user 2 remains in cohort 100
+    // deleting a user's EARLIEST week moves their cohort — the serve
+    // recomputes min over live pairs, no stale cohort can survive
+    Snapshots.commit(Seq((7L, 3L, ts(103, 70)))
+      .toDF("event_id", "user_id", "ts"), src, statsCol = Some("user_id"))
+    Snapshots.deleteWhere(spark, src, col("event_id") === 5L)
+    IncrementalViews.refreshRetention(spark, src, v, "user_id", "ts")
+    current()
+    assert(IncrementalViews.readRetention(spark, v)
+      .filter(col("cohort_wk") === 103L).head().getLong(2) == 2L)
+    // no-op tick folds nothing
+    assert(IncrementalViews.refreshRetention(spark, src, v, "user_id", "ts")
+      .isEmpty)
+    // pinned lens: re-pointing the view at other columns refuses
+    val e = intercept[IllegalArgumentException] {
+      IncrementalViews.refreshRetention(spark, src, v, "event_id", "ts")
+    }
+    assert(e.getMessage.contains("retention_cols"))
+    // SQL surface serves the same report
+    assert(canon(spark.sql(s"SELECT * FROM graft_retention_view('$v')")
+        .select("cohort_wk", "offset_wk", "n_active")) ==
+      canon(expected().select("cohort_wk", "offset_wk", "n_active")))
+  }
+
   test("distinct view: a crash between the two levels self-heals on the next call") {
     val s = spark; import s.implicits._
     val (src, pairs, v) = (tmpDir(), tmpDir(), tmpDir())

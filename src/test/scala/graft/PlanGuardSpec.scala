@@ -124,7 +124,14 @@ class PlanGuardSpec extends SparkSpec {
     // (N, avgdl) cascade the same way q_bm25/q_tfidf splice theirs;
     // q_cooccurrence splices its 1-row pair/token totals likewise, and
     // q_cooccurrence_view_incr splices the maintained 1-row cascades.
+    // q_knn_pq inherits q_knn_cosine's by-design broadcast of the
+    // BOUNDED query set over the codes scan (the scan side reads m
+    // ints per row — the compression is the point; the corpus is
+    // never pair-joined against itself). The textrank queries are NOT
+    // exempt: they consume the pair counts alone, so none of the PMI
+    // path's 1-row splices enter their plans.
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_knn_lsh",
+      "q_knn_pq",
       "q_customer_above_avg",
       "q_tfidf", "q_bm25", "q_doc_logprob", "q_sketch_overlap",
       "q_ols_eval", "q_ols_holdout", "q_doc_bigram_lm", "q_corpus_profile",

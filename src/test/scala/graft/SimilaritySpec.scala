@@ -73,6 +73,105 @@ class SimilaritySpec extends SparkSpec {
     assert(!strict.getBoolean(3))
   }
 
+  test("product quantization: hand-math codes and ADC distance; recall on clustered data") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // hand case: dim 4, m 2 (subspaces of 2), kCodes 2 — books come
+    // from the two smallest-id rows, so codes and distances are
+    // checkable by hand
+    val tiny = Seq(
+      Vec(0L, Array(0f, 0f, 10f, 10f)),
+      Vec(1L, Array(4f, 4f, 0f, 0f)),
+      Vec(2L, Array(1f, 1f, 9f, 9f)), // sub0 → code 0, sub1 → code 0
+      Vec(3L, Array(3f, 3f, 1f, 1f))  // sub0 → code 1, sub1 → code 1
+    ).toDF
+    val books = Similarity.pqTrain(tiny, "vec_id", "embedding",
+      dim = 4, m = 2, kCodes = 2)
+    assert(books(0)(0).toSeq == Seq(0.0, 0.0) &&
+      books(0)(1).toSeq == Seq(4.0, 4.0))
+    assert(books(1)(0).toSeq == Seq(10.0, 10.0) &&
+      books(1)(1).toSeq == Seq(0.0, 0.0))
+    val enc = Similarity.pqEncode(tiny, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(2L) == Seq(0, 0) && enc(3L) == Seq(1, 1))
+    // ADC for query 2 vs neighbor 3: sub0 dist to book(0)(1)=(4,4):
+    // (1-4)²+(1-4)² = 18; sub1 dist to book(1)(1)=(0,0): 81+81 = 162
+    val adc = Similarity.pqTopK(
+      Similarity.pqEncode(tiny, "vec_id", "embedding", books),
+      tiny.filter(col("vec_id") === 2L), "vec_id", "embedding", books, 3)
+    val d3 = adc.filter(col("neighbor_id") === 3L).head().getDouble(3)
+    assert(d3 == 180.0)
+    // vs neighbor 0 (codes (0,0)): identical to query 2's own cell →
+    // sub dists (1+1) + (1+1) = 4 — ranked first
+    assert(adc.orderBy(col("rnk")).head().getLong(1) == 0L)
+
+    // clustered data. The sample-init books here are DEGENERATE by
+    // construction (the 16 smallest ids are all cluster-0 members) —
+    // the case k-means refinement exists for. Within a tight cluster
+    // every mate shares codes, so pair-level recall vs brute force is
+    // not PQ's contract; what ADC must deliver is the cluster
+    // structure: refined books put the top-5 of every query IN its
+    // cluster, like the brute-force baseline.
+    val data = clustered
+    val queries = data.filter("vec_id % 100 = 0")
+    val b0 = Similarity.pqTrain(data, "vec_id", "embedding",
+      dim = 64, m = 8, kCodes = 16)
+    val b1 = Similarity.pqTrain(data, "vec_id", "embedding",
+      dim = 64, m = 8, kCodes = 16, iters = 1)
+    val bRef = Similarity.pqTrain(data, "vec_id", "embedding",
+      dim = 64, m = 8, kCodes = 16, iters = 3)
+    // distortion = mean squared error of each vector to its own codes
+    // — the k-means objective, monotone non-increasing in iters, and
+    // the degenerate init must improve by a WIDE margin
+    val (e0, e1, e3) = (
+      Similarity.pqDistortion(data, "vec_id", "embedding", b0),
+      Similarity.pqDistortion(data, "vec_id", "embedding", b1),
+      Similarity.pqDistortion(data, "vec_id", "embedding", bRef))
+    assert(e1 <= e0 && e3 <= e1,
+      s"k-means refinement must not raise encode distortion: $e0 -> $e1 -> $e3")
+    assert(e3 < e0 * 0.5,
+      s"refinement must rescue the degenerate sample init: $e0 -> $e3")
+    val adcTop = Similarity.pqTopK(
+      Similarity.pqEncode(data, "vec_id", "embedding", bRef),
+      queries, "vec_id", "embedding", bRef, 5)
+    assert(adcTop.count() == 50)
+    val off = adcTop
+      .filter("query_id div 100 != neighbor_id div 100").count()
+    assert(off <= 2, s"refined-PQ ADC put $off of 50 neighbors out-of-cluster")
+  }
+
+  test("IVF-PQ: full probe equals flat PQ exactly; partial probe keeps the cluster structure") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val data = clustered
+    val queries = data.filter("vec_id % 100 = 7") // non-centroid members
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // with every cell probed the candidate set is the whole corpus →
+    // IVF-PQ must equal the flat ADC scan row for row
+    val books = Similarity.pqTrain(data, "vec_id", "embedding",
+      dim = 64, m = 8, kCodes = 16)
+    val flat = Similarity.pqTopK(
+      Similarity.pqEncode(data, "vec_id", "embedding", books),
+      queries, "vec_id", "embedding", books, 5)
+    val full = Similarity.ivfPqTopK(data, queries, "vec_id", "embedding",
+      dim = 64, k = 5, nCells = 16, nProbe = 16, m = 8, kCodes = 16)
+    assert(canon(full) == canon(flat))
+    // partial probe: the plan is a broadcast HASH join on the cell
+    // key — no nested loop — and still k rows per query
+    val part = Similarity.ivfPqTopK(data, queries, "vec_id", "embedding",
+      dim = 64, k = 5, nCells = 16, nProbe = 4, m = 8, kCodes = 16)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(part.count() == 50)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(data, queries, "vec_id", "embedding",
+        dim = 64, k = 5, nCells = 16, nProbe = 17)
+    }
+  }
+
   test("IVF top-k with full probe is exactly brute force; partial probe has high recall") {
     val data = clustered
     val queries = data.filter("vec_id % 100 = 0")
@@ -130,6 +229,54 @@ class SimilaritySpec extends SparkSpec {
     val p = indexed.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters: [cell"),
       s"probe must prune cell directories:\n$p")
+  }
+
+  test("stored IVF-PQ index: pruned code-only serve == in-memory; append/tombstone lifecycle") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001")).select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Similarity.pqWriteIndex(e, "vec_id", "embedding", dir,
+      dim = 64, nCells = 16, m = 8, kCodes = 16)
+    val indexed = Similarity.pqTopKIndexed(spark, queries,
+      "vec_id", "embedding", k = 5, path = dir, nProbe = 4)
+    // same sample-init centroids+books → the stored serve must equal
+    // the in-memory composition row for row
+    val inMem = Similarity.ivfPqTopK(e, queries, "vec_id", "embedding",
+      dim = 64, k = 5, nCells = 16, nProbe = 4, m = 8, kCodes = 16)
+    assert(indexed.collect().map(_.toSeq).toSet ===
+      inMem.collect().map(_.toSeq).toSet)
+    // the probe is partition pruning over the CODES directories
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cell"),
+      s"probe must prune cell directories:\n$p")
+    // ...and the CODES scan's schema carries the ints, never a float
+    // vector (the broadcast query side reads embeddings by design)
+    val codeScans = p.split("\\+\\-").filter(_.contains("/codes"))
+    assert(codeScans.nonEmpty &&
+      codeScans.forall(l => l.contains("codes:array<int>") &&
+        !l.contains("embedding")), p)
+    // append: a new vector encodes against the STORED books and is
+    // servable; tombstone: it disappears without a rewrite
+    val s2 = spark; import s2.implicits._
+    val probe = indexed.filter(col("query_id") === 0L)
+      .orderBy(col("rnk")).head()
+    // an exact copy of query 0's vector encodes to query 0's own
+    // argmin codes, so its ADC distance is the provable minimum for
+    // query 0 — and the smallest id wins any code tie outright
+    val novel = Seq(Vec(-7L,
+      e.filter(col("vec_id") === 0L).head().getSeq[Float](1).toArray)).toDF
+    Similarity.pqAppend(spark, novel, "vec_id", "embedding", dir)
+    val after = Similarity.pqTopKIndexed(spark, queries,
+      "vec_id", "embedding", k = 5, path = dir, nProbe = 4)
+    assert(after.filter(col("query_id") === 0L && col("rnk") === 1L)
+      .head().getLong(1) == -7L)
+    Similarity.ivfTombstone(spark, dir, Seq(-7L).toDF("vec_id"), "vec_id")
+    val served = Similarity.pqTopKIndexed(spark, queries,
+      "vec_id", "embedding", k = 5, path = dir, nProbe = 4)
+    assert(served.filter(col("neighbor_id") === -7L).count() == 0L)
+    assert(served.collect().map(_.toSeq).toSet ===
+      inMem.collect().map(_.toSeq).toSet)
   }
 
   test("stored IVF index maintained from a table's change feed: " +
