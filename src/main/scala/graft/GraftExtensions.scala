@@ -1149,6 +1149,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(a(4), "typeCol"), csvArg(a(5), "stagesCsv")))
     }
 
+    tvf("graft_top_paths_view",
+      "graft_top_paths_view(dir, k) - the k most common session paths from the incrementally-maintained per-(user, session) path table, zero event I/O (see IncrementalViews.readTopPaths)") {
+      (s, a) =>
+        require(a.length == 2, "graft_top_paths_view takes (dir, k)")
+        sources.IncrementalViews.readTopPaths(s, litStr(a(0), "dir"),
+          litInt(a(1), "k"))
+    }
+
+    tvf("graft_view_refresh_session_paths",
+      "graft_view_refresh_session_paths(srcDir, viewDir, userCol, tsCol, idCol, typeCol, maxGapSec) - one affected-user recompute tick of the maintained session-path table; returns the folded versions (see IncrementalViews.refreshSessionPaths)") {
+      (s, a) =>
+        require(a.length == 7,
+          "graft_view_refresh_session_paths takes (srcDir, viewDir, userCol, tsCol, idCol, typeCol, maxGapSec)")
+        foldedDf(s, sources.IncrementalViews.refreshSessionPaths(s,
+          litStr(a(0), "srcDir"), litStr(a(1), "viewDir"),
+          litStr(a(2), "userCol"), litStr(a(3), "tsCol"),
+          litStr(a(4), "idCol"), litStr(a(5), "typeCol"),
+          litInt(a(6), "maxGapSec").toLong))
+    }
+
     tvf("graft_retention_view",
       "graft_retention_view(dir) - the weekly retention report (cohort_wk, offset_wk, n_active) from the incrementally-maintained (user, week) pair view, zero event I/O (see IncrementalViews.readRetention)") {
       (s, a) =>

@@ -1804,6 +1804,31 @@ object SparkEntry {
       IncrementalViews.readFunnel(s, v)
     }),
 
+    // The maintained session-path table: the per-(user, session)
+    // journeys recomputed for churned users only, then the top-20
+    // rollup served from the stored paths — must equal the batch
+    // topPaths over the final live events. Fresh state per invocation.
+    "q_top_paths_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pview").toString
+      val (src, v) = (s"$root/src", s"$root/v")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      Snapshots.commit(ev.filter(col("event_id") <= mid), src,
+        statsCol = Some("user_id"))
+      IncrementalViews.refreshSessionPaths(s, src, v,
+        "user_id", "ts", "event_id", "event_type", maxGapSec = 1800)
+      Snapshots.commit(ev.filter(col("event_id") > mid), src,
+        statsCol = Some("user_id"))
+      Snapshots.deleteWhere(s, src, col("user_id") % 10 === 3)
+      IncrementalViews.refreshSessionPaths(s, src, v,
+        "user_id", "ts", "event_id", "event_type", maxGapSec = 1800)
+      IncrementalViews.readTopPaths(s, v, k = 20)
+    }),
+
     // The maintained weekly retention report: the (user, week) pair
     // view folded across an append + a predicate delete, then served
     // with zero event I/O — must equal the batch retention operator
@@ -2077,6 +2102,34 @@ object SparkEntry {
        |FROM f1
        |$joins""".stripMargin
   }
+
+  /** Top-session-paths oracle over `events`, optionally restricted by
+    * a WHERE clause (shared by the batch query and its
+    * maintained-view twin). */
+  private def topPathsOracleSql(where: String): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |         epoch_ns(ts)//1000 AS us FROM events $where
+       |), m AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |         CASE WHEN lag(us) OVER w IS NULL
+       |                   OR us - lag(us) OVER w > 1800000000
+       |              THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), s AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |         sum(is_new) OVER (PARTITION BY user_id
+       |           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM m
+       |), p AS (
+       |  SELECT user_id, sess,
+       |         string_agg(event_type, '->' ORDER BY us, event_id) AS path
+       |  FROM s GROUP BY user_id, sess
+       |)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path
+       |LIMIT 20""".stripMargin
 
   /** TextRank oracle over `documents`: the co-occurrence pair counts
     * (the [[cooccurrenceOracleSql]] lens), symmetrized minus
@@ -2793,30 +2846,11 @@ object SparkEntry {
         |               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
         |)""".stripMargin,
 
-    "q_top_paths" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type,
-        |         epoch_ns(ts)//1000 AS us FROM events
-        |), m AS (
-        |  SELECT user_id, event_id, event_type, us,
-        |         CASE WHEN lag(us) OVER w IS NULL
-        |                   OR us - lag(us) OVER w > 1800000000
-        |              THEN 1 ELSE 0 END AS is_new
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |), s AS (
-        |  SELECT user_id, event_id, event_type, us,
-        |         sum(is_new) OVER (PARTITION BY user_id
-        |           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
-        |  FROM m
-        |), p AS (
-        |  SELECT user_id, sess,
-        |         string_agg(event_type, '->' ORDER BY us, event_id) AS path
-        |  FROM s GROUP BY user_id, sess
-        |)
-        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
-        |FROM p GROUP BY path
-        |ORDER BY n_sessions DESC, path
-        |LIMIT 20""".stripMargin,
+    "q_top_paths" -> topPathsOracleSql(""),
+
+    // the maintained path table's rollup must equal the batch
+    // topPaths over the final source state
+    "q_top_paths_view_incr" -> topPathsOracleSql("WHERE user_id % 10 <> 3"),
 
     "q_retention" ->
       """WITH b AS (

@@ -622,9 +622,12 @@ object Relational {
     * real stream — no unbounded per-key state), path counting is a
     * map-side-combined agg on the path string, and the final top-k
     * orders (count desc, path asc) for a deterministic boundary. */
-  def topPaths(df: DataFrame, userCol: String, tsCol: String,
-               idCol: String, typeCol: String, maxGapSec: Long,
-               k: Int): DataFrame =
+  /** The per-(user, session) event-type path — [[topPaths]] before
+    * its global rollup, exposed so the maintained-view twin can store
+    * exactly these rows and serve the rollup with zero event I/O. */
+  def sessionPaths(df: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String,
+                   maxGapSec: Long): DataFrame =
     sessionize(df, userCol, tsCol, idCol, maxGapSec)
       .groupBy(col(userCol), col("session_idx"))
       .agg(concat_ws("->",
@@ -634,6 +637,11 @@ object Relational {
             col(idCol).as("id"),
             col(typeCol).as("et")))),
           x => x("et"))).as("path"))
+
+  def topPaths(df: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String, maxGapSec: Long,
+               k: Int): DataFrame =
+    sessionPaths(df, userCol, tsCol, idCol, typeCol, maxGapSec)
       .groupBy("path")
       .agg(count(lit(1L)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))

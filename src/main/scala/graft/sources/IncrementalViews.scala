@@ -832,19 +832,22 @@ object IncrementalViews {
         df, userCol, tsCol, idCol, maxGapSec))
   }
 
-  /** [[refreshSessionStats]] driven by the source's change feed. */
+  /** [[refreshSessionStats]] driven by the source's change feed;
+    * `housekeepEvery = n` settles the view's compaction + retention
+    * debt every n-th tick (clustered by the user column). */
   def maintainSessionStats(spark: SparkSession, srcDir: String,
                            viewDir: String, userCol: String, tsCol: String,
                            idCol: String, maxGapSec: Long,
                            checkpointDir: String,
                            trigger: org.apache.spark.sql.streaming.Trigger =
-                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                             org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                           housekeepEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
       refreshSessionStats(spark, srcDir, viewDir, userCol, tsCol, idCol,
-        maxGapSec)
-      ()
-    }
+        maxGapSec); ()
+    } { () => housekeep(spark, viewDir, clusterBy = Some(userCol)) }
 
   /** The maintained session table — batch `sessionStats`'s exact
     * columns, zero event I/O at serve. */
@@ -868,21 +871,72 @@ object IncrementalViews {
         df, userCol, tsCol, typeCol, stages))
   }
 
-  /** [[refreshFunnel]] driven by the source's change feed. */
+  /** [[refreshFunnel]] driven by the source's change feed;
+    * `housekeepEvery = n` settles the view's compaction + retention
+    * debt every n-th tick (clustered by the user column). */
   def maintainFunnel(spark: SparkSession, srcDir: String, viewDir: String,
                      userCol: String, tsCol: String, typeCol: String,
                      stages: Seq[String], checkpointDir: String,
                      trigger: org.apache.spark.sql.streaming.Trigger =
-                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                     housekeepEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    maintain(spark, Seq(srcDir), checkpointDir, trigger) { () =>
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
       refreshFunnel(spark, srcDir, viewDir, userCol, tsCol, typeCol, stages)
       ()
-    }
+    } { () => housekeep(spark, viewDir, clusterBy = Some(userCol)) }
 
   /** The maintained funnel table — batch `funnel`'s exact columns. */
   def readFunnel(spark: SparkSession, viewDir: String): DataFrame =
     Snapshots.read(spark, viewDir).drop("__rank")
+
+  /** INCREMENTALLY-MAINTAINED SESSION PATHS — the per-(user, session)
+    * event-type sequences behind
+    * [[graft.operators.Relational.topPaths]], kept current by
+    * affected-user recompute; [[readTopPaths]] then serves the
+    * "k most common journeys" rollup from O(live sessions) stored
+    * rows with ZERO event I/O — the path-analysis dashboard without
+    * its per-load window scan. State O(sessions); params pinned. */
+  def refreshSessionPaths(spark: SparkSession, srcDir: String,
+                          viewDir: String, userCol: String, tsCol: String,
+                          idCol: String, typeCol: String,
+                          maxGapSec: Long): Seq[Long] = {
+    requireSameParam(spark, viewDir, "paths_params",
+      s"$userCol,$tsCol,$idCol,$typeCol,$maxGapSec")
+    refreshPerKey(spark, srcDir, viewDir, Seq(userCol), Seq("session_idx"),
+      df => graft.operators.Relational.sessionPaths(
+        df, userCol, tsCol, idCol, typeCol, maxGapSec))
+  }
+
+  /** [[refreshSessionPaths]] driven by the source's change feed;
+    * `housekeepEvery = n` settles the view's compaction + retention
+    * debt every n-th tick. */
+  def maintainSessionPaths(spark: SparkSession, srcDir: String,
+                           viewDir: String, userCol: String, tsCol: String,
+                           idCol: String, typeCol: String, maxGapSec: Long,
+                           checkpointDir: String,
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                           housekeepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainWithCadence(spark, Seq(srcDir), checkpointDir, trigger,
+      housekeepEvery) { () =>
+      refreshSessionPaths(spark, srcDir, viewDir, userCol, tsCol, idCol,
+        typeCol, maxGapSec); ()
+    } { () => housekeep(spark, viewDir, clusterBy = Some(userCol)) }
+
+  /** The k most common session paths from the maintained view —
+    * batch `topPaths`'s exact output, O(live sessions) to serve. */
+  def readTopPaths(spark: SparkSession, viewDir: String,
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    Snapshots.read(spark, viewDir)
+      .groupBy("path")
+      .agg(count(lit(1L)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
 
   /** [[refreshTopK]] driven by the source's change feed. */
   def maintainTopK(spark: SparkSession, srcDir: String, viewDir: String,

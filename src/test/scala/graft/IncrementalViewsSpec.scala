@@ -592,6 +592,25 @@ class IncrementalViewsSpec extends SparkSpec {
       canon(IncrementalViews.readSessionStats(spark, sv)))
     assert(canon(spark.sql(s"SELECT * FROM graft_funnel_view('$fv')")) ==
       canon(IncrementalViews.readFunnel(spark, fv)))
+    // the session-path table rides the same machinery: the top-k
+    // journey rollup from the maintained view == batch topPaths over
+    // the live source, across the same churn history
+    val pv = tmpDir()
+    IncrementalViews.refreshSessionPaths(spark, src, pv,
+      "user_id", "ts", "event_id", "event_type", 1800)
+    def pathsCurrent(): Unit =
+      assert(canon(IncrementalViews.readTopPaths(spark, pv, 10)) ==
+        canon(Relational.topPaths(Snapshots.read(spark, src),
+          "user_id", "ts", "event_id", "event_type", 1800, 10)))
+    pathsCurrent()
+    Snapshots.commit(Seq((11L, 2L, ts(1500), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type"),
+      src, statsCol = Some("user_id"))
+    IncrementalViews.refreshSessionPaths(spark, src, pv,
+      "user_id", "ts", "event_id", "event_type", 1800)
+    pathsCurrent()
+    assert(canon(spark.sql(s"SELECT * FROM graft_top_paths_view('$pv', 10)"))
+      == canon(IncrementalViews.readTopPaths(spark, pv, 10)))
   }
 
   test("retention view: maintained cohorts equal the batch report through appends and deletes") {
