@@ -34,6 +34,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql.count() > 0)
   }
 
+  test("textrank + PQ TVFs: SQL table functions == the DataFrame operators") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted.toSeq
+
+    Tables.documents(spark, sf("sf0.001")).createOrReplaceTempView("docs_tr")
+    val sqlTr = spark.sql(
+      "SELECT * FROM graft_textrank('docs_tr', 'text', 2, 5, 10)")
+    val dfTr = operators.Corpus.textRank(
+      operators.Corpus.cooccurrencePairCounts(
+        Tables.documents(spark, sf("sf0.001")), "text", window = 2),
+      "a", "b", "cnt", iters = 5, topK = 10)
+    assert(canon(sqlTr) == canon(dfTr) && sqlTr.count() > 0)
+
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    e.createOrReplaceTempView("emb_pq")
+    e.filter(col("vec_id") < 4).createOrReplaceTempView("emb_pq_q")
+    val books = operators.Similarity.pqTrain(e, "vec_id", "embedding",
+      dim = 64, m = 8, kCodes = 16)
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_knn_pq('emb_pq', 'emb_pq_q', 'vec_id', 'embedding', 64, 8, 16, 3)"))
+      == canon(operators.Similarity.pqTopK(
+        operators.Similarity.pqEncode(e, "vec_id", "embedding", books),
+        e.filter(col("vec_id") < 4), "vec_id", "embedding", books, 3)))
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_knn_ivfpq('emb_pq', 'emb_pq_q', 'vec_id', 'embedding', 64, 3)"))
+      == canon(operators.Similarity.ivfPqTopK(e,
+        e.filter(col("vec_id") < 4), "vec_id", "embedding",
+        dim = 64, k = 3)))
+  }
+
   test("event-analytics TVFs: SQL table functions == the DataFrame operators") {
     val ev = Tables.events(spark, sf("sf0.001"))
     ev.createOrReplaceTempView("ev_tvf")
