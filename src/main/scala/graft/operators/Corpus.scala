@@ -1009,9 +1009,11 @@ object Corpus {
     * across engines) summed as DECIMAL(30,9) — the gram-matrix
     * contract — so the served scores hash-match an oracle that
     * unrolls the same iterations. Scale: the graph is vocab-bounded
-    * (≪ corpus); each iteration is one hash join + one partial-agg
-    * shuffle over edges, the standard distributed PageRank shape, and
-    * per-iteration frames persist/unpersist so lineage stays flat. */
+    * (≪ corpus) and cached once; each iteration is one hash join +
+    * one partial-agg shuffle over edges — the standard distributed
+    * PageRank shape — chained LAZILY into a single action (no
+    * per-iteration driver barriers; AQE right-sizes each iteration's
+    * shuffle at runtime). */
   def textRank(pairs: DataFrame, aCol: String, bCol: String,
                wCol: String, iters: Int = 10, damping: Double = 0.85,
                topK: Int = 0): DataFrame = {
@@ -1027,27 +1029,29 @@ object Corpus {
     val edges = fwd.union(rev).filter(col("__src") =!= col("__dst"))
       .groupBy("__src", "__dst").agg(sum(col("__w")).as("__w"))
     val outW = edges.groupBy("__src").agg(sum(col("__w")).as("__out"))
+    // the graph is referenced by every iteration — cache it ONCE
+    // (it must stay cached through the caller's action: uncached, the
+    // lazy chain below would recompute the pair aggregation per
+    // iteration) and build the whole Jacobi chain LAZILY: one job at
+    // action time, no per-iteration count/persist barriers (measured
+    // ~2 s of pure scheduling per iteration on a small graph). AQE
+    // coalesces the tiny per-iteration shuffles at runtime.
     val g = edges.join(outW, "__src").persist()
+    g.count() // fill the cache before it fans out 10 ways
     var scores = g.select(col("__src").as("token")).distinct()
-      .withColumn("__score", lit(1.0)).persist()
-    scores.count() // materialize before the loop reuses it
+      .withColumn("__score", lit(1.0))
     for (_ <- 1 to iters) {
-      val prev = scores
       val contrib = (col("__w").cast("double") * col("__score") /
         col("__out").cast("double")).cast("decimal(30,9)")
-      scores = g.join(prev.withColumnRenamed("token", "__src"), "__src")
+      scores = g.join(scores.withColumnRenamed("token", "__src"), "__src")
         .groupBy(col("__dst"))
         .agg(sum(contrib).as("__s"))
         .select(col("__dst").as("token"),
           (lit(1.0 - damping) +
             lit(damping) * col("__s").cast("double")).as("__score"))
-        .persist()
-      scores.count()
-      prev.unpersist()
     }
     val ranked = scores.select(col("token"),
       graft.functions.Exact.roundAt(col("__score"), 6).as("rank"))
-    g.unpersist()
     if (topK == 0) ranked
     else ranked.orderBy(col("rank").desc, col("token")).limit(topK)
   }
