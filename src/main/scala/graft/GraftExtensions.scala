@@ -586,6 +586,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           kCodes = if (a.length == 10) litInt(a(9), "kCodes") else 16)
     }
 
+    tvf("graft_mmr_rerank",
+      "graft_mmr_rerank(corpusTable, queriesTable, idCol, vecCol, kPage, k[, lambda, maxCandidates]) - MMR-diversified retrieval page as (query_id, neighbor_id, rnk, mmr): brute-force cosine top-kPage per query, greedily re-ranked to lambda*rel - (1-lambda)*max-sim-to-picked (see operators.Similarity.mmrRerank)") {
+      (s, a) =>
+        require(a.length >= 6 && a.length <= 8,
+          "graft_mmr_rerank takes (corpusTable, queriesTable, idCol, vecCol, kPage, k[, lambda, maxCandidates])")
+        val corpus = s.table(litStr(a(0), "corpusTable"))
+        val idCol = litStr(a(2), "idCol")
+        val vecCol = litStr(a(3), "vecCol")
+        val page = operators.Similarity.bruteForceTopK(corpus,
+          s.table(litStr(a(1), "queriesTable")), idCol, vecCol,
+          litInt(a(4), "kPage"))
+        val cands = page.join(
+          corpus.select(org.apache.spark.sql.functions.col(idCol)
+              .as("neighbor_id"),
+            org.apache.spark.sql.functions.col(vecCol)),
+          "neighbor_id")
+        operators.Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+          "cosine", vecCol, litInt(a(5), "k"),
+          lambda = if (a.length >= 7) litDouble(a(6), "lambda") else 0.5,
+          maxCandidates =
+            if (a.length == 8) litInt(a(7), "maxCandidates") else 1024)
+    }
+
+    tvf("graft_random_projection",
+      "graft_random_projection(table, idCol, vecCol, dim, outDim[, seed]) - Johnson-Lindenstrauss Rademacher projection as (id, proj array<double>): deterministic +-1/sqrt(outDim) matrix seeded by splitmix64 (see operators.Similarity.randomProject)") {
+      (s, a) =>
+        require(a.length >= 5 && a.length <= 6,
+          "graft_random_projection takes (table, idCol, vecCol, dim, outDim[, seed])")
+        operators.Similarity.randomProject(s.table(litStr(a(0), "table")),
+          litStr(a(1), "idCol"), litStr(a(2), "vecCol"),
+          litInt(a(3), "dim"), litInt(a(4), "outDim"),
+          seed = if (a.length == 6) litLong(a(5), "seed") else 42L)
+    }
+
+    tvf("graft_dsir_weights",
+      "graft_dsir_weights(rawTable, targetTable, idCol, textCol[, alpha]) - DSIR importance weights as (id, n_tokens, logw): per-doc sum of ln p_target(t) - ln p_raw(t) over add-alpha-smoothed unigram distributions (see operators.Corpus.dsirWeights)") {
+      (s, a) =>
+        require(a.length >= 4 && a.length <= 5,
+          "graft_dsir_weights takes (rawTable, targetTable, idCol, textCol[, alpha])")
+        operators.Corpus.dsirWeights(s.table(litStr(a(0), "rawTable")),
+          s.table(litStr(a(1), "targetTable")),
+          litStr(a(2), "idCol"), litStr(a(3), "textCol"),
+          alpha = if (a.length == 5) litDouble(a(4), "alpha") else 0.5)
+    }
+
+    tvf("graft_dsir_select",
+      "graft_dsir_select(rawTable, targetTable, idCol, textCol, n[, alpha]) - the top-n most target-like raw docs by DSIR importance weight, as (id, n_tokens, logw, rnk) (see operators.Corpus.dsirSelect)") {
+      (s, a) =>
+        require(a.length >= 5 && a.length <= 6,
+          "graft_dsir_select takes (rawTable, targetTable, idCol, textCol, n[, alpha])")
+        operators.Corpus.dsirSelect(s.table(litStr(a(0), "rawTable")),
+          s.table(litStr(a(1), "targetTable")),
+          litStr(a(2), "idCol"), litStr(a(3), "textCol"),
+          litInt(a(4), "n"),
+          alpha = if (a.length == 6) litDouble(a(5), "alpha") else 0.5)
+    }
+
     tvf("graft_semantic_dedup",
       "graft_semantic_dedup(table, idCol, vecCol, nCells, threshold) - SemDeDup-style cluster-bounded semantic dedup over an embedding column as (id, cell_id, n_dups, kept); NOTE: runs an eager hot-cell-guard job when the call is ANALYZED, before execution (see operators.Similarity.semanticDedup)") {
       (s, a) =>

@@ -677,6 +677,35 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // MMR diversified rerank: each query's brute-force top-20 page,
+    // greedily re-ranked to λ·rel − (1−λ)·max-sim-to-picked (k=5,
+    // λ=0.5) — the near-duplicate-free retrieval page. All k rounds
+    // are codegen HOF transforms over one collapsed array row per
+    // query; the oracle replays the greedy as a recursive CTE.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val page = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 20)
+      val cands = page.join(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      Similarity.mmrRerank(cands, "query_id", "neighbor_id", "cosine",
+        "embedding", k = 5, lambda = 0.5, maxCandidates = 64)
+    }),
+
+    // Johnson–Lindenstrauss compression: 64-dim floats → 16 doubles
+    // through a deterministic ±1/√16 Rademacher matrix (entries are
+    // EXACT binary 0.25s, so the per-coordinate fold is bit-replayable
+    // in SQL) — the cheap pre-ANN dimensionality cut.
+    "q_random_projection" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.randomProject(e, "vec_id", "embedding",
+          dim = 64, outDim = 16, seed = 7L)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          graft.functions.Exact.roundAt(col("v"), 6).as("proj"))
+    }),
+
     // Product-quantization ANN: 64-dim floats compress to 8 codes
     // (m=8 subspaces × 16 codes, sample-init books so the oracle can
     // replay training), then an asymmetric-distance scan over CODES
@@ -1412,6 +1441,51 @@ object SparkEntry {
     // P(cur)) — the perplexity-filter step up from q_doc_logprob.
     "q_doc_bigram_lm" -> ((s, dir) =>
       Corpus.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
+    // DSIR importance resampling (Xie et al. 2023): weight every raw
+    // doc by how target-like its unigram mix is (target = the English
+    // slice), the data-SELECTION step between quality filtering and
+    // domain mixing — then skim the top-50 as the selected subset.
+    "q_dsir_weights" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Corpus.dsirWeights(d, d.filter(col("lang") === "en"),
+        "doc_id", "text")
+    }),
+
+    "q_dsir_select" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Corpus.dsirSelect(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", n = 50)
+    }),
+
+    // INGEST-TIME DSIR: the even-doc corpus-so-far (with churn — a
+    // tenth of it deleted) keeps its word counts as a maintained
+    // Z-set view; the odd-doc "incoming shard" is scored against the
+    // LIVE view + the pinned English target with zero corpus rescans
+    // — O(batch tokens + vocab), the shape a crawl pipeline runs per
+    // shard. Tokens outside both references take the constant
+    // out-of-vocab log-ratio.
+    "q_dsir_score_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dsirview").toString
+      val (src, view) = (s"$root/src", s"$root/view")
+      val docs = Tables.documents(s, dir)
+      Snapshots.commit(
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+        src, statsCol = Some("doc_id"))
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 4)
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      val rawCounts = Snapshots.read(s, view).filter(col("__cnt") > 0)
+        .select(col("__word").as("token"), col("__cnt").as("cnt"))
+      val tgtCounts = docs.filter(col("lang") === "en")
+        .select(explode(graft.functions.Text.tokens(col("text")))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1L)).as("cnt"))
+      Corpus.dsirScoreAgainst(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", rawCounts, tgtCounts)
+    }),
 
     // The MAINTAINED bigram LM: bigram/context/unigram counts and the
     // token total fold an append + a predicate delete as pure Z-set
@@ -2408,6 +2482,180 @@ object SparkEntry {
   }
 
   private def sqlRound4(x: String) = graft.functions.Exact.roundAtSql(x, 4)
+
+  /** MMR rerank oracle: the q_knn_cosine candidate page (rank by
+    * unrounded cosine, rel = its round-4 output) fed through the SAME
+    * greedy as Similarity.mmrRerank, replayed as a recursive CTE —
+    * each iteration's working row LATERAL-joins the argmax of
+    * λ·rel − (1−λ)·max-cos-to-chosen over the not-yet-chosen
+    * candidates, ties (mmr, rel) desc then id asc. Every cosine is
+    * the identical list_reduce fold, so the recorded mmr scores
+    * hash-match bit for bit. */
+  private def mmrOracleSql(kPage: Int, k: Int, nQueries: Int): String = {
+    def cosv(a: String, b: String): String = {
+      def nsq(x: String) =
+        s"list_reduce(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, v) -> acc + v)"
+      s"(list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)" +
+        s" / (sqrt(${nsq(a)}) * sqrt(${nsq(b)})))"
+    }
+    s"""WITH RECURSIVE s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosv("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings c
+       |  JOIN (SELECT * FROM embeddings WHERE vec_id < $nQueries) q
+       |    ON c.vec_id <> q.vec_id
+       |), rr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM s
+       |), cand AS MATERIALIZED (
+       |  SELECT rr.query_id, rr.neighbor_id,
+       |         ${sqlRound4("rr.cos")} AS rel, e.embedding AS vec
+       |  FROM rr JOIN embeddings e ON e.vec_id = rr.neighbor_id
+       |  WHERE rn <= $kPage
+       |), sel AS (
+       |  SELECT query_id, neighbor_id, rel, 0.5 * rel AS mmr,
+       |         CAST(1 AS BIGINT) AS rnk, [neighbor_id] AS chosen
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rel DESC, neighbor_id) AS rn0 FROM cand)
+       |  WHERE rn0 = 1
+       |  UNION ALL
+       |  SELECT sl.query_id, p.neighbor_id, p.rel, p.mmr, sl.rnk + 1,
+       |         list_append(sl.chosen, p.neighbor_id)
+       |  FROM sel sl, LATERAL (
+       |    SELECT c.neighbor_id, c.rel,
+       |           0.5 * c.rel - 0.5 * (
+       |             SELECT max(${cosv("c.vec", "c2.vec")})
+       |             FROM cand c2
+       |             WHERE c2.query_id = sl.query_id
+       |               AND list_contains(sl.chosen, c2.neighbor_id)) AS mmr
+       |    FROM cand c
+       |    WHERE c.query_id = sl.query_id
+       |      AND NOT list_contains(sl.chosen, c.neighbor_id)
+       |    ORDER BY mmr DESC, c.rel DESC, c.neighbor_id
+       |    LIMIT 1
+       |  ) p
+       |  WHERE sl.rnk < $k
+       |)
+       |SELECT query_id, neighbor_id, rnk,
+       |       ${graft.functions.Exact.roundAtSql("mmr", 6)} AS mmr
+       |FROM sel""".stripMargin
+  }
+
+  /** DSIR importance-weight oracle (Corpus.dsirWeights over the full
+    * documents table with target = the English slice, α = 0.5): the
+    * per-token log-likelihood-ratio table over the union vocab, then
+    * the per-doc tf·llr fold as DECIMAL(38,9) — the sumExact mirror.
+    * `topN` adds dsirSelect's (logw desc, doc_id) row_number cut. */
+  private def dsirOracleSql(topN: Option[Int]): String = {
+    val base =
+      s"""WITH rawtok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents
+         |), tgttok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE lang = 'en'
+         |), rcq AS (SELECT token, count(*) AS rc FROM rawtok GROUP BY token),
+         |tcq AS (SELECT token, count(*) AS tc FROM tgttok GROUP BY token),
+         |vocab AS MATERIALIZED (
+         |  SELECT coalesce(rcq.token, tcq.token) AS token,
+         |         coalesce(rcq.rc, 0) AS rc, coalesce(tcq.tc, 0) AS tc
+         |  FROM rcq FULL OUTER JOIN tcq ON rcq.token = tcq.token
+         |), tot AS MATERIALIZED (
+         |  SELECT CAST(sum(rc) AS DOUBLE) AS rn,
+         |         CAST(sum(tc) AS DOUBLE) AS tn,
+         |         CAST(count(*) AS DOUBLE) AS v FROM vocab
+         |), llr AS (
+         |  SELECT token,
+         |         ln((CAST(tc AS DOUBLE) + 0.5) / (tn + 0.5 * v)) -
+         |         ln((CAST(rc AS DOUBLE) + 0.5) / (rn + 0.5 * v)) AS llr
+         |  FROM vocab CROSS JOIN tot
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM rawtok
+         |  GROUP BY doc_id, token
+         |), w AS (
+         |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |         ${sqlRound4(sqlSum("CAST(tf.tf AS DOUBLE) * llr", 9))} AS logw
+         |  FROM tf JOIN llr USING (token) GROUP BY tf.doc_id
+         |)""".stripMargin
+    topN match {
+      case None => base + "\nSELECT doc_id, n_tokens, logw FROM w"
+      case Some(n) => base +
+        s""", r AS (
+           |  SELECT doc_id, n_tokens, logw,
+           |         row_number() OVER (ORDER BY logw DESC, doc_id) AS rnk
+           |  FROM w
+           |)
+           |SELECT doc_id, n_tokens, logw, CAST(rnk AS BIGINT) AS rnk
+           |FROM r WHERE rnk <= $n""".stripMargin
+    }
+  }
+
+  /** Ingest-time DSIR oracle: raw distribution = the post-churn
+    * even-doc corpus (the maintained word-freq view's Z-set state,
+    * replayed here from scratch — with the view's len>0 token
+    * filter), target = the English slice, batch = the odd docs; a
+    * batch token outside BOTH references takes the constant
+    * out-of-vocab log-ratio with V unchanged. */
+  private def dsirScoreIncrOracleSql: String =
+    s"""WITH rawcnt AS (
+       |  SELECT token, count(*) AS rc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+       |        FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4)
+       |  WHERE len(token) > 0 GROUP BY token
+       |), tgtcnt AS (
+       |  SELECT token, count(*) AS tc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+       |        FROM documents WHERE lang = 'en')
+       |  GROUP BY token
+       |), vocab AS MATERIALIZED (
+       |  SELECT coalesce(rawcnt.token, tgtcnt.token) AS token,
+       |         coalesce(rc, 0) AS rc, coalesce(tc, 0) AS tc
+       |  FROM rawcnt FULL OUTER JOIN tgtcnt
+       |    ON rawcnt.token = tgtcnt.token
+       |), tot AS MATERIALIZED (
+       |  SELECT CAST(sum(rc) AS DOUBLE) AS rn,
+       |         CAST(sum(tc) AS DOUBLE) AS tn,
+       |         CAST(count(*) AS DOUBLE) AS v FROM vocab
+       |), llr AS (
+       |  SELECT token,
+       |         ln((CAST(tc AS DOUBLE) + 0.5) / (tn + 0.5 * v)) -
+       |         ln((CAST(rc AS DOUBLE) + 0.5) / (rn + 0.5 * v)) AS llr
+       |  FROM vocab CROSS JOIN tot
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |        FROM documents WHERE doc_id % 2 = 1)
+       |  GROUP BY doc_id, token
+       |)
+       |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       |       ${sqlRound4(sqlSum(
+            "CAST(tf.tf AS DOUBLE) * coalesce(llr.llr, " +
+              "ln(0.5 / (tot.tn + 0.5 * tot.v)) - " +
+              "ln(0.5 / (tot.rn + 0.5 * tot.v)))", 9))} AS logw
+       |FROM tf LEFT JOIN llr USING (token) CROSS JOIN tot
+       |GROUP BY tf.doc_id""".stripMargin
+
+  /** JL random-projection oracle: the SAME deterministic Rademacher
+    * matrix Similarity.rpMatrix bakes into the Spark plan, embedded
+    * here as literal lists (entries are exact ±0.25 at outDim = 16),
+    * folded per coordinate with list_reduce in the identical
+    * left-to-right order as Spark's `aggregate`. */
+  private def randomProjectionOracleSql(dim: Int, outDim: Int,
+                                        seed: Long): String = {
+    val m = graft.operators.Similarity.rpMatrix(dim, outDim, seed)
+    val rows = m.zipWithIndex.map { case (row, j) =>
+      s"($j, CAST([${row.mkString(",")}] AS DOUBLE[]))"
+    }.mkString(",\n  ")
+    val dot = "list_reduce(list_transform(list_zip(e.embedding, m.r), " +
+      "x -> CAST(x[1] AS DOUBLE) * x[2]), (a, v) -> a + v)"
+    s"""WITH m(j, r) AS (VALUES
+       |  $rows
+       |)
+       |SELECT e.vec_id, CAST(m.j AS BIGINT) AS j,
+       |       ${graft.functions.Exact.roundAtSql(dot, 6)} AS proj
+       |FROM embeddings e CROSS JOIN m""".stripMargin
+  }
   private def sqlSum(x: String, scale: Int = 2) =
     graft.functions.Exact.sumExactSql(x, scale)
   private val fmt = "'%Y-%m-%d %H:%M:%S'"
@@ -4076,6 +4324,17 @@ object SparkEntry {
     // adjacent-pair lists (DuckDB slicing is INCLUSIVE: s[1:n-1] /
     // s[2:n]; list_zip structs index numerically).
     "q_doc_bigram_lm" -> bigramLmOracleSql(""),
+
+    "q_mmr_rerank" -> mmrOracleSql(kPage = 20, k = 5, nQueries = 8),
+
+    "q_dsir_weights" -> dsirOracleSql(topN = None),
+
+    "q_dsir_select" -> dsirOracleSql(topN = Some(50)),
+
+    "q_dsir_score_incr" -> dsirScoreIncrOracleSql,
+
+    "q_random_projection" -> randomProjectionOracleSql(
+      dim = 64, outDim = 16, seed = 7L),
 
     // The maintained bigram LM scoring the post-churn corpus against
     // itself: every candidate transition is in-model, so the score is

@@ -605,6 +605,111 @@ object Corpus {
           -col("__s") / col("n_tokens").cast("double"), 4).as("nll"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every RAW
+    * document by how much likelier its tokens are under the TARGET
+    * distribution than under the raw one —
+    *   log w(x) = Σ_{t∈x} [ln p̂_tgt(t) − ln p̂_raw(t)]
+    * with add-α smoothing over the UNION vocabulary (so tokens unseen
+    * on either side stay finite). logw > 0 reads "more target-like
+    * than raw-like"; selecting the top-n by logw is the standard
+    * recipe for skimming a web-scale crawl toward a curated target
+    * domain before pre-training. (The published method hashes n-grams
+    * into a fixed-width bucket space; over the exact token
+    * distribution the estimator is the same log-ratio — hashing is
+    * only a vocab-compression device and the exact form is what a
+    * DuckDB oracle can replay.)
+    *
+    * Output: `(idCol, n_tokens, logw)`, one row per raw doc.
+    *
+    * Exactness: each per-token log-ratio is two `ln` calls and a
+    * subtract (bit-identical across engines), the per-doc fold is
+    * tf·llr summed as DECIMAL(30,9) — order-independent, hash-exact
+    * vs the SQL replay. Scale: both unigram tables are vocab-bounded
+    * aggregates with map-side combine; the ratio table broadcasts
+    * (drop the hint for a web-scale vocab and the token join
+    * shuffles); the only per-doc work is the doc's own tf rows — one
+    * pass over corpus tokens, no all-pairs anything. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, alpha: Double = 0.5): DataFrame = {
+    val tgtCnt = target
+      .select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1L)).as("cnt"))
+    val rawCnt = raw
+      .select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1L)).as("cnt"))
+    // scored docs ⊆ raw, so every token is in-vocabulary and the
+    // generic scorer's out-of-vocab fallback never fires
+    dsirScoreAgainst(raw, idCol, textCol, rawCnt, tgtCnt, alpha)
+  }
+
+  /** [[dsirWeights]]'s scoring half, decoupled from WHERE the two
+    * unigram distributions come from — the INGEST-TIME form: score a
+    * NEW batch against the corpus-so-far's MAINTAINED word counts
+    * (`IncrementalViews.refreshWordFreq`'s Z-set view — zero corpus
+    * rescans as it churns) and a pinned curated target, O(batch
+    * tokens + vocab) per shard. `rawCounts`/`targetCounts` are
+    * `(token, cnt)` frames; the smoothed vocabulary is their UNION,
+    * and a batch token unseen on BOTH sides scores the constant
+    * out-of-vocab log-ratio ln(α/(N_t+αV)) − ln(α/(N_r+αV)) with V
+    * unchanged (the batch must not perturb the reference
+    * distributions it is being judged against). */
+  def dsirScoreAgainst(batch: DataFrame, idCol: String, textCol: String,
+                       rawCounts: DataFrame, targetCounts: DataFrame,
+                       alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"smoothing alpha must be positive: $alpha")
+    val rc = rawCounts.select(col("token"),
+      col("cnt").cast("long").as("rc"))
+    val tc = targetCounts.select(col("token"),
+      col("cnt").cast("long").as("tc"))
+    val vocab = rc.join(tc, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val tot = vocab.agg(
+      sum(col("rc")).cast("double").as("__rn"),
+      sum(col("tc")).cast("double").as("__tn"),
+      count(lit(1L)).cast("double").as("__v"))
+    val llr = vocab.crossJoin(broadcast(tot)).select(col("token"),
+      (log((col("tc").cast("double") + alpha) /
+          (col("__tn") + lit(alpha) * col("__v"))) -
+        log((col("rc").cast("double") + alpha) /
+          (col("__rn") + lit(alpha) * col("__v")))).as("__llr"))
+    val tf = batch
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1L)).as("tf"))
+    val oov =
+      log(lit(alpha) / (col("__tn") + lit(alpha) * col("__v"))) -
+        log(lit(alpha) / (col("__rn") + lit(alpha) * col("__v")))
+    tf.join(broadcast(llr), Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(idCol)
+      .agg(
+        graft.functions.Exact.sumExact(
+          col("tf").cast("double") * coalesce(col("__llr"), oov), 9)
+          .as("__s"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        graft.functions.Exact.roundAt(col("__s"), 4).as("logw"))
+  }
+
+  /** Top-`n` most target-like raw documents by [[dsirWeights]] —
+    * deterministic heavy-side selection (rank by logw desc, id asc;
+    * the TakeOrdered plan, no full sort). The DSIR paper's
+    * Gumbel-resampling variant adds per-doc noise before the top-n;
+    * the deterministic form is the reproducible-pipeline default. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, n: Int,
+                 alpha: Double = 0.5): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("logw").desc, col(idCol))
+    dsirWeights(raw, target, idCol, textCol, alpha)
+      .orderBy(col("logw").desc, col(idCol)).limit(n)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
   /** Okapi BM25 scores of every document containing at least one of
     * `queryTerms` — the retrieval-ranking step next to [[tfIdf]]:
     * score(d) = Σ_t ln(1 + (N−df+0.5)/(df+0.5)) ·
@@ -1052,8 +1157,25 @@ object Corpus {
     }
     val ranked = scores.select(col("token"),
       graft.functions.Exact.roundAt(col("__score"), 6).as("rank"))
-    if (topK == 0) ranked
-    else ranked.orderBy(col("rank").desc, col("token")).limit(topK)
+    // Materialize the result NOW and release the cached graph: once
+    // the scores exist the lazy Jacobi chain is dead weight, and a
+    // long-lived session calling textRank repeatedly (dashboard TVFs)
+    // must not accumulate storage-memory residents. topK > 0 returns
+    // the k rows as driver literals (bounded metadata, leaves ZERO
+    // cached RDDs behind); topK == 0 is vocab-sized, so it rides an
+    // eager localCheckpoint — the returned frame owns its own blocks
+    // and only those survive the call.
+    val spark = pairs.sparkSession
+    val out =
+      if (topK == 0) ranked.localCheckpoint(true)
+      else {
+        val top = ranked.orderBy(col("rank").desc, col("token")).limit(topK)
+        val rows = top.collect().toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), top.schema)
+      }
+    g.unpersist()
+    out
   }
 
   /** PRODUCTION-VOCABULARY encoder: same contract and output as

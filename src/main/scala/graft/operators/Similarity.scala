@@ -510,7 +510,20 @@ object Similarity {
                   sampleCentroids(ins, idCol, vecCol, nCells), path)
               else ivfAppend(spark, ins, idCol, vecCol, path)
             }
-            if (del.head(1).nonEmpty) ivfTombstone(spark, path, del, idCol)
+            // First-observed-batch edge (e.g. subscribing with
+            // startingVersion=latest to a mid-life table): a
+            // delete-ONLY first batch must not tombstone an index
+            // that does not exist yet — those ids were never indexed
+            // here and no later fresh build will contain them. Skip
+            // with a named log line instead of crashing the stream.
+            if (del.head(1).nonEmpty) {
+              if (fresh && ins.head(1).isEmpty)
+                org.slf4j.LoggerFactory.getLogger("graft.Similarity")
+                  .warn(s"maintainIvf($path): delete-only batch " +
+                    "before any index exists — skipping tombstones " +
+                    "(the ids were never indexed)")
+              else ivfTombstone(spark, path, del, idCol)
+            }
             IncrementalViews.refreshEmbeddingMoments(spark, srcDir,
               momentsDir, vecCol, dim)
             val tick = ticks.incrementAndGet()
@@ -1227,6 +1240,107 @@ object Similarity {
       (c, r) => r("mn") + (c.cast("double") + 127) / 254 * (r("mx") - r("mn")))
   }
 
+  // ---- Johnson–Lindenstrauss random projection ----
+
+  /** splitmix64 finalizer — the deterministic per-cell seed mix for
+    * [[rpMatrix]] (public-domain constant schedule; same mixer the
+    * JDK's SplittableRandom uses). */
+  private def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The deterministic Rademacher projection matrix: R(j)(i) =
+    * ±1/√outDim with the sign drawn from splitmix64(seed, j, i).
+    * Bounded driver metadata (outDim·dim doubles) that bakes into the
+    * projection plan as literals — every executor, every run, every
+    * engine sees the same matrix, so a projected corpus is
+    * reproducible and SQL-replayable (the oracle embeds the same
+    * literals). */
+  def rpMatrix(dim: Int, outDim: Int,
+               seed: Long = 42L): Array[Array[Double]] = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim, got outDim=$outDim dim=$dim")
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim)(j => Array.tabulate(dim)(i =>
+      if (splitmix64(seed + j.toLong * dim + i) >= 0L) inv else -inv))
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003,
+    * database-friendly ±1 projections): compress `vecCol` (dim
+    * floats) to `outDim` doubles, `proj(j) = Σ_i v(i)·R(j)(i)` — the
+    * cheap first-stage dimensionality cut that preserves pairwise
+    * distances within 1±ε for outDim = O(ln n / ε²) and makes every
+    * downstream ANN/cluster/dedup pass outDim/dim as expensive.
+    *
+    * Exactness: each output coordinate is one fixed-order
+    * `aggregate(zip_with(...))` fold over the literal matrix row —
+    * pure codegen HOFs (no 64 KB-method unrolling), left-to-right
+    * IEEE adds, bit-identical to the oracle's `list_reduce`. Scale:
+    * one projection pass over the corpus, no shuffle, no state; the
+    * matrix is literals riding the closure. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int,
+                    seed: Long = 42L): DataFrame = {
+    val r = rpMatrix(dim, outDim, seed)
+    val vec = requireVecDim(col(vecCol), dim,
+      "Similarity.randomProject")
+    val coords = (0 until outDim).map { j =>
+      aggregate(
+        zip_with(vec, typedLit(r(j).toSeq),
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, t) => acc + t)
+    }
+    df.select(col(idCol), array(coords: _*).as("proj"))
+  }
+
+  // ---- maximal marginal relevance (Carbonell & Goldstein 1998) ----
+
+  /** MMR diversified reranking: greedily re-order each query's
+    * candidate page to balance relevance against redundancy —
+    *   pick_r = argmax_c [ λ·rel(c) − (1−λ)·max_{s∈picked} cos(c,s) ]
+    * — the standard diversification pass that stops a retrieval page
+    * (or a training-batch neighborhood) from being k near-copies of
+    * the same document. λ=1 is pure relevance; λ=0 pure diversity.
+    *
+    * Input: one row per (query, candidate) — e.g. [[bruteForceTopK]]
+    * output joined back to its vectors — with a BOUNDED per-query
+    * candidate count (`maxCandidates`, enforced loudly in the plan:
+    * this is a reranker over an already-cut page, not a search).
+    * Output `(queryCol, idCol, rnk, mmr)`, rnk 1..k in pick order,
+    * mmr = the pick's score at selection time, rounded at 6.
+    *
+    * Scale/exactness: the page crosses the shuffle ONCE into
+    * [[graft.functions.MmrSelect]] — a bounded-state
+    * TypedImperativeAggregate (the BoundedTopK discipline) whose
+    * buffer is capped at `maxCandidates` triples and whose finish
+    * runs the greedy imperatively over O(page) state. (A chain of k
+    * HOF-transform rounds was measured going combinatorial: each
+    * round's pick re-inlines into the next round's lambdas per
+    * element.) Ties break (mmr, rel) desc then id asc; every cosine
+    * is the identical left-to-right double fold as the oracle's
+    * `list_reduce`, so the recursive-CTE replay hash-matches. */
+  def mmrRerank(cands: DataFrame, queryCol: String, idCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.5,
+                maxCandidates: Int = 1024): DataFrame = {
+    import graft.functions.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.MmrSelect(
+        ColumnBridge.expression(col(relCol).cast("double")),
+        ColumnBridge.expression(col(idCol).cast("long")),
+        ColumnBridge.expression(col(vecCol)),
+        k, lambda, maxCandidates).toAggregateExpression())
+    cands.groupBy(col(queryCol)).agg(agg.as("__sel"))
+      .select(col(queryCol), explode(col("__sel")).as("__s"))
+      .select(col(queryCol),
+        col("__s.id").as(idCol),
+        col("__s.rnk").as("rnk"),
+        graft.functions.Exact.roundAt(col("__s.mmr"), 6).as("mmr"))
+  }
+
   // ---- product quantization (Jégou et al. 2011) ----
 
   /** Train PQ codebooks: the `dim`-dim space split into `m`
@@ -1460,11 +1574,22 @@ object Similarity {
     val spark = corpus.sparkSession
     val f = ivfFs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
+    // Prefix-based clear, mirroring ivfWriteIndex: a PQ rebuild at a
+    // path that previously held a plain IVF index (or a future
+    // generation-suffixed artifact) must not leave a mixed-artifact
+    // directory behind — stale cells/, cells-g*, centroids-g* and the
+    // IVF meta/baseline all go too.
     if (f.exists(root))
       f.listStatus(root).map(_.getPath)
-        .filter(p => p.getName == "codes" || p.getName == "centroids" ||
-          p.getName == "books" || p.getName == "tombstones" ||
-          p.getName == "_graft_pq_meta.json")
+        .filter(p => p.getName.startsWith("codes") ||
+          p.getName.startsWith("cells") ||
+          p.getName.startsWith("centroids") ||
+          p.getName.startsWith("books") ||
+          p.getName == "tombstones" ||
+          p.getName == "_graft_pq_meta.json" ||
+          p.getName == "_graft_pq_baseline.json" ||
+          p.getName == "_graft_ivf_meta.json" ||
+          p.getName == "_graft_ivf_baseline.json")
         .foreach(f.delete(_, true))
     IndexMaintenance.clearState(spark, path)
     val cents = sampleCentroids(corpus, idCol, vecCol, nCells)
@@ -1506,6 +1631,49 @@ object Similarity {
     books
   }
 
+  /** The stored `(dim, m, kCodes)` contract of a PQ index — written
+    * by [[pqWriteIndex]], REQUIRED by every read/append path so a
+    * query or batch whose vector dimension disagrees with the index
+    * fails by name instead of null-padding through `zip_with` into a
+    * NULL ADC distance that sorts FIRST (silent garbage top-k). */
+  def pqReadMeta(spark: org.apache.spark.sql.SparkSession,
+                 path: String): (Int, Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_pq_meta.json")
+    val f = ivfFs(spark, path)
+    require(f.exists(p),
+      s"no PQ index at $path: _graft_pq_meta.json is missing " +
+        "(pqWriteIndex always writes it)")
+    val in = f.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def field(k: String): Int =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"corrupt PQ meta at $p: $s"))
+    (field("dim"), field("m"), field("kCodes"))
+  }
+
+  /** Fail-loud check that the stored books match the stored meta —
+    * a mixed-artifact or hand-edited index dies here, not in an ADC
+    * scan. */
+  private def requirePqShape(books: Array[Array[Array[Double]]],
+                             dim: Int, m: Int, kCodes: Int,
+                             path: String): Unit = {
+    require(books.length == m && books.forall(_.length == kCodes) &&
+      books.forall(_.forall(_.length == dim / m)),
+      s"PQ index at $path is inconsistent: stored books are " +
+        s"${books.length} subspaces x ${books.headOption.map(_.length)
+          .getOrElse(0)} codes x ${books.headOption.flatMap(_.headOption)
+          .map(_.length).getOrElse(0)} dims, but _graft_pq_meta.json " +
+        s"says (dim=$dim, m=$m, kCodes=$kCodes)")
+  }
+
+  /** Guard a vector column against the index dim: a row whose vector
+    * length disagrees raises inside the scan (codegen `when`, zero
+    * extra passes) instead of silently degrading the ranking. */
+  private def requireVecDim(vec: Column, dim: Int, who: String): Column =
+    when(size(vec) === dim, vec).otherwise(raise_error(format_string(
+      s"$who: input vector length %s does not match index dim $dim",
+      size(vec).cast("string"))))
+
   /** Incrementally add vectors to a stored IVF-PQ index: assign +
     * encode the batch against the STORED centroids/books and append
     * into the hit cell partitions — O(batch), no file rewritten, no
@@ -1518,14 +1686,17 @@ object Similarity {
                batch: DataFrame, idCol: String, vecCol: String,
                path: String): Unit =
     IndexMaintenance.withWriterLock(spark, path, "Similarity.pqAppend") {
+      val (dim, m, kCodes) = pqReadMeta(spark, path)
       val cents = ivfReadCentroidsAt(spark, path, 0)
       val books = pqReadBooks(spark, path)
+      requirePqShape(books, dim, m, kCodes, path)
       val subd = books(0)(0).length
+      val vec = requireVecDim(col(vecCol), dim, "Similarity.pqAppend")
       batch.select(
           col(idCol).as("neighbor_id"),
-          bestCell(cents, col(vecCol)).as("cell"),
+          bestCell(cents, vec).as("cell"),
           array(books.indices.map(s =>
-            pqCodeCol(col(vecCol), books(s), s, subd)): _*).as("codes"))
+            pqCodeCol(vec, books(s), s, subd)): _*).as("codes"))
         .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
     }
 
@@ -1538,10 +1709,14 @@ object Similarity {
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, path: String, nProbe: Int = 4): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
+    val (dim, m, kCodes) = pqReadMeta(spark, path)
     val cents = ivfReadCentroidsAt(spark, path, 0)
     val books = pqReadBooks(spark, path)
+    requirePqShape(books, dim, m, kCodes, path)
     val qProbes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col(idCol).as("query_id"),
+        requireVecDim(col(vecCol), dim, "Similarity.pqTopKIndexed")
+          .as("__qv"))
       .withColumn("cell", explode(probeCells(cents, col("__qv"), nProbe)))
     val probedCells = qProbes.select("cell").distinct()
       .collect().map(_.getLong(0))
@@ -1558,6 +1733,128 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         graft.functions.Exact.roundAt(col("adist"), 6).as("adist"))
+  }
+
+  private def pqBaselinePath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_pq_baseline.json")
+
+  /** Record the measured codebook distortion as the stored PQ index's
+    * quality BASELINE — written right after a (re)build so
+    * [[maintainPq]] can tell "the frozen books no longer fit the
+    * data" from "the books were never better than this". */
+  def pqRecordBaseline(spark: org.apache.spark.sql.SparkSession,
+                       path: String, mse: Double): Unit = {
+    val out = ivfFs(spark, path).create(pqBaselinePath(path), true)
+    try out.write(s"""{"mse":$mse}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def pqReadBaseline(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[Double] = {
+    val f = ivfFs(spark, path)
+    if (!f.exists(pqBaselinePath(path))) None
+    else {
+      val in = f.open(pqBaselinePath(path))
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      """"mse":([^,}]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+        .orElse(sys.error(s"corrupt PQ baseline at $path: $s"))
+    }
+  }
+
+  /** CONTINUOUS PQ maintenance with UNATTENDED retrain — the
+    * [[maintainIvf]] discipline for the stored IVF-PQ index. Per
+    * micro-batch of the source table's change feed:
+    *  - the first observed insert batch BUILDS the index
+    *    ([[pqWriteIndex]] with `iters`) and records the baseline
+    *    distortion of the fresh books over a bounded sample;
+    *  - later inserts encode against the FROZEN books
+    *    ([[pqAppend]] — O(batch), code quality degrades only as far
+    *    as the books do);
+    *  - deletes tombstone (shared [[ivfTombstone]] convention),
+    *    skipped with a named log line when no index exists yet (the
+    *    delete-only-first-batch edge);
+    *  - every `retrainEvery`-th batch, [[pqDistortion]] of the FROZEN
+    *    books over a bounded sample of the live table (as of the
+    *    batch's last fed version — rows the feed has not delivered
+    *    yet must not leak into the probe) is compared against the
+    *    baseline: measured MSE > baseline·(1+retrainTol) ⇒ the books
+    *    no longer fit the drifted distribution, and the maintainer
+    *    REBUILDS the whole index from that same pinned version and
+    *    re-records the baseline, exactly once per drift episode.
+    *
+    * The probe reads `sampleN` rows (bounded work per tick,
+    * independent of corpus size); the rebuild is the full
+    * re-encode — the same cost an operator would pay calling
+    * [[pqWriteIndex]] by hand, just without having to watch the
+    * distortion dashboard. The process-local tick counter resets on
+    * restart (operational cadence, not transactional — the
+    * housekeepEvery discipline). */
+  def maintainPq(spark: org.apache.spark.sql.SparkSession,
+                 srcDir: String, path: String, checkpointDir: String,
+                 idCol: String, vecCol: String, dim: Int,
+                 nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
+                 iters: Int = 0, retrainEvery: Int = 1,
+                 retrainTol: Double = 0.25, sampleN: Int = 2048,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retrainEvery >= 0, s"retrainEvery must be >= 0: $retrainEvery")
+    require(retrainTol > 0.0, s"retrainTol must be positive: $retrainTol")
+    require(sampleN >= 1, s"sampleN must be positive: $sampleN")
+    import graft.sources.Snapshots
+    val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+    Snapshots.changesStream(spark, srcDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.persist()
+        try {
+          if (df.head(1).nonEmpty) {
+            val maxV = df.agg(max(col("__version"))).head().getLong(0)
+            val ins = df.filter(col("__change") === "insert")
+              .select(col(idCol), col(vecCol))
+            val del = df.filter(col("__change") === "delete")
+              .select(col(idCol))
+            val f = ivfFs(spark, path)
+            def indexed = f.exists(new org.apache.hadoop.fs.Path(
+              s"$path/_graft_pq_meta.json"))
+            val fresh = !indexed
+            if (ins.head(1).nonEmpty) {
+              if (fresh) {
+                pqWriteIndex(ins, idCol, vecCol, path, dim, nCells,
+                  m, kCodes, iters)
+                pqRecordBaseline(spark, path, pqDistortion(
+                  ins.limit(sampleN), idCol, vecCol,
+                  pqReadBooks(spark, path)))
+              } else pqAppend(spark, ins, idCol, vecCol, path)
+            }
+            if (del.head(1).nonEmpty) {
+              if (!indexed)
+                org.slf4j.LoggerFactory.getLogger("graft.Similarity")
+                  .warn(s"maintainPq($path): delete-only batch " +
+                    "before any index exists — skipping tombstones " +
+                    "(the ids were never indexed)")
+              else ivfTombstone(spark, path, del, idCol)
+            }
+            val tick = ticks.incrementAndGet()
+            if (!fresh && retrainEvery > 0 && tick % retrainEvery == 0)
+              pqReadBaseline(spark, path).foreach { base =>
+                val live = Snapshots.read(spark, srcDir,
+                  version = Some(maxV))
+                val probe = live.select(col(idCol), col(vecCol))
+                  .limit(sampleN)
+                val mse = pqDistortion(probe, idCol, vecCol,
+                  pqReadBooks(spark, path))
+                if (mse > base * (1.0 + retrainTol)) {
+                  pqWriteIndex(live.select(col(idCol), col(vecCol)),
+                    idCol, vecCol, path, dim, nCells, m, kCodes, iters)
+                  pqRecordBaseline(spark, path, pqDistortion(
+                    probe, idCol, vecCol, pqReadBooks(spark, path)))
+                }
+              }
+          }
+        } finally { df.unpersist(); () }
+      }.start()
   }
 
   /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric

@@ -245,6 +245,81 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("textRank releases its cached graph (no storage-memory residents accumulate)") {
+    val pairs = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 3L))
+      .toDF("a", "b", "cnt")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // topK > 0 returns driver literals — ZERO new cached RDDs survive
+    val top = Corpus.textRank(pairs, "a", "b", "cnt", iters = 3, topK = 2)
+    assert(top.count() == 2L)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "textRank(topK>0) left cached RDDs behind")
+    // topK == 0 rides an eager localCheckpoint: the RESULT owns its
+    // blocks, but the edge-graph cache itself must be gone — repeated
+    // calls add only their own (vocab-bounded) result storage
+    val full = Corpus.textRank(pairs, "a", "b", "cnt", iters = 3)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).size <= 1,
+      s"textRank(topK=0) left more than its own checkpoint cached: ${after -- before}")
+    assert(full.count() == 3L)
+  }
+
+  test("dsirWeights matches a hand computation; dsirSelect ranks deterministically") {
+    // raw: doc1 = "a a b", doc2 = "b c"; target corpus = "a a a b"
+    val raw = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val target = Seq((9L, "a a a b")).toDF("doc_id", "text")
+    val out = Corpus.dsirWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // α=0.5, vocab={a,b,c} (v=3), raw totals rn=5, target tn=4:
+    //   llr(t) = ln((tc+.5)/(tn+1.5)) − ln((rc+.5)/(rn+1.5))
+    def llr(tc: Double, rc: Double) =
+      math.log((tc + 0.5) / 5.5) - math.log((rc + 0.5) / 6.5)
+    val d1 = 2 * llr(3, 2) + llr(1, 2)
+    val d2 = llr(1, 2) + llr(0, 1)
+    assert(out(1L)._1 == 3L && out(2L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - d1) < 1e-4, s"${out(1L)._2} vs $d1")
+    assert(math.abs(out(2L)._2 - d2) < 1e-4, s"${out(2L)._2} vs $d2")
+    // doc1 is the more target-like (target is mostly 'a') — it wins
+    assert(out(1L)._2 > out(2L)._2)
+    val sel = Corpus.dsirSelect(raw, target, "doc_id", "text", n = 1)
+      .select("doc_id", "rnk").as[(Long, Long)].collect()
+    assert(sel.toSeq == Seq((1L, 1L)))
+    intercept[IllegalArgumentException] {
+      Corpus.dsirWeights(raw, target, "doc_id", "text", alpha = 0.0)
+    }
+  }
+
+  test("dsirScoreAgainst scores a batch off count frames; OOV tokens take the constant ratio") {
+    // reference distributions: raw {a:2, b:2}, target {a:3}
+    val rawCounts = Seq(("a", 2L), ("b", 2L)).toDF("token", "cnt")
+    val tgtCounts = Seq(("a", 3L)).toDF("token", "cnt")
+    // 'z' is in NEITHER reference: the batch must not perturb V
+    val batch = Seq((7L, "a z b")).toDF("doc_id", "text")
+    val out = Corpus.dsirScoreAgainst(batch, "doc_id", "text",
+        rawCounts, tgtCounts)
+      .as[(Long, Long, Double)].collect()
+    // vocab={a,b}, v=2, rn=4, tn=3, α=0.5:
+    //   llr(a) = ln(3.5/4) − ln(2.5/5); llr(b) = ln(0.5/4) − ln(2.5/5)
+    //   oov    = ln(0.5/4) − ln(0.5/5)
+    val llrA = math.log(3.5 / 4) - math.log(2.5 / 5)
+    val llrB = math.log(0.5 / 4) - math.log(2.5 / 5)
+    val oov = math.log(0.5 / 4) - math.log(0.5 / 5)
+    assert(out.length == 1 && out.head._1 == 7L && out.head._2 == 3L)
+    assert(math.abs(out.head._3 - (llrA + llrB + oov)) < 1e-4,
+      s"${out.head._3}")
+    // consistency: dsirWeights == dsirScoreAgainst fed its own counts
+    val raw = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val target = Seq((9L, "a a a b")).toDF("doc_id", "text")
+    def cnts(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1L)).as("cnt"))
+    val viaCounts = Corpus.dsirScoreAgainst(raw, "doc_id", "text",
+      cnts(raw), cnts(target)).collect().map(_.toSeq).toSet
+    val direct = Corpus.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(viaCounts == direct)
+  }
+
   test("bm25 matches a hand computation on a tiny corpus") {
     val df = Seq(
       (1L, "a a b"),

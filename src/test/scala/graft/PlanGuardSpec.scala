@@ -129,7 +129,14 @@ class PlanGuardSpec extends SparkSpec {
     // ints per row — the compression is the point; the corpus is
     // never pair-joined against itself). The textrank queries are NOT
     // exempt: they consume the pair counts alone, so none of the PMI
-    // path's 1-row splices enter their plans.
+    // path's 1-row splices enter their plans. The three DSIR queries
+    // splice their broadcast 1-row (rn, tn, v) totals exactly like
+    // q_doc_logprob's token total — a broadcast constant, not a pair
+    // scan; the per-token llr table itself rides a HASH join.
+    // q_mmr_rerank builds its page with bruteForceTopK, so it
+    // inherits q_knn_cosine's by-design broadcast of the BOUNDED
+    // query set (exactly like q_knn_lsh); the MMR machinery itself
+    // adds only a HASH page join and a bounded-state aggregate.
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_knn_lsh",
       "q_knn_pq",
       "q_customer_above_avg",
@@ -137,7 +144,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_ols_eval", "q_ols_holdout", "q_doc_bigram_lm", "q_corpus_profile",
       "q_corpus_profile_view_incr", "q_bm25_view_incr", "q_tfidf_view_incr",
       "q_cooccurrence", "q_cooccurrence_view_incr",
-      "q_bigram_lm_view_incr")
+      "q_bigram_lm_view_incr",
+      "q_dsir_weights", "q_dsir_select", "q_dsir_score_incr",
+      "q_mmr_rerank")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")

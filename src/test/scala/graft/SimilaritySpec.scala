@@ -644,4 +644,244 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfVacuum(spark, idx) > 0)
     assert(!hits().contains(102L) && hits().contains(100L))
   }
+
+  test("PQ index enforces its stored (dim, m, kCodes) contract loudly") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001")).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqmeta").toString
+    Similarity.pqWriteIndex(e, "vec_id", "embedding", dir,
+      dim = 64, nCells = 4, m = 8, kCodes = 8)
+    // a query whose vectors are the wrong length must FAIL BY NAME,
+    // not null-pad through zip_with into a garbage top-k
+    val short = e.filter(col("vec_id") < 2)
+      .select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    val ex = intercept[Exception] {
+      Similarity.pqTopKIndexed(spark, short, "vec_id", "embedding",
+        k = 3, path = dir, nProbe = 2).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(ex).contains("does not match index dim 64"), rootMsg(ex))
+    // same guard on the append path
+    val ex2 = intercept[Exception] {
+      Similarity.pqAppend(spark,
+        short.withColumn("vec_id", col("vec_id") + 1000L),
+        "vec_id", "embedding", dir)
+    }
+    assert(rootMsg(ex2).contains("does not match index dim 64"), rootMsg(ex2))
+    // no meta file → the read path refuses instead of guessing
+    val empty = java.nio.file.Files.createTempDirectory("graft_pqnometa").toString
+    val ex3 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKIndexed(spark, e.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 3, path = empty, nProbe = 2)
+    }
+    assert(ex3.getMessage.contains("_graft_pq_meta.json"))
+  }
+
+  test("pqWriteIndex rebuild clears stale IVF artifacts at the same path") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001")).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqover").toString
+    // a plain IVF index lives here first (cells/, centroids/, meta,
+    // tombstones, then a compaction generation)
+    val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 4)
+    Similarity.ivfWriteIndex(e, "vec_id", "embedding", cents, dir)
+    val s2 = spark; import s2.implicits._
+    Similarity.ivfTombstone(spark, dir, Seq(3L).toDF("vec_id"), "vec_id")
+    Similarity.ivfCompact(spark, dir)
+    assert(new java.io.File(s"$dir/_graft_ivf_meta.json").exists)
+    // rebuilding as PQ must leave ONLY PQ artifacts — no mixed dir
+    Similarity.pqWriteIndex(e, "vec_id", "embedding", dir,
+      dim = 64, nCells = 4, m = 8, kCodes = 8)
+    val names = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(!names.exists(_.startsWith("cells")), names.toString)
+    assert(!names.contains("_graft_ivf_meta.json"), names.toString)
+    assert(!names.contains("_graft_ivf_baseline.json"), names.toString)
+    assert(names.contains("codes") && names.contains("books") &&
+      names.contains("centroids") && names.contains("_graft_pq_meta.json"),
+      names.toString)
+    // and the rebuilt index serves
+    assert(Similarity.pqTopKIndexed(spark, e.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3, path = dir, nProbe = 2).count() > 0)
+  }
+
+  test("maintainIvf skips tombstones when the first observed batch is delete-only") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions._
+    val dim = 8
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_delonly").toString
+    val (src, mom, ck) = (s"$root/src", s"$root/mom", s"$root/ck")
+    val data = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i % 4) 1f else 0f)))
+    Snapshots.commit(spark.createDataFrame(data).toDF("vec_id", "embedding"),
+      src, statsCol = Some("vec_id"))
+    // advance the subscription past v0 against a throwaway index path,
+    // then delete rows and re-point the SAME checkpoint at a FRESH
+    // index location: its first observed batch is delete-only and no
+    // index exists there yet — the maintainer must no-op, not crash
+    Similarity.maintainIvf(spark, src, s"$root/idx0", mom, ck,
+      "vec_id", "embedding", nCells = 4, dim = dim).awaitTermination()
+    Snapshots.deleteWhere(spark, src, col("vec_id") < 5)
+    Similarity.maintainIvf(spark, src, s"$root/idx1", mom, ck,
+      "vec_id", "embedding", nCells = 4, dim = dim).awaitTermination()
+    assert(!new java.io.File(s"$root/idx1/centroids").exists,
+      "a delete-only first batch must not conjure an index")
+    assert(!new java.io.File(s"$root/idx1/tombstones").exists,
+      "a delete-only first batch must not tombstone a non-existent index")
+    // the next insert batch builds idx1 normally
+    Snapshots.commit(spark.createDataFrame(Seq((100L,
+      Array.tabulate(dim)(j => if (j == 0) 1f else 0f))))
+      .toDF("vec_id", "embedding"), src, statsCol = Some("vec_id"))
+    Similarity.maintainIvf(spark, src, s"$root/idx1", mom, ck,
+      "vec_id", "embedding", nCells = 1, dim = dim).awaitTermination()
+    assert(new java.io.File(s"$root/idx1/centroids").exists)
+  }
+
+  test("mmrRerank: greedy diversification matches a hand computation") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark; import s2.implicits._
+    // query A: two relevant near-duplicates (both [1,0]) and one less
+    // relevant orthogonal doc — MMR must interleave the orthogonal one
+    val cands = Seq(
+      (1L, 10L, 0.9, Array(1f, 0f)),
+      (1L, 11L, 0.85, Array(1f, 0f)),
+      (1L, 12L, 0.5, Array(0f, 1f)),
+      // query B: only one candidate — fewer than k picks is fine
+      (2L, 20L, 0.7, Array(1f, 1f))
+    ).toDF("query_id", "neighbor_id", "rel", "vec")
+    val out = Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+        "rel", "vec", k = 3, lambda = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> ((r._2, r._4))).toMap
+    // r1: argmax 0.5*rel → 10 @ 0.45
+    // r2: 11 scores 0.425−0.5·cos([1,0],[1,0])=−0.075; 12 scores
+    //     0.25−0.5·0=0.25 → 12 wins: diversity beats raw relevance
+    // r3: 11 @ −0.075 (max-sim to {10,12} is 1)
+    assert(out((1L, 1L)) == ((10L, 0.45)))
+    assert(out((1L, 2L)) == ((12L, 0.25)))
+    assert(out((1L, 3L)) == ((11L, -0.075)))
+    assert(out((2L, 1L)) == ((20L, 0.35)))
+    assert(!out.contains((2L, 2L)), "one candidate yields one pick")
+    // duplicate suppression is λ-tunable: pure relevance ignores sims
+    val pure = Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+        "rel", "vec", k = 2, lambda = 1.0)
+      .as[(Long, Long, Long, Double)].collect()
+      .filter(_._1 == 1L).sortBy(_._3).map(_._2)
+    assert(pure.toSeq == Seq(10L, 11L))
+    // the page bound fails loudly, naming the limit
+    val ex = intercept[Exception] {
+      Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+        "rel", "vec", k = 2, maxCandidates = 2).collect()
+    }
+    def msgs2(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs2(ex).contains("maxCandidates=2"), msgs2(ex))
+  }
+
+  test("randomProject: deterministic Rademacher JL map preserves geometry loosely") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001")).select("vec_id", "embedding")
+    // the matrix is ±1/√outDim, fully determined by the seed
+    val m = Similarity.rpMatrix(64, 16, seed = 7L)
+    assert(m.length == 16 && m.forall(_.length == 64))
+    assert(m.flatten.forall(x => math.abs(math.abs(x) - 0.25) < 1e-15))
+    assert(Similarity.rpMatrix(64, 16, 7L).flatten.toSeq == m.flatten.toSeq)
+    assert(Similarity.rpMatrix(64, 16, 8L).flatten.toSeq != m.flatten.toSeq)
+    val p1 = Similarity.randomProject(e, "vec_id", "embedding", 64, 16, 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p2 = Similarity.randomProject(e, "vec_id", "embedding", 64, 16, 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 == p2, "same seed must reproduce the projection exactly")
+    assert(p1.values.forall(_.length == 16))
+    // JL property, loose: squared norms survive within a broad band
+    // on average (E‖Rv‖² = ‖v‖²; k=16 gives wide but bounded spread)
+    val orig = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val ratios = p1.keys.toSeq.sorted.take(50).map { id =>
+      val n0 = orig(id).map(x => x.toDouble * x).sum
+      val n1 = p1(id).map(x => x * x).sum
+      n1 / n0
+    }
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 0.6 && meanRatio < 1.6,
+      s"JL mean norm ratio off: $meanRatio")
+    assert(ratios.forall(r => r > 0.05 && r < 6.0),
+      s"JL pointwise ratio exploded: ${ratios.min} .. ${ratios.max}")
+    // wrong input dim fails by name, never silently null-pads
+    val short = e.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val ex = intercept[Exception] {
+      Similarity.randomProject(short, "vec_id", "embedding", 64, 16, 7L)
+        .collect()
+    }
+    def msgs(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(ex).contains("does not match index dim 64"), msgs(ex))
+    intercept[IllegalArgumentException] {
+      Similarity.rpMatrix(16, 64)
+    }
+  }
+
+  test("maintainPq: feed-subscribed IVF-PQ index retrains itself on planted drift") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions._
+    val dim = 8
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_auto").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    val rnd = new java.util.Random(5)
+    def near(base: Array[Float]) =
+      base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    def clus(d: Int) = Array.tabulate(dim)(i => if (i < 4 == (d == 0)) 1f else 0f)
+    def tick(): Unit = Similarity.maintainPq(spark, src, idx, ck,
+      "vec_id", "embedding", dim = dim, nCells = 2, m = 2, kCodes = 4,
+      iters = 2, retrainTol = 0.5).awaitTermination()
+    def books() = Similarity.pqReadBooks(spark, idx).flatten.flatten.toSeq
+    // tick 1: first batch builds index + baseline
+    val a = Seq.tabulate(24)(i => (i.toLong, near(clus(i % 2))))
+    Snapshots.commit(spark.createDataFrame(a).toDF("vec_id", "embedding"),
+      src, statsCol = Some("vec_id"))
+    tick()
+    assert(new java.io.File(s"$idx/_graft_pq_meta.json").exists)
+    assert(new java.io.File(s"$idx/_graft_pq_baseline.json").exists)
+    val b0 = books()
+    // tick 2: calm in-distribution batch — append only, books frozen
+    val b = Seq.tabulate(4)(i => (100L + i, near(clus(i % 2))))
+    Snapshots.commit(spark.createDataFrame(b).toDF("vec_id", "embedding"),
+      src, statsCol = Some("vec_id"))
+    tick()
+    assert(books() == b0, "a calm batch must not retrain the books")
+    // the appended vectors serve from the frozen books
+    val q100 = spark.createDataFrame(Seq((100L, a(0)._2)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.pqTopKIndexed(spark, q100, "vec_id", "embedding",
+      k = 3, path = idx, nProbe = 2).count() == 3)
+    // tick 3: planted drift — far-away scaled cluster dominates; the
+    // frozen books' measured distortion blows past baseline·(1+tol)
+    // and the maintainer rebuilds + re-baselines unattended
+    val c = Seq.tabulate(40)(i =>
+      (200L + i, near(clus(i % 2)).map(_ * 25f)))
+    Snapshots.commit(spark.createDataFrame(c).toDF("vec_id", "embedding"),
+      src, statsCol = Some("vec_id"))
+    tick()
+    assert(books() != b0, "planted drift must retrain the codebooks")
+    // tick 4: deletes tombstone through the shared convention
+    Snapshots.deleteWhere(spark, src, col("vec_id") === 200L)
+    tick()
+    val served = Similarity.pqTopKIndexed(spark,
+      spark.createDataFrame(Seq((201L, c(1)._2))).toDF("vec_id", "embedding"),
+      k = 3, path = idx, nProbe = 2, idCol = "vec_id", vecCol = "embedding")
+    assert(served.filter(col("neighbor_id") === 200L).count() == 0,
+      "tombstoned id must stop serving")
+    assert(served.count() == 3)
+  }
 }

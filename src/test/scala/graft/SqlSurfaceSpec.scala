@@ -64,6 +64,43 @@ class SqlSurfaceSpec extends SparkSpec {
         dim = 64, k = 3)))
   }
 
+  test("DSIR + JL + MMR TVFs: SQL table functions == the DataFrame operators") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted.toSeq
+
+    val d = Tables.documents(spark, sf("sf0.001"))
+    d.createOrReplaceTempView("docs_dsir")
+    d.filter(col("lang") === "en").createOrReplaceTempView("docs_dsir_en")
+    val sqlW = spark.sql(
+      "SELECT * FROM graft_dsir_weights('docs_dsir', 'docs_dsir_en', 'doc_id', 'text')")
+    assert(canon(sqlW) == canon(operators.Corpus.dsirWeights(
+      d, d.filter(col("lang") === "en"), "doc_id", "text")) &&
+      sqlW.count() > 0)
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_dsir_select('docs_dsir', 'docs_dsir_en', 'doc_id', 'text', 10)"))
+      == canon(operators.Corpus.dsirSelect(
+        d, d.filter(col("lang") === "en"), "doc_id", "text", n = 10)))
+
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    e.createOrReplaceTempView("emb_jl")
+    e.filter(col("vec_id") < 4).createOrReplaceTempView("emb_jl_q")
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_random_projection('emb_jl', 'vec_id', 'embedding', 64, 16, 7)"))
+      == canon(operators.Similarity.randomProject(
+        e, "vec_id", "embedding", 64, 16, 7L)))
+
+    val page = operators.Similarity.bruteForceTopK(e,
+      e.filter(col("vec_id") < 4), "vec_id", "embedding", 10)
+    val cands = page.join(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      "neighbor_id")
+    val sqlMmr = spark.sql(
+      "SELECT * FROM graft_mmr_rerank('emb_jl', 'emb_jl_q', 'vec_id', 'embedding', 10, 3)")
+    assert(canon(sqlMmr) == canon(operators.Similarity.mmrRerank(
+      cands, "query_id", "neighbor_id", "cosine", "embedding", k = 3)) &&
+      sqlMmr.count() > 0)
+  }
+
   test("event-analytics TVFs: SQL table functions == the DataFrame operators") {
     val ev = Tables.events(spark, sf("sf0.001"))
     ev.createOrReplaceTempView("ev_tvf")
