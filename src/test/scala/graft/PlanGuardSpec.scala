@@ -137,6 +137,10 @@ class PlanGuardSpec extends SparkSpec {
     // inherits q_knn_cosine's by-design broadcast of the BOUNDED
     // query set (exactly like q_knn_lsh); the MMR machinery itself
     // adds only a HASH page join and a bounded-state aggregate.
+    // q_knn_ivfpq_rerank inherits q_knn_pq's broadcast of the bounded
+    // query set over the codes scan (its rerank legs are hash joins),
+    // and q_knn_ivfpq_recall additionally measures AGAINST the
+    // brute-force baseline like q_knn_lsh.
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_knn_lsh",
       "q_knn_pq",
       "q_customer_above_avg",
@@ -146,7 +150,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_cooccurrence", "q_cooccurrence_view_incr",
       "q_bigram_lm_view_incr",
       "q_dsir_weights", "q_dsir_select", "q_dsir_score_incr",
-      "q_mmr_rerank")
+      "q_mmr_rerank", "q_knn_ivfpq_rerank", "q_knn_ivfpq_recall")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")
