@@ -620,6 +620,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           seed = if (a.length == 6) litLong(a(5), "seed") else 42L)
     }
 
+    tvf("graft_perplexity_buckets",
+      "graft_perplexity_buckets(table, refTable, idCol, textCol[, nBins, alpha]) - CCNet-style quality tiers as (id, n_tokens, nll, bin): per-token cross-entropy under the smoothed refTable unigram LM, cut into nBins equi-depth buckets (0 = most reference-like) (see operators.Corpus.perplexityBuckets)") {
+      (s, a) =>
+        require(a.length >= 4 && a.length <= 6,
+          "graft_perplexity_buckets takes (table, refTable, idCol, textCol[, nBins, alpha])")
+        operators.Corpus.perplexityBuckets(s.table(litStr(a(0), "table")),
+          s.table(litStr(a(1), "refTable")),
+          litStr(a(2), "idCol"), litStr(a(3), "textCol"),
+          nBins = if (a.length >= 5) litInt(a(4), "nBins") else 3,
+          alpha = if (a.length == 6) litDouble(a(5), "alpha") else 0.5)
+    }
+
     tvf("graft_dsir_weights",
       "graft_dsir_weights(rawTable, targetTable, idCol, textCol[, alpha]) - DSIR importance weights as (id, n_tokens, logw): per-doc sum of ln p_target(t) - ln p_raw(t) over add-alpha-smoothed unigram distributions (see operators.Corpus.dsirWeights)") {
       (s, a) =>

@@ -1480,6 +1480,16 @@ object SparkEntry {
         "doc_id", "text", n = 50)
     }),
 
+    // CCNet-style perplexity bucketing: per-token cross-entropy under
+    // the smoothed English-slice reference LM, cut into 3 equi-depth
+    // buckets (0 = head = most reference-like, 2 = tail) — the
+    // quality-tiering step CCNet trains head+middle from.
+    "q_perplexity_bucket" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Corpus.perplexityBuckets(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", nBins = 3)
+    }),
+
     // INGEST-TIME DSIR: the even-doc corpus-so-far (with churn — a
     // tenth of it deleted) keeps its word counts as a maintained
     // Z-set view; the odd-doc "incoming shard" is scored against the
@@ -4387,6 +4397,49 @@ object SparkEntry {
     "q_dsir_select" -> dsirOracleSql(topN = Some(50)),
 
     "q_dsir_score_incr" -> dsirScoreIncrOracleSql,
+
+    // The reference-LM score is the unigramLogProb fold with add-α
+    // smoothing over the ENGLISH-slice vocabulary (+ the constant
+    // out-of-vocab term); the bin cuts mirror q_quantile_bin's
+    // quantile_cont-vs-percentile recipe over the rounded nll.
+    "q_perplexity_bucket" -> {
+      val ps = (1 until 3).map(i => i / 3.0)
+      val binSum = ps.indices
+        .map(i => s"CAST(nll > c[${i + 1}] AS BIGINT)")
+        .reduce((a, x) => s"$a + $x")
+      s"""WITH refcnt AS (
+         |  SELECT token, count(*) AS rc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+         |        FROM documents WHERE lang = 'en')
+         |  GROUP BY token
+         |), tot AS MATERIALIZED (
+         |  SELECT CAST(sum(rc) AS DOUBLE) AS n,
+         |         CAST(count(*) AS DOUBLE) AS v FROM refcnt
+         |), lp AS (
+         |  SELECT token,
+         |         ln((CAST(rc AS DOUBLE) + 0.5) / (n + 0.5 * v)) AS lp
+         |  FROM refcnt CROSS JOIN tot
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY doc_id, token
+         |), sc AS MATERIALIZED (
+         |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |         ${sqlRound4(
+              s"-(${sqlSum(
+                "CAST(tf.tf AS DOUBLE) * coalesce(lp.lp, " +
+                  "ln(0.5 / (tot.n + 0.5 * tot.v)))", 9)})" +
+                " / CAST(sum(tf.tf) AS DOUBLE)")} AS nll
+         |  FROM tf LEFT JOIN lp USING (token) CROSS JOIN tot
+         |  GROUP BY tf.doc_id
+         |), cuts AS MATERIALIZED (
+         |  SELECT quantile_cont(nll, [${ps.mkString(", ")}]) AS c
+         |  FROM sc
+         |)
+         |SELECT doc_id, n_tokens, nll, CAST($binSum AS BIGINT) AS bin
+         |FROM sc, cuts""".stripMargin
+    },
 
     "q_random_projection" -> randomProjectionOracleSql(
       dim = 64, outDim = 16, seed = 7L),

@@ -710,6 +710,56 @@ object Corpus {
       .withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    * every doc by its per-token cross-entropy under a smoothed
+    * unigram REFERENCE LM (the curated corpus a crawl should
+    * resemble), then cut the corpus into `nBins` equi-depth buckets —
+    * bin 0 is the most reference-like ("head"), the highest bin the
+    * least ("tail"); CCNet trains on head+middle and drops or
+    * down-weights tail. nll(x) = −Σ_t tf·ln p̂_ref(t) / n_tokens with
+    * add-α smoothing over the REFERENCE vocabulary; a doc token the
+    * reference never saw scores the constant ln(α/(N+αV)) — the
+    * scored corpus must not perturb the reference distribution.
+    *
+    * Output: `(idCol, n_tokens, nll, bin)`. Exactness: the same
+    * sumExact-decimal fold + floor-formula rounding as
+    * [[unigramLogProb]], and the bin cuts are driver-side exact
+    * `percentile` interpolation over the rounded nll —
+    * [[Relational.quantileBin]]'s oracle-green recipe. Scale: the
+    * reference LM is vocab-bounded and broadcast; the cut computation
+    * is one percentile aggregate; everything else is the doc's own tf
+    * rows. */
+  def perplexityBuckets(df: DataFrame, reference: DataFrame,
+                        idCol: String, textCol: String, nBins: Int = 3,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"smoothing alpha must be positive: $alpha")
+    val refCnt = reference
+      .select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1L)).as("rc"))
+    val tot = refCnt.agg(
+      sum(col("rc")).cast("double").as("__n"),
+      count(lit(1L)).cast("double").as("__v"))
+    val lp = refCnt.crossJoin(broadcast(tot)).select(col("token"),
+      log((col("rc").cast("double") + alpha) /
+        (col("__n") + lit(alpha) * col("__v"))).as("__lp"))
+    val oov = log(lit(alpha) / (col("__n") + lit(alpha) * col("__v")))
+    val scored = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1L)).as("tf"))
+      .join(broadcast(lp), Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(idCol)
+      .agg(
+        graft.functions.Exact.sumExact(
+          col("tf").cast("double") * coalesce(col("__lp"), oov), 9)
+          .as("__s"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        graft.functions.Exact.roundAt(
+          -col("__s") / col("n_tokens").cast("double"), 4).as("nll"))
+    Relational.quantileBin(scored, "nll", nBins)
+  }
+
   /** Okapi BM25 scores of every document containing at least one of
     * `queryTerms` — the retrieval-ranking step next to [[tfIdf]]:
     * score(d) = Σ_t ln(1 + (N−df+0.5)/(df+0.5)) ·

@@ -320,6 +320,37 @@ class CorpusSpec extends SparkSpec {
     assert(viaCounts == direct)
   }
 
+  test("perplexityBuckets: reference-LM nll by hand; buckets are equi-depth and ordered") {
+    // reference LM: "a a a b" → vocab {a,b}, n=4, α=0.5:
+    //   p(a)=(3.5)/5, p(b)=(1.5)/5, p(oov)=0.5/5
+    val ref = Seq((9L, "a a a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a a"),   // most reference-like
+      (2L, "a b"),
+      (3L, "z z")    // all out-of-vocab: tail
+    ).toDF("doc_id", "text")
+    val out = Corpus.perplexityBuckets(docs, ref, "doc_id", "text",
+        nBins = 3)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def dec9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    def nll(n: Long, terms: Double*) = {
+      val s = terms.map(dec9).reduce(_ add _).doubleValue()
+      math.floor(-s / n * 10000 + 0.5) / 10000
+    }
+    val lnA = math.log(3.5 / 5); val lnB = math.log(1.5 / 5)
+    val lnO = math.log(0.5 / 5)
+    assert(out(1L) == ((2L, nll(2, 2 * lnA), 0L)))
+    assert(out(2L) == ((2L, nll(2, lnA, lnB), 1L)))
+    assert(out(3L) == ((2L, nll(2, 2 * lnO), 2L)))
+    // nll strictly orders head < middle < tail here
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+    intercept[IllegalArgumentException] {
+      Corpus.perplexityBuckets(docs, ref, "doc_id", "text", alpha = 0.0)
+    }
+  }
+
   test("bm25 matches a hand computation on a tiny corpus") {
     val df = Seq(
       (1L, "a a b"),

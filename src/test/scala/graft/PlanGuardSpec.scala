@@ -130,9 +130,10 @@ class PlanGuardSpec extends SparkSpec {
     // never pair-joined against itself). The textrank queries are NOT
     // exempt: they consume the pair counts alone, so none of the PMI
     // path's 1-row splices enter their plans. The three DSIR queries
-    // splice their broadcast 1-row (rn, tn, v) totals exactly like
-    // q_doc_logprob's token total — a broadcast constant, not a pair
-    // scan; the per-token llr table itself rides a HASH join.
+    // and q_perplexity_bucket splice their broadcast 1-row totals
+    // exactly like q_doc_logprob's token total — a broadcast
+    // constant, not a pair scan; the per-token log-prob tables
+    // themselves ride HASH joins.
     // q_mmr_rerank builds its page with bruteForceTopK, so it
     // inherits q_knn_cosine's by-design broadcast of the BOUNDED
     // query set (exactly like q_knn_lsh); the MMR machinery itself
@@ -150,7 +151,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_cooccurrence", "q_cooccurrence_view_incr",
       "q_bigram_lm_view_incr",
       "q_dsir_weights", "q_dsir_select", "q_dsir_score_incr",
-      "q_mmr_rerank", "q_knn_ivfpq_rerank", "q_knn_ivfpq_recall")
+      "q_mmr_rerank", "q_knn_ivfpq_rerank", "q_knn_ivfpq_recall",
+      "q_perplexity_bucket")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")

@@ -81,6 +81,11 @@ class SqlSurfaceSpec extends SparkSpec {
       == canon(operators.Corpus.dsirSelect(
         d, d.filter(col("lang") === "en"), "doc_id", "text", n = 10)))
 
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_perplexity_buckets('docs_dsir', 'docs_dsir_en', 'doc_id', 'text')"))
+      == canon(operators.Corpus.perplexityBuckets(
+        d, d.filter(col("lang") === "en"), "doc_id", "text")))
+
     val e = Tables.embeddings(spark, sf("sf0.001"))
     e.createOrReplaceTempView("emb_jl")
     e.filter(col("vec_id") < 4).createOrReplaceTempView("emb_jl_q")
