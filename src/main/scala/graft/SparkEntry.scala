@@ -1074,6 +1074,29 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // INGEST-TIME NOVELTY: the even-doc corpus (churned — a tenth
+    // deleted) keeps its span profile maintained; the odd-doc
+    // candidate shard is scored for never-seen-span fraction against
+    // the LIVE profile hashes — the measure-first gate before
+    // ingest/excise/drop, O(batch spans), zero corpus text I/O.
+    "q_doc_novelty_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_novelty").toString
+      val (src, views) = (s"$root/src", s"$root/views")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshSpanProfile(s, src, views,
+        "doc_id", "text", k = 10)
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 6)
+      IncrementalViews.refreshSpanProfile(s, src, views,
+        "doc_id", "text", k = 10)
+      IncrementalViews.spanNoveltyIngest(s,
+        docs.filter(col("doc_id") % 2 === 1), views,
+        "doc_id", "text", k = 10)
+    }),
+
     // The MAINTAINED span-duplication profile: the same numbers as
     // q_span_dedup, folded over an append + a predicate delete
     // instead of re-hashing the corpus — the oracle recomputes the
@@ -4074,6 +4097,44 @@ object SparkEntry {
     // (doc_id-ordered arrival) equals one batch excision over the
     // final corpus — the keep-first authority composes
     "q_span_excise_incr" -> spanExciseOracleSql,
+
+    // String 10-token spans oracle-side vs the profile's xxhash64
+    // longs Spark-side (the span_dedup collision discipline); the
+    // corpus-so-far is the post-churn even-doc state, the batch the
+    // odd docs. Short docs carry zero spans and ratio 1.0.
+    "q_doc_novelty_incr" ->
+      """WITH ctoks AS (
+        |  SELECT string_split(text, ' ') AS s FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 <> 6
+        |), cspans AS MATERIALIZED (
+        |  SELECT DISTINCT array_to_string(s[p:p+9], ' ') AS gram
+        |  FROM (SELECT s, unnest(CASE WHEN len(s) < 10 THEN []::BIGINT[]
+        |                 ELSE range(1, len(s) - 8) END) AS p FROM ctoks)
+        |), btoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        |  WHERE doc_id % 2 = 1
+        |), bocc AS (
+        |  SELECT doc_id, array_to_string(s[p:p+9], ' ') AS gram
+        |  FROM (SELECT doc_id, s,
+        |          unnest(CASE WHEN len(s) < 10 THEN []::BIGINT[]
+        |                 ELSE range(1, len(s) - 8) END) AS p FROM btoks)
+        |), per AS (
+        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS novel_spans
+        |  FROM bocc b LEFT JOIN cspans c USING (gram)
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(per.novel_spans, 0) AS BIGINT) AS novel_spans,
+        |       CASE WHEN coalesce(per.n_spans, 0) = 0
+        |            THEN CAST(1.0 AS DOUBLE)
+        |            ELSE floor(CAST(per.novel_spans AS DOUBLE)
+        |                   / per.n_spans * 1e4 + 0.5) / 1e4
+        |       END AS novelty_ratio
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN per USING (doc_id)""".stripMargin,
 
     // Window sum over BIGINT is HUGEINT in DuckDB — cast back.
     "q_token_pack" ->

@@ -274,6 +274,42 @@ object Corpus {
   }
 
   /** `(idCol, __p, span_h)` for every k-token window of `df`. */
+  /** INGEST-TIME NOVELTY: what fraction of a new doc's k-token spans
+    * the corpus has NEVER seen — the "is this shard new text or
+    * re-crawled boilerplate" gauge scored BEFORE committing, the
+    * read-only sibling of [[spanExciseAgainst]] (measure instead of
+    * cut). `existingSpans` is a `span_h` frame — the maintained span
+    * profile's live hashes
+    * ([[graft.sources.IncrementalViews.spanNoveltyIngest]] wires it),
+    * so the check is O(batch spans) + one hash join, never O(corpus
+    * text). Output `(idCol, n_spans, novel_spans, novelty_ratio)`;
+    * docs shorter than k tokens carry zero spans and ratio 1.0 (no
+    * evidence of prior occurrence). Spans travel as xxhash64 longs —
+    * the [[spanDedup]] collision discipline. */
+  def spanNoveltyAgainst(batch: DataFrame, idCol: String,
+                         textCol: String, existingSpans: DataFrame,
+                         k: Int = 10): DataFrame = {
+    val occ = spanOccurrences(batch, idCol, textCol, k)
+    val existing = existingSpans.select(col("span_h")).distinct()
+      .withColumn("__seen", lit(1))
+    val per = occ.join(existing, Seq("span_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1L)).as("n_spans"),
+        sum(when(col("__seen").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("novel_spans"))
+    batch.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("novel_spans"), lit(0L)).cast("long")
+          .as("novel_spans"))
+      .withColumn("novelty_ratio",
+        when(col("n_spans") === 0, lit(1.0)).otherwise(
+          graft.functions.Exact.roundAt(
+            col("novel_spans").cast("double") /
+              col("n_spans").cast("double"), 4)))
+  }
+
   private def spanOccurrences(df: DataFrame, idCol: String,
                               textCol: String, k: Int): DataFrame = df
     .withColumn("__s", Text.tokens(col(textCol)))

@@ -2839,14 +2839,17 @@ object IncrementalViews {
     * corpus-text rescans. The returned frame is PINNED to the
     * profile's current version (snapshot file lists resolve now), so
     * executing it after the post-commit refresh stays correct. */
-  def spanExciseIngest(spark: SparkSession, batch: DataFrame,
-                       viewRoot: String, idCol: String, textCol: String,
-                       k: Int = 10): DataFrame = {
-    val existing = readParam(spark, viewRoot, "span_k") match {
+  /** The maintained profile's LIVE span hashes, with the span_k pin
+    * enforced — the corpus-so-far authority both ingest-time span
+    * reads share. */
+  private def liveSpanHashes(spark: SparkSession, viewRoot: String,
+                             k: Int): DataFrame =
+    readParam(spark, viewRoot, "span_k") match {
       case Some(pinned) =>
         require(pinned == k.toString,
           s"$viewRoot was built with span_k = $pinned but this ingest " +
-            s"passes k = $k — excision and profile must share the window")
+            s"passes k = $k — the ingest check and profile must share " +
+            "the window")
         Snapshots.read(spark, s"$viewRoot/spanc")
           .filter(col("__cnt") > 0)
           .select(col("__span").as("span_h"))
@@ -2854,9 +2857,27 @@ object IncrementalViews {
         // first batch: no profile yet, the corpus holds no spans
         spark.range(0).select(col("id").as("span_h"))
     }
+
+  def spanExciseIngest(spark: SparkSession, batch: DataFrame,
+                       viewRoot: String, idCol: String, textCol: String,
+                       k: Int = 10): DataFrame =
     graft.operators.Corpus.spanExciseAgainst(batch, idCol, textCol,
-      existing, k)
-  }
+      liveSpanHashes(spark, viewRoot, k), k)
+
+  /** INGEST-TIME NOVELTY against the maintained span profile: score a
+    * candidate shard's per-doc fraction of never-seen k-token spans
+    * ([[graft.operators.Corpus.spanNoveltyAgainst]]) with the LIVE
+    * profile hashes as the corpus-so-far authority — O(batch spans) +
+    * one hash join per call, zero corpus text I/O, correct through
+    * appends AND deletes (a span alive only in deleted docs reads as
+    * novel again). Read-only: unlike [[spanExciseIngest]] this never
+    * rewrites the shard — it is the measure-first gate a pipeline
+    * consults BEFORE deciding to ingest, excise, or drop. */
+  def spanNoveltyIngest(spark: SparkSession, batch: DataFrame,
+                        viewRoot: String, idCol: String,
+                        textCol: String, k: Int = 10): DataFrame =
+    graft.operators.Corpus.spanNoveltyAgainst(batch, idCol, textCol,
+      liveSpanHashes(spark, viewRoot, k), k)
 
   /** The maintained profile, same shape and arithmetic as the batch
     * [[graft.operators.Corpus.spanDedup]]: `(idCol, n_spans,

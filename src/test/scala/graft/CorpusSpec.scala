@@ -320,6 +320,28 @@ class CorpusSpec extends SparkSpec {
     assert(viaCounts == direct)
   }
 
+  test("spanNoveltyAgainst: never-seen-span fractions by hand; short docs read fully novel") {
+    // corpus-so-far holds exactly the 3-spans of "a b c d":
+    // {"a b c", "b c d"} — handed in as xxhash64 longs, the same
+    // hashing spanOccurrences applies to the batch side
+    val existing = Seq("a b c", "b c d").toDF("g")
+      .select(xxhash64(col("g")).as("span_h"))
+    val batch = Seq(
+      (1L, "a b c d"),     // both spans seen: novelty 0
+      (2L, "a b c x"),     // "a b c" seen, "b c x" novel: 1/2
+      (3L, "x y z q"),     // nothing seen: 2/2
+      (4L, "a b")          // < k tokens: zero spans, ratio 1.0
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanNoveltyAgainst(batch, "doc_id", "text",
+        existing, k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 1.0)))
+  }
+
   test("perplexityBuckets: reference-LM nll by hand; buckets are equi-depth and ordered") {
     // reference LM: "a a a b" → vocab {a,b}, n=4, α=0.5:
     //   p(a)=(3.5)/5, p(b)=(1.5)/5, p(oov)=0.5/5
