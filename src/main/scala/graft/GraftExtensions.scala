@@ -620,6 +620,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           seed = if (a.length == 6) litLong(a(5), "seed") else 42L)
     }
 
+    tvf("graft_zipf_fit",
+      "graft_zipf_fit(table, textCol) - Zipf rank-frequency least-squares fit as one row (n_types, n_tokens, slope, intercept, r2); natural text sits near slope -1 (see operators.Corpus.zipfFit)") {
+      (s, a) =>
+        require(a.length == 2, "graft_zipf_fit takes (table, textCol)")
+        operators.Corpus.zipfFit(s.table(litStr(a(0), "table")),
+          litStr(a(1), "textCol"))
+    }
+
+    tvf("graft_heaps_fit",
+      "graft_heaps_fit(table, idCol, textCol[, buckets]) - Heaps vocabulary-growth fit as one row (n_docs, slope, intercept, r2); V ~ K*N^beta with beta ~ 0.4-0.6 for natural text (see operators.Corpus.heapsFit)") {
+      (s, a) =>
+        require(a.length >= 3 && a.length <= 4,
+          "graft_heaps_fit takes (table, idCol, textCol[, buckets])")
+        operators.Corpus.heapsFit(s.table(litStr(a(0), "table")),
+          litStr(a(1), "idCol"), litStr(a(2), "textCol"),
+          buckets = if (a.length == 4) litInt(a(3), "buckets") else 256)
+    }
+
     tvf("graft_perplexity_buckets",
       "graft_perplexity_buckets(table, refTable, idCol, textCol[, nBins, alpha]) - CCNet-style quality tiers as (id, n_tokens, nll, bin): per-token cross-entropy under the smoothed refTable unigram LM, cut into nBins equi-depth buckets (0 = most reference-like) (see operators.Corpus.perplexityBuckets)") {
       (s, a) =>

@@ -1503,6 +1503,15 @@ object SparkEntry {
         "doc_id", "text", n = 50)
     }),
 
+    // Dataset-card scaling laws: Zipf rank-frequency slope (natural
+    // text ≈ −1) and Heaps vocabulary-growth exponent (≈ 0.4–0.6) —
+    // the quantitative versions of the corpus eyeball tests.
+    "q_zipf_fit" -> ((s, dir) =>
+      Corpus.zipfFit(Tables.documents(s, dir), "text")),
+
+    "q_heaps_fit" -> ((s, dir) =>
+      Corpus.heapsFit(Tables.documents(s, dir), "doc_id", "text")),
+
     // CCNet-style perplexity bucketing: per-token cross-entropy under
     // the smoothed English-slice reference LM, cut into 3 equi-depth
     // buckets (0 = head = most reference-like, 2 = tail) — the
@@ -2645,6 +2654,25 @@ object SparkEntry {
            |FROM r WHERE rnk <= $n""".stripMargin
     }
   }
+
+  /** Closed-form log-log least-squares select over a `s` CTE carrying
+    * (n, sx, sy, sxy, sxx, syy) — the EXACT op order of
+    * Corpus.logLogFit, shared by the Zipf and Heaps oracles. */
+  private def logLogFitSelectSql: String = {
+    val num = "(n * sxy - sx * sy)"
+    val den = "(n * sxx - sx * sx)"
+    s"""${sqlRound4(s"$num / $den")} AS slope,
+       |       ${sqlRound4(s"(sy - ($num / $den) * sx) / n")} AS intercept,
+       |       ${sqlRound4(
+        s"($num * $num) / ($den * (n * syy - sy * sy))")} AS r2""".stripMargin
+  }
+
+  private def logLogMomentsSql: String =
+    s"""CAST(count(*) AS DOUBLE) AS n,
+       |         ${sqlSum("x", 9)} AS sx, ${sqlSum("y", 9)} AS sy,
+       |         ${sqlSum("x * y", 9)} AS sxy,
+       |         ${sqlSum("x * x", 9)} AS sxx,
+       |         ${sqlSum("y * y", 9)} AS syy""".stripMargin
 
   /** Ingest-time DSIR oracle: raw distribution = the post-churn
     * even-doc corpus (the maintained word-freq view's Z-set state,
@@ -4458,6 +4486,53 @@ object SparkEntry {
     "q_dsir_select" -> dsirOracleSql(topN = Some(50)),
 
     "q_dsir_score_incr" -> dsirScoreIncrOracleSql,
+
+    "q_zipf_fit" ->
+      s"""WITH freq AS (
+         |  SELECT token, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY token
+         |), pts AS MATERIALIZED (
+         |  SELECT freq,
+         |         ln(CAST(row_number() OVER (ORDER BY freq DESC, token)
+         |                 AS DOUBLE)) AS x,
+         |         ln(CAST(freq AS DOUBLE)) AS y
+         |  FROM freq
+         |), s AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |         CAST(sum(freq) AS BIGINT) AS n_tokens,
+         |         $logLogMomentsSql
+         |  FROM pts
+         |)
+         |SELECT n_types, n_tokens,
+         |       $logLogFitSelectSql
+         |FROM s""".stripMargin,
+
+    "q_heaps_fit" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents
+         |), nt AS (
+         |  SELECT id, count(*) AS nt
+         |  FROM (SELECT token, min(id) AS id FROM toks GROUP BY token)
+         |  GROUP BY id
+         |), pd AS (
+         |  SELECT t.id, t.n, coalesce(nt.nt, 0) AS nt
+         |  FROM (SELECT id, count(*) AS n FROM toks GROUP BY id) t
+         |  LEFT JOIN nt USING (id)
+         |), cum AS MATERIALIZED (
+         |  SELECT ln(CAST(sum(n) OVER w AS DOUBLE)) AS x,
+         |         ln(CAST(sum(nt) OVER w AS DOUBLE)) AS y
+         |  FROM pd WINDOW w AS (ORDER BY id ROWS UNBOUNDED PRECEDING)
+         |), s AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         $logLogMomentsSql
+         |  FROM cum
+         |)
+         |SELECT n_docs,
+         |       $logLogFitSelectSql
+         |FROM s""".stripMargin,
 
     // The reference-LM score is the unigramLogProb fold with add-α
     // smoothing over the ENGLISH-slice vocabulary (+ the constant

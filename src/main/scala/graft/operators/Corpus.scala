@@ -1017,6 +1017,119 @@ object Corpus {
     * int64 per doc instead of the full document body. Counts are
     * equal absent a fingerprint collision (spec-asserted on the test
     * corpus). */
+  /** The shared log-log least-squares fit behind [[zipfFit]] and
+    * [[heapsFit]]: given `(x, y)` columns (already ln-transformed),
+    * one aggregation computes the five moment sums as 9-decimal exact
+    * decimals (order-independent — the corrExact discipline) and the
+    * closed forms
+    *   slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    *   intercept = (Σy − slope·Σx)/n,  r² = corr²(x, y). */
+  private def logLogFit(pts: DataFrame, extra: Seq[Column]): DataFrame = {
+    val n = count(lit(1L)).cast("double")
+    val sx = graft.functions.Exact.sumExact(col("__x"), 9)
+    val sy = graft.functions.Exact.sumExact(col("__y"), 9)
+    val sxy = graft.functions.Exact.sumExact(col("__x") * col("__y"), 9)
+    val sxx = graft.functions.Exact.sumExact(col("__x") * col("__x"), 9)
+    val syy = graft.functions.Exact.sumExact(col("__y") * col("__y"), 9)
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val slope = num / den
+    val r2 = (num * num) / (den * (n * syy - sy * sy))
+    val cols = extra ++ Seq(
+      graft.functions.Exact.roundAt(slope, 4).as("slope"),
+      graft.functions.Exact.roundAt(
+        (sy - slope * sx) / n, 4).as("intercept"),
+      graft.functions.Exact.roundAt(r2, 4).as("r2"))
+    pts.agg(cols.head, cols.tail: _*)
+  }
+
+  /** ZIPF rank-frequency fit — the dataset-card scaling law: rank the
+    * vocabulary by frequency (ties to the lexicographically smaller
+    * token) and least-squares-fit ln(freq) on ln(rank); natural text
+    * sits near slope −1, and a corpus whose slope drifts far from it
+    * (template spam → shallower head, boilerplate dedup artifacts →
+    * cliff) fails the eyeball test this makes quantitative. Output
+    * one row `(n_types, n_tokens, slope, intercept, r2)`.
+    *
+    * Scale: everything after the token count is VOCAB-bounded — the
+    * global rank window runs over |vocab| rows (single task by
+    * design, same budget as every other vocab-bounded collect here);
+    * exactness: ln is bit-identical across engines, the five moment
+    * sums fold as 9-decimal exact decimals, the closed forms are
+    * pure IEEE — hash-exact vs the SQL replay. */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val freq = df.select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1L)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    val pts = freq
+      .withColumn("__r", row_number().over(w))
+      .select(col("freq"),
+        log(col("__r").cast("double")).as("__x"),
+        log(col("freq").cast("double")).as("__y"))
+    logLogFit(pts, Seq(
+      count(lit(1L)).as("n_types"),
+      sum(col("freq")).as("n_tokens")))
+      .select(col("n_types"), col("n_tokens"),
+        col("slope"), col("intercept"), col("r2"))
+  }
+
+  /** HEAPS vocabulary-growth fit — the card's other scaling law:
+    * walk the corpus in `idCol` order, record after every doc the
+    * running token total N and running distinct-type count V, and
+    * fit ln V on ln N; V ≈ K·N^β with β ≈ 0.4–0.6 for natural text.
+    * A β collapsing toward 0 reads "the crawl stopped finding new
+    * language"; β near 1 reads "near-random token soup".
+    *
+    * Scale: per-doc deltas (new-type count, token count) are one
+    * grouped pass each; the running sums are the two-level prefix
+    * trick ([[mixByBudget]]'s discipline — per-bucket totals, a
+    * carry window over the TINY bucket table, bounded within-bucket
+    * windows), so no single task ever sees more than one id-bucket.
+    * Output `(n_docs, slope, intercept, r2)`. */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+               buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    val toks = df.select(col(idCol).as("__id"),
+      explode(Text.tokens(col(textCol))).as("token"))
+    val newTypes = toks.groupBy("token")
+      .agg(min(col("__id")).as("__id"))
+      .groupBy("__id").agg(count(lit(1L)).as("__nt"))
+    val perDoc = toks.groupBy("__id").agg(count(lit(1L)).as("__n"))
+      .join(newTypes, Seq("__id"), "left")
+      .select(col("__id"), col("__n"),
+        coalesce(col("__nt"), lit(0L)).as("__nt"))
+    val bounds = perDoc.agg(min(col("__id")), max(col("__id"))).head()
+    require(!bounds.isNullAt(0), "heapsFit needs a non-empty corpus")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / buckets + 1)
+    // integral bucket id (floor division — `/` on longs is DOUBLE
+    // division in Spark, wrong past 2^53)
+    val bucketed = perDoc.withColumn("__b",
+      expr(s"(__id - ${lo}L) div ${width}L"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy("__id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .orderBy("__b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val carry = bucketed.groupBy("__b")
+      .agg(sum(col("__n")).as("__bn"), sum(col("__nt")).as("__bnt"))
+      .select(col("__b"),
+        coalesce(sum(col("__bn")).over(wCarry), lit(0L)).as("__cn"),
+        coalesce(sum(col("__bnt")).over(wCarry), lit(0L)).as("__cnt"))
+    val pts = bucketed.join(carry, "__b")
+      .select(
+        (col("__cn") + sum(col("__n")).over(wIn)).as("__N"),
+        (col("__cnt") + sum(col("__nt")).over(wIn)).as("__V"))
+      .select(log(col("__N").cast("double")).as("__x"),
+        log(col("__V").cast("double")).as("__y"))
+    logLogFit(pts, Seq(count(lit(1L)).as("n_docs")))
+      .select(col("n_docs"), col("slope"), col("intercept"), col("r2"))
+  }
+
   def corpusProfile(df: DataFrame, idCol: String, textCol: String,
                     dupKeyFingerprint: Boolean = false): DataFrame = {
     val t = col(textCol)

@@ -320,6 +320,49 @@ class CorpusSpec extends SparkSpec {
     assert(viaCounts == direct)
   }
 
+  test("zipfFit / heapsFit match hand-computed log-log least squares") {
+    def dec9v(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def fit(xs: Seq[Double], ys: Seq[Double]) = {
+      def s9(vs: Seq[Double]) = vs.map(dec9v).reduce(_ add _).doubleValue()
+      val n = xs.size.toDouble
+      val sx = s9(xs); val sy = s9(ys)
+      val sxy = s9(xs.zip(ys).map { case (a, b) => a * b })
+      val sxx = s9(xs.map(a => a * a)); val syy = s9(ys.map(a => a * a))
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val slope = num / den
+      (r4(slope), r4((sy - slope * sx) / n),
+        r4((num * num) / (den * (n * syy - sy * sy))))
+    }
+    // corpus: a×4, b×2, c×1 → ranks 1,2,3
+    val df = Seq((1L, "a a b"), (2L, "a a b c")).toDF("doc_id", "text")
+    val z = Corpus.zipfFit(df, "text")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    val (zs, zi, zr) = fit(
+      Seq(math.log(1.0), math.log(2.0), math.log(3.0)),
+      Seq(math.log(4.0), math.log(2.0), math.log(1.0)))
+    assert(z == ((3L, 7L, zs, zi, zr)))
+    assert(z._3 < 0, "zipf slope must be negative")
+    // heaps walk: after doc 1 (3 tokens, 2 new types) N=3 V=2; after
+    // doc 2 (4 tokens, 1 new type) N=7 V=3
+    val h = Corpus.heapsFit(df, "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect().head
+    val (hs, hi, hr) = fit(
+      Seq(math.log(3.0), math.log(7.0)),
+      Seq(math.log(2.0), math.log(3.0)))
+    assert(h == ((2L, hs, hi, hr)))
+    // two points fit exactly
+    assert(h._4 == 1.0)
+    // real-corpus sanity: natural-ish slopes on the test documents
+    val zd = Corpus.zipfFit(docs, "text")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(zd._3 < 0, s"zipf slope on docs: ${zd._3}")
+    val hd = Corpus.heapsFit(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(hd._2 > 0 && hd._2 < 1, s"heaps exponent on docs: ${hd._2}")
+  }
+
   test("spanNoveltyAgainst: never-seen-span fractions by hand; short docs read fully novel") {
     // corpus-so-far holds exactly the 3-spans of "a b c d":
     // {"a b c", "b c d"} — handed in as xxhash64 longs, the same

@@ -86,6 +86,13 @@ class SqlSurfaceSpec extends SparkSpec {
       == canon(operators.Corpus.perplexityBuckets(
         d, d.filter(col("lang") === "en"), "doc_id", "text")))
 
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_zipf_fit('docs_dsir', 'text')"))
+      == canon(operators.Corpus.zipfFit(d, "text")))
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_heaps_fit('docs_dsir', 'doc_id', 'text')"))
+      == canon(operators.Corpus.heapsFit(d, "doc_id", "text")))
+
     val e = Tables.embeddings(spark, sf("sf0.001"))
     e.createOrReplaceTempView("emb_jl")
     e.filter(col("vec_id") < 4).createOrReplaceTempView("emb_jl_q")
