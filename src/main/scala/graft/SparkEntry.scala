@@ -1512,6 +1512,28 @@ object SparkEntry {
     "q_heaps_fit" -> ((s, dir) =>
       Corpus.heapsFit(Tables.documents(s, dir), "doc_id", "text")),
 
+    // The MAINTAINED Zipf fit: the same card statistic re-fit from
+    // the live word-frequency view after an append + a delete —
+    // vocab-bounded state, zero corpus rescans; the oracle replays
+    // the batch fit over the post-churn corpus.
+    "q_zipf_view_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_zipfview").toString
+      val (src, view) = (s"$root/src", s"$root/view")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), src,
+        statsCol = Some("doc_id"))
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 2)
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      Corpus.zipfFitFromCounts(
+        Snapshots.read(s, view).filter(col("__cnt") > 0)
+          .select(col("__word").as("token"), col("__cnt").as("cnt")))
+    }),
+
     // CCNet-style perplexity bucketing: per-token cross-entropy under
     // the smoothed English-slice reference LM, cut into 3 equi-depth
     // buckets (0 = head = most reference-like, 2 = tail) — the
@@ -4492,6 +4514,31 @@ object SparkEntry {
          |  SELECT token, count(*) AS freq
          |  FROM (SELECT unnest(string_split(text, ' ')) AS token
          |        FROM documents)
+         |  GROUP BY token
+         |), pts AS MATERIALIZED (
+         |  SELECT freq,
+         |         ln(CAST(row_number() OVER (ORDER BY freq DESC, token)
+         |                 AS DOUBLE)) AS x,
+         |         ln(CAST(freq AS DOUBLE)) AS y
+         |  FROM freq
+         |), s AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |         CAST(sum(freq) AS BIGINT) AS n_tokens,
+         |         $logLogMomentsSql
+         |  FROM pts
+         |)
+         |SELECT n_types, n_tokens,
+         |       $logLogFitSelectSql
+         |FROM s""".stripMargin,
+
+    // The maintained fit over the post-churn corpus (doc_id % 10 = 2
+    // deleted), with the word-freq view's len>0 token filter.
+    "q_zipf_view_incr" ->
+      s"""WITH freq AS (
+         |  SELECT token, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+         |        FROM documents WHERE doc_id % 10 <> 2)
+         |  WHERE len(token) > 0
          |  GROUP BY token
          |), pts AS MATERIALIZED (
          |  SELECT freq,

@@ -1057,9 +1057,19 @@ object Corpus {
     * exactness: ln is bit-identical across engines, the five moment
     * sums fold as 9-decimal exact decimals, the closed forms are
     * pure IEEE — hash-exact vs the SQL replay. */
-  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
-    val freq = df.select(explode(Text.tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1L)).as("freq"))
+  def zipfFit(df: DataFrame, textCol: String): DataFrame =
+    zipfFitFromCounts(df
+      .select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1L)).as("cnt")))
+
+  /** [[zipfFit]]'s fitting half over any `(token, cnt)` frame — the
+    * MAINTAINED form: point it at the live word-frequency view
+    * (`IncrementalViews.refreshWordFreq`'s Z-set counts) and the card
+    * statistic re-fits on vocab-bounded state with ZERO corpus
+    * rescans as the corpus churns. */
+  def zipfFitFromCounts(counts: DataFrame): DataFrame = {
+    val freq = counts.select(col("token"),
+      col("cnt").cast("long").as("freq"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc, col("token"))
     val pts = freq
