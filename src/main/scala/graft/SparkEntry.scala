@@ -1544,6 +1544,29 @@ object SparkEntry {
         "doc_id", "text", nBins = 3)
     }),
 
+    // INGEST-TIME PERPLEXITY: the curated English reference keeps its
+    // word counts maintained (and churns — a tenth of it deleted);
+    // each incoming shard scores its per-token cross-entropy against
+    // the LIVE counts — O(batch tokens + vocab), zero reference
+    // rescans.
+    "q_perplexity_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ppxview").toString
+      val (src, view) = (s"$root/src", s"$root/view")
+      val docs = Tables.documents(s, dir)
+      Snapshots.commit(
+        docs.filter(col("lang") === "en").select("doc_id", "text"),
+        src, statsCol = Some("doc_id"))
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 8)
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      Corpus.perplexityScoreAgainst(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        Snapshots.read(s, view).filter(col("__cnt") > 0)
+          .select(col("__word").as("token"), col("__cnt").as("cnt")))
+    }),
+
     // INGEST-TIME DSIR: the even-doc corpus-so-far (with churn — a
     // tenth of it deleted) keeps its word counts as a maintained
     // Z-set view; the odd-doc "incoming shard" is scored against the
@@ -4580,6 +4603,37 @@ object SparkEntry {
          |SELECT n_docs,
          |       $logLogFitSelectSql
          |FROM s""".stripMargin,
+
+    // The post-churn reference (a tenth of the English slice
+    // deleted), the word-freq view's len>0 filter, the same smoothed
+    // cross-entropy fold, odd-doc batch.
+    "q_perplexity_incr" ->
+      s"""WITH refcnt AS (
+         |  SELECT token, count(*) AS rc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+         |        FROM documents WHERE lang = 'en' AND doc_id % 10 <> 8)
+         |  WHERE len(token) > 0 GROUP BY token
+         |), tot AS MATERIALIZED (
+         |  SELECT CAST(sum(rc) AS DOUBLE) AS n,
+         |         CAST(count(*) AS DOUBLE) AS v FROM refcnt
+         |), lp AS (
+         |  SELECT token,
+         |         ln((CAST(rc AS DOUBLE) + 0.5) / (n + 0.5 * v)) AS lp
+         |  FROM refcnt CROSS JOIN tot
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents WHERE doc_id % 2 = 1)
+         |  GROUP BY doc_id, token
+         |)
+         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |       ${sqlRound4(
+            s"-(${sqlSum(
+              "CAST(tf.tf AS DOUBLE) * coalesce(lp.lp, " +
+                "ln(0.5 / (tot.n + 0.5 * tot.v)))", 9)})" +
+              " / CAST(sum(tf.tf) AS DOUBLE)")} AS nll
+         |FROM tf LEFT JOIN lp USING (token) CROSS JOIN tot
+         |GROUP BY tf.doc_id""".stripMargin,
 
     // The reference-LM score is the unigramLogProb fold with add-α
     // smoothing over the ENGLISH-slice vocabulary (+ the constant

@@ -767,34 +767,14 @@ object Corpus {
     * rows. */
   def perplexityBuckets(df: DataFrame, reference: DataFrame,
                         idCol: String, textCol: String, nBins: Int = 3,
-                        alpha: Double = 0.5): DataFrame = {
-    require(alpha > 0.0, s"smoothing alpha must be positive: $alpha")
-    val refCnt = reference
-      .select(explode(Text.tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1L)).as("rc"))
-    val tot = refCnt.agg(
-      sum(col("rc")).cast("double").as("__n"),
-      count(lit(1L)).cast("double").as("__v"))
-    val lp = refCnt.crossJoin(broadcast(tot)).select(col("token"),
-      log((col("rc").cast("double") + alpha) /
-        (col("__n") + lit(alpha) * col("__v"))).as("__lp"))
-    val oov = log(lit(alpha) / (col("__n") + lit(alpha) * col("__v")))
-    val scored = df
-      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1L)).as("tf"))
-      .join(broadcast(lp), Seq("token"), "left")
-      .crossJoin(broadcast(tot))
-      .groupBy(idCol)
-      .agg(
-        graft.functions.Exact.sumExact(
-          col("tf").cast("double") * coalesce(col("__lp"), oov), 9)
-          .as("__s"),
-        sum(col("tf")).as("n_tokens"))
-      .select(col(idCol), col("n_tokens"),
-        graft.functions.Exact.roundAt(
-          -col("__s") / col("n_tokens").cast("double"), 4).as("nll"))
-    Relational.quantileBin(scored, "nll", nBins)
-  }
+                        alpha: Double = 0.5): DataFrame =
+    Relational.quantileBin(
+      perplexityScoreAgainst(df, idCol, textCol,
+        reference
+          .select(explode(Text.tokens(col(textCol))).as("token"))
+          .groupBy("token").agg(count(lit(1L)).as("cnt")),
+        alpha),
+      "nll", nBins)
 
   /** Okapi BM25 scores of every document containing at least one of
     * `queryTerms` — the retrieval-ranking step next to [[tfIdf]]:
@@ -1138,6 +1118,46 @@ object Corpus {
         log(col("__V").cast("double")).as("__y"))
     logLogFit(pts, Seq(count(lit(1L)).as("n_docs")))
       .select(col("n_docs"), col("slope"), col("intercept"), col("r2"))
+  }
+
+  /** [[perplexityBuckets]]' scoring half over any `(token, cnt)`
+    * reference-count frame — the INGEST-TIME gate: keep the curated
+    * reference corpus's word counts maintained
+    * (`IncrementalViews.refreshWordFreq` — the reference can itself
+    * churn as curation evolves) and score each incoming shard's
+    * per-token cross-entropy against the LIVE counts at O(batch
+    * tokens + vocab), zero reference rescans. Output
+    * `(idCol, n_tokens, nll)`; bucket cuts are the caller's choice
+    * (a shard gate usually compares against thresholds learned from
+    * [[perplexityBuckets]] over the standing corpus rather than
+    * re-cutting per shard). */
+  def perplexityScoreAgainst(batch: DataFrame, idCol: String,
+                             textCol: String, refCounts: DataFrame,
+                             alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"smoothing alpha must be positive: $alpha")
+    val refCnt = refCounts.select(col("token"),
+      col("cnt").cast("long").as("rc"))
+    val tot = refCnt.agg(
+      sum(col("rc")).cast("double").as("__n"),
+      count(lit(1L)).cast("double").as("__v"))
+    val lp = refCnt.crossJoin(broadcast(tot)).select(col("token"),
+      log((col("rc").cast("double") + alpha) /
+        (col("__n") + lit(alpha) * col("__v"))).as("__lp"))
+    val oov = log(lit(alpha) / (col("__n") + lit(alpha) * col("__v")))
+    batch
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1L)).as("tf"))
+      .join(broadcast(lp), Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(idCol)
+      .agg(
+        graft.functions.Exact.sumExact(
+          col("tf").cast("double") * coalesce(col("__lp"), oov), 9)
+          .as("__s"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        graft.functions.Exact.roundAt(
+          -col("__s") / col("n_tokens").cast("double"), 4).as("nll"))
   }
 
   def corpusProfile(df: DataFrame, idCol: String, textCol: String,

@@ -1747,15 +1747,14 @@ object Similarity {
     * raw ADC top-5 recall ≈ 0.25–0.5, shortlist-200 + rerank ≥ 0.95.
     * Output matches [[bruteForceTopK]]: (query_id, neighbor_id, rnk,
     * cosine), rank by (cosine desc, id). */
-  def ivfPqTopKReranked(corpus: DataFrame, queries: DataFrame,
-                        idCol: String, vecCol: String, dim: Int,
-                        k: Int, shortlist: Int = 200, nCells: Int = 16,
-                        nProbe: Int = 8, m: Int = 8,
-                        kCodes: Int = 16): DataFrame = {
-    require(shortlist >= k,
-      s"shortlist must be >= k: shortlist=$shortlist k=$k")
-    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, dim,
-        shortlist, nCells, nProbe, m, kCodes)
+  /** The shared exact-rerank tail: fetch each shortlisted candidate's
+    * float vector by a hash join on the id, exact cosine, top-k —
+    * the only rows whose embeddings leave the scan are
+    * |queries|·shortlist. */
+  private def exactRerank(short: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, idCol: String,
+                          vecCol: String, k: Int): DataFrame = {
+    val cand = short
       .select(col("query_id"), col("neighbor_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("__cv")), "neighbor_id")
@@ -1769,6 +1768,38 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         graft.functions.Exact.roundAt(col("cosine"), 4).as("cosine"))
+  }
+
+  def ivfPqTopKReranked(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, dim: Int,
+                        k: Int, shortlist: Int = 200, nCells: Int = 16,
+                        nProbe: Int = 8, m: Int = 8,
+                        kCodes: Int = 16): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist must be >= k: shortlist=$shortlist k=$k")
+    exactRerank(
+      ivfPqTopK(corpus, queries, idCol, vecCol, dim, shortlist,
+        nCells, nProbe, m, kCodes),
+      corpus, queries, idCol, vecCol, k)
+  }
+
+  /** [[ivfPqTopKReranked]] for the STORED index: the ADC shortlist
+    * comes from [[pqTopKIndexed]]'s partition-pruned code-only scan,
+    * and `corpus` supplies the candidate vectors for the exact-rerank
+    * fetch (the index stores codes only — in production that is the
+    * snapshot table [[maintainPq]] subscribes to; the fetch touches
+    * |queries|·shortlist of its rows, never a full vector scan). */
+  def pqTopKIndexedReranked(spark: org.apache.spark.sql.SparkSession,
+                            queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            path: String, shortlist: Int = 200,
+                            nProbe: Int = 8): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist must be >= k: shortlist=$shortlist k=$k")
+    exactRerank(
+      pqTopKIndexed(spark, queries, idCol, vecCol, shortlist, path,
+        nProbe),
+      corpus, queries, idCol, vecCol, k)
   }
 
   /** The [[lshRecallCheck]] contract for the IVF-PQ serve: measure

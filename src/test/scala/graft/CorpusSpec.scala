@@ -414,6 +414,16 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.perplexityBuckets(docs, ref, "doc_id", "text", alpha = 0.0)
     }
+    // the ingest-time scorer IS the buckets' scoring half: feeding it
+    // the reference's own counts reproduces the nll column exactly
+    val refCnts = ref.select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1L)).as("cnt"))
+    val viaCounts = Corpus.perplexityScoreAgainst(
+        docs, "doc_id", "text", refCnts)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    out.foreach { case (id, (_, nll, _)) =>
+      assert(viaCounts(id) == nll, s"doc $id nll diverged")
+    }
   }
 
   test("bm25 matches a hand computation on a tiny corpus") {

@@ -152,7 +152,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_bigram_lm_view_incr",
       "q_dsir_weights", "q_dsir_select", "q_dsir_score_incr",
       "q_mmr_rerank", "q_knn_ivfpq_rerank", "q_knn_ivfpq_recall",
-      "q_perplexity_bucket")
+      "q_perplexity_bucket", "q_perplexity_incr")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")

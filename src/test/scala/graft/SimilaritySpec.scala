@@ -776,6 +776,17 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfPqTopKReranked(e, q, "vec_id", "embedding",
         dim = 64, k = 10, shortlist = 5)
     }
+    // the STORED serve reranks to the identical page: same sample-init
+    // centroids+books → stored shortlist == in-memory shortlist →
+    // identical exact-rerank rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqrr").toString
+    Similarity.pqWriteIndex(e, "vec_id", "embedding", dir,
+      dim = 64, nCells = 16, m = 8, kCodes = 16)
+    val stored = Similarity.pqTopKIndexedReranked(spark, q, e,
+      "vec_id", "embedding", k = 5, path = dir)
+    assert(stored.collect().map(_.toSeq).toSet ==
+      rr.collect().map(_.toSeq).toSet,
+      "stored reranked serve must equal the in-memory rerank")
   }
 
   test("mmrRerank: greedy diversification matches a hand computation") {
