@@ -528,7 +528,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_textrank",
-      "graft_textrank(table, textCol[, window, iters, topK]) - TextRank keyword scores as (token, rank): weighted PageRank over the window-w word co-occurrence graph, `iters` fixed Jacobi iterations (see operators.Corpus.textRank)") {
+      "graft_textrank(table, textCol[, window, iters, topK]) - TextRank keyword scores as (token, rank): weighted PageRank over the window-w word co-occurrence graph, `iters` fixed Jacobi iterations; NOTE: runs the whole Jacobi job eagerly when the call is ANALYZED (the graft_knn_pq convention) and pins results to call-time data (see operators.Corpus.textRank)") {
       (s, a) =>
         require(a.length >= 2 && a.length <= 5,
           "graft_textrank takes (table, textCol[, window, iters, topK])")
@@ -542,7 +542,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_textrank_view",
-      "graft_textrank_view(viewRoot[, iters, topK]) - TextRank keywords served from the MAINTAINED co-occurrence pair view: the live graph ranks with zero corpus rescans, batch-equal to graft_textrank over the current corpus (see operators.Corpus.textRank + IncrementalViews.readCooccurrence)") {
+      "graft_textrank_view(viewRoot[, iters, topK]) - TextRank keywords served from the MAINTAINED co-occurrence pair view: the live graph ranks with zero corpus rescans, batch-equal to graft_textrank over the current corpus; NOTE: runs the Jacobi job eagerly at ANALYSIS and pins results to call-time view state (see operators.Corpus.textRank + IncrementalViews.readCooccurrence)") {
       (s, a) =>
         require(a.length >= 1 && a.length <= 3,
           "graft_textrank_view takes (viewRoot[, iters, topK])")
@@ -552,6 +552,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "a", "b", "cnt",
           iters = if (a.length >= 2) litInt(a(1), "iters") else 10,
           topK = if (a.length == 3) litInt(a(2), "topK") else 0)
+    }
+
+    tvf("graft_textrank_by",
+      "graft_textrank_by(table, keyCol, textCol[, window, iters, topK]) - PER-DOMAIN TextRank as (keyCol, token, rank[, rnk]): one keyed Jacobi chain ranks every domain's keywords in a single plan; topK > 0 keeps each domain's top-k by (rank desc, token) with the pick order; NOTE: runs eagerly at ANALYSIS like graft_textrank (see operators.Corpus.textRankBy)") {
+      (s, a) =>
+        require(a.length >= 3 && a.length <= 6,
+          "graft_textrank_by takes (table, keyCol, textCol[, window, iters, topK])")
+        val key = litStr(a(1), "keyCol")
+        operators.Corpus.textRankBy(
+          operators.Corpus.cooccurrencePairCountsBy(
+            s.table(litStr(a(0), "table")), Seq(key),
+            litStr(a(2), "textCol"),
+            window = if (a.length >= 4) litInt(a(3), "window") else 2),
+          Seq(key), "a", "b", "cnt",
+          iters = if (a.length >= 5) litInt(a(4), "iters") else 10,
+          topK = if (a.length == 6) litInt(a(5), "topK") else 0)
     }
 
     tvf("graft_knn_pq",
@@ -986,19 +1002,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     tvf("graft_hybrid_search",
-      "graft_hybrid_search(viewRoot, ivfPath, termsCsv, vecCsv, k[, kEach[, nProbe[, idCol[, spellIndexDir]]]]) - hybrid retrieval: the maintained BM25 index's top-kEach and the stored IVF index's top-kEach merged by reciprocal-rank fusion (exact-decimal fold), as (idCol, rrf, n_legs, bm25_rank, bm25, cos_rank, cosine) by rrf desc; one id space across both indexes; with a spell index attached, zero-posting text terms are corrected before ranking and the page carries corrected_terms (see IncrementalViews.hybridSearch)") {
+      "graft_hybrid_search(viewRoot, ivfPath, termsCsv, vecCsv, k[, kEach[, nProbe[, idCol[, spellIndexDir[, pqIndexDir]]]]]) - hybrid retrieval: the maintained BM25 index's top-kEach and the stored IVF index's top-kEach merged by reciprocal-rank fusion (exact-decimal fold), as (idCol, rrf, n_legs, bm25_rank, bm25, cos_rank, cosine) by rrf desc; one id space across both indexes; with a spell index attached ('' = none), zero-posting text terms are corrected before ranking and the page carries corrected_terms; with a PQ index dir, the vector leg is the stored IVF-PQ codes-only ADC serve (ivfPath ignored) and the page's score column is adist instead of cosine (see IncrementalViews.hybridSearch)") {
       (s, a) =>
-        require(a.length >= 5 && a.length <= 9,
-          "graft_hybrid_search takes (viewRoot, ivfPath, termsCsv, vecCsv, k[, kEach[, nProbe[, idCol[, spellIndexDir]]]])")
+        require(a.length >= 5 && a.length <= 10,
+          "graft_hybrid_search takes (viewRoot, ivfPath, termsCsv, vecCsv, k[, kEach[, nProbe[, idCol[, spellIndexDir[, pqIndexDir]]]]])")
         val vec = csvArg(a(3), "vecCsv").map(_.toFloat).toArray
+        // '' means "none" so SQL callers can reach the later args
+        def optDir(i: Int, what: String): Option[String] =
+          if (a.length >= i + 1 && litStr(a(i), what).nonEmpty)
+            Some(litStr(a(i), what))
+          else None
         sources.IncrementalViews.hybridSearch(s, litStr(a(0), "viewRoot"),
           litStr(a(1), "ivfPath"), csvArg(a(2), "termsCsv"), vec,
           litInt(a(4), "k"),
           kEach = if (a.length >= 6) litInt(a(5), "kEach") else 20,
           nProbe = if (a.length >= 7) litInt(a(6), "nProbe") else 4,
           idCol = if (a.length >= 8) litStr(a(7), "idCol") else "doc_id",
-          spellIndex =
-            if (a.length == 9) Some(litStr(a(8), "spellIndexDir")) else None)
+          spellIndex = optDir(8, "spellIndexDir"),
+          pqIndex = optDir(9, "pqIndexDir"))
     }
 
     tvf("graft_proximity_search",

@@ -1198,6 +1198,17 @@ object SparkEntry {
         "a", "b", "cnt", iters = 10, topK = 100)
     }),
 
+    // PER-DOMAIN TextRank: one keyword ranking per language from one
+    // keyed Jacobi chain (every join/agg carries the domain key — one
+    // plan for all domains, not a driver loop of per-slice jobs);
+    // top-20 per language with the pick order. The oracle unrolls the
+    // identical keyed iterations as chained CTEs.
+    "q_textrank_by" -> ((s, dir) =>
+      Corpus.textRankBy(
+        Corpus.cooccurrencePairCountsBy(
+          Tables.documents(s, dir), Seq("lang"), "text", window = 2),
+        Seq("lang"), "a", "b", "cnt", iters = 10, topK = 20)),
+
     "q_bm25" -> ((s, dir) =>
       Corpus.bm25(Tables.documents(s, dir), "doc_id", "text", bm25Terms)),
 
@@ -2358,6 +2369,60 @@ object SparkEntry {
        |SELECT token, ${graft.functions.Exact.roundAtSql("score", 6)} AS "rank"
        |FROM it$iters
        |ORDER BY 2 DESC, token LIMIT $topK""".stripMargin
+  }
+
+  /** [[textRankOracleSql]] KEYED by a domain column: the identical
+    * unrolled Jacobi chain with every CTE carrying `lang`, finished by
+    * a per-domain top-k window — mirrors Corpus.textRankBy. */
+  private def textRankByOracleSql(iters: Int, damping: Double,
+                                  topK: Int): String = {
+    val base = (1.0 - damping).toString
+    val contrib =
+      "CAST((CAST(g.w AS DOUBLE) * p.score) / CAST(g.outw AS DOUBLE) " +
+        "AS DECIMAL(30,9))"
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS MATERIALIZED (
+         |  SELECT g.lang, g.dst AS token,
+         |         CAST($base AS DOUBLE) + CAST($damping AS DOUBLE)
+         |           * CAST(sum($contrib) AS DOUBLE) AS score
+         |  FROM g JOIN it${i - 1} p
+         |    ON g.lang = p.lang AND g.src = p.token
+         |  GROUP BY g.lang, g.dst)""".stripMargin
+    }
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT lang, doc_id, u.z[1] AS token, CAST(u.z[2] AS BIGINT) AS pos
+       |  FROM (SELECT lang, doc_id, string_split(text, ' ') AS s
+       |        FROM documents),
+       |       unnest(list_zip(s, range(0, len(s)))) AS u(z)
+       |), prs AS MATERIALIZED (
+       |  SELECT x.lang, x.token AS a, y.token AS b
+       |  FROM toks x JOIN toks y ON x.doc_id = y.doc_id
+       |   AND y.pos - x.pos BETWEEN 1 AND 2
+       |), cnt AS (
+       |  SELECT lang, a, b, count(*) AS cnt FROM prs GROUP BY lang, a, b
+       |), sym AS (
+       |  SELECT lang, a AS src, b AS dst, cnt AS w FROM cnt WHERE a <> b
+       |  UNION ALL
+       |  SELECT lang, b AS src, a AS dst, cnt AS w FROM cnt WHERE a <> b
+       |), e AS (
+       |  SELECT lang, src, dst, sum(w) AS w FROM sym GROUP BY lang, src, dst
+       |), o AS (SELECT lang, src, sum(w) AS outw FROM e GROUP BY lang, src),
+       |g AS MATERIALIZED (
+       |  SELECT e.lang, e.src, e.dst, e.w, o.outw
+       |  FROM e JOIN o USING (lang, src)
+       |), it0 AS (
+       |  SELECT DISTINCT lang, src AS token, CAST(1.0 AS DOUBLE) AS score
+       |  FROM g),
+       |${steps.mkString(",\n")},
+       |ranked AS (
+       |  SELECT lang, token,
+       |         ${graft.functions.Exact.roundAtSql("score", 6)} AS r6,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY ${graft.functions.Exact.roundAtSql("score", 6)}
+       |             DESC, token) AS rnk
+       |  FROM it$iters)
+       |SELECT lang, token, r6 AS "rank", CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $topK""".stripMargin
   }
 
   /** TF-IDF oracle over `documents`, optionally restricted by a
@@ -4262,6 +4327,11 @@ object SparkEntry {
 
     "q_textrank" -> textRankOracleSql("", iters = 10,
       damping = 0.85, topK = 100),
+
+    // per-domain keyed Jacobi == the same unrolled chain with every
+    // CTE carrying lang + a per-domain top-k window
+    "q_textrank_by" -> textRankByOracleSql(iters = 10,
+      damping = 0.85, topK = 20),
 
     // the maintained-graph serve must equal the batch TextRank over
     // the final live documents

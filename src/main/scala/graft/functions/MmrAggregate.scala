@@ -57,6 +57,29 @@ case class MmrSelect(
       newChildren: IndexedSeq[Expression]): MmrSelect =
     copy(rel = newChildren(0), id = newChildren(1), vec = newChildren(2))
 
+  /** Fail-by-name type contract: `toFloatArray()` on an UnsafeArrayData
+    * backing an `array<double>` column would do a raw 4-byte-per-
+    * element copy — silently plausible-but-wrong cosines. The vec
+    * child must already BE float (callers cast; [[graft.operators
+    * .Similarity.mmrRerank]] does), rel double, id long. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (rel.dataType != DoubleType)
+      TypeCheckFailure(
+        s"graft_mmr rel must be DOUBLE, got ${rel.dataType.sql}")
+    else if (id.dataType != LongType)
+      TypeCheckFailure(
+        s"graft_mmr id must be BIGINT, got ${id.dataType.sql}")
+    else vec.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        "graft_mmr vec must be ARRAY<FLOAT> (cast the column — a raw " +
+          s"read of another element width is silent garbage), got " +
+          other.sql)
+    }
+  }
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("rnk", LongType, nullable = false),
@@ -83,17 +106,32 @@ case class MmrSelect(
     val i = id.eval(input)
     val v = vec.eval(input)
     if (r != null && i != null && v != null) {
-      buf += ((r.asInstanceOf[Double], i.asInstanceOf[Long],
-        v.asInstanceOf[ArrayData].toFloatArray()))
+      val arr = v.asInstanceOf[ArrayData].toFloatArray()
+      // one length check per ROW (not per cosine): a mismatched
+      // candidate page fails by name instead of truncating into a
+      // wrong-but-plausible similarity
+      requireSameDim(buf, arr)
+      buf += ((r.asInstanceOf[Double], i.asInstanceOf[Long], arr))
       bound(buf)
     }
     buf
   }
 
+  private def requireSameDim(
+      buf: ArrayBuffer[(Double, Long, Array[Float])],
+      v: Array[Float]): Unit =
+    if (buf.nonEmpty && buf.head._3.length != v.length)
+      throw new IllegalStateException(
+        s"graft_mmr: candidate vectors disagree on dimension " +
+          s"(${buf.head._3.length} vs ${v.length}) — a malformed page " +
+          "must fail by name, not truncate into a plausible cosine")
+
   override def merge(
       buf: ArrayBuffer[(Double, Long, Array[Float])],
       other: ArrayBuffer[(Double, Long, Array[Float])])
       : ArrayBuffer[(Double, Long, Array[Float])] = {
+    if (buf.nonEmpty) other.headOption.foreach(t =>
+      requireSameDim(buf, t._3))
     buf ++= other
     bound(buf)
     buf
@@ -105,7 +143,8 @@ case class MmrSelect(
   private def cos(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    // lengths are equal by the update()/merge() per-row contract
+    val n = a.length
     while (i < n) {
       val x = a(i).toDouble; val y = b(i).toDouble
       d += x * y; na += x * x; nb += y * y

@@ -1046,14 +1046,55 @@ object Corpus {
     * MAINTAINED form: point it at the live word-frequency view
     * (`IncrementalViews.refreshWordFreq`'s Z-set counts) and the card
     * statistic re-fits on vocab-bounded state with ZERO corpus
-    * rescans as the corpus churns. */
-  def zipfFitFromCounts(counts: DataFrame): DataFrame = {
+    * rescans as the corpus churns.
+    *
+    * Ranking is the [[heapsFit]] two-level prefix, never one global
+    * window task (a web-scale vocabulary has 10⁸–10⁹ types): rank =
+    * (tokens in HIGHER freq classes — a carry window over the tiny
+    * distinct-freq table) + (same-freq tokens in lower hash
+    * sub-buckets — per-(freq, sub) counts) + a row_number bounded to
+    * one (freq, sub) cell, so no task ever sorts more than
+    * ~|vocab|/buckets rows even in the giant freq=1 class. The fit
+    * is INVARIANT to which same-freq token gets which rank (equal
+    * freq ⇒ equal __y, and a tie block always occupies the same rank
+    * RANGE), so hash-bucketed tie assignment reproduces the global
+    * (freq desc, token) window's moments bit-exactly — oracle hashes
+    * unchanged. */
+  def zipfFitFromCounts(counts: DataFrame,
+                        buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
     val freq = counts.select(col("token"),
       col("cnt").cast("long").as("freq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("token"))
+      .withColumn("__sub", pmod(xxhash64(col("token")),
+        lit(buckets.toLong)))
+    val cellSizes = freq.groupBy(col("freq"), col("__sub"))
+      .agg(count(lit(1L)).as("__bn"))
+    // same-freq carry: tokens of this freq in LOWER sub-buckets —
+    // a keyed window over the ≤buckets-rows-per-freq cell table
+    val wSub = org.apache.spark.sql.expressions.Window
+      .partitionBy("freq").orderBy("__sub")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val subCarry = cellSizes.select(col("freq"), col("__sub"),
+      coalesce(sum(col("__bn")).over(wSub), lit(0L)).as("__cs"))
+    // cross-class carry: tokens in strictly HIGHER freq classes — the
+    // partition-less window runs over the TINY distinct-freq table
+    // (the heapsFit bucket-table discipline), never the vocabulary
+    val wF = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val fCarry = cellSizes.groupBy("freq")
+      .agg(sum(col("__bn")).as("__fn"))
+      .select(col("freq"),
+        coalesce(sum(col("__fn")).over(wF), lit(0L)).as("__cf"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("freq", "__sub").orderBy("token")
     val pts = freq
-      .withColumn("__r", row_number().over(w))
+      .join(subCarry, Seq("freq", "__sub"))
+      .join(broadcast(fCarry), Seq("freq"))
+      .withColumn("__r",
+        col("__cf") + col("__cs") + row_number().over(wIn))
       .select(col("freq"),
         log(col("__r").cast("double")).as("__x"),
         log(col("freq").cast("double")).as("__y"))
@@ -1303,6 +1344,31 @@ object Corpus {
       .groupBy("a", "b").agg(count(lit(1L)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
+  /** [[cooccurrencePairCounts]] KEYED by domain columns — one pass
+    * over corpus tokens yields every domain's co-occurrence graph at
+    * once (`(keyCols…, a, b, cnt)`), the input shape [[textRankBy]]
+    * wants. Same window/minCount semantics per slice as the global
+    * operator over that slice alone. */
+  def cooccurrencePairCountsBy(df: DataFrame, keyCols: Seq[String],
+                               textCol: String, window: Int = 2,
+                               minCount: Long = 1): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    require(keyCols.nonEmpty, "cooccurrencePairCountsBy needs keys")
+    val keys = keyCols.map(col)
+    val toks = df.select(keys :+ Text.tokens(col(textCol)).as("__t"): _*)
+    toks.select(keys :+ explode(flatten(
+        transform(sequence(lit(1), lit(window)), d =>
+          zip_with(
+            slice(col("__t"), lit(1), greatest(size(col("__t")) - d, lit(0))),
+            slice(col("__t"), d + lit(1),
+              greatest(size(col("__t")) - d, lit(0))),
+            (x, y) => struct(x.as("a"), y.as("b")))))).as("p"): _*)
+      .select(keys ++ Seq(col("p.a").as("a"), col("p.b").as("b")): _*)
+      .groupBy(keys :+ col("a") :+ col("b"): _*)
+      .agg(count(lit(1L)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   def cooccurrence(df: DataFrame, textCol: String,
                    window: Int = 2, minCount: Long = 1): DataFrame = {
     val pairs = cooccurrencePairs(df, textCol, window)
@@ -1347,7 +1413,13 @@ object Corpus {
     * one partial-agg shuffle over edges — the standard distributed
     * PageRank shape — chained LAZILY into a single action (no
     * per-iteration driver barriers; AQE right-sizes each iteration's
-    * shuffle at runtime). */
+    * shuffle at runtime).
+    *
+    * NOTE: the call itself is EAGER — the Jacobi job runs NOW (so the
+    * cached graph can be released before returning) and the returned
+    * frame is pinned to call-time data: topK > 0 returns the k rows
+    * as driver literals, topK == 0 an eager localCheckpoint. A later
+    * action replays neither the iterations nor the source scan. */
   def textRank(pairs: DataFrame, aCol: String, bCol: String,
                wCol: String, iters: Int = 10, damping: Double = 0.85,
                topK: Int = 0): DataFrame = {
@@ -1402,6 +1474,75 @@ object Corpus {
         val rows = top.collect().toSeq
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), top.schema)
+      }
+    g.unpersist()
+    out
+  }
+
+  /** PER-DOMAIN [[textRank]]: one keyword ranking per key group (e.g.
+    * per language, per source domain) from a pair-count frame that
+    * carries the key columns — every join and aggregation of the
+    * Jacobi chain is KEYED by `keyCols`, so the whole multi-domain
+    * report is ONE plan (each iteration one hash join + one
+    * partial-agg shuffle over all domains' edges together), not a
+    * driver loop of per-slice jobs. Per-domain output is provably the
+    * solo [[textRank]] over that domain's slice (spec-asserted): the
+    * keyed graph never mixes edges across keys.
+    *
+    * `topK > 0` keeps each DOMAIN's top-k by (rank desc, token) with
+    * a per-pick `rnk` — a keyed window over the vocab-bounded score
+    * table, never a global sort. Output `(keyCols…, token, rank[,
+    * rnk])`. Same eager-evaluation contract as [[textRank]]: the
+    * returned frame owns its blocks, the cached graph is released. */
+  def textRankBy(pairs: DataFrame, keyCols: Seq[String], aCol: String,
+                 bCol: String, wCol: String, iters: Int = 10,
+                 damping: Double = 0.85, topK: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty,
+      "textRankBy needs at least one key column (use textRank for " +
+        "the global ranking)")
+    require(iters >= 1 && iters <= 50,
+      s"iters must be in [1, 50]: $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1): $damping")
+    require(topK >= 0, s"topK must be non-negative: $topK")
+    val keys = keyCols.map(col)
+    val fwd = pairs.select(keys ++ Seq(col(aCol).as("__src"),
+      col(bCol).as("__dst"), col(wCol).cast("long").as("__w")): _*)
+    val rev = pairs.select(keys ++ Seq(col(bCol).as("__src"),
+      col(aCol).as("__dst"), col(wCol).cast("long").as("__w")): _*)
+    val edges = fwd.union(rev).filter(col("__src") =!= col("__dst"))
+      .groupBy(keys :+ col("__src") :+ col("__dst"): _*)
+      .agg(sum(col("__w")).as("__w"))
+    val outW = edges.groupBy(keys :+ col("__src"): _*)
+      .agg(sum(col("__w")).as("__out"))
+    val g = edges.join(outW, keyCols :+ "__src").persist()
+    g.count() // fill the cache before it fans out `iters` ways
+    var scores = g.select(keys :+ col("__src").as("token"): _*).distinct()
+      .withColumn("__score", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = (col("__w").cast("double") * col("__score") /
+        col("__out").cast("double")).cast("decimal(30,9)")
+      scores = g.join(scores.withColumnRenamed("token", "__src"),
+          keyCols :+ "__src")
+        .groupBy(keys :+ col("__dst"): _*)
+        .agg(sum(contrib).as("__s"))
+        .select(keys ++ Seq(col("__dst").as("token"),
+          (lit(1.0 - damping) +
+            lit(damping) * col("__s").cast("double")).as("__score")): _*)
+    }
+    val ranked = scores.select(keys ++ Seq(col("token"),
+      graft.functions.Exact.roundAt(col("__score"), 6).as("rank")): _*)
+    val out =
+      if (topK == 0) ranked.localCheckpoint(true)
+      else {
+        // per-domain top-k: a KEYED window over the vocab-bounded
+        // score table (bounded partitions — one per domain)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys: _*)
+          .orderBy(col("rank").desc, col("token"))
+        ranked.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= topK)
+          .localCheckpoint(true)
       }
     g.unpersist()
     out

@@ -1331,7 +1331,12 @@ object Similarity {
       graft.functions.MmrSelect(
         ColumnBridge.expression(col(relCol).cast("double")),
         ColumnBridge.expression(col(idCol).cast("long")),
-        ColumnBridge.expression(col(vecCol)),
+        // array<float> by contract: MmrSelect reads the buffer with
+        // toFloatArray(), and an uncast array<double> page (e.g.
+        // randomProject's `proj`) would raw-copy 4 of each element's
+        // 8 bytes into silent garbage — the cast makes any numeric
+        // element type safe and a non-array fails analysis by name
+        ColumnBridge.expression(col(vecCol).cast("array<float>")),
         k, lambda, maxCandidates).toAggregateExpression())
     cands.groupBy(col(queryCol)).agg(agg.as("__sel"))
       .select(col(queryCol), explode(col("__sel")).as("__s"))
@@ -1609,17 +1614,77 @@ object Similarity {
         (s, c, books(s)(c).toSeq)))
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").json(s"$path/books")
-    val out = f.create(
-      new org.apache.hadoop.fs.Path(s"$path/_graft_pq_meta.json"), true)
-    try out.write(s"""{"dim":$dim,"m":$m,"kCodes":$kCodes}"""
-      .getBytes("UTF-8")) finally out.close()
+    pqWriteMeta(spark, path, dim, m, kCodes, gen = 0)
   }
 
+  /** Storage generation of a stored PQ index — the [[ivfGen]]
+    * discipline: [[pqRetrain]] publishes `codes-g<n+1>` /
+    * `books-g<n+1>` / `centroids-g<n+1>` and flips this pointer only
+    * after the full rewrite lands, so a serve racing a retrain reads
+    * EITHER generation's complete (codes, books, centroids) triple,
+    * never a half-written mix. Indexes written before generations
+    * existed carry no `gen` field and read as generation 0. */
+  def pqGen(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    pqMetaFields(spark, path)._4
+
+  /** One read of `_graft_pq_meta.json` → (dim, m, kCodes, gen).
+    * Callers that touch codes AND books/centroids resolve the
+    * generation ONCE here so a concurrent [[pqRetrain]] flip can
+    * never pair new books with old codes. */
+  private def pqMetaFields(spark: org.apache.spark.sql.SparkSession,
+                           path: String): (Int, Int, Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_pq_meta.json")
+    val f = ivfFs(spark, path)
+    require(f.exists(p),
+      s"no PQ index at $path: _graft_pq_meta.json is missing " +
+        "(pqWriteIndex always writes it)")
+    val in = f.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def field(k: String): Int =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"corrupt PQ meta at $p: $s"))
+    val gen = (""""gen":(\d+)""").r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
+    (field("dim"), field("m"), field("kCodes"), gen)
+  }
+
+  private def pqWriteMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String, dim: Int, m: Int, kCodes: Int,
+                          gen: Int): Unit = {
+    val out = ivfFs(spark, path).create(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_pq_meta.json"), true)
+    try out.write(
+      s"""{"dim":$dim,"m":$m,"kCodes":$kCodes,"gen":$gen}"""
+        .getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Generation-suffixed artifact dir ([[ivfCellsPath]] pattern):
+    * gen 0 keeps the unsuffixed build-time names. */
+  private def pqArtifactPath(path: String, name: String, gen: Int): String =
+    if (gen == 0) s"$path/$name" else s"$path/$name-g$gen"
+
+  private def pqReadCentsAt(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            gen: Int): Array[(Long, Array[Float])] =
+    spark.read.json(pqArtifactPath(path, "centroids", gen))
+      .select(col("cell_id").cast("long"),
+        col("centroid").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
   /** The stored codebooks back as [[pqTrain]]'s shape — bounded
-    * driver metadata (m·kCodes·dim/m doubles). */
+    * driver metadata (m·kCodes·dim/m doubles), at the CURRENT
+    * generation. Internal paths that also read codes use
+    * [[pqReadBooksAt]] with a single [[pqMetaFields]] resolution. */
   def pqReadBooks(spark: org.apache.spark.sql.SparkSession,
-                  path: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.json(s"$path/books")
+                  path: String): Array[Array[Array[Double]]] =
+    pqReadBooksAt(spark, path, pqGen(spark, path))
+
+  private def pqReadBooksAt(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            gen: Int): Array[Array[Array[Double]]] = {
+    val rows = spark.read.json(pqArtifactPath(path, "books", gen))
       .select(col("sub").cast("int"), col("code").cast("int"),
         col("centroid").cast("array<double>"))
       .collect()
@@ -1638,17 +1703,8 @@ object Similarity {
     * NULL ADC distance that sorts FIRST (silent garbage top-k). */
   def pqReadMeta(spark: org.apache.spark.sql.SparkSession,
                  path: String): (Int, Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_pq_meta.json")
-    val f = ivfFs(spark, path)
-    require(f.exists(p),
-      s"no PQ index at $path: _graft_pq_meta.json is missing " +
-        "(pqWriteIndex always writes it)")
-    val in = f.open(p)
-    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    def field(k: String): Int =
-      (s""""$k":(\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toInt)
-        .getOrElse(sys.error(s"corrupt PQ meta at $p: $s"))
-    (field("dim"), field("m"), field("kCodes"))
+    val (dim, m, kCodes, _) = pqMetaFields(spark, path)
+    (dim, m, kCodes)
   }
 
   /** Fail-loud check that the stored books match the stored meta —
@@ -1678,17 +1734,21 @@ object Similarity {
     * encode the batch against the STORED centroids/books and append
     * into the hit cell partitions — O(batch), no file rewritten, no
     * re-training (code quality degrades only as far as the frozen
-    * books do; re-run [[pqWriteIndex]] with `iters` when
-    * [[pqDistortion]] over a sample says drift warrants it). Ids must
+    * books do; run [[pqRetrain]] — a publish-then-point generation
+    * flip, no serve downtime — when [[pqDistortion]] over a sample
+    * says drift warrants it). Ids must
     * be unique across appends. Erasure = [[ivfTombstone]] at the same
     * path (the serve anti-joins the shared tombstones dir). */
   def pqAppend(spark: org.apache.spark.sql.SparkSession,
                batch: DataFrame, idCol: String, vecCol: String,
                path: String): Unit =
     IndexMaintenance.withWriterLock(spark, path, "Similarity.pqAppend") {
-      val (dim, m, kCodes) = pqReadMeta(spark, path)
-      val cents = ivfReadCentroidsAt(spark, path, 0)
-      val books = pqReadBooks(spark, path)
+      // one meta read pins (shape, generation) together — the batch
+      // encodes with the SAME generation's books/centroids it appends
+      // codes into (the writer lock serializes against pqRetrain)
+      val (dim, m, kCodes, gen) = pqMetaFields(spark, path)
+      val cents = pqReadCentsAt(spark, path, gen)
+      val books = pqReadBooksAt(spark, path, gen)
       requirePqShape(books, dim, m, kCodes, path)
       val subd = books(0)(0).length
       val vec = requireVecDim(col(vecCol), dim, "Similarity.pqAppend")
@@ -1697,8 +1757,71 @@ object Similarity {
           bestCell(cents, vec).as("cell"),
           array(books.indices.map(s =>
             pqCodeCol(vec, books(s), s, subd)): _*).as("codes"))
-        .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+        .write.partitionBy("cell").mode("append")
+        .parquet(pqArtifactPath(path, "codes", gen))
     }
+
+  /** ATOMIC drift retrain for a stored IVF-PQ index — the
+    * [[ivfRecluster]] publish-then-point discipline, never an
+    * in-place rebuild: fresh centroids + codebooks learn from the
+    * LIVE corpus and the full re-encode lands in `codes-g<n+1>` /
+    * `centroids-g<n+1>` / `books-g<n+1>` BEFORE the meta pointer
+    * flips, so a serve racing the retrain reads either generation's
+    * complete triple — never a missing meta or a new-books/old-codes
+    * mix. Tombstones are implicitly applied (the rewrite reads the
+    * live corpus, not the old codes) and retired with the old
+    * generation; the retired directories land in the vacuum ledger
+    * for [[pqVacuum]] to reclaim once in-flight readers drain. A
+    * crash mid-retrain leaves orphan next-gen dirs the retry
+    * overwrites — the pointer still names the old, complete
+    * generation. Writers serialize on the index lock. */
+  def pqRetrain(spark: org.apache.spark.sql.SparkSession,
+                corpus: DataFrame, idCol: String, vecCol: String,
+                path: String, dim: Int, nCells: Int = 16,
+                m: Int = 8, kCodes: Int = 16, iters: Int = 0): Unit =
+    IndexMaintenance.withWriterLock(spark, path, "Similarity.pqRetrain") {
+      val gen = pqMetaFields(spark, path)._4 // retrain needs an index
+      val next = gen + 1
+      val f = ivfFs(spark, path)
+      val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      val alreadyRetired = IndexMaintenance.retiredPaths(spark, path)
+      val tombFiles =
+        if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath)
+          .filter(p => !alreadyRetired.contains(p.toString)).toSeq
+        else Nil
+      val cents = sampleCentroids(corpus, idCol, vecCol, nCells)
+      val books = pqTrain(corpus, idCol, vecCol, dim, m, kCodes, iters)
+      val subd = dim / m
+      corpus.select(
+          col(idCol).as("neighbor_id"),
+          bestCell(cents, col(vecCol)).as("cell"),
+          array((0 until m).map(s =>
+            pqCodeCol(col(vecCol), books(s), s, subd)): _*).as("codes"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(pqArtifactPath(path, "codes", next))
+      import corpus.sparkSession.implicits._
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .json(pqArtifactPath(path, "centroids", next))
+      books.indices.flatMap(s => books(s).indices.map(c =>
+          (s, c, books(s)(c).toSeq)))
+        .toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .json(pqArtifactPath(path, "books", next))
+      pqWriteMeta(spark, path, dim, m, kCodes, next) // the flip
+      IndexMaintenance.recordRetired(spark, path, s"pq-retrain-g$gen",
+        Seq("codes", "centroids", "books")
+          .map(pqArtifactPath(path, _, gen)) ++
+          tombFiles.map(_.toString))
+    }
+
+  /** Reclaim directories and tombstone files retired by past
+    * [[pqRetrain]] runs — call once queries that started before the
+    * generation flip have drained. Idempotent. */
+  def pqVacuum(spark: org.apache.spark.sql.SparkSession,
+               path: String): Int =
+    IndexMaintenance.vacuum(spark, path)
 
   /** Query a stored IVF-PQ index: probe cells become a literal
     * partition filter over the CODES directories (the scan opens
@@ -1707,11 +1830,15 @@ object Similarity {
     * anti-joined, ADC exactly as [[pqTopK]]. */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                     queries: DataFrame, idCol: String, vecCol: String,
-                    k: Int, path: String, nProbe: Int = 4): DataFrame = {
+                    k: Int, path: String, nProbe: Int = 4,
+                    excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    val (dim, m, kCodes) = pqReadMeta(spark, path)
-    val cents = ivfReadCentroidsAt(spark, path, 0)
-    val books = pqReadBooks(spark, path)
+    // one meta read resolves shape AND generation: a pqRetrain flip
+    // mid-plan can never pair new books with old codes (the retired
+    // generation outlives in-flight readers until pqVacuum)
+    val (dim, m, kCodes, gen) = pqMetaFields(spark, path)
+    val cents = pqReadCentsAt(spark, path, gen)
+    val books = pqReadBooksAt(spark, path, gen)
     requirePqShape(books, dim, m, kCodes, path)
     val qProbes = queries
       .select(col(idCol).as("query_id"),
@@ -1721,13 +1848,19 @@ object Similarity {
     val probedCells = qProbes.select("cell").distinct()
       .collect().map(_.getLong(0))
     val candidates = ivfLive(spark, path,
-      spark.read.parquet(s"$path/codes")
+      spark.read.parquet(pqArtifactPath(path, "codes", gen))
         .filter(col("cell").isin(probedCells: _*)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id"))
-    candidates.join(broadcast(qProbes), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val joined = candidates.join(broadcast(qProbes), "cell")
+    // excludeSelf=false is for EXTERNAL queries (the ivfTopKIndexed
+    // convention — e.g. hybridSearch's synthetic probe id): an id
+    // collision with a corpus vector is then a coincidence, not a
+    // self-match to suppress
+    (if (excludeSelf)
+       joined.filter(col("neighbor_id") =!= col("query_id"))
+     else joined)
       .withColumn("adist", pqAdcDist(books))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -1802,6 +1935,40 @@ object Similarity {
       corpus, queries, idCol, vecCol, k)
   }
 
+  /** [[pqTopKIndexedReranked]] with the corpus as a SNAPSHOT TABLE —
+    * the [[maintainPq]] production shape, with the rerank fetch
+    * actually PRUNED: the ADC shortlist collects once (bounded driver
+    * metadata, |queries|·shortlist ids — the winner-id-literal serve
+    * discipline), and the candidates' float vectors come from
+    * [[graft.sources.Snapshots.readPoints]], which opens ONLY the
+    * corpus files whose id-range stats overlap a shortlisted id and
+    * whose id blooms fire — never a full vector-column scan. At
+    * 100 TB this is the difference between reading a handful of
+    * parquet files and re-scanning every embedding ever committed
+    * just to join out ~|queries|·shortlist rows. */
+  def pqTopKIndexedRerankedStored(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, corpusDir: String,
+      idCol: String, vecCol: String, k: Int,
+      path: String, shortlist: Int = 200,
+      nProbe: Int = 8): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist must be >= k: shortlist=$shortlist k=$k")
+    val sdf = pqTopKIndexed(spark, queries, idCol, vecCol, shortlist,
+      path, nProbe).select("query_id", "neighbor_id")
+    val rows = sdf.collect()
+    // literal page: the codes-only ADC scan ran exactly once
+    val short = spark.createDataFrame(
+      java.util.Arrays.asList(rows.toIndexedSeq: _*), sdf.schema)
+    val ids = rows.map(_.get(1)).distinct.toIndexedSeq
+    val fetched =
+      if (ids.isEmpty) graft.sources.Snapshots.read(spark, corpusDir)
+        .limit(0)
+      else graft.sources.Snapshots.readPoints(spark, corpusDir, idCol,
+        ids)
+    exactRerank(short, fetched, queries, idCol, vecCol, k)
+  }
+
   /** The [[lshRecallCheck]] contract for the IVF-PQ serve: measure
     * [[ivfPqTopKReranked]]'s recall against [[bruteForceTopK]] on the
     * SAME (corpus, queries, k) and emit the one-row verdict
@@ -1831,8 +1998,11 @@ object Similarity {
         col("n_queries"),
         lit(k.toLong).as("k"),
         lit(floor).as("recall_floor"),
+        // an empty query/corpus (denom 0 → null ratio) must read as a
+        // FAILED contract, not a vacuous pass — an accidentally empty
+        // input cannot masquerade as met recall
         coalesce(col("__num").cast("double") / col("__denom") >= floor,
-          lit(true)).as("recall_ok"))
+          lit(false)).as("recall_ok"))
   }
 
   private def pqBaselinePath(path: String) =
@@ -1844,6 +2014,12 @@ object Similarity {
     * data" from "the books were never better than this". */
   def pqRecordBaseline(spark: org.apache.spark.sql.SparkSession,
                        path: String, mse: Double): Unit = {
+    // a NaN/Inf baseline (zero-norm vectors, empty sample) would
+    // serialize as invalid JSON and make every later `mse > base·tol`
+    // comparison false — silently disabling drift retrain forever
+    require(!mse.isNaN && !mse.isInfinite,
+      s"refusing to record a degenerate PQ baseline ($mse) at $path " +
+        "— the distortion sample is empty or holds zero-norm vectors")
     val out = ivfFs(spark, path).create(pqBaselinePath(path), true)
     try out.write(s"""{"mse":$mse}""".getBytes("UTF-8"))
     finally out.close()
@@ -1874,18 +2050,27 @@ object Similarity {
     *    skipped with a named log line when no index exists yet (the
     *    delete-only-first-batch edge);
     *  - every `retrainEvery`-th batch, [[pqDistortion]] of the FROZEN
-    *    books over a bounded sample of the live table (as of the
-    *    batch's last fed version — rows the feed has not delivered
-    *    yet must not leak into the probe) is compared against the
+    *    books over a bounded DETERMINISTIC sample of the live table
+    *    (as of the batch's last fed version — rows the feed has not
+    *    delivered yet must not leak into the probe; rows chosen by
+    *    hash order, so two evaluations and two restarts pick the SAME
+    *    rows and drift decisions never flap) is compared against the
     *    baseline: measured MSE > baseline·(1+retrainTol) ⇒ the books
     *    no longer fit the drifted distribution, and the maintainer
-    *    REBUILDS the whole index from that same pinned version and
-    *    re-records the baseline, exactly once per drift episode.
+    *    RETRAINS into the next storage generation ([[pqRetrain]] —
+    *    publish-then-point, a racing serve reads either complete
+    *    generation) from that same pinned version and re-records the
+    *    baseline over the SAME pinned probe, exactly once per drift
+    *    episode;
+    *  - every `vacuumEvery`-th batch (opt-in, 0 = never — the
+    *    [[maintainIvf]] cadence), retired generations reclaim via
+    *    [[pqVacuum]] once the operator deems in-flight readers
+    *    drained.
     *
     * The probe reads `sampleN` rows (bounded work per tick,
-    * independent of corpus size); the rebuild is the full
+    * independent of corpus size); the retrain is the full
     * re-encode — the same cost an operator would pay calling
-    * [[pqWriteIndex]] by hand, just without having to watch the
+    * [[pqRetrain]] by hand, just without having to watch the
     * distortion dashboard. The process-local tick counter resets on
     * restart (operational cadence, not transactional — the
     * housekeepEvery discipline). */
@@ -1895,12 +2080,14 @@ object Similarity {
                  nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
                  iters: Int = 0, retrainEvery: Int = 1,
                  retrainTol: Double = 0.25, sampleN: Int = 2048,
+                 vacuumEvery: Int = 0,
                  trigger: org.apache.spark.sql.streaming.Trigger =
                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(retrainEvery >= 0, s"retrainEvery must be >= 0: $retrainEvery")
     require(retrainTol > 0.0, s"retrainTol must be positive: $retrainTol")
     require(sampleN >= 1, s"sampleN must be positive: $sampleN")
+    require(vacuumEvery >= 0, s"vacuumEvery must be >= 0: $vacuumEvery")
     import graft.sources.Snapshots
     val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
     Snapshots.changesStream(spark, srcDir)
@@ -1919,12 +2106,20 @@ object Similarity {
             def indexed = f.exists(new org.apache.hadoop.fs.Path(
               s"$path/_graft_pq_meta.json"))
             val fresh = !indexed
+            // hash-ordered top-N = a deterministic bounded sample
+            // (TakeOrdered — per-partition heaps, no full sort): two
+            // evaluations or two restarts pick the SAME rows, so the
+            // recorded baseline and every drift decision is stable
+            def probeOf(df: DataFrame): DataFrame = df
+              .select(col(idCol), col(vecCol))
+              .orderBy(xxhash64(col(idCol)), col(idCol))
+              .limit(sampleN)
             if (ins.head(1).nonEmpty) {
               if (fresh) {
                 pqWriteIndex(ins, idCol, vecCol, path, dim, nCells,
                   m, kCodes, iters)
                 pqRecordBaseline(spark, path, pqDistortion(
-                  ins.limit(sampleN), idCol, vecCol,
+                  probeOf(ins), idCol, vecCol,
                   pqReadBooks(spark, path)))
               } else pqAppend(spark, ins, idCol, vecCol, path)
             }
@@ -1941,17 +2136,26 @@ object Similarity {
               pqReadBaseline(spark, path).foreach { base =>
                 val live = Snapshots.read(spark, srcDir,
                   version = Some(maxV))
-                val probe = live.select(col(idCol), col(vecCol))
-                  .limit(sampleN)
-                val mse = pqDistortion(probe, idCol, vecCol,
-                  pqReadBooks(spark, path))
-                if (mse > base * (1.0 + retrainTol)) {
-                  pqWriteIndex(live.select(col(idCol), col(vecCol)),
-                    idCol, vecCol, path, dim, nCells, m, kCodes, iters)
-                  pqRecordBaseline(spark, path, pqDistortion(
-                    probe, idCol, vecCol, pqReadBooks(spark, path)))
-                }
+                // deterministic AND pinned once: the same probe rows
+                // score the frozen books for the drift check and, if
+                // it fires, the fresh books for the new baseline
+                val probe = probeOf(live).persist()
+                try {
+                  val mse = pqDistortion(probe, idCol, vecCol,
+                    pqReadBooks(spark, path))
+                  if (mse > base * (1.0 + retrainTol)) {
+                    pqRetrain(spark,
+                      live.select(col(idCol), col(vecCol)),
+                      idCol, vecCol, path, dim, nCells, m, kCodes,
+                      iters)
+                    pqRecordBaseline(spark, path, pqDistortion(
+                      probe, idCol, vecCol, pqReadBooks(spark, path)))
+                  }
+                } finally { probe.unpersist(); () }
               }
+            if (vacuumEvery > 0 && tick % vacuumEvery == 0) {
+              pqVacuum(spark, path); ()
+            }
           }
         } finally { df.unpersist(); () }
       }.start()

@@ -2339,14 +2339,24 @@ object IncrementalViews {
     * silently starve the text leg and degrade the fused page to
     * vector-only — corrected terms rank instead and the page carries
     * the same constant `corrected_terms` audit column. The vector
-    * leg is untouched (embeddings don't misspell). Opt-in only. */
+    * leg is untouched (embeddings don't misspell). Opt-in only.
+    *
+    * `pqIndex = Some(dir)` swaps the vector leg to the stored IVF-PQ
+    * index's codes-only ADC serve
+    * ([[graft.operators.Similarity.pqTopKIndexed]] — the scan opens
+    * nProbe code directories and reads m small ints per row, never a
+    * float vector; `ivfPath` is ignored). RRF is rank-based, so the
+    * ADC leg needs no score calibration against BM25 — only the
+    * page's vector-leg SCORE column changes meaning: `adist` (ADC
+    * distance, smaller = closer) replaces `cosine`. */
   def hybridSearch(spark: SparkSession, viewRoot: String,
                    ivfPath: String, queryTerms: Seq[String],
                    queryVec: Array[Float], k: Int, kEach: Int = 20,
                    rrfK: Int = 60, nProbe: Int = 4,
                    idCol: String = "doc_id",
                    k1: Double = 1.2, b: Double = 0.75,
-                   spellIndex: Option[String] = None): DataFrame = {
+                   spellIndex: Option[String] = None,
+                   pqIndex: Option[String] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(kEach >= k,
       s"kEach ($kEach) must be >= k ($k) — a leg shorter than the page " +
@@ -2374,11 +2384,22 @@ object IncrementalViews {
     // excludeSelf=false: the internal query id is synthetic, so a
     // corpus vector that happens to share it must NOT be suppressed
     val qdf = Seq((-1L, queryVec.toSeq)).toDF("__qid", "__qv")
-    val vecLeg = graft.operators.Similarity.ivfTopKIndexed(spark, qdf,
-        "__qid", "__qv", k = kEach, path = ivfPath, nProbe = nProbe,
-        excludeSelf = false)
-      .select(col("neighbor_id").as(idCol), col("rnk").as("rank"),
-        col("cosine"))
+    // either serve emits (id, rank, score) with rank 1..kEach; only
+    // the score column's name/meaning differs (cosine vs ADC dist)
+    val (vecLeg, scoreCol) = pqIndex match {
+      case Some(pq) =>
+        (graft.operators.Similarity.pqTopKIndexed(spark, qdf,
+            "__qid", "__qv", k = kEach, path = pq, nProbe = nProbe,
+            excludeSelf = false)
+          .select(col("neighbor_id").as(idCol), col("rnk").as("rank"),
+            col("adist")), "adist")
+      case None =>
+        (graft.operators.Similarity.ivfTopKIndexed(spark, qdf,
+            "__qid", "__qv", k = kEach, path = ivfPath, nProbe = nProbe,
+            excludeSelf = false)
+          .select(col("neighbor_id").as(idCol), col("rnk").as("rank"),
+            col("cosine")), "cosine")
+    }
     val fused = graft.operators.Relational.rrfFuse(
       Seq(textLeg.select(col(idCol), col("rank")),
         vecLeg.select(col(idCol), col("rank"))), idCol, k, rrfK)
@@ -2386,12 +2407,12 @@ object IncrementalViews {
       .join(textLeg.select(col(idCol), col("rank").as("__tr"),
         col("bm25")), Seq(idCol), "left")
       .join(vecLeg.select(col(idCol), col("rank").as("__cr"),
-        col("cosine")), Seq(idCol), "left")
+        col(scoreCol)), Seq(idCol), "left")
       .select(col(idCol), col("rrf"), col("n_legs"),
         coalesce(col("__tr"), lit(0L)).as("bm25_rank"),
         coalesce(col("bm25"), lit(0.0)).as("bm25"),
         coalesce(col("__cr"), lit(0L)).as("cos_rank"),
-        coalesce(col("cosine"), lit(0.0)).as("cosine"))
+        coalesce(col(scoreCol), lit(0.0)).as(scoreCol))
       .orderBy(col("rrf").desc, col(idCol).asc)
     audit.fold(page)(a => page.withColumn("corrected_terms", lit(a)))
   }

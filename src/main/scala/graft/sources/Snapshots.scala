@@ -978,6 +978,60 @@ object Snapshots {
     else spark.read.parquet(keep: _*)
   }
 
+  /** [[readPoint]] for a SET of values — the shape an index serve's
+    * candidate fetch needs (e.g. an ADC shortlist's ids): keep a file
+    * iff it might hold AT LEAST ONE of `values`, pruning with BOTH
+    * levers the manifest records. Min/max stats prune first (point
+    * ranges — above [[DriverPointEvalAbove]] values the comparison
+    * binary-searches driver-side, never an Or-chain); the survivors'
+    * per-file blooms are then probed with ONE higher-order `exists`
+    * over the hashed-probe array — bounded expression size however
+    * many points (an unrolled N-wide Or would blow janino's method
+    * limit exactly like the range path's documented hazard). No false
+    * negatives: columns without recorded stats/blooms prune nothing,
+    * null stats keep the file, and under schema evolution every
+    * recorded bloom type contributes its own hash per value. */
+  def readPoints(spark: SparkSession, dir: String, column: String,
+                 values: Seq[Any],
+                 version: Option[Long] = None): DataFrame = {
+    import graft.functions.{BloomMightContain, ColumnBridge}
+    require(values.nonEmpty, "readPoints needs at least one value")
+    val m0 = entryCols(manifest(spark, dir, version))
+    val distinctVals = values.distinct
+    // stats leg: point ranges against the recorded min/max pair
+    val m1 =
+      if (!m0.columns.contains(s"smin_$column")) m0
+      else {
+        val keep = prunedPaths(m0, Seq((s"smin_$column", s"smax_$column",
+          distinctVals.map(v => (v, v)))))
+        if (keep.isEmpty) return read(spark, dir, version).limit(0)
+        // large lists plan as an InSet, never an Or-chain
+        m0.filter(col("path").isin(keep: _*))
+      }
+    // bloom leg: one hash per (value, recorded source type), folded
+    // into a single array literal probed by ONE exists() expression
+    val bloomTypes = m1
+      .select(element_at(col("bloom_types"), column).as("__t"))
+      .filter(col("__t").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSeq
+    val m2 =
+      if (bloomTypes.isEmpty) m1
+      else {
+        val hashes = spark.range(1).select(array(
+            bloomTypes.flatMap(t =>
+              distinctVals.map(v => xxhash64(lit(v).cast(t)))): _*)
+          .as("__h")).head().getSeq[Long](0)
+        val filter = element_at(col("blooms"), column)
+        m1.filter(filter.isNull ||
+          exists(typedLit(hashes), h => ColumnBridge.column(
+            BloomMightContain(ColumnBridge.expression(filter),
+              ColumnBridge.expression(h)))))
+      }
+    val keep = m2.select("path").collect().map(_.getString(0)).toSeq
+    if (keep.isEmpty) read(spark, dir, version).limit(0)
+    else spark.read.parquet(keep: _*)
+  }
+
   /** The table's commit history, one row per live (unexpired)
     * version: (version, parent, n_files, n_rows, batch_id,
     * committed_at) — the DESCRIBE HISTORY surface. Every manifest row

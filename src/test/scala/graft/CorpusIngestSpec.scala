@@ -342,6 +342,138 @@ class CorpusIngestSpec extends SparkSpec {
       s"expected gates+dedup to keep 1,2,5: ${ids(curated)}")
   }
 
+  // ≥ 10 tokens, so the default span window sees it as shared spans
+  private def boiler =
+    "all rights reserved contact the central office for more information today"
+
+  test("composed gates: feed-driven excision equals the batch spanExcise fold; the ledger records verdicts and scores") {
+    val s = spark
+    import s.implicits._
+    val tableDir = tmp(); val indexDir = tmp()
+    val spanRoot = tmp(); val ledgerDir = tmp()
+    val rawCnts = Seq(("the", 10L), ("report", 5L), ("and", 8L))
+      .toDF("token", "cnt")
+    val tgtCnts = Seq(("the", 6L), ("stable", 9L), ("season", 4L))
+      .toDF("token", "cnt")
+    val refCnts = Seq(("the", 12L), ("report", 3L)).toDF("token", "cnt")
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long) =
+      CorpusIngest.ingestBatch(b, id, tableDir, indexDir,
+        "doc_id", "text", threshold = 0.8,
+        spanRoot = Some(spanRoot), ledgerDir = Some(ledgerDir),
+        dsirCounts = Some((rawCnts, tgtCnts)),
+        perplexityCounts = Some(refCnts))
+    val b0 = Seq(
+      (1L, doc("alpha") + " " + boiler),
+      (2L, doc("beta") + " " + boiler)
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (3L, doc("gamma") + " " + boiler),
+      (4L, doc("delta")),
+      (5L, "too short"),                       // quality reject
+      // raw copy of accepted doc 1 + a unique tail: excision absorbs
+      // the duplication, the tail survives
+      (6L, doc("alpha") + " " + boiler +
+        " a unique trailing sentence appended here for margin")
+    ).toDF("doc_id", "text")
+    val s0 = ingest(b0, 0L)
+    assert(!s0.fenced && s0.accepted == 2, s0)
+    val s1 = ingest(b1, 1L)
+    assert(s1.failedQuality == 1 && s1.accepted == 3, s1)
+
+    // THE fold claim: batches in (doc, pos) order ⇒ the committed
+    // (excised) texts equal ONE batch spanExcise over the raw
+    // accepted corpus
+    val rawAccepted = b0.unionByName(b1.filter(col("doc_id") =!= 5L))
+    val want = graft.operators.Corpus
+      .spanExcise(rawAccepted, "doc_id", "text", k = 10)
+      .select(col("doc_id"), col("clean_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Snapshots.read(spark, tableDir)
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want,
+      s"feed-driven corpus diverged from the batch fold:\n$got\nvs\n$want")
+
+    // the ledger: one row per ARRIVING doc, verdicts + gate scores
+    val led = Snapshots.read(spark, ledgerDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getDouble(3))).toMap
+    assert(led.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(led(5L)._1 == "quality")
+    assert(Seq(1L, 2L, 3L, 4L, 6L).forall(led(_)._1 == "accepted"), led)
+    // novelty: fresh text scores 1.0; the re-crawled copy is flagged
+    // BEFORE excision absorbs it — the measure-first gate at work
+    assert(led(4L)._2 == 1.0, s"fresh doc must be fully novel: $led")
+    assert(led(6L)._2 < 0.5, s"re-crawl must score low novelty: $led")
+    // DSIR + perplexity scores recorded for every doc
+    val full = Snapshots.read(spark, ledgerDir)
+    assert(full.filter(col("dsir_logw").isNull).count() == 0)
+    assert(full.filter(col("ref_nll").isNull).count() == 0)
+
+    // fenced replay: nothing moves anywhere
+    val s1r = ingest(b1, 1L)
+    assert(s1r.fenced)
+    assert(Snapshots.read(spark, ledgerDir).count() == 6)
+    assert(Snapshots.read(spark, tableDir).count() == 5)
+  }
+
+  test("composed gates: crash windows on either side of the table fence replay to the identical state") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.IncrementalViews
+    val tableDir = tmp(); val indexDir = tmp()
+    val spanRoot = tmp(); val ledgerDir = tmp()
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long) =
+      CorpusIngest.ingestBatch(b, id, tableDir, indexDir,
+        "doc_id", "text", threshold = 0.8,
+        spanRoot = Some(spanRoot), ledgerDir = Some(ledgerDir))
+    val b0 = Seq((1L, doc("alpha") + " " + boiler)).toDF("doc_id", "text")
+    ingest(b0, 0L)
+
+    // LEFT of the fence: a crashed run already committed the LEDGER
+    // and appended the index, then died before the table commit. The
+    // replay must re-derive the same accept set and land it once.
+    val b1 = Seq((2L, doc("beta") + " " + boiler)).toDF("doc_id", "text")
+    graft.operators.MinHashIndex.append(spark, indexDir,
+      b1, "doc_id", "text")
+    Snapshots.commitStreamBatch(
+      b1.select(col("doc_id"), lit(1L).as("batch_id"),
+        lit("accepted").as("verdict"),
+        lit(1.0).as("novelty_ratio")), ledgerDir, 1L)
+    val s1 = ingest(b1, 1L)
+    assert(!s1.fenced && s1.accepted == 1, s1)
+    // doc 2's boiler suffix was excised against doc 1's profile
+    val t2 = Snapshots.read(spark, tableDir)
+      .filter(col("doc_id") === 2L).head().getString(1)
+    assert(!t2.contains("central office"),
+      s"replay must still excise the corpus-held spans: $t2")
+    assert(Snapshots.read(spark, ledgerDir).count() == 2,
+      "the crashed run's ledger commit must fence the replay's")
+
+    // RIGHT of the fence: the table commit landed but the crash hit
+    // before the profile advance. The fenced replay must catch the
+    // profile up — and re-derive the identical accept set to do it.
+    val b2 = Seq((3L, doc("gamma") + " " + boiler)).toDF("doc_id", "text")
+    val excised = IncrementalViews.spanExciseIngest(spark, b2,
+        s"$spanRoot/views", "doc_id", "text", k = 10)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    Snapshots.commitStreamBatch(excised, tableDir, 2L,
+      bloomCols = Seq("doc_id"))
+    assert(Snapshots.lastCommittedBatch(spark, s"$spanRoot/src") < 2L)
+    val s2 = ingest(b2, 2L)
+    assert(s2.fenced, "the table fence must hold on the catch-up replay")
+    assert(Snapshots.lastCommittedBatch(spark, s"$spanRoot/src") == 2L,
+      "the catch-up must commit the accepted raws to the profile source")
+    // and the profile now VETOES batch 2's text for later arrivals:
+    // a batch-3 copy of doc 3's raw text is excised to (near) nothing
+    val b3 = Seq((4L, doc("gamma") + " " + boiler)).toDF("doc_id", "text")
+    val cleaned = IncrementalViews.spanExciseIngest(spark, b3,
+      s"$spanRoot/views", "doc_id", "text", k = 10)
+      .select("clean_text").head().getString(0)
+    assert(!cleaned.contains("gamma1"),
+      s"the caught-up profile must veto batch 2's spans: $cleaned")
+  }
+
   test("duplicate index append (crash window) changes no dedup decision") {
     val s = spark
     import s.implicits._

@@ -320,6 +320,61 @@ class CorpusSpec extends SparkSpec {
     assert(viaCounts == direct)
   }
 
+  test("zipfFitFromCounts: bucketed two-level ranking is tie-invariant and keeps windows bounded") {
+    val s = spark; import s.implicits._
+    // heavy ties: 200 tokens over 5 frequency classes — the rank
+    // PERMUTATION within a tie block must not move the fit (equal
+    // freq ⇒ equal __y; a block always occupies the same rank range)
+    val cnts = (1 to 200).map(i => (s"tok$i", 1L + (i % 5)))
+      .toDF("token", "cnt")
+    // buckets = 1 degenerates to the exact global (freq desc, token)
+    // ranking — the pre-bucketing reference order
+    val ref = Corpus.zipfFitFromCounts(cnts, buckets = 1)
+      .collect().map(_.toSeq).toSeq
+    for (b <- Seq(7, 64, 1024))
+      assert(Corpus.zipfFitFromCounts(cnts, buckets = b)
+        .collect().map(_.toSeq).toSeq == ref,
+        s"bucketed fit at buckets=$b diverged from the global ranking")
+    // the heavy window is keyed by (freq, sub-bucket): the vocabulary
+    // never crosses a single partition-less WindowExec
+    val plan = Corpus.zipfFitFromCounts(cnts, buckets = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__sub"),
+      "sub-bucket column missing from the zipf rank plan")
+  }
+
+  test("textRankBy: per-domain ranking equals solo textRank over each slice") {
+    import org.apache.spark.sql.functions._
+    val d = docs.limit(40)
+    val pairs = Corpus.cooccurrencePairCountsBy(d, Seq("lang"), "text",
+      window = 2)
+    val by = Corpus.textRankBy(pairs, Seq("lang"), "a", "b", "cnt",
+      iters = 4, topK = 10)
+    assert(by.columns.toSeq == Seq("lang", "token", "rank", "rnk"))
+    val langs = d.select("lang").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(langs.size > 1, "need several domains for the test to bite")
+    langs.foreach { l =>
+      val solo = Corpus.textRank(
+        Corpus.cooccurrencePairCounts(d.filter(col("lang") === l),
+          "text", window = 2),
+        "a", "b", "cnt", iters = 4, topK = 10)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      val slice = by.filter(col("lang") === l)
+        .select("token", "rank")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(slice == solo,
+        s"per-domain ranking for '$l' diverged from the solo slice")
+    }
+    // rnk is the per-domain pick order by (rank desc, token)
+    val firstRnk = by.filter(col("rnk") === 1L).count()
+    assert(firstRnk == langs.size.toLong)
+    // full (topK = 0) mode keeps every token per domain
+    val full = Corpus.textRankBy(pairs, Seq("lang"), "a", "b", "cnt",
+      iters = 2)
+    assert(full.columns.toSeq == Seq("lang", "token", "rank"))
+  }
+
   test("zipfFit / heapsFit match hand-computed log-log least squares") {
     def dec9v(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(9, java.math.RoundingMode.HALF_UP)

@@ -93,6 +93,56 @@ class HybridSearchSpec extends SparkSpec {
     assert(viaSql.toSeq == page.toSeq)
   }
 
+  test("hybridSearch PQ leg: codes-only vector serve fuses identically on lossless planted data") {
+    val s = spark; import s.implicits._
+    val (src, views, ivf, pq) = (tmp(), tmp(), tmp(), tmp())
+    def vec(a: Float, b: Float) = Array.tabulate(8)(i =>
+      if (i == 0) a else if (i == 1) b else 0f)
+    Snapshots.commit(Seq(
+      (1L, "spark streams arrive quickly and spark holds"),
+      (2L, "spark joins tables"),
+      (3L, "pandas frames lag")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    val emb = Seq((1L, vec(1f, 0.01f)), (2L, vec(0.99f, 0.02f)),
+      (3L, vec(0.01f, 1f))).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding",
+      Similarity.sampleCentroids(emb, "vec_id", "embedding", 2), ivf)
+    // kCodes = corpus size ⇒ the deterministic init encodes every
+    // vector LOSSLESSLY (each subvector is its own code), so at
+    // nProbe = nCells the ADC ranking equals the exact ranking and
+    // the two fused pages must agree rank-for-rank
+    Similarity.pqWriteIndex(emb, "vec_id", "embedding", pq,
+      dim = 8, nCells = 3, m = 2, kCodes = 3)
+    val qv = vec(1f, 0f)
+    val common = Seq("doc_id", "rrf", "n_legs", "bm25_rank", "bm25",
+      "cos_rank")
+    val viaIvf = IncrementalViews.hybridSearch(spark, views, ivf,
+      Seq("spark"), qv, k = 3, kEach = 3, nProbe = 3)
+    val viaPq = IncrementalViews.hybridSearch(spark, views, ivf,
+      Seq("spark"), qv, k = 3, kEach = 3, nProbe = 3,
+      pqIndex = Some(pq))
+    // the score column changes meaning (and name) with the leg
+    assert(viaPq.columns.last == "adist" && viaIvf.columns.last == "cosine")
+    assert(viaPq.select(common.map(col): _*).collect().map(_.toSeq).toSeq ==
+      viaIvf.select(common.map(col): _*).collect().map(_.toSeq).toSeq,
+      "PQ-leg fusion must equal the IVF-leg fusion on lossless data")
+    // the PQ leg's index scan carries codes ONLY — never a float vector
+    val scans = viaPq.queryExecution.executedPlan.toString
+      .split("\\+\\-").filter(_.contains(pq))
+    assert(scans.nonEmpty, "plan must scan the PQ index")
+    assert(scans.forall(l => l.contains("codes") && !l.contains("vec")),
+      s"PQ leg must read codes only:\n${scans.mkString("\n")}")
+    // SQL surface: the 10th optional arg selects the PQ leg ('' skips
+    // the spell index)
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_hybrid_search('$views', '$ivf', 'spark', " +
+        s"'${qv.mkString(",")}', 3, 3, 3, 'doc_id', '', '$pq')")
+    assert(viaSql.columns.last == "adist")
+    assert(viaSql.collect().map(_.toSeq).toSeq ==
+      viaPq.collect().map(_.toSeq).toSeq)
+  }
+
   test("hybridSearch did-you-mean: misspelled text leg corrects instead of starving the fusion") {
     val s = spark; import s.implicits._
     val (src, views, ivf, wfreq, idx) = (tmp(), tmp(), tmp(), tmp(), tmp())

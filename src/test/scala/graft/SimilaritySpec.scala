@@ -831,6 +831,28 @@ class SimilaritySpec extends SparkSpec {
       sb.toString
     }
     assert(msgs2(ex).contains("maxCandidates=2"), msgs2(ex))
+    // an array<double> page (randomProject's output shape) ranks
+    // identically through the float cast — not silently garbage via a
+    // raw 4-byte reinterpretation of 8-byte elements
+    val dbl = cands.withColumn("vec", col("vec").cast("array<double>"))
+    val viaDouble = Similarity.mmrRerank(dbl, "query_id", "neighbor_id",
+        "rel", "vec", k = 3, lambda = 0.5)
+      .collect().map(_.toSeq).toSet
+    val viaFloat = Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+        "rel", "vec", k = 3, lambda = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(viaDouble == viaFloat,
+      "a double-typed vector page must rank exactly like its float twin")
+    // a page whose vectors disagree on dimension fails BY NAME
+    val bad = Seq(
+      (1L, 10L, 0.9, Array(1f, 0f)),
+      (1L, 11L, 0.8, Array(1f, 0f, 1f))
+    ).toDF("query_id", "neighbor_id", "rel", "vec")
+    val ex2 = intercept[Exception] {
+      Similarity.mmrRerank(bad, "query_id", "neighbor_id",
+        "rel", "vec", k = 2).collect()
+    }
+    assert(msgs2(ex2).contains("disagree on dimension"), msgs2(ex2))
   }
 
   test("randomProject: deterministic Rademacher JL map preserves geometry loosely") {
@@ -931,5 +953,120 @@ class SimilaritySpec extends SparkSpec {
     assert(served.filter(col("neighbor_id") === 200L).count() == 0,
       "tombstoned id must stop serving")
     assert(served.count() == 3)
+  }
+
+  test("pqRetrain: publish-then-point generation flip — a crash-interrupted retrain never breaks the serve") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001")).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqgen").toString
+    Similarity.pqWriteIndex(e, "vec_id", "embedding", dir,
+      dim = 64, nCells = 4, m = 8, kCodes = 8)
+    assert(Similarity.pqGen(spark, dir) == 0)
+    def serve() = Similarity.pqTopKIndexed(spark, q, "vec_id", "embedding",
+      k = 3, path = dir, nProbe = 4).collect().map(_.toSeq).toSet
+    val before = serve()
+    assert(before.nonEmpty)
+    // CRASH-INTERRUPTED retrain: next-gen artifacts half-written (here:
+    // garbage), pointer NOT flipped — the serve must return generation
+    // 0's complete answer, never touch the orphans, never miss meta
+    for (n <- Seq("codes-g1", "books-g1", "centroids-g1")) {
+      val d = new java.io.File(s"$dir/$n")
+      d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "part-junk").toPath,
+        Array[Byte](1, 2, 3))
+    }
+    assert(serve() == before,
+      "orphan next-generation artifacts must be invisible before the flip")
+    // the retry OVERWRITES the orphans and flips the pointer last
+    Similarity.pqRetrain(spark, e, "vec_id", "embedding", dir,
+      dim = 64, nCells = 4, m = 8, kCodes = 8, iters = 1)
+    assert(Similarity.pqGen(spark, dir) == 1)
+    // the retired generation stays on disk for in-flight readers
+    assert(new java.io.File(s"$dir/codes").exists &&
+      new java.io.File(s"$dir/books").exists &&
+      new java.io.File(s"$dir/centroids").exists)
+    val after = serve()
+    assert(after.map(_.take(1)).size == before.map(_.take(1)).size &&
+      after.size == before.size,
+      "post-flip serve must be a complete answer from the new generation")
+    // appends encode against and land in the CURRENT generation
+    val s2 = spark; import s2.implicits._
+    val novel = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    Similarity.pqAppend(spark, novel, "vec_id", "embedding", dir)
+    assert(new java.io.File(s"$dir/codes-g1").listFiles.nonEmpty)
+    val q0 = e.filter(col("vec_id") === 0)
+    assert(Similarity.pqTopKIndexed(spark, q0, "vec_id", "embedding",
+        k = 3, path = dir, nProbe = 4)
+      .filter(col("neighbor_id") === 5000L).count() == 1,
+      "an exact copy appended post-flip must serve as its twin's top hit")
+    // vacuum reclaims the retired generation; semantics intact (the
+    // expected page includes the post-flip append)
+    val afterAppend = serve()
+    assert(Similarity.pqVacuum(spark, dir) > 0)
+    assert(!new java.io.File(s"$dir/codes").exists,
+      "vacuum must reclaim the retired codes generation")
+    assert(serve() == afterAppend)
+  }
+
+  test("pqTopKIndexedRerankedStored: the rerank fetch opens only pruned corpus files") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    val data = clustered // ids c*100+m, clusters 0..9 (all ids < 1000)
+    val root = java.nio.file.Files.createTempDirectory("graft_pqstore").toString
+    val (corpusDir, idx) = (s"$root/corpus", s"$root/idx")
+    // commit 1: the indexed corpus; commit 2: DECOY rows that are in
+    // the table but not in the index — no shortlist can ever name
+    // them, so their id-disjoint files must never be opened by the
+    // fetch (per-file id stats + blooms are the pruning levers)
+    Snapshots.commit(data, corpusDir,
+      statsCol = Some("vec_id"), bloomCols = Seq("vec_id"))
+    Snapshots.commit(
+      data.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+      corpusDir, statsCol = Some("vec_id"), bloomCols = Seq("vec_id"))
+    Similarity.pqWriteIndex(data, "vec_id", "embedding", idx,
+      dim = 64, nCells = 10, m = 8, kCodes = 16)
+    val q = data.filter("vec_id % 100 = 0 and vec_id < 300") // clusters 0-2
+    def stored() = Similarity.pqTopKIndexedRerankedStored(spark, q,
+      corpusDir, "vec_id", "embedding", k = 3, path = idx,
+      shortlist = 10, nProbe = 2).collect().map(_.toSeq).toSet
+    val before = stored()
+    assert(before.nonEmpty)
+    // corrupt every decoy file — a fetch that scanned the whole
+    // vector column would die on them; the pruned fetch never opens
+    // them (the IncrementalViews pruned-I/O proof pattern)
+    def walk(d: java.io.File): Seq[java.io.File] =
+      d.listFiles.toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    val dataFiles = walk(new java.io.File(corpusDir))
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getPath.contains("_manifests"))
+    var corrupted = 0
+    dataFiles.foreach { f =>
+      val mn = spark.read.parquet(f.toString)
+        .agg(min(col("vec_id"))).head().getLong(0)
+      if (mn >= 100000L) {
+        java.nio.file.Files.write(f.toPath, Array.fill[Byte](64)(0x7f))
+        corrupted += 1
+      }
+    }
+    assert(corrupted > 0, "the layout must yield at least one decoy file")
+    assert(stored() == before,
+      "corrupting out-of-shortlist corpus files must not touch the serve")
+    // and the page matches the in-memory rerank over the indexed slice
+    val mem = Similarity.ivfPqTopKReranked(data, q, "vec_id", "embedding",
+      dim = 64, k = 3, shortlist = 10, nCells = 10, nProbe = 2, m = 8,
+      kCodes = 16).collect().map(_.toSeq).toSet
+    assert(before == mem)
+  }
+
+  test("ivfPqRecallCheck: an empty query set fails the contract instead of vacuously passing") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001")).select("vec_id", "embedding")
+    val v = Similarity.ivfPqRecallCheck(e, e.filter(col("vec_id") < 0),
+      "vec_id", "embedding", dim = 64, k = 5).head()
+    assert(v.getLong(0) == 0L)
+    assert(!v.getBoolean(3),
+      "recall_ok must be false when no query produced a truth row")
   }
 }

@@ -230,6 +230,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(opened < Snapshots.fileCount(spark, dir),
       s"a nonexistent id opened $opened files — blooms pruned nothing")
     assert(absent.columns.contains("event_id"))
+
+    // MULTI-POINT probe (readPoints): one call for a value SET — no
+    // false negatives, and still fewer file-reads than a full scan
+    val full = Snapshots.read(spark, dir) // ev + the bloom-less append
+    val some = ids.take(8).toSeq
+    val multi = Snapshots.readPoints(spark, dir, "event_id",
+      some.map(_.asInstanceOf[Any]))
+    some.foreach(id => assert(
+      multi.filter(col("event_id") === id).count() ==
+        full.filter(col("event_id") === id).count(),
+      s"readPoints lost rows for id $id"))
+    // values far outside every file's id range prune everything that
+    // carries stats/blooms (only the bloom-less appended files remain)
+    val nothing = Snapshots.readPoints(spark, dir, "event_id",
+      Seq(-1L, -2L, -3L))
+    assert(nothing.select(input_file_name()).distinct().count() <
+      Snapshots.fileCount(spark, dir),
+      "an all-absent point set pruned no files")
+    // a large point set (past the 64-value driver threshold) stays
+    // correct — the Or-chain hazard path
+    val many = (1 to 200).map(i => i * 37L)
+    def idCounts(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_id").isin(many: _*))
+      .groupBy("event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = Snapshots.readPoints(spark, dir, "event_id",
+      many.map(_.asInstanceOf[Any]))
+    assert(idCounts(wide) == idCounts(full),
+      "a >64-value point set (driver binary-search path) lost rows")
   }
 
   test("mergeCommit prunes rewrites by a timestamp key") {

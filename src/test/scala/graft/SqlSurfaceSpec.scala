@@ -93,6 +93,13 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_heaps_fit('docs_dsir', 'doc_id', 'text')"))
       == canon(operators.Corpus.heapsFit(d, "doc_id", "text")))
 
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_textrank_by('docs_dsir', 'lang', 'text', 2, 3, 5)"))
+      == canon(operators.Corpus.textRankBy(
+        operators.Corpus.cooccurrencePairCountsBy(
+          d, Seq("lang"), "text", window = 2),
+        Seq("lang"), "a", "b", "cnt", iters = 3, topK = 5)))
+
     val e = Tables.embeddings(spark, sf("sf0.001"))
     e.createOrReplaceTempView("emb_jl")
     e.filter(col("vec_id") < 4).createOrReplaceTempView("emb_jl_q")
