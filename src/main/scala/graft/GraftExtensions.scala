@@ -1124,6 +1124,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(a(3), "textCol"), recipe, dflt)
     }
 
+    tvf("graft_mix_temperature",
+      "graft_mix_temperature(table, domainCol, textCol, alpha, totalBudget) - temperature-scaled domain budgets (share ∝ tokens^alpha via exp(alpha·ln n), capped at the domain's own tokens) as (domainCol, domain_tokens, mix_weight, budget) (see operators.Corpus.temperatureBudgets)") {
+      (s, a) =>
+        require(a.length == 5,
+          "graft_mix_temperature takes (table, domainCol, textCol, alpha, totalBudget)")
+        operators.Corpus.temperatureBudgets(s.table(litStr(a(0), "table")),
+          litStr(a(1), "domainCol"), litStr(a(2), "textCol"),
+          litDouble(a(3), "alpha"), litLong(a(4), "totalBudget"))
+    }
+
+    tvf("graft_mix_by_temperature",
+      "graft_mix_by_temperature(table, domainCol, idCol, textCol, alpha, totalBudget) - the selection graft_mix_temperature's budgets drive: budgets collect as domain-bounded driver metadata, then the bucketed deterministic prefix rule; NOTE: computes the budgets eagerly when the call is ANALYZED (see operators.Corpus.mixByTemperature)") {
+      (s, a) =>
+        require(a.length == 6,
+          "graft_mix_by_temperature takes (table, domainCol, idCol, textCol, alpha, totalBudget)")
+        operators.Corpus.mixByTemperature(s.table(litStr(a(0), "table")),
+          litStr(a(1), "domainCol"), litStr(a(2), "idCol"),
+          litStr(a(3), "textCol"), litDouble(a(4), "alpha"),
+          litLong(a(5), "totalBudget"))
+    }
+
     tvf("graft_housekeep",
       "graft_housekeep(dir[, targetRows, keepLast, clusterBy]) - settle a maintained view/table's compaction + retention debt under the maintenance lock (see IncrementalViews.housekeep); returns (dir, done)") {
       (s, a) =>

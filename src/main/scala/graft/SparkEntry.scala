@@ -690,6 +690,27 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, k = 5)
     }),
 
+    // The SAME serve against the STORED artifacts end to end: the PQ
+    // index (codes/books/centroids + meta) on disk, the corpus as a
+    // snapshot table with id stats + blooms, the shortlist's vectors
+    // fetched through Snapshots.readPoints' manifest pruning — never
+    // a full vector-column scan. Deterministic sample-init makes the
+    // stored books identical to the in-memory ones, so the oracle is
+    // the identical ADC-shortlist + exact-rerank replay.
+    "q_knn_pq_stored_rerank" -> ((s, dir) => {
+      import graft.sources.Snapshots
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pqserve").toString
+      val (corpusDir, idx) = (s"$root/corpus", s"$root/idx")
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Snapshots.commit(e, corpusDir, statsCol = Some("vec_id"),
+        bloomCols = Seq("vec_id"))
+      Similarity.pqWriteIndex(e, "vec_id", "embedding", idx, dim = 64)
+      Similarity.pqTopKIndexedRerankedStored(s,
+        e.filter(col("vec_id") < 8), corpusDir, "vec_id", "embedding",
+        k = 5, path = idx)
+    }),
+
     // The recall CONTRACT for that serve (the q_knn_lsh discipline):
     // Spark MEASURES rerank-vs-brute recall, the oracle pins the
     // verdict — a recall regression flips recall_ok and mismatches.
@@ -948,6 +969,23 @@ object SparkEntry {
     "q_doc_mix_bucketed" -> ((s, dir) =>
       Corpus.mixByBudgetBucketed(Tables.documents(s, dir), "source",
         "doc_id", "text", docMixBudgets, defaultBudget = docMixDefault)),
+
+    // TEMPERATURE-scaled budgets (share ∝ n_d^α, α=0.5): the
+    // multi-source mixing recipe's budget table — n_d^α via
+    // exp(α·ln n_d) (pow is not bit-portable, exp/ln are), weights
+    // 9-rounded and decimal-summed, budget floor(total·share) capped
+    // at the domain's own tokens.
+    "q_mix_temperature" -> ((s, dir) =>
+      Corpus.temperatureBudgets(Tables.documents(s, dir), "source",
+        "text", alpha = mixTempAlpha, totalBudget = mixTempTotal)),
+
+    // The SELECTION those budgets drive: budgets collected as driver
+    // metadata (domain-bounded — the centroid-collect discipline),
+    // then the bucketed deterministic prefix rule.
+    "q_doc_mix_temp" -> ((s, dir) =>
+      Corpus.mixByTemperature(Tables.documents(s, dir), "source",
+        "doc_id", "text", alpha = mixTempAlpha,
+        totalBudget = mixTempTotal)),
 
     // Sharded export + manifest: pack, commit through the snapshot
     // protocol, then describe the DURABLE table — per-shard counts,
@@ -2095,6 +2133,11 @@ object SparkEntry {
     Seq("src0" -> 500L, "src1" -> 800L, "src2" -> 200L)
   private val docMixDefault = 300L
 
+  /** Temperature-mixing recipe for q_mix_temperature / q_doc_mix_temp,
+    * shared with the generated oracles. */
+  private val mixTempAlpha = 0.5
+  private val mixTempTotal = 3000L
+
   /** One oracle text for both contamination plans (broadcast +
     * bloom-prefiltered — identical answers by design). */
   /** `corpusExtra` restricts the CORPUS side only (the benchmark set
@@ -2191,6 +2234,54 @@ object SparkEntry {
        |SELECT doc_id, source, n_tokens, cum_before
        |FROM c WHERE cum_before < $budgetCase""".stripMargin
   }
+
+  /** The temperature-budget CTE chain shared by both temperature-mix
+    * oracles: n_d per domain, 9-rounded n_d^α weights, exact-decimal
+    * weight total, floor(total·share) capped at n_d. */
+  private def mixTempBudgetsCte: String = {
+    val w9 = graft.functions.Exact.roundAtSql(
+      s"exp($mixTempAlpha * ln(CAST(domain_tokens AS DOUBLE)))", 9)
+    s"""dt AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+       |           AS domain_tokens
+       |  FROM documents GROUP BY source
+       |), wt AS (
+       |  SELECT source, domain_tokens, $w9 AS mix_weight FROM dt
+       |), tw AS (
+       |  SELECT ${graft.functions.Exact.sumExactSql("mix_weight", 9)}
+       |           AS tw
+       |  FROM wt
+       |), bud AS (
+       |  SELECT source, domain_tokens, mix_weight,
+       |         least(
+       |           CAST(floor(CAST($mixTempTotal AS DOUBLE)
+       |             * (mix_weight / tw)) AS BIGINT),
+       |           domain_tokens) AS budget
+       |  FROM wt CROSS JOIN tw
+       |)""".stripMargin
+  }
+
+  private def mixTemperatureOracleSql: String =
+    s"""WITH $mixTempBudgetsCte
+       |SELECT source, domain_tokens, mix_weight, budget FROM bud""".stripMargin
+
+  private def docMixTempOracleSql: String =
+    s"""WITH $mixTempBudgetsCte,
+       |t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         ${sqlPortableMix("CAST(doc_id AS VARCHAR)")} AS m
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+       |           ORDER BY m, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before
+       |FROM c JOIN bud USING (source)
+       |WHERE c.cum_before < bud.budget""".stripMargin
 
   /** Funnel stages for q_funnel, shared with its generated oracle. */
   private val funnelStages = Seq("view", "click", "purchase")
@@ -2369,6 +2460,30 @@ object SparkEntry {
        |SELECT token, ${graft.functions.Exact.roundAtSql("score", 6)} AS "rank"
        |FROM it$iters
        |ORDER BY 2 DESC, token LIMIT $topK""".stripMargin
+  }
+
+  /** The production-serve rerank replay shared by the in-memory and
+    * stored-index queries: the q_knn_ivfpq ADC CTEs at shortlist=200 /
+    * nProbe=8 as a derived table, then the exact-cosine rerank — the
+    * final cosines are the bruteForceTopK fold, bit-identical. */
+  private lazy val ivfPqRerankOracleSql: String = {
+    val short = ivfPqOracleSql(dim = 64, m = 8, kCodes = 16, k = 200,
+      nQueries = 8, nCells = 16, nProbe = 8)
+    s"""WITH short AS (
+       |  SELECT query_id, neighbor_id FROM ($short) t
+       |), cand AS (
+       |  SELECT sh.query_id, sh.neighbor_id, ${sqlCos("q", "c")} AS cos
+       |  FROM short sh
+       |  JOIN embeddings c ON c.vec_id = sh.neighbor_id
+       |  JOIN embeddings q ON q.vec_id = sh.query_id
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM cand
+       |)
+       |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+       |       ${sqlRound4("cos")} AS cosine
+       |FROM r WHERE rnk <= 5""".stripMargin
   }
 
   /** [[textRankOracleSql]] KEYED by a domain column: the identical
@@ -4149,6 +4264,11 @@ object SparkEntry {
 
     "q_doc_mix" -> docMixOracleSql,
 
+    // temperature budgets + the selection they drive (same prefix
+    // rule as q_doc_mix, budgets from the CTE instead of literals)
+    "q_mix_temperature" -> mixTemperatureOracleSql,
+    "q_doc_mix_temp" -> docMixTempOracleSql,
+
     // same answer as q_doc_mix by design — the bucketed plan is an
     // execution strategy, not a semantic variant
     "q_doc_mix_bucketed" -> docMixOracleSql,
@@ -4566,25 +4686,13 @@ object SparkEntry {
     // ADC shortlist (the q_knn_ivfpq replay at k=200, nProbe=8)
     // wrapped as a derived table, then the exact-cosine rerank — the
     // final cosines are the bruteForceTopK fold, bit-identical.
-    "q_knn_ivfpq_rerank" -> {
-      val short = ivfPqOracleSql(dim = 64, m = 8, kCodes = 16, k = 200,
-        nQueries = 8, nCells = 16, nProbe = 8)
-      s"""WITH short AS (
-         |  SELECT query_id, neighbor_id FROM ($short) t
-         |), cand AS (
-         |  SELECT sh.query_id, sh.neighbor_id, ${sqlCos("q", "c")} AS cos
-         |  FROM short sh
-         |  JOIN embeddings c ON c.vec_id = sh.neighbor_id
-         |  JOIN embeddings q ON q.vec_id = sh.query_id
-         |), r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |           ORDER BY cos DESC, neighbor_id) AS rnk
-         |  FROM cand
-         |)
-         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
-         |       ${sqlRound4("cos")} AS cosine
-         |FROM r WHERE rnk <= 5""".stripMargin
-    },
+    "q_knn_ivfpq_rerank" -> ivfPqRerankOracleSql,
+
+    // the STORED serve: deterministic sample-init ⇒ identical books ⇒
+    // the stored shortlist equals the in-memory one (spec-proven), so
+    // the replay is the same SQL — the query side is what differs
+    // (disk index, snapshot corpus, readPoints-pruned fetch)
+    "q_knn_pq_stored_rerank" -> ivfPqRerankOracleSql,
 
     // The verdict contract: Spark measures, the oracle states what
     // the verdict must be (the q_knn_lsh pattern, floor 0.8 with

@@ -520,6 +520,64 @@ object Corpus {
     budgets.foldRight(lit(defaultBudget): Column) {
       case ((d, b), acc) => when(col(domainCol) === d, lit(b)).otherwise(acc) }
 
+  /** TEMPERATURE-SCALED domain budgets (the standard multi-source
+    * mixing recipe — sampling share ∝ p_d^α): per domain, the token
+    * total n_d, the unnormalized weight w_d = n_d^α (computed as
+    * exp(α·ln n_d) — `pow` is not bit-portable across engines, exp/ln
+    * are — and rounded at 9 like every portable double here; the N^α
+    * normalizer cancels, so n_d^α suffices), and the token budget
+    * floor(total·w_d/Σw) CAPPED at n_d (α < 1 boosts small domains,
+    * possibly past what they hold — the cap keeps the selection a
+    * sample, not an epoch-repeat policy, which is the caller's knob).
+    * α = 1 reproduces proportional sampling; α → 0 flattens toward
+    * uniform-per-domain. Output one row per domain `(domainCol,
+    * domain_tokens, mix_weight, budget)` — bounded metadata.
+    *
+    * Exactness: Σw folds the 9-rounded weights as exact decimals
+    * (order-independent), the share division and the budget floor are
+    * single IEEE ops — hash-exact vs the SQL replay. Scale: one
+    * map-side-combined aggregation over corpus tokens, then
+    * domain-bounded arithmetic. */
+  def temperatureBudgets(df: DataFrame, domainCol: String,
+                         textCol: String, alpha: Double,
+                         totalBudget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperature alpha must be in (0, 1]: $alpha")
+    require(totalBudget >= 0, s"totalBudget must be >= 0: $totalBudget")
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(sum(Text.tokenCountWs(col(textCol)).cast("long"))
+        .as("domain_tokens"))
+      .withColumn("mix_weight", graft.functions.Exact.roundAt(
+        exp(lit(alpha) * log(col("domain_tokens").cast("double"))), 9))
+    val totalW = perDomain.agg(
+      graft.functions.Exact.sumExact(col("mix_weight"), 9)
+        .cast("double").as("__tw"))
+    perDomain.crossJoin(broadcast(totalW))
+      .select(col(domainCol), col("domain_tokens"), col("mix_weight"),
+        least(
+          floor(lit(totalBudget.toDouble) *
+            (col("mix_weight") / col("__tw"))).cast("long"),
+          col("domain_tokens")).as("budget"))
+  }
+
+  /** Temperature-mixed selection: [[temperatureBudgets]] collected as
+    * driver metadata (one row per domain — the centroid-collect
+    * budget), then the [[mixByBudgetBucketed]] deterministic prefix
+    * rule selects each domain's budget-worth of docs in portable-hash
+    * order. Domains absent from the budget table (none, by
+    * construction) would default to 0. */
+  def mixByTemperature(df: DataFrame, domainCol: String, idCol: String,
+                       textCol: String, alpha: Double,
+                       totalBudget: Long,
+                       bucketWidth: Long = 1L << 24): DataFrame = {
+    val budgets = temperatureBudgets(df, domainCol, textCol, alpha,
+        totalBudget)
+      .select(col(domainCol).cast("string"), col("budget"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    mixByBudgetBucketed(df, domainCol, idCol, textCol, budgets,
+      defaultBudget = 0L, bucketWidth = bucketWidth)
+  }
+
   /** [[mixByBudget]] for the FEW-GIANT-DOMAINS regime — the actual
     * mixing shape ("web" is most of the corpus). The plain variant
     * prefix-sums each domain in ONE window partition; this one adds a

@@ -320,6 +320,42 @@ class CorpusSpec extends SparkSpec {
     assert(viaCounts == direct)
   }
 
+  test("temperatureBudgets: hand-math shares with the cap; selection == bucketed mix on those budgets") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a", "t1 t2 t3"), (2L, "a", "t4"),   // domain a: 4 tokens
+      (3L, "b", "t5")                           // domain b: 1 token
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.temperatureBudgets(df, "source", "text",
+        alpha = 0.5, totalBudget = 9L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // same double ops as the operator: 9-rounded n^0.5 weights,
+    // decimal total, floor(total·share) capped at the domain size
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val (wa, wb) = (r9(math.exp(0.5 * math.log(4.0))),
+      r9(math.exp(0.5 * math.log(1.0))))
+    val tw = BigDecimal(wa).setScale(9) + BigDecimal(wb).setScale(9)
+    def bud(w: Double, n: Long) =
+      math.min(math.floor(9.0 * (w / tw.toDouble)).toLong, n)
+    assert(got("a") == ((4L, wa, bud(wa, 4L))))
+    assert(got("b") == ((1L, wb, bud(wb, 1L))))
+    // the cap bites: the big domain's uncapped floor(9·2/3) = 5 would
+    // exceed its own 4 tokens; α=0.5 keeps the small domain at its cap
+    assert(got("a")._3 == 4L && got("b")._3 == 1L)
+    // the selection is exactly the bucketed mix on the emitted budgets
+    val sel = Corpus.mixByTemperature(df, "source", "doc_id", "text",
+        alpha = 0.5, totalBudget = 9L)
+      .collect().map(_.toSeq).toSet
+    val via = Corpus.mixByBudgetBucketed(df, "source", "doc_id", "text",
+        Seq("a" -> got("a")._3, "b" -> got("b")._3), defaultBudget = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(sel == via)
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureBudgets(df, "source", "text", alpha = 1.5, 9L)
+    }
+  }
+
   test("zipfFitFromCounts: bucketed two-level ranking is tie-invariant and keeps windows bounded") {
     val s = spark; import s.implicits._
     // heavy ties: 200 tokens over 5 frequency classes — the rank

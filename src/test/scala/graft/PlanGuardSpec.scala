@@ -142,6 +142,13 @@ class PlanGuardSpec extends SparkSpec {
     // query set over the codes scan (its rerank legs are hash joins),
     // and q_knn_ivfpq_recall additionally measures AGAINST the
     // brute-force baseline like q_knn_lsh.
+    // q_mix_temperature splices its broadcast ONE-ROW weight total
+    // (Σ of one row per domain) exactly like q_doc_logprob's token
+    // total — a broadcast constant, not a pair scan; the selection
+    // twin q_doc_mix_temp is NOT exempt (budgets collect as driver
+    // literals, the prefix rule is hash joins + keyed windows), and
+    // q_knn_pq_stored_rerank is NOT exempt either (literal shortlist
+    // + readPoints scan + hash joins end to end).
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_knn_lsh",
       "q_knn_pq",
       "q_customer_above_avg",
@@ -152,7 +159,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_bigram_lm_view_incr",
       "q_dsir_weights", "q_dsir_select", "q_dsir_score_incr",
       "q_mmr_rerank", "q_knn_ivfpq_rerank", "q_knn_ivfpq_recall",
-      "q_perplexity_bucket", "q_perplexity_incr")
+      "q_perplexity_bucket", "q_perplexity_incr",
+      "q_mix_temperature")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")

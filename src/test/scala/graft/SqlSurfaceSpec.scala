@@ -100,6 +100,15 @@ class SqlSurfaceSpec extends SparkSpec {
           d, Seq("lang"), "text", window = 2),
         Seq("lang"), "a", "b", "cnt", iters = 3, topK = 5)))
 
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_mix_temperature('docs_dsir', 'source', 'text', 0.5, 3000)"))
+      == canon(operators.Corpus.temperatureBudgets(
+        d, "source", "text", alpha = 0.5, totalBudget = 3000L)))
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_mix_by_temperature('docs_dsir', 'source', 'doc_id', 'text', 0.5, 3000)"))
+      == canon(operators.Corpus.mixByTemperature(
+        d, "source", "doc_id", "text", alpha = 0.5, totalBudget = 3000L)))
+
     val e = Tables.embeddings(spark, sf("sf0.001"))
     e.createOrReplaceTempView("emb_jl")
     e.filter(col("vec_id") < 4).createOrReplaceTempView("emb_jl_q")
