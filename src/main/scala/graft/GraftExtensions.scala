@@ -1124,6 +1124,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(a(3), "textCol"), recipe, dflt)
     }
 
+    tvf("graft_vocab_divergence",
+      "graft_vocab_divergence(pTable, qTable, textCol[, alpha]) - smoothed unigram KL both ways + Jensen-Shannon divergence between two corpora's vocabularies as one row (n_types, kl_pq, kl_qp, js) - the corpus-drift gauge; point the P side at a maintained word-frequency view for the ingest-time form (see operators.Corpus.vocabDivergence)") {
+      (s, a) =>
+        require(a.length == 3 || a.length == 4,
+          "graft_vocab_divergence takes (pTable, qTable, textCol[, alpha])")
+        operators.Corpus.vocabDivergenceOf(
+          s.table(litStr(a(0), "pTable")), s.table(litStr(a(1), "qTable")),
+          litStr(a(2), "textCol"),
+          alpha = if (a.length == 4) litDouble(a(3), "alpha") else 0.5)
+    }
+
     tvf("graft_mix_temperature",
       "graft_mix_temperature(table, domainCol, textCol, alpha, totalBudget) - temperature-scaled domain budgets (share ∝ tokens^alpha via exp(alpha·ln n), capped at the domain's own tokens) as (domainCol, domain_tokens, mix_weight, budget) (see operators.Corpus.temperatureBudgets)") {
       (s, a) =>

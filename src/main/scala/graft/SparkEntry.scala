@@ -1561,6 +1561,39 @@ object SparkEntry {
     "q_heaps_fit" -> ((s, dir) =>
       Corpus.heapsFit(Tables.documents(s, dir), "doc_id", "text")),
 
+    // VOCABULARY DIVERGENCE: smoothed KL both ways + JS between the
+    // English slice and the rest — the "did the distribution move"
+    // card scalar (crawl-over-crawl drift, domain vs domain).
+    "q_vocab_kl" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Corpus.vocabDivergenceOf(d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"), "text")
+    }),
+
+    // The INGEST-TIME drift gauge: the standing corpus (even docs,
+    // churned) keeps its word counts as a maintained view; an
+    // incoming odd shard's divergence against the LIVE counts costs
+    // O(shard tokens + vocab) — zero corpus rescans.
+    "q_vocab_kl_incr" -> ((s, dir) => {
+      import graft.sources.{IncrementalViews, Snapshots}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_klview").toString
+      val (src, view) = (s"$root/src", s"$root/view")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src,
+        statsCol = Some("doc_id"))
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      Snapshots.deleteWhere(s, src, col("doc_id") % 10 === 6)
+      IncrementalViews.refreshWordFreq(s, src, view, "text")
+      val standing = Snapshots.read(s, view).filter(col("__cnt") > 0)
+        .select(col("__word").as("token"), col("__cnt").as("cnt"))
+      val shard = docs.filter(col("doc_id") % 2 === 1)
+        .select(explode(graft.functions.Text.tokens(col("text")))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1L)).as("cnt"))
+      Corpus.vocabDivergence(standing, shard)
+    }),
+
     // The MAINTAINED Zipf fit: the same card statistic re-fit from
     // the live word-frequency view after an append + a delete —
     // vocab-bounded state, zero corpus rescans; the oracle replays
@@ -2282,6 +2315,42 @@ object SparkEntry {
        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before
        |FROM c JOIN bud USING (source)
        |WHERE c.cum_before < bud.budget""".stripMargin
+
+  /** Vocabulary-divergence oracle: add-α smoothed unigram KL both
+    * ways + JS over the union vocabulary — the identical ln/±/×
+    * shapes as Corpus.vocabDivergence, 9-decimal sums, 6-rounded. */
+  private def vocabKlOracleSql(pWhere: String, qWhere: String): String = {
+    def cnts(name: String, where: String, as: String) =
+      s"""$name AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS $as
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+         |        FROM documents $where)
+         |  GROUP BY token
+         |)""".stripMargin
+    def s9r6(x: String) = graft.functions.Exact.roundAtSql(
+      graft.functions.Exact.sumExactSql(x, 9), 6)
+    s"""WITH ${cnts("pc", pWhere, "pcnt")},
+       |${cnts("qc", qWhere, "qcnt")},
+       |v AS (
+       |  SELECT COALESCE(pc.pcnt, 0) AS pcnt, COALESCE(qc.qcnt, 0) AS qcnt
+       |  FROM pc FULL OUTER JOIN qc ON pc.token = qc.token
+       |), t AS (
+       |  SELECT CAST(sum(pcnt) AS DOUBLE) AS np,
+       |         CAST(sum(qcnt) AS DOUBLE) AS nq,
+       |         CAST(count(*) AS DOUBLE) AS vv
+       |  FROM v
+       |), terms AS (
+       |  SELECT (CAST(pcnt AS DOUBLE) + 0.5) / (np + 0.5 * vv) AS p,
+       |         (CAST(qcnt AS DOUBLE) + 0.5) / (nq + 0.5 * vv) AS q
+       |  FROM v CROSS JOIN t
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_types,
+       |       ${s9r6("p * (ln(p) - ln(q))")} AS kl_pq,
+       |       ${s9r6("q * (ln(q) - ln(p))")} AS kl_qp,
+       |       ${s9r6("p * (ln(p) - ln((p + q) / 2.0)) / 2.0 + " +
+                      "q * (ln(q) - ln((p + q) / 2.0)) / 2.0")} AS js
+       |FROM terms""".stripMargin
+  }
 
   /** Funnel stages for q_funnel, shared with its generated oracle. */
   private val funnelStages = Seq("view", "click", "purchase")
@@ -4703,6 +4772,14 @@ object SparkEntry {
         |       CAST(0.8 AS DOUBLE) AS recall_floor,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    // smoothed unigram KL/JS: English slice vs the rest, and the
+    // ingest-time form against the post-churn maintained counts
+    "q_vocab_kl" -> vocabKlOracleSql(
+      "WHERE lang = 'en'", "WHERE lang <> 'en'"),
+    "q_vocab_kl_incr" -> vocabKlOracleSql(
+      "WHERE doc_id % 2 = 0 AND doc_id % 10 <> 6",
+      "WHERE doc_id % 2 = 1"),
 
     "q_dsir_weights" -> dsirOracleSql(topN = None),
 

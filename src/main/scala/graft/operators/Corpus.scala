@@ -1163,6 +1163,71 @@ object Corpus {
         col("slope"), col("intercept"), col("r2"))
   }
 
+  /** VOCABULARY DIVERGENCE — the corpus-drift gauge between two
+    * unigram distributions (dataset-card pairings: this crawl vs the
+    * last one, a candidate shard vs the standing corpus, one domain
+    * vs another): add-α smoothed over the UNION vocabulary (the
+    * [[dsirScoreAgainst]] discipline — a token absent from one side
+    * still carries smoothed mass, so KL never divides by zero and
+    * neither input perturbs the other), emitting one row
+    * `(n_types, kl_pq, kl_qp, js)`:
+    *   p_i = (pc_i+α)/(N_p+αV),  KL(P‖Q) = Σ p_i·(ln p_i − ln q_i),
+    *   JS = ½KL(P‖M) + ½KL(Q‖M) with m_i = (p_i+q_i)/2 —
+    * JS is symmetric, bounded by ln 2, and the usual "did the crawl
+    * move" scalar; the two KLs tell WHICH side carries novel mass.
+    *
+    * Exactness: every term is ln/±/× on doubles (bit-portable) summed
+    * as 9-decimal exact decimals — hash-exact vs the SQL replay.
+    * Scale: both inputs are vocab-bounded `(token, cnt)` aggregates
+    * (point the P side at the maintained word-frequency view and this
+    * is the INGEST-TIME drift gauge — zero corpus rescans as the
+    * standing corpus churns); one full-outer hash join + one
+    * aggregation; only the 1-row totals broadcast. */
+  def vocabDivergence(pCounts: DataFrame, qCounts: DataFrame,
+                      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"smoothing alpha must be positive: $alpha")
+    val pc = pCounts.select(col("token"), col("cnt").cast("long").as("pc"))
+    val qc = qCounts.select(col("token"), col("cnt").cast("long").as("qc"))
+    val vocab = pc.join(qc, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("pc"), lit(0L)).as("pc"),
+        coalesce(col("qc"), lit(0L)).as("qc"))
+    val tot = vocab.agg(
+      sum(col("pc")).cast("double").as("__np"),
+      sum(col("qc")).cast("double").as("__nq"),
+      count(lit(1L)).cast("double").as("__v"))
+    val p = (col("pc").cast("double") + lit(alpha)) /
+      (col("__np") + lit(alpha) * col("__v"))
+    val q = (col("qc").cast("double") + lit(alpha)) /
+      (col("__nq") + lit(alpha) * col("__v"))
+    val m = (p + q) / lit(2.0)
+    vocab.crossJoin(broadcast(tot))
+      .select(
+        (p * (log(p) - log(q))).as("__pq"),
+        (q * (log(q) - log(p))).as("__qp"),
+        (p * (log(p) - log(m)) / lit(2.0) +
+          q * (log(q) - log(m)) / lit(2.0)).as("__js"))
+      .agg(
+        count(lit(1L)).as("n_types"),
+        graft.functions.Exact.roundAt(
+          graft.functions.Exact.sumExact(col("__pq"), 9), 6).as("kl_pq"),
+        graft.functions.Exact.roundAt(
+          graft.functions.Exact.sumExact(col("__qp"), 9), 6).as("kl_qp"),
+        graft.functions.Exact.roundAt(
+          graft.functions.Exact.sumExact(col("__js"), 9), 6).as("js"))
+  }
+
+  /** [[vocabDivergence]] straight from two text corpora — counts both
+    * sides in one pass each. */
+  def vocabDivergenceOf(pDocs: DataFrame, qDocs: DataFrame,
+                        textCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    def cnts(df: DataFrame) = df
+      .select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1L)).as("cnt"))
+    vocabDivergence(cnts(pDocs), cnts(qDocs), alpha)
+  }
+
   /** HEAPS vocabulary-growth fit — the card's other scaling law:
     * walk the corpus in `idCol` order, record after every doc the
     * running token total N and running distinct-type count V, and

@@ -320,6 +320,40 @@ class CorpusSpec extends SparkSpec {
     assert(viaCounts == direct)
   }
 
+  test("vocabDivergence: hand-math smoothed KL/JS; identical corpora read zero; asymmetry points at the novel side") {
+    val s = spark; import s.implicits._
+    val p = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val q = Seq((2L, "a c")).toDF("doc_id", "text")
+    val got = Corpus.vocabDivergenceOf(p, q, "text")
+      .as[(Long, Double, Double, Double)].collect().head
+    // union vocab {a, b, c}; P counts (2,1,0), N_p=3; Q (1,0,1), N_q=2
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def s9(vs: Seq[Double]) = vs.map(v => BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val pd = Seq(2.0, 1.0, 0.0).map(c => (c + 0.5) / (3.0 + 0.5 * 3.0))
+    val qd = Seq(1.0, 0.0, 1.0).map(c => (c + 0.5) / (2.0 + 0.5 * 3.0))
+    val klPq = s9(pd.zip(qd).map { case (a, b) =>
+      a * (math.log(a) - math.log(b)) })
+    val klQp = s9(pd.zip(qd).map { case (a, b) =>
+      b * (math.log(b) - math.log(a)) })
+    val js = s9(pd.zip(qd).map { case (a, b) =>
+      val m = (a + b) / 2.0
+      a * (math.log(a) - math.log(m)) / 2.0 +
+        b * (math.log(b) - math.log(m)) / 2.0 })
+    assert(got == ((3L, r6(klPq), r6(klQp), r6(js))))
+    assert(got._2 > 0 && got._3 > 0 && got._4 > 0 &&
+      got._4 <= math.log(2.0))
+    // identical corpora: every divergence is exactly zero
+    val same = Corpus.vocabDivergenceOf(p, p, "text")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(same == ((2L, 0.0, 0.0, 0.0)))
+    intercept[IllegalArgumentException] {
+      Corpus.vocabDivergence(
+        p.select(lit("a").as("token"), lit(1L).as("cnt")),
+        q.select(lit("a").as("token"), lit(1L).as("cnt")), alpha = 0.0)
+    }
+  }
+
   test("temperatureBudgets: hand-math shares with the cap; selection == bucketed mix on those budgets") {
     val s = spark; import s.implicits._
     val df = Seq(

@@ -149,6 +149,9 @@ class PlanGuardSpec extends SparkSpec {
     // literals, the prefix rule is hash joins + keyed windows), and
     // q_knn_pq_stored_rerank is NOT exempt either (literal shortlist
     // + readPoints scan + hash joins end to end).
+    // q_vocab_kl / q_vocab_kl_incr splice their broadcast 1-row
+    // (N_p, N_q, V) totals the same way (the vocab join itself is a
+    // full-outer HASH join).
     val exempt = Set("q_embedding_neardup", "q_knn_cosine", "q_knn_lsh",
       "q_knn_pq",
       "q_customer_above_avg",
@@ -160,7 +163,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_dsir_weights", "q_dsir_select", "q_dsir_score_incr",
       "q_mmr_rerank", "q_knn_ivfpq_rerank", "q_knn_ivfpq_recall",
       "q_perplexity_bucket", "q_perplexity_incr",
-      "q_mix_temperature")
+      "q_mix_temperature", "q_vocab_kl", "q_vocab_kl_incr")
     SparkEntry.queries.keys.filterNot(exempt).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")

@@ -101,6 +101,11 @@ class SqlSurfaceSpec extends SparkSpec {
         Seq("lang"), "a", "b", "cnt", iters = 3, topK = 5)))
 
     assert(canon(spark.sql(
+      "SELECT * FROM graft_vocab_divergence('docs_dsir_en', 'docs_dsir', 'text')"))
+      == canon(operators.Corpus.vocabDivergenceOf(
+        d.filter(col("lang") === "en"), d, "text")))
+
+    assert(canon(spark.sql(
       "SELECT * FROM graft_mix_temperature('docs_dsir', 'source', 'text', 0.5, 3000)"))
       == canon(operators.Corpus.temperatureBudgets(
         d, "source", "text", alpha = 0.5, totalBudget = 3000L)))
