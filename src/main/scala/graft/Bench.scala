@@ -21,6 +21,33 @@ object Bench {
   private def r2(v: Double): Double = math.round(v * 100) / 100.0
   private def r3(v: Double): Double = math.round(v * 1000) / 1000.0
 
+  /** Fixed-cost WINDOW-HEALTH calibration: a single-thread
+    * fixed-iteration spin loop (pure CPU — contention and cgroup
+    * throttling inflate it) and a tiny fixed Spark job (scheduler +
+    * shuffle path health), min-of-3 each, in ms. Healthy-window
+    * readings are stable machine properties; recording them pre- and
+    * post-run makes a drifted window visible INSIDE the artifact
+    * instead of requiring a forensic controlled pair afterwards (the
+    * r17/r18 attribution cost, twice). */
+  private[graft] def calSpinMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < (1 << 27)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) print("") // defeat dead-code elimination
+    dt
+  }
+  private def calSparkMs(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(1L << 22)
+      .agg(org.apache.spark.sql.functions.sum("id")).collect()
+    (System.nanoTime() - t0) / 1e6
+  }
+  private def calPair(spark: SparkSession): (Double, Double) =
+    ((1 to 3).map(_ => calSpinMs()).min,
+      (1 to 3).map(_ => calSparkMs(spark)).min)
+
   def main(args: Array[String]): Unit = {
     // Round 7's line was displaced from the driver's bounded tail by a
     // ~1.9 KB netty stack trace printed on stderr DURING JVM SHUTDOWN,
@@ -54,6 +81,9 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // calibration BEFORE the query block (session live, tables warm,
+    // queries not yet run) — paired with the post-run reading below
+    val (calSpinPre, calSparkPre) = calPair(spark)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def recordErr(name: String, e: Throwable): Unit =
       errors.getOrElseUpdate(name,
@@ -116,6 +146,12 @@ object Bench {
     sweep.foreach(_.errors.foreach { case (t, m) =>
       errors.getOrElseUpdate(s"sweep_$t", m.take(60)) })
 
+    // calibration AFTER everything timed — drift between the two
+    // readings brackets the run's window health
+    val (calSpinPost, calSparkPost) = calPair(spark)
+    val calJson = s""","cal_ms":[${r2(calSpinPre)},${r2(calSpinPost)},""" +
+      s"""${r2(calSparkPre)},${r2(calSparkPost)}]"""
+
     val all = results :+ ("q_stream_pipeline" -> streamSec)
     val errs =
       if (errors.isEmpty) ""
@@ -128,7 +164,7 @@ object Bench {
       .map { case (k, ts) => "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val sweepJson = sweep.map(_.json).getOrElse("null")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","stream_msgs_per_s":$streamRate,"n_events":$nEvents,"cpus":$cpus,"sweep":$sweepJson$errs,"rep_times":$fullQs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","stream_msgs_per_s":$streamRate,"n_events":$nEvents,"cpus":$cpus$calJson,"sweep":$sweepJson$errs,"rep_times":$fullQs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
       try w.println(full) finally w.close()
@@ -140,7 +176,13 @@ object Bench {
     // The sweep block deliberately does NOT appear here — it lives in
     // BENCH_FULL.json — after six straight rounds of `parsed: null`.
     val sfName = new java.io.File(sfDir).getName
-    val line = BenchLine.compose(total, reps, streamRate, errs, all, sfName)
+    // the cal block rides the line at whole-ms (≈30B — the budget
+    // composer keeps it on every rung; full precision is in the file)
+    val calLine = s""","cal_ms":[${math.round(calSpinPre)},""" +
+      s"""${math.round(calSpinPost)},${math.round(calSparkPre)},""" +
+      s"""${math.round(calSparkPost)}]"""
+    val line = BenchLine.compose(total, reps, streamRate, errs, all, sfName,
+      cal = calLine)
     // belt-and-braces: no late stack trace (netty shutdown, executor
     // teardown) can ever race the tail again — stderr goes to the void
     // from here on; BENCH_FULL.json already has everything of value

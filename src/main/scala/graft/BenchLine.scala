@@ -56,14 +56,18 @@ object BenchLine {
   def fmt0(v: Double): String = math.round(v).toString
 
   /** Build the line, degrading precision until it fits `LineBudget`.
-    * `errs` is either "" or a pre-rendered `,"errors":{…}` fragment. */
+    * `errs` is either "" or a pre-rendered `,"errors":{…}` fragment;
+    * `cal` likewise a pre-rendered `,"cal_ms":[…]` window-health
+    * fragment (~30B) that every rung keeps — a drifted window must be
+    * visible on the artifact the driver actually records. */
   def compose(total: Double, reps: Int, streamRate: Double, errs: String,
-              queries: Seq[(String, Double)], sfName: String): String = {
+              queries: Seq[(String, Double)], sfName: String,
+              cal: String = ""): String = {
     def render(fmt: Double => String, withErrs: Boolean): String = {
       val qs = queries.map { case (k, v) =>
         "\"" + k.stripPrefix("q_") + "\":" + fmt(v) }.mkString("{", ",", "}")
       val e = if (withErrs) errs else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate$e,"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate$cal$e,"queries":$qs,"sf":"$sfName"}"""
     }
     def fits(s: String): Boolean = s.getBytes("UTF-8").length <= LineBudget
     // greedy mixed precision: from a whole-second base line, upgrade
@@ -87,7 +91,7 @@ object BenchLine {
       val qs = queries.map { case (k, v) =>
         val f = if (oneDec(k)) fmt1(v) else fmt0(v)
         "\"" + k.stripPrefix("q_") + "\":" + f }.mkString("{", ",", "}")
-      Some(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate,"queries":$qs,"sf":"$sfName"}""")
+      Some(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate$cal,"queries":$qs,"sf":"$sfName"}""")
     }
     val attempts = Iterator(
       render(fmt2, withErrs = true),
@@ -107,7 +111,7 @@ object BenchLine {
         val qs = byCost.take(n).map { case (k, v) =>
           val f = if (oneDec(k)) fmt1(v) else fmt0(v)
           "\"" + k.stripPrefix("q_") + "\":" + f }.mkString("{", ",", "}")
-        s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate,"queries_omitted":${queries.size - n},"queries":$qs,"sf":"$sfName"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_msgs_per_s":$streamRate$cal,"queries_omitted":${queries.size - n},"queries":$qs,"sf":"$sfName"}"""
       }
       (queries.size to 0 by -1).iterator.find(n => fits(renderTop(n)))
         .map { n =>

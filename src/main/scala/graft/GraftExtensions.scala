@@ -1135,8 +1135,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           alpha = if (a.length == 4) litDouble(a(3), "alpha") else 0.5)
     }
 
+    tvf("graft_vocab_divergence_by",
+      "graft_vocab_divergence_by(pTable, domainCol, qTable, textCol[, alpha]) - PER-DOMAIN smoothed unigram KL/JS of pTable's domains against qTable's whole vocabulary as (domainCol, n_types, kl_pq, kl_qp, js) - which DOMAIN is drifting, one keyed full-outer join, no per-domain loop (see operators.Corpus.vocabDivergenceBy)") {
+      (s, a) =>
+        require(a.length == 4 || a.length == 5,
+          "graft_vocab_divergence_by takes (pTable, domainCol, qTable, textCol[, alpha])")
+        operators.Corpus.vocabDivergenceByOf(
+          s.table(litStr(a(0), "pTable")), litStr(a(1), "domainCol"),
+          s.table(litStr(a(2), "qTable")), litStr(a(3), "textCol"),
+          alpha = if (a.length == 5) litDouble(a(4), "alpha") else 0.5)
+    }
+
     tvf("graft_mix_temperature",
-      "graft_mix_temperature(table, domainCol, textCol, alpha, totalBudget) - temperature-scaled domain budgets (share ∝ tokens^alpha via exp(alpha·ln n), capped at the domain's own tokens) as (domainCol, domain_tokens, mix_weight, budget) (see operators.Corpus.temperatureBudgets)") {
+      "graft_mix_temperature(table, domainCol, textCol, alpha, totalBudget) - temperature-scaled domain budgets (share ∝ tokens^alpha via exp(alpha·ln n); capped largest-remainder apportionment, so the budgets sum EXACTLY to min(totalBudget, corpus tokens)) as (domainCol, domain_tokens, mix_weight, budget); NOTE: computes eagerly when ANALYZED (see operators.Corpus.temperatureBudgets)") {
       (s, a) =>
         require(a.length == 5,
           "graft_mix_temperature takes (table, domainCol, textCol, alpha, totalBudget)")

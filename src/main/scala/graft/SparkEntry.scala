@@ -1594,6 +1594,15 @@ object SparkEntry {
       Corpus.vocabDivergence(standing, shard)
     }),
 
+    // PER-DOMAIN drift: every domain's smoothed KL/JS against the
+    // whole corpus's unigram distribution — which DOMAIN moved, not
+    // just whether the crawl did (feeds temperature re-weighting).
+    // One keyed full-outer join + keyed aggregation, no driver loop.
+    "q_vocab_kl_by" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Corpus.vocabDivergenceByOf(d, "source", d, "text")
+    }),
+
     // The MAINTAINED Zipf fit: the same card statistic re-fit from
     // the live word-frequency view after an append + a delete —
     // vocab-bounded state, zero corpus rescans; the oracle replays
@@ -2269,11 +2278,42 @@ object SparkEntry {
   }
 
   /** The temperature-budget CTE chain shared by both temperature-mix
-    * oracles: n_d per domain, 9-rounded n_d^α weights, exact-decimal
-    * weight total, floor(total·share) capped at n_d. */
+    * oracles — the INTEGER water-filling replay of
+    * [[graft.operators.Corpus.temperatureBudgets]]'s exact-total
+    * contract: n_d per domain, 9-rounded n_d^α weights, then capped
+    * largest-remainder apportionment in 128-bit integer arithmetic
+    * (weights scale to W = floor(w·10⁹+½) HUGEINTs, quotas are
+    * (R·W)//ΣW with the +1s by remainder desc / domain asc), so
+    * Σ budgets == min(total, Σ n_d) exactly and every step matches
+    * the driver's BigInt loop bit-for-bit — no iterated-double
+    * hazard. The loop pins ≥1 domain per pass, so `wfRounds`
+    * unrolled rounds cover any corpus with ≤ wfRounds domains (the
+    * test tables hold 20 `source` domains; convergence is usually
+    * 2–4 passes); a converged round is a no-op, so spare rounds are
+    * harmless. */
+  private val wfRounds = 24
   private def mixTempBudgetsCte: String = {
     val w9 = graft.functions.Exact.roundAtSql(
       s"exp($mixTempAlpha * ln(CAST(domain_tokens AS DOUBLE)))", 9)
+    // every round CTE is MATERIALIZED: each references the previous
+    // round twice (aggregate + row update), so DuckDB's default CTE
+    // inlining would expand the chain 2^rounds times and hang the
+    // planner (measured; MATERIALIZED plans it linearly)
+    val rounds = (0 until wfRounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT COALESCE(sum(W) FILTER (WHERE NOT fixed), 1) AS S,
+         |         B0 - COALESCE(sum(b) FILTER (WHERE fixed), 0) AS R
+         |  FROM s$i CROSS JOIN b0 GROUP BY B0
+         |), s${i + 1} AS MATERIALIZED (
+         |  SELECT source, domain_tokens, mix_weight, W,
+         |         fixed OR (R * W) // S >= domain_tokens AS fixed,
+         |         CASE WHEN fixed THEN b
+         |              WHEN (R * W) // S >= domain_tokens
+         |                THEN CAST(domain_tokens AS HUGEINT)
+         |              ELSE NULL END AS b
+         |  FROM s$i CROSS JOIN a$i
+         |)""".stripMargin
+    }.mkString(",\n")
     s"""dt AS (
        |  SELECT source,
        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
@@ -2281,17 +2321,40 @@ object SparkEntry {
        |  FROM documents GROUP BY source
        |), wt AS (
        |  SELECT source, domain_tokens, $w9 AS mix_weight FROM dt
-       |), tw AS (
-       |  SELECT ${graft.functions.Exact.sumExactSql("mix_weight", 9)}
-       |           AS tw
+       |), b0 AS (
+       |  SELECT least(CAST($mixTempTotal AS HUGEINT),
+       |               CAST(sum(domain_tokens) AS HUGEINT)) AS B0
        |  FROM wt
+       |), s0 AS MATERIALIZED (
+       |  SELECT source, domain_tokens, mix_weight,
+       |         CAST(floor(mix_weight * 1e9 + 0.5) AS HUGEINT) AS W,
+       |         FALSE AS fixed, CAST(NULL AS HUGEINT) AS b
+       |  FROM wt
+       |),
+       |$rounds,
+       |af AS MATERIALIZED (
+       |  SELECT COALESCE(sum(W) FILTER (WHERE NOT fixed), 1) AS S,
+       |         B0 - COALESCE(sum(b) FILTER (WHERE fixed), 0) AS R
+       |  FROM s$wfRounds CROSS JOIN b0 GROUP BY B0
+       |), qt AS MATERIALIZED (
+       |  SELECT source, domain_tokens, mix_weight, fixed, b,
+       |         CASE WHEN fixed THEN NULL ELSE (R * W) // S END AS q,
+       |         CASE WHEN fixed THEN NULL ELSE (R * W) % S END AS rem
+       |  FROM s$wfRounds CROSS JOIN af
+       |), ex AS (
+       |  SELECT (SELECT R FROM af)
+       |           - COALESCE(sum(q) FILTER (WHERE NOT fixed), 0) AS extra
+       |  FROM qt
        |), bud AS (
        |  SELECT source, domain_tokens, mix_weight,
-       |         least(
-       |           CAST(floor(CAST($mixTempTotal AS DOUBLE)
-       |             * (mix_weight / tw)) AS BIGINT),
-       |           domain_tokens) AS budget
-       |  FROM wt CROSS JOIN tw
+       |         CAST(CASE WHEN fixed THEN b
+       |              ELSE q + CASE WHEN row_number() OVER (
+       |                         PARTITION BY fixed
+       |                         ORDER BY rem DESC,
+       |                                  CAST(source AS VARCHAR) ASC)
+       |                       <= extra THEN 1 ELSE 0 END
+       |              END AS BIGINT) AS budget
+       |  FROM qt CROSS JOIN ex
        |)""".stripMargin
   }
 
@@ -2350,6 +2413,50 @@ object SparkEntry {
        |       ${s9r6("p * (ln(p) - ln((p + q) / 2.0)) / 2.0 + " +
                       "q * (ln(q) - ln((p + q) / 2.0)) / 2.0")} AS js
        |FROM terms""".stripMargin
+  }
+
+  /** Per-domain vocabulary-divergence oracle: the [[vocabKlOracleSql]]
+    * shapes keyed by `source` — the reference counts replicate per
+    * domain, each domain smooths over its own union vocabulary, and
+    * the same 9-decimal sums round at 6. */
+  private def vocabKlByOracleSql: String = {
+    def s9r6(x: String) = graft.functions.Exact.roundAtSql(
+      graft.functions.Exact.sumExactSql(x, 9), 6)
+    s"""WITH pc AS (
+       |  SELECT source, token, CAST(count(*) AS BIGINT) AS pcnt
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+       |        FROM documents)
+       |  GROUP BY source, token
+       |), qc AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS qcnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+       |        FROM documents)
+       |  GROUP BY token
+       |), qd AS (
+       |  SELECT d.source, q.token, q.qcnt
+       |  FROM qc q CROSS JOIN (SELECT DISTINCT source FROM pc) d
+       |), v AS (
+       |  SELECT COALESCE(pc.source, qd.source) AS source,
+       |         COALESCE(pc.pcnt, 0) AS pcnt, COALESCE(qd.qcnt, 0) AS qcnt
+       |  FROM pc FULL OUTER JOIN qd
+       |    ON pc.source = qd.source AND pc.token = qd.token
+       |), t AS (
+       |  SELECT source, CAST(sum(pcnt) AS DOUBLE) AS np,
+       |         CAST(sum(qcnt) AS DOUBLE) AS nq,
+       |         CAST(count(*) AS DOUBLE) AS vv
+       |  FROM v GROUP BY source
+       |), terms AS (
+       |  SELECT v.source,
+       |         (CAST(pcnt AS DOUBLE) + 0.5) / (np + 0.5 * vv) AS p,
+       |         (CAST(qcnt AS DOUBLE) + 0.5) / (nq + 0.5 * vv) AS q
+       |  FROM v JOIN t USING (source)
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+       |       ${s9r6("p * (ln(p) - ln(q))")} AS kl_pq,
+       |       ${s9r6("q * (ln(q) - ln(p))")} AS kl_qp,
+       |       ${s9r6("p * (ln(p) - ln((p + q) / 2.0)) / 2.0 + " +
+                      "q * (ln(q) - ln((p + q) / 2.0)) / 2.0")} AS js
+       |FROM terms GROUP BY source""".stripMargin
   }
 
   /** Funnel stages for q_funnel, shared with its generated oracle. */
@@ -4780,6 +4887,7 @@ object SparkEntry {
     "q_vocab_kl_incr" -> vocabKlOracleSql(
       "WHERE doc_id % 2 = 0 AND doc_id % 10 <> 6",
       "WHERE doc_id % 2 = 1"),
+    "q_vocab_kl_by" -> vocabKlByOracleSql,
 
     "q_dsir_weights" -> dsirOracleSql(topN = None),
 

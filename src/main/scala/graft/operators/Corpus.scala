@@ -520,24 +520,49 @@ object Corpus {
     budgets.foldRight(lit(defaultBudget): Column) {
       case ((d, b), acc) => when(col(domainCol) === d, lit(b)).otherwise(acc) }
 
+  /** Water-filling state: one domain's row, its deterministic
+    * tie-break key (the STRING rendering of the domain — both engines
+    * order it identically), token capacity n, and integer weight
+    * W = floor(w·10⁹ + ½) (exact: w is a 9-rounded double, so the
+    * scale-up is one IEEE multiply both engines share). */
+  private final class WfDomain(val row: org.apache.spark.sql.Row,
+                               val key: String, val n: BigInt,
+                               val w: BigInt) {
+    var fixed = false
+    var b: BigInt = 0
+  }
+
   /** TEMPERATURE-SCALED domain budgets (the standard multi-source
     * mixing recipe — sampling share ∝ p_d^α): per domain, the token
     * total n_d, the unnormalized weight w_d = n_d^α (computed as
     * exp(α·ln n_d) — `pow` is not bit-portable across engines, exp/ln
     * are — and rounded at 9 like every portable double here; the N^α
-    * normalizer cancels, so n_d^α suffices), and the token budget
-    * floor(total·w_d/Σw) CAPPED at n_d (α < 1 boosts small domains,
-    * possibly past what they hold — the cap keeps the selection a
-    * sample, not an epoch-repeat policy, which is the caller's knob).
-    * α = 1 reproduces proportional sampling; α → 0 flattens toward
-    * uniform-per-domain. Output one row per domain `(domainCol,
-    * domain_tokens, mix_weight, budget)` — bounded metadata.
+    * normalizer cancels, so n_d^α suffices), and an integer token
+    * budget per domain with the EXACT-TOTAL contract
     *
-    * Exactness: Σw folds the 9-rounded weights as exact decimals
-    * (order-independent), the share division and the budget floor are
-    * single IEEE ops — hash-exact vs the SQL replay. Scale: one
-    * map-side-combined aggregation over corpus tokens, then
-    * domain-bounded arithmetic. */
+    *   Σ budgets == min(totalBudget, Σ n_d),  budget_d ≤ n_d,
+    *
+    * via capped largest-remainder apportionment (water-filling): any
+    * domain whose proportional quota meets its capacity is pinned at
+    * n_d and its overflow re-divides among the rest (α < 1 boosts
+    * small domains, possibly past what they hold); the final floor
+    * remainder goes +1 each to the domains with the largest quota
+    * remainders (tie-break: remainder desc, then domain key asc — the
+    * domain's string rendering, identically ordered by both engines).
+    * A caller asking for 270B tokens gets exactly 270B whenever the
+    * corpus holds them. α = 1 reproduces proportional sampling;
+    * α → 0 flattens toward uniform-per-domain. Output one row per
+    * domain `(domainCol, domain_tokens, mix_weight, budget)`.
+    *
+    * Exactness: past the 9-rounded weights everything is INTEGER
+    * arithmetic — quotas are floor((R·W_d)/ΣW) with W_d = w_d·10⁹ as
+    * exact integers, so the SQL replay (128-bit ints; |R·W| < 10³⁸
+    * holds to ~10¹²-token budgets against ~10²²-scaled weights)
+    * matches bit-for-bit with no iterated-double hazard. Scale: one
+    * map-side-combined aggregation over corpus tokens, then the
+    * apportionment runs on DOMAIN-BOUNDED driver metadata (the
+    * [[mixByTemperature]] collect discipline — EAGER at call time);
+    * the loop pins ≥1 domain per pass, so ≤ nDomains passes. */
   def temperatureBudgets(df: DataFrame, domainCol: String,
                          textCol: String, alpha: Double,
                          totalBudget: Long): DataFrame = {
@@ -549,15 +574,38 @@ object Corpus {
         .as("domain_tokens"))
       .withColumn("mix_weight", graft.functions.Exact.roundAt(
         exp(lit(alpha) * log(col("domain_tokens").cast("double"))), 9))
-    val totalW = perDomain.agg(
-      graft.functions.Exact.sumExact(col("mix_weight"), 9)
-        .cast("double").as("__tw"))
-    perDomain.crossJoin(broadcast(totalW))
-      .select(col(domainCol), col("domain_tokens"), col("mix_weight"),
-        least(
-          floor(lit(totalBudget.toDouble) *
-            (col("mix_weight") / col("__tw"))).cast("long"),
-          col("domain_tokens")).as("budget"))
+    val rows = perDomain.collect()
+    rows.foreach(r => require(!r.isNullAt(0),
+      s"temperatureBudgets: NULL $domainCol — every document must " +
+        "carry a domain; filter or fill the null-domain rows upstream"))
+    val st = rows.map { r =>
+      val w = r.getDouble(2)
+      new WfDomain(r, r.get(0).toString, BigInt(r.getLong(1)),
+        BigDecimal(math.floor(w * 1e9 + 0.5)).toBigInt)
+    }
+    val b0 = BigInt(totalBudget) min st.map(_.n).sum
+    var done = false
+    while (!done) {
+      val active = st.filter(!_.fixed)
+      val s = active.map(_.w).sum max BigInt(1)
+      val r = b0 - st.filter(_.fixed).map(_.b).sum
+      val newlyCapped = active.filter(d => (r * d.w) / s >= d.n)
+      if (newlyCapped.isEmpty) {
+        active.foreach(d => d.b = (r * d.w) / s)
+        val extra = (r - active.map(_.b).sum).toInt
+        active.sortBy(d => (r * d.w % s, d.key))(
+            Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[String]))
+          .take(extra).foreach(d => d.b += 1)
+        done = true
+      } else newlyCapped.foreach { d => d.fixed = true; d.b = d.n }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      perDomain.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "budget", org.apache.spark.sql.types.LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(st.map(d =>
+        org.apache.spark.sql.Row.fromSeq(d.row.toSeq :+ d.b.toLong)): _*),
+      schema)
   }
 
   /** Temperature-mixed selection: [[temperatureBudgets]] collected as
@@ -1227,6 +1275,83 @@ object Corpus {
       .groupBy("token").agg(count(lit(1L)).as("cnt"))
     vocabDivergence(cnts(pDocs), cnts(qDocs), alpha)
   }
+
+  /** PER-DOMAIN [[vocabDivergence]] — which DOMAIN is drifting, not
+    * just whether the corpus moved (pairs with [[temperatureBudgets]]
+    * re-weighting: the domain whose JS against the reference jumped is
+    * the one to down-weight or re-crawl). P side: per-domain counts
+    * `(domainCol, token, cnt)`; Q side: ONE reference count frame
+    * `(token, cnt)` — the standing corpus, the previous crawl, or a
+    * maintained word-frequency view (the ingest-time form: zero corpus
+    * rescans as the standing side churns). One row per domain
+    * `(domainCol, n_types, kl_pq, kl_qp, js)`; each domain smooths
+    * over ITS OWN domain∪reference union vocabulary, so every row
+    * equals [[vocabDivergence]] run on that domain alone
+    * (spec-asserted). A NULL domain fails by name at scan time — null
+    * keys would silently split from their reference rows in the keyed
+    * full-outer join instead of unioning.
+    *
+    * Scale: ONE keyed full-outer hash join + one keyed aggregation,
+    * no per-domain driver loop. The reference counts replicate once
+    * per distinct domain (vocab × nDomains rows — domains are bounded
+    * in the mixing regime); per-domain totals are a domain-bounded
+    * aggregate broadcast back into the term pass. */
+  def vocabDivergenceBy(pCounts: DataFrame, domainCol: String,
+                        qCounts: DataFrame,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"smoothing alpha must be positive: $alpha")
+    val dGuard = when(assert_true(col(domainCol).isNotNull,
+      lit(s"vocabDivergenceBy: NULL $domainCol — filter or fill the " +
+        "null-domain rows upstream")).isNull, col(domainCol))
+    val pc = pCounts.select(dGuard.as("__d"), col("token"),
+      col("cnt").cast("long").as("pc"))
+    val qc = qCounts.select(col("token"), col("cnt").cast("long").as("qc"))
+    val qd = qc.crossJoin(broadcast(pc.select(col("__d")).distinct()))
+    val vocab = pc.join(qd, Seq("__d", "token"), "full_outer")
+      .select(col("__d"),
+        coalesce(col("pc"), lit(0L)).as("pc"),
+        coalesce(col("qc"), lit(0L)).as("qc"))
+    val tot = vocab.groupBy(col("__d")).agg(
+      sum(col("pc")).cast("double").as("__np"),
+      sum(col("qc")).cast("double").as("__nq"),
+      count(lit(1L)).cast("double").as("__v"))
+    val p = (col("pc").cast("double") + lit(alpha)) /
+      (col("__np") + lit(alpha) * col("__v"))
+    val q = (col("qc").cast("double") + lit(alpha)) /
+      (col("__nq") + lit(alpha) * col("__v"))
+    val m = (p + q) / lit(2.0)
+    vocab.join(broadcast(tot), Seq("__d"))
+      .select(col("__d"),
+        (p * (log(p) - log(q))).as("__pq"),
+        (q * (log(q) - log(p))).as("__qp"),
+        (p * (log(p) - log(m)) / lit(2.0) +
+          q * (log(q) - log(m)) / lit(2.0)).as("__js"))
+      .groupBy(col("__d"))
+      .agg(
+        count(lit(1L)).as("n_types"),
+        graft.functions.Exact.roundAt(
+          graft.functions.Exact.sumExact(col("__pq"), 9), 6).as("kl_pq"),
+        graft.functions.Exact.roundAt(
+          graft.functions.Exact.sumExact(col("__qp"), 9), 6).as("kl_qp"),
+        graft.functions.Exact.roundAt(
+          graft.functions.Exact.sumExact(col("__js"), 9), 6).as("js"))
+      .withColumnRenamed("__d", domainCol)
+  }
+
+  /** [[vocabDivergenceBy]] straight from text: per-domain counts of
+    * `pDocs` against the whole of `qDocs` as the reference. */
+  def vocabDivergenceByOf(pDocs: DataFrame, domainCol: String,
+                          qDocs: DataFrame, textCol: String,
+                          alpha: Double = 0.5): DataFrame =
+    vocabDivergenceBy(
+      pDocs.select(col(domainCol),
+          explode(Text.tokens(col(textCol))).as("token"))
+        .groupBy(col(domainCol), col("token"))
+        .agg(count(lit(1L)).as("cnt")),
+      domainCol,
+      qDocs.select(explode(Text.tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1L)).as("cnt")),
+      alpha)
 
   /** HEAPS vocabulary-growth fit — the card's other scaling law:
     * walk the corpus in `idCol` order, record after every doc the

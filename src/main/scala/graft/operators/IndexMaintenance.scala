@@ -108,6 +108,54 @@ private[graft] object IndexMaintenance {
     try out.write(paths.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
+  private val PendingPrefix = "_graft_pending-g"
+
+  /** Two-phase retirement, closing the flip/ledger crash window: a
+    * crash BETWEEN the meta flip and a post-flip [[recordRetired]]
+    * would leave the old generation's directories unledgered forever
+    * (unvacuumable disk) and its already-applied tombstone files
+    * still LIVE — silently suppressing an id legitimately re-appended
+    * later. Instead the rebuild writes this PENDING entry BEFORE the
+    * flip, naming the paths that retire once the pointer reaches
+    * `activationGen`; [[promotePending]] (an atomic rename) turns it
+    * into a real retirement ledger only after the flip is observable.
+    * Crash before the flip: the entry stays pending — [[vacuum]] and
+    * [[retiredPaths]] ignore it, so the still-current generation is
+    * never reclaimed, and a retried rebuild overwrites it (same tag).
+    * Crash after the flip: the next maintenance op or vacuum under
+    * the current generation promotes and the paths retire normally. */
+  def recordPendingRetired(spark: SparkSession, dir: String,
+                           activationGen: Long, tag: String,
+                           paths: Seq[String]): Unit = {
+    val out = fs(spark, dir).create(
+      new Path(dir, s"$PendingPrefix$activationGen-$tag"), true)
+    try out.write(paths.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Promote every pending retirement whose activation generation is
+    * ≤ `currentGen` (its flip landed) to a real retirement ledger —
+    * one atomic rename each. Call under the index's writer lock or
+    * from vacuum, with the CURRENT generation read from the index's
+    * meta. Returns how many entries were promoted. */
+  def promotePending(spark: SparkSession, dir: String,
+                     currentGen: Long): Int = {
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) return 0
+    var n = 0
+    f.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(PendingPrefix)).foreach { p =>
+        val rest = p.getName.stripPrefix(PendingPrefix)
+        val dash = rest.indexOf('-')
+        if (dash > 0 && rest.take(dash).forall(_.isDigit) &&
+            rest.take(dash).toLong <= currentGen) {
+          if (f.rename(p, new Path(dir, RetiredPrefix + rest.drop(dash + 1))))
+            n += 1
+        }
+      }
+    n
+  }
+
   /** Every path the retirement ledgers currently name — retired but
     * not yet vacuumed. Readers use this to SKIP retired tombstone
     * files: a compaction/recluster already applied them physically,
@@ -160,6 +208,7 @@ private[graft] object IndexMaintenance {
     if (!f.exists(root)) return
     f.listStatus(root).map(_.getPath)
       .filter(p => p.getName.startsWith(RetiredPrefix) ||
+        p.getName.startsWith(PendingPrefix) ||
         p.getName == lockPath(dir).getName)
       .foreach(f.delete(_, false))
   }

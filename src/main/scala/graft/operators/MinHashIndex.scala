@@ -251,15 +251,25 @@ object MinHashIndex {
         else math.max(1, math.ceil(liveSets.count() / 4e6).toInt)
       liveSets.repartition(nSet)
         .write.mode("overwrite").parquet(setsPath(dir, next))
-      writeMeta(spark, dir, next) // the flip: readers now resolve gen n+1
-      IndexMaintenance.recordRetired(spark, dir, s"g${meta.gen}",
+      // pending-then-flip-then-promote (see Similarity.pqRetrain): a
+      // crash between the flip and the ledger write can no longer
+      // strand the old generation unledgered with its tombstones live
+      IndexMaintenance.recordPendingRetired(spark, dir, next.gen,
+        s"g${meta.gen}",
         Seq(bandsPath(dir, meta), setsPath(dir, meta)) ++
           tombFiles.map(_.toString))
+      writeMeta(spark, dir, next) // the flip: readers now resolve gen n+1
+      IndexMaintenance.promotePending(spark, dir, next.gen)
     }
 
   /** Reclaim the directories and applied tombstone files retired by
     * past [[compact]] runs — call once queries that started before the
-    * generation flip have drained. Idempotent. */
-  def vacuum(spark: SparkSession, dir: String): Int =
+    * generation flip have drained. Idempotent (a pending entry whose
+    * flip landed but whose promote was lost to a crash is adopted
+    * here first). */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    if (fs(spark, dir).exists(new org.apache.hadoop.fs.Path(metaPath(dir))))
+      IndexMaintenance.promotePending(spark, dir, readMeta(spark, dir).gen)
     IndexMaintenance.vacuum(spark, dir)
+  }
 }

@@ -321,16 +321,24 @@ object Similarity {
       live.repartition(nCells, col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(ivfCellsPath(path, gen + 1))
+      // pending-then-flip-then-promote (see pqRetrain): a crash
+      // between the flip and the ledger write can no longer strand
+      // the old generation unledgered with its tombstones live
+      IndexMaintenance.recordPendingRetired(spark, path, gen + 1,
+        s"g$gen", ivfCellsPath(path, gen) +: tombFiles.map(_.toString))
       writeIvfGen(spark, path, gen + 1) // the flip
-      IndexMaintenance.recordRetired(spark, path, s"g$gen",
-        ivfCellsPath(path, gen) +: tombFiles.map(_.toString))
+      IndexMaintenance.promotePending(spark, path, gen + 1)
     }
 
   /** Reclaim directories and tombstone files retired by past
     * [[ivfCompact]] / [[ivfRecluster]] runs — call once queries that
-    * started before the generation flip have drained. Idempotent. */
-  def ivfVacuum(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    * started before the generation flip have drained. Idempotent (a
+    * pending retirement whose flip landed but whose promote was lost
+    * to a crash is adopted here first). */
+  def ivfVacuum(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    IndexMaintenance.promotePending(spark, path, ivfGen(spark, path).toLong)
     IndexMaintenance.vacuum(spark, path)
+  }
 
   /** Re-learn the stored index's centroids from the LIVE corpus and
     * rewrite as the next storage generation — the drift remedy
@@ -367,8 +375,19 @@ object Similarity {
         if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath)
           .filter(p => !alreadyRetired.contains(p.toString)).toSeq
         else Nil
-      val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
-      corpus
+      // the rebuild reads the caller's corpus frame — anti-join the
+      // not-yet-retired tombstones UNCONDITIONALLY (metadata-sized):
+      // via maintainIvf the live-table frame already excludes them
+      // (no-op), but a DIRECT caller passing a frame read before
+      // recent erasures must not silently resurrect an erased id
+      val liveCorpus =
+        if (tombFiles.isEmpty) corpus
+        else corpus.join(
+          spark.read.parquet(tombFiles.map(_.toString): _*)
+            .select(col("neighbor_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      val cents = kmeansCentroids(liveCorpus, idCol, vecCol, nCells, iters)
+      liveCorpus
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
         .withColumn("cell", bestCell(cents, col("vec")))
         .write.partitionBy("cell").mode("overwrite")
@@ -378,16 +397,19 @@ object Similarity {
         .toDF("cell_id", "centroid")
         .coalesce(1).write.mode("overwrite")
         .json(s"$path/centroids-g${gen + 1}")
-      writeIvfGen(spark, path, gen + 1) // the flip
       // retire the centroids file the OLD generation actually
       // resolved (ivfCompact bumps gens without moving centroids, so
       // centroids-g<gen> may not exist — walk down like readers do)
       val oldCents = (gen to 1 by -1).map(g => s"$path/centroids-g$g")
         .find(p => f.exists(new org.apache.hadoop.fs.Path(p)))
         .getOrElse(s"$path/centroids")
-      IndexMaintenance.recordRetired(spark, path, s"recluster-g$gen",
+      // pending-then-flip-then-promote (see pqRetrain)
+      IndexMaintenance.recordPendingRetired(spark, path, gen + 1,
+        s"recluster-g$gen",
         (ivfCellsPath(path, gen) +: Seq(oldCents)) ++
           tombFiles.map(_.toString))
+      writeIvfGen(spark, path, gen + 1) // the flip
+      IndexMaintenance.promotePending(spark, path, gen + 1)
     }
 
   /** Record the maintained embedding moments' current (n, mean,
@@ -1774,7 +1796,18 @@ object Similarity {
     * for [[pqVacuum]] to reclaim once in-flight readers drain. A
     * crash mid-retrain leaves orphan next-gen dirs the retry
     * overwrites — the pointer still names the old, complete
-    * generation. Writers serialize on the index lock. */
+    * generation. Writers serialize on the index lock.
+    *
+    * The not-yet-retired tombstones are anti-joined into the rebuild
+    * UNCONDITIONALLY (the tombstone set is metadata-sized): via
+    * [[maintainPq]] the passed corpus is the live table as-of the fed
+    * version and the anti-join is a no-op, but a DIRECT caller whose
+    * frame predates recent erasures must not silently resurrect an
+    * erased id. The retirement ledger entry is written BEFORE the
+    * meta flip as a PENDING entry activated by the flip
+    * ([[IndexMaintenance.recordPendingRetired]]) — a crash between
+    * flip and ledger can no longer strand the old generation
+    * unvacuumable with its applied tombstones live. */
   def pqRetrain(spark: org.apache.spark.sql.SparkSession,
                 corpus: DataFrame, idCol: String, vecCol: String,
                 path: String, dim: Int, nCells: Int = 16,
@@ -1789,10 +1822,16 @@ object Similarity {
         if (f.exists(tombPath)) f.listStatus(tombPath).map(_.getPath)
           .filter(p => !alreadyRetired.contains(p.toString)).toSeq
         else Nil
-      val cents = sampleCentroids(corpus, idCol, vecCol, nCells)
-      val books = pqTrain(corpus, idCol, vecCol, dim, m, kCodes, iters)
+      val live =
+        if (tombFiles.isEmpty) corpus
+        else corpus.join(
+          spark.read.parquet(tombFiles.map(_.toString): _*)
+            .select(col("neighbor_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      val cents = sampleCentroids(live, idCol, vecCol, nCells)
+      val books = pqTrain(live, idCol, vecCol, dim, m, kCodes, iters)
       val subd = dim / m
-      corpus.select(
+      live.select(
           col(idCol).as("neighbor_id"),
           bestCell(cents, col(vecCol)).as("cell"),
           array((0 until m).map(s =>
@@ -1809,19 +1848,28 @@ object Similarity {
         .toDF("sub", "code", "centroid")
         .coalesce(1).write.mode("overwrite")
         .json(pqArtifactPath(path, "books", next))
-      pqWriteMeta(spark, path, dim, m, kCodes, next) // the flip
-      IndexMaintenance.recordRetired(spark, path, s"pq-retrain-g$gen",
+      IndexMaintenance.recordPendingRetired(spark, path, next,
+        s"pq-retrain-g$gen",
         Seq("codes", "centroids", "books")
           .map(pqArtifactPath(path, _, gen)) ++
           tombFiles.map(_.toString))
+      pqWriteMeta(spark, path, dim, m, kCodes, next) // the flip
+      IndexMaintenance.promotePending(spark, path, next)
     }
 
   /** Reclaim directories and tombstone files retired by past
     * [[pqRetrain]] runs — call once queries that started before the
-    * generation flip have drained. Idempotent. */
+    * generation flip have drained. Idempotent (a pending retirement
+    * whose flip landed but whose promote was lost to a crash is
+    * adopted here first). */
   def pqVacuum(spark: org.apache.spark.sql.SparkSession,
-               path: String): Int =
+               path: String): Int = {
+    val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_pq_meta.json")
+    if (ivfFs(spark, path).exists(meta))
+      IndexMaintenance.promotePending(spark, path,
+        pqMetaFields(spark, path)._4.toLong)
     IndexMaintenance.vacuum(spark, path)
+  }
 
   /** Query a stored IVF-PQ index: probe cells become a literal
     * partition filter over the CODES directories (the scan opens

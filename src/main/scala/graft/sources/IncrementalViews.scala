@@ -2348,7 +2348,11 @@ object IncrementalViews {
     * float vector; `ivfPath` is ignored). RRF is rank-based, so the
     * ADC leg needs no score calibration against BM25 — only the
     * page's vector-leg SCORE column changes meaning: `adist` (ADC
-    * distance, smaller = closer) replaces `cosine`. */
+    * distance, smaller = closer) replaces `cosine`. Fill semantics
+    * for a doc only one leg surfaced differ by metric: the cosine
+    * leg's absent score fills 0.0 (a neutral similarity), but an
+    * absent ADC DISTANCE stays NULL — 0.0 would read as a PERFECT
+    * vector match, the opposite of "no vector signal". */
   def hybridSearch(spark: SparkSession, viewRoot: String,
                    ivfPath: String, queryTerms: Seq[String],
                    queryVec: Array[Float], k: Int, kEach: Int = 20,
@@ -2412,7 +2416,10 @@ object IncrementalViews {
         coalesce(col("__tr"), lit(0L)).as("bm25_rank"),
         coalesce(col("bm25"), lit(0.0)).as("bm25"),
         coalesce(col("__cr"), lit(0L)).as("cos_rank"),
-        coalesce(col(scoreCol), lit(0.0)).as(scoreCol))
+        // distance metrics must NOT fill 0.0 — that's a perfect match,
+        // the opposite of "this doc never surfaced on the vector leg"
+        (if (scoreCol == "adist") col(scoreCol)
+         else coalesce(col(scoreCol), lit(0.0))).as(scoreCol))
       .orderBy(col("rrf").desc, col(idCol).asc)
     audit.fold(page)(a => page.withColumn("corrected_terms", lit(a)))
   }

@@ -70,6 +70,9 @@ object CorpusIngest {
       batchId: Long, arrived: Long, failedQuality: Long,
       dupInBatch: Long, dupVsCorpus: Long, accepted: Long, fenced: Boolean)
 
+  private def profileSrc(root: String) = s"$root/src"
+  private def profileViews(root: String) = s"$root/views"
+
   /** Process one micro-batch; returns what happened to every arriving
     * document. Idempotent per `batchId`: a replayed batch is fenced
     * by the snapshot table and touches nothing (except the documented
@@ -77,8 +80,12 @@ object CorpusIngest {
     *
     * `clusterDir = Some(dir)` switches the pipeline to CLUSTER mode:
     * nothing past the quality gate is dropped — duplication becomes
-    * LABELS instead of deletions. The edges the dedup stages already
-    * compute (within-batch LSH pairs + cross-corpus index hits) feed
+    * LABELS instead of deletions. Edges derive from the RAW
+    * (pre-excision) text and the index holds raw text in this mode:
+    * the labels describe the arriving content's duplication
+    * structure, and span excision would cut exactly the duplicated
+    * spans the labels exist to record. The edges (within-batch LSH
+    * pairs + cross-corpus index hits) feed
     * [[Dedup.incrementalClusters]], whose durable `(id, cluster_id)`
     * assignment table is committed as part of the same batch, BEFORE
     * the fenced table commit — so a crash anywhere in the window
@@ -93,13 +100,21 @@ object CorpusIngest {
     * `spanRoot = Some(root)` turns on ingest-time span excision (and,
     * with `ledgerDir`, novelty scoring): the maintained span profile
     * lives at `root/views`, its raw source table at `root/src`, both
-    * owned by this pipeline. `dsirCounts = Some((rawCounts,
+    * owned by this pipeline. Enabling it on a table that ALREADY
+    * holds commits the profile never saw fails by name — a profile
+    * seeded from one mid-stream batch would silently represent a tail
+    * of the corpus and under-veto future spans; run
+    * [[bootstrapSpanProfile]] once over the existing table first.
+    * `dsirCounts = Some((rawCounts,
     * targetCounts))` and `perplexityCounts = Some(refCounts)` are
     * `(token, cnt)` frames — typically maintained word-frequency
     * views — recorded per doc in the ledger; they gate nothing here
     * (measure-first: thresholds are a policy the operator applies
-    * downstream ON the ledger). Gate options compose with drop mode
-    * only — cluster mode keeps duplication as labels. */
+    * downstream ON the ledger). Every gate option COMPOSES with
+    * cluster mode: a keep-and-label deployment still excises spans,
+    * records the measure-first ledger (verdicts are `quality` /
+    * `accepted` only — duplication lives in the assignment table,
+    * not the verdict), and advances the span profile. */
   def ingestBatch(
       batch: DataFrame,
       batchId: Long,
@@ -116,19 +131,29 @@ object CorpusIngest {
       ledgerDir: Option[String] = None,
       dsirCounts: Option[(DataFrame, DataFrame)] = None,
       perplexityCounts: Option[DataFrame] = None): IngestStats = {
-    require(clusterDir.isEmpty || (spanRoot.isEmpty && ledgerDir.isEmpty
-        && dsirCounts.isEmpty && perplexityCounts.isEmpty),
-      "cluster mode keeps duplication as labels — the ingest-time " +
-        "gates (spanRoot/ledgerDir/dsirCounts/perplexityCounts) " +
-        "compose with drop mode")
     val spark = batch.sparkSession
     val arrived = batch.count()
-    val tableFenced =
-      Snapshots.lastCommittedBatch(spark, tableDir) >= batchId
-    def profileSrc(root: String) = s"$root/src"
-    def profileViews(root: String) = s"$root/views"
+    val tableW = Snapshots.lastCommittedBatch(spark, tableDir)
+    val tableFenced = tableW >= batchId
     val profileBehind = spanRoot.exists(root =>
       Snapshots.lastCommittedBatch(spark, profileSrc(root)) < batchId)
+    // span-profile bootstrap guard: a VIRGIN profile (never committed)
+    // under a table already holding OTHER batches means spanRoot was
+    // enabled mid-stream — deriving the profile from just this batch
+    // would make it silently represent a tail of the corpus and
+    // under-veto every span the older batches already hold. (The one
+    // ambiguous case, tableW == batchId with a virgin profile, is the
+    // legitimate crash window between the first batch's table commit
+    // and its profile commit — that catch-up stays allowed.)
+    spanRoot.foreach { root =>
+      val profileW = Snapshots.lastCommittedBatch(spark, profileSrc(root))
+      require(profileW >= 0 || tableW < 0 || tableW == batchId,
+        s"CorpusIngest: span profile at $root has never been committed " +
+          s"but the table at $tableDir is already at batch $tableW " +
+          s"(this batch: $batchId) — the profile would represent only " +
+          "a tail of the corpus; bootstrap it over the existing table " +
+          "first (CorpusIngest.bootstrapSpanProfile)")
+    }
     if (tableFenced && !profileBehind) {
       // a crash between the profile-source commit and its view refresh
       // leaves pending feed — the refresh is incremental + idempotent,
@@ -166,43 +191,12 @@ object CorpusIngest {
           s"$indexDir/_graft_minhash_meta.json"))
       }
 
-      clusterDir match {
-        case Some(cd) =>
-          // CLUSTER mode: label, don't drop. Edges = within-batch LSH
-          // edge list (rep pairs + exact-dup stars — the same edge set
-          // nearDupClusters uses) ∪ cross-corpus index hits, queried
-          // BEFORE this batch is appended (a replayed batch already in
-          // the index yields the in-batch pairs again as cross pairs —
-          // same union, same clusters).
-          val inBatch = Dedup.minHashLshEdges(passed, idCol, textCol,
-            threshold = threshold).select("id_a", "id_b")
-          val edges = cache(
-            if (!indexExistsNow) inBatch
-            else inBatch.unionByName(
-              MinHashIndex.query(spark, indexDir, passed, idCol, textCol,
-                threshold).select("id_a", "id_b")))
-          if (nPassed > 0) {
-            if (indexExistsNow)
-              MinHashIndex.append(spark, indexDir, passed, idCol, textCol)
-            else MinHashIndex.build(spark, indexDir, passed, idCol, textCol)
-            // assignment table BEFORE the fenced commit: once the fence
-            // is up, a replay must find the clusters already durable
-            Dedup.incrementalClusters(spark, cd, passed, edges, idCol)
-            Snapshots.commitStreamBatch(passed, tableDir, batchId,
-              bloomCols = Seq(idCol))
-          }
-          return IngestStats(batchId, arrived,
-            failedQuality = arrived - nPassed,
-            dupInBatch = 0, dupVsCorpus = 0,
-            accepted = nPassed, fenced = false)
-        case None => () // drop mode continues below
-      }
-
       // 2. feed-driven span excision against the maintained profile
-      // (opt-in). The frame is pinned to the profile's PRE-batch
-      // version — both a first run and a left-of-fence replay derive
-      // the identical cleaned text, because the profile only advances
-      // right of the table fence (step 8).
+      // (opt-in; composes with BOTH modes). The frame is pinned to the
+      // profile's PRE-batch version — both a first run and a
+      // left-of-fence replay derive the identical cleaned text,
+      // because the profile only advances right of the table fence
+      // (step 8).
       val excised = spanRoot match {
         case Some(root) => cache(passed.drop(textCol).join(
           IncrementalViews.spanExciseIngest(
@@ -213,38 +207,73 @@ object CorpusIngest {
         case None => passed
       }
 
-      // 3. within-batch exact dedup: one survivor per normalized
-      // committed (post-excision) text
-      val exactReps = Dedup.exact(excised, idCol, textCol)
-        .select(col("rep_id").as(idCol))
-      val exactKept = excised.join(exactReps, Seq(idCol), "left_semi")
-
-      // 4. within-batch near-dedup: larger id of each verified pair drops
-      val inBatchPairs = Dedup.minHashLsh(exactKept, idCol, textCol,
-        threshold = threshold)
-      val nearKept = cache(exactKept.join(
-        inBatchPairs.select(col("id_b").as(idCol)).distinct(),
-        Seq(idCol), "left_anti"))
-      val nNearKept = nearKept.count()
-
-      // 5. cross-corpus near-dedup against the durable index (replay-
-      // safe: a doc already indexed by a crashed previous run does not
-      // match itself — MinHashIndex.query drops self-pairs)
-      val indexExists = indexExistsNow
-      val accepted =
-        if (!indexExists) nearKept // already cached above
-        else cache(nearKept.join(
-          MinHashIndex.query(spark, indexDir, nearKept, idCol, textCol, threshold)
-            .select(col("id_a").as(idCol)).distinct(),
-          Seq(idCol), "left_anti"))
-      val nAccepted = accepted.count()
+      // 3-5 (drop mode, over the text actually being committed —
+      // post-excision) / edge derivation (cluster mode, over the RAW
+      // text: the labels describe the ARRIVING content's duplication
+      // structure, and excision would cut exactly the duplicated
+      // spans the labels exist to record — a re-crawled copy must
+      // still cluster with its twin even though its committed text is
+      // excised to the unique remnant).
+      // CLUSTER mode: label, don't drop. Edges = within-batch LSH
+      // edge list (rep pairs + exact-dup stars — the same edge set
+      // nearDupClusters uses) ∪ cross-corpus index hits, queried
+      // BEFORE this batch is appended (a replayed batch already in
+      // the index yields the in-batch pairs again as cross pairs —
+      // same union, same clusters). The index therefore holds RAW
+      // text in cluster mode (step 7) — consistent with what the
+      // edges compare — and committed post-excision text in drop mode.
+      val clusterEdges = clusterDir.map { _ =>
+        val inBatch = Dedup.minHashLshEdges(passed, idCol, textCol,
+          threshold = threshold).select("id_a", "id_b")
+        cache(
+          if (!indexExistsNow) inBatch
+          else inBatch.unionByName(
+            MinHashIndex.query(spark, indexDir, passed, idCol, textCol,
+              threshold).select("id_a", "id_b")))
+      }
+      val (nearKept, accepted) = clusterDir match {
+        case Some(_) =>
+          // nothing past the gate drops — duplication is labels
+          (excised, excised)
+        case None =>
+          // 3. within-batch exact dedup: one survivor per normalized
+          // committed (post-excision) text
+          val exactReps = Dedup.exact(excised, idCol, textCol)
+            .select(col("rep_id").as(idCol))
+          val exactKept = excised.join(exactReps, Seq(idCol), "left_semi")
+          // 4. within-batch near-dedup: larger id of each verified
+          // pair drops
+          val inBatchPairs = Dedup.minHashLsh(exactKept, idCol, textCol,
+            threshold = threshold)
+          val kept = cache(exactKept.join(
+            inBatchPairs.select(col("id_b").as(idCol)).distinct(),
+            Seq(idCol), "left_anti"))
+          // 5. cross-corpus near-dedup against the durable index
+          // (replay-safe: a doc already indexed by a crashed previous
+          // run does not match itself — MinHashIndex.query drops
+          // self-pairs)
+          val acc =
+            if (!indexExistsNow) kept // already cached above
+            else cache(kept.join(
+              MinHashIndex.query(spark, indexDir, kept, idCol, textCol,
+                  threshold)
+                .select(col("id_a").as(idCol)).distinct(),
+              Seq(idCol), "left_anti"))
+          (kept, acc)
+      }
+      val nNearKept =
+        if (clusterDir.isDefined) nPassed else nearKept.count()
+      val nAccepted =
+        if (clusterDir.isDefined) nPassed else accepted.count()
 
       if (!tableFenced) {
         // 6. accept/quarantine ledger — one row per ARRIVING doc with
         // its verdict and the recorded measure-first gate scores, all
         // computed against PRE-batch authorities. Fenced on its own
         // batch id and committed BEFORE the table fence, so a crash
-        // in the window replays into the identical ledger.
+        // in the window replays into the identical ledger. In cluster
+        // mode only `quality`/`accepted` occur — duplication is the
+        // assignment table's to report, not a verdict.
         ledgerDir.filter(ld =>
             Snapshots.lastCommittedBatch(spark, ld) < batchId)
           .foreach { ld =>
@@ -286,13 +315,22 @@ object CorpusIngest {
               bloomCols = Seq(idCol))
           }
 
-        // 7. index first (duplicate-append-safe), fenced table commit
-        // second; an all-dropped batch commits nothing (replaying it
-        // re-derives the same empty decision — still idempotent)
+        // 7. index first (duplicate-append-safe), then in cluster mode
+        // the durable assignment table (BEFORE the fence: once the
+        // fence is up, a replay must find the clusters already
+        // durable — edge derivation is deterministic, the upsert
+        // idempotent), fenced table commit last; an all-dropped batch
+        // commits nothing (replaying it re-derives the same empty
+        // decision — still idempotent)
         if (nAccepted > 0) {
-          if (indexExists)
-            MinHashIndex.append(spark, indexDir, accepted, idCol, textCol)
-          else MinHashIndex.build(spark, indexDir, accepted, idCol, textCol)
+          // cluster mode indexes the RAW text (what the edges compare);
+          // drop mode indexes the committed post-excision text
+          val indexFrame = if (clusterDir.isDefined) passed else accepted
+          if (indexExistsNow)
+            MinHashIndex.append(spark, indexDir, indexFrame, idCol, textCol)
+          else MinHashIndex.build(spark, indexDir, indexFrame, idCol, textCol)
+          clusterDir.foreach(cd => Dedup.incrementalClusters(
+            spark, cd, accepted, clusterEdges.get, idCol))
           // the corpus table carries per-file id blooms: "fetch document
           // N" against the accumulated corpus opens only the files whose
           // filters fire (Snapshots.readPoint), not every batch's output
@@ -330,5 +368,95 @@ object CorpusIngest {
         accepted = nAccepted,
         fenced = tableFenced)
     } finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** One-time span-profile BOOTSTRAP for enabling `spanRoot` on a
+    * pipeline that already committed batches without it: commits the
+    * ENTIRE existing table's text to the profile's source as one
+    * batch fenced at the table's current watermark, then folds the
+    * refresh — after this, the profile represents the whole standing
+    * corpus (the existing table's text is raw by construction: it was
+    * committed before excision existed here) and ingest resumes
+    * normally (a replay of any batch ≤ the watermark is fenced on
+    * both sides; fresh batches excise against the full profile).
+    * Idempotent: a second call is fenced by the profile source. */
+  def bootstrapSpanProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, spanRoot: String,
+      idCol: String, textCol: String, spanK: Int = 10): Unit = {
+    val tableW = Snapshots.lastCommittedBatch(spark, tableDir)
+    require(tableW >= 0,
+      s"bootstrapSpanProfile: no committed table at $tableDir — a " +
+        "fresh pipeline needs no bootstrap, just pass spanRoot from " +
+        "the first batch")
+    Snapshots.commitStreamBatch(
+      Snapshots.read(spark, tableDir).select(col(idCol), col(textCol)),
+      profileSrc(spanRoot), tableW,
+      statsCol = Some(idCol), bloomCols = Seq(idCol))
+    IncrementalViews.refreshSpanProfile(spark, profileSrc(spanRoot),
+      profileViews(spanRoot), idCol, textCol, k = spanK)
+  }
+
+  /** LEDGER-DRIVEN RE-ADMISSION — the quarantine's second half. The
+    * ledger is measure-first (verdicts + novelty/DSIR/perplexity
+    * scores, gating nothing); when the POLICY changes, this re-scores
+    * the quarantined rows and re-admits the survivors through the
+    * NORMAL pipeline — same gates (at the new, presumably relaxed
+    * parameters), same dedup tiers, same index append, same fenced
+    * commit, and a fresh ledger row per re-considered doc (latest row
+    * per doc = its standing verdict).
+    *
+    * `raw` is the bronze archive holding the ORIGINAL documents — the
+    * ledger records decisions, not text, so re-admission needs the
+    * raw zone every real pipeline keeps. `policy` is a boolean
+    * [[org.apache.spark.sql.Column]] over the ledger row (verdict +
+    * recorded scores), e.g. `col("verdict") === "quality" &&
+    * col("ref_nll") < 4.0`. Docs whose LATEST verdict is `accepted`
+    * and docs already live in the table are never re-fed.
+    *
+    * Replaying the same `readmitBatchId` is fenced exactly like any
+    * ingest batch. Re-admitting with the pipeline's ORIGINAL
+    * parameters relaxed is equivalent to having ingested with the
+    * relaxed parameters from the start, up to near-dup direction: a
+    * re-admitted doc now meets its former batch-mates through the
+    * index (cross-corpus keep-first) instead of the within-batch
+    * larger-id rule (spec-pinned). */
+  def readmitQuarantined(
+      raw: DataFrame,
+      readmitBatchId: Long,
+      tableDir: String,
+      indexDir: String,
+      ledgerDir: String,
+      idCol: String,
+      textCol: String,
+      policy: org.apache.spark.sql.Column,
+      threshold: Double = 0.9,
+      minTokens: Int = 5,
+      langs: Seq[String] = Seq("en"),
+      clusterDir: Option[String] = None,
+      spanRoot: Option[String] = None,
+      spanK: Int = 10,
+      dsirCounts: Option[(DataFrame, DataFrame)] = None,
+      perplexityCounts: Option[DataFrame] = None): IngestStats = {
+    val spark = raw.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("batch_id").desc)
+    val latest = Snapshots.read(spark, ledgerDir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    var candidates = latest
+      .filter(col("verdict") =!= "accepted")
+      .filter(policy)
+      .select(col(idCol))
+    if (Snapshots.lastCommittedBatch(spark, tableDir) >= 0)
+      candidates = candidates.join(
+        Snapshots.read(spark, tableDir).select(col(idCol)),
+        Seq(idCol), "left_anti")
+    ingestBatch(raw.join(candidates, Seq(idCol), "left_semi"),
+      readmitBatchId, tableDir, indexDir, idCol, textCol,
+      threshold = threshold, minTokens = minTokens, langs = langs,
+      clusterDir = clusterDir, spanRoot = spanRoot, spanK = spanK,
+      ledgerDir = Some(ledgerDir), dsirCounts = dsirCounts,
+      perplexityCounts = perplexityCounts)
   }
 }

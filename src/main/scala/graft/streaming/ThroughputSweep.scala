@@ -66,7 +66,8 @@ object ThroughputSweep {
   private[graft] def sweepWithMeasure(
       targets: Seq[Int],
       measure: Int => SweepLevel,
-      retries: Int = 1): SweepResult = {
+      retries: Int = 1,
+      fullRetries: Int = 0): SweepResult = {
     val errs = scala.collection.mutable.LinkedHashMap[Int, String]()
     val good = targets.flatMap { t =>
       var lastErr = "zero post-startup samples"
@@ -86,7 +87,14 @@ object ThroughputSweep {
           "(environmental stall; level not measured)"
       found
     }
-    SweepResult(good, errs.toMap)
+    val result = SweepResult(good, errs.toMap)
+    // an ALL-levels stall is a sick window, not a measurement — the
+    // r18 artifact recorded exactly one (its window healed minutes
+    // later): re-run the whole sweep once rather than shipping a
+    // five-error block when the machine was merely busy for a moment
+    if (fullRetries > 0 && targets.nonEmpty && result.levels.isEmpty)
+      sweepWithMeasure(targets, measure, retries, fullRetries - 1)
+    else result
   }
 
   /** Nearest-rank percentile over an unsorted sample. */
@@ -165,7 +173,7 @@ object ThroughputSweep {
         percentile(latencies, 0.50), percentile(latencies, 0.95),
         percentile(latencies, 0.99), latencies.size.toLong)
     }
-    val result = sweepWithMeasure(targets, measureLevel)
+    val result = sweepWithMeasure(targets, measureLevel, fullRetries = 1)
     indexed.unpersist()
     result
   }

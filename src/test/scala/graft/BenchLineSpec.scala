@@ -153,6 +153,30 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("the cal_ms window-health fragment survives every degradation rung") {
+    val cal = ",\"cal_ms\":[312,318,45,44]"
+    // rung 1 (small inventory, full precision)
+    val small = BenchLine.compose(1.0, 3, 100.0, "", fakeQueries(5),
+      "sf0.1", cal = cal)
+    assert(small.contains("\"cal_ms\":[312,318,45,44]"))
+    // rung 4/5 (inventory too big for any uniform format): the cal
+    // block must still be on the line — a drifted window has to be
+    // visible on the artifact the driver records, not only in the file
+    val huge = (1 to 200).map(i =>
+      (f"q_extremely_long_query_name_padding_$i%03d", 123.456))
+    val floor = BenchLine.compose(1.0, 3, 100.0, "", huge, "sf0.1",
+      cal = cal)
+    assert(floor.contains("\"cal_ms\":[312,318,45,44]"),
+      "cal block lost at the truncation rung")
+    assert((floor + sbtTrailer).getBytes("UTF-8").length <= 2000)
+    // real inventory at pessimistic times still fits WITH the block
+    val names = SparkEntry.queries.keys.toSeq.sorted :+ "q_stream_pipeline"
+    val real = BenchLine.compose(9999.99, 3, 43714.0, "",
+      names.map(_ -> 999.99), "sf0.1", cal = cal)
+    assert(real.contains("\"cal_ms\":") &&
+      (real + sbtTrailer).getBytes("UTF-8").length <= 2000)
+  }
+
   test("fmt rounding behaves at the boundaries") {
     assert(BenchLine.fmt2(0.5) === "0.5")
     assert(BenchLine.fmt2(1.0) === "1")

@@ -474,6 +474,148 @@ class CorpusIngestSpec extends SparkSpec {
       s"the caught-up profile must veto batch 2's spans: $cleaned")
   }
 
+  test("cluster mode composes with the ingest gates: excision + ledger + assignment together, replay fenced") {
+    val s = spark
+    import s.implicits._
+    val tableDir = tmp(); val indexDir = tmp(); val clusterDir = tmp()
+    val spanRoot = tmp(); val ledgerDir = tmp()
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long) =
+      CorpusIngest.ingestBatch(b, id, tableDir, indexDir,
+        "doc_id", "text", threshold = 0.8,
+        clusterDir = Some(clusterDir), spanRoot = Some(spanRoot),
+        ledgerDir = Some(ledgerDir))
+    val b0 = Seq(
+      (1L, doc("alpha")),
+      (2L, doc("beta") + " " + boiler)
+    ).toDF("doc_id", "text")
+    val s0 = ingest(b0, 0L)
+    assert(!s0.fenced && s0.accepted == 2, s0)
+    val b1 = Seq(
+      (3L, doc("alpha") + " addendum"), // near-dup of 1 — KEPT + labeled
+      (4L, "too short"),                // quality reject
+      (5L, doc("gamma") + " " + boiler) // boiler excised vs the profile
+    ).toDF("doc_id", "text")
+    val s1 = ingest(b1, 1L)
+    assert(s1.failedQuality == 1 && s1.accepted == 2 &&
+      s1.dupInBatch == 0 && s1.dupVsCorpus == 0, s1)
+    // excision composed: doc 5's corpus-held boiler span is cut
+    val t5 = Snapshots.read(spark, tableDir)
+      .filter(col("doc_id") === 5L).head().getString(1)
+    assert(!t5.contains("central office"),
+      s"cluster mode must still excise corpus-held spans: $t5")
+    // the near-dup was KEPT (cluster mode) and labeled with its twin
+    val asg = Snapshots.read(spark, clusterDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg.contains(3L) &&
+      Snapshots.read(spark, tableDir)
+        .filter(col("doc_id") === 3L).count() == 1,
+      "cluster mode dropped a near-dup it should have labeled")
+    assert(asg(3L) == asg(1L), s"near-dup must share its twin's cluster: $asg")
+    assert(asg(1L) != asg(2L), s"distinct docs must not co-cluster: $asg")
+    // the ledger composed: quality/accepted verdicts only, novelty
+    // recorded (doc 5's boiler tail reads partially non-novel)
+    val led = Snapshots.read(spark, ledgerDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    assert(led.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(led(4L)._1 == "quality" &&
+      Seq(1L, 2L, 3L, 5L).forall(led(_)._1 == "accepted"), led)
+    assert(led(5L)._2 < 1.0, s"doc 5's re-crawled boiler must dent novelty: $led")
+    // crash replay is fenced everywhere: table, ledger, assignment
+    val s1r = ingest(b1, 1L)
+    assert(s1r.fenced)
+    assert(Snapshots.read(spark, tableDir).count() == 4)
+    assert(Snapshots.read(spark, ledgerDir).count() == 5)
+    assert(Snapshots.read(spark, clusterDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == asg)
+  }
+
+  test("enabling spanRoot mid-stream fails by name until bootstrapSpanProfile seeds the profile") {
+    val s = spark
+    import s.implicits._
+    val tableDir = tmp(); val indexDir = tmp(); val spanRoot = tmp()
+    // batch 0 commits WITHOUT spanRoot — the standing corpus the
+    // profile has never seen
+    CorpusIngest.ingestBatch(
+      Seq((1L, doc("alpha") + " " + boiler)).toDF("doc_id", "text"),
+      0L, tableDir, indexDir, "doc_id", "text")
+    val b1 = Seq((2L, doc("beta") + " " + boiler)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestBatch(b1, 1L, tableDir, indexDir,
+        "doc_id", "text", spanRoot = Some(spanRoot))
+    }
+    assert(e.getMessage.contains("bootstrapSpanProfile"),
+      s"mid-stream spanRoot must demand the bootstrap by name: ${e.getMessage}")
+    // the documented recovery: seed the profile from the whole table
+    CorpusIngest.bootstrapSpanProfile(spark, tableDir, spanRoot,
+      "doc_id", "text")
+    val s1 = CorpusIngest.ingestBatch(b1, 1L, tableDir, indexDir,
+      "doc_id", "text", spanRoot = Some(spanRoot))
+    assert(s1.accepted == 1, s1)
+    // and the bootstrapped profile vetoes the OLD corpus's spans
+    val t2 = Snapshots.read(spark, tableDir)
+      .filter(col("doc_id") === 2L).head().getString(1)
+    assert(!t2.contains("central office"),
+      s"post-bootstrap ingest must excise the standing corpus's spans: $t2")
+    // a fresh pipeline needs no bootstrap — it refuses by name
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusIngest.bootstrapSpanProfile(spark, tmp(), tmp(),
+        "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("no committed table"))
+  }
+
+  test("re-admission: a relaxed policy re-scores the quarantine and the corpus equals relaxed-from-start") {
+    val s = spark
+    import s.implicits._
+    val strictT = tmp(); val strictI = tmp(); val strictL = tmp()
+    val relaxT = tmp(); val relaxI = tmp(); val relaxL = tmp()
+    val brief = "the quick report and it was stable for the season"
+    val b0 = Seq(
+      (1L, doc("alpha")),   // 66 tokens — passes both thresholds
+      (2L, brief),          // 10 tokens — quarantined at minTokens=60
+      (3L, doc("beta"))
+    ).toDF("doc_id", "text")
+    // STRICT pipeline quarantines doc 2 with a ledgered verdict
+    val s0 = CorpusIngest.ingestBatch(b0, 0L, strictT, strictI,
+      "doc_id", "text", minTokens = 60, ledgerDir = Some(strictL))
+    assert(s0.failedQuality == 1 && s0.accepted == 2, s0)
+    // policy relaxes → re-admit the quality quarantine from the raw
+    // (bronze) archive through the NORMAL pipeline at the new gate
+    val st = CorpusIngest.readmitQuarantined(b0, 1L, strictT, strictI,
+      strictL, "doc_id", "text",
+      policy = col("verdict") === "quality", minTokens = 5)
+    assert(st.arrived == 1 && st.accepted == 1, st)
+    // corpus == ingesting with the relaxed threshold from the start
+    CorpusIngest.ingestBatch(b0, 0L, relaxT, relaxI,
+      "doc_id", "text", minTokens = 5, ledgerDir = Some(relaxL))
+    def corpus(dir: String) = Snapshots.read(spark, dir)
+      .select("doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(corpus(strictT) == corpus(relaxT),
+      "re-admitted corpus diverged from relaxed-from-start")
+    // the ledger's LATEST row per doc now reads accepted for all three
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("batch_id").desc)
+    val standing = Snapshots.read(spark, strictL)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(standing == Map(1L -> "accepted", 2L -> "accepted",
+      3L -> "accepted"), standing)
+    // replaying the re-admission batch is fenced; nothing moves
+    val st2 = CorpusIngest.readmitQuarantined(b0, 1L, strictT, strictI,
+      strictL, "doc_id", "text",
+      policy = col("verdict") === "quality", minTokens = 5)
+    assert(st2.fenced)
+    assert(Snapshots.read(spark, strictT).count() == 3)
+    // an already-accepted doc is never re-fed even under an
+    // everything-matches policy
+    val st3 = CorpusIngest.readmitQuarantined(b0, 2L, strictT, strictI,
+      strictL, "doc_id", "text", policy = lit(true), minTokens = 5)
+    assert(st3.arrived == 0 && st3.accepted == 0, st3)
+  }
+
   test("duplicate index append (crash window) changes no dedup decision") {
     val s = spark
     import s.implicits._

@@ -390,6 +390,79 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("temperatureBudgets: exact-total apportionment — cap overflow redistributes and the floor remainder lands by largest remainder") {
+    val s = spark; import s.implicits._
+    // CAP case (the old floor rule undershoots): a=100 tokens,
+    // b=10000 tokens, α=0.5 → weights 10 and 100. Old rule:
+    // a=min(floor(5000·10/110),100)=100, b=floor(5000·100/110)=4545,
+    // Σ=4645 — 355 tokens short of the asked-for 5000 though b has
+    // headroom. Water-filling: a caps at 100, the overflow re-divides,
+    // b gets 4900 — Σ == 5000 exactly.
+    def doc(id: Long, src: String, n: Int) =
+      (id, src, Seq.fill(n)("t").mkString(" "))
+    val big = Seq(doc(1L, "a", 100), doc(2L, "b", 10000))
+      .toDF("doc_id", "source", "text")
+    val capped = Corpus.temperatureBudgets(big, "source", "text",
+        alpha = 0.5, totalBudget = 5000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(capped == Map("a" -> 100L, "b" -> 4900L))
+    assert(capped.values.sum == 5000L)
+    // REMAINDER case: three equal domains, total=10 → quotas 3.33…;
+    // old floors gave 9. The +1 goes to ONE domain — equal remainders
+    // tie-break domain-key ascending, so "a" gets it.
+    val eq = Seq(doc(1L, "a", 4), doc(2L, "b", 4), doc(3L, "c", 4))
+      .toDF("doc_id", "source", "text")
+    val rem = Corpus.temperatureBudgets(eq, "source", "text",
+        alpha = 1.0, totalBudget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rem == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // budget beyond the corpus: every domain caps, Σ == Σ tokens
+    val all = Corpus.temperatureBudgets(eq, "source", "text",
+        alpha = 0.5, totalBudget = 1000L)
+      .collect().map(r => r.getLong(3)).sum
+    assert(all == 12L)
+    // NULL domain fails by name, not with an anonymous NPE
+    val withNull = Seq((1L, "a", "t t"), (2L, null, "t"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.temperatureBudgets(withNull, "source", "text", 0.5, 10L)
+    }
+    assert(e.getMessage.contains("NULL source"))
+  }
+
+  test("vocabDivergenceBy: every domain row equals vocabDivergence run on that domain alone; NULL domain fails by name") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "web", "a a b c"), (2L, "web", "b d"),
+      (3L, "code", "x y a"), (4L, "wiki", "a b b z q")
+    ).toDF("doc_id", "source", "text")
+    val by = Corpus.vocabDivergenceByOf(docs, "source", docs, "text")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(by.keySet == Set("web", "code", "wiki"))
+    for (d <- by.keySet) {
+      val alone = Corpus.vocabDivergenceOf(
+        docs.filter(col("source") === d), docs, "text")
+        .as[(Long, Double, Double, Double)].collect().head
+      assert(by(d) == alone, s"domain $d")
+    }
+    // a domain identical to the reference reads zero on all gauges
+    val ref = docs.filter(col("source") === "web")
+    val zero = Corpus.vocabDivergenceByOf(ref, "source", ref, "text")
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(zero._3 == 0.0 && zero._4 == 0.0 && zero._5 == 0.0)
+    val withNull = Seq((1L, "a", "t t"), (2L, null, "u"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      Corpus.vocabDivergenceByOf(withNull, "source", docs, "text")
+        .collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+      .mkString(" | ")
+    assert(chain.contains("NULL source"))
+  }
+
   test("zipfFitFromCounts: bucketed two-level ranking is tie-invariant and keeps windows bounded") {
     val s = spark; import s.implicits._
     // heavy ties: 200 tokens over 5 frequency classes — the rank

@@ -143,6 +143,46 @@ class HybridSearchSpec extends SparkSpec {
       viaPq.collect().map(_.toSeq).toSeq)
   }
 
+  test("hybridSearch PQ leg: a text-only doc carries NULL adist — 0.0 would claim a perfect vector match") {
+    val s = spark; import s.implicits._
+    val (src, views, ivf, pq) = (tmp(), tmp(), tmp(), tmp())
+    def vec(a: Float, b: Float) = Array.tabulate(8)(i =>
+      if (i == 0) a else if (i == 1) b else 0f)
+    Snapshots.commit(Seq(
+      (1L, "spark streams arrive quickly and spark holds"),
+      (2L, "spark joins tables"),
+      (3L, "pandas frames lag"),
+      (4L, "spark spark spark runs spark")).toDF("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshTextIndex(spark, src, views, "doc_id", "text")
+    // doc 4 is the FARTHEST vector: with kEach = 3 it never surfaces
+    // on the vector leg, only on text — the fused page's fill case
+    val emb = Seq((1L, vec(1f, 0.01f)), (2L, vec(0.99f, 0.02f)),
+      (3L, vec(0.01f, 1f)), (4L, vec(0f, 1.2f)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding",
+      Similarity.sampleCentroids(emb, "vec_id", "embedding", 2), ivf)
+    Similarity.pqWriteIndex(emb, "vec_id", "embedding", pq,
+      dim = 8, nCells = 3, m = 2, kCodes = 4)
+    val qv = vec(1f, 0f)
+    val viaPq = IncrementalViews.hybridSearch(spark, views, ivf,
+      Seq("spark"), qv, k = 3, kEach = 3, nProbe = 3,
+      pqIndex = Some(pq)).collect()
+    val d4 = viaPq.find(_.getLong(0) == 4L)
+      .getOrElse(fail("text-rank-1 doc 4 must make the fused page"))
+    assert(d4.getLong(viaPq.head.fieldIndex("cos_rank")) == 0L)
+    assert(d4.isNullAt(viaPq.head.fieldIndex("adist")),
+      "a doc the vector leg never surfaced must carry NULL adist, " +
+        "not a perfect-match 0.0")
+    // the cosine leg keeps its NEUTRAL 0.0 fill (similarity, not
+    // distance — zero is 'orthogonal', a fine no-signal reading)
+    val viaIvf = IncrementalViews.hybridSearch(spark, views, ivf,
+      Seq("spark"), qv, k = 3, kEach = 3, nProbe = 3).collect()
+    val d4c = viaIvf.find(_.getLong(0) == 4L)
+      .getOrElse(fail("doc 4 must make the cosine-leg page too"))
+    assert(d4c.getDouble(viaIvf.head.fieldIndex("cosine")) == 0.0)
+  }
+
   test("hybridSearch did-you-mean: misspelled text leg corrects instead of starving the fusion") {
     val s = spark; import s.implicits._
     val (src, views, ivf, wfreq, idx) = (tmp(), tmp(), tmp(), tmp(), tmp())

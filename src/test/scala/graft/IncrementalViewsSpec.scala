@@ -2780,6 +2780,46 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(viaSql == fromView)
   }
 
+  test("per-domain divergence vs the LIVE word-freq view == batch recompute across churn, zero corpus reads") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (src, view) = (tmpDir(), tmpDir())
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "source", "text").limit(80).localCheckpoint(true)
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    Snapshots.commit(standing.select("doc_id", "text"), src,
+      statsCol = Some("doc_id"))
+    IncrementalViews.refreshWordFreq(spark, src, view, "text")
+    Snapshots.deleteWhere(spark, src, col("doc_id") % 10 === 6)
+    IncrementalViews.refreshWordFreq(spark, src, view, "text")
+    // the incoming shard, keyed by domain — which SOURCE drifted most
+    // from the standing (churned) corpus
+    val shardCounts = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("source"),
+        explode(graft.functions.Text.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1L)).as("cnt"))
+    // batch reference from the in-memory post-churn corpus FIRST…
+    val post = standing.filter(col("doc_id") % 10 =!= 6)
+    val batchRef = post
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1L)).as("cnt"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val want = canon(graft.operators.Corpus.vocabDivergenceBy(
+      shardCounts, "source", batchRef))
+    assert(want.nonEmpty)
+    // …then corrupt EVERY corpus data file: the ingest-time form reads
+    // only the maintained counts — the zero-corpus-rescans claim
+    Snapshots.manifest(spark, src).select("path")
+      .collect().map(_.getString(0)).foreach(corruptDataBytes)
+    val live = Snapshots.read(spark, view).filter(col("__cnt") > 0)
+      .select(col("__word").as("token"), col("__cnt").as("cnt"))
+    val got = canon(graft.operators.Corpus.vocabDivergenceBy(
+      shardCounts, "source", live))
+    assert(got == want,
+      "live-view per-domain divergence diverged from the batch recompute")
+  }
+
   test("maintained spell index: suggestions == brute force across churn; pruned key read; depth guard") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._

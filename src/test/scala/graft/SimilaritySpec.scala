@@ -1010,6 +1010,49 @@ class SimilaritySpec extends SparkSpec {
     assert(serve() == afterAppend)
   }
 
+  test("pqRetrain: a stale corpus frame cannot resurrect an erased id; activated pending retirements are adopted, future ones kept") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001")).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqstale").toString
+    Similarity.pqWriteIndex(e, "vec_id", "embedding", dir,
+      dim = 64, nCells = 4, m = 8, kCodes = 8)
+    val s2 = spark; import s2.implicits._
+    // erase id 7, then retrain from the STALE full frame (it still
+    // holds 7): the unconditional tombstone anti-join must keep the
+    // erased id out of the rebuilt codes
+    Similarity.ivfTombstone(spark, dir, Seq(7L).toDF("vec_id"), "vec_id")
+    Similarity.pqRetrain(spark, e, "vec_id", "embedding", dir,
+      dim = 64, nCells = 4, m = 8, kCodes = 8, iters = 1)
+    val q7 = e.filter(col("vec_id") === 7L)
+    def hits7() = Similarity.pqTopKIndexed(spark, q7, "vec_id", "embedding",
+        k = 5, path = dir, nProbe = 4, excludeSelf = false)
+      .filter(col("neighbor_id") === 7L).count()
+    assert(hits7() == 0, "stale-corpus retrain resurrected an erased id")
+    // the applied tombstone retired WITH the generation: a legitimate
+    // re-append of the same id must serve (its own exact twin)
+    Similarity.pqAppend(spark, q7, "vec_id", "embedding", dir)
+    assert(hits7() == 1, "a retired tombstone re-hid a re-appended id")
+    // crash window AFTER the flip, BEFORE the promote: an activated
+    // pending entry (activation gen <= current) is adopted by vacuum;
+    // one whose flip never landed must survive untouched
+    val gen = Similarity.pqGen(spark, dir)
+    val junk = new java.io.File(s"$dir/junk-gen"); junk.mkdirs()
+    java.nio.file.Files.write(new java.io.File(junk, "f").toPath,
+      Array[Byte](1))
+    operators.IndexMaintenance.recordPendingRetired(spark, dir,
+      gen.toLong, "crash-sim", Seq(junk.toString))
+    val keep = new java.io.File(s"$dir/keep-gen"); keep.mkdirs()
+    java.nio.file.Files.write(new java.io.File(keep, "f").toPath,
+      Array[Byte](1))
+    operators.IndexMaintenance.recordPendingRetired(spark, dir,
+      gen + 5L, "future-sim", Seq(keep.toString))
+    Similarity.pqVacuum(spark, dir)
+    assert(!junk.exists,
+      "vacuum must adopt an activated pending retirement (lost promote)")
+    assert(keep.exists,
+      "a pending retirement whose flip never landed must not be vacuumed")
+  }
+
   test("pqTopKIndexedRerankedStored: the rerank fetch opens only pruned corpus files") {
     import org.apache.spark.sql.functions._
     import graft.sources.Snapshots

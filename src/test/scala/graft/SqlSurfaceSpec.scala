@@ -104,6 +104,10 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_vocab_divergence('docs_dsir_en', 'docs_dsir', 'text')"))
       == canon(operators.Corpus.vocabDivergenceOf(
         d.filter(col("lang") === "en"), d, "text")))
+    assert(canon(spark.sql(
+      "SELECT * FROM graft_vocab_divergence_by('docs_dsir', 'source', 'docs_dsir', 'text')"))
+      == canon(operators.Corpus.vocabDivergenceByOf(
+        d, "source", d, "text")))
 
     assert(canon(spark.sql(
       "SELECT * FROM graft_mix_temperature('docs_dsir', 'source', 'text', 0.5, 3000)"))

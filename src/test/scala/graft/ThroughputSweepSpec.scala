@@ -43,6 +43,45 @@ class ThroughputSweepSpec extends SparkSpec {
     assert(r.errors.isEmpty && r.levels.map(_.target) == Seq(50000))
   }
 
+  test("an ALL-levels stall re-runs the whole sweep once (sick window, not a measurement)") {
+    import ThroughputSweep.{SweepLevel, sweepWithMeasure}
+    var calls = 0
+    def measure(t: Int): SweepLevel = {
+      calls += 1
+      // first FULL pass (2 targets × (1+1 retries) = 4 calls) starved —
+      // the r18 artifact's shape; the window then heals
+      if (calls <= 4) SweepLevel(t, 0.0, -1, -1, -1, 0)
+      else SweepLevel(t, t.toDouble, 5, 9, 12, 40)
+    }
+    val r = sweepWithMeasure(Seq(100, 1000), measure, retries = 1,
+      fullRetries = 1)
+    assert(r.errors.isEmpty && r.levels.map(_.target) == Seq(100, 1000),
+      s"healed window's sweep still reported errors: ${r.errors}")
+    assert(calls == 6, "full-sweep retry did not run (or ran twice)")
+    // a PERMANENTLY sick window still reports the stall — the retry
+    // must not loop or fabricate data
+    var calls2 = 0
+    def dead(t: Int): SweepLevel = {
+      calls2 += 1; SweepLevel(t, 0.0, -1, -1, -1, 0)
+    }
+    val r2 = sweepWithMeasure(Seq(100, 1000), dead, retries = 1,
+      fullRetries = 1)
+    assert(r2.levels.isEmpty && r2.errors.keySet == Set(100, 1000))
+    assert(calls2 == 8, "permanent stall should try each level 2×2 times")
+    // a PARTIAL stall is data + errors, no full retry
+    var calls3 = 0
+    def partial(t: Int): SweepLevel = {
+      calls3 += 1
+      if (t == 100) SweepLevel(t, 0.0, -1, -1, -1, 0)
+      else SweepLevel(t, t.toDouble, 5, 9, 12, 40)
+    }
+    val r3 = sweepWithMeasure(Seq(100, 1000), partial, retries = 1,
+      fullRetries = 1)
+    assert(r3.levels.map(_.target) == Seq(1000) &&
+      r3.errors.keySet == Set(100))
+    assert(calls3 == 3, "partial stall must not trigger the full retry")
+  }
+
   test("a level whose measurement throws lands in errors with the cause") {
     import ThroughputSweep.{SweepLevel, sweepWithMeasure}
     def measure(t: Int): SweepLevel =
