@@ -147,10 +147,14 @@ object IncrementalViews {
       .otherwise(least(
         floor((kd - gridDouble(lit(lo), dt)) / width), lit(PruneBuckets - 1L)))
       .cast("int")
-    val cells = affected.groupBy(bucket.as("__b"))
-      .agg(min(col(key)).as("__lo"), max(col(key)).as("__hi"))
-      .orderBy("__b").collect()
-      .map(c => (c.getInt(0), c.get(1), c.get(2)))
+    // ≤ PruneBuckets rows come back — sort them driver-side instead of
+    // paying a range-partitioned distributed sort (sample + shuffle)
+    // for a bounded-metadata collect
+    val cells = graft.Jobs.labeled(affected.sparkSession, "iv:grid") {
+      affected.groupBy(bucket.as("__b"))
+        .agg(min(col(key)).as("__lo"), max(col(key)).as("__hi"))
+        .collect()
+    }.map(c => (c.getInt(0), c.get(1), c.get(2))).sortBy(_._1)
     // adjacent cells merge into runs; a missing cell index is a gap
     val runs = cells.foldLeft(List.empty[(Int, Int, Any, Any)]) {
       case ((b0, b1, rlo, _) :: rest, (b, clo, chi)) if b == b1 + 1 =>
@@ -192,7 +196,9 @@ object IncrementalViews {
     // just this single pass)
     val aggs = count(lit(1)) +: ks.flatMap(k =>
       Seq(count(col(k)), min(col(k)), max(col(k))))
-    val r = affected.agg(aggs.head, aggs.tail: _*).head()
+    val r = graft.Jobs.labeled(affected.sparkSession, "iv:keyspecs") {
+      affected.agg(aggs.head, aggs.tail: _*).head()
+    }
     val n = r.getLong(0)
     if (n == 0L) return (0L, Nil)
     val specs = ks.zipWithIndex.flatMap { case (k, i) =>
@@ -271,6 +277,7 @@ object IncrementalViews {
     // landed. The second maintainer must fail loudly instead.
     graft.operators.IndexMaintenance.withWriterLock(spark, viewDir,
       "refreshJoin") {
+    graft.Jobs.labeled(spark, "iv:join") {
     val f = fs(spark, viewDir)
     val root = new Path(stateRoot(viewDir))
     val ms = markers(f, root)
@@ -385,6 +392,7 @@ object IncrementalViews {
         }
       version
     } finally affected.unpersist()
+    }
     }
   }
 
@@ -523,7 +531,8 @@ object IncrementalViews {
                             sumCols: Seq[String], sumScale: Int,
                             minMaxCols: Seq[String], where: Option[Column],
                             transform: Option[DataFrame => DataFrame],
-                            changes0: DataFrame, v: Long): Unit = {
+                            changes0: DataFrame, v: Long): Unit =
+      graft.Jobs.labeled(spark, "iv:aggDelta") {
     val dec = s"decimal(30,$sumScale)"
     // the feed is consumed in ONE streaming aggregation pass — never
     // cached (the initial tick's feed is the whole source; an O(table)

@@ -57,6 +57,89 @@ object Snapshots {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
+  /** Driver-side cache of PUBLISHED manifests. A manifest is immutable
+    * once its version directory exists ([[tryPublish]] renames a
+    * uniquely-tagged temp aside and losers retry at the next number),
+    * so its collected rows can be served as a [[org.apache.spark.sql.
+    * catalyst.plans.logical.LocalRelation]]-backed frame forever:
+    * every re-read of the same (dir, version) — the fence check, the
+    * parent union in a commit, file listing, manifest pruning — then
+    * runs DRIVER-SIDE (Catalyst's ConvertToLocalRelation folds
+    * Filter/Project over a local relation at optimization time, so a
+    * `manifest.filter(...).select("path").collect()` launches ZERO
+    * jobs) instead of re-scanning the manifest parquet. A multi-action
+    * storage tick re-reads manifests 5-10×; this converts all but the
+    * first touch into in-memory work.
+    *
+    * Scale guard: only manifests at most [[CacheEntryMaxDiskBytes]]
+    * ON DISK are cached (a 100 TB table's million-file manifest keeps
+    * the distributed scan path), the whole cache is LRU-bounded by
+    * [[CacheMaxBytes]] of estimated in-memory size, and EVERY cache
+    * hit re-verifies the manifest directory still exists, so
+    * [[expire]]d versions fail exactly as an uncached read would.
+    * Concurrent writers on other JVMs are safe by immutability: a
+    * version's content never changes after publish. */
+  private val CacheEntryMaxDiskBytes = 8L * 1024 * 1024
+  private val CacheMaxBytes = 64L * 1024 * 1024
+  private final case class CachedM(
+    schema: org.apache.spark.sql.types.StructType,
+    rows: Array[org.apache.spark.sql.Row], memBytes: Long)
+  private val mCache =
+    new java.util.LinkedHashMap[String, CachedM](64, 0.75f, true)
+  private var mCacheBytes = 0L
+
+  private def cachePut(key: String, cm: CachedM): Unit =
+    mCache.synchronized {
+      if (cm.memBytes > CacheMaxBytes) return
+      val prev = mCache.put(key, cm)
+      mCacheBytes += cm.memBytes - Option(prev).map(_.memBytes).getOrElse(0L)
+      val it = mCache.entrySet().iterator()
+      while (mCacheBytes > CacheMaxBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { mCacheBytes -= e.getValue.memBytes; it.remove() }
+      }
+    }
+
+  /** The collected rows of manifest `v`, from cache or by one read —
+    * None when the manifest is over the size guard (callers keep the
+    * distributed path). Throws like an uncached read would when the
+    * version does not exist (expired or never published). */
+  private def manifestRows(spark: SparkSession, dir: String,
+                           v: Long): Option[CachedM] = {
+    val p = manifestPath(dir, v)
+    val f = fs(spark, dir)
+    val key = f.makeQualified(p).toString
+    val hit = mCache.synchronized(Option(mCache.get(key)))
+    hit match {
+      case Some(cm) =>
+        if (!f.exists(p)) {
+          mCache.synchronized {
+            val prev = mCache.remove(key)
+            if (prev != null) mCacheBytes -= prev.memBytes
+          }
+          throw new IllegalArgumentException(
+            s"no manifest v$v at $dir (expired?)")
+        }
+        Some(cm)
+      case None =>
+        if (!f.exists(p)) throw new IllegalArgumentException(
+          s"no manifest v$v at $dir (expired?)")
+        val disk = f.listStatus(p).filter(_.isFile).map(_.getLen).sum
+        if (disk > CacheEntryMaxDiskBytes) None
+        else {
+          val df = spark.read.parquet(p.toString)
+          val rows = graft.Jobs.labeled(spark, "snap:manifest-load") {
+            df.collect()
+          }
+          // blooms dominate and are incompressible, strings compress:
+          // 4x on-disk is a conservative in-memory estimate
+          val cm = CachedM(df.schema, rows, math.max(1024L, disk * 4))
+          cachePut(key, cm)
+          Some(cm)
+        }
+    }
+  }
+
   private def manifestRoot(dir: String) = s"${dir.stripSuffix("/")}/_manifests"
   private def dataRoot(dir: String) = s"${dir.stripSuffix("/")}/data"
   private def manifestPath(dir: String, v: Long) =
@@ -99,11 +182,18 @@ object Snapshots {
     stats.collectFirst {
       case s if {
         val v = s.getPath.getName.drop(1).toLong
-        val m = manifest(spark, dir, Some(v))
-        val at =
-          if (m.columns.contains("committed_at"))
-            m.select(max(col("committed_at"))).head().getLong(0)
-          else s.getModificationTime
+        val at = manifestRows(spark, dir, v) match {
+          case Some(cm) if cm.schema.fieldNames.contains("committed_at") =>
+            val i = cm.schema.fieldIndex("committed_at")
+            val ts = cm.rows.iterator.filterNot(_.isNullAt(i)).map(_.getLong(i))
+            if (ts.isEmpty) s.getModificationTime else ts.max
+          case Some(_) => s.getModificationTime
+          case None =>
+            val m = manifest(spark, dir, Some(v))
+            if (m.columns.contains("committed_at"))
+              m.select(max(col("committed_at"))).head().getLong(0)
+            else s.getModificationTime
+        }
         at <= tsMillis
       } => s.getPath.getName.drop(1).toLong
     }
@@ -117,7 +207,11 @@ object Snapshots {
                version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $dir"))
-    spark.read.parquet(manifestPath(dir, v).toString)
+    manifestRows(spark, dir, v) match {
+      case Some(cm) => spark.createDataFrame(
+        java.util.Arrays.asList(cm.rows: _*), cm.schema)
+      case None => spark.read.parquet(manifestPath(dir, v).toString)
+    }
   }
 
   /** Write `df` into a fresh immutable commit directory and return
@@ -154,7 +248,18 @@ object Snapshots {
     val writer = bloomCols.foldLeft(df.write) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
-    writer.parquet(commitDir)
+    graft.Jobs.labeled(spark, "snap:data-write") { writer.parquet(commitDir) }
+    // bloomless commits take the footer fast path: entries computed
+    // driver-side from the files' own metadata, no second scan
+    if (bloomCols.isEmpty) {
+      val fast = graft.Jobs.labeled(spark, "snap:footer-stats") {
+        footerEntries(spark, dir, commitDir, statsCols, df.schema)
+      }
+      fast match {
+        case Some(entries) => return (commitId, entries)
+        case None => ()
+      }
+    }
     // a zero-row commit (e.g. a merge whose every affected row was
     // deleted) writes only _SUCCESS — no part files to read schema
     // from; its manifest contribution is an empty, correctly-typed
@@ -163,7 +268,8 @@ object Snapshots {
     val hasParts = f.exists(new Path(commitDir)) &&
       f.listStatus(new Path(commitDir)).exists(_.getPath.getName.endsWith(".parquet"))
     val written =
-      if (hasParts) spark.read.parquet(commitDir)
+      if (hasParts) spark.read.schema(fileReadSchema(df.schema))
+        .parquet(commitDir)
       else df.filter(lit(false))
     // every file in one commit shares a schema — record it in the
     // manifest so schema-shaped asks (diff's template, the change
@@ -171,6 +277,203 @@ object Snapshots {
     (commitId,
       fileEntries(written, statsCols, bloomCols, bloomFpp,
         Some(written.schema.json)))
+  }
+
+  /** Manifest entries computed DRIVER-SIDE from the just-written
+    * files' parquet FOOTERS — row counts and per-column min/max were
+    * already paid for by the write, so the commit's stats pass needs
+    * no second distributed scan of the data: the entries become a
+    * local relation and the manifest write is a one-task job that
+    * opens no data file. Used only when no manifest blooms are asked
+    * for (blooms genuinely need a scan).
+    *
+    * Exactness rules (bit-identical to the scan the footer replaces,
+    * or BAIL to the scan — never approximate):
+    *  - supported stats types: integral, string, boolean, date,
+    *    timestamp (micros, both LTZ and NTZ). Float/double/decimal
+    *    fall back — parquet's FP stats have NaN/-0.0 edge semantics
+    *    the scan does not share.
+    *  - string min/max compare as UNSIGNED BYTES (parquet's UTF8
+    *    order == Spark's UTF8String order); parquet drops oversized
+    *    (>4 KB) binary stats entirely, which reads as "no value" and
+    *    bails.
+    *  - a block whose stats are missing/unverifiable bails the whole
+    *    commit to the scan path; an all-null column yields null
+    *    min/max exactly like `min(col)` over it.
+    *  - zero-row part files contribute NO entry — the scan path's
+    *    `groupBy(input_file_name())` never saw their group either.
+    *  - the path string is built the way `input_file_name()` builds
+    *    it (the qualified path's URI string), so manifest paths stay
+    *    byte-comparable with discovery-time `input_file_name()`
+    *    output — ManifestCacheSpec pins the equivalence. */
+  private def footerEntries(spark: SparkSession, dir: String,
+                            commitDir: String, statsCols: Seq[String],
+                            dfSchema: org.apache.spark.sql.types.StructType)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def supported(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    if (!statsCols.forall(c => dfSchema.fieldNames.contains(c) &&
+        supported(dfSchema(c).dataType))) return None
+    val f = fs(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = f.listStatus(new Path(commitDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    if (parts.isEmpty) return None
+    val statFields = statsCols.map(dfSchema(_))
+    // internal canonical form per type: Long for integral/temporal,
+    // Array[Byte] for strings, Boolean — converted to the external
+    // Catalyst value only after the cross-block fold
+    def lessThan(dt: DataType, a: Any, b: Any): Boolean = dt match {
+      case StringType =>
+        val (x, y) = (a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        x.length < y.length
+      case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+      case _ => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    }
+    def extern(dt: DataType, v: Any): Any = dt match {
+      case null => null
+      case _ if v == null => null
+      case ByteType => v.asInstanceOf[Long].toByte
+      case ShortType => v.asInstanceOf[Long].toShort
+      case IntegerType => v.asInstanceOf[Long].toInt
+      case LongType => v
+      case BooleanType => v
+      case StringType =>
+        new String(v.asInstanceOf[Array[Byte]],
+          java.nio.charset.StandardCharsets.UTF_8)
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long]))
+      case TimestampType =>
+        val us = v.asInstanceOf[Long]
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case TimestampNTZType =>
+        val us = v.asInstanceOf[Long]
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case _ => null
+    }
+    val schemaJson = fileReadSchema(dfSchema).json
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    for (st <- parts) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val footer = try rd.getFooter finally rd.close()
+      val blocks = footer.getBlocks.asScala.toSeq
+      val nRows = blocks.map(_.getRowCount).sum
+      if (nRows > 0) {
+        val mm: Seq[(Any, Any)] = statFields.map { fld =>
+          var acc: (Any, Any) = null
+          for (b <- blocks) {
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == fld.name).getOrElse(return None)
+            // timestamps must be micros with the matching tz semantics
+            fld.dataType match {
+              case TimestampType | TimestampNTZType =>
+                cc.getPrimitiveType.getLogicalTypeAnnotation match {
+                  case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimestampLogicalTypeAnnotation
+                    if t.getUnit == org.apache.parquet.schema
+                      .LogicalTypeAnnotation.TimeUnit.MICROS &&
+                      t.isAdjustedToUTC ==
+                        (fld.dataType == TimestampType) => ()
+                  case _ => return None
+                }
+              case _ => ()
+            }
+            val s = cc.getStatistics
+            if (s == null) return None
+            if (!s.hasNonNullValue) {
+              // legitimate only as a PROVABLY all-null block
+              if (!s.isNumNullsSet || s.getNumNulls != b.getRowCount)
+                return None
+            } else {
+              val (mn, mx): (Any, Any) = (fld.dataType, s) match {
+                case (StringType,
+                    bs: org.apache.parquet.column.statistics.BinaryStatistics) =>
+                  (bs.genericGetMin.getBytes, bs.genericGetMax.getBytes)
+                case (BooleanType,
+                    bs: org.apache.parquet.column.statistics.BooleanStatistics) =>
+                  (Boolean.box(bs.genericGetMin), Boolean.box(bs.genericGetMax))
+                case (ByteType | ShortType | IntegerType | DateType,
+                    is: org.apache.parquet.column.statistics.IntStatistics) =>
+                  (Long.box(is.genericGetMin.toLong),
+                    Long.box(is.genericGetMax.toLong))
+                case (LongType | TimestampType | TimestampNTZType,
+                    ls: org.apache.parquet.column.statistics.LongStatistics) =>
+                  (Long.box(ls.genericGetMin), Long.box(ls.genericGetMax))
+                case _ => return None
+              }
+              acc =
+                if (acc == null) (mn, mx)
+                else (if (lessThan(fld.dataType, mn, acc._1)) mn else acc._1,
+                  if (lessThan(fld.dataType, acc._2, mx)) mx else acc._2)
+            }
+          }
+          if (acc == null) (null, null)
+          else (extern(fld.dataType, acc._1), extern(fld.dataType, acc._2))
+        }
+        // same path string input_file_name() produces: the qualified
+        // path's URI form
+        val pathStr = f.makeQualified(st.getPath).toUri.toString
+        val legacy: (Any, Any) =
+          if (statFields.isEmpty) (null, null) else mm.head
+        out += org.apache.spark.sql.Row.fromSeq(
+          Seq(pathStr, nRows, legacy._1, legacy._2) ++
+            mm.flatMap(t => Seq(t._1, t._2)) ++
+            Seq(null, null, schemaJson))
+      }
+    }
+    val headType: DataType =
+      statFields.headOption.map(_.dataType).getOrElse(DoubleType)
+    val schema = StructType(
+      Seq(StructField("path", StringType), StructField("rows", LongType),
+        StructField("stats_min", headType), StructField("stats_max", headType)) ++
+      statFields.flatMap(fld => Seq(
+        StructField(s"smin_${fld.name}", fld.dataType),
+        StructField(s"smax_${fld.name}", fld.dataType))) ++
+      Seq(
+        StructField("blooms",
+          MapType(StringType, ArrayType(LongType, containsNull = true))),
+        StructField("bloom_types", MapType(StringType, StringType)),
+        StructField("file_schema", StringType)))
+    Some(spark.createDataFrame(out.asJava, schema))
+  }
+
+  /** What `spark.read.parquet` would infer for files just written from
+    * a frame with this schema — everything nullable (file sources are
+    * always read nullable, recursively) and field metadata dropped —
+    * so supplying it skips the footer-sampling inference pass without
+    * changing the recorded `file_schema` byte for byte. */
+  private def fileReadSchema(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def clean(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, clean(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(clean(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(clean(m.keyType), clean(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    clean(st).asInstanceOf[StructType]
   }
 
   /** Per-file manifest entries (path, rows, stats, blooms) computed by
@@ -329,11 +632,12 @@ object Snapshots {
     * commits (compaction, merges) that pass -1. */
   private[graft] def tryPublish(spark: SparkSession, dir: String, tag: String,
                          entries: DataFrame, version: Long,
-                         batchId: Long = -1L): Boolean = {
+                         batchId: Long = -1L): Boolean =
+      graft.Jobs.labeled(spark, "snap:publish") {
     val f = fs(spark, dir)
     f.mkdirs(new Path(manifestRoot(dir)))
     val carried = math.max(batchId,
-      if (version == 0L) -1L else batchWatermarkAt(spark, dir, version - 1))
+      if (version == 0L) -1L else batchWatermark0(spark, dir, version - 1))
     val full = entryCols(entries)
       .withColumn("version", lit(version))
       .withColumn("parent", lit(version - 1L))
@@ -354,11 +658,24 @@ object Snapshots {
     ok
   }
 
-  private def batchWatermarkAt(spark: SparkSession, dir: String, v: Long): Long = {
-    val m = manifest(spark, dir, Some(v))
-    if (!m.columns.contains("batch_id")) -1L
-    else m.select(max(col("batch_id"))).head().getLong(0)
-  }
+  private def batchWatermark0(spark: SparkSession, dir: String,
+                              v: Long): Long =
+    graft.Jobs.labeled(spark, "snap:watermark") {
+      batchWatermarkAt(spark, dir, v)
+    }
+
+  private def batchWatermarkAt(spark: SparkSession, dir: String, v: Long): Long =
+    manifestRows(spark, dir, v) match {
+      case Some(cm) if cm.schema.fieldNames.contains("batch_id") =>
+        val i = cm.schema.fieldIndex("batch_id")
+        val ids = cm.rows.iterator.filterNot(_.isNullAt(i)).map(_.getLong(i))
+        if (ids.isEmpty) -1L else ids.max
+      case Some(_) => -1L
+      case None =>
+        val m = manifest(spark, dir, Some(v))
+        if (!m.columns.contains("batch_id")) -1L
+        else m.select(max(col("batch_id"))).head().getLong(0)
+    }
 
   /** Highest streaming batch id fenced into the snapshot history (-1
     * if none). Every manifest carries the running maximum, so the
@@ -367,7 +684,7 @@ object Snapshots {
   def lastCommittedBatch(spark: SparkSession, dir: String): Long =
     latestVersion(spark, dir) match {
       case None => -1L
-      case Some(v) => batchWatermarkAt(spark, dir, v)
+      case Some(v) => batchWatermark0(spark, dir, v)
     }
 
   /** Exactly-once micro-batch append for `foreachBatch`: commit the
@@ -434,6 +751,7 @@ object Snapshots {
              bloomFpp: Double = 0.01,
              extraStatsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
+    graft.Jobs.labeled(spark, "snap:commit") {
     val (commitId, newFiles) = writeDataFiles(df, dir,
       statsCol.toSeq ++ extraStatsCols, bloomCols, bloomFpp)
     var attempt = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
@@ -449,6 +767,7 @@ object Snapshots {
       attempt += 1
     }
     attempt // unreachable
+    }
   }
 
   /** Merge a CDC batch into the snapshot table, rewriting ONLY the
@@ -483,6 +802,19 @@ object Snapshots {
     val dataCols = changes.columns.filterNot(c => c == opCol || c == seqCol)
     val pc = pruneCol.getOrElse(keyCols.head)
     require(dataCols.contains(pc), s"changes must carry $pc")
+    graft.Jobs.labeled(spark, "snap:merge") {
+    // the change batch is O(churn) by this function's contract, and
+    // its plan is executed THREE times below — the affected-key
+    // distinct, the range partitioner's sample, and the final write —
+    // so an unpersisted batch pays its (often expensive: a view
+    // refresh's delta fold) lineage three times over. Persist it for
+    // the duration of the merge; callers that already persisted keep
+    // their own handle (storage level check — re-persisting would
+    // just warn).
+    val ownPersist =
+      changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownPersist) changes.persist()
+    try {
     while (true) {
       // fenced (streaming) merges re-check under the current version:
       // a concurrent replica may have applied this batch while we
@@ -504,16 +836,21 @@ object Snapshots {
             if (m.columns.contains(s"smin_$pc"))
               (col(s"smin_$pc"), col(s"smax_$pc"))
             else (col("stats_min"), col("stats_max"))
+          // a file is affected if any changed key can sit in its range
+          // (EXACT per-key probe — a range cover would merge gaps and
+          // rewrite innocent files between scattered churned keys,
+          // the spec-pinned 100 TB hazard), if it carries no stats
+          // (cannot be ruled out), or if the key is NULL — stats
+          // min/max ignore nulls, so no range can rule a null key in
+          // or out of any file. `changes` is persisted above, so this
+          // first execution doubles as its cache materialization.
           val keys = changes.select(col(pc).as("__k")).distinct()
-          // the manifest side is bounded metadata — broadcast it; a
-          // file is affected if any changed key can sit in its range,
-          // if it carries no stats (cannot be ruled out), or if the
-          // key is NULL — stats min/max ignore nulls, so no range can
-          // rule a null key in or out of any file
-          val aff = keys.join(broadcast(m),
-              col("__k").between(mn, mx) ||
-                mn.isNull || col("__k").isNull)
-            .select("path").distinct().collect().map(_.getString(0)).toSeq
+          val aff = graft.Jobs.labeled(spark, "merge:affected") {
+            keys.join(broadcast(m),
+                col("__k").between(mn, mx) ||
+                  mn.isNull || col("__k").isNull)
+              .select("path").distinct().collect().map(_.getString(0)).toSeq
+          }
           val keptEntries =
             if (aff.isEmpty) m
             else m.filter(!col("path").isin(aff: _*))
@@ -543,27 +880,38 @@ object Snapshots {
       // grouped merge output is hash-scattered, so without reshaping
       // every rewritten file's pruneCol range spans the key space and
       // the NEXT merge prunes nothing — range-partition + sort to keep
-      // the rewritten files' stats ranges tiling
-      val shaped = clusterBy match {
-        case Some(c) => merged.repartitionByRange(col(c))
-          .sortWithinPartitions(col(c))
-        case None => merged
-      }
-      val (commitId, newFiles) = writeDataFiles(shaped, dir,
-        pc +: extraStatsCols.filterNot(_ == pc), bloomCols, bloomFpp)
-      val entries = kept match {
-        case Some(k) => k.unionByName(alignStats(newFiles, k),
-          allowMissingColumns = true)
-        case None => entryCols(newFiles)
-      }
-      val version = latest.map(_ + 1).getOrElse(0L)
-      if (tryPublish(spark, dir, commitId, entries, version, batchId))
-        return version
+      // the rewritten files' stats ranges tiling.
+      // The range partitioner SAMPLES its input — a second full
+      // execution of the merge plan (re-reading every affected file)
+      // on top of the write's own — so the merged rows (O(affected
+      // files), the exact bytes the write materializes anyway) are
+      // persisted across the sample + write pair
+      val clustered = clusterBy.isDefined
+      if (clustered) merged.persist()
+      try {
+        val shaped = clusterBy match {
+          case Some(c) => merged.repartitionByRange(col(c))
+            .sortWithinPartitions(col(c))
+          case None => merged
+        }
+        val (commitId, newFiles) = writeDataFiles(shaped, dir,
+          pc +: extraStatsCols.filterNot(_ == pc), bloomCols, bloomFpp)
+        val entries = kept match {
+          case Some(k) => k.unionByName(alignStats(newFiles, k),
+            allowMissingColumns = true)
+          case None => entryCols(newFiles)
+        }
+        val version = latest.map(_ + 1).getOrElse(0L)
+        if (tryPublish(spark, dir, commitId, entries, version, batchId))
+          return version
+      } finally if (clustered) merged.unpersist()
       // collision: a concurrent commit changed the base — the merged
       // files we wrote are now stale garbage (never referenced);
       // re-derive against the new latest
     }
     -1L // unreachable
+    } finally if (ownPersist) changes.unpersist()
+    }
   }
 
   /** Predicate-level DELETE as file-granular copy-on-write — the
@@ -603,6 +951,7 @@ object Snapshots {
                            cond: org.apache.spark.sql.Column,
                            pruneHint: Map[String, (Any, Any)],
                            assignments: Option[Map[String, org.apache.spark.sql.Column]]): Long = {
+    graft.Jobs.labeled(spark, "snap:rewrite") {
     while (true) {
       val latest = latestVersion(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no snapshots at $dir"))
@@ -673,6 +1022,7 @@ object Snapshots {
       // our rewritten files are unreferenced garbage; re-derive
     }
     -1L // unreachable
+    }
   }
 
   /** Exactly-once CDC apply for `foreachBatch`: merge the change
@@ -696,7 +1046,8 @@ object Snapshots {
                        bloomCols: Seq[String] = Nil,
                        bloomFpp: Double = 0.01,
                        clusterBy: Option[String] = None,
-                       extraStatsCols: Seq[String] = Nil): Option[Long] = {
+                       extraStatsCols: Seq[String] = Nil)
+      : Option[Long] = {
     val spark = changes.sparkSession
     if (lastCommittedBatch(spark, dir) >= batchId) return None
     mergeCommit(spark, dir, changes, keyCols, opCol, seqCol,
@@ -709,7 +1060,18 @@ object Snapshots {
 
   private def filesOf(spark: SparkSession, dir: String,
                       version: Option[Long]): Seq[String] =
-    manifest(spark, dir, version).select("path").collect().map(_.getString(0)).toSeq
+    graft.Jobs.labeled(spark, "snap:files") {
+      val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+        throw new IllegalArgumentException(s"no snapshots at $dir"))
+      manifestRows(spark, dir, v) match {
+        case Some(cm) =>
+          val i = cm.schema.fieldIndex("path")
+          cm.rows.iterator.map(_.getString(i)).toSeq
+        case None =>
+          manifest(spark, dir, Some(v)).select("path").collect()
+            .map(_.getString(0)).toSeq
+      }
+    }
 
   /** Read a snapshot (latest by default; pass a version for time
     * travel). Reads exactly the manifest's files — concurrent commits
@@ -919,10 +1281,12 @@ object Snapshots {
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty),
       "readPrunedSpecs needs at least one range per spec")
     val m = manifest(spark, dir, version)
-    val keep = prunedPaths(m, specs.collect {
-      case (column, ranges) if m.columns.contains(s"smin_$column") =>
-        (s"smin_$column", s"smax_$column", ranges)
-    })
+    val keep = graft.Jobs.labeled(spark, "snap:prune") {
+      prunedPaths(m, specs.collect {
+        case (column, ranges) if m.columns.contains(s"smin_$column") =>
+          (s"smin_$column", s"smax_$column", ranges)
+      })
+    }
     if (keep.isEmpty) read(spark, dir, version).limit(0)
     else spark.read.parquet(keep: _*)
   }
@@ -1102,12 +1466,23 @@ object Snapshots {
     * be widened. */
   def tableSchema(spark: SparkSession, dir: String,
                   version: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] = {
-    val m = manifest(spark, dir, version)
-    if (!m.columns.contains("file_schema")) return None
-    val counts = m.agg(count(lit(1)), count(col("file_schema"))).head()
-    if (counts.getLong(0) == 0L || counts.getLong(0) != counts.getLong(1))
-      return None // emptied table, or legacy files without a recorded schema
-    val js = m.select("file_schema").distinct().collect().map(_.getString(0))
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $dir"))
+    val js = manifestRows(spark, dir, v) match {
+      case Some(cm) =>
+        if (!cm.schema.fieldNames.contains("file_schema")) return None
+        val i = cm.schema.fieldIndex("file_schema")
+        if (cm.rows.isEmpty || cm.rows.exists(_.isNullAt(i)))
+          return None // emptied table, or legacy files without a schema
+        cm.rows.iterator.map(_.getString(i)).toArray.distinct
+      case None =>
+        val m = manifest(spark, dir, Some(v))
+        if (!m.columns.contains("file_schema")) return None
+        val counts = m.agg(count(lit(1)), count(col("file_schema"))).head()
+        if (counts.getLong(0) == 0L || counts.getLong(0) != counts.getLong(1))
+          return None // emptied table, or legacy files without a schema
+        m.select("file_schema").distinct().collect().map(_.getString(0))
+    }
     try Some(js.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       .reduce(widenMerge))
