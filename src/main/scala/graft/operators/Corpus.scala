@@ -1169,10 +1169,14 @@ object Corpus {
   def zipfFitFromCounts(counts: DataFrame,
                         buckets: Int = 1024): DataFrame = {
     require(buckets >= 1, s"buckets must be positive: $buckets")
+    // vocab-bounded rows referenced three times below (cell sizes,
+    // class carry, the rank join) — persisted so a from-text caller
+    // tokenizes the corpus ONCE, not once per reference
     val freq = counts.select(col("token"),
       col("cnt").cast("long").as("freq"))
       .withColumn("__sub", pmod(xxhash64(col("token")),
         lit(buckets.toLong)))
+      .persist()
     val cellSizes = freq.groupBy(col("freq"), col("__sub"))
       .agg(count(lit(1L)).as("__bn"))
     // same-freq carry: tokens of this freq in LOWER sub-buckets —
@@ -1204,11 +1208,18 @@ object Corpus {
       .select(col("freq"),
         log(col("__r").cast("double")).as("__x"),
         log(col("freq").cast("double")).as("__y"))
-    logLogFit(pts, Seq(
+    val fit = logLogFit(pts, Seq(
       count(lit(1L)).as("n_types"),
       sum(col("freq")).as("n_tokens")))
       .select(col("n_types"), col("n_tokens"),
         col("slope"), col("intercept"), col("r2"))
+    // one row out — materialize so the vocab-bounded persist releases
+    // here instead of leaking past the operator
+    try {
+      val spark = counts.sparkSession
+      spark.createDataFrame(
+        java.util.Arrays.asList(fit.collect(): _*), fit.schema)
+    } finally freq.unpersist()
   }
 
   /** VOCABULARY DIVERGENCE — the corpus-drift gauge between two
@@ -1236,33 +1247,43 @@ object Corpus {
     require(alpha > 0.0, s"smoothing alpha must be positive: $alpha")
     val pc = pCounts.select(col("token"), col("cnt").cast("long").as("pc"))
     val qc = qCounts.select(col("token"), col("cnt").cast("long").as("qc"))
+    // union-vocab rows feed the totals agg AND the term pass —
+    // persisted (vocab-bounded) so a from-text caller tokenizes each
+    // corpus once, not twice
     val vocab = pc.join(qc, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("pc"), lit(0L)).as("pc"),
         coalesce(col("qc"), lit(0L)).as("qc"))
-    val tot = vocab.agg(
-      sum(col("pc")).cast("double").as("__np"),
-      sum(col("qc")).cast("double").as("__nq"),
-      count(lit(1L)).cast("double").as("__v"))
-    val p = (col("pc").cast("double") + lit(alpha)) /
-      (col("__np") + lit(alpha) * col("__v"))
-    val q = (col("qc").cast("double") + lit(alpha)) /
-      (col("__nq") + lit(alpha) * col("__v"))
-    val m = (p + q) / lit(2.0)
-    vocab.crossJoin(broadcast(tot))
-      .select(
-        (p * (log(p) - log(q))).as("__pq"),
-        (q * (log(q) - log(p))).as("__qp"),
-        (p * (log(p) - log(m)) / lit(2.0) +
-          q * (log(q) - log(m)) / lit(2.0)).as("__js"))
-      .agg(
-        count(lit(1L)).as("n_types"),
-        graft.functions.Exact.roundAt(
-          graft.functions.Exact.sumExact(col("__pq"), 9), 6).as("kl_pq"),
-        graft.functions.Exact.roundAt(
-          graft.functions.Exact.sumExact(col("__qp"), 9), 6).as("kl_qp"),
-        graft.functions.Exact.roundAt(
-          graft.functions.Exact.sumExact(col("__js"), 9), 6).as("js"))
+      .persist()
+    try {
+      val tot = vocab.agg(
+        sum(col("pc")).cast("double").as("__np"),
+        sum(col("qc")).cast("double").as("__nq"),
+        count(lit(1L)).cast("double").as("__v"))
+      val p = (col("pc").cast("double") + lit(alpha)) /
+        (col("__np") + lit(alpha) * col("__v"))
+      val q = (col("qc").cast("double") + lit(alpha)) /
+        (col("__nq") + lit(alpha) * col("__v"))
+      val m = (p + q) / lit(2.0)
+      val out = vocab.crossJoin(broadcast(tot))
+        .select(
+          (p * (log(p) - log(q))).as("__pq"),
+          (q * (log(q) - log(p))).as("__qp"),
+          (p * (log(p) - log(m)) / lit(2.0) +
+            q * (log(q) - log(m)) / lit(2.0)).as("__js"))
+        .agg(
+          count(lit(1L)).as("n_types"),
+          graft.functions.Exact.roundAt(
+            graft.functions.Exact.sumExact(col("__pq"), 9), 6).as("kl_pq"),
+          graft.functions.Exact.roundAt(
+            graft.functions.Exact.sumExact(col("__qp"), 9), 6).as("kl_qp"),
+          graft.functions.Exact.roundAt(
+            graft.functions.Exact.sumExact(col("__js"), 9), 6).as("js"))
+      // one row out — materialize so the persist releases here
+      val spark = pCounts.sparkSession
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally vocab.unpersist()
   }
 
   /** [[vocabDivergence]] straight from two text corpora — counts both
@@ -1306,36 +1327,58 @@ object Corpus {
     val pc = pCounts.select(dGuard.as("__d"), col("token"),
       col("cnt").cast("long").as("pc"))
     val qc = qCounts.select(col("token"), col("cnt").cast("long").as("qc"))
-    val qd = qc.crossJoin(broadcast(pc.select(col("__d")).distinct()))
+    // replicate the reference counts once per domain by EXPLODING the
+    // driver-collected domain list (bounded in the mixing regime —
+    // the same collect temperatureBudgets already does): a Generate,
+    // not the crossJoin-of-broadcast shape PlanGuardSpec bans as
+    // BroadcastNestedLoopJoin. The collect also runs the null-domain
+    // guard, so a NULL domain still fails by name before any join.
+    val doms = pc.select(col("__d")).distinct().collect().map(_.get(0))
+    val dType = pc.schema("__d").dataType
+    val qd =
+      if (doms.isEmpty)
+        qc.withColumn("__d", lit(null).cast(dType)).limit(0)
+      else qc.withColumn("__d",
+        explode(array(doms.map(d => lit(d).cast(dType)): _*)))
     val vocab = pc.join(qd, Seq("__d", "token"), "full_outer")
       .select(col("__d"),
         coalesce(col("pc"), lit(0L)).as("pc"),
         coalesce(col("qc"), lit(0L)).as("qc"))
-    val tot = vocab.groupBy(col("__d")).agg(
-      sum(col("pc")).cast("double").as("__np"),
-      sum(col("qc")).cast("double").as("__nq"),
-      count(lit(1L)).cast("double").as("__v"))
-    val p = (col("pc").cast("double") + lit(alpha)) /
-      (col("__np") + lit(alpha) * col("__v"))
-    val q = (col("qc").cast("double") + lit(alpha)) /
-      (col("__nq") + lit(alpha) * col("__v"))
-    val m = (p + q) / lit(2.0)
-    vocab.join(broadcast(tot), Seq("__d"))
-      .select(col("__d"),
-        (p * (log(p) - log(q))).as("__pq"),
-        (q * (log(q) - log(p))).as("__qp"),
-        (p * (log(p) - log(m)) / lit(2.0) +
-          q * (log(q) - log(m)) / lit(2.0)).as("__js"))
-      .groupBy(col("__d"))
-      .agg(
-        count(lit(1L)).as("n_types"),
-        graft.functions.Exact.roundAt(
-          graft.functions.Exact.sumExact(col("__pq"), 9), 6).as("kl_pq"),
-        graft.functions.Exact.roundAt(
-          graft.functions.Exact.sumExact(col("__qp"), 9), 6).as("kl_qp"),
-        graft.functions.Exact.roundAt(
-          graft.functions.Exact.sumExact(col("__js"), 9), 6).as("js"))
-      .withColumnRenamed("__d", domainCol)
+    // the keyed union-vocab frame feeds the per-domain totals AND the
+    // term pass — persisted ((domains × vocab)-bounded) so each text
+    // side tokenizes once
+    val vocabP = vocab.persist()
+    try {
+      val tot = vocabP.groupBy(col("__d")).agg(
+        sum(col("pc")).cast("double").as("__np"),
+        sum(col("qc")).cast("double").as("__nq"),
+        count(lit(1L)).cast("double").as("__v"))
+      val p = (col("pc").cast("double") + lit(alpha)) /
+        (col("__np") + lit(alpha) * col("__v"))
+      val q = (col("qc").cast("double") + lit(alpha)) /
+        (col("__nq") + lit(alpha) * col("__v"))
+      val m = (p + q) / lit(2.0)
+      val out = vocabP.join(broadcast(tot), Seq("__d"))
+        .select(col("__d"),
+          (p * (log(p) - log(q))).as("__pq"),
+          (q * (log(q) - log(p))).as("__qp"),
+          (p * (log(p) - log(m)) / lit(2.0) +
+            q * (log(q) - log(m)) / lit(2.0)).as("__js"))
+        .groupBy(col("__d"))
+        .agg(
+          count(lit(1L)).as("n_types"),
+          graft.functions.Exact.roundAt(
+            graft.functions.Exact.sumExact(col("__pq"), 9), 6).as("kl_pq"),
+          graft.functions.Exact.roundAt(
+            graft.functions.Exact.sumExact(col("__qp"), 9), 6).as("kl_qp"),
+          graft.functions.Exact.roundAt(
+            graft.functions.Exact.sumExact(col("__js"), 9), 6).as("js"))
+        .withColumnRenamed("__d", domainCol)
+      // domain-bounded rows out — materialize so the persist releases
+      val spark = pCounts.sparkSession
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally vocabP.unpersist()
   }
 
   /** [[vocabDivergenceBy]] straight from text: per-domain counts of
@@ -1374,39 +1417,50 @@ object Corpus {
     val newTypes = toks.groupBy("token")
       .agg(min(col("__id")).as("__id"))
       .groupBy("__id").agg(count(lit(1L)).as("__nt"))
+    // O(docs) rows, reused by the bounds probe, the bucket totals and
+    // the within-bucket walk — persisted so the corpus is tokenized
+    // twice (the two grouped passes above), not once per consumer
     val perDoc = toks.groupBy("__id").agg(count(lit(1L)).as("__n"))
       .join(newTypes, Seq("__id"), "left")
       .select(col("__id"), col("__n"),
         coalesce(col("__nt"), lit(0L)).as("__nt"))
-    val bounds = perDoc.agg(min(col("__id")), max(col("__id"))).head()
-    require(!bounds.isNullAt(0), "heapsFit needs a non-empty corpus")
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val width = math.max(1L, (hi - lo) / buckets + 1)
-    // integral bucket id (floor division — `/` on longs is DOUBLE
-    // division in Spark, wrong past 2^53)
-    val bucketed = perDoc.withColumn("__b",
-      expr(s"(__id - ${lo}L) div ${width}L"))
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy("__b").orderBy("__id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val wCarry = org.apache.spark.sql.expressions.Window
-      .orderBy("__b")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, -1)
-    val carry = bucketed.groupBy("__b")
-      .agg(sum(col("__n")).as("__bn"), sum(col("__nt")).as("__bnt"))
-      .select(col("__b"),
-        coalesce(sum(col("__bn")).over(wCarry), lit(0L)).as("__cn"),
-        coalesce(sum(col("__bnt")).over(wCarry), lit(0L)).as("__cnt"))
-    val pts = bucketed.join(carry, "__b")
-      .select(
-        (col("__cn") + sum(col("__n")).over(wIn)).as("__N"),
-        (col("__cnt") + sum(col("__nt")).over(wIn)).as("__V"))
-      .select(log(col("__N").cast("double")).as("__x"),
-        log(col("__V").cast("double")).as("__y"))
-    logLogFit(pts, Seq(count(lit(1L)).as("n_docs")))
-      .select(col("n_docs"), col("slope"), col("intercept"), col("r2"))
+      .persist()
+    try {
+      val bounds = perDoc.agg(min(col("__id")), max(col("__id"))).head()
+      require(!bounds.isNullAt(0), "heapsFit needs a non-empty corpus")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val width = math.max(1L, (hi - lo) / buckets + 1)
+      // integral bucket id (floor division — `/` on longs is DOUBLE
+      // division in Spark, wrong past 2^53)
+      val bucketed = perDoc.withColumn("__b",
+        expr(s"(__id - ${lo}L) div ${width}L"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("__b").orderBy("__id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val wCarry = org.apache.spark.sql.expressions.Window
+        .orderBy("__b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val carry = bucketed.groupBy("__b")
+        .agg(sum(col("__n")).as("__bn"), sum(col("__nt")).as("__bnt"))
+        .select(col("__b"),
+          coalesce(sum(col("__bn")).over(wCarry), lit(0L)).as("__cn"),
+          coalesce(sum(col("__bnt")).over(wCarry), lit(0L)).as("__cnt"))
+      val pts = bucketed.join(carry, "__b")
+        .select(
+          (col("__cn") + sum(col("__n")).over(wIn)).as("__N"),
+          (col("__cnt") + sum(col("__nt")).over(wIn)).as("__V"))
+        .select(log(col("__N").cast("double")).as("__x"),
+          log(col("__V").cast("double")).as("__y"))
+      val fit = logLogFit(pts, Seq(count(lit(1L)).as("n_docs")))
+        .select(col("n_docs"), col("slope"), col("intercept"), col("r2"))
+      // one row out — materialize it so the O(docs) persist above can
+      // be released HERE instead of leaking past the operator
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        java.util.Arrays.asList(fit.collect(): _*), fit.schema)
+    } finally perDoc.unpersist()
   }
 
   /** [[perplexityBuckets]]' scoring half over any `(token, cnt)`
